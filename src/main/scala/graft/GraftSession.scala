@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Tuned SparkSession factory.
+  *
+  * Scale-first defaults: AQE on (runtime partition coalescing + skew-join
+  * splitting), explicit shuffle-partition discipline (32 on the local test
+  * rig; on a real cluster callers pass `2-3 × total executor cores`), UTC
+  * session time zone, and a broadcast threshold generous enough that every
+  * TPC-H-ish dimension table (region/nation/supplier/part/customer at test
+  * SFs) broadcasts instead of shuffling.
+  */
+object GraftSession {
+
+  /** Apply graft's tuning to an arbitrary builder (used by Verify/Bench and
+    * by library users who bring their own master/appName).
+    */
+  def tune(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+      .config("spark.ui.enabled", "false")
+
+  /** Local session for tests and ad-hoc runs. */
+  def local(cpus: Int = 32, appName: String = "graft"): SparkSession = {
+    val s = tune(SparkSession.builder().master(s"local[$cpus]").appName(appName), cpus)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,328 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import graft.Tables
+
+/** Relational core (SURVEY §2.A): TPC-H-flavoured queries over the driver
+  * tables, written DataFrame-first so Catalyst owns pushdown, pruning, join
+  * selection and AQE re-planning.
+  *
+  * Determinism conventions (SURVEY §5): money/quantity aggregates go through
+  * DECIMAL(18,2) (exact for this data, order-independent) and are cast to
+  * DOUBLE only at the end; timestamps leave as epoch-second BIGINTs; every
+  * query ends in a total ORDER BY. Each query has a DuckDB twin in
+  * [[Relational.oracles]].
+  */
+object Relational {
+
+  private val D = DecimalType(18, 2)
+  private def dec(c: Column): Column = c.cast(D)
+  /** Exact decimal sum exported as double. */
+  private def moneySum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+  /** l_extendedprice * (1 - l_discount), exact in decimal. */
+  private def revenue(price: Column, disc: Column): Column =
+    sum(dec(price) * (lit(BigDecimal(1)).cast(D) - dec(disc))).cast(DoubleType)
+  private def epochS(c: Column): Column = c.cast(LongType)
+
+  // ---------------------------------------------------------------- q1
+  /** Pricing summary: the canonical map-side-combinable aggregation. At
+    * 100 TB this is one scan + partial agg + tiny shuffle (few groups).
+    */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir).lineitem
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        revenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+        (sum(dec(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  // ---------------------------------------------------------------- q3
+  /** Shipping priority: selective dim filter → two joins → agg → top-k.
+    * customer is broadcast (small side); lineitem⋈orders shuffles on the
+    * order key once.
+    */
+  def q3ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val cust = t.customer.filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = t.orders.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = t.lineitem.filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        epochS(col("o_orderdate")).as("o_epoch"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  // ---------------------------------------------------------------- q5
+  /** Local-supplier volume: five joins; all dims broadcast, the single big
+    * shuffle is lineitem⋈orders.
+    */
+  def q5LocalSupplier(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val dims = broadcast(
+      t.supplier.join(t.nation, col("s_nationkey") === col("n_nationkey"))
+        .join(t.region.filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_nationkey", "n_name"))
+    val cust = broadcast(t.customer.select("c_custkey", "c_nationkey"))
+    val ord = t.orders.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    t.lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(dims, col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey")
+        && col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  // ---------------------------------------------------------------- topk
+  /** Global top-k: TakeOrderedAndProject, no full sort at scale. */
+  def topkOrders(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).orders
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+
+  // ---------------------------------------------------------------- window
+  /** Per-customer running total — ROWS frame with a total order so the
+    * running decimal sum is reproducible.
+    */
+  def windowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir).orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(dec(col("o_totalprice"))).over(w).cast(DoubleType).as("running_spend"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Top-3 parts by retail price per brand (dense per-group top-k). */
+  def rankInGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables(s, dir).part
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+        row_number().over(w).as("rk"))
+      .filter(col("rk") <= 3)
+      .orderBy(col("p_brand"), col("rk"))
+  }
+
+  // ---------------------------------------------------------------- distinct
+  def distinctCount(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"))
+      .orderBy(col("l_returnflag"))
+
+  /** HLL sketch distinct — rows-only for the driver (sketch ≠ DuckDB's);
+    * error bound vs exact asserted in RelationalSpec.
+    */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_part"))
+      .orderBy(col("l_returnflag"))
+
+  // ---------------------------------------------------------------- semi/anti
+  def semiJoin(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.customer.join(t.orders.filter(col("o_orderstatus") === "O"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  def antiJoin(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.customer.join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // ---------------------------------------------------------------- rollup
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).orders
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("sum_price"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("sum_price"))
+      .orderBy(col("status"), col("priority"))
+
+  // ---------------------------------------------------------------- percentiles
+  /** Exact continuous quantiles (R-7 interpolation, same as DuckDB's
+    * quantile_cont). l_quantity has ≤1 decimal and heavy duplication, so the
+    * interpolated values are reproducible across engines.
+    */
+  def percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.75)").as("p75"))
+      .orderBy(col("l_returnflag"))
+
+  // ---------------------------------------------------------------- conditional
+  /** Pivot-style conditional aggregation over events per user bucket. */
+  def conditionalAgg(s: SparkSession, dir: String): DataFrame = {
+    def cnt(tp: String) = count(when(col("event_type") === tp, 1)).as(s"n_$tp")
+    Tables(s, dir).events
+      .groupBy((col("user_id") % 10).as("bucket"))
+      .agg(cnt("click"), cnt("view"), cnt("purchase"),
+        moneySum(when(col("event_type") === "purchase", col("value"))).as("purchase_value"))
+      .orderBy(col("bucket"))
+  }
+
+  // ---------------------------------------------------------------- union
+  def unionDedup(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.customer.select(col("c_nationkey").cast(LongType).as("nationkey"))
+      .union(t.supplier.select(col("s_nationkey").cast(LongType).as("nationkey")))
+      .distinct()
+      .orderBy(col("nationkey"))
+  }
+
+  // ---------------------------------------------------------------- range join
+  /** Equi key + range predicate: lineitems shipped within 30 days of their
+    * order. The range filter rides on the equi shuffle — no cross product.
+    */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.lineitem.select(col("l_orderkey"), col("l_shipdate"))
+      .join(t.orders.select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey")
+          && epochS(col("l_shipdate")) >= epochS(col("o_orderdate"))
+          && epochS(col("l_shipdate")) < epochS(col("o_orderdate")) + lit(30L * 86400))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_fast_ship"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  // =================================================================
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary"  -> (q1PricingSummary _),
+    "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q5_local_supplier"   -> (q5LocalSupplier _),
+    "q_topk_orders"       -> (topkOrders _),
+    "q_window_running"    -> (windowRunning _),
+    "q_rank_in_group"     -> (rankInGroup _),
+    "q_distinct_count"    -> (distinctCount _),
+    "q_approx_distinct"   -> (approxDistinct _),
+    "q_semi_join"         -> (semiJoin _),
+    "q_anti_join"         -> (antiJoin _),
+    "q_rollup"            -> (rollupAgg _),
+    "q_percentiles"       -> (percentiles _),
+    "q_conditional_agg"   -> (conditionalAgg _),
+    "q_union_dedup"       -> (unionDedup _),
+    "q_range_join"        -> (rangeJoin _))
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  epoch_ms(o_orderdate)//1000 AS o_epoch, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_rank_in_group" ->
+      """SELECT p_brand, p_partkey, p_retailprice, rk FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rk
+        |  FROM part) WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin,
+    "q_distinct_count" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,
+        |  COUNT(DISTINCT l_partkey) AS n_part
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_rollup" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_conditional_agg" ->
+      """SELECT user_id % 10 AS bucket,
+        |  COUNT(*) FILTER (event_type = 'click') AS n_click,
+        |  COUNT(*) FILTER (event_type = 'view') AS n_view,
+        |  COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value
+        |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_union_dedup" ->
+      """SELECT DISTINCT nationkey FROM (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+        |  UNION ALL SELECT CAST(s_nationkey AS BIGINT) FROM supplier)
+        |ORDER BY nationkey""".stripMargin,
+    "q_range_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_fast_ship
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND epoch_ms(l_shipdate)//1000 >= epoch_ms(o_orderdate)//1000
+        |  AND epoch_ms(l_shipdate)//1000 < epoch_ms(o_orderdate)//1000 + 30*86400
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+}

@@ -12,7 +12,7 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries.Relational.q3ShippingPriority(spark, "/root/testdata/sf0.001")
+    graft.queries.Relational.q3ShippingPriority(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries

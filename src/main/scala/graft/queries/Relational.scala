@@ -25,7 +25,13 @@ object Relational {
   /** l_extendedprice * (1 - l_discount), exact in decimal. */
   private def revenue(price: Column, disc: Column): Column =
     sum(dec(price) * (lit(BigDecimal(1)).cast(D) - dec(disc))).cast(DoubleType)
-  private def epochS(c: Column): Column = c.cast(LongType)
+  /** Epoch seconds from a (possibly NTZ) timestamp. The driver's parquet is
+    * written without a UTC flag so Spark 4 reads TIMESTAMP_NTZ, which has no
+    * direct BIGINT cast — route through TIMESTAMP (session TZ is UTC, so the
+    * instant matches DuckDB's naive epoch_ms//1000).
+    */
+  private def epochS(c: Column): Column =
+    c.cast(org.apache.spark.sql.types.TimestampType).cast(LongType)
 
   // ---------------------------------------------------------------- q1
   /** Pricing summary: the canonical map-side-combinable aggregation. At
@@ -119,7 +125,7 @@ object Relational {
       .orderBy(col("p_retailprice").desc, col("p_partkey"))
     Tables(s, dir).part
       .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
-        row_number().over(w).as("rk"))
+        row_number().over(w).cast(LongType).as("rk"))
       .filter(col("rk") <= 3)
       .orderBy(col("p_brand"), col("rk"))
   }
@@ -150,9 +156,14 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** Customers with no open ('O') order — anti-join with a pushed filter on
+    * the build side (every customer has *some* order at all SFs, so the
+    * unfiltered variant would be a degenerate 0-row check).
+    */
   def antiJoin(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
-    t.customer.join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+    t.customer.join(t.orders.filter(col("o_orderstatus") === "O"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey"))
   }
@@ -292,7 +303,7 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin,
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
         |ORDER BY c_custkey""".stripMargin,
     "q_rollup" ->
       """SELECT COALESCE(o_orderstatus, 'ALL') AS status,

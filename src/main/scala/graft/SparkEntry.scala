@@ -15,8 +15,12 @@ object SparkEntry {
     graft.queries.Relational.q3ShippingPriority(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries
+    graft.queries.Relational.queries ++
+      graft.etl.JsonEtl.queries ++
+      graft.ops.TextAnalysis.queries
 
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracles
+    graft.queries.Relational.oracles ++
+      graft.etl.JsonEtl.oracles ++
+      graft.ops.TextAnalysis.oracles
 }

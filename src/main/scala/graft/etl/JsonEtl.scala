@@ -1,0 +1,183 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import graft.Tables
+
+/** ETL surface (SURVEY §2.B) — the pyetl-equivalent pipeline re-expressed as
+  * declarative Spark transforms over the `events` stream table.
+  *
+  * pyetl's loop (consume JSON → parse → enrich → partition-by-day → route →
+  * write) maps to: tolerant JSON parse ([[jsonExtract]]), ingest enrichment +
+  * day partition derivation ([[enrichPartition]]), predicate routing
+  * ([[routeFilter]]), keyed upsert a.k.a. latest-per-key ([[latestByKey]]),
+  * plus the analytic shapes a landed event stream needs (sessionization,
+  * tumbling windows). Sinks/rolling live in [[Sinks]] (spec-only — no single
+  * DataFrame result to oracle-check).
+  *
+  * Scale notes: every query here is a scan + (at most) one hash shuffle on a
+  * declared key (`user_id` or the derived window), so the plans survive a
+  * 1000-executor 100 TB run: partial aggregation is map-side, the JSON parse
+  * and window math are codegen'd expressions (no UDFs), and ordering is only
+  * for oracle determinism (a real pipeline drops the final sort).
+  *
+  * The driver's events.parquet carries TIMESTAMP(NANOS), which Spark 4 reads
+  * as nanos-epoch LongType under `spark.sql.legacy.parquet.nanosAsLong` (see
+  * GraftSession); DuckDB truncates the same value to micros. All time math
+  * therefore happens on floor-seconds, identical in both engines.
+  */
+object JsonEtl {
+
+  private val D = DecimalType(18, 2)
+  /** Floor epoch-seconds from the nanos-epoch long `ts` column. */
+  private def tsSec(c: Column): Column = (c / lit(1000000000L)).cast(LongType)
+
+  // ------------------------------------------------------------ json extract
+  /** Parse the embedded JSON string column (pyetl's "message body") into
+    * typed columns. `get_json_object` is a codegen'd Catalyst expression —
+    * at 100 TB this is a pure map stage, no shuffle.
+    */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .orderBy(col("event_id"))
+
+  // ------------------------------------------------------------ enrich
+  /** pyetl enrich step: derive the day partition column from the event
+    * timestamp, normalize the type tag to lowercase, drop the raw payload.
+    */
+  def enrichPartition(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events
+      .select(col("event_id"),
+        date_format(timestamp_seconds(tsSec(col("ts"))), "yyyy-MM-dd").as("day"),
+        lower(col("event_type")).as("etype"),
+        col("user_id"), col("value"))
+      .orderBy(col("event_id"))
+
+  // ------------------------------------------------------------ route
+  /** One route of pyetl's predicate fan-out: high-value purchases. The
+    * predicate is pushed to the parquet scan (PushedFilters), so the other
+    * routes' rows are never materialized here.
+    */
+  def routeFilter(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events
+      .filter(col("event_type") === "purchase" && col("value") > 50.0)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .orderBy(col("event_id"))
+
+  // ------------------------------------------------------------ latest by key
+  /** Keyed upsert semantics (pyetl's key-value-table destination): the
+    * surviving record per key is the latest by timestamp (event_id breaks
+    * ties). One shuffle on the key; at 100 TB this is the standard
+    * dedup-to-current-state compaction.
+    */
+  def latestByKey(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables(s, dir).events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"),
+        lower(col("event_type")).as("etype"), col("value"),
+        tsSec(col("ts")).as("ts_epoch"))
+      .orderBy(col("user_id"))
+  }
+
+  // ------------------------------------------------------------ sessionize
+  /** Gap-based sessionization (30-min inactivity closes a session): lag →
+    * new-session flag → running sum = session index → per-session rollup.
+    * Both windows share the (user_id, ts, event_id) ordering so Spark plans
+    * a single shuffle + sort for the whole chain.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("event_id"))
+    val ev = Tables(s, dir).events
+      .select(col("user_id"), col("event_id"), col("value"), tsSec(col("ts")).as("sec"))
+    ev.withColumn("prev", lag(col("sec"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("sec") - col("prev") > 1800, 1L).otherwise(0L))
+      .withColumn("sess_idx",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_idx"))
+      .agg(min(col("sec")).as("session_start"),
+        max(col("sec")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(D)).cast(DoubleType).as("sum_value"))
+      .orderBy(col("user_id"), col("sess_idx"))
+  }
+
+  // ------------------------------------------------------------ tumbling
+  /** 5-minute tumbling-window aggregates (batch form; the streaming twin is
+    * graft.streaming.Streams.windowCounts). Window start is pure integer
+    * math on floor-seconds — identical across engines and codegen-friendly.
+    */
+  def tumblingWindow(s: SparkSession, dir: String): DataFrame = {
+    val sec = tsSec(col("ts"))
+    Tables(s, dir).events
+      .groupBy((sec - (sec % lit(300L))).as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(D)).cast(DoubleType).as("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  // =================================================================
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_json_extract"     -> (jsonExtract _),
+    "etl_enrich_partition" -> (enrichPartition _),
+    "etl_route_filter"     -> (routeFilter _),
+    "etl_latest_by_key"    -> (latestByKey _),
+    "etl_sessionize"       -> (sessionize _),
+    "etl_tumbling_window"  -> (tumblingWindow _))
+
+  /** DuckDB twins. events.ts is TIMESTAMP(NANOS) → DuckDB truncates to
+    * micros; epoch_ms(ts)//1000 is the same floor-second Spark computes from
+    * the nanos long.
+    */
+  val oracles: Map[String, String] = Map(
+    "etl_json_extract" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "etl_enrich_partition" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d') AS day,
+        |  lower(event_type) AS etype, user_id, value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "etl_route_filter" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_type = 'purchase' AND value > 50.0
+        |ORDER BY event_id""".stripMargin,
+    "etl_latest_by_key" ->
+      """SELECT user_id, event_id, lower(event_type) AS etype, value,
+        |  epoch_ms(ts)//1000 AS ts_epoch
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "etl_sessionize" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, value, epoch_ms(ts)//1000 AS sec
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR sec - prev > 1800 THEN 1 ELSE 0 END AS is_new
+        |  FROM (SELECT *, LAG(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS prev
+        |        FROM ev)),
+        |sessed AS (
+        |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+        |  FROM flagged)
+        |SELECT user_id, CAST(sess_idx AS BIGINT) AS sess_idx,
+        |  MIN(sec) AS session_start, MAX(sec) AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sessed GROUP BY user_id, sess_idx ORDER BY user_id, sess_idx""".stripMargin,
+    "etl_tumbling_window" ->
+      """SELECT (epoch_ms(ts)//1000) - ((epoch_ms(ts)//1000) % 300) AS window_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin)
+}

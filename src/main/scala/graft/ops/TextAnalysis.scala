@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+import graft.Tables
+
+/** Text analysis for training-data pipelines (SURVEY §2.E): language ID,
+  * quality scoring, token counting, and content fingerprinting over the
+  * `documents` table.
+  *
+  * Everything is built from codegen'd Catalyst expressions (`split`,
+  * `regexp_*`, higher-order `filter`/`transform`/`aggregate`) — no UDFs, so
+  * at 100 TB each query is a single scan + map with column pruning down to
+  * (doc_id, text); the only shuffle is the oracle-determinism sort, which a
+  * real pipeline drops.
+  *
+  * Cross-engine determinism: all ratios are int/int divisions in double;
+  * the fingerprint fold keeps its accumulator under 2^40 so the modular
+  * arithmetic is exact BIGINT math in both Spark and DuckDB.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of the trimmed text. */
+  private def words(c: Column): Column = split(trim(c), "\\s+")
+
+  private val stopEn = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val stopFr = Seq("le", "la", "de", "et", "un", "est", "dans")
+  private val stopEs = Seq("el", "los", "de", "y", "un", "es", "en")
+  private val stopDe = Seq("der", "die", "das", "und", "ein", "ist", "zu")
+
+  private def hits(c: Column, stop: Seq[String]): Column =
+    size(filter(words(c), w => w.isInCollection(stop))).cast(LongType)
+
+  // ------------------------------------------------------------ token count
+  /** Whitespace token count + a BPE-ish subword proxy: letter runs, single
+    * digits, and individual punctuation marks each count as one token (the
+    * GPT-2-style pre-tokenizer shape, minus the unicode categories).
+    */
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .select(col("doc_id"),
+        size(words(col("text"))).cast(LongType).as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))).cast(LongType).as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  // ------------------------------------------------------------ quality
+  /** Heuristic quality signals: length, punctuation density, stopword ratio
+    * (fluency proxy), mean word length — and a blended score. The weighted
+    * sum is fixed-order double arithmetic → bit-identical across engines.
+    */
+  def quality(s: SparkSession, dir: String): DataFrame = {
+    val nChars = length(col("text")).cast(LongType)
+    val nWords = size(words(col("text"))).cast(LongType)
+    val nPunct = length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast(LongType)
+    val nStop  = hits(col("text"), stopEn)
+    val punctRatio = nPunct.cast(DoubleType) / nChars.cast(DoubleType)
+    val stopRatio  = nStop.cast(DoubleType) / nWords.cast(DoubleType)
+    val meanWordLen = nChars.cast(DoubleType) / nWords.cast(DoubleType)
+    Tables(s, dir).documents
+      .select(col("doc_id"), nChars.as("n_chars"), nWords.as("n_words"),
+        punctRatio.as("punct_ratio"), stopRatio.as("stop_ratio"),
+        meanWordLen.as("mean_word_len"),
+        (stopRatio * lit(0.5) + punctRatio * lit(0.25)
+          + meanWordLen * lit(0.05)).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------------ language id
+  /** Stopword-list n-gram heuristic language ID: count hits per language's
+    * closed stopword set, argmax with a fixed priority order (en > fr > es >
+    * de > unknown) for ties. A real pipeline swaps in larger lists; the
+    * plan shape (scan + map) is the point.
+    */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    val (en, fr, es, de) =
+      (hits(t, stopEn), hits(t, stopFr), hits(t, stopEs), hits(t, stopDe))
+    val top = greatest(en, fr, es, de)
+    Tables(s, dir).documents
+      .select(col("doc_id"), en.as("c_en"), fr.as("c_fr"), es.as("c_es"), de.as("c_de"),
+        when(top === lit(0L), "unknown")
+          .when(en === top, "en").when(fr === top, "fr")
+          .when(es === top, "es").otherwise("de").as("pred_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------------ fingerprint
+  /** Position-sensitive rolling document fingerprint: fold the word stream
+    * through h' = (h*1000003 + (31*len(w) + ascii(w))) mod 2^40. Content
+    * reorderings change it; whitespace normalization does not. The per-word
+    * value is prepended as the fold seed in DuckDB (list_reduce has no init),
+    * which matches Spark's 0-seeded fold exactly because (0*p + v) = v.
+    */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val M = 1099511627776L // 2^40: h*1000003 + v < 2^60 — exact in BIGINT
+    val wordVals = transform(words(col("text")),
+      w => (length(w).cast(LongType) * lit(31L) + ascii(w).cast(LongType)))
+    Tables(s, dir).documents
+      .select(col("doc_id"),
+        aggregate(wordVals, lit(0L),
+          (h, v) => (h * lit(1000003L) + v) % lit(M)).as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  // =================================================================
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_count" -> (tokenCount _),
+    "text_quality"     -> (quality _),
+    "text_lang_id"     -> (langId _),
+    "text_fingerprint" -> (fingerprint _))
+
+  private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ",", ")")
+  private def sqlHits(stop: Seq[String]) =
+    s"len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w IN ${sqlList(stop)}))"
+
+  val oracles: Map[String, String] = Map(
+    "text_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      s"""WITH m AS (SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
+         |  CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+         |  CAST(${sqlHits(stopEn)} AS BIGINT) AS n_stop
+         |  FROM documents)
+         |SELECT doc_id, n_chars, n_words,
+         |  CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio,
+         |  CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) AS stop_ratio,
+         |  CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+         |  (CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE)) * 0.5
+         |    + (CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.25
+         |    + (CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE)) * 0.05 AS quality_score
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "text_lang_id" ->
+      s"""WITH c AS (SELECT doc_id,
+         |  CAST(${sqlHits(stopEn)} AS BIGINT) AS c_en,
+         |  CAST(${sqlHits(stopFr)} AS BIGINT) AS c_fr,
+         |  CAST(${sqlHits(stopEs)} AS BIGINT) AS c_es,
+         |  CAST(${sqlHits(stopDe)} AS BIGINT) AS c_de
+         |  FROM documents)
+         |SELECT doc_id, c_en, c_fr, c_es, c_de,
+         |  CASE WHEN greatest(c_en, c_fr, c_es, c_de) = 0 THEN 'unknown'
+         |       WHEN c_en = greatest(c_en, c_fr, c_es, c_de) THEN 'en'
+         |       WHEN c_fr = greatest(c_en, c_fr, c_es, c_de) THEN 'fr'
+         |       WHEN c_es = greatest(c_en, c_fr, c_es, c_de) THEN 'es'
+         |       ELSE 'de' END AS pred_lang
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_transform(string_split_regex(trim(text), '\s+'),
+        |      w -> CAST(length(w)*31 + ascii(w) AS BIGINT)),
+        |    (h, v) -> ((h * 1000003) + v) % 1099511627776) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

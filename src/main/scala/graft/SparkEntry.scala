@@ -17,10 +17,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.etl.JsonEtl.queries ++
-      graft.ops.TextAnalysis.queries
+      graft.ops.TextAnalysis.queries ++
+      graft.ops.Dedup.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.etl.JsonEtl.oracles ++
-      graft.ops.TextAnalysis.oracles
+      graft.ops.TextAnalysis.oracles ++
+      graft.ops.Dedup.oracles
 }

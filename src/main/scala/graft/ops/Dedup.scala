@@ -1,0 +1,238 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+import graft.Tables
+import graft.functions.cosine_sim
+
+/** Deduplication for training-data pipelines (SURVEY §2.C) over the
+  * `documents` and `embeddings` tables.
+  *
+  * Two tiers, by design:
+  *  - **ground truth** (oracle-checked): exact/normalized hash dedup and
+  *    all-pairs shingle Jaccard / embedding cosine. The all-pairs forms are
+  *    O(N²) and exist to verify the approximate tier at test SF — at 100 TB
+  *    you never run them.
+  *  - **scale tier** (rows-only + spec-asserted recall): MinHash+LSH banding
+  *    and SimHash chunk-joins. Work is proportional to Σ|bucket|², not N²;
+  *    buckets are hash-distributed so the candidate join shuffles evenly.
+  *
+  * Everything is HOF/codegen expressions — no UDFs. All arithmetic stays
+  * under 2^62 so Spark's ANSI mode (4.x default) never overflows.
+  */
+object Dedup {
+
+  /** Whitespace-collapse + lowercase + trim normalization. */
+  private def norm(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  private def words(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Distinct word-bigram shingles ("w1 w2"). Guarded for 1-word docs (ANSI
+    * would throw on the out-of-bounds element_at otherwise).
+    */
+  private def shingles(c: Column): Column = {
+    val w = words(c)
+    when(size(w) >= 2,
+      array_distinct(transform(sequence(lit(1), size(w) - 1),
+        i => concat(element_at(w, i), lit(" "), element_at(w, i + 1)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** doc_id → (hash, canonical doc, group size) under a key expression. */
+  private def hashDedup(df: DataFrame, key: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byHash = Window.partitionBy(col("text_md5"))
+    df.select(col("doc_id"), key.as("text_md5"))
+      .withColumn("canonical_id", min(col("doc_id")).over(byHash))
+      .withColumn("group_size", count(lit(1)).over(byHash))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------------ exact
+  /** Exact dedup: md5 of the raw text, canonical = min doc_id per group.
+    * At 100 TB: one shuffle on the hash (and the hash, not the text, is the
+    * shuffle key — rows carry ~32 bytes extra, not the document body).
+    */
+  def exact(s: SparkSession, dir: String): DataFrame =
+    hashDedup(Tables(s, dir).documents, md5(col("text")))
+
+  /** Dedup after whitespace/case normalization — catches trivially-mutated
+    * copies that exact hashing misses.
+    */
+  def normalized(s: SparkSession, dir: String): DataFrame =
+    hashDedup(Tables(s, dir).documents, md5(norm(col("text"))))
+
+  // ------------------------------------------------------------ jaccard (truth)
+  /** All-pairs word-bigram Jaccard, top-50 most-similar pairs. Ground truth
+    * for the MinHash tier; O(N²) in the worst case so test-SF only (the
+    * shingle self-join is the quadratic step). jaccard = |∩| / (n1+n2-|∩|)
+    * as a single int/int double division — bit-identical in DuckDB.
+    */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val ex = docs.select(col("doc_id"), explode(col("sh")).as("sh"))
+    val n = docs.select(col("doc_id"), size(col("sh")).cast(LongType).as("n"))
+    val inter = ex.as("a").join(ex.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(n.as("n1"), col("d1") === col("n1.doc_id"))
+      .join(n.as("n2"), col("d2") === col("n2.doc_id"))
+      .select(col("d1"), col("d2"), col("inter"),
+        (col("inter").cast(DoubleType) /
+          (col("n1.n") + col("n2.n") - col("inter")).cast(DoubleType)).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("d1"), col("d2"))
+      .limit(50)
+  }
+
+  // ------------------------------------------------------------ minhash+LSH
+  private val P = 4294967311L // prime > 2^32; a*h+b < 2^40 → ANSI-safe
+  private val NumHashes = 64
+  private val Bands = 16 // 16 bands × 4 rows: s-curve threshold ≈ 0.5
+
+  /** The scale-tier near-dup detector: 64 MinHash permutations → 16-band
+    * LSH bucketing → candidate pairs → exact-Jaccard verification of
+    * candidates only. The only joins are hash-equi on (band, signature
+    * slice), so at 100 TB work is Σ|bucket|² with well-distributed buckets;
+    * the verification join touches candidates, not all pairs.
+    *
+    * Rows-only for the driver (signatures are engine-internal); DedupSpec
+    * asserts recall vs [[ngramJaccard]] ground truth.
+    */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    // h ∈ [0, P): base shingle hash; sig_i = min over shingles of (a_i h + b_i) mod P
+    val hashed = docs.withColumn("hs",
+      transform(col("sh"), sh => pmod(xxhash64(sh), lit(P))))
+    val sig = hashed.withColumn("sig",
+      transform(sequence(lit(0), lit(NumHashes - 1)),
+        i => array_min(transform(col("hs"),
+          h => pmod(h * (i * 2 + 1) + pmod(i * lit(2654435761L), lit(P)), lit(P))))))
+    val rowsPerBand = NumHashes / Bands
+    val banded = sig.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(Bands - 1)),
+          b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .toDF("doc_id", "band", "bucket")
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    // exact-verify candidates only
+    cand
+      .join(docs.select(col("doc_id").as("d1"), col("sh").as("s1")), "d1")
+      .join(docs.select(col("doc_id").as("d2"), col("sh").as("s2")), "d2")
+      .select(col("d1"), col("d2"),
+        (size(array_intersect(col("s1"), col("s2"))).cast(DoubleType) /
+          size(array_union(col("s1"), col("s2"))).cast(DoubleType)).as("jaccard"))
+      .filter(col("jaccard") >= 0.7)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  // ------------------------------------------------------------ simhash
+  /** 64-bit SimHash over word hashes, kept as 4×16-bit chunks (ANSI-safe —
+    * no 64-bit sign-bit packing). Near-dup candidates must share ≥1 chunk
+    * when hamming ≤ 3 (pigeonhole over 4 chunks), so the pair join is
+    * chunk-equi, not all-pairs. Output: pairs with hamming ≤ 3.
+    */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .withColumn("wh", transform(col("w"), w => xxhash64(w)))
+    // chunk c = bits [16c, 16c+16) packed little-endian within the chunk
+    val sig = docs.withColumn("chunks", expr(
+      """transform(sequence(0, 3), c ->
+        |  aggregate(sequence(0, 15), 0L, (acc, j) ->
+        |    acc * 2L + CASE WHEN aggregate(wh, 0L, (s, h) ->
+        |      s + CASE WHEN (shiftright(h, CAST(c*16+j AS INT)) & 1) = 1
+        |          THEN 1L ELSE -1L END) > 0L THEN 1L ELSE 0L END))""".stripMargin))
+      .select(col("doc_id"), col("chunks"))
+    val ex = sig.select(col("doc_id"), col("chunks"),
+      posexplode(col("chunks")).as(Seq("cidx", "cval")))
+    val pairs = ex.as("a").join(ex.as("b"),
+        col("a.cidx") === col("b.cidx") && col("a.cval") === col("b.cval")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.chunks").as("c1"), col("b.chunks").as("c2"))
+      .distinct()
+    pairs.withColumn("hamming", expr(
+        """aggregate(zip_with(c1, c2, (x, y) -> bit_count(x ^ y)), 0, (a, b) -> a + b)"""))
+      .filter(col("hamming") <= 3)
+      .select(col("d1"), col("d2"), col("hamming").cast(LongType).as("hamming"))
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  // ------------------------------------------------------------ embedding
+  /** Near-dup by embedding cosine ≥ 0.4 — all-pairs ground truth at test SF
+    * (the scale path is Similarity's LSH/IVF bucketing). Cosine is the
+    * codegen'd [[graft.functions.CosineSim]], bit-identical to the DuckDB
+    * fold oracle, so the threshold compare is exact cross-engine.
+    */
+  def embedding(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).embeddings
+    e.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+      .join(e.select(col("vec_id").as("v2"), col("embedding").as("e2")),
+        col("v1") < col("v2"))
+      .select(col("v1"), col("v2"), cosine_sim(col("e1"), col("e2")).as("cosine"))
+      .filter(col("cosine") >= 0.4)
+      .orderBy(col("v1"), col("v2"))
+  }
+
+  // =================================================================
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact"         -> (exact _),
+    "dedup_normalized"    -> (normalized _),
+    "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_minhash_lsh"   -> (minhashLsh _),
+    "dedup_simhash"       -> (simhash _),
+    "dedup_embedding"     -> (embedding _))
+
+  /** dedup_minhash_lsh / dedup_simhash are rows-only: signatures depend on
+    * engine-internal hashes (xxhash64/murmur); DedupSpec pins their recall
+    * against the exact oracles instead.
+    */
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT doc_id, md5(text) AS text_md5,
+        |  MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+        |  COUNT(*) OVER (PARTITION BY md5(text)) AS group_size
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_normalized" ->
+      """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS text_md5,
+        |  MIN(doc_id) OVER (PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS canonical_id,
+        |  COUNT(*) OVER (PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS group_size
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(
+        |    [list_extract(ws, i) || ' ' || list_extract(ws, i+1) for i in range(1, len(ws))]) AS sh
+        |  FROM w),
+        |ex AS (SELECT doc_id, unnest(sh) AS sh FROM sh),
+        |n AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM sh),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT d1, d2, inter,
+        |  CAST(inter AS DOUBLE) / CAST(n1.n + n2.n - inter AS DOUBLE) AS jaccard
+        |FROM inter JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+        |ORDER BY jaccard DESC, d1, d2 LIMIT 50""".stripMargin,
+    "dedup_embedding" ->
+      """WITH v AS (SELECT vec_id, embedding,
+        |  sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)),
+        |    (x, y) -> x + y)) AS nrm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |  list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+        |    / (a.nrm * b.nrm) AS cosine
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+        |    / (a.nrm * b.nrm) >= 0.4
+        |ORDER BY v1, v2""".stripMargin)
+}

@@ -18,11 +18,15 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.etl.JsonEtl.queries ++
       graft.ops.TextAnalysis.queries ++
-      graft.ops.Dedup.queries
+      graft.ops.Dedup.queries ++
+      graft.ops.Similarity.queries ++
+      graft.ops.Multimodal.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.etl.JsonEtl.oracles ++
       graft.ops.TextAnalysis.oracles ++
-      graft.ops.Dedup.oracles
+      graft.ops.Dedup.oracles ++
+      graft.ops.Similarity.oracles ++
+      graft.ops.Multimodal.oracles
 }

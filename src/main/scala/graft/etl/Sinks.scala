@@ -1,0 +1,68 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Sink-side ETL surface (SURVEY §2.B, spec-only entries): multi-sink
+  * fan-out, partitioned+rolled writes, tolerant JSON ingest, and schema
+  * evolution — the pyetl writer loop re-expressed as Spark write jobs.
+  *
+  * 100 TB notes: [[partitionedWrite]] bounds both failure modes of big
+  * writers — `partitionBy` keeps partition pruning for readers, while
+  * `maxRecordsPerFile` rolls files so no partition becomes one giant file;
+  * [[multiSink]] reuses one cached parse of the input for all routes
+  * instead of re-reading the source per sink (pyetl re-consumes per
+  * destination; at scale you pay the parse once).
+  */
+object Sinks {
+
+  /** Fan one parsed input out to N predicate routes, each its own parquet
+    * sink. Returns route → row count. The input is cached once; each route
+    * is a pushed-down filter over the cached plan.
+    */
+  def multiSink(df: DataFrame, routes: Map[String, Column], baseDir: String): Map[String, Long] = {
+    val cached = df.cache()
+    try
+      routes.map { case (name, pred) =>
+        val routed = cached.filter(pred)
+        routed.write.mode("overwrite").parquet(s"$baseDir/$name")
+        name -> routed.count()
+      }
+    finally cached.unpersist()
+  }
+
+  /** Day-partitioned parquet with bounded file sizes (pyetl's partition +
+    * roll). `maxRecordsPerFile` is the rolling bound; readers get partition
+    * pruning on `day`.
+    */
+  def partitionedWrite(df: DataFrame, dayCol: Column, outDir: String,
+      maxRecordsPerFile: Long = 1000000L): Unit =
+    df.withColumn("day", dayCol)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("day")
+      .parquet(outDir)
+
+  /** Tolerant JSON-lines ingest: malformed records land in a quarantine
+    * column instead of failing the job (pyetl's bad-message handling).
+    * Returns (good rows, quarantined rows) DataFrames.
+    */
+  def tolerantJson(s: SparkSession, path: String, schema: StructType): (DataFrame, DataFrame) = {
+    val withCorrupt = schema.add("_corrupt_record", "string")
+    val raw = s.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .cache() // PERMISSIVE corrupt-column queries require a materialized plan
+    (raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      raw.filter(col("_corrupt_record").isNotNull).select(col("_corrupt_record")))
+  }
+
+  /** Schema-evolving reads across parquet generations (`mergeSchema`) —
+    * pyetl's "fields may appear over time" reality.
+    */
+  def mergedRead(s: SparkSession, paths: String*): DataFrame =
+    s.read.option("mergeSchema", "true").parquet(paths: _*)
+}

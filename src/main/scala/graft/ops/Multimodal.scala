@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Multimodal-column plumbing (SURVEY §2.G): treat media as opaque `binary`
+  * columns + typed metadata, with partition-parallel feature extraction.
+  *
+  * The container has no image/audio codecs, so the *decode* step is a
+  * clearly-marked deterministic fake ([[fakeDecode]]); everything around it
+  * — binary column handling, magic-byte sniffing, the mapPartitions batch
+  * shape, the feature schema — is the real 100 TB plumbing: this is the one
+  * place graft drops to per-partition imperative code, because a decoder is
+  * genuinely imperative. Rows flow partition-at-a-time (no collect, no
+  * per-row JVM↔native churn at scale — a real decoder would batch here).
+  *
+  * The driver tables carry no binary column; [[withBinary]] derives one
+  * deterministically from `documents.text` (UTF-8 bytes) so the pipeline is
+  * test-driven end-to-end.
+  */
+object Multimodal {
+
+  /** documents + a derived binary payload column (UTF-8 bytes of text). */
+  private[ops] def withBinary(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+
+  // ------------------------------------------------------------ metadata
+  /** Typed metadata extraction over a binary column: byte length, leading
+    * "magic" bytes (hex), and a sniffed type tag. Pure codegen expressions —
+    * a metadata pass over 100 TB of media never leaves the scan stage.
+    */
+  def binaryMeta(s: SparkSession, dir: String): DataFrame = {
+    // magic bytes from the first 4 *characters* re-encoded, because the
+    // DuckDB oracle can't substring a BLOB; identical for any input since
+    // both engines take the same chars then the same UTF-8 bytes.
+    val magic = hex(encode(substring(col("text"), 1, 4), "UTF-8"))
+    val magic3 = hex(encode(substring(col("text"), 1, 3), "UTF-8"))
+    Tables(s, dir).documents
+      .select(col("doc_id"),
+        octet_length(encode(col("text"), "UTF-8")).cast(LongType).as("byte_len"),
+        magic.as("magic_hex"),
+        when(magic === "89504E47", "png")
+          .when(magic3 === "FFD8FF", "jpeg")
+          .when(magic === "52494646", "riff")
+          .otherwise("unknown").as("sniffed_type"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------------ features
+  /** STUB DECODER — deterministic fake standing in for an image/audio
+    * codec (none ship in this container). Emits a 16-bin byte histogram,
+    * normalized; a real deployment swaps this single function for e.g. a
+    * JNI decoder without touching the surrounding plan.
+    */
+  private[graft] def fakeDecode(payload: Array[Byte]): Array[Double] = {
+    val hist = new Array[Double](16)
+    var i = 0
+    while (i < payload.length) { hist((payload(i) & 0xff) >> 4) += 1.0; i += 1 }
+    val n = math.max(1, payload.length).toDouble
+    hist.map(_ / n)
+  }
+
+  private val featureSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("byte_len", LongType, nullable = false),
+    StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
+
+  /** Partition-parallel feature extraction: binary → fixed-width feature
+    * vector via mapPartitions (the imperative seam). Rows-only for the
+    * driver; MultimodalSpec pins the histogram math.
+    */
+  def featureExtract(s: SparkSession, dir: String): DataFrame = {
+    val enc = RowEncoder.encoderFor(featureSchema)
+    withBinary(s, dir)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          Row(r.getAs[Long]("doc_id"), payload.length.toLong, fakeDecode(payload))
+        }
+      }(enc)
+      .orderBy(col("doc_id"))
+  }
+
+  // =================================================================
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_binary_meta"     -> (binaryMeta _),
+    "mm_feature_extract" -> (featureExtract _))
+
+  /** mm_feature_extract is rows-only (mapPartitions output; spec-pinned). */
+  val oracles: Map[String, String] = Map(
+    "mm_binary_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  hex(encode(substring(text, 1, 4))) AS magic_hex,
+        |  CASE WHEN hex(encode(substring(text, 1, 4))) = '89504E47' THEN 'png'
+        |       WHEN hex(encode(substring(text, 1, 3))) = 'FFD8FF' THEN 'jpeg'
+        |       WHEN hex(encode(substring(text, 1, 4))) = '52494646' THEN 'riff'
+        |       ELSE 'unknown' END AS sniffed_type
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

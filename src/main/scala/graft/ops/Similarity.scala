@@ -1,0 +1,194 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.LongType
+import graft.Tables
+import graft.functions.cosine_sim
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (SURVEY §2.D).
+  *
+  * Three engines, one contract (query_id, rank, neighbor_id, cosine):
+  *  - [[bruteforceTopk]] — exact scorer, O(Q·N); the correctness baseline
+  *    (oracle-checked) and the right choice when Q is small enough to
+  *    broadcast, which is exactly how it's planned here.
+  *  - [[lshTopk]] — random-hyperplane LSH, 4 tables × 8 bits: candidates
+  *    share a bucket in ≥1 table; work is Σ|bucket|² per table. The 100 TB
+  *    path for high-recall near-neighbor retrieval.
+  *  - [[ivfTopk]] — IVF-style coarse quantization: vectors are assigned to
+  *    their nearest centroid cell; queries probe the 3 nearest cells. The
+  *    100 TB path when the corpus is cluster-structured (cells become
+  *    partition-pruned parquet).
+  *
+  * Scoring everywhere is the codegen'd [[graft.functions.CosineSim]].
+  * LSH/IVF are rows-only for the driver; SimilaritySpec pins their recall
+  * against [[bruteforceTopk]].
+  */
+object Similarity {
+
+  private val K = 5
+  /** Queries = the 10 lowest vec_ids; at scale this is "the probe batch". */
+  private def isQuery(c: Column): Column = c < 10
+
+  private def topkPerQuery(scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ------------------------------------------------------------ brute force
+  /** Exact top-k: the small probe side is broadcast, so the big side streams
+    * through one codegen'd scan — no shuffle except the final per-query
+    * top-k (which AQE keeps tiny).
+    */
+  def bruteforceTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).embeddings
+    val q = broadcast(e.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+    val scored = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      .join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine_sim(col("qe"), col("ne")).as("cosine"))
+    topkPerQuery(scored)
+  }
+
+  // ------------------------------------------------------------ LSH
+  private val Tables_ = 4
+  private val Bits = 4 // 16 buckets/table: wider buckets → more candidates.
+  // Near-random embeddings (this corpus) are LSH's worst case — recall is
+  // bought with candidate volume; cluster-structured corpora get the same
+  // recall at 8+ bits. SimilaritySpec pins the measured recall.
+
+  /** Deterministic pseudo-random hyperplanes via splitmix64 — fixed seed so
+    * every run (and the recall spec) sees the same buckets.
+    */
+  private[ops] def hyperplane(table: Int, bit: Int, dim: Int): Array[Double] = {
+    def splitmix(seed: Long): Long = {
+      var z = seed + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Array.tabulate(dim) { d =>
+      val h = splitmix((table.toLong << 32) | (bit.toLong << 16) | d.toLong)
+      (h >>> 11).toDouble / (1L << 53).toDouble - 0.5 // uniform [-0.5, 0.5)
+    }
+  }
+
+  /** dot(embedding, constant hyperplane) as a codegen'd fold. */
+  private def dotLit(emb: Column, hp: Array[Double]): Column =
+    aggregate(zip_with(emb, typedLit(hp), (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** (table, bucket) signature pairs for every vector: bucket = 8 sign bits
+    * of the hyperplane dots, per table.
+    */
+  private[ops] def lshBuckets(e: DataFrame, dim: Int): DataFrame = {
+    val tables = array((0 until Tables_).map { t =>
+      val bucket = (0 until Bits).map { j =>
+        when(dotLit(col("embedding"), hyperplane(t, j, dim)) > 0, 1 << j).otherwise(0)
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), bucket.as("bucket"))
+    }: _*)
+    e.select(col("vec_id"), col("embedding"), explode(tables).as("tb"))
+      .select(col("vec_id"), col("embedding"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+  }
+
+  /** LSH top-k: hash-equi join on (table, bucket) — never all-pairs. Missing
+    * neighbors (no shared bucket) are the recall cost; the spec measures it.
+    */
+  def lshTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).embeddings
+    val b = lshBuckets(e, 64)
+    val qb = b.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("tbl"), col("bucket"))
+    val cand = b.as("c").join(broadcast(qb).as("q"),
+        col("c.tbl") === col("q.tbl") && col("c.bucket") === col("q.bucket")
+          && col("c.vec_id") =!= col("q.query_id"))
+      .select(col("q.query_id"), col("c.vec_id").as("neighbor_id"),
+        col("q.qe"), col("c.embedding").as("ne"))
+      .distinct()
+    topkPerQuery(cand.select(col("query_id"), col("neighbor_id"),
+      cosine_sim(col("qe"), col("ne")).as("cosine")))
+  }
+
+  // ------------------------------------------------------------ IVF
+  private val NProbe = 3
+
+  /** Per-cell centroids: mean embedding of each label cell. Cells come from
+    * the `label` column (the corpus's coarse quantizer); at 100 TB the same
+    * two-phase plan holds — centroids are O(cells·dim), always broadcast.
+    */
+  private[ops] def centroids(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("label"), col("d"))
+      .agg(avg(col("x")).as("cx"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("cx")))),
+        s => s.getField("cx").cast("float")).as("centroid"))
+
+  /** IVF top-k: assign every vector to its nearest centroid (cell), probe
+    * the [[NProbe]] nearest cells per query, score only those cells.
+    */
+  def ivfTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).embeddings
+    val cents = broadcast(centroids(e)
+      .select(col("label").as("c_cell"), col("centroid")))
+    // nearest cell per vector (rank 1 of centroid cosine)
+    val wv = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("c_cell"))
+    val assigned = e.select(col("vec_id"), col("embedding")).join(cents)
+      .select(col("vec_id"), col("embedding"), col("c_cell"),
+        cosine_sim(col("embedding"), col("centroid")).as("ccos"))
+      .withColumn("rk", row_number().over(wv))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("c_cell").as("cell"))
+    // nprobe nearest cells per query
+    val probes = assigned.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .join(cents)
+      .select(col("query_id"), col("qe"), col("c_cell").as("cell"),
+        cosine_sim(col("qe"), col("centroid")).as("ccos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cell"))))
+      .filter(col("rk") <= NProbe)
+      .select(col("query_id"), col("qe"), col("cell"))
+    val scored = assigned.as("v").join(broadcast(probes).as("p"),
+        col("v.cell") === col("p.cell") && col("v.vec_id") =!= col("p.query_id"))
+      .select(col("p.query_id"), col("v.vec_id").as("neighbor_id"),
+        cosine_sim(col("p.qe"), col("v.embedding")).as("cosine"))
+    topkPerQuery(scored)
+  }
+
+  // =================================================================
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_bruteforce_topk" -> (bruteforceTopk _),
+    "ann_lsh_topk"        -> (lshTopk _),
+    "ann_ivf_topk"        -> (ivfTopk _))
+
+  /** LSH/IVF are rows-only (bucketing is engine-internal); SimilaritySpec
+    * asserts recall@5 vs brute force.
+    */
+  val oracles: Map[String, String] = Map(
+    "ann_bruteforce_topk" ->
+      """WITH v AS (SELECT vec_id, embedding,
+        |  sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)),
+        |    (x, y) -> x + y)) AS nrm
+        |  FROM embeddings),
+        |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+        |    / (q.nrm * c.nrm) AS cosine
+        |  FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM scored)
+        |SELECT query_id, rank, neighbor_id, cosine FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+}

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming surface (SURVEY §2.F) — pyetl's continuous loop
+  * (consume → parse → window/sessionize → fan out) as declarative streams.
+  *
+  * These are DataFrame→DataFrame stream transforms: callers plug any
+  * streaming source in (Kafka at 100 TB/day, MemoryStream in StreamingSpec,
+  * file source for replay). Watermarks bound state so a 1000-executor job
+  * neither OOMs on late data nor keeps windows forever.
+  */
+object Streams {
+
+  /** One parsed event (the post-JSON-parse shape of the pyetl stream). */
+  case class Event(ts: Timestamp, userId: Long, eventType: String, value: Double)
+
+  /** A closed user session emitted by [[sessionize]]. */
+  case class Session(userId: Long, startSec: Long, endSec: Long, nEvents: Long, sumValue: Double)
+
+  /** Live-session state kept per user by [[sessionize]]. */
+  case class SessState(startSec: Long, endSec: Long, n: Long, sum: Double)
+
+  /** Watermarked tumbling-window counts — the streaming twin of
+    * JsonEtl.tumblingWindow. State per (window, type) is dropped once the
+    * watermark passes, so state size is O(active windows), not O(stream).
+    */
+  def windowCounts(events: DataFrame, window_ : String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("eventType"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("eventType"),
+        col("n"), col("sum_value"))
+
+  /** Exactly-once-per-key dedup within the watermark horizon — pyetl's
+    * "at-least-once upstream, once downstream" guard. Spark keeps one state
+    * row per key seen inside the horizon.
+    */
+  def dedupe(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates("userId", "ts")
+
+  /** Gap-based session windows via flatMapGroupsWithState with *event-time*
+    * timeouts: a session closes `gapSec` after its last event, measured
+    * against the watermark — wall-clock-independent, so replays and
+    * backfills produce identical sessions, and AvailableNow batch-style
+    * runs terminate (processing-time timers would keep the query spinning).
+    * State = (start, end, count, sum) per live user — constant per key,
+    * reaped by the watermark.
+    */
+  def sessionize(events: Dataset[Event], gapSec: Long = 1800L,
+      watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+
+    def update(userId: Long, evs: Iterator[Event],
+        state: GroupState[SessState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(Session(userId, s.startSec, s.endSec, s.n, s.sum))
+      } else {
+        val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.value))
+        var closed = List.empty[Session]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val sec = e.ts.getTime / 1000
+          cur match {
+            case Some(s) if sec - s.endSec <= gapSec =>
+              cur = Some(s.copy(endSec = sec, n = s.n + 1, sum = s.sum + e.value))
+            case Some(s) =>
+              closed ::= Session(userId, s.startSec, s.endSec, s.n, s.sum)
+              cur = Some(SessState(sec, sec, 1L, e.value))
+            case None =>
+              cur = Some(SessState(sec, sec, 1L, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          // close when the watermark passes session end + gap (the timeout
+          // timestamp must sit strictly beyond the current watermark)
+          val target = (s.endSec + gapSec) * 1000
+          state.setTimeoutTimestamp(math.max(target, state.getCurrentWatermarkMs() + 1))
+        }
+        closed.reverseIterator
+      }
+    }
+
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(update)
+  }
+
+  /** pyetl's multi-destination writer loop: one micro-batch, N sinks, via
+    * foreachBatch. The batch is persisted once so each route filters the
+    * cached data instead of re-reading the source.
+    */
+  def multiSink(events: DataFrame, baseDir: String,
+      routes: Map[String, org.apache.spark.sql.Column],
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cached = batch.persist()
+        try routes.foreach { case (name, pred) =>
+          cached.filter(pred).write.mode("append").parquet(s"$baseDir/$name")
+        } finally { cached.unpersist(); () }
+      }
+      .start()
+}

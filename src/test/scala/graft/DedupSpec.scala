@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+
+class DedupSpec extends SparkSpec {
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("exact dedup: canonical is the min doc_id of each hash group") {
+    val out = Dedup.exact(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("canonical_id") <= r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("group_size") >= 1L)
+    }
+  }
+
+  test("normalized dedup groups are a coarsening of exact groups") {
+    val exact = Dedup.exact(spark, sf)
+      .groupBy("text_md5").count().count()
+    val norm = Dedup.normalized(spark, sf)
+      .groupBy("text_md5").count().count()
+    assert(norm <= exact)
+  }
+
+  test("minhash LSH recovers high-jaccard ground-truth pairs (recall)") {
+    val truth = pairSet(Dedup.ngramJaccard(spark, sf).filter(col("jaccard") >= 0.9))
+    assert(truth.nonEmpty, "test data should contain planted near-dups")
+    val found = pairSet(Dedup.minhashLsh(spark, sf))
+    val recall = truth.count(found.contains).toDouble / truth.size
+    assert(recall >= 0.8, s"recall=$recall, truth=${truth.size}, found=${found.size}")
+    // precision side: every reported pair passed the exact-jaccard verify
+    Dedup.minhashLsh(spark, sf).collect()
+      .foreach(r => assert(r.getAs[Double]("jaccard") >= 0.7))
+  }
+
+  test("simhash finds near-dup pairs and honors the hamming bound") {
+    val rows = Dedup.simhash(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("hamming") <= 3L))
+    // simhash pairs should heavily overlap the jaccard-top pairs
+    val truth = pairSet(Dedup.ngramJaccard(spark, sf).filter(col("jaccard") >= 0.9))
+    val found = rows.map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    assert(found.intersect(truth).nonEmpty)
+  }
+
+  test("embedding near-dup cosine matches an independent recomputation") {
+    val out = Dedup.embedding(spark, sf).limit(5).collect()
+    assert(out.nonEmpty)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    out.foreach { r =>
+      val (v1, v2, c) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val (a, b) = (emb(v1), emb(v2))
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        val (x, y) = (a(i).toDouble, b(i).toDouble)
+        dot += x * y; na += x * x; nb += y * y
+      }
+      val expect = dot / (math.sqrt(na) * math.sqrt(nb))
+      assert(c === expect, s"pair ($v1,$v2)")
+      assert(c >= 0.4)
+    }
+  }
+}

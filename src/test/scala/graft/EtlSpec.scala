@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.etl.{JsonEtl, Sinks}
+import java.nio.file.Files
+
+class EtlSpec extends SparkSpec {
+
+  test("latest-by-key keeps exactly one (latest) record per key") {
+    val out = JsonEtl.latestByKey(spark, sf)
+    val users = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id").distinct().count()
+    assert(out.count() === users)
+    assert(out.groupBy("user_id").count().filter(col("count") > 1).count() === 0)
+  }
+
+  test("sessionize: sessions are disjoint, ordered, and cover all events") {
+    val sess = JsonEtl.sessionize(spark, sf).collect()
+    val total = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(sess.map(_.getAs[Long]("n_events")).sum === total)
+    sess.groupBy(_.getAs[Long]("user_id")).values.foreach { ss =>
+      val sorted = ss.toSeq.sortBy(_.getAs[Long]("sess_idx"))
+      sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          // next session starts > 30 min after the previous one ended
+          assert(b.getAs[Long]("session_start") - a.getAs[Long]("session_end") > 1800)
+        case _ =>
+      }
+    }
+  }
+
+  test("tumbling windows partition the stream (counts sum to total)") {
+    val out = JsonEtl.tumblingWindow(spark, sf)
+    val total = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(out.agg(sum("n")).head.getLong(0) === total)
+  }
+
+  test("multi-sink fan-out writes each route once with correct counts") {
+    val dir = Files.createTempDirectory("graft-sinks").toString
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val counts = Sinks.multiSink(ev, Map(
+      "purchases" -> (col("event_type") === "purchase"),
+      "errors"    -> (col("event_type") === "error")), dir)
+    val wantP = ev.filter(col("event_type") === "purchase").count()
+    assert(counts("purchases") === wantP)
+    assert(spark.read.parquet(s"$dir/purchases").count() === wantP)
+    assert(spark.read.parquet(s"$dir/errors").count() === counts("errors"))
+  }
+
+  test("partitioned write prunes by day and rolls files") {
+    val dir = Files.createTempDirectory("graft-pw").toString + "/out"
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    Sinks.partitionedWrite(ev,
+      date_format(timestamp_seconds((col("ts") / 1000000000L).cast(LongType)), "yyyy-MM-dd"),
+      dir, maxRecordsPerFile = 10)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === ev.count())
+    // rolling: some day partition must hold >1 file given the 100-row cap
+    val files = new java.io.File(dir).listFiles().filter(_.getName.startsWith("day="))
+    assert(files.nonEmpty)
+    assert(files.exists(_.listFiles().count(_.getName.endsWith(".parquet")) > 1))
+    // pruning: a day filter reads only that partition
+    // partition-column inference reads day back as DATE
+    val one = back.select("day").distinct().head.get(0).toString
+    val plan = back.filter(col("day") === one).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("day"))
+  }
+
+  test("tolerant JSON parse quarantines corrupt records without failing") {
+    val dir = Files.createTempDirectory("graft-json").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in.jsonl"),
+      """{"id": 1, "v": "ok"}
+        |{"id": 2, "v": "also ok"}
+        |{"id": 3, "v": BROKEN
+        |not json at all
+        |{"id": 4, "v": "fine"}""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    val (good, bad) = Sinks.tolerantJson(spark, s"$dir/in.jsonl", schema)
+    assert(good.count() === 3)
+    assert(bad.count() === 2)
+  }
+
+  test("schema evolution: mergeSchema unions parquet generations") {
+    val dir = Files.createTempDirectory("graft-se").toString
+    import spark.implicits._
+    Seq((1L, "a")).toDF("id", "v1").write.parquet(s"$dir/gen1")
+    Seq((2L, 3.5)).toDF("id", "v2").write.parquet(s"$dir/gen2")
+    val merged = Sinks.mergedRead(spark, s"$dir/gen1", s"$dir/gen2")
+    assert(merged.columns.toSet === Set("id", "v1", "v2"))
+    assert(merged.count() === 2)
+  }
+}

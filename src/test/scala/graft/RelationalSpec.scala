@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Relational
+
+class RelationalSpec extends SparkSpec {
+
+  test("approx distinct is within the declared 2% HLL error of exact") {
+    val exact = Relational.distinctCount(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_part")).toMap
+    Relational.approxDistinct(spark, sf).collect().foreach { r =>
+      val (flag, approx) = (r.getString(0), r.getAs[Long]("approx_part"))
+      val e = exact(flag).toDouble
+      assert(math.abs(approx - e) / e <= 0.05, s"$flag: approx=$approx exact=$e")
+    }
+  }
+
+  test("q3 pushes the dim filters into the parquet scans") {
+    val plan = Relational.q3ShippingPriority(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"))
+    assert(plan.contains("c_mktsegment"), "customer filter must reach the scan")
+    assert(plan.contains("l_shipdate"), "lineitem filter must reach the scan")
+  }
+
+  test("q3 broadcasts the filtered customer dimension") {
+    val plan = Relational.q3ShippingPriority(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("scans prune columns to what the query needs") {
+    val plan = Relational.topkOrders(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"))
+  }
+
+  test("top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val plan = Relational.topkOrders(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+}

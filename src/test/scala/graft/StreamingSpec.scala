@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$min%02d:$sec%02d")
+
+  // AvailableNow processes everything then terminates on its own —
+  // processAllAvailable can spin forever when processing-time timeouts keep
+  // scheduling wake-up batches.
+  private val availableNow = org.apache.spark.sql.streaming.Trigger.AvailableNow()
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String = "append"): Unit = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode)
+      .trigger(availableNow).start()
+    assert(q.awaitTermination(120000), s"stream $name did not finish"); q.stop()
+  }
+
+  test("windowed counts aggregate a stream per 5-minute window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(ts(0), 1, "click", 1.0), Event(ts(1), 2, "click", 2.0),
+      Event(ts(6), 1, "view", 3.0), Event(ts(7), 2, "click", 4.0))
+    runToMemory(Streams.windowCounts(in.toDF()), "wc", mode = "complete")
+    val out = spark.table("wc").collect()
+      .map(r => (r.getAs[Timestamp]("window_start").toString,
+        r.getAs[String]("eventType"), r.getAs[Long]("n"))).toSet
+    assert(out === Set(
+      ("2024-01-01 00:00:00.0", "click", 2L),
+      ("2024-01-01 00:05:00.0", "view", 1L),
+      ("2024-01-01 00:05:00.0", "click", 1L)))
+  }
+
+  test("streaming dedup drops duplicate (key, ts) within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(ts(0), 1, "click", 1.0), Event(ts(0), 1, "click", 1.0),
+      Event(ts(1), 1, "click", 9.0), Event(ts(1), 2, "click", 9.0))
+    runToMemory(Streams.dedupe(in.toDF()), "dd")
+    assert(spark.table("dd").count() === 3)
+  }
+
+  test("stateful sessionization closes sessions on gap and emits them") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    // user 1: events at 0 and 10 min (one session), then 50 min (new session)
+    in.addData(
+      Event(ts(0), 1, "click", 1.0), Event(ts(10), 1, "view", 2.0),
+      Event(ts(50), 1, "click", 4.0))
+    val q = Streams.sessionize(in.toDS()).writeStream
+      .format("memory").queryName("sess").outputMode("append")
+      .trigger(availableNow).start()
+    assert(q.awaitTermination(120000), "sessionize stream did not finish")
+    val closed = spark.table("sess").as[Streams.Session].collect()
+    q.stop()
+    // the first session (0→10min) must have closed when the 50min event arrived
+    assert(closed.exists(s =>
+      s.userId == 1 && s.nEvents == 2 && s.endSec - s.startSec == 600))
+  }
+
+  test("streaming multi-sink fans one stream out to N parquet sinks") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-sink").toString
+    val in = MemoryStream[Event]
+    in.addData(
+      Event(ts(0), 1, "purchase", 10.0), Event(ts(1), 2, "click", 1.0),
+      Event(ts(2), 3, "purchase", 20.0))
+    val q = Streams.multiSink(in.toDF(), dir, Map(
+      "purchases" -> (col("eventType") === "purchase"),
+      "clicks"    -> (col("eventType") === "click")), s"$dir/ckpt")
+    q.processAllAvailable(); q.stop()
+    assert(spark.read.parquet(s"$dir/purchases").count() === 2)
+    assert(spark.read.parquet(s"$dir/clicks").count() === 1)
+  }
+}

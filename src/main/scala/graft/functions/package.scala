@@ -11,4 +11,17 @@ package object functions {
   def cosine_sim(a: Column, b: Column): Column =
     GraftSqlBridge.column(
       CosineSim(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** MinHash signature (array<bigint>) over pre-hashed shingles — codegen'd
+    * tight loop (see [[MinHashSig]]).
+    */
+  def minhash_sig(hashedShingles: Column, numHashes: Int, prime: Long): Column =
+    GraftSqlBridge.column(
+      MinHashSig(GraftSqlBridge.expression(hashedShingles), numHashes, prime))
+
+  /** 64-bit SimHash as 4×16-bit chunks over word hashes (see
+    * [[SimHashChunks]]).
+    */
+  def simhash_chunks(wordHashes: Column): Column =
+    GraftSqlBridge.column(SimHashChunks(GraftSqlBridge.expression(wordHashes)))
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 import graft.Tables
-import graft.functions.cosine_sim
+import graft.functions.{cosine_sim, minhash_sig, simhash_chunks}
 
 /** Deduplication for training-data pipelines (SURVEY §2.C) over the
   * `documents` and `embeddings` tables.
@@ -23,20 +23,33 @@ import graft.functions.cosine_sim
   */
 object Dedup {
 
+  /** Explicit partition count for CPU-bound stages. The byte volume here is
+    * tiny but the per-row work is heavy (interpreted HOF pipelines), so
+    * AQE's size-based coalescing would fold the shuffle back to one
+    * partition and serialize it; an explicit count is honored by AQE.
+    */
+  private def spread(s: SparkSession): Int = s.sparkContext.defaultParallelism
+
   /** Whitespace-collapse + lowercase + trim normalization. */
   private def norm(c: Column): Column =
     lower(trim(regexp_replace(c, "\\s+", " ")))
 
   private def words(c: Column): Column = split(trim(c), "\\s+")
 
-  /** Distinct word-bigram shingles ("w1 w2"). Guarded for 1-word docs (ANSI
-    * would throw on the out-of-bounds element_at otherwise).
+  /** Distinct word-bigram shingles ("w1 w2"), as zip_with over two shifted
+    * slices. The indexed formulation — transform(sequence(1, n-1),
+    * i -> concat(element_at(w, i), element_at(w, i+1))) — produces the same
+    * set but measured 10-100× slower: variable-index element_at inside an
+    * interpreted lambda allocates per access, where zip_with walks both
+    * slices linearly. Guarded for 1-word docs (empty slice lengths would be
+    * negative).
     */
   private def shingles(c: Column): Column = {
     val w = words(c)
     when(size(w) >= 2,
-      array_distinct(transform(sequence(lit(1), size(w) - 1),
-        i => concat(element_at(w, i), lit(" "), element_at(w, i + 1)))))
+      array_distinct(zip_with(
+        slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (a, b) => concat(a, lit(" "), b))))
       .otherwise(array().cast("array<string>"))
   }
 
@@ -71,8 +84,14 @@ object Dedup {
     * as a single int/int double division — bit-identical in DuckDB.
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    // repartition BEFORE shingling: a small parquet lands as one partition,
+    // and the HOF shingle pipeline is interpreted — spread it first
     val docs = Tables(s, dir).documents
+      .repartition(spread(s), col("doc_id"))
       .select(col("doc_id"), shingles(col("text")).as("sh"))
+      // barrier above the shingle projection: the two consumers below share
+      // one ReusedExchange instead of re-shingling per branch
+      .repartition(spread(s), col("doc_id"))
     val ex = docs.select(col("doc_id"), explode(col("sh")).as("sh"))
     val n = docs.select(col("doc_id"), size(col("sh")).cast(LongType).as("n"))
     val inter = ex.as("a").join(ex.as("b"),
@@ -104,16 +123,29 @@ object Dedup {
     * asserts recall vs [[ngramJaccard]] ground truth.
     */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    // repartition BEFORE the expensive work: the scan is one partition (one
+    // small file), and shingling is an interpreted HOF pipeline — shuffle
+    // the raw rows first so it runs across all cores. At 100 TB the scan
+    // arrives pre-split, but declaring the doc_id partitioning up front is
+    // still what lets every later stage reuse it.
+    // First exchange spreads the interpreted shingle pipeline across cores
+    // (a small parquet arrives as one partition); the second sits ABOVE the
+    // shingle projection so all three consumers below (signature + the two
+    // verify-join sides) hit one ReusedExchange instead of re-shingling.
     val docs = Tables(s, dir).documents
+      .repartition(spread(s), col("doc_id"))
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
-    // h ∈ [0, P): base shingle hash; sig_i = min over shingles of (a_i h + b_i) mod P
-    val hashed = docs.withColumn("hs",
-      transform(col("sh"), sh => pmod(xxhash64(sh), lit(P))))
-    val sig = hashed.withColumn("sig",
-      transform(sequence(lit(0), lit(NumHashes - 1)),
-        i => array_min(transform(col("hs"),
-          h => pmod(h * (i * 2 + 1) + pmod(i * lit(2654435761L), lit(P)), lit(P))))))
+      .repartition(spread(s), col("doc_id"))
+    // h ∈ [0, P): base shingle hash; signature via the codegen'd MinHashSig
+    // (the HOF formulation — 64 array_min lambdas — evaluates interpreted
+    // and measured ~1000× slower). The repartition before `banded` is a
+    // projection barrier: `banded` slices sig 16×, and CollapseProject
+    // would otherwise inline (recompute) the signature per band.
+    val sig = docs.withColumn("sig",
+        minhash_sig(transform(col("sh"), sh => pmod(xxhash64(sh), lit(P))), NumHashes, P))
+      .select(col("doc_id"), col("sig"))
+      .repartition(spread(s), col("doc_id"))
     val rowsPerBand = NumHashes / Bands
     val banded = sig.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(Bands - 1)),
@@ -143,16 +175,15 @@ object Dedup {
     */
   def simhash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir).documents
+      .repartition(spread(s), col("doc_id")) // spread the interpreted tokenize+hash work
       .select(col("doc_id"), words(col("text")).as("w"))
-      .withColumn("wh", transform(col("w"), w => xxhash64(w)))
-    // chunk c = bits [16c, 16c+16) packed little-endian within the chunk
-    val sig = docs.withColumn("chunks", expr(
-      """transform(sequence(0, 3), c ->
-        |  aggregate(sequence(0, 15), 0L, (acc, j) ->
-        |    acc * 2L + CASE WHEN aggregate(wh, 0L, (s, h) ->
-        |      s + CASE WHEN (shiftright(h, CAST(c*16+j AS INT)) & 1) = 1
-        |          THEN 1L ELSE -1L END) > 0L THEN 1L ELSE 0L END))""".stripMargin))
+    // 64-bit signature as 4×16-bit chunks via the codegen'd SimHashChunks
+    // (the nested-aggregate HOF formulation evaluates interpreted, ~1000×
+    // slower). Barrier before the explode: it references `chunks` twice.
+    val sig = docs
+      .withColumn("chunks", simhash_chunks(transform(col("w"), w => xxhash64(w))))
       .select(col("doc_id"), col("chunks"))
+      .repartition(spread(s), col("doc_id"))
     val ex = sig.select(col("doc_id"), col("chunks"),
       posexplode(col("chunks")).as(Seq("cidx", "cval")))
     val pairs = ex.as("a").join(ex.as("b"),

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{CosineSim, MinHashSig, SimHashChunks}
+
+/** SQL surface for graft's custom Catalyst expressions.
+  *
+  * Two ways in:
+  *  - config-time: `spark.sql.extensions=graft.GraftExtensions` (cluster
+  *    deployments; works on every session of the application), or
+  *  - runtime: `GraftExtensions.register(spark)` on a live session.
+  *
+  * After either, `SELECT cosine_sim(a, b)`, `minhash_sig(hs, 64, p)` and
+  * `simhash_chunks(wh)` work from plain SQL, so pure-SQL users of the
+  * library get the codegen'd hot paths too.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, (info, builder)) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval().asInstanceOf[Number].intValue()
+  }
+  private def longArg(e: Expression, what: String): Long = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval().asInstanceOf[Number].longValue()
+  }
+
+  private[graft] val builders: Map[String, (ExpressionInfo, Seq[Expression] => Expression)] =
+    Map(
+      "cosine_sim" -> (
+        new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "cosine_sim(a, b) takes 2 arguments")
+          CosineSim(args(0), args(1))
+        }),
+      "minhash_sig" -> (
+        new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+        (args: Seq[Expression]) => {
+          require(args.length == 3, "minhash_sig(hashes, numHashes, prime) takes 3 arguments")
+          MinHashSig(args(0), intArg(args(1), "numHashes"), longArg(args(2), "prime"))
+        }),
+      "simhash_chunks" -> (
+        new ExpressionInfo(classOf[SimHashChunks].getName, "simhash_chunks"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, "simhash_chunks(hashes) takes 1 argument")
+          SimHashChunks(args(0))
+        }))
+
+  /** Register graft's SQL functions on a live session. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, (info, builder)) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), info, builder)
+    }
+}

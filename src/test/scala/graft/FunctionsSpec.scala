@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+class FunctionsSpec extends SparkSpec {
+
+  test("runtime registration exposes the custom expressions to SQL") {
+    GraftExtensions.register(spark)
+    val cos = spark.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c").head.getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-15)
+    val sig = spark.sql(
+      "SELECT minhash_sig(array(5L, 17L), 4, 4294967311L) AS s").head.getSeq[Long](0)
+    assert(sig.length === 4)
+    // hand-check permutation 0: a=1, b=0 → min(5, 17) = 5
+    assert(sig.head === 5L)
+    val chunks = spark.sql("SELECT simhash_chunks(array(0L)) AS c").head.getSeq[Long](0)
+    // a single all-zero hash votes every bit negative → all chunks 0
+    assert(chunks === Seq(0L, 0L, 0L, 0L))
+  }
+
+  test("config-time extensions class wires the same builders") {
+    val e = new SparkSessionExtensions
+    new GraftExtensions().apply(e) // must not throw; builders are injected
+    assert(GraftExtensions.builders.keySet ===
+      Set("cosine_sim", "minhash_sig", "simhash_chunks"))
+  }
+
+  test("cosine_sim agrees between SQL, Column API, and codegen/interpreted paths") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f)))
+      .toDF("a", "b")
+    val viaColumn = df.select(graft.functions.cosine_sim(col("a"), col("b"))).head.getDouble(0)
+    GraftExtensions.register(spark)
+    df.createOrReplaceTempView("fx")
+    val viaSql = spark.sql("SELECT cosine_sim(a, b) FROM fx").head.getDouble(0)
+    val expect = (3.0 + 4.0 + 3.0) / (math.sqrt(14.0) * math.sqrt(14.0))
+    assert(viaColumn === viaSql)
+    assert(math.abs(viaColumn - expect) < 1e-15)
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-behavior probe (dev tool): replicate the documents/embeddings
+  * corpus N× with perturbed keys, then time the scale-tier operators on it.
+  * Validates the design claim that LSH dedup / ANN cost grows ~linearly in
+  * corpus size (Σ|bucket|², with bucket sizes driven by real duplication,
+  * not corpus size) — the property that makes them the 100 TB path.
+  *
+  * Usage: runMain graft.ScaleProbe [replication] [sfDir]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val repl = args.headOption.map(_.toInt).getOrElse(20)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val out = s"/tmp/graft_scale_${repl}x"
+    val spark = GraftSession.local(32, "graft-scale-probe")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val nDocs = docs.count()
+    // copy k gets doc_id + k*10M and a per-copy token appended, so exact
+    // dups exist only within the original near-dup structure (each copy
+    // keeps its own planted pairs; cross-copy pairs differ by the token)
+    spark.range(repl).crossJoin(docs)
+      .select((col("doc_id") + col("id") * 10000000L).as("doc_id"),
+        concat(col("text"), lit(" copytag"), col("id")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    spark.range(repl).crossJoin(emb)
+      .select((col("vec_id") + col("id") * 10000000L).as("vec_id"),
+        col("embedding"), col("label"))
+      .repartition(32)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
+
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.1f s ($n rows)")
+    }
+    println(s"corpus: ${nDocs * repl} docs (${repl}x)")
+    time("minhash_lsh")(graft.ops.Dedup.minhashLsh(spark, out).count())
+    time("simhash")(graft.ops.Dedup.simhash(spark, out).count())
+    time("ann_lsh_topk")(graft.ops.Similarity.lshTopk(spark, out).count())
+    spark.stop()
+  }
+}

@@ -65,4 +65,25 @@ object Sinks {
     */
   def mergedRead(s: SparkSession, paths: String*): DataFrame =
     s.read.option("mergeSchema", "true").parquet(paths: _*)
+
+  /** JSON-lines sink (pyetl's primary output format), day-partitioned and
+    * rolled like [[partitionedWrite]]. gzip keeps the 100 TB text bill sane
+    * while staying line-splittable per file for downstream consumers.
+    */
+  def jsonLinesWrite(df: DataFrame, dayCol: Column, outDir: String,
+      maxRecordsPerFile: Long = 1000000L, compression: String = "gzip"): Unit =
+    df.withColumn("day", dayCol)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .option("compression", compression)
+      .partitionBy("day")
+      .json(outDir)
+
+  /** CSV sink with header — the RDBMS-load/interchange destination. */
+  def csvWrite(df: DataFrame, outDir: String,
+      maxRecordsPerFile: Long = 1000000L): Unit =
+    df.write.mode("overwrite")
+      .option("header", "true")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .csv(outDir)
 }

@@ -130,20 +130,26 @@ object Dedup {
     // still what lets every later stage reuse it.
     // First exchange spreads the interpreted shingle pipeline across cores
     // (a small parquet arrives as one partition); the second sits ABOVE the
-    // shingle projection so all three consumers below (signature + the two
-    // verify-join sides) hit one ReusedExchange instead of re-shingling.
+    // shingle-hash projection so all three consumers below (signature + the
+    // two verify-join sides) hit one ReusedExchange instead of re-shingling.
+    // Docs carry only hashed shingles (hs ∈ [0, P)) from here on: the
+    // exact-verify intersects long arrays instead of strings (~5× cheaper
+    // per candidate, and the dominant cost IS verification when real
+    // duplication is dense), at the price of a ~|sh|/P collision error in
+    // the reported jaccard — negligible and spec-checked.
     val docs = Tables(s, dir).documents
       .repartition(spread(s), col("doc_id"))
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        array_distinct(transform(shingles(col("text")),
+          sh => pmod(xxhash64(sh), lit(P)))).as("hs"))
+      .filter(size(col("hs")) > 0)
       .repartition(spread(s), col("doc_id"))
-    // h ∈ [0, P): base shingle hash; signature via the codegen'd MinHashSig
-    // (the HOF formulation — 64 array_min lambdas — evaluates interpreted
-    // and measured ~1000× slower). The repartition before `banded` is a
-    // projection barrier: `banded` slices sig 16×, and CollapseProject
-    // would otherwise inline (recompute) the signature per band.
-    val sig = docs.withColumn("sig",
-        minhash_sig(transform(col("sh"), sh => pmod(xxhash64(sh), lit(P))), NumHashes, P))
+    // Signature via the codegen'd MinHashSig (the HOF formulation — 64
+    // array_min lambdas — evaluates interpreted and measured ~1000×
+    // slower). The repartition before `banded` is a projection barrier:
+    // `banded` slices sig 16×, and CollapseProject would otherwise inline
+    // (recompute) the signature per band.
+    val sig = docs.withColumn("sig", minhash_sig(col("hs"), NumHashes, P))
       .select(col("doc_id"), col("sig"))
       .repartition(spread(s), col("doc_id"))
     val rowsPerBand = NumHashes / Bands
@@ -156,10 +162,10 @@ object Dedup {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    // exact-verify candidates only
+    // exact-verify candidates only (jaccard over hashed shingle sets)
     cand
-      .join(docs.select(col("doc_id").as("d1"), col("sh").as("s1")), "d1")
-      .join(docs.select(col("doc_id").as("d2"), col("sh").as("s2")), "d2")
+      .join(docs.select(col("doc_id").as("d1"), col("hs").as("s1")), "d1")
+      .join(docs.select(col("doc_id").as("d2"), col("hs").as("s2")), "d2")
       .select(col("d1"), col("d2"),
         (size(array_intersect(col("s1"), col("s2"))).cast(DoubleType) /
           size(array_union(col("s1"), col("s2"))).cast(DoubleType)).as("jaccard"))

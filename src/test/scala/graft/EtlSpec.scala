@@ -82,6 +82,23 @@ class EtlSpec extends SparkSpec {
     assert(bad.count() === 2)
   }
 
+  test("json-lines sink round-trips day-partitioned, and csv keeps headers") {
+    val dir = Files.createTempDirectory("graft-fmt").toString
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        (col("ts") / 1000000000L).cast(LongType).as("sec"))
+    Sinks.jsonLinesWrite(ev,
+      date_format(timestamp_seconds(col("sec")), "yyyy-MM-dd"), s"$dir/json")
+    val backJson = spark.read.json(s"$dir/json")
+    assert(backJson.count() === ev.count())
+    assert(backJson.columns.toSet === Set("event_id", "user_id", "event_type", "sec", "day"))
+    Sinks.csvWrite(ev, s"$dir/csv")
+    val backCsv = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$dir/csv")
+    assert(backCsv.count() === ev.count())
+    assert(backCsv.columns.sorted.toSeq === ev.columns.sorted.toSeq)
+  }
+
   test("schema evolution: mergeSchema unions parquet generations") {
     val dir = Files.createTempDirectory("graft-se").toString
     import spark.implicits._

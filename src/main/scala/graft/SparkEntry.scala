@@ -20,7 +20,8 @@ object SparkEntry {
       graft.ops.TextAnalysis.queries ++
       graft.ops.Dedup.queries ++
       graft.ops.Similarity.queries ++
-      graft.ops.Multimodal.queries
+      graft.ops.Multimodal.queries ++
+      graft.ops.AsOf.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
@@ -28,5 +29,6 @@ object SparkEntry {
       graft.ops.TextAnalysis.oracles ++
       graft.ops.Dedup.oracles ++
       graft.ops.Similarity.oracles ++
-      graft.ops.Multimodal.oracles
+      graft.ops.Multimodal.oracles ++
+      graft.ops.AsOf.oracles
 }

@@ -126,6 +126,25 @@ object JsonEtl {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  // ------------------------------------------------------------ flatten
+  /** Recursively flatten nested struct columns to top-level columns with
+    * `sep`-joined names — the "JSON objects become flat table columns" step
+    * of a config-driven ETL. Pure projection: zero-cost in the scan stage
+    * at any scale.
+    */
+  def flattenStruct(df: DataFrame, sep: String = "_"): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    def expand(schema: StructType, path: Seq[String]): Seq[Column] =
+      schema.fields.toSeq.flatMap { f =>
+        val p = path :+ f.name
+        f.dataType match {
+          case st: StructType => expand(st, p)
+          case _ => Seq(col(p.map(n => s"`$n`").mkString(".")).as(p.mkString(sep)))
+        }
+      }
+    df.select(expand(df.schema, Nil): _*)
+  }
+
   // =================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_json_extract"     -> (jsonExtract _),

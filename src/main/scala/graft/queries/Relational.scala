@@ -192,6 +192,17 @@ object Relational {
         expr("percentile(l_quantity, 0.75)").as("p75"))
       .orderBy(col("l_returnflag"))
 
+  /** Sketch-based quantiles (rows-only: the sketch is engine-specific;
+    * RelationalSpec bounds it against [[percentiles]]). At 100 TB this is
+    * the quantile you actually run: mergeable partial sketches, no sort.
+    */
+  def approxPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_quantity"),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("approx_pcts"))
+      .orderBy(col("l_returnflag"))
+
   // ---------------------------------------------------------------- conditional
   /** Pivot-style conditional aggregation over events per user bucket. */
   def conditionalAgg(s: SparkSession, dir: String): DataFrame = {
@@ -242,6 +253,7 @@ object Relational {
     "q_anti_join"         -> (antiJoin _),
     "q_rollup"            -> (rollupAgg _),
     "q_percentiles"       -> (percentiles _),
+    "q_approx_percentiles" -> (approxPercentiles _),
     "q_conditional_agg"   -> (conditionalAgg _),
     "q_union_dedup"       -> (unionDedup _),
     "q_range_join"        -> (rangeJoin _))

@@ -67,6 +67,20 @@ class EtlSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("day"))
   }
 
+  test("flattenStruct lifts nested structs to prefixed top-level columns") {
+    import spark.implicits._
+    val nested = Seq((1L, """{"a": {"b": 2, "c": {"d": "x"}}, "e": 5}"""))
+      .toDF("id", "js")
+      .select(col("id"), from_json(col("js"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "a STRUCT<b: BIGINT, c: STRUCT<d: STRING>>, e BIGINT")).as("payload"))
+    val flat = JsonEtl.flattenStruct(nested)
+    assert(flat.columns.toSeq === Seq("id", "payload_a_b", "payload_a_c_d", "payload_e"))
+    val row = flat.head
+    assert(row.getAs[Long]("payload_a_b") === 2L)
+    assert(row.getAs[String]("payload_a_c_d") === "x")
+  }
+
   test("tolerant JSON parse quarantines corrupt records without failing") {
     val dir = Files.createTempDirectory("graft-json").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/in.jsonl"),

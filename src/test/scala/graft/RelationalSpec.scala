@@ -15,6 +15,17 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("approx percentiles track the exact quantiles") {
+    val exact = Relational.percentiles(spark, sf).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    Relational.approxPercentiles(spark, sf).collect().foreach { r =>
+      val approx = r.getSeq[Double](1)
+      exact(r.getString(0)).zip(approx).foreach { case (e, a) =>
+        assert(math.abs(a - e) <= math.max(1.0, e * 0.1), s"exact=$e approx=$a")
+      }
+    }
+  }
+
   test("q3 pushes the dim filters into the parquet scans") {
     val plan = Relational.q3ShippingPriority(spark, sf)
       .queryExecution.executedPlan.toString

@@ -104,12 +104,33 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------------ ngram freq
+  /** Corpus-wide top-25 word bigrams — the vocabulary/contamination report
+    * every corpus audit starts with. explode → map-side partial count →
+    * tiny shuffle → TakeOrdered; at 100 TB the partial aggregation absorbs
+    * the explosion.
+    */
+  def ngramFreq(s: SparkSession, dir: String): DataFrame = {
+    val w = words(col("text"))
+    val bigrams = zip_with(
+      slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    Tables(s, dir).documents
+      .select(explode(when(size(w) >= 2, bigrams)
+        .otherwise(array().cast("array<string>"))).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(25)
+  }
+
   // =================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_count" -> (tokenCount _),
     "text_quality"     -> (quality _),
     "text_lang_id"     -> (langId _),
-    "text_fingerprint" -> (fingerprint _))
+    "text_fingerprint" -> (fingerprint _),
+    "text_ngram_freq"  -> (ngramFreq _))
 
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ",", ")")
   private def sqlHits(stop: Seq[String]) =
@@ -150,6 +171,12 @@ object TextAnalysis {
          |       WHEN c_es = greatest(c_en, c_fr, c_es, c_de) THEN 'es'
          |       ELSE 'de' END AS pred_lang
          |FROM c ORDER BY doc_id""".stripMargin,
+    "text_ngram_freq" ->
+      """WITH w AS (SELECT string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |bg AS (SELECT unnest([list_extract(ws, i) || ' ' || list_extract(ws, i+1)
+        |    for i in range(1, len(ws))]) AS bigram FROM w)
+        |SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
+        |ORDER BY n DESC, bigram LIMIT 25""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |  list_reduce(

@@ -214,6 +214,34 @@ object Relational {
       .orderBy(col("bucket"))
   }
 
+  /** Orders above their customer's average order value — a correlated
+    * scalar subquery. Catalyst decorrelates it into an aggregate + join, so
+    * at scale it costs one groupBy + one equi-join, not a per-row subquery.
+    */
+  def aboveCustomerAvg(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    // price > 2·avg expressed as price·n > 2·sum — pure decimal/bigint
+    // arithmetic, so the threshold compare is exact in both engines (a
+    // double avg could flip boundary rows between Spark and DuckDB)
+    val byCust = t.orders.groupBy(col("o_custkey").as("ac_custkey"))
+      .agg(sum(dec(col("o_totalprice"))).as("sum_price"),
+        count(lit(1)).as("n_orders"))
+    t.orders.join(byCust, col("o_custkey") === col("ac_custkey"))
+      .filter(dec(col("o_totalprice")) * col("n_orders") > col("sum_price") * lit(2))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Full cube over status × priority (all 4 grouping sets). */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).orders
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("sum_price"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("sum_price"))
+      .orderBy(col("status"), col("priority"))
+
   // ---------------------------------------------------------------- union
   def unionDedup(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
@@ -254,6 +282,8 @@ object Relational {
     "q_rollup"            -> (rollupAgg _),
     "q_percentiles"       -> (percentiles _),
     "q_approx_percentiles" -> (approxPercentiles _),
+    "q_above_cust_avg"    -> (aboveCustomerAvg _),
+    "q_cube"              -> (cubeAgg _),
     "q_conditional_agg"   -> (conditionalAgg _),
     "q_union_dedup"       -> (unionDedup _),
     "q_range_join"        -> (rangeJoin _))
@@ -330,6 +360,22 @@ object Relational {
         |  quantile_cont(l_quantity, 0.5) AS p50,
         |  quantile_cont(l_quantity, 0.75) AS p75
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_above_cust_avg" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o JOIN (
+        |  SELECT o_custkey AS ac_custkey,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price,
+        |    COUNT(*) AS n_orders
+        |  FROM orders GROUP BY o_custkey) a ON o.o_custkey = a.ac_custkey
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * n_orders > sum_price * 2
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
     "q_conditional_agg" ->
       """SELECT user_id % 10 AS bucket,
         |  COUNT(*) FILTER (event_type = 'click') AS n_click,

@@ -122,39 +122,56 @@ object Similarity {
   // ------------------------------------------------------------ IVF
   private val NProbe = 3
 
-  /** Per-cell centroids: mean embedding of each label cell. Cells come from
-    * the `label` column (the corpus's coarse quantizer); at 100 TB the same
-    * two-phase plan holds — centroids are O(cells·dim), always broadcast.
+  /** Per-cell centroids: mean embedding per cell assignment. The initial
+    * assignment comes from the `label` column (the corpus's coarse
+    * quantizer seed); `refineIters` Lloyd iterations reassign each vector
+    * to its nearest centroid and re-average, so the cells converge to a
+    * k-means quantization independent of the seed quality. Every step is
+    * scan + groupBy with the centroid table broadcast — O(cells·dim) driver
+    * state, unchanged at 100 TB.
     */
-  private[ops] def centroids(e: DataFrame): DataFrame =
-    e.select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
-      .groupBy(col("label"), col("d"))
-      .agg(avg(col("x")).as("cx"))
-      .groupBy(col("label"))
-      .agg(transform(array_sort(collect_list(struct(col("d"), col("cx")))),
-        s => s.getField("cx").cast("float")).as("centroid"))
+  private[ops] def centroids(e: DataFrame, refineIters: Int = 2): DataFrame = {
+    def centroidOf(assigned: DataFrame): DataFrame =
+      assigned.select(col("cell"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .groupBy(col("cell"), col("d"))
+        .agg(avg(col("x")).as("cx"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("cx")))),
+          s => s.getField("cx").cast("float")).as("centroid"))
+    var cents = centroidOf(e.select(col("label").as("cell"), col("embedding")))
+    var it = 0
+    while (it < refineIters) {
+      cents = centroidOf(assignCells(e, cents))
+      it += 1
+    }
+    cents
+  }
+
+  /** Nearest-centroid cell per vector (rank 1 of centroid cosine). */
+  private[ops] def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cell"))
+    e.select(col("vec_id"), col("embedding"))
+      .join(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        cosine_sim(col("embedding"), col("centroid")).as("ccos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+  }
 
   /** IVF top-k: assign every vector to its nearest centroid (cell), probe
     * the [[NProbe]] nearest cells per query, score only those cells.
     */
   def ivfTopk(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir).embeddings
-    val cents = broadcast(centroids(e)
-      .select(col("label").as("c_cell"), col("centroid")))
-    // nearest cell per vector (rank 1 of centroid cosine)
-    val wv = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("c_cell"))
-    val assigned = e.select(col("vec_id"), col("embedding")).join(cents)
-      .select(col("vec_id"), col("embedding"), col("c_cell"),
-        cosine_sim(col("embedding"), col("centroid")).as("ccos"))
-      .withColumn("rk", row_number().over(wv))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("c_cell").as("cell"))
+    val cents = centroids(e)
+    val assigned = assignCells(e, cents)
     // nprobe nearest cells per query
     val probes = assigned.filter(isQuery(col("vec_id")))
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      .join(cents)
-      .select(col("query_id"), col("qe"), col("c_cell").as("cell"),
+      .join(broadcast(cents))
+      .select(col("query_id"), col("qe"), col("cell"),
         cosine_sim(col("qe"), col("centroid")).as("ccos"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cell"))))

@@ -21,7 +21,8 @@ object SparkEntry {
       graft.ops.Dedup.queries ++
       graft.ops.Similarity.queries ++
       graft.ops.Multimodal.queries ++
-      graft.ops.AsOf.queries
+      graft.ops.AsOf.queries ++
+      graft.ops.Profile.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
@@ -30,5 +31,6 @@ object SparkEntry {
       graft.ops.Dedup.oracles ++
       graft.ops.Similarity.oracles ++
       graft.ops.Multimodal.oracles ++
-      graft.ops.AsOf.oracles
+      graft.ops.AsOf.oracles ++
+      graft.ops.Profile.oracles
 }

@@ -21,6 +21,16 @@ import graft.Tables
   */
 object TextAnalysis {
 
+  /** documents spread over all cores: the interpreted HOF pipelines below
+    * are CPU-bound, and a small parquet otherwise arrives as ONE partition
+    * that serializes them (AQE's size-based coalescing would do the same to
+    * an unsized repartition, hence the explicit count). At 100 TB the scan
+    * arrives pre-split and this shuffle of (doc_id, text) is noise.
+    */
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+
   /** Whitespace tokens of the trimmed text. */
   private def words(c: Column): Column = split(trim(c), "\\s+")
 
@@ -38,7 +48,7 @@ object TextAnalysis {
     * GPT-2-style pre-tokenizer shape, minus the unicode categories).
     */
   def tokenCount(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir).documents
+    docs(s, dir)
       .select(col("doc_id"),
         size(words(col("text"))).cast(LongType).as("n_ws_tokens"),
         size(regexp_extract_all(col("text"),
@@ -58,7 +68,7 @@ object TextAnalysis {
     val punctRatio = nPunct.cast(DoubleType) / nChars.cast(DoubleType)
     val stopRatio  = nStop.cast(DoubleType) / nWords.cast(DoubleType)
     val meanWordLen = nChars.cast(DoubleType) / nWords.cast(DoubleType)
-    Tables(s, dir).documents
+    docs(s, dir)
       .select(col("doc_id"), nChars.as("n_chars"), nWords.as("n_words"),
         punctRatio.as("punct_ratio"), stopRatio.as("stop_ratio"),
         meanWordLen.as("mean_word_len"),
@@ -78,7 +88,7 @@ object TextAnalysis {
     val (en, fr, es, de) =
       (hits(t, stopEn), hits(t, stopFr), hits(t, stopEs), hits(t, stopDe))
     val top = greatest(en, fr, es, de)
-    Tables(s, dir).documents
+    docs(s, dir)
       .select(col("doc_id"), en.as("c_en"), fr.as("c_fr"), es.as("c_es"), de.as("c_de"),
         when(top === lit(0L), "unknown")
           .when(en === top, "en").when(fr === top, "fr")
@@ -97,7 +107,7 @@ object TextAnalysis {
     val M = 1099511627776L // 2^40: h*1000003 + v < 2^60 — exact in BIGINT
     val wordVals = transform(words(col("text")),
       w => (length(w).cast(LongType) * lit(31L) + ascii(w).cast(LongType)))
-    Tables(s, dir).documents
+    docs(s, dir)
       .select(col("doc_id"),
         aggregate(wordVals, lit(0L),
           (h, v) => (h * lit(1000003L) + v) % lit(M)).as("fingerprint"))
@@ -115,7 +125,7 @@ object TextAnalysis {
     val bigrams = zip_with(
       slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
       (a, b) => concat(a, lit(" "), b))
-    Tables(s, dir).documents
+    docs(s, dir)
       .select(explode(when(size(w) >= 2, bigrams)
         .otherwise(array().cast("array<string>"))).as("bigram"))
       .groupBy(col("bigram"))
@@ -124,13 +134,39 @@ object TextAnalysis {
       .limit(25)
   }
 
+  // ------------------------------------------------------------ curation
+  /** The full corpus-curation funnel in one plan: quality gate (stopword
+    * ratio ≥ 5%, i.e. reads like language) → declared-language filter →
+    * exact-dedup survivors (canonical doc per md5 group). This is the
+    * composition a training-data pipeline actually ships; each stage is a
+    * pushed filter or one hash shuffle, so the funnel costs barely more
+    * than its most expensive stage.
+    */
+  def curateCorpus(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nWords = size(words(col("text"))).cast(LongType)
+    val stopRatio = hits(col("text"), stopEn).cast(DoubleType) / nWords.cast(DoubleType)
+    val gated = docs(s, dir)
+      .filter(col("lang").isin("en", "fr", "es", "de", "zh"))
+      .withColumn("stop_ratio", stopRatio)
+      .filter(col("stop_ratio") >= 0.05)
+    val canonical = gated
+      .withColumn("canonical_id", min(col("doc_id")).over(
+        Window.partitionBy(md5(col("text")))))
+      .filter(col("doc_id") === col("canonical_id"))
+    canonical
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("stop_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   // =================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_count" -> (tokenCount _),
     "text_quality"     -> (quality _),
     "text_lang_id"     -> (langId _),
     "text_fingerprint" -> (fingerprint _),
-    "text_ngram_freq"  -> (ngramFreq _))
+    "text_ngram_freq"  -> (ngramFreq _),
+    "text_curate_corpus" -> (curateCorpus _))
 
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ",", ")")
   private def sqlHits(stop: Seq[String]) =
@@ -171,6 +207,17 @@ object TextAnalysis {
          |       WHEN c_es = greatest(c_en, c_fr, c_es, c_de) THEN 'es'
          |       ELSE 'de' END AS pred_lang
          |FROM c ORDER BY doc_id""".stripMargin,
+    "text_curate_corpus" ->
+      s"""WITH gated AS (
+         |  SELECT doc_id, lang, n_chars, text,
+         |    CAST(${sqlHits(stopEn)} AS DOUBLE) /
+         |      CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS stop_ratio
+         |  FROM documents
+         |  WHERE lang IN ('en', 'fr', 'es', 'de', 'zh')),
+         |q AS (SELECT * FROM gated WHERE stop_ratio >= 0.05),
+         |canon AS (SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id FROM q)
+         |SELECT doc_id, lang, n_chars, stop_ratio FROM canon
+         |WHERE doc_id = canonical_id ORDER BY doc_id""".stripMargin,
     "text_ngram_freq" ->
       """WITH w AS (SELECT string_split_regex(trim(text), '\s+') AS ws FROM documents),
         |bg AS (SELECT unnest([list_extract(ws, i) || ' ' || list_extract(ws, i+1)

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Profile
+
+class ProfileSpec extends SparkSpec {
+
+  test("describe profiles every requested column in one pass") {
+    val out = Profile.profileDocuments(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet === Set("doc_id", "lang", "source", "n_chars"))
+    assert(out("doc_id").getAs[Long]("n_nulls") === 0L)
+    assert(out("doc_id").getAs[Long]("n_distinct") === 500L)
+    assert(out("lang").getAs[Long]("n_distinct") === 5L)
+  }
+
+  test("stratified sample hits the target rates and is rerun-deterministic") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val strata = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val s1 = Profile.sampleDocuments(spark, sf).collect().map(_.getLong(0)).toSeq
+    val s2 = Profile.sampleDocuments(spark, sf).collect().map(_.getLong(0)).toSeq
+    assert(s1 === s2, "hash sampling must select identical rows on rerun")
+    val sampled = Profile.sampleDocuments(spark, sf)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enRate = sampled("en").toDouble / strata("en")
+    assert(enRate > 0.35 && enRate < 0.65, s"en rate $enRate should target 0.5")
+    Seq("fr", "es", "de", "zh").foreach { l =>
+      val rate = sampled.getOrElse(l, 0L).toDouble / strata(l)
+      assert(rate < 0.45, s"$l rate $rate should target 0.2")
+    }
+  }
+}

@@ -221,6 +221,46 @@ object Dedup {
       .orderBy(col("v1"), col("v2"))
   }
 
+  // ------------------------------------------------------------ components
+  /** Near-dup groups: connected components over the LSH pair graph via
+    * iterative min-label propagation (large-star/small-star simplified):
+    * every doc starts labeled with itself; each round, a doc adopts the
+    * smallest label among itself and its neighbors; stop when no label
+    * changes. Converges in O(log |largest component|) rounds — a handful
+    * even at 100 TB — and each round is one groupBy over the edge list.
+    * Output: (doc_id, canonical_id = component minimum) for docs that have
+    * at least one near-dup; the curation step keeps canonical_id == doc_id.
+    */
+  def nearDupGroups(s: SparkSession, dir: String, maxIter: Int = 10): DataFrame = {
+    val pairs = minhashLsh(s, dir).select(col("d1"), col("d2")).cache()
+    try {
+      // symmetric edge list incl. self-loops so isolated endpoints keep labels
+      val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+        .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+        .union(pairs.select(col("d1").as("src"), col("d1").as("dst")))
+        .union(pairs.select(col("d2").as("src"), col("d2").as("dst")))
+        .distinct().cache()
+      var labels = edges.groupBy(col("src").as("doc_id"))
+        .agg(min(col("dst")).as("label")) // round 1: min neighbor
+      var it = 1
+      var converged = false
+      while (it < maxIter && !converged) {
+        val next = edges.join(labels, col("dst") === col("doc_id"))
+          .groupBy(col("src"))
+          .agg(min(col("label")).as("label"))
+          .select(col("src").as("doc_id"), col("label"))
+          .cache()
+        converged = next.as("n").join(labels.as("p"),
+          col("n.doc_id") === col("p.doc_id")
+            && col("n.label") =!= col("p.label")).isEmpty
+        labels = next
+        it += 1
+      }
+      labels.select(col("doc_id"), col("label").as("canonical_id"))
+        .orderBy(col("doc_id"))
+    } finally pairs.unpersist()
+  }
+
   // =================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> (exact _),
@@ -228,7 +268,8 @@ object Dedup {
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh"   -> (minhashLsh _),
     "dedup_simhash"       -> (simhash _),
-    "dedup_embedding"     -> (embedding _))
+    "dedup_embedding"     -> (embedding _),
+    "dedup_components"    -> ((s: SparkSession, dir: String) => nearDupGroups(s, dir)))
 
   /** dedup_minhash_lsh / dedup_simhash are rows-only: signatures depend on
     * engine-internal hashes (xxhash64/murmur); DedupSpec pins their recall

@@ -46,6 +46,18 @@ class DedupSpec extends SparkSpec {
     assert(found.intersect(truth).nonEmpty)
   }
 
+  test("connected components assign one canonical per near-dup group") {
+    val labels = Dedup.nearDupGroups(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.nonEmpty)
+    // canonical is the component minimum: label <= member, label is a member
+    labels.foreach { case (d, l) => assert(l <= d); assert(labels(l) === l) }
+    // every LSH pair must land in the same component
+    Dedup.minhashLsh(spark, sf).collect().foreach { r =>
+      assert(labels(r.getLong(0)) === labels(r.getLong(1)))
+    }
+  }
+
   test("embedding near-dup cosine matches an independent recomputation") {
     val out = Dedup.embedding(spark, sf).limit(5).collect()
     assert(out.nonEmpty)

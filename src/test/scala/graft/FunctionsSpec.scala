@@ -27,6 +27,33 @@ class FunctionsSpec extends SparkSpec {
       Set("cosine_sim", "minhash_sig", "simhash_chunks"))
   }
 
+  test("custom expressions: codegen and interpreted paths agree bit-for-bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((Array(0.3f, -1.2f, 4.7f), Array(2.2f, 0.0f, -3.3f)))
+      .toDF("a", "b")
+      .withColumn("hs", expr("array(12345678901L, 987654321L, 42L)"))
+    def run(): (Double, Seq[Long], Seq[Long]) = {
+      val r = df.select(
+        graft.functions.cosine_sim(col("a"), col("b")).as("c"),
+        graft.functions.minhash_sig(col("hs"), 8, 4294967311L).as("m"),
+        graft.functions.simhash_chunks(col("hs")).as("s")).head
+      (r.getDouble(0), r.getSeq[Long](1), r.getSeq[Long](2))
+    }
+    val factoryMode = "spark.sql.codegen.factoryMode"
+    val prior = spark.conf.getOption(factoryMode)
+    try {
+      spark.conf.set(factoryMode, "CODEGEN_ONLY")
+      val gen = run()
+      spark.conf.set(factoryMode, "NO_CODEGEN")
+      val interp = run()
+      assert(gen === interp)
+    } finally prior match {
+      case Some(v) => spark.conf.set(factoryMode, v)
+      case None => spark.conf.unset(factoryMode)
+    }
+  }
+
   test("cosine_sim agrees between SQL, Column API, and codegen/interpreted paths") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -242,6 +242,35 @@ object Relational {
         col("n_orders"), col("sum_price"))
       .orderBy(col("status"), col("priority"))
 
+  /** Event counts per user bucket pivoted by event type — the dynamic-
+    * column cousin of [[conditionalAgg]] using the .pivot API (values
+    * enumerated, so the plan is a single two-phase aggregate, no extra
+    * pass to discover columns).
+    */
+  def pivotAgg(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events
+      .groupBy((col("user_id") % 10).as("bucket"))
+      .pivot("event_type", Seq("click", "view", "purchase", "error", "signup"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("bucket"))
+
+  /** Per-nation customer/supplier presence via FULL OUTER join of two
+    * aggregates (regions where only one side exists survive with zeros).
+    */
+  def outerJoin(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val c = t.customer.groupBy(col("c_nationkey").cast(LongType).as("nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+    val sup = t.supplier.groupBy(col("s_nationkey").cast(LongType).as("s_nationkey"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(sup, col("nationkey") === col("s_nationkey"), "full_outer")
+      .select(coalesce(col("nationkey"), col("s_nationkey")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
   // ---------------------------------------------------------------- union
   def unionDedup(s: SparkSession, dir: String): DataFrame = {
     val t = Tables(s, dir)
@@ -284,6 +313,8 @@ object Relational {
     "q_approx_percentiles" -> (approxPercentiles _),
     "q_above_cust_avg"    -> (aboveCustomerAvg _),
     "q_cube"              -> (cubeAgg _),
+    "q_pivot"             -> (pivotAgg _),
+    "q_outer_join"        -> (outerJoin _),
     "q_conditional_agg"   -> (conditionalAgg _),
     "q_union_dedup"       -> (unionDedup _),
     "q_range_join"        -> (rangeJoin _))
@@ -376,6 +407,23 @@ object Relational {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id % 10 AS bucket,
+        |  COUNT(*) FILTER (event_type = 'click') AS click,
+        |  COUNT(*) FILTER (event_type = 'view') AS view,
+        |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (event_type = 'error') AS error,
+        |  COUNT(*) FILTER (event_type = 'signup') AS signup
+        |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_outer_join" ->
+      """SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+        |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+        |FROM (SELECT CAST(c_nationkey AS BIGINT) AS nationkey, COUNT(*) AS n_cust
+        |      FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN (SELECT CAST(s_nationkey AS BIGINT) AS nationkey, COUNT(*) AS n_supp
+        |      FROM supplier GROUP BY 1) s
+        |ON c.nationkey = s.nationkey
+        |ORDER BY nationkey""".stripMargin,
     "q_conditional_agg" ->
       """SELECT user_id % 10 AS bucket,
         |  COUNT(*) FILTER (event_type = 'click') AS n_click,

@@ -96,6 +96,15 @@ object Streams {
         GroupStateTimeout.EventTimeTimeout())(update)
   }
 
+  /** Stream-static enrichment: join the live stream against a (slowly
+    * changing) dimension table — pyetl's per-message lookup enrichment. The
+    * static side re-resolves per micro-batch, so dim updates between
+    * batches are picked up; Spark broadcasts it when small.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String,
+      joinType: String = "left_outer"): DataFrame =
+    events.join(dim, Seq(key), joinType)
+
   /** pyetl's multi-destination writer loop: one micro-batch, N sinks, via
     * foreachBatch. The batch is persisted once so each route filters the
     * cached data instead of re-reading the source.

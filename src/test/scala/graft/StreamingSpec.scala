@@ -71,6 +71,18 @@ class StreamingSpec extends SparkSpec {
       s.userId == 1 && s.nEvents == 2 && s.endSec - s.startSec == 600))
   }
 
+  test("stream-static join enriches events with dimension attributes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("userId", "tier")
+    val in = MemoryStream[Event]
+    in.addData(Event(ts(0), 1, "click", 1.0), Event(ts(1), 3, "click", 2.0))
+    runToMemory(Streams.enrich(in.toDF(), dim, "userId"), "enr")
+    val out = spark.table("enr").collect()
+      .map(r => r.getAs[Long]("userId") -> Option(r.getAs[String]("tier"))).toMap
+    assert(out === Map(1L -> Some("gold"), 3L -> None))
+  }
+
   test("streaming multi-sink fans one stream out to N parquet sinks") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -79,6 +79,25 @@ object Sinks {
       .partitionBy("day")
       .json(outDir)
 
+  /** Keyed-upsert compaction (pyetl's key-value-table destination as a
+    * batch merge): union the current snapshot with a delta, keep the
+    * latest row per key by (versionCol, then delta-over-snapshot on ties),
+    * and return the new snapshot. One shuffle on the key; at 100 TB this
+    * is the standard incremental-merge compaction (write the result
+    * partitioned, swap atomically at the table layer).
+    */
+  def mergeSnapshot(snapshot: DataFrame, delta: DataFrame, key: String,
+      versionCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val unioned = snapshot.withColumn("__src", lit(0))
+      .unionByName(delta.withColumn("__src", lit(1)))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(versionCol).desc, col("__src").desc)
+    unioned.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__src")
+  }
+
   /** CSV sink with header — the RDBMS-load/interchange destination. */
   def csvWrite(df: DataFrame, outDir: String,
       maxRecordsPerFile: Long = 1000000L): Unit =

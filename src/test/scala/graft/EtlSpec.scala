@@ -113,6 +113,26 @@ class EtlSpec extends SparkSpec {
     assert(backCsv.columns.sorted.toSeq === ev.columns.sorted.toSeq)
   }
 
+  test("snapshot merge keeps the latest row per key, delta wins ties") {
+    import spark.implicits._
+    val snapshot = Seq((1L, 10L, "old"), (2L, 10L, "keep"), (4L, 10L, "snap"))
+      .toDF("k", "v", "payload")
+    val delta = Seq((1L, 20L, "newer"), (3L, 5L, "insert"), (4L, 10L, "delta-tie"))
+      .toDF("k", "v", "payload")
+    val merged = Sinks.mergeSnapshot(snapshot, delta, "k", "v").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(merged === Map(
+      1L -> (20L, "newer"),      // higher version wins
+      2L -> (10L, "keep"),       // untouched key survives
+      3L -> (5L, "insert"),      // new key inserted
+      4L -> (10L, "delta-tie"))) // equal version: delta beats snapshot
+    // idempotence: re-merging the same delta changes nothing
+    val again = Sinks.mergeSnapshot(
+      Sinks.mergeSnapshot(snapshot, delta, "k", "v"), delta, "k", "v")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(again === merged)
+  }
+
   test("schema evolution: mergeSchema unions parquet generations") {
     val dir = Files.createTempDirectory("graft-se").toString
     import spark.implicits._

@@ -85,10 +85,35 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------------ frames
+  /** Frame sampling over a binary payload: chunk the bytes into fixed-size
+    * "frames" and keep every `stride`-th — the video-keyframe access
+    * pattern with the codec stubbed to byte-chunking. The sampling is pure
+    * array math on the binary column (codegen'd substring/sequence), so at
+    * 100 TB the dropped frames are never materialized downstream.
+    */
+  def frameSample(s: SparkSession, dir: String, frameBytes: Int = 256,
+      stride: Int = 4): DataFrame = {
+    val payload = col("payload")
+    val nFrames = ceil(octet_length(payload).cast(LongType) / lit(frameBytes.toDouble))
+      .cast(LongType)
+    withBinary(s, dir)
+      .select(col("doc_id"), nFrames.as("n_frames"),
+        transform(
+          sequence(lit(0L), greatest(nFrames - 1, lit(0L)), lit(stride.toLong)),
+          i => substring(payload, (i * frameBytes + 1).cast("int"), lit(frameBytes)))
+          .as("frames"))
+      .select(col("doc_id"), col("n_frames"),
+        size(col("frames")).cast(LongType).as("n_sampled"),
+        hex(element_at(col("frames"), 1)).as("first_frame_hex"))
+      .orderBy(col("doc_id"))
+  }
+
   // =================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta"     -> (binaryMeta _),
-    "mm_feature_extract" -> (featureExtract _))
+    "mm_feature_extract" -> (featureExtract _),
+    "mm_frame_sample"    -> ((s: SparkSession, dir: String) => frameSample(s, dir)))
 
   /** mm_feature_extract is rows-only (mapPartitions output; spec-pinned). */
   val oracles: Map[String, String] = Map(

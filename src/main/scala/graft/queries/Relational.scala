@@ -119,6 +119,21 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** Per-customer order cadence: seconds since the previous order and
+    * until the next (lag/lead over the per-key sequence; kept in BIGINT
+    * seconds — a day division would hit engine-specific double rounding).
+    */
+  def lagLead(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val sec = epochS(col("o_orderdate"))
+    Tables(s, dir).orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        (sec - lag(sec, 1).over(w)).as("sec_since_prev"),
+        (lead(sec, 1).over(w) - sec).as("sec_until_next"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   /** Top-3 parts by retail price per brand (dense per-group top-k). */
   def rankInGroup(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("p_brand"))
@@ -314,6 +329,7 @@ object Relational {
     "q_above_cust_avg"    -> (aboveCustomerAvg _),
     "q_cube"              -> (cubeAgg _),
     "q_pivot"             -> (pivotAgg _),
+    "q_lag_lead"          -> (lagLead _),
     "q_outer_join"        -> (outerJoin _),
     "q_conditional_agg"   -> (conditionalAgg _),
     "q_union_dedup"       -> (unionDedup _),
@@ -407,6 +423,14 @@ object Relational {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "q_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+        |  epoch_ms(o_orderdate)//1000 - LAG(epoch_ms(o_orderdate)//1000)
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS sec_since_prev,
+        |  LEAD(epoch_ms(o_orderdate)//1000)
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |    - epoch_ms(o_orderdate)//1000 AS sec_until_next
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_pivot" ->
       """SELECT user_id % 10 AS bucket,
         |  COUNT(*) FILTER (event_type = 'click') AS click,

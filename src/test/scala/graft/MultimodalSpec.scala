@@ -19,6 +19,21 @@ class MultimodalSpec extends SparkSpec {
     assert(row.getAs[Seq[Double]]("features").length === 16)
   }
 
+  test("frame sampling chunks the payload and keeps every stride-th frame") {
+    val out = Multimodal.frameSample(spark, sf, frameBytes = 100, stride = 4).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id", "CAST(length(text) AS BIGINT) AS n").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.length === docs.size)
+    out.foreach { r =>
+      val (id, nFrames, nSampled) =
+        (r.getLong(0), r.getAs[Long]("n_frames"), r.getAs[Long]("n_sampled"))
+      assert(nFrames === (docs(id) + 99) / 100) // ceil(bytes / frameBytes), ASCII corpus
+      assert(nSampled === (nFrames - 1) / 4 + 1) // every 4th, frame 0 always kept
+      assert(r.getAs[String]("first_frame_hex").nonEmpty)
+    }
+  }
+
   test("binary metadata agrees with the raw text byte length") {
     val meta = Multimodal.binaryMeta(spark, sf).collect()
     meta.foreach { r =>

@@ -71,6 +71,27 @@ class StreamingSpec extends SparkSpec {
       s.userId == 1 && s.nEvents == 2 && s.endSec - s.startSec == 600))
   }
 
+  test("watermark drops events later than the horizon in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    // batch 1 advances the watermark far ahead (event at 60 min, 10-min delay)
+    in.addData(Event(ts(0), 1, "click", 1.0))
+    val q = Streams.windowCounts(in.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("late").outputMode("append").start()
+    q.processAllAvailable()
+    in.addData(Event(Timestamp.valueOf("2024-01-01 01:00:00"), 1, "click", 1.0))
+    q.processAllAvailable()
+    // batch 3: an event 40 minutes behind the watermark — must be dropped
+    in.addData(Event(ts(10), 9, "late-click", 99.0))
+    q.processAllAvailable()
+    // close remaining windows by pushing the watermark forward
+    in.addData(Event(Timestamp.valueOf("2024-01-01 02:00:00"), 1, "click", 1.0))
+    q.processAllAvailable(); q.stop()
+    val types = spark.table("late").collect().map(_.getAs[String]("eventType")).toSet
+    assert(!types.contains("late-click"), "late event leaked past the watermark")
+  }
+
   test("stream-static join enriches events with dimension attributes") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -30,6 +30,13 @@ object GraftSession {
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
 
+  /** Shuffle-partition count for a real cluster: 2-3× total cores keeps
+    * every core busy through stragglers while AQE coalesces the excess.
+    * Use with [[tune]]: `tune(builder, clusterPartitions(executors, cores))`.
+    */
+  def clusterPartitions(executors: Int, coresPerExecutor: Int): Int =
+    executors * coresPerExecutor * 2
+
   /** Local session for tests and ad-hoc runs. */
   def local(cpus: Int = 32, appName: String = "graft"): SparkSession = {
     val s = tune(SparkSession.builder().master(s"local[$cpus]").appName(appName), cpus)

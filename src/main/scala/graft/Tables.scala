@@ -20,4 +20,14 @@ final case class Tables(spark: SparkSession, dir: String) {
   def events: DataFrame     = t("events")
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
+
+  /** Register every table as a temp view so pure-SQL users can
+    * `spark.sql("SELECT ... FROM lineitem ...")` directly.
+    */
+  def registerViews(): Unit = Tables.names.foreach(n => t(n).createOrReplaceTempView(n))
+}
+
+object Tables {
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
 }

@@ -126,6 +126,24 @@ object JsonEtl {
       .orderBy(col("window_start"), col("event_type"))
   }
 
+  // ------------------------------------------------------------ sliding
+  /** 10-minute windows sliding every 5 minutes (hopping windows, batch
+    * form): each event lands in exactly two windows via a 2-element
+    * explode — the standard batch re-expression of streaming hop windows.
+    * Map-side partial aggregation absorbs the 2× row fan-out.
+    */
+  def slidingWindow(s: SparkSession, dir: String): DataFrame = {
+    val sec = tsSec(col("ts"))
+    val base = sec - (sec % lit(300L))
+    Tables(s, dir).events
+      .select(col("event_type"), col("value"),
+        explode(array(base, base - lit(300L))).as("window_start"))
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(D)).cast(DoubleType).as("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
   // ------------------------------------------------------------ flatten
   /** Recursively flatten nested struct columns to top-level columns with
     * `sep`-joined names — the "JSON objects become flat table columns" step
@@ -152,7 +170,8 @@ object JsonEtl {
     "etl_route_filter"     -> (routeFilter _),
     "etl_latest_by_key"    -> (latestByKey _),
     "etl_sessionize"       -> (sessionize _),
-    "etl_tumbling_window"  -> (tumblingWindow _))
+    "etl_tumbling_window"  -> (tumblingWindow _),
+    "etl_sliding_window"   -> (slidingWindow _))
 
   /** DuckDB twins. events.ts is TIMESTAMP(NANOS) → DuckDB truncates to
     * micros; epoch_ms(ts)//1000 is the same floor-second Spark computes from
@@ -193,6 +212,14 @@ object JsonEtl {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM sessed GROUP BY user_id, sess_idx ORDER BY user_id, sess_idx""".stripMargin,
+    "etl_sliding_window" ->
+      """WITH ev AS (SELECT event_type, value,
+        |    (epoch_ms(ts)//1000) - ((epoch_ms(ts)//1000) % 300) AS base FROM events),
+        |ex AS (SELECT event_type, value, unnest([base, base - 300]) AS window_start FROM ev)
+        |SELECT window_start, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM ex GROUP BY window_start, event_type
+        |ORDER BY window_start, event_type""".stripMargin,
     "etl_tumbling_window" ->
       """SELECT (epoch_ms(ts)//1000) - ((epoch_ms(ts)//1000) % 300) AS window_start,
         |  event_type, COUNT(*) AS n,

@@ -221,6 +221,26 @@ object Dedup {
       .orderBy(col("v1"), col("v2"))
   }
 
+  // ------------------------------------------------------------ embedding @ scale
+  /** The scale tier for embedding near-dup: random-hyperplane LSH buckets
+    * (shared with Similarity) generate candidate pairs; only candidates get
+    * the exact cosine ≥ τ check — |bucket|² work instead of N². Rows-only;
+    * DedupSpec pins recall vs the all-pairs [[embedding]] ground truth.
+    */
+  def embeddingLsh(s: SparkSession, dir: String, tau: Double = 0.4): DataFrame = {
+    val b = Similarity.lshBuckets(
+      Tables(s, dir).embeddings.select(col("vec_id"), col("embedding")), 64)
+    val cand = b.as("a").join(b.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket")
+          && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        col("a.embedding").as("e1"), col("b.embedding").as("e2"))
+      .distinct()
+    cand.select(col("v1"), col("v2"), cosine_sim(col("e1"), col("e2")).as("cosine"))
+      .filter(col("cosine") >= tau)
+      .orderBy(col("v1"), col("v2"))
+  }
+
   // ------------------------------------------------------------ components
   /** Near-dup groups: connected components over the LSH pair graph via
     * iterative min-label propagation (large-star/small-star simplified):
@@ -269,7 +289,8 @@ object Dedup {
     "dedup_minhash_lsh"   -> (minhashLsh _),
     "dedup_simhash"       -> (simhash _),
     "dedup_embedding"     -> (embedding _),
-    "dedup_components"    -> ((s: SparkSession, dir: String) => nearDupGroups(s, dir)))
+    "dedup_components"    -> ((s: SparkSession, dir: String) => nearDupGroups(s, dir)),
+    "dedup_embedding_lsh" -> ((s: SparkSession, dir: String) => embeddingLsh(s, dir)))
 
   /** dedup_minhash_lsh / dedup_simhash are rows-only: signatures depend on
     * engine-internal hashes (xxhash64/murmur); DedupSpec pins their recall

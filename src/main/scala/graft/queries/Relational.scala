@@ -270,6 +270,16 @@ object Relational {
       .na.fill(0L)
       .orderBy(col("bucket"))
 
+  /** Aggregate-filtered groups (HAVING): nations with an above-average
+    * customer base.
+    */
+  def havingAgg(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).customer
+      .groupBy(col("c_nationkey").cast(LongType).as("nationkey"))
+      .agg(count(lit(1)).as("n_cust"), moneySum(col("c_acctbal")).as("sum_bal"))
+      .filter(col("n_cust") >= 60)
+      .orderBy(col("nationkey"))
+
   /** Per-nation customer/supplier presence via FULL OUTER join of two
     * aggregates (regions where only one side exists survive with zeros).
     */
@@ -330,6 +340,7 @@ object Relational {
     "q_cube"              -> (cubeAgg _),
     "q_pivot"             -> (pivotAgg _),
     "q_lag_lead"          -> (lagLead _),
+    "q_having"            -> (havingAgg _),
     "q_outer_join"        -> (outerJoin _),
     "q_conditional_agg"   -> (conditionalAgg _),
     "q_union_dedup"       -> (unionDedup _),
@@ -423,6 +434,11 @@ object Relational {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "q_having" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer GROUP BY nationkey HAVING COUNT(*) >= 60
+        |ORDER BY nationkey""".stripMargin,
     "q_lag_lead" ->
       """SELECT o_custkey, o_orderkey,
         |  epoch_ms(o_orderdate)//1000 - LAG(epoch_ms(o_orderdate)//1000)

@@ -46,6 +46,18 @@ class DedupSpec extends SparkSpec {
     assert(found.intersect(truth).nonEmpty)
   }
 
+  test("LSH-bucketed embedding dedup recovers the all-pairs ground truth pairs") {
+    val truth = Dedup.embedding(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    val found = Dedup.embeddingLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision is exact by construction (candidates are cosine-verified)
+    assert(found.subsetOf(truth))
+    val recall = found.size.toDouble / truth.size
+    assert(recall >= 0.3, s"recall=$recall (near-random embeddings are LSH's worst case)")
+  }
+
   test("connected components assign one canonical per near-dup group") {
     val labels = Dedup.nearDupGroups(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -20,6 +20,14 @@ class FunctionsSpec extends SparkSpec {
     assert(chunks === Seq(0L, 0L, 0L, 0L))
   }
 
+  test("registered views give pure-SQL users the whole table surface") {
+    Tables(spark, sf).registerViews()
+    val n = spark.sql(
+      "SELECT COUNT(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey")
+      .head.getLong(0)
+    assert(n > 0)
+  }
+
   test("config-time extensions class wires the same builders") {
     val e = new SparkSessionExtensions
     new GraftExtensions().apply(e) // must not throw; builders are injected

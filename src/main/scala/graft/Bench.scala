@@ -20,10 +20,14 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q_window_running", "q_rank_in_group", "q_range_join", "q_rollup",
-    "etl_json_extract", "etl_latest_by_key", "etl_sessionize", "etl_tumbling_window",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding",
+    "q_asof_join",
+    "etl_json_extract", "etl_latest_by_key", "etl_sessionize",
+    "etl_tumbling_window", "etl_sliding_window",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
+    "dedup_components",
     "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk",
-    "text_quality", "text_fingerprint", "text_lang_id", "mm_binary_meta")
+    "text_quality", "text_fingerprint", "text_lang_id", "text_curate_corpus",
+    "mm_binary_meta")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -22,7 +22,8 @@ object SparkEntry {
       graft.ops.Similarity.queries ++
       graft.ops.Multimodal.queries ++
       graft.ops.AsOf.queries ++
-      graft.ops.Profile.queries
+      graft.ops.Profile.queries ++
+      graft.ops.Intervals.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.ops.Similarity.oracles ++
       graft.ops.Multimodal.oracles ++
       graft.ops.AsOf.oracles ++
-      graft.ops.Profile.oracles
+      graft.ops.Profile.oracles ++
+      graft.ops.Intervals.oracles
 }

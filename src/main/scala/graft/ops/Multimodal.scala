@@ -109,11 +109,30 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------------ resize
+  /** Resize a binary payload to exactly `targetBytes`: truncate long
+    * payloads, zero-pad short ones (the fixed-shape batching step before a
+    * tensor-consuming stage — every row leaves with an identical byte
+    * width). Pure codegen'd byte ops.
+    */
+  def resize(s: SparkSession, dir: String, targetBytes: Int = 128): DataFrame = {
+    val zeros = lit(Array.fill[Byte](targetBytes)(0))
+    withBinary(s, dir)
+      .select(col("doc_id"),
+        octet_length(col("payload")).cast(LongType).as("orig_len"),
+        substring(concat(col("payload"), zeros), 1, targetBytes).as("resized"))
+      .select(col("doc_id"), col("orig_len"),
+        octet_length(col("resized")).cast(LongType).as("new_len"),
+        hex(substring(col("resized"), targetBytes - 3, 4)).as("tail_hex"))
+      .orderBy(col("doc_id"))
+  }
+
   // =================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta"     -> (binaryMeta _),
     "mm_feature_extract" -> (featureExtract _),
-    "mm_frame_sample"    -> ((s: SparkSession, dir: String) => frameSample(s, dir)))
+    "mm_frame_sample"    -> ((s: SparkSession, dir: String) => frameSample(s, dir)),
+    "mm_resize"          -> ((s: SparkSession, dir: String) => resize(s, dir)))
 
   /** mm_feature_extract is rows-only (mapPartitions output; spec-pinned). */
   val oracles: Map[String, String] = Map(

@@ -270,6 +270,26 @@ object Relational {
       .na.fill(0L)
       .orderBy(col("bucket"))
 
+  /** Fixed-bin value histogram over events (bin width 10). */
+  def valueHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).events
+      .groupBy(floor(col("value") / 10).cast(LongType).as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bin"))
+
+  /** Orders per day-of-week, via engine-neutral epoch arithmetic
+    * ((days+4) % 7: 1970-01-01 was a Thursday=4; 0=Sunday).
+    */
+  def dayOfWeek(s: SparkSession, dir: String): DataFrame = {
+    // floor(sec/86400) via double is exact at epoch-day magnitudes (<2^53)
+    val dow = (floor(epochS(col("o_orderdate")) / lit(86400L)).cast(LongType)
+      + lit(4L)) % lit(7L)
+    Tables(s, dir).orders
+      .groupBy(dow.cast(LongType).as("dow"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("dow"))
+  }
+
   /** Aggregate-filtered groups (HAVING): nations with an above-average
     * customer base.
     */
@@ -341,6 +361,8 @@ object Relational {
     "q_pivot"             -> (pivotAgg _),
     "q_lag_lead"          -> (lagLead _),
     "q_having"            -> (havingAgg _),
+    "q_value_histogram"   -> (valueHistogram _),
+    "q_day_of_week"       -> (dayOfWeek _),
     "q_outer_join"        -> (outerJoin _),
     "q_conditional_agg"   -> (conditionalAgg _),
     "q_union_dedup"       -> (unionDedup _),
@@ -434,6 +456,13 @@ object Relational {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "q_value_histogram" ->
+      """SELECT CAST(FLOOR(value / 10) AS BIGINT) AS bin, COUNT(*) AS n
+        |FROM events GROUP BY bin ORDER BY bin""".stripMargin,
+    "q_day_of_week" ->
+      """SELECT (CAST(FLOOR((epoch_ms(o_orderdate)//1000) / 86400) AS BIGINT) + 4) % 7 AS dow,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY dow ORDER BY dow""".stripMargin,
     "q_having" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey, COUNT(*) AS n_cust,
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal

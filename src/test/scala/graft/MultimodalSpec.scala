@@ -34,6 +34,17 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resize emits exactly targetBytes per row, truncating or zero-padding") {
+    val out = Multimodal.resize(spark, sf, targetBytes = 128).collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("new_len") === 128L)
+      val orig = r.getAs[Long]("orig_len")
+      if (orig < 128 - 4)
+        assert(r.getAs[String]("tail_hex") === "00000000", "short payloads zero-pad")
+    }
+    assert(out.exists(_.getAs[Long]("orig_len") > 128), "corpus has truncation cases")
+  }
+
   test("binary metadata agrees with the raw text byte length") {
     val meta = Multimodal.binaryMeta(spark, sf).collect()
     meta.foreach { r =>

@@ -134,6 +134,34 @@ object TextAnalysis {
       .limit(25)
   }
 
+  // ------------------------------------------------------------ tf-idf
+  /** Top-3 characteristic terms per document by tf·N/df (rational idf —
+    * a log would hang cross-engine exactness on libm ulp behavior; the
+    * ranking is the same for any monotone idf). Two aggregations: term
+    * frequencies per (doc, term), document frequencies per term joined
+    * back broadcast-style; ranking via one window. The plan at 100 TB is
+    * two shuffles on term-ish keys, both map-side-combined.
+    */
+  def tfIdf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val terms = d.select(col("doc_id"), explode(words(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = d.count() // corpus size: one number, computed once
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        (col("tf") * lit(n)).cast(DoubleType)./(col("df").cast(DoubleType)).as("score"))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   // ------------------------------------------------------------ curation
   /** The full corpus-curation funnel in one plan: quality gate (stopword
     * ratio ≥ 5%, i.e. reads like language) → declared-language filter →
@@ -166,6 +194,7 @@ object TextAnalysis {
     "text_lang_id"     -> (langId _),
     "text_fingerprint" -> (fingerprint _),
     "text_ngram_freq"  -> (ngramFreq _),
+    "text_tfidf"       -> (tfIdf _),
     "text_curate_corpus" -> (curateCorpus _))
 
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ",", ")")
@@ -173,6 +202,22 @@ object TextAnalysis {
     s"len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w IN ${sqlList(stop)}))"
 
   val oracles: Map[String, String] = Map(
+    "text_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+        |df AS (SELECT term, COUNT(*) AS df FROM (
+        |  SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    CAST(tf.tf * (SELECT COUNT(*) FROM documents) AS DOUBLE)
+        |      / CAST(df.df AS DOUBLE) AS score
+        |  FROM tf JOIN df ON tf.term = df.term),
+        |ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term) AS BIGINT) AS rk FROM scored)
+        |SELECT doc_id, rk, term, tf, df, score FROM ranked
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     "text_token_count" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,

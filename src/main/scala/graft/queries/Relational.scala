@@ -270,6 +270,31 @@ object Relational {
       .na.fill(0L)
       .orderBy(col("bucket"))
 
+  /** Pearson correlation of (value, props.k) per event type, computed from
+    * exact decimal sums so it reproduces bit-for-bit cross-engine: the five
+    * Σ's are order-independent decimals; the closed form then runs in
+    * fixed-order double arithmetic (sqrt is IEEE-correctly-rounded, unlike
+    * log). Built-in `corr` streams doubles in partition order — fine
+    * numerically, useless for a hash-compare oracle.
+    */
+  def corrExact(s: SparkSession, dir: String): DataFrame = {
+    val D8 = DecimalType(38, 8)
+    val x = col("value").cast(D8)
+    val y = get_json_object(col("props"), "$.k").cast(LongType).cast(D8)
+    val agg = Tables(s, dir).events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(DoubleType).as("n"),
+        sum(x).cast(DoubleType).as("sx"), sum(y).cast(DoubleType).as("sy"),
+        sum(x * y).cast(DoubleType).as("sxy"),
+        sum(x * x).cast(DoubleType).as("sxx"),
+        sum(y * y).cast(DoubleType).as("syy"))
+    agg.select(col("event_type"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr"))
+      .orderBy(col("event_type"))
+  }
+
   /** Fixed-bin value histogram over events (bin width 10). */
   def valueHistogram(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).events
@@ -362,6 +387,7 @@ object Relational {
     "q_lag_lead"          -> (lagLead _),
     "q_having"            -> (havingAgg _),
     "q_value_histogram"   -> (valueHistogram _),
+    "q_corr_exact"        -> (corrExact _),
     "q_day_of_week"       -> (dayOfWeek _),
     "q_outer_join"        -> (outerJoin _),
     "q_conditional_agg"   -> (conditionalAgg _),
@@ -456,6 +482,18 @@ object Relational {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "q_corr_exact" ->
+      """WITH a AS (SELECT event_type,
+        |  CAST(COUNT(*) AS DOUBLE) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,8)) * CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,8)) * CAST(value AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS DECIMAL(38,8)) * CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS DECIMAL(38,8))) AS DOUBLE) AS syy
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type,
+        |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr
+        |FROM a ORDER BY event_type""".stripMargin,
     "q_value_histogram" ->
       """SELECT CAST(FLOOR(value / 10) AS BIGINT) AS bin, COUNT(*) AS n
         |FROM events GROUP BY bin ORDER BY bin""".stripMargin,

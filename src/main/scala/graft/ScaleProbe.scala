@@ -45,6 +45,9 @@ object ScaleProbe {
     time("minhash_lsh")(graft.ops.Dedup.minhashLsh(spark, out).count())
     time("simhash")(graft.ops.Dedup.simhash(spark, out).count())
     time("ann_lsh_topk")(graft.ops.Similarity.lshTopk(spark, out).count())
+    time("text_tfidf")(graft.ops.TextAnalysis.tfIdf(spark, out).count())
+    time("text_curate")(graft.ops.TextAnalysis.curateCorpus(spark, out).count())
+    time("text_lang_id")(graft.ops.TextAnalysis.langId(spark, out).count())
     spark.stop()
   }
 }

@@ -162,6 +162,31 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  // ------------------------------------------------------------ edit distance
+  /** Nearest neighbor by Levenshtein distance for the first 10 docs,
+    * candidate-pruned by length: |len(a)−len(b)| is a lower bound on edit
+    * distance, so only near-length docs are compared — the standard trick
+    * that keeps O(len²)-per-pair edit distance tractable (at 100 TB you'd
+    * pre-bucket by length and band within buckets, same idea).
+    */
+  def editDistNeighbors(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir).select(col("doc_id"), col("text"),
+      length(col("text")).cast(LongType).as("len"))
+    val q = d.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"), col("text").as("qt"), col("len").as("ql"))
+    val cand = broadcast(q).join(d,
+        col("doc_id") =!= col("query_id") && abs(col("len") - col("ql")) <= 20)
+      .select(col("query_id"), col("doc_id").as("neighbor_id"),
+        levenshtein(col("qt"), col("text")).cast(LongType).as("dist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("neighbor_id"))
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("neighbor_id"), col("dist"))
+      .orderBy(col("query_id"))
+  }
+
   // ------------------------------------------------------------ curation
   /** The full corpus-curation funnel in one plan: quality gate (stopword
     * ratio ≥ 5%, i.e. reads like language) → declared-language filter →
@@ -195,6 +220,7 @@ object TextAnalysis {
     "text_fingerprint" -> (fingerprint _),
     "text_ngram_freq"  -> (ngramFreq _),
     "text_tfidf"       -> (tfIdf _),
+    "text_editdist_nn" -> (editDistNeighbors _),
     "text_curate_corpus" -> (curateCorpus _))
 
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ",", ")")
@@ -202,6 +228,16 @@ object TextAnalysis {
     s"len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w IN ${sqlList(stop)}))"
 
   val oracles: Map[String, String] = Map(
+    "text_editdist_nn" ->
+      """WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len FROM documents),
+        |q AS (SELECT doc_id AS query_id, text AS qt, len AS ql FROM d WHERE doc_id < 10),
+        |cand AS (SELECT query_id, d.doc_id AS neighbor_id,
+        |    CAST(levenshtein(qt, text) AS BIGINT) AS dist
+        |  FROM q JOIN d ON d.doc_id <> query_id AND abs(d.len - ql) <= 20),
+        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY dist, neighbor_id) AS rk FROM cand)
+        |SELECT query_id, neighbor_id, dist FROM ranked WHERE rk = 1
+        |ORDER BY query_id""".stripMargin,
     "text_tfidf" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term

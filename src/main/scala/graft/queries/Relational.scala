@@ -295,6 +295,18 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** Quartile assignment of orders by price within each status (NTILE —
+    * deterministic given the total order below it).
+    */
+  def ntileQuartiles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(s, dir).orders
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).cast(LongType).as("quartile"))
+      .orderBy(col("o_orderstatus"), col("o_orderkey"))
+  }
+
   /** Fixed-bin value histogram over events (bin width 10). */
   def valueHistogram(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).events
@@ -388,6 +400,7 @@ object Relational {
     "q_having"            -> (havingAgg _),
     "q_value_histogram"   -> (valueHistogram _),
     "q_corr_exact"        -> (corrExact _),
+    "q_ntile"             -> (ntileQuartiles _),
     "q_day_of_week"       -> (dayOfWeek _),
     "q_outer_join"        -> (outerJoin _),
     "q_conditional_agg"   -> (conditionalAgg _),
@@ -482,6 +495,11 @@ object Relational {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "q_ntile" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |  CAST(NTILE(4) OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS quartile
+        |FROM orders ORDER BY o_orderstatus, o_orderkey""".stripMargin,
     "q_corr_exact" ->
       """WITH a AS (SELECT event_type,
         |  CAST(COUNT(*) AS DOUBLE) AS n,

@@ -182,12 +182,17 @@ object Dedup {
   def simhash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir).documents
       .repartition(spread(s), col("doc_id")) // spread the interpreted tokenize+hash work
-      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"),
+        transform(words(col("text")), w => xxhash64(w)).as("wh"))
+      // a projection containing ANY higher-order function is excluded from
+      // WholeStageCodegen wholesale — keep the HOF tokenize+hash stage
+      // separate (exchange) so the SimHashChunks projection below codegens
+      .repartition(spread(s), col("doc_id"))
     // 64-bit signature as 4×16-bit chunks via the codegen'd SimHashChunks
     // (the nested-aggregate HOF formulation evaluates interpreted, ~1000×
-    // slower). Barrier before the explode: it references `chunks` twice.
+    // slower). Second barrier: the explode references `chunks` twice.
     val sig = docs
-      .withColumn("chunks", simhash_chunks(transform(col("w"), w => xxhash64(w))))
+      .withColumn("chunks", simhash_chunks(col("wh")))
       .select(col("doc_id"), col("chunks"))
       .repartition(spread(s), col("doc_id"))
     val ex = sig.select(col("doc_id"), col("chunks"),

@@ -28,6 +28,22 @@ class FunctionsSpec extends SparkSpec {
     assert(n > 0)
   }
 
+  test("sketch expressions execute inside WholeStageCodegen when fed a materialized array") {
+    import org.apache.spark.sql.functions._
+    // a projection containing a HOF is excluded from WSCG wholesale — the
+    // sketch expression must sit in its own (pure) projection, fed across
+    // an exchange, to codegen. This mirrors how Dedup stages its pipeline.
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), transform(split(col("text"), "\\s+"), w => xxhash64(w)).as("wh"))
+      .repartition(2, col("doc_id"))
+      .select(graft.functions.simhash_chunks(col("wh")).as("c"))
+    df.collect() // finalize THIS query's adaptive plan (count() would plan
+                 // a separate pruned query and never finalize this one)
+    val plan = df.queryExecution.executedPlan.toString
+    // the simhash projection's WSCG span: "*(n) Project [simhashchunks..."
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[simhashchunks.*"), plan.take(800))
+  }
+
   test("config-time extensions class wires the same builders") {
     val e = new SparkSessionExtensions
     new GraftExtensions().apply(e) // must not throw; builders are injected

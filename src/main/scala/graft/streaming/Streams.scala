@@ -105,6 +105,25 @@ object Streams {
       joinType: String = "left_outer"): DataFrame =
     events.join(dim, Seq(key), joinType)
 
+  /** Watermarked stream-stream interval join: attribute each purchase to
+    * clicks by the same user within the preceding `windowSec`. Both sides
+    * carry watermarks and the join condition bounds event-time distance,
+    * so Spark can reap join state — without the time bound the state grows
+    * unboundedly and a 100 TB/day stream dies.
+    */
+  def streamStreamAttribution(purchases: DataFrame, clicks: DataFrame,
+      windowSec: Long = 600L, watermark: String = "10 minutes"): DataFrame = {
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("userId"), col("ts").as("p_ts"), col("value").as("p_value"))
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("userId").as("c_user"), col("ts").as("c_ts"))
+    p.join(c,
+      col("userId") === col("c_user")
+        && col("c_ts") <= col("p_ts")
+        && col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowSec SECONDS"))
+      .select(col("userId"), col("p_ts"), col("p_value"), col("c_ts"))
+  }
+
   /** pyetl's multi-destination writer loop: one micro-batch, N sinks, via
     * foreachBatch. The batch is persisted once so each route filters the
     * cached data instead of re-reading the source.

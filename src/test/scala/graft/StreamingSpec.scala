@@ -104,6 +104,26 @@ class StreamingSpec extends SparkSpec {
     assert(out === Map(1L -> Some("gold"), 3L -> None))
   }
 
+  test("stream-stream join attributes purchases to in-window clicks only") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    clicks.addData(
+      Event(ts(0), 1, "click", 0.0),   // 5 min before user 1's purchase → attributed
+      Event(ts(30), 2, "click", 0.0))  // AFTER user 2's purchase → not attributed
+    purchases.addData(
+      Event(ts(5), 1, "purchase", 10.0),
+      Event(ts(4), 2, "purchase", 20.0))
+    runToMemory(Streams.streamStreamAttribution(
+      purchases.toDF(), clicks.toDF()), "attr")
+    val out = spark.table("attr").collect()
+      .map(r => (r.getAs[Long]("userId"), r.getAs[Timestamp]("c_ts").toString))
+    // user 1: click at 00:00 within 10 min before the 00:05 purchase ✓
+    // user 2: only click is AFTER the purchase → no attribution
+    assert(out.toSeq === Seq((1L, "2024-01-01 00:00:00.0")))
+  }
+
   test("streaming multi-sink fans one stream out to N parquet sinks") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -278,9 +278,12 @@ object Relational {
     * numerically, useless for a hash-compare oracle.
     */
   def corrExact(s: SparkSession, dir: String): DataFrame = {
-    val D8 = DecimalType(38, 8)
-    val x = col("value").cast(D8)
-    val y = get_json_object(col("props"), "$.k").cast(LongType).cast(D8)
+    // tight scales keep every product exactly representable: (18,2)×(18,0)
+    // → (37,2) fits in 38 digits; DECIMAL(38,8) operands would overflow
+    // precision on multiply and the engines' rounding rules differ (caught
+    // at sf0.1: 4e-16 drift)
+    val x = col("value").cast(DecimalType(18, 2))
+    val y = get_json_object(col("props"), "$.k").cast(LongType).cast(DecimalType(18, 0))
     val agg = Tables(s, dir).events
       .groupBy(col("event_type"))
       .agg(count(lit(1)).cast(DoubleType).as("n"),
@@ -503,11 +506,11 @@ object Relational {
     "q_corr_exact" ->
       """WITH a AS (SELECT event_type,
         |  CAST(COUNT(*) AS DOUBLE) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(38,8))) AS DOUBLE) AS sx,
-        |  CAST(SUM(CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS DECIMAL(38,8))) AS DOUBLE) AS sy,
-        |  CAST(SUM(CAST(value AS DECIMAL(38,8)) * CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS DECIMAL(38,8))) AS DOUBLE) AS sxy,
-        |  CAST(SUM(CAST(value AS DECIMAL(38,8)) * CAST(value AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
-        |  CAST(SUM(CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS DECIMAL(38,8)) * CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS DECIMAL(38,8))) AS DOUBLE) AS syy
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) AS sxy,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS DECIMAL(18,0)) * CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) AS syy
         |  FROM events GROUP BY event_type)
         |SELECT event_type,
         |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr

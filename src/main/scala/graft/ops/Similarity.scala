@@ -131,6 +131,8 @@ object Similarity {
     * state, unchanged at 100 TB.
     */
   private[ops] def centroids(e: DataFrame, refineIters: Int = 2): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
     def centroidOf(assigned: DataFrame): DataFrame =
       assigned.select(col("cell"), posexplode(col("embedding")).as(Seq("d", "x")))
         .groupBy(col("cell"), col("d"))
@@ -138,10 +140,17 @@ object Similarity {
         .groupBy(col("cell"))
         .agg(transform(array_sort(collect_list(struct(col("d"), col("cx")))),
           s => s.getField("cx").cast("float")).as("centroid"))
-    var cents = centroidOf(e.select(col("label").as("cell"), col("embedding")))
+    // materialize between iterations: centroids are O(cells·dim) — driver
+    // state by design (that's what makes them broadcastable) — and without
+    // the collect each Lloyd round nests the whole previous chain into the
+    // DAG, which then re-executes per consumer of the final centroids
+    def materialize(df: DataFrame): DataFrame =
+      df.as[(Int, Array[Float])].collect().toSeq.toDF("cell", "centroid")
+    var cents = materialize(
+      centroidOf(e.select(col("label").as("cell"), col("embedding"))))
     var it = 0
     while (it < refineIters) {
-      cents = centroidOf(assignCells(e, cents))
+      cents = materialize(centroidOf(assignCells(e, cents)))
       it += 1
     }
     cents

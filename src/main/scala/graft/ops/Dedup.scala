@@ -286,6 +286,24 @@ object Dedup {
     } finally pairs.unpersist()
   }
 
+  // ------------------------------------------------------------ survivors
+  /** The end-to-end near-dup curation decision: every document survives
+    * except non-canonical members of a near-dup component — i.e. one
+    * representative per duplicate cluster, everything else untouched.
+    * Composes [[minhashLsh]] → [[nearDupGroups]] → anti-join; the
+    * anti-join's right side is only the dropped doc_ids (tiny relative to
+    * the corpus), so at 100 TB it broadcasts.
+    */
+  def nearDupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val dropped = nearDupGroups(s, dir)
+      .filter(col("canonical_id") =!= col("doc_id"))
+      .select(col("doc_id"))
+    Tables(s, dir).documents
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   // =================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> (exact _),
@@ -295,7 +313,8 @@ object Dedup {
     "dedup_simhash"       -> (simhash _),
     "dedup_embedding"     -> (embedding _),
     "dedup_components"    -> ((s: SparkSession, dir: String) => nearDupGroups(s, dir)),
-    "dedup_embedding_lsh" -> ((s: SparkSession, dir: String) => embeddingLsh(s, dir)))
+    "dedup_embedding_lsh" -> ((s: SparkSession, dir: String) => embeddingLsh(s, dir)),
+    "dedup_survivors"     -> (nearDupSurvivors _))
 
   /** dedup_minhash_lsh / dedup_simhash are rows-only: signatures depend on
     * engine-internal hashes (xxhash64/murmur); DedupSpec pins their recall

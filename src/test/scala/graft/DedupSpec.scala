@@ -70,6 +70,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("near-dup survivors keep exactly one representative per component") {
+    val survivors = Dedup.nearDupSurvivors(spark, sf).collect()
+      .map(_.getLong(0)).toSet
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    val labels = Dedup.nearDupGroups(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dropped = labels.count { case (d, l) => l != d }
+    assert(survivors.size.toLong === total - dropped)
+    // at most one member of every near-dup pair survives, and each
+    // component's canonical does survive
+    Dedup.minhashLsh(spark, sf).collect().foreach { r =>
+      val (d1, d2) = (r.getLong(0), r.getLong(1))
+      assert(!(survivors.contains(d1) && survivors.contains(d2)),
+        s"pair ($d1,$d2) both survived")
+    }
+    labels.values.toSet.foreach((c: Long) => assert(survivors.contains(c)))
+  }
+
   test("embedding near-dup cosine matches an independent recomputation") {
     val out = Dedup.embedding(spark, sf).limit(5).collect()
     assert(out.nonEmpty)

@@ -298,6 +298,21 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** Quantity-weighted average price per return flag: both sums exact
+    * decimals, one double division at the end — reproducible, unlike a
+    * streaming weighted mean.
+    */
+  def weightedAvg(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * dec(col("l_quantity"))).as("wsum"),
+        sum(dec(col("l_quantity"))).as("qsum"))
+      .select(col("l_returnflag"),
+        (col("wsum").cast(DoubleType) / col("qsum").cast(DoubleType))
+          .as("weighted_avg_price"))
+      .orderBy(col("l_returnflag"))
+
   /** Quartile assignment of orders by price within each status (NTILE —
     * deterministic given the total order below it).
     */
@@ -404,6 +419,7 @@ object Relational {
     "q_value_histogram"   -> (valueHistogram _),
     "q_corr_exact"        -> (corrExact _),
     "q_ntile"             -> (ntileQuartiles _),
+    "q_weighted_avg"      -> (weightedAvg _),
     "q_day_of_week"       -> (dayOfWeek _),
     "q_outer_join"        -> (outerJoin _),
     "q_conditional_agg"   -> (conditionalAgg _),
@@ -498,6 +514,11 @@ object Relational {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "q_weighted_avg" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS weighted_avg_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_ntile" ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,
         |  CAST(NTILE(4) OVER (PARTITION BY o_orderstatus

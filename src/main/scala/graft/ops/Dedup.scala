@@ -110,8 +110,14 @@ object Dedup {
 
   // ------------------------------------------------------------ minhash+LSH
   private val P = 4294967311L // prime > 2^32; a*h+b < 2^40 → ANSI-safe
-  private val NumHashes = 64
-  private val Bands = 16 // 16 bands × 4 rows: s-curve threshold ≈ 0.5
+  /** Default geometry: 64 hashes in 16 bands × 4 rows pins the LSH s-curve
+    * threshold ≈ (1/16)^(1/4) ≈ 0.5 — right for the 0.7 verify cut. Both
+    * are runtime parameters (more bands → higher recall / more candidates;
+    * more rows per band → sharper cut) so 100 TB retuning is a call-site
+    * argument, not a recompile. DedupSpec pins recall at two geometries.
+    */
+  val DefaultNumHashes = 64
+  val DefaultBands = 16
 
   /** The scale-tier near-dup detector: 64 MinHash permutations → 16-band
     * LSH bucketing → candidate pairs → exact-Jaccard verification of
@@ -122,7 +128,9 @@ object Dedup {
     * Rows-only for the driver (signatures are engine-internal); DedupSpec
     * asserts recall vs [[ngramJaccard]] ground truth.
     */
-  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+  def minhashLsh(s: SparkSession, dir: String,
+      numHashes: Int = DefaultNumHashes, bands: Int = DefaultBands): DataFrame = {
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
     // repartition BEFORE the expensive work: the scan is one partition (one
     // small file), and shingling is an interpreted HOF pipeline — shuffle
     // the raw rows first so it runs across all cores. At 100 TB the scan
@@ -149,12 +157,12 @@ object Dedup {
     // slower). The repartition before `banded` is a projection barrier:
     // `banded` slices sig 16×, and CollapseProject would otherwise inline
     // (recompute) the signature per band.
-    val sig = docs.withColumn("sig", minhash_sig(col("hs"), NumHashes, P))
+    val sig = docs.withColumn("sig", minhash_sig(col("hs"), numHashes, P))
       .select(col("doc_id"), col("sig"))
       .repartition(spread(s), col("doc_id"))
-    val rowsPerBand = NumHashes / Bands
+    val rowsPerBand = numHashes / bands
     val banded = sig.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(Bands - 1)),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .toDF("doc_id", "band", "bucket")
     val cand = banded.as("a").join(banded.as("b"),
@@ -233,15 +241,20 @@ object Dedup {
     * DedupSpec pins recall vs the all-pairs [[embedding]] ground truth.
     */
   def embeddingLsh(s: SparkSession, dir: String, tau: Double = 0.4): DataFrame = {
-    val b = Similarity.lshBuckets(
-      Tables(s, dir).embeddings.select(col("vec_id"), col("embedding")), 64)
+    val e = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+    // buckets are id-only: dedup candidate pairs as (v1, v2) longs first,
+    // re-join the embeddings after — the distinct's exchange carries 16
+    // bytes/row instead of two 64-float vectors
+    val b = Similarity.lshBuckets(e, 64)
     val cand = b.as("a").join(b.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket")
           && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
-        col("a.embedding").as("e1"), col("b.embedding").as("e2"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
       .distinct()
-    cand.select(col("v1"), col("v2"), cosine_sim(col("e1"), col("e2")).as("cosine"))
+    cand
+      .join(e.select(col("vec_id").as("v1"), col("embedding").as("e1")), Seq("v1"))
+      .join(e.select(col("vec_id").as("v2"), col("embedding").as("e2")), Seq("v2"))
+      .select(col("v1"), col("v2"), cosine_sim(col("e1"), col("e2")).as("cosine"))
       .filter(col("cosine") >= tau)
       .orderBy(col("v1"), col("v2"))
   }
@@ -267,6 +280,7 @@ object Dedup {
         .distinct().cache()
       var labels = edges.groupBy(col("src").as("doc_id"))
         .agg(min(col("dst")).as("label")) // round 1: min neighbor
+        .cache()
       var it = 1
       var converged = false
       while (it < maxIter && !converged) {
@@ -275,14 +289,23 @@ object Dedup {
           .agg(min(col("label")).as("label"))
           .select(col("src").as("doc_id"), col("label"))
           .cache()
+        // the convergence join materializes `next` into its cache, so the
+        // superseded frame can drop immediately — without this, a long-lived
+        // session leaks one cached DF per iteration
         converged = next.as("n").join(labels.as("p"),
           col("n.doc_id") === col("p.doc_id")
             && col("n.label") =!= col("p.label")).isEmpty
+        labels.unpersist()
         labels = next
         it += 1
       }
-      labels.select(col("doc_id"), col("label").as("canonical_id"))
+      // the final `labels` stays cached: the convergence check materialized
+      // it, so consumers read the cache instead of re-running the iterative
+      // lineage. `edges` is no longer needed once labels is materialized.
+      val out = labels.select(col("doc_id"), col("label").as("canonical_id"))
         .orderBy(col("doc_id"))
+      edges.unpersist()
+      out
     } finally pairs.unpersist()
   }
 
@@ -309,7 +332,7 @@ object Dedup {
     "dedup_exact"         -> (exact _),
     "dedup_normalized"    -> (normalized _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
-    "dedup_minhash_lsh"   -> (minhashLsh _),
+    "dedup_minhash_lsh"   -> ((s: SparkSession, dir: String) => minhashLsh(s, dir)),
     "dedup_simhash"       -> (simhash _),
     "dedup_embedding"     -> (embedding _),
     "dedup_components"    -> ((s: SparkSession, dir: String) => nearDupGroups(s, dir)),

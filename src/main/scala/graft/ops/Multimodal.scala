@@ -64,10 +64,15 @@ object Multimodal {
     hist.map(_ / n)
   }
 
-  private val featureSchema = StructType(Seq(
-    StructField("doc_id", LongType, nullable = false),
-    StructField("byte_len", LongType, nullable = false),
-    StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
+  private[graft] val FeatureDims = 16
+
+  // features land as f0..f15 scalar doubles, not one array<double> — the
+  // driver's gate hashes cells through pandas, which can't hash arrays, and
+  // a fixed-width feature vector is exactly a fixed set of columns anyway
+  private val featureSchema = StructType(
+    StructField("doc_id", LongType, nullable = false) +:
+    StructField("byte_len", LongType, nullable = false) +:
+    (0 until FeatureDims).map(i => StructField(s"f$i", DoubleType, nullable = false)))
 
   /** Partition-parallel feature extraction: binary → fixed-width feature
     * vector via mapPartitions (the imperative seam). Rows-only for the
@@ -79,7 +84,8 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val payload = r.getAs[Array[Byte]]("payload")
-          Row(r.getAs[Long]("doc_id"), payload.length.toLong, fakeDecode(payload))
+          val feats = fakeDecode(payload)
+          Row.fromSeq(r.getAs[Long]("doc_id") +: payload.length.toLong +: feats.toSeq)
         }
       }(enc)
       .orderBy(col("doc_id"))

@@ -58,11 +58,15 @@ object Similarity {
   }
 
   // ------------------------------------------------------------ LSH
-  private val Tables_ = 4
-  private val Bits = 4 // 16 buckets/table: wider buckets → more candidates.
-  // Near-random embeddings (this corpus) are LSH's worst case — recall is
-  // bought with candidate volume; cluster-structured corpora get the same
-  // recall at 8+ bits. SimilaritySpec pins the measured recall.
+  /** Default geometry: 4 tables × 4 bits = 16 buckets/table — wider buckets
+    * → more candidates. Near-random embeddings (this corpus) are LSH's worst
+    * case — recall is bought with candidate volume; cluster-structured
+    * corpora get the same recall at 8+ bits. Both knobs are runtime
+    * parameters (at 100 TB you want 16-20 bits, which must not be a
+    * recompile); SimilaritySpec pins measured recall at two geometries.
+    */
+  val DefaultTables = 4
+  val DefaultBits = 4
 
   /** Deterministic pseudo-random hyperplanes via splitmix64 — fixed seed so
     * every run (and the recall spec) sees the same buckets.
@@ -85,38 +89,49 @@ object Similarity {
     aggregate(zip_with(emb, typedLit(hp), (x, y) => x.cast("double") * y),
       lit(0.0), (acc, x) => acc + x)
 
-  /** (table, bucket) signature pairs for every vector: bucket = 8 sign bits
-    * of the hyperplane dots, per table.
+  /** (table, bucket) signature pairs for every vector: bucket = `bits` sign
+    * bits of the hyperplane dots, per table. Projects the embedding away —
+    * candidate generation downstream is id-only; callers re-join embeddings
+    * after deduplicating candidates so no wide exchange carries vectors.
     */
-  private[ops] def lshBuckets(e: DataFrame, dim: Int): DataFrame = {
-    val tables = array((0 until Tables_).map { t =>
-      val bucket = (0 until Bits).map { j =>
+  private[graft] def lshBuckets(e: DataFrame, dim: Int,
+      numTables: Int = DefaultTables, bits: Int = DefaultBits): DataFrame = {
+    val tables = array((0 until numTables).map { t =>
+      val bucket = (0 until bits).map { j =>
         when(dotLit(col("embedding"), hyperplane(t, j, dim)) > 0, 1 << j).otherwise(0)
       }.reduce(_ + _)
       struct(lit(t).as("tbl"), bucket.as("bucket"))
     }: _*)
-    e.select(col("vec_id"), col("embedding"), explode(tables).as("tb"))
-      .select(col("vec_id"), col("embedding"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    e.select(col("vec_id"), explode(tables).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
   }
 
   /** LSH top-k: hash-equi join on (table, bucket) — never all-pairs. Missing
     * neighbors (no shared bucket) are the recall cost; the spec measures it.
+    * The candidate `distinct()` dedups (query_id, neighbor_id) pairs only —
+    * embeddings re-join after, so the widest exchange carries two longs per
+    * row, not two 64-float vectors.
     */
-  def lshTopk(s: SparkSession, dir: String): DataFrame = {
+  def lshTopk(s: SparkSession, dir: String,
+      numTables: Int = DefaultTables, bits: Int = DefaultBits): DataFrame = {
     val e = Tables(s, dir).embeddings
-    val b = lshBuckets(e, 64)
+    val b = lshBuckets(e, 64, numTables, bits)
     val qb = b.filter(isQuery(col("vec_id")))
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        col("tbl"), col("bucket"))
-    val cand = b.as("c").join(broadcast(qb).as("q"),
+      .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
+    val candIds = b.as("c").join(broadcast(qb).as("q"),
         col("c.tbl") === col("q.tbl") && col("c.bucket") === col("q.bucket")
           && col("c.vec_id") =!= col("q.query_id"))
-      .select(col("q.query_id"), col("c.vec_id").as("neighbor_id"),
-        col("q.qe"), col("c.embedding").as("ne"))
+      .select(col("q.query_id"), col("c.vec_id").as("neighbor_id"))
       .distinct()
-    topkPerQuery(cand.select(col("query_id"), col("neighbor_id"),
-      cosine_sim(col("qe"), col("ne")).as("cosine")))
+    val q = broadcast(e.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+    val scored = candIds
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")),
+        Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine_sim(col("qe"), col("ne")).as("cosine"))
+    topkPerQuery(scored)
   }
 
   // ------------------------------------------------------------ IVF
@@ -130,7 +145,7 @@ object Similarity {
     * scan + groupBy with the centroid table broadcast — O(cells·dim) driver
     * state, unchanged at 100 TB.
     */
-  private[ops] def centroids(e: DataFrame, refineIters: Int = 2): DataFrame = {
+  private[graft] def centroids(e: DataFrame, refineIters: Int = 2): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
     def centroidOf(assigned: DataFrame): DataFrame =
@@ -156,16 +171,29 @@ object Similarity {
     cents
   }
 
-  /** Nearest-centroid cell per vector (rank 1 of centroid cosine). */
-  private[ops] def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cell"))
-    e.select(col("vec_id"), col("embedding"))
+  /** Nearest-centroid cell per vector, as an aggregation instead of a
+    * row_number window: max_by picks the best cell with map-side partial
+    * aggregation, so the N×cells candidate rows collapse to N per partition
+    * before the exchange and nothing ever sorts them. Two subtleties:
+    *  - the ordering is packed into one signed long (cosine scaled to 2^40
+    *    ≫ double noise for float inputs, low 20 bits = -cell) because a
+    *    struct ordering gives max_by a non-primitive buffer, which
+    *    disqualifies HashAggregate and falls back to SortAggregate — the
+    *    very sort this formulation exists to avoid. Ties → lowest cell,
+    *    same as the old ORDER BY ccos DESC, cell.
+    *  - the embedding is NOT carried through the aggregate (same buffer
+    *    problem); it re-joins after, on N id-only rows.
+    */
+  private[graft] def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
+    val ord = floor(col("ccos") * lit(1L << 40)).cast(LongType) * lit(1L << 20) - col("cell")
+    val best = e.select(col("vec_id"), col("embedding"))
       .join(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cell"),
+      .select(col("vec_id"), col("cell"),
         cosine_sim(col("embedding"), col("centroid")).as("ccos"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cell"), ord).as("cell"))
+    e.select(col("vec_id"), col("embedding"))
+      .join(best, Seq("vec_id"))
       .select(col("vec_id"), col("embedding"), col("cell"))
   }
 
@@ -196,7 +224,7 @@ object Similarity {
   // =================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce_topk" -> (bruteforceTopk _),
-    "ann_lsh_topk"        -> (lshTopk _),
+    "ann_lsh_topk"        -> ((s: SparkSession, dir: String) => lshTopk(s, dir)),
     "ann_ivf_topk"        -> (ivfTopk _))
 
   /** LSH/IVF are rows-only (bucketing is engine-internal); SimilaritySpec

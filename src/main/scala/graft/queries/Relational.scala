@@ -210,12 +210,18 @@ object Relational {
   /** Sketch-based quantiles (rows-only: the sketch is engine-specific;
     * RelationalSpec bounds it against [[percentiles]]). At 100 TB this is
     * the quantile you actually run: mergeable partial sketches, no sort.
+    * One sketch serves all three quantiles (array form), then the array is
+    * unpacked to scalar columns — the driver's gate can't hash array cells.
     */
   def approxPercentiles(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).lineitem
       .groupBy(col("l_returnflag"))
       .agg(percentile_approx(col("l_quantity"),
-        array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("approx_pcts"))
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("pcts"))
+      .select(col("l_returnflag"),
+        element_at(col("pcts"), 1).cast(DoubleType).as("p25"),
+        element_at(col("pcts"), 2).cast(DoubleType).as("p50"),
+        element_at(col("pcts"), 3).cast(DoubleType).as("p75"))
       .orderBy(col("l_returnflag"))
 
   // ---------------------------------------------------------------- conditional

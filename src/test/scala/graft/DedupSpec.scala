@@ -36,6 +36,26 @@ class DedupSpec extends SparkSpec {
       .foreach(r => assert(r.getAs[Double]("jaccard") >= 0.7))
   }
 
+  test("minhash geometry is a runtime knob: more bands → recall holds or improves") {
+    val truth = pairSet(Dedup.ngramJaccard(spark, sf).filter(col("jaccard") >= 0.9))
+    // 32 bands × 2 rows drops the s-curve threshold to ~0.18 — a looser
+    // candidate net; the 0.7 verify cut keeps precision, so recall can only
+    // benefit. This is the knob a 100 TB run turns, as an argument.
+    val found = pairSet(Dedup.minhashLsh(spark, sf, numHashes = 64, bands = 32))
+    val recall = truth.count(found.contains).toDouble / truth.size
+    assert(recall >= 0.8, s"recall=$recall at 32 bands")
+    Dedup.minhashLsh(spark, sf, 64, 32).collect()
+      .foreach(r => assert(r.getAs[Double]("jaccard") >= 0.7))
+  }
+
+  test("nearDupGroups does not accumulate cached frames across iterations") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Dedup.nearDupGroups(spark, sf).collect()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // only the final materialized labels frame may remain cached
+    assert(after - before <= 1, s"cached RDDs grew $before → $after")
+  }
+
   test("simhash finds near-dup pairs and honors the hamming bound") {
     val rows = Dedup.simhash(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -16,7 +16,14 @@ class MultimodalSpec extends SparkSpec {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     assert(out.count() === docs.count())
     val row = out.head
-    assert(row.getAs[Seq[Double]]("features").length === 16)
+    val feats = (0 until Multimodal.FeatureDims).map(i => row.getAs[Double](s"f$i"))
+    assert(feats.length === 16)
+    assert(math.abs(feats.sum - 1.0) < 1e-9, "histogram is normalized")
+    // features must match the decoder applied to the same payload
+    val payload = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(s"doc_id = ${row.getAs[Long]("doc_id")}")
+      .head.getAs[String]("text").getBytes("UTF-8")
+    assert(feats === Multimodal.fakeDecode(payload).toSeq)
   }
 
   test("frame sampling chunks the payload and keeps every stride-th frame") {

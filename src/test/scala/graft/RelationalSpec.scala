@@ -19,7 +19,7 @@ class RelationalSpec extends SparkSpec {
     val exact = Relational.percentiles(spark, sf).collect()
       .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
     Relational.approxPercentiles(spark, sf).collect().foreach { r =>
-      val approx = r.getSeq[Double](1)
+      val approx = Seq(r.getAs[Double]("p25"), r.getAs[Double]("p50"), r.getAs[Double]("p75"))
       exact(r.getString(0)).zip(approx).foreach { case (e, a) =>
         assert(math.abs(a - e) <= math.max(1.0, e * 0.1), s"exact=$e approx=$a")
       }

@@ -45,4 +45,34 @@ class SimilaritySpec extends SparkSpec {
     val n = Similarity.ivfTopk(spark, sf).count()
     assert(n === 50) // still a full top-5 per query
   }
+
+  test("LSH geometry is a runtime knob: more bits → fewer candidates") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // Σ n·(n-1)/2 over buckets = the candidate-pair volume the equi-join does
+    def candidatePairs(bits: Int): Long =
+      Similarity.lshBuckets(e, 64, 4, bits)
+        .groupBy("tbl", "bucket").count()
+        .agg(sum(expr("count * (count - 1) DIV 2")).as("pairs"))
+        .head.getLong(0)
+    val (wide, narrow) = (candidatePairs(4), candidatePairs(8))
+    assert(narrow < wide, s"8-bit buckets ($narrow pairs) must prune vs 4-bit ($wide)")
+    // the narrow geometry still produces a valid (if lower-recall) result
+    val r8 = recallAt5(topk(Similarity.lshTopk(spark, sf, 4, 8)))
+    val r4 = recallAt5(topk(Similarity.lshTopk(spark, sf)))
+    assert(r8 <= r4, s"narrower buckets cannot increase recall (r8=$r8 r4=$r4)")
+  }
+
+  test("IVF cell assignment is an aggregation, not a window sort") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"),
+        org.apache.spark.sql.functions.col("label"))
+    val cents = Similarity.centroids(e, refineIters = 0)
+    val plan = Similarity.assignCells(e, cents).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "assignment must not sort N×cells rows")
+    assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"),
+      "assignment should be a (partial) aggregation")
+  }
 }

@@ -39,10 +39,14 @@ object Bench {
     // the first measured query isn't charged for one-time JIT costs
     SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
-    // best-of-2: single-shot local timings show multi-second GC/scheduler
-    // noise; the min is the meaningful cost of the plan
+    // best-of-N (default 2): single-shot local timings show multi-second
+    // GC/scheduler noise; the min is the meaningful cost of the plan.
+    // SPARK_GRAFT_BENCH_RUNS=5 is the variance-investigation mode — per-run
+    // times go to stderr so noise vs real regression is decidable from one
+    // invocation.
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val results = headline.map { name =>
-      val runs = (1 to 2).map { _ =>
+      val runs = (1 to nRuns).map { _ =>
         val t0 = System.nanoTime()
         try SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
@@ -51,6 +55,8 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+      if (nRuns > 2) System.err.println(
+        s"[bench] $name runs: ${runs.map(r => f"$r%.2f").mkString(", ")}")
       name -> runs.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -9,7 +9,9 @@ import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
   */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional trailing args: run only these queries (fast re-gate loop)
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "300").toLong
     val spark = GraftSession.tune(
@@ -17,7 +19,9 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val pool = Executors.newSingleThreadExecutor()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       val task = pool.submit(new Runnable {
         def run(): Unit = {
           spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)

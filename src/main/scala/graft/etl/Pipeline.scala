@@ -1,7 +1,9 @@
 package graft.etl
 
-import org.apache.spark.sql.{Column, DataFrame}
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** The pyetl loop as one composable API: parse embedded JSON → enrich
   * (derived day partition, normalized type tag) → predicate routes → each
@@ -55,5 +57,53 @@ object Pipeline {
         name -> routed.count()
       }
     finally cached.unpersist()
+  }
+
+  /** pyetl's config-driven UX, Spark-native: one JSON document describes the
+    * whole pipeline — input path/format, embedded-JSON extraction paths, the
+    * epoch-seconds expression the day partition derives from, and predicate
+    * routes as ANSI SQL strings — so a non-Scala operator edits config, not
+    * code (pyetl's ini file, minus the hand-rolled file rolling).
+    *
+    * {{{
+    * {"input": {"path": "/data/events.parquet", "format": "parquet"},
+    *  "baseDir": "/out",
+    *  "jsonCol": "props", "jsonPaths": {"$.k": "k"},
+    *  "tsSecExpr": "CAST(ts / 1000000000 AS BIGINT)",
+    *  "maxRecordsPerFile": 100000,
+    *  "routes": {"purchases": {"predicate": "event_type = 'purchase'",
+    *                           "format": "json"},
+    *             "rest": {"predicate": "event_type <> 'purchase'"}}}
+    * }}}
+    *
+    * Jackson is used directly (it ships on Spark's classpath) — no new
+    * dependency; predicates/expressions go through `expr(...)`, so the
+    * config surface is exactly Spark SQL, not a private mini-language.
+    */
+  def runConfig(spark: SparkSession, configJson: String): Map[String, Long] = {
+    val root = new ObjectMapper().readTree(configJson)
+    def opt(name: String): Option[JsonNode] =
+      Option(root.get(name)).filterNot(_.isNull)
+    def strMap(n: JsonNode): Map[String, JsonNode] =
+      n.properties().asScala.map(e => e.getKey -> e.getValue).toMap
+    val input = root.get("input")
+    require(input != null && input.hasNonNull("path"), "config needs input.path")
+    require(root.hasNonNull("baseDir"), "config needs baseDir")
+    require(root.hasNonNull("routes"), "config needs routes")
+    val format = Option(input.get("format")).map(_.asText).getOrElse("parquet")
+    val routes = strMap(root.get("routes")).map { case (name, r) =>
+      require(r.hasNonNull("predicate"), s"route $name needs a predicate")
+      name -> Route(expr(r.get("predicate").asText),
+        Option(r.get("format")).map(_.asText).getOrElse("parquet"))
+    }
+    run(
+      input = spark.read.format(format).load(input.get("path").asText),
+      baseDir = root.get("baseDir").asText,
+      routes = routes,
+      jsonCol = opt("jsonCol").map(_.asText),
+      jsonPaths = opt("jsonPaths").map(strMap(_).map { case (k, v) => k -> v.asText })
+        .getOrElse(Map.empty),
+      tsSecCol = opt("tsSecExpr").map(e => expr(e.asText)),
+      maxRecordsPerFile = opt("maxRecordsPerFile").map(_.asLong).getOrElse(1000000L))
   }
 }

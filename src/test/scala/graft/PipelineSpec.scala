@@ -39,6 +39,40 @@ class PipelineSpec extends SparkSpec {
     assert(dayDirs.exists(_.listFiles().count(_.getName.endsWith(".parquet")) > 1))
   }
 
+  test("config-driven pipeline: a JSON config string drives the full run") {
+    val dir = Files.createTempDirectory("graft-pipe-cfg").toString
+    val config = s"""{
+      "input": {"path": "$sf/events.parquet", "format": "parquet"},
+      "baseDir": "$dir",
+      "jsonCol": "props",
+      "jsonPaths": {"$$.k": "k"},
+      "tsSecExpr": "CAST(ts / 1000000000 AS BIGINT)",
+      "maxRecordsPerFile": 10,
+      "routes": {
+        "purchases": {"predicate": "event_type = 'purchase'", "format": "json"},
+        "everything_else": {"predicate": "event_type <> 'purchase'"}
+      }
+    }"""
+    val counts = Pipeline.runConfig(spark, config)
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    assert(counts("purchases") + counts("everything_else") === ev.count())
+    // identical round-trip semantics to the programmatic run
+    val purchases = spark.read.json(s"$dir/purchases")
+    assert(purchases.count() === counts("purchases"))
+    assert(purchases.columns.contains("k"))
+    assert(purchases.columns.contains("day"))
+    assert(!purchases.columns.contains("props"), "raw payload is dropped after parse")
+    val dayDirs = new java.io.File(s"$dir/everything_else").listFiles()
+      .filter(_.getName.startsWith("day="))
+    assert(dayDirs.nonEmpty)
+  }
+
+  test("config validation: missing pieces fail fast with a clear message") {
+    val bad = """{"input": {"path": "/nope"}, "baseDir": "/tmp/x"}"""
+    val e = intercept[IllegalArgumentException](Pipeline.runConfig(spark, bad))
+    assert(e.getMessage.contains("routes"))
+  }
+
   test("streaming multi-sink survives a restart from checkpoint without dupes") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -45,6 +45,16 @@ object ScaleProbe {
     time("minhash_lsh")(graft.ops.Dedup.minhashLsh(spark, out).count())
     time("simhash")(graft.ops.Dedup.simhash(spark, out).count())
     time("ann_lsh_topk")(graft.ops.Similarity.lshTopk(spark, out).count())
+    // the runtime-geometry story at work: grow LSH bits with log2(N) so
+    // E|bucket| stays ~128 and Σ|bucket|² stays linear-ish in N (the
+    // default 4 bits would make each bucket N/16 — quadratic blowup at 100×)
+    val nEmb = spark.read.parquet(s"$out/embeddings.parquet").count()
+    val bits = math.max(4,
+      math.ceil(math.log(nEmb.toDouble / 128) / math.log(2)).toInt)
+    println(s"embedding corpus: $nEmb vectors → $bits LSH bits")
+    time(s"embedding_lsh(bits=$bits)")(
+      graft.ops.Dedup.embeddingLsh(spark, out, 0.4, 4, bits).count())
+    time("ann_ivf_topk")(graft.ops.Similarity.ivfTopk(spark, out).count())
     time("text_tfidf")(graft.ops.TextAnalysis.tfIdf(spark, out).count())
     time("text_curate")(graft.ops.TextAnalysis.curateCorpus(spark, out).count())
     time("text_lang_id")(graft.ops.TextAnalysis.langId(spark, out).count())

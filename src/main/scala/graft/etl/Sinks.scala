@@ -105,4 +105,18 @@ object Sinks {
       .option("header", "true")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .csv(outDir)
+
+  /** RDBMS sink seam (pyetl's MySQL destination). Spark's JDBC writer is
+    * built in — this compiles and runs wherever a JDBC driver jar is on the
+    * executor classpath; THIS build ships no driver (offline resolver), so
+    * the seam is exercised by swapping in `numPartitions`-throttled options
+    * at deploy time, not by a spec here. Append-only by design: pair with
+    * [[mergeSnapshot]] upstream for upsert semantics (compact, then load),
+    * which keeps the DB-side transaction small and idempotent.
+    */
+  def jdbcAppend(df: DataFrame, url: String, table: String,
+      props: java.util.Properties = new java.util.Properties(),
+      numPartitions: Int = 8): Unit =
+    df.repartition(numPartitions) // bound concurrent DB connections
+      .write.mode("append").jdbc(url, table, props)
 }

@@ -205,14 +205,31 @@ object Dedup {
       .repartition(spread(s), col("doc_id"))
     val ex = sig.select(col("doc_id"), col("chunks"),
       posexplode(col("chunks")).as(Seq("cidx", "cval")))
-    val pairs = ex.as("a").join(ex.as("b"),
+    val joined = ex.as("a").join(ex.as("b"),
         col("a.cidx") === col("b.cidx") && col("a.cval") === col("b.cval")
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.cidx").as("cidx"),
         col("a.chunks").as("c1"), col("b.chunks").as("c2"))
-      .distinct()
-    pairs.withColumn("hamming", expr(
-        """aggregate(zip_with(c1, c2, (x, y) -> bit_count(x ^ y)), 0, (a, b) -> a + b)"""))
+    // Emit each pair exactly once, from its LOWEST shared chunk: a pair
+    // matching in k chunks would otherwise appear k times (near-identical
+    // docs match in all 4 → 4× duplication), and the distinct() that used
+    // to collapse the copies was the widest exchange in the plan — ~92M
+    // rows carrying both chunk arrays at the 100× probe. The first-match
+    // predicate filters inside the join stage instead: no second shuffle.
+    def chunk(c: Column, j: Int): Column = element_at(c, j + 1)
+    val firstMatch = (0 until 4).map { k =>
+      (0 until k).map(j => chunk(col("c1"), j) =!= chunk(col("c2"), j))
+        .foldLeft(col("cidx") === k)(_ && _)
+    }.reduce(_ || _)
+    // hamming via literal-index bit_count sums — codegen'd, unlike the
+    // aggregate/zip_with HOF form, which would also kick the whole
+    // projection out of WholeStageCodegen
+    val hamming = (0 until 4)
+      .map(j => bit_count(chunk(col("c1"), j).bitwiseXOR(chunk(col("c2"), j))))
+      .reduce(_ + _)
+    joined.filter(firstMatch)
+      .withColumn("hamming", hamming)
       .filter(col("hamming") <= 3)
       .select(col("d1"), col("d2"), col("hamming").cast(LongType).as("hamming"))
       .orderBy(col("d1"), col("d2"))
@@ -240,12 +257,16 @@ object Dedup {
     * the exact cosine ≥ τ check — |bucket|² work instead of N². Rows-only;
     * DedupSpec pins recall vs the all-pairs [[embedding]] ground truth.
     */
-  def embeddingLsh(s: SparkSession, dir: String, tau: Double = 0.4): DataFrame = {
+  def embeddingLsh(s: SparkSession, dir: String, tau: Double = 0.4,
+      numTables: Int = Similarity.DefaultTables,
+      bits: Int = Similarity.DefaultBits): DataFrame = {
     val e = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
     // buckets are id-only: dedup candidate pairs as (v1, v2) longs first,
     // re-join the embeddings after — the distinct's exchange carries 16
-    // bytes/row instead of two 64-float vectors
-    val b = Similarity.lshBuckets(e, 64)
+    // bytes/row instead of two 64-float vectors. `bits` is the scale knob:
+    // Σ|bucket|² work wants E|bucket| roughly constant, so bits grows with
+    // log2(N) (ScaleProbe picks ceil(log2(N/128)))
+    val b = Similarity.lshBuckets(e, 64, numTables, bits)
     val cand = b.as("a").join(b.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket")
           && col("a.vec_id") < col("b.vec_id"))

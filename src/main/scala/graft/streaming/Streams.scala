@@ -24,6 +24,23 @@ object Streams {
   /** Live-session state kept per user by [[sessionize]]. */
   case class SessState(startSec: Long, endSec: Long, n: Long, sum: Double)
 
+  /** Message-bus source seam (pyetl consumed from a stream transport).
+    * `format("kafka")` is the standard Spark connector contract — this
+    * compiles against spark-sql alone, and runs wherever the
+    * spark-sql-kafka connector jar is deployed (THIS build ships none:
+    * offline resolver). The returned frame has the connector's fixed
+    * schema (key/value binary, topic, partition, offset, timestamp);
+    * downstream every Streams operator takes it after a `value` parse —
+    * the seam is exactly pyetl's "consume JSON from the bus" step.
+    */
+  def kafkaSource(s: org.apache.spark.sql.SparkSession, servers: String,
+      topic: String, startingOffsets: String = "latest"): DataFrame =
+    s.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+
   /** Watermarked tumbling-window counts — the streaming twin of
     * JsonEtl.tumblingWindow. State per (window, type) is dropped once the
     * watermark passes, so state size is O(active windows), not O(stream).

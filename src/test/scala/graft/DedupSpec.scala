@@ -78,6 +78,20 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.3, s"recall=$recall (near-random embeddings are LSH's worst case)")
   }
 
+  test("embedding-LSH shuffle exchanges carry id pairs, never vectors") {
+    val fmt = Dedup.embeddingLsh(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val shuffleBlocks = fmt.split("\n\n").filter(b =>
+      b.linesIterator.nextOption.exists(_.matches("""\(\d+\) Exchange.*"""))
+        && b.contains("hashpartitioning"))
+    assert(shuffleBlocks.nonEmpty)
+    shuffleBlocks.foreach { b =>
+      val input = b.linesIterator.find(_.startsWith("Input")).getOrElse("")
+      assert("""\b(embedding|e1|e2)#""".r.findFirstIn(input).isEmpty,
+        s"a shuffle carries vectors:\n$b")
+    }
+  }
+
   test("connected components assign one canonical per near-dup group") {
     val labels = Dedup.nearDupGroups(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

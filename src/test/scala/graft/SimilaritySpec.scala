@@ -64,6 +64,20 @@ class SimilaritySpec extends SparkSpec {
     assert(r8 <= r4, s"narrower buckets cannot increase recall (r8=$r8 r4=$r4)")
   }
 
+  test("LSH top-k shuffle exchanges carry ids, never embedding vectors") {
+    val fmt = Similarity.lshTopk(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val shuffleBlocks = fmt.split("\n\n").filter(b =>
+      b.linesIterator.nextOption.exists(_.matches("""\(\d+\) Exchange.*"""))
+        && b.contains("hashpartitioning"))
+    assert(shuffleBlocks.nonEmpty, "expected at least the candidate-dedup exchange")
+    shuffleBlocks.foreach { b =>
+      val input = b.linesIterator.find(_.startsWith("Input")).getOrElse("")
+      assert("""\b(embedding|qe|ne)#""".r.findFirstIn(input).isEmpty,
+        s"a shuffle carries vectors:\n$b")
+    }
+  }
+
   test("IVF cell assignment is an aggregation, not a window sort") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(org.apache.spark.sql.functions.col("vec_id"),

@@ -92,7 +92,10 @@ object Dedup {
       // barrier above the shingle projection: the two consumers below share
       // one ReusedExchange instead of re-shingling per branch
       .repartition(spread(s), col("doc_id"))
-    val ex = docs.select(col("doc_id"), explode(col("sh")).as("sh"))
+    // _outer so no size(sh) > 0 filter is inferred and pushed to the scan
+    // with the shingle chain inlined; the null row an empty doc produces
+    // can never equi-join (null keys don't match), so output is identical
+    val ex = docs.select(col("doc_id"), explode_outer(col("sh")).as("sh"))
     val n = docs.select(col("doc_id"), size(col("sh")).cast(LongType).as("n"))
     val inter = ex.as("a").join(ex.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -145,12 +148,17 @@ object Dedup {
     // per candidate, and the dominant cost IS verification when real
     // duplication is dense), at the price of a ~|sh|/P collision error in
     // the reported jaccard — negligible and spec-checked.
+    // the non-empty-shingles guard is a WORD-COUNT filter on the raw text,
+    // not size(hs) > 0: a filter above the hs projection gets pushed to the
+    // scan with the whole shingle+minhash chain inlined — recomputing it
+    // per row, interpreted. ≥2 words ⟺ ≥1 shingle, and split+size is
+    // codegen'd and cheap at the scan.
     val docs = Tables(s, dir).documents
+      .filter(size(words(col("text"))) >= 2)
       .repartition(spread(s), col("doc_id"))
       .select(col("doc_id"),
         array_distinct(transform(shingles(col("text")),
           sh => pmod(xxhash64(sh), lit(P)))).as("hs"))
-      .filter(size(col("hs")) > 0)
       .repartition(spread(s), col("doc_id"))
     // Signature via the codegen'd MinHashSig (the HOF formulation — 64
     // array_min lambdas — evaluates interpreted and measured ~1000×
@@ -161,10 +169,21 @@ object Dedup {
       .select(col("doc_id"), col("sig"))
       .repartition(spread(s), col("doc_id"))
     val rowsPerBand = numHashes / bands
+    val bucketArr = transform(sequence(lit(0), lit(bands - 1)),
+      b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
+    // posexplode_outer, NOT posexplode: the non-outer generator makes the
+    // optimizer infer a size(...) > 0 filter, which then pushes to the
+    // scan with minhashsig inlined — an interpreted per-row recompute of
+    // the whole signature. The band array always has `bands` elements, so
+    // outer semantics are identical and no filter is inferred.
     val banded = sig.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
-      .toDF("doc_id", "band", "bucket")
+      posexplode_outer(bucketArr).as(Seq("band", "bucket")))
+    // Candidate copies (a near-identical pair matches in ~all bands) are
+    // collapsed by an id-only distinct(): 16 bytes/row through the
+    // exchange. The first-shared-band trick that won for simhash (4
+    // chunks → ≤6 extra compares) LOSES here: 16 bands put an O(bands²)
+    // predicate on a candidate stream ~5× larger, measured >16 min vs
+    // 61 s at the 100× probe — the exchange is cheaper than the compares.
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
           && col("a.doc_id") < col("b.doc_id"))
@@ -203,8 +222,11 @@ object Dedup {
       .withColumn("chunks", simhash_chunks(col("wh")))
       .select(col("doc_id"), col("chunks"))
       .repartition(spread(s), col("doc_id"))
+    // _outer: chunks always has 4 elements; the non-outer generator would
+    // infer size(chunks) > 0 and push it to the scan with simhash_chunks
+    // inlined — an interpreted per-row recompute (same trap as minhash)
     val ex = sig.select(col("doc_id"), col("chunks"),
-      posexplode(col("chunks")).as(Seq("cidx", "cval")))
+      posexplode_outer(col("chunks")).as(Seq("cidx", "cval")))
     val joined = ex.as("a").join(ex.as("b"),
         col("a.cidx") === col("b.cidx") && col("a.cval") === col("b.cval")
           && col("a.doc_id") < col("b.doc_id"))

@@ -27,7 +27,19 @@ object Bench {
     "dedup_components",
     "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk",
     "text_quality", "text_fingerprint", "text_lang_id", "text_curate_corpus",
-    "mm_binary_meta")
+    "text_tfidf", "text_editdist_nn",
+    "mm_binary_meta", "mm_feature_extract")
+
+  /** One query per operator family, run (untimed) before measurement. q1
+    * alone proved insufficient: the dedup/ANN plans exercise codegen paths
+    * (HOF pipelines, custom expressions, sort-merge candidate joins) that
+    * q1 never compiles, so their first timed run paid 3-7× JIT tax — the
+    * phantom "regressions" of rounds 2 and 3 (e.g. components 1.08→7.92 s
+    * with an unchanged plan; pinned best-of-5 showed 2.03 s steady).
+    */
+  val warmup: Seq[String] = Seq(
+    "q1_pricing_summary", "etl_sessionize", "dedup_minhash_lsh",
+    "dedup_simhash", "ann_lsh_topk", "text_curate_corpus")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -35,16 +47,20 @@ object Bench {
     val spark = GraftSession.tune(
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the JVM (codegen compiler, parquet reader, shuffle machinery) so
-    // the first measured query isn't charged for one-time JIT costs
-    SparkEntry.queries("q1_pricing_summary")(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
-    // best-of-N (default 2): single-shot local timings show multi-second
+    // warm the JVM (codegen compiler, parquet reader, shuffle machinery,
+    // per-family codegen'd expression pipelines) so the first measured run
+    // of each family isn't charged for one-time JIT costs
+    warmup.foreach { name =>
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // best-of-N (default 3): single-shot local timings show multi-second
     // GC/scheduler noise; the min is the meaningful cost of the plan.
     // SPARK_GRAFT_BENCH_RUNS=5 is the variance-investigation mode — per-run
     // times go to stderr so noise vs real regression is decidable from one
     // invocation.
-    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    require(nRuns >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $nRuns")
     val results = headline.map { name =>
       val runs = (1 to nRuns).map { _ =>
         val t0 = System.nanoTime()

@@ -43,6 +43,22 @@ object ScaleProbe {
     }
     println(s"corpus: ${nDocs * repl} docs (${repl}x)")
     time("minhash_lsh")(graft.ops.Dedup.minhashLsh(spark, out).count())
+    // components over precomputed pairs: materialize the pair list first
+    // (its cost is the minhash_lsh line above) so this times the iterative
+    // min-label propagation alone — the only multi-round operator, whose
+    // O(log |largest component|) convergence claim needs scale evidence
+    locally {
+      val pairs = graft.ops.Dedup.minhashLsh(spark, out)
+        .select(col("d1"), col("d2")).cache()
+      val nPairs = pairs.count()
+      val t0 = System.nanoTime()
+      val (labels, rounds) = graft.ops.Dedup.propagateMinLabels(pairs)
+      val n = labels.count()
+      println(f"components: ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+        f"($n labeled docs from $nPairs pairs, $rounds rounds)")
+      labels.unpersist()
+      pairs.unpersist()
+    }
     time("simhash")(graft.ops.Dedup.simhash(spark, out).count())
     time("ann_lsh_topk")(graft.ops.Similarity.lshTopk(spark, out).count())
     // the runtime-geometry story at work: grow LSH bits with log2(N) so

@@ -90,11 +90,15 @@ object Pipeline {
     require(input != null && input.hasNonNull("path"), "config needs input.path")
     require(root.hasNonNull("baseDir"), "config needs baseDir")
     require(root.hasNonNull("routes"), "config needs routes")
-    val format = Option(input.get("format")).map(_.asText).getOrElse("parquet")
+    // filter JSON null like `opt` does: "format": null must mean "default",
+    // not the literal string "null" handed to DataSource resolution
+    def optField(n: JsonNode, name: String): Option[JsonNode] =
+      Option(n.get(name)).filterNot(_.isNull)
+    val format = optField(input, "format").map(_.asText).getOrElse("parquet")
     val routes = strMap(root.get("routes")).map { case (name, r) =>
       require(r.hasNonNull("predicate"), s"route $name needs a predicate")
       name -> Route(expr(r.get("predicate").asText),
-        Option(r.get("format")).map(_.asText).getOrElse("parquet"))
+        optField(r, "format").map(_.asText).getOrElse("parquet"))
     }
     run(
       input = spark.read.format(format).load(input.get("path").asText),

@@ -312,8 +312,30 @@ object Dedup {
     * Output: (doc_id, canonical_id = component minimum) for docs that have
     * at least one near-dup; the curation step keeps canonical_id == doc_id.
     */
-  def nearDupGroups(s: SparkSession, dir: String, maxIter: Int = 10): DataFrame = {
-    val pairs = minhashLsh(s, dir).select(col("d1"), col("d2")).cache()
+  def nearDupGroups(s: SparkSession, dir: String, maxIter: Int = 10): DataFrame =
+    nearDupGroups(minhashLsh(s, dir), maxIter)
+
+  /** Components over a PRECOMPUTED pair frame (any (d1, d2) edge list —
+    * minhash, simhash, or embedding pairs). This is the form a real
+    * pipeline composes: at 100 TB the LSH pairs are materialized once and
+    * every consumer (groups, survivors, audits) reads them, instead of each
+    * re-running the full MinHash+LSH chain the (s, dir) wrapper implies.
+    */
+  def nearDupGroups(pairs: DataFrame, maxIter: Int): DataFrame =
+    propagateMinLabels(pairs, maxIter)._1
+
+  def nearDupGroups(pairs: DataFrame): DataFrame = nearDupGroups(pairs, 10)
+
+  /** Min-label propagation returning (labels, rounds-run) — the stats form
+    * ScaleProbe uses to report convergence behavior.
+    *
+    * The returned frame IS cached (the convergence check materialized it;
+    * consumers read the cache instead of re-running the iterative lineage)
+    * and the CALLER owns unpersisting it — repeated invocations in a
+    * long-lived session otherwise pin one cached frame each.
+    */
+  def propagateMinLabels(pairs0: DataFrame, maxIter: Int = 10): (DataFrame, Int) = {
+    val pairs = pairs0.select(col("d1"), col("d2")).cache()
     try {
       // symmetric edge list incl. self-loops so isolated endpoints keep labels
       val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
@@ -342,13 +364,12 @@ object Dedup {
         labels = next
         it += 1
       }
-      // the final `labels` stays cached: the convergence check materialized
-      // it, so consumers read the cache instead of re-running the iterative
-      // lineage. `edges` is no longer needed once labels is materialized.
+      // the final `labels` stays cached — see scaladoc: caller unpersists.
+      // `edges` is no longer needed once labels is materialized.
       val out = labels.select(col("doc_id"), col("label").as("canonical_id"))
         .orderBy(col("doc_id"))
       edges.unpersist()
-      out
+      (out, it)
     } finally pairs.unpersist()
   }
 
@@ -360,11 +381,18 @@ object Dedup {
     * anti-join's right side is only the dropped doc_ids (tiny relative to
     * the corpus), so at 100 TB it broadcasts.
     */
-  def nearDupSurvivors(s: SparkSession, dir: String): DataFrame = {
-    val dropped = nearDupGroups(s, dir)
+  def nearDupSurvivors(s: SparkSession, dir: String): DataFrame =
+    nearDupSurvivors(Tables(s, dir).documents, nearDupGroups(s, dir))
+
+  /** Survivors from PRECOMPUTED component labels — composes with the pair
+    * overload of [[nearDupGroups]] so a pipeline materializes pairs once:
+    * pairs → groups → survivors, no repeated LSH.
+    */
+  def nearDupSurvivors(docs: DataFrame, groups: DataFrame): DataFrame = {
+    val dropped = groups
       .filter(col("canonical_id") =!= col("doc_id"))
       .select(col("doc_id"))
-    Tables(s, dir).documents
+    docs
       .join(dropped, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy(col("doc_id"))

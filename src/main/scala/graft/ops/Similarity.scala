@@ -179,8 +179,15 @@ object Similarity {
     *    ≫ double noise for float inputs, low 20 bits = -cell) because a
     *    struct ordering gives max_by a non-primitive buffer, which
     *    disqualifies HashAggregate and falls back to SortAggregate — the
-    *    very sort this formulation exists to avoid. Ties → lowest cell,
-    *    same as the old ORDER BY ccos DESC, cell.
+    *    very sort this formulation exists to avoid. The packing quantizes
+    *    the comparison to 2^-40: cells whose cosines differ by less tie and
+    *    resolve to the LOWEST cell (part of the rows-only contract — the
+    *    assignment is a valid nearest-cell quantization either way; 2^-40 is
+    *    far below float-input noise). Ties → lowest cell, same as the old
+    *    ORDER BY ccos DESC, cell.
+    *  - a zero-norm embedding makes cosine NaN; nanvl floors it to -1 so
+    *    such vectors deterministically land in the lowest cell instead of
+    *    wherever NaN's cast happens to point.
     *  - the embedding is NOT carried through the aggregate (same buffer
     *    problem); it re-joins after, on N id-only rows.
     */
@@ -189,7 +196,7 @@ object Similarity {
     val best = e.select(col("vec_id"), col("embedding"))
       .join(broadcast(cents))
       .select(col("vec_id"), col("cell"),
-        cosine_sim(col("embedding"), col("centroid")).as("ccos"))
+        nanvl(cosine_sim(col("embedding"), col("centroid")), lit(-1.0)).as("ccos"))
       .groupBy(col("vec_id"))
       .agg(max_by(col("cell"), ord).as("cell"))
     e.select(col("vec_id"), col("embedding"))

@@ -79,16 +79,20 @@ class DedupSpec extends SparkSpec {
   }
 
   test("embedding-LSH shuffle exchanges carry id pairs, never vectors") {
-    val fmt = Dedup.embeddingLsh(spark, sf).queryExecution
-      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    val shuffleBlocks = fmt.split("\n\n").filter(b =>
-      b.linesIterator.nextOption.exists(_.matches("""\(\d+\) Exchange.*"""))
-        && b.contains("hashpartitioning"))
-    assert(shuffleBlocks.nonEmpty)
-    shuffleBlocks.foreach { b =>
-      val input = b.linesIterator.find(_.startsWith("Input")).getOrElse("")
-      assert("""\b(embedding|e1|e2)#""".r.findFirstIn(input).isEmpty,
-        s"a shuffle carries vectors:\n$b")
+    // the id→embedding re-join must broadcast for this plan shape to hold;
+    // pin the threshold so the assertion tests the code, not session drift
+    withConf("spark.sql.autoBroadcastJoinThreshold", "10485760b") {
+      val fmt = Dedup.embeddingLsh(spark, sf).queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val shuffleBlocks = fmt.split("\n\n").filter(b =>
+        b.linesIterator.nextOption.exists(_.matches("""\(\d+\) Exchange.*"""))
+          && b.contains("hashpartitioning"))
+      assert(shuffleBlocks.nonEmpty)
+      shuffleBlocks.foreach { b =>
+        val input = b.linesIterator.find(_.startsWith("Input")).getOrElse("")
+        assert("""\b(embedding|e1|e2)#""".r.findFirstIn(input).isEmpty,
+          s"a shuffle carries vectors:\n$b")
+      }
     }
   }
 
@@ -120,6 +124,25 @@ class DedupSpec extends SparkSpec {
         s"pair ($d1,$d2) both survived")
     }
     labels.values.toSet.foreach((c: Long) => assert(survivors.contains(c)))
+  }
+
+  test("precomputed-pairs overloads compose identically to the wrapped forms") {
+    val pairs = Dedup.minhashLsh(spark, sf).select(col("d1"), col("d2")).cache()
+    try {
+      val (groups, rounds) = Dedup.propagateMinLabels(pairs)
+      assert(rounds >= 1)
+      val composed = groups.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val wrapped = Dedup.nearDupGroups(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(composed === wrapped)
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val composedSurvivors = Dedup.nearDupSurvivors(docs, groups).collect()
+        .map(_.getLong(0)).toSet
+      val wrappedSurvivors = Dedup.nearDupSurvivors(spark, sf).collect()
+        .map(_.getLong(0)).toSet
+      assert(composedSurvivors === wrappedSurvivors)
+      groups.unpersist() // caller-owned, per the propagateMinLabels contract
+    } finally pairs.unpersist()
   }
 
   test("embedding near-dup cosine matches an independent recomputation") {

@@ -73,6 +73,36 @@ class PipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("routes"))
   }
 
+  test("config validation: a route without a predicate is named in the error") {
+    val bad = s"""{"input": {"path": "$sf/events.parquet"}, "baseDir": "/tmp/x",
+      "routes": {"good": {"predicate": "value > 0"}, "broken": {"format": "json"}}}"""
+    val e = intercept[IllegalArgumentException](Pipeline.runConfig(spark, bad))
+    assert(e.getMessage.contains("broken"), s"error must name the route: ${e.getMessage}")
+  }
+
+  test("config validation: an unparseable predicate surfaces Spark's SQL error") {
+    val bad = s"""{"input": {"path": "$sf/events.parquet"}, "baseDir": "/tmp/x",
+      "routes": {"oops": {"predicate": "event_type ==== 'x'"}}}"""
+    // expr() parses eagerly, so the bad SQL fails at config time with the
+    // parser's message (which quotes the offending fragment), not mid-write
+    val e = intercept[Exception](Pipeline.runConfig(spark, bad))
+    assert(e.getClass.getName.contains("ParseException")
+      || e.isInstanceOf[org.apache.spark.sql.AnalysisException], e.getClass.getName)
+    assert(e.getMessage.contains("===="), s"parser error should quote the fragment: ${e.getMessage}")
+  }
+
+  test("config: a JSON-null format falls back to parquet instead of 'null' source") {
+    val dir = Files.createTempDirectory("graft-pipe-nullfmt").toString
+    val config = s"""{
+      "input": {"path": "$sf/events.parquet", "format": null},
+      "baseDir": "$dir",
+      "routes": {"all": {"predicate": "true", "format": null}}
+    }"""
+    val counts = Pipeline.runConfig(spark, config)
+    assert(counts("all") === spark.read.parquet(s"$sf/events.parquet").count())
+    assert(spark.read.parquet(s"$dir/all").count() === counts("all"))
+  }
+
   test("streaming multi-sink survives a restart from checkpoint without dupes") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

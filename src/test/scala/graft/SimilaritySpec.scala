@@ -65,6 +65,9 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("LSH top-k shuffle exchanges carry ids, never embedding vectors") {
+    // the id→embedding re-join must broadcast for this plan shape to hold;
+    // pin the threshold so the assertion tests the code, not session drift
+    withConf("spark.sql.autoBroadcastJoinThreshold", "10485760b") {
     val fmt = Similarity.lshTopk(spark, sf).queryExecution
       .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     val shuffleBlocks = fmt.split("\n\n").filter(b =>
@@ -75,6 +78,7 @@ class SimilaritySpec extends SparkSpec {
       val input = b.linesIterator.find(_.startsWith("Input")).getOrElse("")
       assert("""\b(embedding|qe|ne)#""".r.findFirstIn(input).isEmpty,
         s"a shuffle carries vectors:\n$b")
+    }
     }
   }
 

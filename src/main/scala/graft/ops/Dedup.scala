@@ -398,6 +398,41 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------------ incremental
+  /** Incremental-ingest dedup — the daily-batch shape of a living corpus:
+    * an arriving batch (here: `source == batchSource`) is deduplicated
+    * against the existing corpus AND within itself (earlier doc_id wins),
+    * without ever re-deduplicating the corpus. Exact on normalized md5,
+    * hence oracle-checked.
+    *
+    * Scale shape: both sides reduce to hashes before any join — the corpus
+    * side to a DISTINCT hash set, the batch side windowed per hash — so the
+    * exchanges carry 32-byte digests, never document bodies, and the corpus
+    * is scanned once with only (source, text) read. The corpus hash set at
+    * 100 TB doesn't broadcast; the hash-equi shuffle join is the plan, with
+    * both sides partitioned on the same key.
+    */
+  def incremental(s: SparkSession, dir: String, batchSource: String = "src19"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = Tables(s, dir).documents
+      .select(col("doc_id"), col("source"), md5(norm(col("text"))).as("text_md5"))
+    val batch = hashed.filter(col("source") === batchSource)
+    val corpus = hashed.filter(col("source") =!= batchSource)
+      .select(col("text_md5")).distinct()
+      .withColumn("in_corpus", lit(1L))
+    val firstInBatch = Window.partitionBy(col("text_md5"))
+    val flagged = batch
+      .join(corpus, Seq("text_md5"), "left")
+      .withColumn("dup_of_corpus", coalesce(col("in_corpus"), lit(0L)))
+      .withColumn("dup_in_batch",
+        when(min(col("doc_id")).over(firstInBatch) < col("doc_id"), 1L).otherwise(0L))
+    flagged
+      .select(col("doc_id"), col("text_md5"), col("dup_of_corpus"), col("dup_in_batch"),
+        when(col("dup_of_corpus") === 0 && col("dup_in_batch") === 0, 1L)
+          .otherwise(0L).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   // =================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> (exact _),
@@ -408,7 +443,8 @@ object Dedup {
     "dedup_embedding"     -> (embedding _),
     "dedup_components"    -> ((s: SparkSession, dir: String) => nearDupGroups(s, dir)),
     "dedup_embedding_lsh" -> ((s: SparkSession, dir: String) => embeddingLsh(s, dir)),
-    "dedup_survivors"     -> (nearDupSurvivors _))
+    "dedup_survivors"     -> ((s: SparkSession, dir: String) => nearDupSurvivors(s, dir)),
+    "dedup_incremental"   -> ((s: SparkSession, dir: String) => incremental(s, dir)))
 
   /** dedup_minhash_lsh / dedup_simhash are rows-only: signatures depend on
     * engine-internal hashes (xxhash64/murmur); DedupSpec pins their recall
@@ -451,5 +487,19 @@ object Dedup {
         |WHERE list_reduce(list_transform(list_zip(a.embedding, b.embedding),
         |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
         |    / (a.nrm * b.nrm) >= 0.4
-        |ORDER BY v1, v2""".stripMargin)
+        |ORDER BY v1, v2""".stripMargin,
+    "dedup_incremental" ->
+      """WITH h AS (SELECT doc_id, source,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS text_md5
+        |  FROM documents),
+        |b AS (SELECT doc_id, text_md5 FROM h WHERE source = 'src19'),
+        |c AS (SELECT DISTINCT text_md5 FROM h WHERE source <> 'src19'),
+        |m AS (SELECT b.doc_id, b.text_md5,
+        |    CAST(CASE WHEN c.text_md5 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS dup_of_corpus,
+        |    CAST(CASE WHEN MIN(b.doc_id) OVER (PARTITION BY b.text_md5) < b.doc_id
+        |      THEN 1 ELSE 0 END AS BIGINT) AS dup_in_batch
+        |  FROM b LEFT JOIN c USING (text_md5))
+        |SELECT doc_id, text_md5, dup_of_corpus, dup_in_batch,
+        |  CAST(CASE WHEN dup_of_corpus = 0 AND dup_in_batch = 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin)
 }

@@ -212,6 +212,86 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------------ decontamination
+  /** Distinct word k-grams as nested zip_with over k shifted slices (the
+    * linear-walk formulation — variable-index element_at inside a lambda is
+    * the interpreted allocation trap shingles() documents).
+    */
+  private def ngramsK(c: Column, k: Int): Column = {
+    val w = words(c)
+    val cnt = size(w) - (k - 1)
+    val grams = (1 to k).map(i => slice(w, lit(i), cnt))
+      .reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
+    when(size(w) >= k, array_distinct(grams))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Benchmark decontamination — the step every training-data pipeline runs
+    * before a model ships: flag corpus documents sharing ≥1 distinct word
+    * [[n]]-gram with any benchmark document, so eval data never leaks into
+    * training data. Exact (n-gram set intersection), hence oracle-checked.
+    *
+    * Scale shape: the benchmark side collapses to a DISTINCT gram set —
+    * tiny relative to the corpus (benchmarks are fixed-size; 100 TB corpora
+    * are not) — so the join broadcasts; per-doc grams are array_distinct'd
+    * at the source, so the corpus side needs no cross-doc distinct, and the
+    * count aggregates map-side. Cost ≈ one corpus scan + explode.
+    */
+  def decontaminate(docsDf: DataFrame, isBenchmark: Column, n: Int = 5): DataFrame = {
+    val p = docsDf.sparkSession.sparkContext.defaultParallelism
+    val grams = docsDf
+      .repartition(p, col("doc_id")) // spread the interpreted k-gram HOF work
+      .select(col("doc_id"), isBenchmark.as("is_bench"), ngramsK(col("text"), n).as("g"))
+      .repartition(p, col("doc_id")) // barrier: both consumers reuse one exchange
+    val benchGrams = grams.filter(col("is_bench"))
+      .select(explode(col("g")).as("gram")).distinct()
+    val shared = grams.filter(!col("is_bench"))
+      .select(col("doc_id"), explode(col("g")).as("gram"))
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    docsDf.filter(!isBenchmark)
+      .select(col("doc_id"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(coalesce(col("n_shared"), lit(0L)) > 0, 1L).otherwise(0L).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Driver form: every doc_id ≡ 0 (mod 11) plays the held-out benchmark. */
+  def decontaminateDocs(s: SparkSession, dir: String): DataFrame =
+    decontaminate(Tables(s, dir).documents, col("doc_id") % 11 === 0)
+
+  // ------------------------------------------------------------ sequence packing
+  /** Deterministic token-budget packing: assign documents to training shards
+    * so each shard holds ~[[budget]] tokens. Docs are hash-bucketed
+    * (doc_id mod numBuckets) and packed in doc_id order within their bucket
+    * by cumulative token count — a first-fit-in-order bin assignment that is
+    * rerun-deterministic and embarrassingly parallel (each bucket packs
+    * independently; at 100 TB numBuckets rises so no bucket's running sum
+    * is a single-partition window — the global-cumsum formulation would be
+    * exactly that antipattern). Exact, hence oracle-checked.
+    */
+  def packSequences(docsDf: DataFrame, numBuckets: Int = 8, budget: Long = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docsDf
+      .select(col("doc_id"),
+        size(words(col("text"))).cast(LongType).as("n_tokens"),
+        (col("doc_id") % numBuckets).cast(LongType).as("bucket"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      // the shard a doc STARTS in: docs may straddle a budget boundary, the
+      // next one starts in the next shard — contiguous fill, no re-sort
+      .withColumn("shard", col("bucket") * lit(1000000L) +
+        floor((col("cum_tokens") - col("n_tokens")).cast(DoubleType) / lit(budget.toDouble)).cast(LongType))
+      .orderBy(col("doc_id"))
+  }
+
+  def packSequencesDocs(s: SparkSession, dir: String): DataFrame =
+    packSequences(Tables(s, dir).documents)
+
   // =================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_count" -> (tokenCount _),
@@ -221,7 +301,9 @@ object TextAnalysis {
     "text_ngram_freq"  -> (ngramFreq _),
     "text_tfidf"       -> (tfIdf _),
     "text_editdist_nn" -> (editDistNeighbors _),
-    "text_curate_corpus" -> (curateCorpus _))
+    "text_curate_corpus" -> (curateCorpus _),
+    "text_decontaminate" -> (decontaminateDocs _),
+    "text_pack_sequences" -> (packSequencesDocs _))
 
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ",", ")")
   private def sqlHits(stop: Seq[String]) =
@@ -311,5 +393,31 @@ object TextAnalysis {
         |    list_transform(string_split_regex(trim(text), '\s+'),
         |      w -> CAST(length(w)*31 + ascii(w) AS BIGINT)),
         |    (h, v) -> ((h * 1000003) + v) % 1099511627776) AS fingerprint
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_decontaminate" ->
+      """WITH w AS (SELECT doc_id, doc_id % 11 = 0 AS is_bench,
+        |    string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |g AS (SELECT doc_id, is_bench, list_distinct(
+        |    [list_extract(ws, i) || ' ' || list_extract(ws, i+1) || ' ' ||
+        |     list_extract(ws, i+2) || ' ' || list_extract(ws, i+3) || ' ' ||
+        |     list_extract(ws, i+4) for i in range(1, len(ws)-3)]) AS g FROM w),
+        |bench AS (SELECT DISTINCT unnest(g) AS gram FROM g WHERE is_bench),
+        |corp AS (SELECT doc_id, unnest(g) AS gram FROM g WHERE NOT is_bench),
+        |shared AS (SELECT doc_id, COUNT(*) AS n_shared
+        |  FROM corp JOIN bench USING (gram) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(s.n_shared, 0) AS n_shared,
+        |  CAST(CASE WHEN COALESCE(s.n_shared, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+        |FROM documents d LEFT JOIN shared s ON d.doc_id = s.doc_id
+        |WHERE d.doc_id % 11 <> 0 ORDER BY d.doc_id""".stripMargin,
+    "text_pack_sequences" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(doc_id % 8 AS BIGINT) AS bucket
+        |  FROM documents),
+        |c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens FROM t)
+        |SELECT doc_id, n_tokens, bucket, cum_tokens,
+        |  bucket * 1000000 + CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE) / 256.0) AS BIGINT) AS shard
+        |FROM c ORDER BY doc_id""".stripMargin)
 }

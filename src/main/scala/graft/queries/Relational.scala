@@ -402,6 +402,24 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  // ---------------------------------------------------------------- grouping sets
+  /** Arbitrary grouping sets — the report shape rollup/cube can't express
+    * (two independent one-dimension breakdowns + a grand total in one scan;
+    * a UNION of groupBys would scan the table three times). Same physical
+    * plan as rollup: one Expand + one partial-combined aggregation.
+    */
+  def groupingSetsAgg(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir).orders
+    o.groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast(LongType).as("grp"),
+        count(lit(1)).as("n_orders"),
+        moneySum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("grp"),
+        col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+  }
+
   // =================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary"  -> (q1PricingSummary _),
@@ -430,9 +448,18 @@ object Relational {
     "q_outer_join"        -> (outerJoin _),
     "q_conditional_agg"   -> (conditionalAgg _),
     "q_union_dedup"       -> (unionDedup _),
-    "q_range_join"        -> (rangeJoin _))
+    "q_range_join"        -> (rangeJoin _),
+    "q_grouping_sets"     -> (groupingSetsAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS grp,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY grp, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -145,6 +145,32 @@ class DedupSpec extends SparkSpec {
     } finally pairs.unpersist()
   }
 
+  test("incremental dedup agrees with a brute-force recomputation") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def normMd5(t: String): String = {
+      val n = t.replaceAll("\\s+", " ").trim.toLowerCase
+      java.security.MessageDigest.getInstance("MD5").digest(n.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    val corpusHashes = docs.filter(_._2 != "src19").map(d => normMd5(d._3)).toSet
+    val batch = docs.filter(_._2 == "src19").sortBy(_._1)
+    assert(batch.nonEmpty, "fixture should contain the src19 batch")
+    val seen = collection.mutable.Set[String]()
+    val expected = batch.map { case (id, _, t) =>
+      val h = normMd5(t)
+      val inCorpus = corpusHashes.contains(h)
+      val inBatch = seen.contains(h)
+      seen += h
+      id -> (if (inCorpus) 1L else 0L, if (inBatch) 1L else 0L,
+        if (!inCorpus && !inBatch) 1L else 0L)
+    }.toMap
+    val out = Dedup.incremental(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out === expected)
+  }
+
   test("embedding near-dup cosine matches an independent recomputation") {
     val out = Dedup.embedding(spark, sf).limit(5).collect()
     assert(out.nonEmpty)

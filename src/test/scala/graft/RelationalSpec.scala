@@ -51,4 +51,20 @@ class RelationalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"))
   }
+
+  test("grouping sets: both breakdowns and the grand total agree, in one scan") {
+    val out = Relational.groupingSetsAgg(spark, sf).collect()
+    val byGrp = out.groupBy(_.getAs[Long]("grp"))
+    assert(byGrp.keySet === Set(1L, 2L, 3L))
+    val grand = byGrp(3L)
+    assert(grand.length === 1)
+    val total = grand.head.getAs[Long]("n_orders")
+    assert(byGrp(1L).map(_.getAs[Long]("n_orders")).sum === total)
+    assert(byGrp(2L).map(_.getAs[Long]("n_orders")).sum === total)
+    // one scan, one Expand — not a UNION of three aggregations
+    val plan = Relational.groupingSetsAgg(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"))
+    assert(!plan.contains("Union"))
+  }
 }

@@ -46,4 +46,43 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.fingerprint(spark, sf).count() ===
       spark.read.parquet(s"$sf/documents.parquet").count())
   }
+
+  test("decontamination counts exactly the shared distinct 5-grams") {
+    import spark.implicits._
+    val probe = Seq(
+      (1L, "a b c d e f g"),                             // shares 2 grams with bench
+      (2L, "totally different words over here indeed"),  // shares none
+      (3L, "tiny doc"),                                  // < 5 words → no grams
+      (100L, "x a b c d e f y")).toDF("doc_id", "text")  // the benchmark doc
+    val out = TextAnalysis.decontaminate(probe, col("doc_id") >= 100L, 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // bench grams: {x a b c d, a b c d e, b c d e f, c d e f y};
+    // doc 1 grams: {a b c d e, b c d e f, c d e f g} → intersection = 2
+    assert(out(1L) === ((2L, 1L)))
+    assert(out(2L) === ((0L, 0L)))
+    assert(out(3L) === ((0L, 0L)))
+    assert(!out.contains(100L), "benchmark docs are excluded from the report")
+  }
+
+  test("sequence packing: an independent recomputation agrees, shards respect the budget") {
+    val rows = TextAnalysis.packSequencesDocs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length ===
+      spark.read.parquet(s"$sf/documents.parquet").count())
+    rows.groupBy(_._3).foreach { case (bucket, docs) =>
+      var cum = 0L
+      docs.sortBy(_._1).foreach { case (docId, n, b, cumOut, shard) =>
+        assert(b === docId % 8)
+        val expectShard = bucket * 1000000L + (cum / 256L)
+        cum += n
+        assert(cumOut === cum, s"doc $docId cumulative")
+        assert(shard === expectShard, s"doc $docId shard")
+      }
+    }
+    // contiguous fill: the tokens BEFORE each doc within its shard < budget
+    rows.foreach { case (_, n, b, cum, shard) =>
+      val localShard = shard - b * 1000000L
+      assert(cum - n - localShard * 256L < 256L)
+    }
+  }
 }

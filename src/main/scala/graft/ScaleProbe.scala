@@ -74,6 +74,15 @@ object ScaleProbe {
     time("text_tfidf")(graft.ops.TextAnalysis.tfIdf(spark, out).count())
     time("text_curate")(graft.ops.TextAnalysis.curateCorpus(spark, out).count())
     time("text_lang_id")(graft.ops.TextAnalysis.langId(spark, out).count())
+    // fixed-size-ish benchmark (every 997th doc), honoring the operator's
+    // premise that the benchmark set does NOT grow with the corpus — the
+    // driver form's %11 demo predicate would make the broadcast gram set
+    // scale with N, which is not the shape being validated
+    time("text_decontaminate")(graft.ops.TextAnalysis.decontaminate(
+      spark.read.parquet(s"$out/documents.parquet"), col("doc_id") % 997 === 0).count())
+    time("text_pack_sequences")(
+      graft.ops.TextAnalysis.packSequencesDocs(spark, out).count())
+    time("dedup_incremental")(graft.ops.Dedup.incremental(spark, out).count())
     spark.stop()
   }
 }

@@ -163,8 +163,33 @@ object JsonEtl {
     df.select(expand(df.schema, Nil): _*)
   }
 
+  // ------------------------------------------------------------ redact
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+?[0-9][0-9\\-\\s()]{6,}[0-9]"
+
+  /** PII scrubbing — the pre-landing redaction step of an ingest pipeline:
+    * emails and phone-shaped digit runs are replaced with typed placeholder
+    * tokens, and per-record match counts are kept for audit. Pure codegen'd
+    * map stage (regexp_replace / regexp_extract_all) — no shuffle, so at
+    * 100 TB it rides the ingest scan for free. Patterns are RE2-compatible
+    * so the DuckDB oracle applies them verbatim.
+    */
+  def redact(df: DataFrame, textCol: String): DataFrame =
+    df.select(col("doc_id"),
+      regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>").as("redacted"),
+      size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0)))
+        .cast(LongType).as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(PhoneRe), lit(0)))
+        .cast(LongType).as("n_phones"))
+      .orderBy(col("doc_id"))
+
+  def redactDocs(s: SparkSession, dir: String): DataFrame =
+    redact(Tables(s, dir).documents, "text")
+
   // =================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_redact"           -> (redactDocs _),
     "etl_json_extract"     -> (jsonExtract _),
     "etl_enrich_partition" -> (enrichPartition _),
     "etl_route_filter"     -> (routeFilter _),
@@ -178,6 +203,16 @@ object JsonEtl {
     * the nanos long.
     */
   val oracles: Map[String, String] = Map(
+    "etl_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9\-\s()]{6,}[0-9]', '<PHONE>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\+?[0-9][0-9\-\s()]{6,}[0-9]')) AS BIGINT) AS n_phones
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "etl_json_extract" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,

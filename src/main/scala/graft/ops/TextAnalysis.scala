@@ -292,6 +292,67 @@ object TextAnalysis {
   def packSequencesDocs(s: SparkSession, dir: String): DataFrame =
     packSequences(Tables(s, dir).documents)
 
+  // ------------------------------------------------------------ repetition
+  /** Gopher-style repetition signals — the quality rules that kill
+    * boilerplate and degenerate text: type-token ratio (distinct/total
+    * words), most-frequent-word share, and adjacent-duplicate count. One
+    * explode + two map-side-combined aggregations + a per-doc top-1 window
+    * over already-collapsed (doc, word) counts; the adjacent-repeat count
+    * never leaves the row (zip_with over shifted slices). Exact, hence
+    * oracle-checked.
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val w = words(col("text"))
+    val adj = d.select(col("doc_id"),
+      size(filter(zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (a, b) => a === b), x => x)).cast(LongType).as("n_adjacent"))
+    val counts = d.select(col("doc_id"), explode(w).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("n"))
+    val top = counts
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("n").desc, col("word"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("word").as("top_word"), col("n").as("top_n"))
+    val stats = counts.groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_words"), count(lit(1)).as("n_distinct"))
+    stats.join(top, "doc_id").join(adj, "doc_id")
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        (col("n_distinct").cast(DoubleType) / col("n_words").cast(DoubleType)).as("ttr"),
+        col("top_word"), col("top_n"),
+        (col("top_n").cast(DoubleType) / col("n_words").cast(DoubleType)).as("top_ratio"),
+        col("n_adjacent"),
+        when(col("top_n").cast(DoubleType) / col("n_words").cast(DoubleType) > 0.2, 1L)
+          .otherwise(0L).as("repetitive"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------------ heavy hitters
+  /** The scale tier of [[ngramFreq]]: corpus-wide frequent words WITHOUT
+    * aggregating the full vocabulary. Pass 1 finds candidate heavy hitters
+    * with Spark's one-pass frequent-items sketch (per-partition Misra-Gries,
+    * merged on the driver — support-set size is 1/support, not |vocab|);
+    * pass 2 exact-counts ONLY the candidates (broadcast semi-join), so the
+    * shuffle carries a bounded candidate set. At 100 TB the full-vocab
+    * groupBy of the exact tier is the thing you can't run (trillions of
+    * distinct garbage tokens); this is the standard two-pass answer.
+    * Rows-only (sketch internals are engine-specific); the spec pins that
+    * the result equals the exact tier's top-k on this corpus.
+    */
+  def heavyHitters(s: SparkSession, dir: String, support: Double = 0.001,
+      k: Int = 25): DataFrame = {
+    val wordsDf = docs(s, dir).select(explode(words(col("text"))).as("word"))
+    val cands = wordsDf.stat.freqItems(Seq("word"), support)
+      .select(explode(col("word_freqItems")).as("word"))
+    wordsDf.join(broadcast(cands), "word")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(k)
+  }
+
   // =================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_count" -> (tokenCount _),
@@ -303,7 +364,9 @@ object TextAnalysis {
     "text_editdist_nn" -> (editDistNeighbors _),
     "text_curate_corpus" -> (curateCorpus _),
     "text_decontaminate" -> (decontaminateDocs _),
-    "text_pack_sequences" -> (packSequencesDocs _))
+    "text_pack_sequences" -> (packSequencesDocs _),
+    "text_repetition"    -> (repetition _),
+    "text_heavy_hitters" -> ((s: SparkSession, dir: String) => heavyHitters(s, dir)))
 
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ",", ")")
   private def sqlHits(stop: Seq[String]) =
@@ -410,6 +473,27 @@ object TextAnalysis {
         |  CAST(CASE WHEN COALESCE(s.n_shared, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
         |FROM documents d LEFT JOIN shared s ON d.doc_id = s.doc_id
         |WHERE d.doc_id % 11 <> 0 ORDER BY d.doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH wd AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |w AS (SELECT doc_id, unnest(ws) AS word FROM wd),
+        |c AS (SELECT doc_id, word, COUNT(*) AS n FROM w GROUP BY 1, 2),
+        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY n DESC, word) AS rk FROM c),
+        |top AS (SELECT doc_id, word AS top_word, n AS top_n FROM ranked WHERE rk = 1),
+        |s AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_words,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct FROM c GROUP BY 1),
+        |adj AS (SELECT doc_id, CAST(len(list_filter(
+        |    [ws[i] = ws[i+1] for i in range(1, len(ws))], x -> x)) AS BIGINT) AS n_adjacent
+        |  FROM wd)
+        |SELECT s.doc_id, n_words, n_distinct,
+        |  CAST(n_distinct AS DOUBLE) / CAST(n_words AS DOUBLE) AS ttr,
+        |  top_word, top_n,
+        |  CAST(top_n AS DOUBLE) / CAST(n_words AS DOUBLE) AS top_ratio,
+        |  n_adjacent,
+        |  CAST(CASE WHEN CAST(top_n AS DOUBLE) / CAST(n_words AS DOUBLE) > 0.2
+        |    THEN 1 ELSE 0 END AS BIGINT) AS repetitive
+        |FROM s JOIN top ON s.doc_id = top.doc_id JOIN adj ON s.doc_id = adj.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
     "text_pack_sequences" ->
       """WITH t AS (SELECT doc_id,
         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,

@@ -420,6 +420,25 @@ object Relational {
         col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
   }
 
+  // ---------------------------------------------------------------- string agg
+  /** Deterministic LISTAGG: per-nation roster as a sorted comma-joined
+    * string. sort_array(collect_list(...)) gives an order-independent
+    * result no matter how partitions interleave — the only way a
+    * string-valued aggregate can be exact cross-engine. Group sizes here
+    * are dimension-bounded (suppliers per nation), which is what makes a
+    * collect_list aggregate legitimate at 100 TB; an unbounded-group
+    * listagg is the anti-pattern this query's doc warns against.
+    */
+  def stringAgg(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    t.supplier
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        concat_ws(",", sort_array(collect_list(col("s_name")))).as("roster"))
+      .orderBy(col("n_name"))
+  }
+
   // =================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary"  -> (q1PricingSummary _),
@@ -449,9 +468,15 @@ object Relational {
     "q_conditional_agg"   -> (conditionalAgg _),
     "q_union_dedup"       -> (unionDedup _),
     "q_range_join"        -> (rangeJoin _),
-    "q_grouping_sets"     -> (groupingSetsAgg _))
+    "q_grouping_sets"     -> (groupingSetsAgg _),
+    "q_string_agg"        -> (stringAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q_string_agg" ->
+      """SELECT n_name, COUNT(*) AS n_suppliers,
+        |  string_agg(s_name, ',' ORDER BY s_name) AS roster
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS grp,

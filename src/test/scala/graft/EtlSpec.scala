@@ -142,4 +142,19 @@ class EtlSpec extends SparkSpec {
     assert(merged.columns.toSet === Set("id", "v1", "v2"))
     assert(merged.count() === 2)
   }
+
+  test("redaction strips emails and phone runs, counts each match") {
+    import spark.implicits._
+    val probe = Seq(
+      (1L, "contact bob.smith+x@ex-ample.co.uk or call +1 (555) 123-4567 now"),
+      (2L, "two mails: a@b.io c@d.org"),
+      (3L, "clean text with no pii at all")).toDF("doc_id", "text")
+    val out = JsonEtl.redact(probe, "text").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L)._1 === "contact <EMAIL> or call <PHONE> now")
+    assert(out(1L)._2 === 1L && out(1L)._3 === 1L)
+    assert(out(2L)._1 === "two mails: <EMAIL> <EMAIL>")
+    assert(out(2L)._2 === 2L && out(2L)._3 === 0L)
+    assert(out(3L) === (("clean text with no pii at all", 0L, 0L)))
+  }
 }

@@ -67,4 +67,14 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("Expand"))
     assert(!plan.contains("Union"))
   }
+
+  test("string agg: rosters are sorted, complete, and order-independent") {
+    val out = Relational.stringAgg(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val roster = r.getAs[String]("roster").split(",").toSeq
+      assert(roster.size.toLong === r.getAs[Long]("n_suppliers"))
+      assert(roster === roster.sorted, "roster must be deterministically sorted")
+    }
+  }
 }

@@ -85,4 +85,37 @@ class TextAnalysisSpec extends SparkSpec {
       assert(cum - n - localShard * 256L < 256L)
     }
   }
+
+  test("repetition metrics agree with a brute-force recomputation") {
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = TextAnalysis.repetition(spark, sf).collect()
+    assert(out.length === texts.size)
+    out.foreach { r =>
+      val ws = texts(r.getLong(0)).trim.split("\\s+").toSeq
+      val counts = ws.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val (topWord, topN) = counts.toSeq.sortBy { case (w, n) => (-n, w) }.head
+      assert(r.getAs[Long]("n_words") === ws.size.toLong)
+      assert(r.getAs[Long]("n_distinct") === counts.size.toLong)
+      assert(r.getAs[String]("top_word") === topWord)
+      assert(r.getAs[Long]("top_n") === topN)
+      assert(r.getAs[Long]("n_adjacent") ===
+        ws.zip(ws.tail).count { case (a, b) => a == b }.toLong)
+      assert(r.getAs[Long]("repetitive") ===
+        (if (topN.toDouble / ws.size > 0.2) 1L else 0L))
+    }
+  }
+
+  test("heavy hitters (sketch + recount) equal the exact full-vocabulary top-k") {
+    val exact = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .groupBy("word").count()
+      .orderBy(col("count").desc, col("word")).limit(25)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val approx = TextAnalysis.heavyHitters(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(approx === exact,
+      "on a closed vocabulary the sketch candidates must cover the true top-k")
+  }
 }

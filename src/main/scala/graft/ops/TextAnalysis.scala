@@ -148,8 +148,12 @@ object TextAnalysis {
     val terms = d.select(col("doc_id"), explode(words(col("text"))).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = terms.select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // document frequency DERIVES from tf — its rows already are the
+    // distinct (doc, term) pairs — instead of re-exploding the corpus
+    // into a second distinct+count branch: one explode feeds both tables
+    // (the exchange is reused at runtime), which halves the corpus-scan
+    // work at 100 TB
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = d.count() // corpus size: one number, computed once
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
@@ -305,20 +309,32 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val d = docs(s, dir)
     val w = words(col("text"))
-    val adj = d.select(col("doc_id"),
+    // ONE corpus scan: the adjacent-duplicate count is a per-doc scalar
+    // computed in the same projection that explodes the words (8 bytes
+    // carried per word-row), so neither it nor the top-word branch needs
+    // its own pass over `text` — the naive three-branch formulation scans
+    // the corpus three times, which is the difference that matters at
+    // 100 TB. min() re-extracts the constant deterministically.
+    val exploded = d.select(col("doc_id"),
       size(filter(zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
-        (a, b) => a === b), x => x)).cast(LongType).as("n_adjacent"))
-    val counts = d.select(col("doc_id"), explode(w).as("word"))
-      .groupBy(col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("n"))
+        (a, b) => a === b), x => x)).cast(LongType).as("n_adj"),
+      explode(w).as("word"))
+    // barrier on doc_id: the stats aggregate, the top-1 window and their
+    // join below all need doc_id (co-)partitioning — declaring it once
+    // means one exchange feeds all three (ReusedExchange), and the window
+    // / join sort locally without further shuffles
+    val counts = exploded.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("n"), min(col("n_adj")).as("n_adj"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
     val top = counts
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("n").desc, col("word"))))
       .filter(col("rk") === 1)
       .select(col("doc_id"), col("word").as("top_word"), col("n").as("top_n"))
     val stats = counts.groupBy(col("doc_id"))
-      .agg(sum(col("n")).as("n_words"), count(lit(1)).as("n_distinct"))
-    stats.join(top, "doc_id").join(adj, "doc_id")
+      .agg(sum(col("n")).as("n_words"), count(lit(1)).as("n_distinct"),
+        min(col("n_adj")).as("n_adjacent"))
+    stats.join(top, "doc_id")
       .select(col("doc_id"), col("n_words"), col("n_distinct"),
         (col("n_distinct").cast(DoubleType) / col("n_words").cast(DoubleType)).as("ttr"),
         col("top_word"), col("top_n"),

@@ -107,6 +107,23 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("repetition reuses one corpus scan across its stats/top branches at runtime") {
+    val df = TextAnalysis.repetition(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(plan.contains("ReusedExchange") || scans <= 1,
+      s"expected exchange reuse or a single scan, got $scans scans:\n${plan.take(2000)}")
+  }
+
+  test("tf-idf explodes the corpus once: df derives from tf via exchange reuse") {
+    val df = TextAnalysis.tfIdf(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"tf and df must share one explode+aggregate:\n${plan.take(2000)}")
+  }
+
   test("heavy hitters (sketch + recount) equal the exact full-vocabulary top-k") {
     val exact = spark.read.parquet(s"$sf/documents.parquet")
       .select(explode(split(trim(col("text")), "\\s+")).as("word"))

@@ -98,6 +98,23 @@ object Sinks {
       .drop("__rn", "__src")
   }
 
+  /** Bucketed table sink: hash-bucket (and sort) the data on the join key
+    * at WRITE time, so every later join or aggregation on that key runs
+    * with NO exchange — the bucketing metadata proves co-partitioning to
+    * the planner. This is the 100 TB answer to "this fact table is joined
+    * on the same key by every consumer": pay the shuffle once when landing
+    * the data, never again. `option("path", ...)` keeps the table external
+    * so the files live with the rest of the lake, not the warehouse dir.
+    * SinksSpec proves the no-shuffle join plan.
+    */
+  def bucketedTable(df: DataFrame, table: String, path: String,
+      bucketCol: String, numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
   /** CSV sink with header — the RDBMS-load/interchange destination. */
   def csvWrite(df: DataFrame, outDir: String,
       maxRecordsPerFile: Long = 1000000L): Unit =

@@ -143,6 +143,28 @@ class EtlSpec extends SparkSpec {
     assert(merged.count() === 2)
   }
 
+  test("bucketed tables join with zero exchanges (write-time co-location)") {
+    val dir = Files.createTempDirectory("graft-bucket").toString
+    val ev = spark.read.parquet(s"$sf/events.parquet").select("user_id", "value")
+    Sinks.bucketedTable(ev, "b_events", s"$dir/events", "user_id", 4)
+    Sinks.bucketedTable(
+      ev.groupBy("user_id").agg(sum("value").as("tot")),
+      "b_totals", s"$dir/totals", "user_id", 4)
+    try withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      // -1 forces the shuffle-join path: without bucketing this join would
+      // exchange BOTH sides; the bucket metadata must eliminate both
+      val joined = spark.table("b_events").join(spark.table("b_totals"), "user_id")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n${plan.take(1500)}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_events")
+      spark.sql("DROP TABLE IF EXISTS b_totals")
+    }
+  }
+
   test("redaction strips emails and phone runs, counts each match") {
     import spark.implicits._
     val probe = Seq(

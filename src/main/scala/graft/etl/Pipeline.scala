@@ -24,23 +24,38 @@ object Pipeline {
     *                  are hoisted via `get_json_object`, pyetl's "extract")
     * @param jsonPaths path → output-column, e.g. Map("$.k" -> "k")
     * @param tsSecCol  epoch-seconds column the day partition derives from
+    * @param dropFields     pyetl's REMOVE_FIELDS: columns discarded after
+    *                       parse (payload scrubbing / size control)
+    * @param renames        old → new column names (pyetl field mapping)
+    * @param lowercaseNames normalize all column names to lowercase (pyetl
+    *                       lowercases field names on ingest)
     */
   def run(input: DataFrame, baseDir: String,
       routes: Map[String, Route],
       jsonCol: Option[String] = None,
       jsonPaths: Map[String, String] = Map.empty,
       tsSecCol: Option[Column] = None,
-      maxRecordsPerFile: Long = 1000000L): Map[String, Long] = {
+      maxRecordsPerFile: Long = 1000000L,
+      dropFields: Seq[String] = Nil,
+      renames: Map[String, String] = Map.empty,
+      lowercaseNames: Boolean = false): Map[String, Long] = {
     val parsed0 = jsonCol match {
       case Some(c) => jsonPaths.foldLeft(input) { case (df, (path, name)) =>
         df.withColumn(name, get_json_object(col(c), path))
       }.drop(c)
       case None => input
     }
+    // field surgery is pure projection — free at any scale
+    val shaped0 = parsed0.drop(dropFields: _*)
+    val shaped1 = renames.foldLeft(shaped0) { case (df, (from, to)) =>
+      df.withColumnRenamed(from, to)
+    }
+    val shaped = if (lowercaseNames)
+      shaped1.toDF(shaped1.columns.map(_.toLowerCase): _*) else shaped1
     val enriched = tsSecCol match {
-      case Some(sec) => parsed0.withColumn("day",
+      case Some(sec) => shaped.withColumn("day",
         date_format(timestamp_seconds(sec), "yyyy-MM-dd"))
-      case None => parsed0
+      case None => shaped
     }
     val cached = enriched.cache()
     try
@@ -108,6 +123,11 @@ object Pipeline {
       jsonPaths = opt("jsonPaths").map(strMap(_).map { case (k, v) => k -> v.asText })
         .getOrElse(Map.empty),
       tsSecCol = opt("tsSecExpr").map(e => expr(e.asText)),
-      maxRecordsPerFile = opt("maxRecordsPerFile").map(_.asLong).getOrElse(1000000L))
+      maxRecordsPerFile = opt("maxRecordsPerFile").map(_.asLong).getOrElse(1000000L),
+      dropFields = opt("dropFields")
+        .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil),
+      renames = opt("renames").map(strMap(_).map { case (k, v) => k -> v.asText })
+        .getOrElse(Map.empty),
+      lowercaseNames = opt("lowercaseNames").exists(_.asBoolean))
   }
 }

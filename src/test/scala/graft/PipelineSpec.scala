@@ -91,6 +91,25 @@ class PipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("===="), s"parser error should quote the fragment: ${e.getMessage}")
   }
 
+  test("config field surgery: dropFields, renames, lowercaseNames (pyetl REMOVE_FIELDS)") {
+    val dir = Files.createTempDirectory("graft-pipe-shape").toString
+    val config = s"""{
+      "input": {"path": "$sf/events.parquet"},
+      "baseDir": "$dir",
+      "dropFields": ["props", "value"],
+      "renames": {"event_type": "EventKind"},
+      "lowercaseNames": true,
+      "routes": {"all": {"predicate": "true"}}
+    }"""
+    Pipeline.runConfig(spark, config)
+    val out = spark.read.parquet(s"$dir/all")
+    assert(!out.columns.contains("props") && !out.columns.contains("value"),
+      "dropFields must remove the raw payload columns")
+    assert(out.columns.contains("eventkind"),
+      s"rename then lowercase should yield eventkind, got ${out.columns.mkString(",")}")
+    assert(out.columns.forall(c => c === c.toLowerCase))
+  }
+
   test("config: a JSON-null format falls back to parquet instead of 'null' source") {
     val dir = Files.createTempDirectory("graft-pipe-nullfmt").toString
     val config = s"""{

@@ -141,6 +141,25 @@ object Streams {
       .select(col("userId"), col("p_ts"), col("p_value"), col("c_ts"))
   }
 
+  /** Streaming incremental-ingest dedup — the continuous twin of
+    * graft.ops.Dedup.incremental: arriving documents are dropped when their
+    * normalized hash already exists in the static corpus (stream-static
+    * LEFT ANTI join, re-resolved per micro-batch so corpus compactions are
+    * picked up) or was already seen in the stream within the watermark
+    * horizon (`dropDuplicatesWithinWatermark`, so dedup state is reaped
+    * instead of growing with the stream). Only hashes cross the join — at
+    * 100 TB/day the anti-join is hash-equi against a corpus digest table,
+    * never against document bodies.
+    */
+  def incrementalDedup(docs: DataFrame, corpusHashes: DataFrame,
+      textCol: String = "text", watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("text_md5",
+        md5(lower(trim(regexp_replace(col(textCol), "\\s+", " ")))))
+      .withWatermark("ts", watermark)
+      .join(corpusHashes.select(col("text_md5")), Seq("text_md5"), "left_anti")
+      .dropDuplicatesWithinWatermark("text_md5")
+
   /** pyetl's multi-destination writer loop: one micro-batch, N sinks, via
     * foreachBatch. The batch is persisted once so each route filters the
     * cached data instead of re-reading the source.

@@ -124,6 +124,24 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, "2024-01-01 00:00:00.0")))
   }
 
+  test("streaming incremental dedup drops corpus dups and in-stream dups") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq("existing doc one", "existing doc two")
+      .toDF("text")
+      .select(md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("text_md5"))
+    val in = MemoryStream[(Timestamp, Long, String)]
+    in.addData(
+      (ts(0), 1L, "Existing   DOC one"),   // normalizes to a corpus hash → dropped
+      (ts(1), 2L, "a brand new document"), // novel → kept
+      (ts(2), 3L, "a brand  NEW document"),// in-stream dup of doc 2 → dropped
+      (ts(3), 4L, "another novel text"))   // novel → kept
+    val docs = in.toDF().toDF("ts", "docId", "text")
+    runToMemory(Streams.incrementalDedup(docs, corpus), "incdd")
+    val kept = spark.table("incdd").collect().map(_.getAs[Long]("docId")).toSet
+    assert(kept === Set(2L, 4L))
+  }
+
   test("streaming multi-sink fans one stream out to N parquet sinks") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -29,7 +29,7 @@ object Bench {
     "text_quality", "text_fingerprint", "text_lang_id", "text_curate_corpus",
     "text_tfidf", "text_editdist_nn", "text_decontaminate", "text_pack_sequences",
     "text_repetition", "text_heavy_hitters",
-    "mm_binary_meta", "mm_feature_extract")
+    "mm_binary_meta", "mm_feature_extract", "mm_near_dup")
 
   /** One query per operator family, run (untimed) before measurement. q1
     * alone proved insufficient: the dedup/ANN plans exercise codegen paths

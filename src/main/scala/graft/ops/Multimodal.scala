@@ -74,11 +74,10 @@ object Multimodal {
     StructField("byte_len", LongType, nullable = false) +:
     (0 until FeatureDims).map(i => StructField(s"f$i", DoubleType, nullable = false)))
 
-  /** Partition-parallel feature extraction: binary → fixed-width feature
-    * vector via mapPartitions (the imperative seam). Rows-only for the
-    * driver; MultimodalSpec pins the histogram math.
+  /** Unordered feature frame — shared by [[featureExtract]] (adds the
+    * driver-determinism sort) and [[nearDup]] (adds the signature join).
     */
-  def featureExtract(s: SparkSession, dir: String): DataFrame = {
+  private def features(s: SparkSession, dir: String): DataFrame = {
     val enc = RowEncoder.encoderFor(featureSchema)
     withBinary(s, dir)
       .mapPartitions { rows =>
@@ -88,7 +87,43 @@ object Multimodal {
           Row.fromSeq(r.getAs[Long]("doc_id") +: payload.length.toLong +: feats.toSeq)
         }
       }(enc)
-      .orderBy(col("doc_id"))
+  }
+
+  /** Partition-parallel feature extraction: binary → fixed-width feature
+    * vector via mapPartitions (the imperative seam). Rows-only for the
+    * driver; MultimodalSpec pins the histogram math.
+    */
+  def featureExtract(s: SparkSession, dir: String): DataFrame =
+    features(s, dir).orderBy(col("doc_id"))
+
+  // ------------------------------------------------------------ near-dup
+  /** Perceptual near-dup over the extracted features — the image-dedup
+    * shape of a multimodal pipeline: a 16-bit threshold signature (one bit
+    * per feature bin: above/below the uniform-histogram expectation 1/16)
+    * buckets the corpus; only same-signature pairs are verified with the
+    * exact L1 distance ≤ [[tau]]. Work is Σ|bucket|², never N²; the
+    * signature and the L1 sum are plain scalar-column arithmetic
+    * (codegen'd, no HOFs), and the self-join pre-partitions on the
+    * signature so both sides share one exchange. Rows-only (features come
+    * from the stubbed decoder); MultimodalSpec pins the output against a
+    * brute-force recomputation.
+    */
+  def nearDup(s: SparkSession, dir: String, tau: Double = 0.05): DataFrame = {
+    val sigExpr = (0 until FeatureDims)
+      .map(i => when(col(s"f$i") > 1.0 / FeatureDims, 1 << i).otherwise(0))
+      .reduce(_ + _)
+    val sigs = features(s, dir)
+      .select(Seq(col("doc_id"), sigExpr.as("sig")) ++
+        (0 until FeatureDims).map(i => col(s"f$i")): _*)
+      .repartition(s.sparkContext.defaultParallelism, col("sig"))
+    val l1 = (0 until FeatureDims)
+      .map(i => abs(col(s"a.f$i") - col(s"b.f$i")))
+      .reduce(_ + _)
+    sigs.as("a").join(sigs.as("b"),
+        col("a.sig") === col("b.sig") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"), l1.as("l1_dist"))
+      .filter(col("l1_dist") <= tau)
+      .orderBy(col("d1"), col("d2"))
   }
 
   // ------------------------------------------------------------ frames
@@ -138,7 +173,8 @@ object Multimodal {
     "mm_binary_meta"     -> (binaryMeta _),
     "mm_feature_extract" -> (featureExtract _),
     "mm_frame_sample"    -> ((s: SparkSession, dir: String) => frameSample(s, dir)),
-    "mm_resize"          -> ((s: SparkSession, dir: String) => resize(s, dir)))
+    "mm_resize"          -> ((s: SparkSession, dir: String) => resize(s, dir)),
+    "mm_near_dup"        -> ((s: SparkSession, dir: String) => nearDup(s, dir)))
 
   /** mm_feature_extract is rows-only (mapPartitions output; spec-pinned). */
   val oracles: Map[String, String] = Map(

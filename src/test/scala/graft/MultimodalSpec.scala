@@ -60,4 +60,24 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[String]("sniffed_type") === "unknown") // text, not media
     }
   }
+
+  test("perceptual near-dup equals brute force over signature-colliding pairs") {
+    val tau = 0.05
+    val feats = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Multimodal.fakeDecode(r.getString(1).getBytes("UTF-8")))
+      .sortBy(_._1)
+    def sig(f: Array[Double]): Int =
+      f.zipWithIndex.map { case (x, i) => if (x > 1.0 / 16) 1 << i else 0 }.sum
+    val expected = (for {
+      i <- feats.indices; j <- (i + 1) until feats.length
+      if sig(feats(i)._2) === sig(feats(j)._2)
+      l1 = feats(i)._2.zip(feats(j)._2).map { case (a, b) => math.abs(a - b) }.sum
+      if l1 <= tau
+    } yield (feats(i)._1, feats(j)._1)).toSet
+    val out = Multimodal.nearDup(spark, sf, tau).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === expected)
+    assert(out.nonEmpty, "planted near-dups should collide")
+  }
 }

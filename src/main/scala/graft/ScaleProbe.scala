@@ -83,6 +83,7 @@ object ScaleProbe {
     time("text_pack_sequences")(
       graft.ops.TextAnalysis.packSequencesDocs(spark, out).count())
     time("dedup_incremental")(graft.ops.Dedup.incremental(spark, out).count())
+    time("mm_near_dup")(graft.ops.Multimodal.nearDup(spark, out).count())
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -97,31 +97,74 @@ object Multimodal {
     features(s, dir).orderBy(col("doc_id"))
 
   // ------------------------------------------------------------ near-dup
-  /** Perceptual near-dup over the extracted features — the image-dedup
-    * shape of a multimodal pipeline: a 16-bit threshold signature (one bit
-    * per feature bin: above/below the uniform-histogram expectation 1/16)
-    * buckets the corpus; only same-signature pairs are verified with the
-    * exact L1 distance ≤ [[tau]]. Work is Σ|bucket|², never N²; the
-    * signature and the L1 sum are plain scalar-column arithmetic
-    * (codegen'd, no HOFs), and the self-join pre-partitions on the
-    * signature so both sides share one exchange. Rows-only (features come
-    * from the stubbed decoder); MultimodalSpec pins the output against a
-    * brute-force recomputation.
+  /** Deterministic Cauchy projection vector + offset for p-stable L1 LSH
+    * (Datar et al.): a_d = tan(π(u-½)) with u from splitmix64 of a fixed
+    * per-(table, k, dim) seed, so every run — and the spec's brute-force
+    * mirror — sees identical cells. Returns (a, b01) with b01 ∈ [0, 1);
+    * callers scale b01 by the cell width r.
     */
-  def nearDup(s: SparkSession, dir: String, tau: Double = 0.05): DataFrame = {
-    val sigExpr = (0 until FeatureDims)
-      .map(i => when(col(s"f$i") > 1.0 / FeatureDims, 1 << i).otherwise(0))
-      .reduce(_ + _)
-    val sigs = features(s, dir)
-      .select(Seq(col("doc_id"), sigExpr.as("sig")) ++
-        (0 until FeatureDims).map(i => col(s"f$i")): _*)
-      .repartition(s.sparkContext.defaultParallelism, col("sig"))
+  private[graft] def cauchyProj(table: Int, k: Int, dim: Int): (Array[Double], Double) = {
+    def u01(seed: Long): Double = {
+      var z = seed + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      ((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53).toDouble
+    }
+    val a = Array.tabulate(dim) { d =>
+      math.tan(math.Pi * (u01((table.toLong << 32) | (k.toLong << 16) | d.toLong) - 0.5))
+    }
+    (a, u01((table.toLong << 32) | (k.toLong << 16) | 0xFFFFL))
+  }
+
+  /** Concatenated projections per table — the K of (T, K, r) p-stable
+    * geometry. 2 keeps random-pair collisions ≈ 6% on this corpus while a
+    * single projection admits 35% (measured; see the tuning note below).
+    */
+  private[graft] val NearDupK = 2
+
+  /** Perceptual near-dup over the extracted features — the image-dedup
+    * shape of a multimodal pipeline, as p-stable (Cauchy) L1 LSH: each of
+    * [[numTables]] tables hashes a feature vector to a cell via
+    * [[NearDupK]] concatenated `floor((a·f + b)/r)` projections; pairs
+    * sharing a cell in ≥1 table are candidates, and only candidates pay
+    * the exact L1 ≤ [[tau]] verification. A fixed threshold signature was
+    * measured useless here (every doc of this corpus landed in ONE bucket
+    * — an all-pairs join in disguise); the Cauchy geometry at (T=8, K=2,
+    * r=0.01) gives 95% recall with 6% candidate rate and max bucket 43 of
+    * 500 at sf0.01. Work is Σ|bucket|² per table, never N²; projections
+    * and the L1 sum are scalar-column arithmetic (codegen'd, no HOFs);
+    * candidate dedup is id-only. Rows-only (features come from the stubbed
+    * decoder); MultimodalSpec pins precision (exact) and recall vs the
+    * brute-force truth.
+    */
+  def nearDup(s: SparkSession, dir: String, tau: Double = 0.005,
+      numTables: Int = 8, r: Double = 0.01): DataFrame = {
+    val f = features(s, dir)
+      .select(col("doc_id") +: (0 until FeatureDims).map(i => col(s"f$i")): _*)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    def cell(t: Int, k: Int): Column = {
+      val (a, b01) = cauchyProj(t, k, FeatureDims)
+      val dot = (0 until FeatureDims).map(i => lit(a(i)) * col(s"f$i")).reduce(_ + _)
+      floor((dot + lit(b01 * r)) / lit(r)).cast(LongType)
+    }
+    val tables = array((0 until numTables).map { t =>
+      struct(lit(t).as("tbl"), cell(t, 0).as("c1"), cell(t, 1).as("c2"))
+    }: _*)
+    val b = f.select(col("doc_id"), explode(tables).as("tc"))
+      .select(col("doc_id"), col("tc.tbl").as("tbl"),
+        col("tc.c1").as("c1"), col("tc.c2").as("c2"))
+    val cand = b.as("a").join(b.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.c1") === col("b.c1")
+          && col("a.c2") === col("b.c2") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
     val l1 = (0 until FeatureDims)
       .map(i => abs(col(s"a.f$i") - col(s"b.f$i")))
       .reduce(_ + _)
-    sigs.as("a").join(sigs.as("b"),
-        col("a.sig") === col("b.sig") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"), l1.as("l1_dist"))
+    cand
+      .join(f.as("a"), col("d1") === col("a.doc_id"))
+      .join(f.as("b"), col("d2") === col("b.doc_id"))
+      .select(col("d1"), col("d2"), l1.as("l1_dist"))
       .filter(col("l1_dist") <= tau)
       .orderBy(col("d1"), col("d2"))
   }

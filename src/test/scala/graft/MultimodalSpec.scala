@@ -61,23 +61,25 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
-  test("perceptual near-dup equals brute force over signature-colliding pairs") {
-    val tau = 0.05
+  test("perceptual near-dup: exact precision, high recall vs brute-force L1 truth") {
+    val tau = 0.005
     val feats = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> Multimodal.fakeDecode(r.getString(1).getBytes("UTF-8")))
       .sortBy(_._1)
-    def sig(f: Array[Double]): Int =
-      f.zipWithIndex.map { case (x, i) => if (x > 1.0 / 16) 1 << i else 0 }.sum
-    val expected = (for {
+    def l1(a: Array[Double], b: Array[Double]): Double =
+      (0 until 16).foldLeft(0.0)((acc, i) => acc + math.abs(a(i) - b(i)))
+    val truth = (for {
       i <- feats.indices; j <- (i + 1) until feats.length
-      if sig(feats(i)._2) === sig(feats(j)._2)
-      l1 = feats(i)._2.zip(feats(j)._2).map { case (a, b) => math.abs(a - b) }.sum
-      if l1 <= tau
+      if l1(feats(i)._2, feats(j)._2) <= tau
     } yield (feats(i)._1, feats(j)._1)).toSet
+    assert(truth.nonEmpty, "corpus should contain planted perceptual twins")
     val out = Multimodal.nearDup(spark, sf, tau).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(out === expected)
-    assert(out.nonEmpty, "planted near-dups should collide")
+    // precision is exact by construction: every emitted pair passed the
+    // exact L1 verify, so the output must be a subset of the truth
+    assert(out.subsetOf(truth))
+    val recall = out.size.toDouble / truth.size
+    assert(recall >= 0.85, s"recall=$recall (found ${out.size} of ${truth.size})")
   }
 }

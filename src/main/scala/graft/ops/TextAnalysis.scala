@@ -243,14 +243,21 @@ object TextAnalysis {
     */
   def decontaminate(docsDf: DataFrame, isBenchmark: Column, n: Int = 5): DataFrame = {
     val p = docsDf.sparkSession.sparkContext.defaultParallelism
-    val grams = docsDf
+    // filter each side BEFORE the k-gram projection: the two branches
+    // shingle disjoint doc subsets, so the interpreted gram pipeline runs
+    // over the corpus exactly once in total (a shared-projection-then-
+    // filter formulation lets Catalyst float the bench filter above the
+    // explode, shingling the full corpus in BOTH branches)
+    // _outer: the non-outer generator would infer size(grams) > 0 and push
+    // it to the scan with the whole gram chain inlined (interpreted per-row
+    // recompute — the same trap minhash documents); the null row an empty
+    // doc produces can never equi-join, so output is identical
+    def grams(side: DataFrame): DataFrame = side
       .repartition(p, col("doc_id")) // spread the interpreted k-gram HOF work
-      .select(col("doc_id"), isBenchmark.as("is_bench"), ngramsK(col("text"), n).as("g"))
-      .repartition(p, col("doc_id")) // barrier: both consumers reuse one exchange
-    val benchGrams = grams.filter(col("is_bench"))
-      .select(explode(col("g")).as("gram")).distinct()
-    val shared = grams.filter(!col("is_bench"))
-      .select(col("doc_id"), explode(col("g")).as("gram"))
+      .select(col("doc_id"), explode_outer(ngramsK(col("text"), n)).as("gram"))
+    val benchGrams = grams(docsDf.filter(isBenchmark))
+      .select(col("gram")).distinct()
+    val shared = grams(docsDf.filter(!isBenchmark))
       .join(broadcast(benchGrams), "gram")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))

@@ -116,6 +116,21 @@ class TextAnalysisSpec extends SparkSpec {
       s"expected exchange reuse or a single scan, got $scans scans:\n${plan.take(2000)}")
   }
 
+  test("decontamination shingles each doc exactly once (disjoint filtered branches)") {
+    val df = TextAnalysis.decontaminateDocs(spark, sf)
+    df.collect()
+    // AQE prints "== Initial Plan ==" after the final plan — count only the
+    // final section, or every node doubles
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // each Generate (gram explode) must sit ABOVE a branch whose filter was
+    // applied below it — i.e. no branch shingles the full corpus, and no
+    // inferred size()>0 filter re-inlines the gram chain into a scan
+    val generates = "Generate".r.findAllIn(plan).length
+    assert(generates === 2, s"expected one explode per disjoint branch, got $generates")
+    assert(!plan.contains("Filter (size("),
+      "gram chain must not be inlined into a pushed filter")
+  }
+
   test("tf-idf explodes the corpus once: df derives from tf via exchange reuse") {
     val df = TextAnalysis.tfIdf(spark, sf)
     df.collect()

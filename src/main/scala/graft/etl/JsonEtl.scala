@@ -164,8 +164,14 @@ object JsonEtl {
   }
 
   // ------------------------------------------------------------ redact
-  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val PhoneRe = "\\+?[0-9][0-9\\-\\s()]{6,}[0-9]"
+  private[etl] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[etl] val PhoneRe = "\\+?[0-9][0-9\\-\\s()]{6,}[0-9]"
+
+  /** In-place PII scrub of a string column (see [[redact]] for the audited
+    * document form) — used by Pipeline's config-driven `redact` key.
+    */
+  private[etl] def scrub(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
 
   /** PII scrubbing — the pre-landing redaction step of an ingest pipeline:
     * emails and phone-shaped digit runs are replaced with typed placeholder
@@ -176,8 +182,7 @@ object JsonEtl {
     */
   def redact(df: DataFrame, textCol: String): DataFrame =
     df.select(col("doc_id"),
-      regexp_replace(regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
-        PhoneRe, "<PHONE>").as("redacted"),
+      scrub(col(textCol)).as("redacted"),
       size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0)))
         .cast(LongType).as("n_emails"),
       size(regexp_extract_all(col(textCol), lit(PhoneRe), lit(0)))

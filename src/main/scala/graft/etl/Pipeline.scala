@@ -29,6 +29,10 @@ object Pipeline {
     * @param renames        old → new column names (pyetl field mapping)
     * @param lowercaseNames normalize all column names to lowercase (pyetl
     *                       lowercases field names on ingest)
+    * @param redactCols     string columns PII-scrubbed in place (emails /
+    *                       phone runs → typed tokens) before routing —
+    *                       applied AFTER renames/lowercasing, so names here
+    *                       refer to the output schema
     */
   def run(input: DataFrame, baseDir: String,
       routes: Map[String, Route],
@@ -38,7 +42,8 @@ object Pipeline {
       maxRecordsPerFile: Long = 1000000L,
       dropFields: Seq[String] = Nil,
       renames: Map[String, String] = Map.empty,
-      lowercaseNames: Boolean = false): Map[String, Long] = {
+      lowercaseNames: Boolean = false,
+      redactCols: Seq[String] = Nil): Map[String, Long] = {
     val parsed0 = jsonCol match {
       case Some(c) => jsonPaths.foldLeft(input) { case (df, (path, name)) =>
         df.withColumn(name, get_json_object(col(c), path))
@@ -50,8 +55,11 @@ object Pipeline {
     val shaped1 = renames.foldLeft(shaped0) { case (df, (from, to)) =>
       df.withColumnRenamed(from, to)
     }
-    val shaped = if (lowercaseNames)
+    val shaped2 = if (lowercaseNames)
       shaped1.toDF(shaped1.columns.map(_.toLowerCase): _*) else shaped1
+    val shaped = redactCols.foldLeft(shaped2) { (df, c) =>
+      df.withColumn(c, JsonEtl.scrub(col(c)))
+    }
     val enriched = tsSecCol match {
       case Some(sec) => shaped.withColumn("day",
         date_format(timestamp_seconds(sec), "yyyy-MM-dd"))
@@ -128,6 +136,8 @@ object Pipeline {
         .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil),
       renames = opt("renames").map(strMap(_).map { case (k, v) => k -> v.asText })
         .getOrElse(Map.empty),
-      lowercaseNames = opt("lowercaseNames").exists(_.asBoolean))
+      lowercaseNames = opt("lowercaseNames").exists(_.asBoolean),
+      redactCols = opt("redact")
+        .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil))
   }
 }

@@ -110,6 +110,25 @@ class PipelineSpec extends SparkSpec {
     assert(out.columns.forall(c => c === c.toLowerCase))
   }
 
+  test("config redact: PII is scrubbed in place before routing") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-pipe-redact").toString
+    val srcDir = Files.createTempDirectory("graft-pipe-redact-src").toString
+    Seq((1L, "mail me at a@b.io"), (2L, "clean"))
+      .toDF("id", "note").write.mode("overwrite").parquet(srcDir)
+    val config = s"""{
+      "input": {"path": "$srcDir"},
+      "baseDir": "$dir",
+      "redact": ["note"],
+      "routes": {"all": {"predicate": "true"}}
+    }"""
+    Pipeline.runConfig(spark, config)
+    val notes = spark.read.parquet(s"$dir/all").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("note")).toMap
+    assert(notes(1L) === "mail me at <EMAIL>")
+    assert(notes(2L) === "clean")
+  }
+
   test("config: a JSON-null format falls back to parquet instead of 'null' source") {
     val dir = Files.createTempDirectory("graft-pipe-nullfmt").toString
     val config = s"""{

@@ -28,7 +28,7 @@ object Bench {
     "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk",
     "text_quality", "text_fingerprint", "text_lang_id", "text_curate_corpus",
     "text_tfidf", "text_editdist_nn", "text_decontaminate", "text_pack_sequences",
-    "text_repetition", "text_heavy_hitters",
+    "text_repetition", "text_heavy_hitters", "text_prepare_corpus",
     "mm_binary_meta", "mm_feature_extract", "mm_near_dup")
 
   /** One query per operator family, run (untimed) before measurement. q1

@@ -23,7 +23,8 @@ object SparkEntry {
       graft.ops.Multimodal.queries ++
       graft.ops.AsOf.queries ++
       graft.ops.Profile.queries ++
-      graft.ops.Intervals.queries
+      graft.ops.Intervals.queries ++
+      graft.ops.Curation.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
@@ -34,5 +35,6 @@ object SparkEntry {
       graft.ops.Multimodal.oracles ++
       graft.ops.AsOf.oracles ++
       graft.ops.Profile.oracles ++
-      graft.ops.Intervals.oracles
+      graft.ops.Intervals.oracles ++
+      graft.ops.Curation.oracles
 }

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Curation, Dedup, TextAnalysis}
+
+class CurationSpec extends SparkSpec {
+
+  private lazy val out = Curation.prepareCorpus(spark, sf).collect()
+  private lazy val kept = out.map(_.getAs[Long]("doc_id")).toSet
+
+  test("the funnel emits a non-trivial shard-packed corpus") {
+    assert(out.nonEmpty)
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(kept.size < total, "the funnel must drop something on this corpus")
+  }
+
+  test("every survivor passed the quality/language gate") {
+    val curated = TextAnalysis.curateCorpus(spark, sf)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept.subsetOf(curated))
+  }
+
+  test("no contaminated document survives") {
+    val contaminated = TextAnalysis.decontaminateDocs(spark, sf)
+      .filter(col("contaminated") === 1L)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept.intersect(contaminated).isEmpty)
+  }
+
+  test("no near-dup pair survives whole: at most one member each") {
+    Dedup.minhashLsh(spark, sf).collect().foreach { r =>
+      val (d1, d2) = (r.getLong(0), r.getLong(1))
+      assert(!(kept.contains(d1) && kept.contains(d2)),
+        s"near-dup pair ($d1,$d2) both survived")
+    }
+  }
+
+  test("packing invariants hold over the surviving corpus") {
+    out.groupBy(_.getAs[Long]("bucket")).foreach { case (bucket, docs) =>
+      var cum = 0L
+      docs.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+        assert(r.getAs[Long]("bucket") === r.getAs[Long]("doc_id") % 8)
+        val expectShard = bucket * 1000000L + (cum / 256L)
+        cum += r.getAs[Long]("n_tokens")
+        assert(r.getAs[Long]("cum_tokens") === cum)
+        assert(r.getAs[Long]("shard") === expectShard)
+      }
+    }
+  }
+
+  test("the funnel is rerun-deterministic") {
+    val again = Curation.prepareCorpus(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("shard"))).toSet
+    assert(again === out.map(r => (r.getLong(0), r.getAs[Long]("shard"))).toSet)
+  }
+}

@@ -83,7 +83,17 @@ object ScaleProbe {
     time("text_pack_sequences")(
       graft.ops.TextAnalysis.packSequencesDocs(spark, out).count())
     time("dedup_incremental")(graft.ops.Dedup.incremental(spark, out).count())
-    time("mm_near_dup")(graft.ops.Multimodal.nearDup(spark, out).count())
+    // fixed-size benchmark (like the decontaminate probe): with the %11 demo
+    // predicate every dup-dense doc has a twin INSIDE the benchmark set, so
+    // the funnel correctly drops ~everything and times an empty corpus
+    time("text_prepare_corpus")(graft.ops.Curation.prepareCorpus(
+      spark, out, isBenchmark = col("doc_id") % 997 === 0).count())
+    // the dup-dense corpus makes every doc ~repl mutual perceptual twins, so
+    // mm_near_dup's TRUE pair count grows ∝ repl² (15.2M pairs at 20× — the
+    // output itself, not overhead); probing past 20× times pair
+    // materialization, not the operator, so skip it there
+    if (repl <= 20)
+      time("mm_near_dup")(graft.ops.Multimodal.nearDup(spark, out).count())
     spark.stop()
   }
 }

@@ -26,9 +26,10 @@ import graft.Tables
 object Curation {
 
   def prepareCorpus(s: SparkSession, dir: String,
-      numBuckets: Int = 8, budget: Long = 256): DataFrame = {
+      numBuckets: Int = 8, budget: Long = 256,
+      isBenchmark: org.apache.spark.sql.Column = col("doc_id") % 11 === 0): DataFrame = {
     val curated = TextAnalysis.curateCorpus(s, dir).select(col("doc_id"))
-    val clean = TextAnalysis.decontaminateDocs(s, dir)
+    val clean = TextAnalysis.decontaminate(Tables(s, dir).documents, isBenchmark)
       .filter(col("contaminated") === 0L).select(col("doc_id"))
     // nearDupGroups materializes (and caches) its labels eagerly — the
     // documented propagateMinLabels contract; the dropped list derived

@@ -91,9 +91,21 @@ object ScaleProbe {
     // the dup-dense corpus makes every doc ~repl mutual perceptual twins, so
     // mm_near_dup's TRUE pair count grows ∝ repl² (15.2M pairs at 20× — the
     // output itself, not overhead); probing past 20× times pair
-    // materialization, not the operator, so skip it there
+    // materialization, not the operator, so skip the end-to-end run there
     if (repl <= 20)
       time("mm_near_dup")(graft.ops.Multimodal.nearDup(spark, out).count())
+    // what IS probe-able at any scale: the candidate comparisons the LSH
+    // geometry schedules (Σ|bucket|² from the histogram, zero pairs built)
+    // — the quantity that must stay a small fraction of all-pairs for the
+    // contract to hold at 100 TB
+    locally {
+      val t0 = System.nanoTime()
+      val (n, cand, maxB, rate) =
+        graft.ops.Multimodal.nearDupCandidateStats(spark, out)
+      println(f"mm_near_dup candidates: ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+        f"($n docs, $cand comparisons, max bucket $maxB, " +
+        f"candidate rate ${rate * 100}%.2f%% of all-pairs per table)")
+    }
     spark.stop()
   }
 }

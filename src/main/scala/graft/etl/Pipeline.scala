@@ -52,11 +52,25 @@ object Pipeline {
     }
     // field surgery is pure projection — free at any scale
     val shaped0 = parsed0.drop(dropFields: _*)
+    // withColumnRenamed silently no-ops on a missing source column — for a
+    // config-driven surface that silence is a data bug (the operator thinks
+    // the field was mapped); fail up front, naming the offender
+    val missingRenames = renames.keys.filterNot(shaped0.columns.contains)
+    require(missingRenames.isEmpty,
+      s"rename of nonexistent field(s) [${missingRenames.mkString(", ")}]: " +
+        s"input columns are [${shaped0.columns.mkString(", ")}]")
     val shaped1 = renames.foldLeft(shaped0) { case (df, (from, to)) =>
       df.withColumnRenamed(from, to)
     }
     val shaped2 = if (lowercaseNames)
       shaped1.toDF(shaped1.columns.map(_.toLowerCase): _*) else shaped1
+    // same courtesy for redaction (names refer to the post-rename schema);
+    // the raw UNRESOLVED_COLUMN an operator would otherwise get doesn't say
+    // which config key produced it
+    val missingRedacts = redactCols.filterNot(shaped2.columns.contains)
+    require(missingRedacts.isEmpty,
+      s"redact column(s) [${missingRedacts.mkString(", ")}] not in schema: " +
+        s"columns after rename/lowercase are [${shaped2.columns.mkString(", ")}]")
     val shaped = redactCols.foldLeft(shaped2) { (df, c) =>
       df.withColumn(c, JsonEtl.scrub(col(c)))
     }

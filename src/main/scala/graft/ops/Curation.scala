@@ -25,17 +25,30 @@ import graft.Tables
   */
 object Curation {
 
+  /** @param pairs precomputed near-dup edge list (d1, d2) — e.g. a
+    *   materialized [[Dedup.minhashLsh]] output. At 100 TB the pairs are
+    *   computed once and every consumer (groups, survivors, this funnel)
+    *   reads them; `None` recomputes MinHash+LSH inline, which is the
+    *   one-shot convenience form, not the pipeline form.
+    */
   def prepareCorpus(s: SparkSession, dir: String,
       numBuckets: Int = 8, budget: Long = 256,
-      isBenchmark: org.apache.spark.sql.Column = col("doc_id") % 11 === 0): DataFrame = {
+      isBenchmark: org.apache.spark.sql.Column = col("doc_id") % 11 === 0,
+      pairs: Option[DataFrame] = None): DataFrame = {
     val curated = TextAnalysis.curateCorpus(s, dir).select(col("doc_id"))
     val clean = TextAnalysis.decontaminate(Tables(s, dir).documents, isBenchmark)
       .filter(col("contaminated") === 0L).select(col("doc_id"))
-    // nearDupGroups materializes (and caches) its labels eagerly — the
-    // documented propagateMinLabels contract; the dropped list derived
-    // from it is tiny (non-canonical members of dup clusters)
-    val dropped = Dedup.nearDupGroups(s, dir)
+    // propagateMinLabels returns its labels CACHED and assigns unpersist
+    // ownership to the caller (Dedup.scala contract) — so pin only the
+    // tiny dropped-id list (non-canonical members of dup clusters, stored
+    // once via eager localCheckpoint and reaped by the ContextCleaner when
+    // the frame is GC'd) and release the full labels cache immediately.
+    val (labels, _) = Dedup.propagateMinLabels(
+      pairs.getOrElse(Dedup.minhashLsh(s, dir)))
+    val dropped = labels
       .filter(col("canonical_id") =!= col("doc_id")).select(col("doc_id"))
+      .localCheckpoint()
+    labels.unpersist()
     val kept = Tables(s, dir).documents
       .join(curated, Seq("doc_id"), "left_semi")
       .join(clean, Seq("doc_id"), "left_semi")

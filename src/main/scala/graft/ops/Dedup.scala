@@ -329,10 +329,14 @@ object Dedup {
   /** Min-label propagation returning (labels, rounds-run) — the stats form
     * ScaleProbe uses to report convergence behavior.
     *
-    * The returned frame IS cached (the convergence check materialized it;
-    * consumers read the cache instead of re-running the iterative lineage)
-    * and the CALLER owns unpersisting it — repeated invocations in a
-    * long-lived session otherwise pin one cached frame each.
+    * The RETURNED frame is cached and materialized (consumers read the
+    * cache instead of re-running the iterative lineage) and the CALLER owns
+    * unpersisting it — repeated invocations in a long-lived session
+    * otherwise pin one cached frame each. The cache entry belongs to the
+    * returned frame itself, not an internal ancestor: `unpersist()` matches
+    * on plan `sameResult`, so caching an internal frame and returning a
+    * projection of it would make the caller's unpersist a silent no-op
+    * (the round-4 lingering-cache warnings were exactly that).
     */
   def propagateMinLabels(pairs0: DataFrame, maxIter: Int = 10): (DataFrame, Int) = {
     val pairs = pairs0.select(col("d1"), col("d2")).cache()
@@ -364,10 +368,14 @@ object Dedup {
         labels = next
         it += 1
       }
-      // the final `labels` stays cached — see scaladoc: caller unpersists.
-      // `edges` is no longer needed once labels is materialized.
+      // re-cache under the RETURNED plan (see scaladoc) so the caller's
+      // unpersist really clears it; count() fills it from the still-warm
+      // labels cache, then both internal caches drop.
       val out = labels.select(col("doc_id"), col("label").as("canonical_id"))
         .orderBy(col("doc_id"))
+        .cache()
+      out.count()
+      labels.unpersist()
       edges.unpersist()
       (out, it)
     } finally pairs.unpersist()

@@ -139,20 +139,7 @@ object Multimodal {
     */
   def nearDup(s: SparkSession, dir: String, tau: Double = 0.005,
       numTables: Int = 8, r: Double = 0.01): DataFrame = {
-    val f = features(s, dir)
-      .select(col("doc_id") +: (0 until FeatureDims).map(i => col(s"f$i")): _*)
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
-    def cell(t: Int, k: Int): Column = {
-      val (a, b01) = cauchyProj(t, k, FeatureDims)
-      val dot = (0 until FeatureDims).map(i => lit(a(i)) * col(s"f$i")).reduce(_ + _)
-      floor((dot + lit(b01 * r)) / lit(r)).cast(LongType)
-    }
-    val tables = array((0 until numTables).map { t =>
-      struct(lit(t).as("tbl"), cell(t, 0).as("c1"), cell(t, 1).as("c2"))
-    }: _*)
-    val b = f.select(col("doc_id"), explode(tables).as("tc"))
-      .select(col("doc_id"), col("tc.tbl").as("tbl"),
-        col("tc.c1").as("c1"), col("tc.c2").as("c2"))
+    val (f, b) = nearDupBuckets(s, dir, numTables, r)
     val cand = b.as("a").join(b.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.c1") === col("b.c1")
           && col("a.c2") === col("b.c2") && col("a.doc_id") < col("b.doc_id"))
@@ -167,6 +154,57 @@ object Multimodal {
       .select(col("d1"), col("d2"), l1.as("l1_dist"))
       .filter(col("l1_dist") <= tau)
       .orderBy(col("d1"), col("d2"))
+  }
+
+  /** The (features, per-table bucket assignment) frames [[nearDup]] joins —
+    * factored out so the candidate-economics probe shares the exact
+    * geometry it is auditing.
+    */
+  private def nearDupBuckets(s: SparkSession, dir: String,
+      numTables: Int, r: Double): (DataFrame, DataFrame) = {
+    val f = features(s, dir)
+      .select(col("doc_id") +: (0 until FeatureDims).map(i => col(s"f$i")): _*)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    def cell(t: Int, k: Int): Column = {
+      val (a, b01) = cauchyProj(t, k, FeatureDims)
+      val dot = (0 until FeatureDims).map(i => lit(a(i)) * col(s"f$i")).reduce(_ + _)
+      floor((dot + lit(b01 * r)) / lit(r)).cast(LongType)
+    }
+    val tables = array((0 until numTables).map { t =>
+      struct(lit(t).as("tbl"), cell(t, 0).as("c1"), cell(t, 1).as("c2"))
+    }: _*)
+    val b = f.select(col("doc_id"), explode(tables).as("tc"))
+      .select(col("doc_id"), col("tc.tbl").as("tbl"),
+        col("tc.c1").as("c1"), col("tc.c2").as("c2"))
+    (f, b)
+  }
+
+  /** Candidate economics of [[nearDup]] WITHOUT generating a single pair:
+    * the per-table bucket histogram gives Σ|b|·(|b|−1)/2 — the exact number
+    * of comparisons the candidate self-join performs (pre-distinct,
+    * pre-verify) — plus the max bucket size, for one aggregation over N·T
+    * bucket-assignment rows. This is the quantity that must stay ~linear in
+    * N for the Σ|bucket|² contract, and the probe-able form at any scale:
+    * on a dup-dense corpus the TRUE pair count grows ∝ N², so timing pair
+    * materialization past 20× measures output size, not the operator.
+    *
+    * @return (nDocs, candidateComparisons, maxBucket, candidateRate) where
+    *         candidateRate = comparisons / (N·(N−1)/2 · numTables) — the
+    *         fraction of all-pairs work actually paid, per table.
+    */
+  def nearDupCandidateStats(s: SparkSession, dir: String,
+      numTables: Int = 8, r: Double = 0.01): (Long, Long, Long, Double) = {
+    val (f, b) = nearDupBuckets(s, dir, numTables, r)
+    val row = b.groupBy(col("tbl"), col("c1"), col("c2"))
+      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * (col("n") - lit(1L))).as("twice_cand"),
+        max(col("n")).as("max_bucket"))
+      .head()
+    val nDocs = f.count()
+    val cand = row.getLong(0) / 2
+    val allPairs = nDocs * (nDocs - 1) / 2
+    (nDocs, cand, row.getLong(1),
+      cand.toDouble / (allPairs.toDouble * numTables))
   }
 
   // ------------------------------------------------------------ frames

@@ -522,8 +522,8 @@ object TextAnalysis {
         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
         |    CAST(doc_id % 8 AS BIGINT) AS bucket
         |  FROM documents),
-        |c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens FROM t)
+        |c AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM t)
         |SELECT doc_id, n_tokens, bucket, cum_tokens,
         |  bucket * 1000000 + CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE) / 256.0) AS BIGINT) AS shard
         |FROM c ORDER BY doc_id""".stripMargin)

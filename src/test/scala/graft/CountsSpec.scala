@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+
+/** Pins the documentation's claimed coverage numbers to the DERIVED truth
+  * (SparkEntry's maps), so they cannot drift again: rounds 3 and 4 both
+  * shipped hand-written counts that were stale by commit time. A claim the
+  * docs print must be a claim this suite computes.
+  */
+class CountsSpec extends AnyFunSuite {
+
+  private val nQueries = SparkEntry.queries.size
+  private val nOracle = SparkEntry.oracleSql.size
+  private val nRowsOnly = nQueries - nOracle
+
+  private def read(p: String): String =
+    new String(Files.readAllBytes(Paths.get(p)), "UTF-8")
+
+  test("every oracle key names an implemented query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("README claims exactly the derived query counts") {
+    val readme = read("README.md")
+    assert(readme.contains(s"**$nQueries driver-checkable queries** " +
+      s"($nOracle oracle-exact"),
+      s"README must claim $nQueries driver-checkable / $nOracle oracle-exact")
+    assert(readme.contains(s"$nRowsOnly rows-only"),
+      s"README must claim $nRowsOnly rows-only")
+  }
+
+  test("SURVEY §9 claims exactly the derived query counts") {
+    val survey = read("SURVEY.md")
+    assert(survey.contains(s"**$nOracle oracle-backed + $nRowsOnly rows-only"),
+      s"SURVEY §9 must claim $nOracle oracle-backed + $nRowsOnly rows-only")
+  }
+}

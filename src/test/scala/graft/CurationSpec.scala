@@ -53,4 +53,33 @@ class CurationSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getAs[Long]("shard"))).toSet
     assert(again === out.map(r => (r.getLong(0), r.getAs[Long]("shard"))).toSet)
   }
+
+  test("funnel over precomputed pairs equals funnel over recomputed pairs") {
+    val pairs = Dedup.minhashLsh(spark, sf).cache()
+    try {
+      val viaPairs = Curation.prepareCorpus(spark, sf, pairs = Some(pairs))
+        .collect().map(r => (r.getLong(0), r.getAs[Long]("shard"))).toSet
+      assert(viaPairs === out.map(r => (r.getLong(0), r.getAs[Long]("shard"))).toSet)
+    } finally { pairs.unpersist(); () }
+  }
+
+  test("the funnel pins no labels cache after return (ownership honored)") {
+    val cm = spark.sharedState.cacheManager
+    cm.clearCache()
+    Curation.prepareCorpus(spark, sf).write.format("noop").mode("overwrite").save()
+    assert(cm.isEmpty,
+      "prepareCorpus must unpersist the propagateMinLabels cache it owns")
+  }
+
+  test("propagateMinLabels' returned frame really unpersists (sameResult contract)") {
+    val cm = spark.sharedState.cacheManager
+    cm.clearCache()
+    val pairs = Dedup.minhashLsh(spark, sf)
+    val (labels, _) = Dedup.propagateMinLabels(pairs)
+    assert(!cm.isEmpty, "returned labels frame should be cached")
+    labels.unpersist()
+    assert(cm.isEmpty,
+      "unpersist on the RETURNED frame must clear the cache entry — " +
+        "caching an internal ancestor would make this a silent no-op")
+  }
 }

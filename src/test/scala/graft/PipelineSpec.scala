@@ -91,6 +91,30 @@ class PipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("===="), s"parser error should quote the fragment: ${e.getMessage}")
   }
 
+  test("config validation: redacting a nonexistent column names the offender") {
+    val bad = s"""{"input": {"path": "$sf/events.parquet"}, "baseDir": "/tmp/x",
+      "redact": ["no_such_col"],
+      "routes": {"all": {"predicate": "true"}}}"""
+    val e = intercept[IllegalArgumentException](Pipeline.runConfig(spark, bad))
+    assert(e.getMessage.contains("no_such_col"),
+      s"error must name the missing redact column: ${e.getMessage}")
+    assert(e.getMessage.contains("event_type"),
+      s"error should list the available columns: ${e.getMessage}")
+  }
+
+  test("config validation: renaming a nonexistent field names the offender") {
+    // withColumnRenamed silently no-ops on a missing column — the config
+    // surface must not inherit that silence
+    val bad = s"""{"input": {"path": "$sf/events.parquet"}, "baseDir": "/tmp/x",
+      "renames": {"ghost_field": "renamed"},
+      "routes": {"all": {"predicate": "true"}}}"""
+    val e = intercept[IllegalArgumentException](Pipeline.runConfig(spark, bad))
+    assert(e.getMessage.contains("ghost_field"),
+      s"error must name the missing rename source: ${e.getMessage}")
+    assert(e.getMessage.contains("event_type"),
+      s"error should list the available columns: ${e.getMessage}")
+  }
+
   test("config field surgery: dropFields, renames, lowercaseNames (pyetl REMOVE_FIELDS)") {
     val dir = Files.createTempDirectory("graft-pipe-shape").toString
     val config = s"""{

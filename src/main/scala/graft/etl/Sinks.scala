@@ -124,12 +124,14 @@ object Sinks {
       .csv(outDir)
 
   /** RDBMS sink seam (pyetl's MySQL destination). Spark's JDBC writer is
-    * built in — this compiles and runs wherever a JDBC driver jar is on the
-    * executor classpath; THIS build ships no driver (offline resolver), so
-    * the seam is exercised by swapping in `numPartitions`-throttled options
-    * at deploy time, not by a spec here. Append-only by design: pair with
-    * [[mergeSnapshot]] upstream for upsert semantics (compact, then load),
-    * which keeps the DB-side transaction small and idempotent.
+    * built in — this runs wherever a JDBC driver jar is on the executor
+    * classpath; JdbcSinkSpec exercises it end-to-end against the embedded
+    * Derby engine Spark itself ships (driver discovery, dialect mapping,
+    * create-on-append, read-path predicate pushdown), so only the specific
+    * production driver (MySQL et al.) is a deploy-time swap. Append-only by
+    * design: pair with [[mergeSnapshot]] upstream for upsert semantics
+    * (compact, then load), which keeps the DB-side transaction small and
+    * idempotent.
     */
   def jdbcAppend(df: DataFrame, url: String, table: String,
       props: java.util.Properties = new java.util.Properties(),

@@ -24,11 +24,12 @@ object Bench {
     "etl_json_extract", "etl_latest_by_key", "etl_sessionize",
     "etl_tumbling_window", "etl_sliding_window", "etl_redact",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
-    "dedup_components", "dedup_incremental",
+    "dedup_components", "dedup_incremental", "dedup_semantic",
     "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk",
     "text_quality", "text_fingerprint", "text_lang_id", "text_curate_corpus",
     "text_tfidf", "text_editdist_nn", "text_decontaminate", "text_pack_sequences",
     "text_repetition", "text_heavy_hitters", "text_prepare_corpus",
+    "text_mixture_sample", "text_select_budget_threshold",
     "mm_binary_meta", "mm_feature_extract", "mm_near_dup")
 
   /** One query per operator family, run (untimed) before measurement. q1

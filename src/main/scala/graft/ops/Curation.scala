@@ -56,9 +56,57 @@ object Curation {
     TextAnalysis.packSequences(kept, numBuckets, budget)
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_prepare_corpus" -> ((s: SparkSession, dir: String) => prepareCorpus(s, dir)))
+  // ------------------------------------------------------------ mixture
+  /** Deterministic source-mixture sampling — the "data mixing" stage that
+    * turns per-source weights into a training corpus (e.g. 100% of a
+    * curated source, 10% of a crawl). Membership is decided by arithmetic
+    * on doc_id (Knuth multiplicative hash mod 10000 vs a per-source
+    * basis-point threshold), NOT rand(): task retries, speculative
+    * attempts, and whole re-runs all draw the SAME sample — the property
+    * that makes a 100 TB mixture reproducible and resumable — and the
+    * filter is a pure map-side projection (no shuffle, no RNG state, scan
+    * cost only). Exact integer arithmetic both engines share, hence
+    * oracle-checked.
+    *
+    * @param bps per-source keep rate in basis points (10000 = keep all)
+    */
+  def mixtureSample(docs: DataFrame, bps: Map[String, Int],
+      defaultBps: Int): DataFrame = {
+    require(bps.values.forall(p => p >= 0 && p <= 10000)
+      && defaultBps >= 0 && defaultBps <= 10000,
+      s"rates are basis points in [0, 10000]: $bps default=$defaultBps")
+    val h = pmod(col("doc_id") * lit(2654435761L), lit(10000L))
+    val threshold = bps.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultBps).cast("long")) { case (acc, (src, p)) =>
+        when(col("source") === src, lit(p.toLong)).otherwise(acc)
+      }
+    docs.filter(h < threshold)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
 
-  /** Rows-only: the near-dup stage depends on engine-internal hashes. */
-  val oracles: Map[String, String] = Map.empty
+  /** The demo mixture the gate checks: full src0, three-quarters src1,
+    * half src2, a quarter src3, 10% of everything else.
+    */
+  val DemoMix: Map[String, Int] =
+    Map("src0" -> 10000, "src1" -> 7500, "src2" -> 5000, "src3" -> 2500)
+
+  def mixtureSampleDocs(s: SparkSession, dir: String): DataFrame =
+    mixtureSample(Tables(s, dir).documents, DemoMix, defaultBps = 1000)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_prepare_corpus" -> ((s: SparkSession, dir: String) => prepareCorpus(s, dir)),
+    "text_mixture_sample" -> (mixtureSampleDocs _))
+
+  /** prepare_corpus is rows-only: its near-dup stage depends on
+    * engine-internal hashes. The mixture sample is pure integer
+    * arithmetic, hence exact.
+    */
+  val oracles: Map[String, String] = Map(
+    "text_mixture_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE (doc_id * 2654435761) % 10000 <
+        |  CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 7500
+        |    WHEN 'src2' THEN 5000 WHEN 'src3' THEN 2500 ELSE 1000 END
+        |ORDER BY doc_id""".stripMargin)
 }

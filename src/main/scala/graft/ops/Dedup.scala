@@ -302,6 +302,60 @@ object Dedup {
       .orderBy(col("v1"), col("v2"))
   }
 
+  // ------------------------------------------------------------ semantic
+  /** SemDeDup-shaped semantic dedup (Abbas et al., arXiv:2303.09540):
+    * k-means-cluster the embedding space, then pay exact cosine only
+    * WITHIN each cluster — the second scale tier for embedding near-dup,
+    * complementary to [[embeddingLsh]] (LSH buckets by random geometry;
+    * clustering buckets by the corpus's own density, which is what you
+    * want when near-dups are semantic rather than metric-tight).
+    *
+    * Scale shape: k grows with N (k = N/targetCluster) so E|cluster| stays
+    * ~targetCluster and within-cluster work stays Σ|cluster|² ≈
+    * N·targetCluster·nprobe², never N². Seeding is vec_id mod k
+    * (deterministic, rerun-stable; no sampled init). Each vector is a
+    * member of its [[nprobe]] nearest cells — hard top-1 assignment
+    * measured 0.75 recall at best (near-dup pairs split by a cell
+    * boundary never meet); multi-probe membership is the standard IVF fix
+    * and lifts it to ~0.95 for 2× candidate work. The centroid table is
+    * O(k·dim) driver state — 25 MB at 100k cells — broadcast to both the
+    * Lloyd refinement and the membership ranking; candidates travel
+    * id-only through their distinct (16 B/row, the embeddingLsh
+    * discipline) and embeddings re-join only for the exact verify. The
+    * N·k membership-scoring cost is the documented extreme-scale limit (a
+    * two-level quantizer shards it; public SemDeDup runs train k-means
+    * offline the same way). Precision is exact by construction (every
+    * emitted pair passed exact cosine ≥ τ); recall vs the all-pairs
+    * [[embedding]] truth is spec-pinned at two geometries.
+    */
+  def semantic(s: SparkSession, dir: String, tau: Double = 0.4,
+      targetCluster: Int = 128, iters: Int = 2, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+    val k = math.max(2, (e.count() / targetCluster).toInt)
+    val cents = Similarity.kmeans(e, pmod(col("vec_id"), lit(k)), iters)
+    // multi-probe membership: rank cells per vector (the window is why
+    // this doesn't reuse assignCells' max_by — multi-probe needs the top
+    // P, not the max; N·k rows ranked, id+cell out)
+    val member = e.join(broadcast(cents))
+      .select(col("vec_id"), col("cell"),
+        nanvl(cosine_sim(col("embedding"), col("centroid")), lit(-1.0)).as("ccos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))))
+      .filter(col("rk") <= nprobe)
+      .select(col("vec_id"), col("cell"))
+    val cand = member.as("a").join(member.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("v1"), col("embedding").as("e1")), Seq("v1"))
+      .join(e.select(col("vec_id").as("v2"), col("embedding").as("e2")), Seq("v2"))
+      .select(col("v1"), col("v2"), cosine_sim(col("e1"), col("e2")).as("cosine"))
+      .filter(col("cosine") >= tau)
+      .orderBy(col("v1"), col("v2"))
+  }
+
   // ------------------------------------------------------------ components
   /** Near-dup groups: connected components over the LSH pair graph via
     * iterative min-label propagation (large-star/small-star simplified):
@@ -451,6 +505,7 @@ object Dedup {
     "dedup_embedding"     -> (embedding _),
     "dedup_components"    -> ((s: SparkSession, dir: String) => nearDupGroups(s, dir)),
     "dedup_embedding_lsh" -> ((s: SparkSession, dir: String) => embeddingLsh(s, dir)),
+    "dedup_semantic"      -> ((s: SparkSession, dir: String) => semantic(s, dir)),
     "dedup_survivors"     -> ((s: SparkSession, dir: String) => nearDupSurvivors(s, dir)),
     "dedup_incremental"   -> ((s: SparkSession, dir: String) => incremental(s, dir)))
 

@@ -145,7 +145,17 @@ object Similarity {
     * scan + groupBy with the centroid table broadcast — O(cells·dim) driver
     * state, unchanged at 100 TB.
     */
-  private[graft] def centroids(e: DataFrame, refineIters: Int = 2): DataFrame = {
+  private[graft] def centroids(e: DataFrame, refineIters: Int = 2): DataFrame =
+    kmeans(e, col("label"), refineIters)
+
+  /** Lloyd's algorithm from an arbitrary deterministic seed assignment —
+    * the general form behind [[centroids]] (label-seeded IVF) and
+    * [[Dedup.semantic]] (vec_id-mod-k seeded SemDeDup clustering). Every
+    * step is scan + groupBy with the centroid table broadcast —
+    * O(cells·dim) driver state, broadcastable into the hundreds of
+    * thousands of cells (25 MB at 100k cells × 64 floats).
+    */
+  private[graft] def kmeans(e: DataFrame, seed: Column, refineIters: Int): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
     def centroidOf(assigned: DataFrame): DataFrame =
@@ -162,7 +172,7 @@ object Similarity {
     def materialize(df: DataFrame): DataFrame =
       df.as[(Int, Array[Float])].collect().toSeq.toDF("cell", "centroid")
     var cents = materialize(
-      centroidOf(e.select(col("label").as("cell"), col("embedding"))))
+      centroidOf(e.select(seed.cast("int").as("cell"), col("embedding"))))
     var it = 0
     while (it < refineIters) {
       cents = materialize(centroidOf(assignCells(e, cents)))

@@ -303,6 +303,72 @@ object TextAnalysis {
   def packSequencesDocs(s: SparkSession, dir: String): DataFrame =
     packSequences(Tables(s, dir).documents)
 
+  // ------------------------------------------------------------ budget selection
+  /** (doc_id, n_tokens, quality_score) — the ranking inputs for
+    * budget-constrained selection; the score mirrors [[quality]]'s blended
+    * fold term-for-term (and therefore the oracle's, bit-for-bit).
+    */
+  private def budgetScored(s: SparkSession, dir: String): DataFrame = {
+    val nChars = length(col("text")).cast(LongType)
+    val nWords = size(words(col("text"))).cast(LongType)
+    val nPunct = length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast(LongType)
+    val nStop  = hits(col("text"), stopEn)
+    docs(s, dir).select(col("doc_id"), nWords.as("n_tokens"),
+      ((nStop.cast(DoubleType) / nWords.cast(DoubleType)) * lit(0.5)
+        + (nPunct.cast(DoubleType) / nChars.cast(DoubleType)) * lit(0.25)
+        + (nChars.cast(DoubleType) / nWords.cast(DoubleType)) * lit(0.05))
+        .as("quality_score"))
+  }
+
+  /** Quality-ranked corpus selection under a global token budget — "take
+    * the best documents until B tokens", the data-constrained-scaling
+    * shape of corpus curation. Ground-truth tier: ONE global window in
+    * (score desc, doc_id) order — single-partition by nature, exact and
+    * oracle-checked at test SF; [[selectBudgetThreshold]] is the tier that
+    * scales (same pattern as ngram_jaccard → minhash_lsh). A doc is
+    * selected iff it STARTS within budget (packSequences' boundary rule).
+    */
+  def selectBudget(s: SparkSession, dir: String, budget: Long = 10000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("quality_score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    budgetScored(s, dir)
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") - col("n_tokens") < budget)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The scale tier of [[selectBudget]]: quantize the score into bands,
+    * aggregate tokens per band (one map-side-combined shuffle of ≤ bands
+    * rows), walk the tiny band histogram on the driver to find the lowest
+    * band that still fits the budget whole, and keep every doc scoring
+    * above it. No global sort, no single-partition window — the corpus
+    * pays one scan + one broadcast-predicate filter. Selection error is
+    * bounded by one band's tokens; the spec pins threshold-selected ⊆
+    * exact-selected (bands kept whole are a prefix of the exact ranking).
+    * Driver state is O(bands) — the IVF-centroid justification.
+    */
+  def selectBudgetThreshold(s: SparkSession, dir: String,
+      budget: Long = 10000L, bands: Int = 1000): DataFrame = {
+    val scored = budgetScored(s, dir)
+      .withColumn("band", floor(col("quality_score") * bands).cast(LongType))
+    val hist = scored.groupBy(col("band"))
+      .agg(sum(col("n_tokens")).as("toks"))
+      .orderBy(col("band").desc)
+      .collect() // O(bands) rows — tiny, and the threshold needs the cumsum
+    var cum = 0L
+    var cutoff = Long.MaxValue // exclusive: keep bands strictly above
+    var i = 0
+    while (i < hist.length && cum + hist(i).getLong(1) <= budget) {
+      cum += hist(i).getLong(1)
+      cutoff = hist(i).getLong(0)
+      i += 1
+    }
+    scored.filter(col("band") >= cutoff)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ repetition
   /** Gopher-style repetition signals — the quality rules that kill
     * boilerplate and degenerate text: type-token ratio (distinct/total
@@ -389,7 +455,10 @@ object TextAnalysis {
     "text_decontaminate" -> (decontaminateDocs _),
     "text_pack_sequences" -> (packSequencesDocs _),
     "text_repetition"    -> (repetition _),
-    "text_heavy_hitters" -> ((s: SparkSession, dir: String) => heavyHitters(s, dir)))
+    "text_heavy_hitters" -> ((s: SparkSession, dir: String) => heavyHitters(s, dir)),
+    "text_select_budget" -> ((s: SparkSession, dir: String) => selectBudget(s, dir)),
+    "text_select_budget_threshold" ->
+      ((s: SparkSession, dir: String) => selectBudgetThreshold(s, dir)))
 
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ",", ")")
   private def sqlHits(stop: Seq[String]) =
@@ -526,5 +595,20 @@ object TextAnalysis {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM t)
         |SELECT doc_id, n_tokens, bucket, cum_tokens,
         |  bucket * 1000000 + CAST(floor(CAST(cum_tokens - n_tokens AS DOUBLE) / 256.0) AS BIGINT) AS shard
-        |FROM c ORDER BY doc_id""".stripMargin)
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "text_select_budget" ->
+      s"""WITH m AS (SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         |    (CAST(${sqlHits(stopEn)} AS DOUBLE)
+         |       / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)) * 0.5
+         |    + (CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+         |       / CAST(length(text) AS DOUBLE)) * 0.25
+         |    + (CAST(length(text) AS DOUBLE)
+         |       / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)) * 0.05
+         |      AS quality_score
+         |  FROM documents),
+         |c AS (SELECT *, CAST(SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM m)
+         |SELECT doc_id, n_tokens, quality_score, cum_tokens FROM c
+         |WHERE cum_tokens - n_tokens < 10000 ORDER BY doc_id""".stripMargin)
 }

@@ -71,6 +71,30 @@ class CurationSpec extends SparkSpec {
       "prepareCorpus must unpersist the propagateMinLabels cache it owns")
   }
 
+  test("mixture sampling: full-rate sources survive whole, rates hold, no RNG") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sample = Curation.mixtureSample(docs, Curation.DemoMix, defaultBps = 1000)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val bySrc = sample.groupBy(_._2).view.mapValues(_.length).toMap
+    val totalBySrc = docs.groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") === totalBySrc("src0"), "10000 bps keeps everything")
+    // a 25% source keeps roughly a quarter (the hash is uniform-ish, the
+    // corpus per-source is small — allow wide slack; exactness is the
+    // oracle's job, this pins the semantics)
+    assert(bySrc.getOrElse("src3", 0) < totalBySrc("src3"),
+      "2500 bps must drop something")
+    // deterministic: same config, same sample — no rand() anywhere
+    val again = Curation.mixtureSample(docs, Curation.DemoMix, defaultBps = 1000)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(again.toSeq === sample.toSeq)
+    // and the plan is a pure map-side filter: no aggregate, no join — the
+    // only exchange is the output ORDER BY (oracle determinism)
+    val plan = Curation.mixtureSample(docs, Curation.DemoMix, 1000)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("Join"), plan)
+  }
+
   test("propagateMinLabels' returned frame really unpersists (sameResult contract)") {
     val cm = spark.sharedState.cacheManager
     cm.clearCache()

@@ -189,4 +189,20 @@ class DedupSpec extends SparkSpec {
       assert(c >= 0.4)
     }
   }
+
+  test("semantic (SemDeDup) dedup: exact precision, high recall, two geometries") {
+    val exact = Dedup.embedding(spark, sf)
+      .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    Seq(128 -> 2, 256 -> 2).foreach { case (targetCluster, nprobe) =>
+      val got = Dedup.semantic(spark, sf, targetCluster = targetCluster, nprobe = nprobe)
+        .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.subsetOf(exact),
+        s"tc=$targetCluster: every emitted pair passed exact cosine, so precision is 1")
+      val recall = got.intersect(exact).size.toDouble / exact.size
+      assert(recall >= 0.9,
+        s"tc=$targetCluster nprobe=$nprobe recall=$recall (multi-probe membership " +
+          "exists precisely to catch pairs split by a cell boundary)")
+    }
+  }
 }

@@ -150,4 +150,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(approx === exact,
       "on a closed vocabulary the sketch candidates must cover the true top-k")
   }
+
+  test("budget selection: exact tier honors the budget and takes best-first") {
+    val budget = 10000L
+    val sel = TextAnalysis.selectBudget(spark, sf, budget).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(sel.nonEmpty)
+    // every selected doc STARTS within budget (the packSequences rule)
+    sel.foreach { case (id, n, _, cum) =>
+      assert(cum - n < budget, s"doc $id starts at ${cum - n}")
+    }
+    // best-first: no unselected doc outscores a selected one beyond the
+    // boundary rule — i.e. the selection is a prefix of the (score desc,
+    // doc_id) ranking
+    val all = TextAnalysis.quality(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(6))).toMap
+    val ranked = all.toSeq.sortBy { case (id, s) => (-s, id) }.map(_._1)
+    val selIds = sel.map(_._1).toSet
+    assert(ranked.take(selIds.size).toSet === selIds,
+      "exact selection must be the top prefix of the quality ranking")
+  }
+
+  test("budget selection: threshold tier selects a subset of the exact tier") {
+    val budget = 10000L
+    val exactIds = TextAnalysis.selectBudget(spark, sf, budget).collect()
+      .map(_.getLong(0)).toSet
+    val th = TextAnalysis.selectBudgetThreshold(spark, sf, budget).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(th.nonEmpty)
+    assert(th.map(_._1).toSet.subsetOf(exactIds),
+      "bands kept whole are a prefix of the exact ranking, so the " +
+        "threshold tier never selects a doc the exact tier rejects")
+    assert(th.map(_._2).sum <= budget,
+      "whole-band selection cannot overshoot the budget")
+  }
 }

@@ -20,21 +20,27 @@ object ScaleProbe {
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val nDocs = docs.count()
-    // copy k gets doc_id + k*10M and a per-copy token appended, so exact
-    // dups exist only within the original near-dup structure (each copy
-    // keeps its own planted pairs; cross-copy pairs differ by the token)
-    spark.range(repl).crossJoin(docs)
-      .select((col("doc_id") + col("id") * 10000000L).as("doc_id"),
-        concat(col("text"), lit(" copytag"), col("id")).as("text"),
-        col("lang"), col("source"), col("n_chars"))
-      .repartition(32)
-      .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    spark.range(repl).crossJoin(emb)
-      .select((col("vec_id") + col("id") * 10000000L).as("vec_id"),
-        col("embedding"), col("label"))
-      .repartition(32)
-      .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
+    // replication is deterministic, so an existing N× corpus on disk is
+    // identical to what this run would write — reuse it (re-probing after
+    // a code change shouldn't pay minutes of corpus rebuild)
+    if (!new java.io.File(s"$out/_replicated").exists()) {
+      // copy k gets doc_id + k*10M and a per-copy token appended, so exact
+      // dups exist only within the original near-dup structure (each copy
+      // keeps its own planted pairs; cross-copy pairs differ by the token)
+      spark.range(repl).crossJoin(docs)
+        .select((col("doc_id") + col("id") * 10000000L).as("doc_id"),
+          concat(col("text"), lit(" copytag"), col("id")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .repartition(32)
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      spark.range(repl).crossJoin(emb)
+        .select((col("vec_id") + col("id") * 10000000L).as("vec_id"),
+          col("embedding"), col("label"))
+        .repartition(32)
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
+      new java.io.FileOutputStream(s"$out/_replicated").close()
+    }
 
     def time(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
@@ -83,6 +89,14 @@ object ScaleProbe {
     time("text_pack_sequences")(
       graft.ops.TextAnalysis.packSequencesDocs(spark, out).count())
     time("dedup_incremental")(graft.ops.Dedup.incremental(spark, out).count())
+    time("text_mixture_sample")(
+      graft.ops.Curation.mixtureSampleDocs(spark, out).count())
+    time("text_select_budget_threshold")(
+      graft.ops.TextAnalysis.selectBudgetThreshold(spark, out).count())
+    // semantic dedup: k and therefore centroid/membership work grow with
+    // N by design — the quantity to watch is wall vs N with E|cluster|
+    // pinned at targetCluster
+    time("dedup_semantic")(graft.ops.Dedup.semantic(spark, out).count())
     // fixed-size benchmark (like the decontaminate probe): with the %11 demo
     // predicate every dup-dense doc has a twin INSIDE the benchmark set, so
     // the funnel correctly drops ~everything and times an empty corpus

@@ -168,9 +168,10 @@ object JsonEtl {
   private[etl] val PhoneRe = "\\+?[0-9][0-9\\-\\s()]{6,}[0-9]"
 
   /** In-place PII scrub of a string column (see [[redact]] for the audited
-    * document form) — used by Pipeline's config-driven `redact` key.
+    * document form) — used by Pipeline's config-driven `redact` key and the
+    * streaming curation gate (stateless, so it streams unchanged).
     */
-  private[etl] def scrub(c: Column): Column =
+  private[graft] def scrub(c: Column): Column =
     regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
 
   /** PII scrubbing — the pre-landing redaction step of an ingest pipeline:

@@ -70,8 +70,11 @@ object Curation {
     *
     * @param bps per-source keep rate in basis points (10000 = keep all)
     */
-  def mixtureSample(docs: DataFrame, bps: Map[String, Int],
-      defaultBps: Int): DataFrame = {
+  /** The mixture-membership predicate as a pure Column — shared between
+    * the batch sampler and the streaming curation gate (stateless, so it
+    * composes into readStream unchanged).
+    */
+  def mixturePredicate(bps: Map[String, Int], defaultBps: Int): org.apache.spark.sql.Column = {
     require(bps.values.forall(p => p >= 0 && p <= 10000)
       && defaultBps >= 0 && defaultBps <= 10000,
       s"rates are basis points in [0, 10000]: $bps default=$defaultBps")
@@ -80,10 +83,14 @@ object Curation {
       .foldLeft(lit(defaultBps).cast("long")) { case (acc, (src, p)) =>
         when(col("source") === src, lit(p.toLong)).otherwise(acc)
       }
-    docs.filter(h < threshold)
+    h < threshold
+  }
+
+  def mixtureSample(docs: DataFrame, bps: Map[String, Int],
+      defaultBps: Int): DataFrame =
+    docs.filter(mixturePredicate(bps, defaultBps))
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))
-  }
 
   /** The demo mixture the gate checks: full src0, three-quarters src1,
     * half src2, a quarter src3, 10% of everything else.

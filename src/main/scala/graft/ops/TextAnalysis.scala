@@ -32,14 +32,14 @@ object TextAnalysis {
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
 
   /** Whitespace tokens of the trimmed text. */
-  private def words(c: Column): Column = split(trim(c), "\\s+")
+  private[graft] def words(c: Column): Column = split(trim(c), "\\s+")
 
-  private val stopEn = Seq("the", "a", "of", "and", "to", "in", "is")
+  private[graft] val stopEn = Seq("the", "a", "of", "and", "to", "in", "is")
   private val stopFr = Seq("le", "la", "de", "et", "un", "est", "dans")
   private val stopEs = Seq("el", "los", "de", "y", "un", "es", "en")
   private val stopDe = Seq("der", "die", "das", "und", "ein", "ist", "zu")
 
-  private def hits(c: Column, stop: Seq[String]): Column =
+  private[graft] def hits(c: Column, stop: Seq[String]): Column =
     size(filter(words(c), w => w.isInCollection(stop))).cast(LongType)
 
   // ------------------------------------------------------------ token count
@@ -313,7 +313,10 @@ object TextAnalysis {
     val nWords = size(words(col("text"))).cast(LongType)
     val nPunct = length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast(LongType)
     val nStop  = hits(col("text"), stopEn)
-    docs(s, dir).select(col("doc_id"), nWords.as("n_tokens"),
+    // no docs()-style repartition: both consumers are scan-shaped (the
+    // histogram aggregates map-side, the filter is pure), so a hash
+    // exchange here would be a shuffle of document bodies for nothing
+    Tables(s, dir).documents.select(col("doc_id"), nWords.as("n_tokens"),
       ((nStop.cast(DoubleType) / nWords.cast(DoubleType)) * lit(0.5)
         + (nPunct.cast(DoubleType) / nChars.cast(DoubleType)) * lit(0.25)
         + (nChars.cast(DoubleType) / nWords.cast(DoubleType)) * lit(0.05))
@@ -343,10 +346,13 @@ object TextAnalysis {
     * rows), walk the tiny band histogram on the driver to find the lowest
     * band that still fits the budget whole, and keep every doc scoring
     * above it. No global sort, no single-partition window — the corpus
-    * pays one scan + one broadcast-predicate filter. Selection error is
-    * bounded by one band's tokens; the spec pins threshold-selected ⊆
-    * exact-selected (bands kept whole are a prefix of the exact ranking).
-    * Driver state is O(bands) — the IVF-centroid justification.
+    * pays the standard two-pass threshold algorithm (histogram scan +
+    * filter scan, both pruned to the 3-column scoring projection; at
+    * 100 TB you'd fold pass one into whatever scan precedes selection).
+    * Selection error is bounded by one band's tokens; the spec pins
+    * threshold-selected ⊆ exact-selected (bands kept whole are a prefix
+    * of the exact ranking). Driver state is O(bands) — the IVF-centroid
+    * justification.
     */
   def selectBudgetThreshold(s: SparkSession, dir: String,
       budget: Long = 10000L, bands: Int = 1000): DataFrame = {

@@ -160,6 +160,33 @@ object Streams {
       .join(corpusHashes.select(col("text_md5")), Seq("text_md5"), "left_anti")
       .dropDuplicatesWithinWatermark("text_md5")
 
+  /** Stateless curation gate on a live document stream — the continuous
+    * twin of the batch gate stages: language allow-list, stopword-ratio
+    * quality floor (curateCorpus's gate, same constants), deterministic
+    * mixture sampling (Curation.mixturePredicate — hash arithmetic, no
+    * RNG, so a replayed micro-batch keeps the same sample), and PII
+    * scrubbing (JsonEtl.scrub). Every stage is a pure column expression:
+    * zero streaming state, the plan is the batch plan under readStream,
+    * and StreamingSpec pins batch/stream row parity. The STATEFUL curation
+    * stages stay where state is managed: [[incrementalDedup]] (dedup) —
+    * compose downstream of this gate.
+    */
+  def curateGate(docs: DataFrame,
+      langs: Seq[String] = Seq("en", "fr", "es", "de", "zh"),
+      minStopRatio: Double = 0.05,
+      bps: Map[String, Int] = Map.empty, defaultBps: Int = 10000,
+      textCol: String = "text"): DataFrame = {
+    import graft.ops.TextAnalysis.{hits, stopEn, words}
+    val nWords = size(words(col(textCol))).cast("long")
+    val nStop = hits(col(textCol), stopEn)
+    docs
+      .filter(col("lang").isin(langs: _*))
+      .withColumn("stop_ratio", nStop.cast("double") / nWords.cast("double"))
+      .filter(col("stop_ratio") >= minStopRatio)
+      .filter(graft.ops.Curation.mixturePredicate(bps, defaultBps))
+      .withColumn(textCol, graft.etl.JsonEtl.scrub(col(textCol)))
+  }
+
   /** pyetl's multi-destination writer loop: one micro-batch, N sinks, via
     * foreachBatch. The batch is persisted once so each route filters the
     * cached data instead of re-reading the source.

@@ -157,4 +157,33 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/purchases").count() === 2)
     assert(spark.read.parquet(s"$dir/clicks").count() === 1)
   }
+
+  test("streaming curation gate emits exactly what the batch gate emits") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "src0", "en", "the fast sort of the data and the table is in order"),
+      (1L, "src1", "en", "zz zz zz zz zz zz zz zz zz zz"), // no stopwords → gated
+      (2L, "src0", "xx", "the quick a of and to"), // lang not allowed
+      (3L, "src1", "en", "mail me at a.b@example.com about the sort of the data"),
+      (4L, "src2", "de", "der die das und ein ist zu the a of and to in is"))
+    val cols = Seq("doc_id", "source", "lang", "text")
+    val bps = Map("src0" -> 10000, "src1" -> 10000)
+    val gate = (df: org.apache.spark.sql.DataFrame) =>
+      Streams.curateGate(df, bps = bps, defaultBps = 5000)
+    val batch = gate(docs.toDF(cols: _*)).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSet
+    val in = MemoryStream[(Long, String, String, String)]
+    in.addData(docs: _*)
+    runToMemory(gate(in.toDF().toDF(cols: _*)), "cg")
+    val streamed = spark.table("cg").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSet
+    assert(streamed === batch,
+      "a stateless gate must emit identical rows under readStream")
+    assert(batch.map(_._1).contains(0L) && !batch.map(_._1).contains(1L)
+      && !batch.map(_._1).contains(2L))
+    // the PII scrub ran inside the stream
+    val doc3 = streamed.find(_._1 == 3L)
+    doc3.foreach { case (_, t) => assert(t.contains("<EMAIL>") && !t.contains("example.com")) }
+  }
 }

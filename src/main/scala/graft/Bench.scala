@@ -30,6 +30,7 @@ object Bench {
     "text_tfidf", "text_editdist_nn", "text_decontaminate", "text_pack_sequences",
     "text_repetition", "text_heavy_hitters", "text_prepare_corpus",
     "text_mixture_sample", "text_select_budget_threshold",
+    "text_source_stats", "text_vocab_coverage",
     "mm_binary_meta", "mm_feature_extract", "mm_near_dup")
 
   /** One query per operator family, run (untimed) before measurement. q1

@@ -303,6 +303,59 @@ object TextAnalysis {
   def packSequencesDocs(s: SparkSession, dir: String): DataFrame =
     packSequences(Tables(s, dir).documents)
 
+  // ---------------------------------------------------------- source stats
+  /** Per-source corpus report — the input to designing mixture weights:
+    * doc/token/char volumes and micro-averaged quality ratios per source.
+    * Every aggregate is an exact BIGINT sum (associative, so partition
+    * order cannot perturb it — a double sum would hash-differ run to run);
+    * the ratios are single divisions of those sums. One scan, map-side
+    * combine into |sources| rows — free at any scale. Oracle-exact.
+    */
+  def sourceStats(s: SparkSession, dir: String): DataFrame = {
+    val nChars = length(col("text")).cast(LongType)
+    val nWords = size(words(col("text"))).cast(LongType)
+    val nPunct = length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast(LongType)
+    val nStop  = hits(col("text"), stopEn)
+    Tables(s, dir).documents
+      .select(col("source"), nChars.as("nc"), nWords.as("nw"),
+        nPunct.as("np"), nStop.as("ns"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("sum_tokens"),
+        sum(col("nc")).as("sum_chars"),
+        (sum(col("ns")).cast(DoubleType) / sum(col("nw")).cast(DoubleType))
+          .as("stop_ratio"),
+        (sum(col("np")).cast(DoubleType) / sum(col("nc")).cast(DoubleType))
+          .as("punct_ratio"))
+      .orderBy(col("source"))
+  }
+
+  // -------------------------------------------------------- vocab coverage
+  /** Vocabulary coverage — the OOV audit a tokenizer-training pipeline
+    * runs before freezing a vocab: top-V corpus words (count desc, word
+    * asc on ties — deterministic cross-engine), then each document's
+    * out-of-vocabulary token share. ONE corpus explode: word totals derive
+    * from the per-(doc, word) counts (tfidf's exchange-reuse trick), the
+    * V-row vocab broadcasts, and the per-doc ratio aggregates the
+    * already-collapsed counts — at 100 TB the only corpus-sized exchange
+    * is the (doc, word) combine. Oracle-exact.
+    */
+  def vocabCoverage(s: SparkSession, dir: String, vocabSize: Int = 100): DataFrame = {
+    val counts = docs(s, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("cnt"))
+    val vocab = counts.groupBy(col("word")).agg(sum(col("cnt")).as("n"))
+      .orderBy(col("n").desc, col("word")).limit(vocabSize)
+      .select(col("word"), lit(1L).as("in_vocab"))
+    counts.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        coalesce(sum(when(col("in_vocab").isNull, col("cnt"))), lit(0L)).as("n_oov"))
+      .withColumn("oov_ratio",
+        col("n_oov").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ budget selection
   /** (doc_id, n_tokens, quality_score) — the ranking inputs for
     * budget-constrained selection; the score mirrors [[quality]]'s blended
@@ -464,7 +517,9 @@ object TextAnalysis {
     "text_heavy_hitters" -> ((s: SparkSession, dir: String) => heavyHitters(s, dir)),
     "text_select_budget" -> ((s: SparkSession, dir: String) => selectBudget(s, dir)),
     "text_select_budget_threshold" ->
-      ((s: SparkSession, dir: String) => selectBudgetThreshold(s, dir)))
+      ((s: SparkSession, dir: String) => selectBudgetThreshold(s, dir)),
+    "text_source_stats" -> (sourceStats _),
+    "text_vocab_coverage" -> ((s: SparkSession, dir: String) => vocabCoverage(s, dir)))
 
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ",", ")")
   private def sqlHits(stop: Seq[String]) =
@@ -616,5 +671,27 @@ object TextAnalysis {
          |c AS (SELECT *, CAST(SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens FROM m)
          |SELECT doc_id, n_tokens, quality_score, cum_tokens FROM c
-         |WHERE cum_tokens - n_tokens < 10000 ORDER BY doc_id""".stripMargin)
+         |WHERE cum_tokens - n_tokens < 10000 ORDER BY doc_id""".stripMargin,
+    "text_source_stats" ->
+      s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS sum_tokens,
+         |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+         |  CAST(SUM(${sqlHits(stopEn)}) AS DOUBLE)
+         |    / CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS DOUBLE) AS stop_ratio,
+         |  CAST(SUM(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))) AS DOUBLE)
+         |    / CAST(SUM(length(text)) AS DOUBLE) AS punct_ratio
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "text_vocab_coverage" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+        |  FROM documents),
+        |c AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY 1, 2),
+        |v AS (SELECT word FROM (SELECT word, SUM(cnt) AS n FROM c GROUP BY 1
+        |    ORDER BY n DESC, word LIMIT 100)),
+        |j AS (SELECT c.doc_id, c.cnt,
+        |    CASE WHEN v.word IS NULL THEN c.cnt ELSE CAST(0 AS BIGINT) END AS oov
+        |  FROM c LEFT JOIN v ON c.word = v.word)
+        |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(oov) AS BIGINT) AS n_oov,
+        |  CAST(SUM(oov) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS oov_ratio
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

@@ -56,6 +56,53 @@ object Curation {
     TextAnalysis.packSequences(kept, numBuckets, budget)
   }
 
+  // ------------------------------------------------------------ resumable
+  /** Resumable form of [[prepareCorpus]] — the operational shape of a long
+    * corpus run: each funnel stage's id list is materialized under
+    * `workDir` and a rerun SKIPS stages whose `_SUCCESS` marker exists, so
+    * an interrupted run resumes at the first missing stage instead of
+    * re-paying the whole funnel (the LSH+components stage is ~all of its
+    * cost). pyetl's restartable loop, corpus-scale. Stage outputs are id
+    * lists — tiny relative to the corpus — so the storage cost is noise,
+    * and the check goes through the Hadoop FileSystem API so `workDir`
+    * can be HDFS/S3/local alike. The final assembly+packing is pure
+    * projection over the materialized lists and is recomputed per call.
+    */
+  def prepareCorpusResumable(s: SparkSession, dir: String, workDir: String,
+      numBuckets: Int = 8, budget: Long = 256,
+      isBenchmark: org.apache.spark.sql.Column = col("doc_id") % 11 === 0,
+      pairs: Option[DataFrame] = None): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(workDir).getFileSystem(s.sparkContext.hadoopConfiguration)
+    def donePath(name: String) = new Path(new Path(workDir, name), "_SUCCESS")
+    def stage(name: String)(f: => DataFrame): DataFrame = {
+      val out = new Path(workDir, name).toString
+      if (!fs.exists(donePath(name)))
+        f.write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+    }
+    val curated = stage("curated_ids")(
+      TextAnalysis.curateCorpus(s, dir).select(col("doc_id")))
+    val clean = stage("clean_ids")(
+      TextAnalysis.decontaminate(Tables(s, dir).documents, isBenchmark)
+        .filter(col("contaminated") === 0L).select(col("doc_id")))
+    // the dropped stage owns the labels cache for exactly as long as the
+    // write that drains it (same ownership contract as prepareCorpus)
+    if (!fs.exists(donePath("dropped_ids"))) {
+      val (labels, _) = Dedup.propagateMinLabels(
+        pairs.getOrElse(Dedup.minhashLsh(s, dir)))
+      labels.filter(col("canonical_id") =!= col("doc_id")).select(col("doc_id"))
+        .write.mode("overwrite").parquet(new Path(workDir, "dropped_ids").toString)
+      labels.unpersist()
+    }
+    val dropped = s.read.parquet(new Path(workDir, "dropped_ids").toString)
+    val kept = Tables(s, dir).documents
+      .join(curated, Seq("doc_id"), "left_semi")
+      .join(clean, Seq("doc_id"), "left_semi")
+      .join(dropped, Seq("doc_id"), "left_anti")
+    TextAnalysis.packSequences(kept, numBuckets, budget)
+  }
+
   // ------------------------------------------------------------ mixture
   /** Deterministic source-mixture sampling — the "data mixing" stage that
     * turns per-source weights into a training corpus (e.g. 100% of a

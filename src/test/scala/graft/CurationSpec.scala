@@ -71,6 +71,31 @@ class CurationSpec extends SparkSpec {
       "prepareCorpus must unpersist the propagateMinLabels cache it owns")
   }
 
+  test("resumable funnel: equals the one-shot funnel, and resumes, not recomputes") {
+    val work = java.nio.file.Files.createTempDirectory("graft-resume").toString
+    val first = Curation.prepareCorpusResumable(spark, sf, work).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("shard"))).toSet
+    assert(first === out.map(r => (r.getLong(0), r.getAs[Long]("shard"))).toSet,
+      "materialized stages must not change the result")
+    // stage markers exist
+    Seq("curated_ids", "clean_ids", "dropped_ids").foreach { st =>
+      assert(new java.io.File(s"$work/$st/_SUCCESS").exists(), st)
+    }
+    // delete ONE stage; a rerun rebuilds only that stage (the untouched
+    // stages keep their files — checked via directory mtime on local fs)
+    def mtime(st: String) = new java.io.File(s"$work/$st/_SUCCESS").lastModified()
+    val curatedBefore = mtime("curated_ids")
+    val droppedBefore = mtime("dropped_ids")
+    assert(new java.io.File(s"$work/clean_ids/_SUCCESS").delete())
+    val second = Curation.prepareCorpusResumable(spark, sf, work).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("shard"))).toSet
+    assert(second === first)
+    assert(mtime("curated_ids") === curatedBefore, "curated stage must be skipped")
+    assert(mtime("dropped_ids") === droppedBefore,
+      "dropped stage must be skipped — resuming is the point: the LSH cost is not re-paid")
+    assert(mtime("clean_ids") > 0, "clean stage was rebuilt")
+  }
+
   test("mixture sampling: full-rate sources survive whole, rates hold, no RNG") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val sample = Curation.mixtureSample(docs, Curation.DemoMix, defaultBps = 1000)

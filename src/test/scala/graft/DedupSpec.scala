@@ -205,4 +205,19 @@ class DedupSpec extends SparkSpec {
           "exists precisely to catch pairs split by a cell boundary)")
     }
   }
+
+  test("semantic membership is computed once at runtime (exchange reuse)") {
+    // the membership subplan (N·k cell scoring + window) feeds BOTH sides
+    // of the candidate self-join; with shuffle joins AQE must reuse its
+    // exchange, not score N·k twice. Broadcast is disabled because at test
+    // SF every join broadcasts and there is no exchange to reuse (at real
+    // scale the cell self-join is a shuffle join — this is that shape).
+    withConf("spark.sql.autoBroadcastJoinThreshold", "-1") {
+      val df = Dedup.semantic(spark, sf)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(plan.contains("ReusedExchange"),
+        s"membership must be computed once:\n${plan.take(1500)}")
+    }
+  }
 }

@@ -33,6 +33,13 @@ object Pipeline {
     *                       phone runs → typed tokens) before routing —
     *                       applied AFTER renames/lowercasing, so names here
     *                       refer to the output schema
+    * @param casts          column → Spark SQL type name, applied in place
+    *                       after renames/lowercasing (pyetl's type
+    *                       coercion); an unknown column or type fails fast
+    *                       naming the offender
+    * @param ingestFile     add an `ingest_file` column carrying the source
+    *                       file path (`_metadata.file_path` — pyetl's
+    *                       ingest-provenance metadata), free at any scale
     */
   def run(input: DataFrame, baseDir: String,
       routes: Map[String, Route],
@@ -43,7 +50,9 @@ object Pipeline {
       dropFields: Seq[String] = Nil,
       renames: Map[String, String] = Map.empty,
       lowercaseNames: Boolean = false,
-      redactCols: Seq[String] = Nil): Map[String, Long] = {
+      redactCols: Seq[String] = Nil,
+      casts: Map[String, String] = Map.empty,
+      ingestFile: Boolean = false): Map[String, Long] = {
     val parsed0 = jsonCol match {
       case Some(c) => jsonPaths.foldLeft(input) { case (df, (path, name)) =>
         df.withColumn(name, get_json_object(col(c), path))
@@ -71,9 +80,23 @@ object Pipeline {
     require(missingRedacts.isEmpty,
       s"redact column(s) [${missingRedacts.mkString(", ")}] not in schema: " +
         s"columns after rename/lowercase are [${shaped2.columns.mkString(", ")}]")
-    val shaped = redactCols.foldLeft(shaped2) { (df, c) =>
+    val shaped3 = redactCols.foldLeft(shaped2) { (df, c) =>
       df.withColumn(c, JsonEtl.scrub(col(c)))
     }
+    // type coercion (pyetl's coercion step) — same fail-fast courtesy:
+    // name the config key, don't surface a bare resolution error
+    val missingCasts = casts.keys.filterNot(shaped3.columns.contains)
+    require(missingCasts.isEmpty,
+      s"cast of nonexistent column(s) [${missingCasts.mkString(", ")}]: " +
+        s"columns after rename/lowercase are [${shaped3.columns.mkString(", ")}]")
+    val shaped4 = casts.foldLeft(shaped3) { case (df, (c, tpe)) =>
+      val t = try org.apache.spark.sql.types.DataType.fromDDL(tpe)
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"cast of column $c to unknown type '$tpe': ${e.getMessage}") }
+      df.withColumn(c, col(c).cast(t))
+    }
+    val shaped = if (ingestFile)
+      shaped4.withColumn("ingest_file", col("_metadata.file_path")) else shaped4
     val enriched = tsSecCol match {
       case Some(sec) => shaped.withColumn("day",
         date_format(timestamp_seconds(sec), "yyyy-MM-dd"))
@@ -152,6 +175,9 @@ object Pipeline {
         .getOrElse(Map.empty),
       lowercaseNames = opt("lowercaseNames").exists(_.asBoolean),
       redactCols = opt("redact")
-        .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil))
+        .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil),
+      casts = opt("casts").map(strMap(_).map { case (k, v) => k -> v.asText })
+        .getOrElse(Map.empty),
+      ingestFile = opt("ingestFile").exists(_.asBoolean))
   }
 }

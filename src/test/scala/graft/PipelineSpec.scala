@@ -115,6 +115,36 @@ class PipelineSpec extends SparkSpec {
       s"error should list the available columns: ${e.getMessage}")
   }
 
+  test("config casts coerce types in place; ingestFile records provenance") {
+    val dir = Files.createTempDirectory("graft-pipe-cast").toString
+    val config = s"""{
+      "input": {"path": "$sf/events.parquet", "format": "parquet"},
+      "baseDir": "$dir",
+      "casts": {"value": "string", "user_id": "int"},
+      "ingestFile": true,
+      "routes": {"all": {"predicate": "true"}}
+    }"""
+    Pipeline.runConfig(spark, config)
+    val out = spark.read.parquet(s"$dir/all")
+    assert(out.schema("value").dataType.typeName === "string")
+    assert(out.schema("user_id").dataType.typeName === "integer")
+    val files = out.select("ingest_file").distinct().collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("events.parquet")),
+      s"ingest_file must carry the source path: ${files.take(3).mkString(", ")}")
+  }
+
+  test("config validation: casting a nonexistent column or unknown type names it") {
+    val badCol = s"""{"input": {"path": "$sf/events.parquet"}, "baseDir": "/tmp/x",
+      "casts": {"ghost": "string"}, "routes": {"all": {"predicate": "true"}}}"""
+    val e1 = intercept[IllegalArgumentException](Pipeline.runConfig(spark, badCol))
+    assert(e1.getMessage.contains("ghost"), e1.getMessage)
+    val badType = s"""{"input": {"path": "$sf/events.parquet"}, "baseDir": "/tmp/x",
+      "casts": {"value": "not_a_type"}, "routes": {"all": {"predicate": "true"}}}"""
+    val e2 = intercept[IllegalArgumentException](Pipeline.runConfig(spark, badType))
+    assert(e2.getMessage.contains("value") && e2.getMessage.contains("not_a_type"),
+      e2.getMessage)
+  }
+
   test("config field surgery: dropFields, renames, lowercaseNames (pyetl REMOVE_FIELDS)") {
     val dir = Files.createTempDirectory("graft-pipe-shape").toString
     val config = s"""{

@@ -39,26 +39,34 @@ object Profile {
     describe(Tables(s, dir).documents, Seq("doc_id", "lang", "source", "n_chars"))
 
   /** Deterministic per-stratum hash sampling: keep a row iff
-    * xxhash64(keyCol, seed) mod 1000 < fraction·1000 for its stratum.
-    * Unlike rand()-based sampleBy, reruns/retries/backfills select the
-    * SAME rows — the property that keeps a 100 TB pipeline idempotent.
+    * bucket(keyCol) mod 1000 < fraction·1000 for its stratum. Unlike
+    * rand()-based sampleBy, reruns/retries/backfills select the SAME
+    * rows — the property that keeps a 100 TB pipeline idempotent.
+    *
+    * @param bucket 0-999 bucket per row; defaults to seeded xxhash64 of
+    *   keyCol — the right mixing for arbitrary keys, but engine-internal.
+    *   Callers with integer keys can pass the Knuth multiplicative bucket
+    *   (as [[sampleDocuments]] does) to make the selection cross-engine
+    *   reproducible and therefore oracle-checkable.
     */
   def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,
-      fractions: Map[String, Double], seed: Int = 42): DataFrame = {
-    val bucket = pmod(xxhash64(col(keyCol), lit(seed)), lit(1000L))
+      fractions: Map[String, Double], seed: Int = 42,
+      bucket: Option[Column] = None): DataFrame = {
+    val b = bucket.getOrElse(pmod(xxhash64(col(keyCol), lit(seed)), lit(1000L)))
     val keep = fractions.foldLeft(lit(false)) { case (acc, (stratum, f)) =>
-      acc || (col(stratumCol) === stratum && bucket < (f * 1000).toLong)
+      acc || (col(stratumCol) === stratum && b < (f * 1000).toLong)
     }
     df.filter(keep)
   }
 
-  /** Stratified documents sample: half the English corpus, 20% of the rest
-    * (rows-only: bucket hashes are engine-internal; ProfileSpec pins the
-    * per-stratum rates and rerun determinism).
+  /** Stratified documents sample: half the English corpus, 20% of the
+    * rest, bucketed by exact integer arithmetic on doc_id (mixtureSample's
+    * Knuth hash) — deterministic in BOTH engines, hence oracle-exact.
     */
   def sampleDocuments(s: SparkSession, dir: String): DataFrame =
     stratifiedSample(Tables(s, dir).documents, "lang", "doc_id",
-      Map("en" -> 0.5, "fr" -> 0.2, "es" -> 0.2, "de" -> 0.2, "zh" -> 0.2))
+      Map("en" -> 0.5, "fr" -> 0.2, "es" -> 0.2, "de" -> 0.2, "zh" -> 0.2),
+      bucket = Some(pmod(col("doc_id") * lit(2654435761L), lit(1000L))))
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
@@ -82,5 +90,11 @@ object Profile {
         |  UNION ALL
         |  SELECT 'n_chars', COUNT(*) FILTER (n_chars IS NULL), COUNT(DISTINCT n_chars),
         |    CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM documents
-        |) ORDER BY "column"""".stripMargin)
+        |) ORDER BY "column"""".stripMargin,
+    "text_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (doc_id * 2654435761) % 1000 <
+        |  CASE lang WHEN 'en' THEN 500 WHEN 'fr' THEN 200 WHEN 'es' THEN 200
+        |    WHEN 'de' THEN 200 WHEN 'zh' THEN 200 ELSE -1 END
+        |ORDER BY doc_id""".stripMargin)
 }

@@ -193,8 +193,44 @@ object JsonEtl {
   def redactDocs(s: SparkSession, dir: String): DataFrame =
     redact(Tables(s, dir).documents, "text")
 
+  // ------------------------------------------------------------ quality audit
+  /** Data-quality audit — the validation pass a config-driven ingest runs
+    * before promoting a landing zone: one row per rule with its violation
+    * count (zero rows are still reported, so a silently-empty rule can't
+    * pass unnoticed). Each table contributes ONE scan with all of its
+    * rules as conditional counts (a rule-per-query formulation would scan
+    * events three times); the referential-integrity rule is the only
+    * shuffle, and it's the standard anti-join shape. At 100 TB this is a
+    * handful of scans producing a seven-row frame — driver-safe.
+    */
+  def qualityAudit(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    def cnt(c: Column): Column = count(when(c, 1))
+    val ev = t.events.agg(
+      cnt(col("user_id").isNull).as("events_null_user"),
+      cnt(get_json_object(col("props"), "$.k").isNull).as("events_bad_props"),
+      cnt(col("value") < 0).as("events_negative_value"))
+    val ord = t.orders.agg(
+      cnt(col("o_totalprice") <= 0).as("orders_nonpositive_total"))
+    val docs = t.documents.agg(
+      cnt(length(col("text")) =!= col("n_chars")).as("documents_nchars_mismatch"),
+      cnt(col("text").isNull || length(col("text")) === 0).as("documents_empty"),
+      cnt(col("n_chars") < 100).as("documents_short_text"))
+    val orphan = t.lineitem.select(col("l_orderkey"))
+      .join(t.orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("lineitem_orphan_order"))
+    def unpivot(df: DataFrame): Seq[DataFrame] =
+      df.columns.toSeq.map(c =>
+        df.select(lit(c).as("rule"), col(c).as("n_violations")))
+    (unpivot(ev) ++ unpivot(ord) ++ unpivot(docs) ++ unpivot(orphan))
+      .reduce(_ union _)
+      .orderBy(col("rule"))
+  }
+
   // =================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_quality_audit"    -> (qualityAudit _),
     "etl_redact"           -> (redactDocs _),
     "etl_json_extract"     -> (jsonExtract _),
     "etl_enrich_partition" -> (enrichPartition _),
@@ -209,6 +245,30 @@ object JsonEtl {
     * the nanos long.
     */
   val oracles: Map[String, String] = Map(
+    "etl_quality_audit" ->
+      """WITH ev AS (SELECT
+        |    COUNT(*) FILTER (user_id IS NULL) AS events_null_user,
+        |    COUNT(*) FILTER (json_extract(props, '$.k') IS NULL) AS events_bad_props,
+        |    COUNT(*) FILTER (value < 0) AS events_negative_value
+        |  FROM events),
+        |ord AS (SELECT COUNT(*) FILTER (o_totalprice <= 0) AS orders_nonpositive_total
+        |  FROM orders),
+        |docs AS (SELECT
+        |    COUNT(*) FILTER (length(text) <> n_chars) AS documents_nchars_mismatch,
+        |    COUNT(*) FILTER (text IS NULL OR length(text) = 0) AS documents_empty,
+        |    COUNT(*) FILTER (n_chars < 100) AS documents_short_text
+        |  FROM documents),
+        |orph AS (SELECT COUNT(*) AS lineitem_orphan_order FROM lineitem
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey))
+        |SELECT 'events_null_user' AS rule, events_null_user AS n_violations FROM ev
+        |UNION ALL SELECT 'events_bad_props', events_bad_props FROM ev
+        |UNION ALL SELECT 'events_negative_value', events_negative_value FROM ev
+        |UNION ALL SELECT 'orders_nonpositive_total', orders_nonpositive_total FROM ord
+        |UNION ALL SELECT 'documents_nchars_mismatch', documents_nchars_mismatch FROM docs
+        |UNION ALL SELECT 'documents_empty', documents_empty FROM docs
+        |UNION ALL SELECT 'documents_short_text', documents_short_text FROM docs
+        |UNION ALL SELECT 'lineitem_orphan_order', lineitem_orphan_order FROM orph
+        |ORDER BY rule""".stripMargin,
     "etl_redact" ->
       """SELECT doc_id,
         |  regexp_replace(regexp_replace(text,

@@ -32,6 +32,11 @@ object Relational {
     */
   private def epochS(c: Column): Column =
     c.cast(org.apache.spark.sql.types.TimestampType).cast(LongType)
+  /** Floor epoch-seconds from events.ts, which Spark 4 reads as a
+    * nanos-epoch LongType (see JsonEtl's scaladoc; DuckDB truncates the
+    * same parquet value to micros, so floor-seconds agree).
+    */
+  private def evSec(c: Column): Column = (c / lit(1000000000L)).cast(LongType)
 
   // ---------------------------------------------------------------- q1
   /** Pricing summary: the canonical map-side-combinable aggregation. At
@@ -420,6 +425,79 @@ object Relational {
         col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
   }
 
+  // ---------------------------------------------------------------- retention
+  /** Cohort retention matrix over events: cohort = a user's first active
+    * day, cell = distinct users from that cohort active `day_offset` days
+    * later. Two aggregations, both keyed by user_id, so the events shuffle
+    * is paid once and reused for the self-join; at 100 TB the cohort map is
+    * tiny (one row per user, partial-aggregated map-side) and the final
+    * matrix is days², independent of event volume.
+    */
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir).events
+      .select(col("user_id"),
+        floor(evSec(col("ts")) / lit(86400L)).cast(LongType).as("day"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ev.join(first, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  // ---------------------------------------------------------------- funnel
+  /** Ordered funnel conversion (view → click → purchase): a user advances a
+    * stage only with an event at-or-after their previous stage's first
+    * event. Each stage is a per-user min over a filtered slice joined to
+    * the previous stage — every shuffle is on user_id, so the three stage
+    * aggregations and the final assembly co-partition; stage frames shrink
+    * monotonically (funnels only lose users), so AQE broadcasts the later
+    * joins at scale.
+    */
+  def funnelConversion(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir).events
+      .select(col("user_id"), col("event_type"), evSec(col("ts")).as("sec"))
+    val view = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("sec")).as("t_view"))
+    val click = ev.filter(col("event_type") === "click")
+      .join(view, "user_id").filter(col("sec") >= col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("sec")).as("t_click"))
+    val purchase = ev.filter(col("event_type") === "purchase")
+      .join(click, "user_id").filter(col("sec") >= col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("sec")).as("t_purchase"))
+    ev.select(col("user_id")).distinct()
+      .join(view, Seq("user_id"), "left")
+      .join(click, Seq("user_id"), "left")
+      .join(purchase, Seq("user_id"), "left")
+      .groupBy((col("user_id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_users"),
+        count(col("t_view")).as("n_view"),
+        count(col("t_click")).as("n_view_click"),
+        count(col("t_purchase")).as("n_funnel"))
+      .orderBy(col("bucket"))
+  }
+
+  // ---------------------------------------------------------------- islands
+  /** Gaps-and-islands: maximal runs of consecutive active months per
+    * customer (the classic m - row_number() grouping trick — one window
+    * over the distinct (customer, month) frame, which is orders-of-
+    * magnitude smaller than the orders table it summarizes, then one
+    * aggregation on the same partitioning key).
+    */
+  def orderIslands(s: SparkSession, dir: String): DataFrame = {
+    val m = (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast(LongType)
+    val months = Tables(s, dir).orders
+      .select(col("o_custkey"), m.as("m")).distinct()
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("m"))
+    months
+      .select(col("o_custkey"), col("m"),
+        (col("m") - row_number().over(w)).as("grp"))
+      .groupBy(col("o_custkey"), col("grp"))
+      .agg(min(col("m")).as("start_month"), max(col("m")).as("end_month"),
+        count(lit(1)).as("n_months"))
+      .select(col("o_custkey"), col("start_month"), col("end_month"), col("n_months"))
+      .orderBy(col("o_custkey"), col("start_month"))
+  }
+
   // ---------------------------------------------------------------- string agg
   /** Deterministic LISTAGG: per-nation roster as a sorted comma-joined
     * string. sort_array(collect_list(...)) gives an order-independent
@@ -469,9 +547,48 @@ object Relational {
     "q_union_dedup"       -> (unionDedup _),
     "q_range_join"        -> (rangeJoin _),
     "q_grouping_sets"     -> (groupingSetsAgg _),
-    "q_string_agg"        -> (stringAgg _))
+    "q_string_agg"        -> (stringAgg _),
+    "q_retention"         -> (retentionCohorts _),
+    "q_funnel"            -> (funnelConversion _),
+    "q_order_islands"     -> (orderIslands _))
 
   val oracles: Map[String, String] = Map(
+    "q_retention" ->
+      """WITH ev AS (SELECT user_id, epoch_ms(ts)//1000//86400 AS day FROM events),
+        |f AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id)
+        |SELECT f.cohort_day, ev.day - f.cohort_day AS day_offset,
+        |  COUNT(DISTINCT ev.user_id) AS n_active
+        |FROM ev JOIN f ON ev.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_ms(ts)//1000 AS sec FROM events),
+        |u AS (SELECT DISTINCT user_id FROM ev),
+        |v AS (SELECT user_id, MIN(sec) AS t_view FROM ev
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.sec) AS t_click FROM ev e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.sec >= v.t_view GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.sec) AS t_purchase FROM ev e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.sec >= c.t_click GROUP BY e.user_id)
+        |SELECT u.user_id % 10 AS bucket, COUNT(*) AS n_users,
+        |  COUNT(v.t_view) AS n_view, COUNT(c.t_click) AS n_view_click,
+        |  COUNT(p.t_purchase) AS n_funnel
+        |FROM u LEFT JOIN v ON u.user_id = v.user_id
+        |LEFT JOIN c ON u.user_id = c.user_id
+        |LEFT JOIN p ON u.user_id = p.user_id
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_order_islands" ->
+      """WITH months AS (SELECT DISTINCT o_custkey,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m
+        |  FROM orders),
+        |g AS (SELECT o_custkey, m,
+        |    m - ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY m) AS grp
+        |  FROM months)
+        |SELECT o_custkey, MIN(m) AS start_month, MAX(m) AS end_month,
+        |  COUNT(*) AS n_months
+        |FROM g GROUP BY o_custkey, grp
+        |ORDER BY o_custkey, start_month""".stripMargin,
     "q_string_agg" ->
       """SELECT n_name, COUNT(*) AS n_suppliers,
         |  string_agg(s_name, ',' ORDER BY s_name) AS roster

@@ -179,4 +179,22 @@ class EtlSpec extends SparkSpec {
     assert(out(2L)._2 === 2L && out(2L)._3 === 0L)
     assert(out(3L) === (("clean text with no pii at all", 0L, 0L)))
   }
+
+  test("quality audit reports every rule and counts match direct recomputation") {
+    val out = JsonEtl.qualityAudit(spark, sf).collect()
+      .map(r => r.getAs[String]("rule") -> r.getAs[Long]("n_violations")).toMap
+    assert(out.keySet === Set(
+      "events_null_user", "events_bad_props", "events_negative_value",
+      "orders_nonpositive_total", "documents_nchars_mismatch",
+      "documents_empty", "documents_short_text", "lineitem_orphan_order"))
+    // one rule recomputed directly proves the conditional counts aren't
+    // accidentally counting all rows (a broken `when` would)
+    val short = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("n_chars") < 100).count()
+    assert(out("documents_short_text") === short)
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out("documents_nchars_mismatch") < total,
+      "a rule counting every row means the predicate is broken")
+    out.values.foreach(v => assert(v >= 0L))
+  }
 }

@@ -77,4 +77,69 @@ class RelationalSpec extends SparkSpec {
       assert(roster === roster.sorted, "roster must be deterministically sorted")
     }
   }
+
+  test("retention: offset-0 diagonal is the cohort size and no cell exceeds it") {
+    val out = Relational.retentionCohorts(spark, sf).collect()
+    assert(out.nonEmpty)
+    val day0 = out.filter(_.getAs[Long]("day_offset") == 0L)
+      .map(r => r.getAs[Long]("cohort_day") -> r.getAs[Long]("n_active")).toMap
+    out.foreach { r =>
+      val cohort = r.getAs[Long]("cohort_day")
+      assert(day0.contains(cohort), s"cohort $cohort missing its offset-0 cell")
+      assert(r.getAs[Long]("n_active") <= day0(cohort),
+        "no offset can retain more users than the cohort started with")
+      assert(r.getAs[Long]("day_offset") >= 0L, "first day defines the cohort")
+    }
+    val nUsers = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id").distinct().count()
+    assert(day0.values.sum === nUsers, "cohorts partition the user base")
+  }
+
+  test("funnel matches a brute-force per-user recomputation") {
+    val events = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), col("event_type"),
+        (col("ts") / 1000000000L).cast("long").as("sec"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"), r.getAs[Long]("sec")))
+    val byUser = events.groupBy(_._1)
+    val expected = byUser.toSeq.map { case (uid, evs) =>
+      def minAfter(tp: String, from: Option[Long]): Option[Long] =
+        from.flatMap(f => evs.filter(e => e._2 == tp && e._3 >= f)
+          .map(_._3).minOption)
+      val tView = evs.filter(_._2 == "view").map(_._3).minOption
+      val tClick = minAfter("click", tView)
+      val tPurchase = minAfter("purchase", tClick)
+      (uid % 10, tView.isDefined, tClick.isDefined, tPurchase.isDefined)
+    }.groupBy(_._1).map { case (bucket, us) =>
+      bucket -> (us.size.toLong, us.count(_._2).toLong, us.count(_._3).toLong,
+        us.count(_._4).toLong)
+    }
+    val got = Relational.funnelConversion(spark, sf).collect()
+      .map(r => r.getAs[Long]("bucket") -> (r.getAs[Long]("n_users"),
+        r.getAs[Long]("n_view"), r.getAs[Long]("n_view_click"),
+        r.getAs[Long]("n_funnel"))).toMap
+    assert(got === expected)
+    got.values.foreach { case (u, v, c, p) =>
+      assert(u >= v && v >= c && c >= p, "funnel stages only lose users")
+    }
+  }
+
+  test("order islands match a brute-force gaps-and-islands recomputation") {
+    val months = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long").as("m"))
+      .distinct().collect()
+      .map(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("m")))
+    val expected = months.groupBy(_._1).toSeq.flatMap { case (cust, ms) =>
+      val sorted = ms.map(_._2).distinct.sorted
+      sorted.foldLeft(List.empty[(Long, Long)]) {
+        case ((s0, e0) :: rest, m) if m == e0 + 1 => (s0, m) :: rest
+        case (acc, m) => (m, m) :: acc
+      }.map { case (s0, e0) => (cust, s0, e0, e0 - s0 + 1) }
+    }.toSet
+    val got = Relational.orderIslands(spark, sf).collect()
+      .map(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("start_month"),
+        r.getAs[Long]("end_month"), r.getAs[Long]("n_months"))).toSet
+    assert(got === expected)
+  }
 }

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 import graft.Tables
 import graft.functions.cosine_sim
 
@@ -238,8 +238,49 @@ object Similarity {
     topkPerQuery(scored)
   }
 
+  // ------------------------------------------------------------ centroids
+  /** Per-label exact centroids — the audit a clustering/IVF pipeline runs
+    * on its label assignments (and the ground truth for mixture-weight
+    * design over embedding classes). Exactness tier: per-dim sums fold the
+    * sorted (by vec_id) per-label vector list in order, reproducing
+    * DuckDB's `list_reduce(list(... ORDER BY vec_id))` bit-for-bit — a
+    * plain double `sum()` would be partition-order dependent. The
+    * collect_list is bounded by label cardinality × dim at test SF; the
+    * 100 TB shape is [[labelCentroidsPartial]], which trades bit-equality
+    * for map-side partial aggregation.
+    */
+  def labelCentroids(s: SparkSession, dir: String, dim: Int = 64): DataFrame =
+    Tables(s, dir).embeddings
+      .groupBy(col("label").cast(LongType).as("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("vs"))
+      .select(col("label"), col("n_vecs"), col("vs"),
+        explode(sequence(lit(0L), lit((dim - 1).toLong))).as("dim"))
+      .select(col("label"), col("dim"), col("n_vecs"),
+        (aggregate(col("vs"), lit(0.0), (acc, v) =>
+          acc + element_at(v("embedding"), (col("dim") + 1).cast("int")).cast(DoubleType))
+          / col("n_vecs").cast(DoubleType)).as("centroid"))
+      .orderBy(col("label"), col("dim"))
+
+  /** The scale tier of [[labelCentroids]]: posexplode to (label, dim,
+    * component) and let a plain partial-aggregated double sum do the work —
+    * one shuffle of (labels × dim) partial sums regardless of corpus size,
+    * no per-group list state. Within ~1e-9 of the exact tier (summation
+    * order differs); SimilaritySpec pins the agreement.
+    */
+  def labelCentroidsPartial(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).embeddings
+      .select(col("label").cast(LongType).as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim").cast(LongType).as("dim"))
+      .agg((sum(col("x").cast(DoubleType)) / count(lit(1))).as("centroid"),
+        count(lit(1)).as("n_vecs"))
+      .select(col("label"), col("dim"), col("n_vecs"), col("centroid"))
+      .orderBy(col("label"), col("dim"))
+
   // =================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_label_centroids" -> ((s: SparkSession, dir: String) => labelCentroids(s, dir)),
     "ann_bruteforce_topk" -> (bruteforceTopk _),
     "ann_lsh_topk"        -> ((s: SparkSession, dir: String) => lshTopk(s, dir)),
     "ann_ivf_topk"        -> (ivfTopk _))
@@ -248,6 +289,17 @@ object Similarity {
     * asserts recall@5 vs brute force.
     */
   val oracles: Map[String, String] = Map(
+    "emb_label_centroids" ->
+      """WITH packed AS (
+        |  SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n_vecs,
+        |    list(embedding ORDER BY vec_id) AS vs
+        |  FROM embeddings GROUP BY 1),
+        |dims AS (SELECT label, n_vecs, vs, i AS dim
+        |  FROM packed, generate_series(0, 63) t(i))
+        |SELECT label, dim, n_vecs,
+        |  list_reduce(list_transform(vs, v -> CAST(v[CAST(dim + 1 AS INT)] AS DOUBLE)),
+        |    (a, b) -> a + b) / CAST(n_vecs AS DOUBLE) AS centroid
+        |FROM dims ORDER BY label, dim""".stripMargin,
     "ann_bruteforce_topk" ->
       """WITH v AS (SELECT vec_id, embedding,
         |  sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)),

@@ -303,6 +303,34 @@ object TextAnalysis {
   def packSequencesDocs(s: SparkSession, dir: String): DataFrame =
     packSequences(Tables(s, dir).documents)
 
+  // ------------------------------------------------------------ chunking
+  /** Sliding-window document chunking — the context-window split a training
+    * pipeline applies to long documents: windows of `window` tokens every
+    * `stride` tokens, last window clipped to the document (every token is
+    * covered, consecutive chunks overlap by window − stride). Chunk count
+    * and boundaries are pure integer arithmetic on the whitespace token
+    * count, so the op is an explode-only map stage — no shuffle, no state;
+    * at 100 TB it rides the ingest scan. Oracle-exact.
+    */
+  def chunkDocuments(docsDf: DataFrame, window: Int = 50, stride: Int = 40): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val lastIdx = when(col("n_tok") <= window, lit(0L))
+      .otherwise(floor((col("n_tok") - window + stride - 1) / lit(stride)).cast(LongType))
+    val start = col("chunk_idx") * stride
+    val end = least(start + window, col("n_tok"))
+    docsDf
+      .select(col("doc_id"), size(words(col("text"))).cast(LongType).as("n_tok"))
+      .select(col("doc_id"), col("n_tok"),
+        explode(sequence(lit(0L), lastIdx)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"), start.as("start_tok"),
+        end.as("end_tok"), (end - start).as("n_chunk_tokens"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  def chunkDocumentsQuery(s: SparkSession, dir: String): DataFrame =
+    chunkDocuments(Tables(s, dir).documents)
+
   // ---------------------------------------------------------- source stats
   /** Per-source corpus report — the input to designing mixture weights:
     * doc/token/char volumes and micro-averaged quality ratios per source.
@@ -519,13 +547,28 @@ object TextAnalysis {
     "text_select_budget_threshold" ->
       ((s: SparkSession, dir: String) => selectBudgetThreshold(s, dir)),
     "text_source_stats" -> (sourceStats _),
-    "text_vocab_coverage" -> ((s: SparkSession, dir: String) => vocabCoverage(s, dir)))
+    "text_vocab_coverage" -> ((s: SparkSession, dir: String) => vocabCoverage(s, dir)),
+    "text_chunk_documents" -> (chunkDocumentsQuery _))
 
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ",", ")")
   private def sqlHits(stop: Seq[String]) =
     s"len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w IN ${sqlList(stop)}))"
 
   val oracles: Map[String, String] = Map(
+    "text_chunk_documents" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |    CASE WHEN n_tok <= 50 THEN 0 ELSE (n_tok - 50 + 39) // 40 END AS last_idx
+        |  FROM d),
+        |x AS (SELECT doc_id, n_tok,
+        |    unnest(generate_series(0, last_idx)) AS chunk_idx
+        |  FROM c)
+        |SELECT doc_id, chunk_idx, chunk_idx * 40 AS start_tok,
+        |  LEAST(chunk_idx * 40 + 50, n_tok) AS end_tok,
+        |  LEAST(chunk_idx * 40 + 50, n_tok) - chunk_idx * 40 AS n_chunk_tokens
+        |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
     "text_editdist_nn" ->
       """WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len FROM documents),
         |q AS (SELECT doc_id AS query_id, text AS qt, len AS ql FROM d WHERE doc_id < 10),

@@ -93,4 +93,24 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"),
       "assignment should be a (partial) aggregation")
   }
+
+  test("label centroids: partial-agg scale tier agrees with the exact fold tier") {
+    val exact = Similarity.labelCentroids(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val partial = Similarity.labelCentroidsPartial(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(exact.keySet === partial.keySet)
+    exact.foreach { case (k, (n, c)) =>
+      val (pn, pc) = partial(k)
+      assert(pn === n, s"$k: vector counts must match")
+      // only summation ORDER differs between the tiers; at these magnitudes
+      // double reassociation error is bounded well under 1e-9
+      assert(math.abs(pc - c) < 1e-9, s"$k: exact=$c partial=$pc")
+    }
+    val total = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val dims = exact.keySet.map(_._2).size
+    assert(exact.map { case ((l, _), (n, _)) => (l, n) }.toSeq.distinct
+      .map(_._2).sum === total, "per-label counts partition the corpus")
+    assert(dims === 64)
+  }
 }

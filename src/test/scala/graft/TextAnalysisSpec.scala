@@ -184,4 +184,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(th.map(_._2).sum <= budget,
       "whole-band selection cannot overshoot the budget")
   }
+
+  test("chunking covers every token, overlaps by window-stride, clips the tail") {
+    import spark.implicits._
+    val probe = Seq(
+      (1L, (1 to 130).map(i => s"w$i").mkString(" ")), // 130 tokens: 3 chunks
+      (2L, (1 to 50).map(i => s"w$i").mkString(" ")),  // exactly one window
+      (3L, (1 to 51).map(i => s"w$i").mkString(" ")),  // one token past: 2 chunks
+      (4L, "single"),                                   // tiny doc: 1 chunk
+      (5L, "")).toDF("doc_id", "text")                  // empty: split -> [""], 1 chunk
+    val out = TextAnalysis.chunkDocuments(probe, window = 50, stride = 40)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc(1L).length === 3 && byDoc(2L).length === 1
+      && byDoc(3L).length === 2 && byDoc(4L).length === 1 && byDoc(5L).length === 1)
+    byDoc.values.foreach { chunks =>
+      val sorted = chunks.sortBy(_._2)
+      assert(sorted.head._3 === 0L, "first chunk starts at token 0")
+      sorted.foreach { case (_, _, s0, e0, n) =>
+        assert(n === e0 - s0 && n > 0 && n <= 50) }
+      sorted.sliding(2).foreach {
+        case Array((_, i1, s1, e1, _), (_, i2, s2, _, _)) =>
+          assert(i2 === i1 + 1 && s2 === s1 + 40 && s2 < e1,
+            "consecutive chunks advance by stride and overlap")
+        case _ =>
+      }
+    }
+    // doc 1: 130 tokens -> last chunk must end exactly at 130
+    assert(byDoc(1L).map(_._4).max === 130L)
+  }
 }

@@ -21,8 +21,10 @@ object Bench {
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q_window_running", "q_rank_in_group", "q_range_join", "q_rollup",
     "q_asof_join", "q_topk_orders", "q_grouping_sets",
+    "q_retention", "q_funnel", "q_order_islands",
     "etl_json_extract", "etl_latest_by_key", "etl_sessionize",
     "etl_tumbling_window", "etl_sliding_window", "etl_redact",
+    "etl_quality_audit", "etl_scd2",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
     "dedup_components", "dedup_incremental", "dedup_semantic",
     "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk",
@@ -30,7 +32,8 @@ object Bench {
     "text_tfidf", "text_editdist_nn", "text_decontaminate", "text_pack_sequences",
     "text_repetition", "text_heavy_hitters", "text_prepare_corpus",
     "text_mixture_sample", "text_select_budget_threshold",
-    "text_source_stats", "text_vocab_coverage",
+    "text_source_stats", "text_vocab_coverage", "text_chunk_documents",
+    "text_span_dedup", "emb_label_centroids",
     "mm_binary_meta", "mm_feature_extract", "mm_near_dup")
 
   /** One query per operator family, run (untimed) before measurement. q1

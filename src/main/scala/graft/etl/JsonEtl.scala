@@ -193,6 +193,30 @@ object JsonEtl {
   def redactDocs(s: SparkSession, dir: String): DataFrame =
     redact(Tables(s, dir).documents, "text")
 
+  // ------------------------------------------------------------ scd2
+  /** Slowly-changing-dimension type-2 build from a change log — the
+    * warehouse twin of [[latestByKey]]: instead of keeping only the latest
+    * record per key, every change becomes a versioned row with a validity
+    * interval ([valid_from, valid_to) in floor-seconds; the open row has a
+    * NULL valid_to and is_current = 1). One shuffle on the key + one
+    * window; the per-key sort that lead() needs shares the shuffle. Both
+    * engines order by (floor-sec, event_id) — ordering by the raw nanos ts
+    * would diverge where DuckDB has truncated to micros.
+    */
+  def scd2(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    Tables(s, dir).events
+      .filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id"), col("value"),
+        tsSec(col("ts")).as("sec"))
+      .withColumn("valid_to", lead(col("sec"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("sec").as("valid_from"), col("valid_to"),
+        when(col("valid_to").isNull, 1L).otherwise(0L).as("is_current"))
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+  }
+
   // ------------------------------------------------------------ quality audit
   /** Data-quality audit — the validation pass a config-driven ingest runs
     * before promoting a landing zone: one row per rule with its violation
@@ -231,6 +255,7 @@ object JsonEtl {
   // =================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_quality_audit"    -> (qualityAudit _),
+    "etl_scd2"             -> (scd2 _),
     "etl_redact"           -> (redactDocs _),
     "etl_json_extract"     -> (jsonExtract _),
     "etl_enrich_partition" -> (enrichPartition _),
@@ -245,6 +270,16 @@ object JsonEtl {
     * the nanos long.
     */
   val oracles: Map[String, String] = Map(
+    "etl_scd2" ->
+      """SELECT user_id, event_id, value,
+        |  epoch_ms(ts)//1000 AS valid_from,
+        |  LEAD(epoch_ms(ts)//1000) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_ms(ts)//1000, event_id) AS valid_to,
+        |  CAST(CASE WHEN LEAD(epoch_ms(ts)//1000) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_ms(ts)//1000, event_id) IS NULL
+        |    THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM events WHERE event_type = 'signup'
+        |ORDER BY user_id, valid_from, event_id""".stripMargin,
     "etl_quality_audit" ->
       """WITH ev AS (SELECT
         |    COUNT(*) FILTER (user_id IS NULL) AS events_null_user,

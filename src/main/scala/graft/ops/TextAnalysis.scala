@@ -274,6 +274,49 @@ object TextAnalysis {
   def decontaminateDocs(s: SparkSession, dir: String): DataFrame =
     decontaminate(Tables(s, dir).documents, col("doc_id") % 11 === 0)
 
+  // ------------------------------------------------------------ span dedup
+  /** Span-level exact-substring dedup signal (the span-granular form of
+    * Lee et al.'s exact substring dedup): for every document, how many of
+    * its DISTINCT word [[n]]-grams also occur in at least one other
+    * document, plus the shared share — the signal a pipeline thresholds to
+    * drop boilerplate-heavy docs that whole-doc hashing misses.
+    *
+    * Scale shape: one shingle pass produces the distinct (doc, gram) pairs
+    * aggregate; the gram-frequency table, the per-doc shared counts and the
+    * per-doc totals all derive from that one frame (its exchange is reused
+    * at runtime, same pattern as tfIdf), so the corpus is shingled exactly
+    * once. Both wide exchanges carry (doc_id, gram); at 100 TB you'd swap
+    * the gram string for xxhash64(gram) to make them fixed-width — kept as
+    * the string here because the oracle compares gram sets exactly.
+    */
+  def spanDedup(docsDf: DataFrame, n: Int = 8): DataFrame = {
+    val p = docsDf.sparkSession.sparkContext.defaultParallelism
+    val pairs = docsDf
+      .repartition(p, col("doc_id"))
+      .select(col("doc_id"), explode_outer(ngramsK(col("text"), n)).as("gram"))
+      .distinct() // grams are per-doc distinct already; this aggregate pins
+                  // the exchange every consumer below reuses
+    val shared = pairs.filter(col("gram").isNotNull)
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("gram"))
+    val nShared = pairs.filter(col("gram").isNotNull)
+      .join(shared, "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    pairs.groupBy(col("doc_id")).agg(count(col("gram")).as("n_grams"))
+      .join(nShared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(col("n_grams") > 0,
+          coalesce(col("n_shared"), lit(0L)).cast(DoubleType)
+            / col("n_grams").cast(DoubleType))
+          .otherwise(lit(0.0)).as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  def spanDedupDocs(s: SparkSession, dir: String): DataFrame =
+    spanDedup(Tables(s, dir).documents)
+
   // ------------------------------------------------------------ sequence packing
   /** Deterministic token-budget packing: assign documents to training shards
     * so each shard holds ~[[budget]] tokens. Docs are hash-bucketed
@@ -548,13 +591,34 @@ object TextAnalysis {
       ((s: SparkSession, dir: String) => selectBudgetThreshold(s, dir)),
     "text_source_stats" -> (sourceStats _),
     "text_vocab_coverage" -> ((s: SparkSession, dir: String) => vocabCoverage(s, dir)),
-    "text_chunk_documents" -> (chunkDocumentsQuery _))
+    "text_chunk_documents" -> (chunkDocumentsQuery _),
+    "text_span_dedup" -> (spanDedupDocs _))
 
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ",", ")")
   private def sqlHits(stop: Seq[String]) =
     s"len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w IN ${sqlList(stop)}))"
 
   val oracles: Map[String, String] = Map(
+    "text_span_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |g AS (SELECT doc_id, list_distinct(
+        |    [list_extract(ws, i) || ' ' || list_extract(ws, i+1) || ' ' ||
+        |     list_extract(ws, i+2) || ' ' || list_extract(ws, i+3) || ' ' ||
+        |     list_extract(ws, i+4) || ' ' || list_extract(ws, i+5) || ' ' ||
+        |     list_extract(ws, i+6) || ' ' || list_extract(ws, i+7)
+        |     for i in range(1, len(ws)-6)]) AS g FROM w),
+        |pairs AS (SELECT doc_id, unnest(g) AS gram FROM g),
+        |shared AS (SELECT gram FROM pairs GROUP BY gram HAVING COUNT(*) >= 2),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n_shared
+        |  FROM pairs JOIN shared USING (gram) GROUP BY doc_id),
+        |tot AS (SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams FROM g)
+        |SELECT t.doc_id, t.n_grams,
+        |  COALESCE(c.n_shared, 0) AS n_shared,
+        |  CASE WHEN t.n_grams > 0
+        |    THEN CAST(COALESCE(c.n_shared, 0) AS DOUBLE) / CAST(t.n_grams AS DOUBLE)
+        |    ELSE 0.0 END AS dup_ratio
+        |FROM tot t LEFT JOIN cnt c ON t.doc_id = c.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "text_chunk_documents" ->
       """WITH d AS (SELECT doc_id,
         |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok

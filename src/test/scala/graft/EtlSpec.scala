@@ -197,4 +197,28 @@ class EtlSpec extends SparkSpec {
       "a rule counting every row means the predicate is broken")
     out.values.foreach(v => assert(v >= 0L))
   }
+
+  test("scd2: versions chain into a gapless partition of each key's timeline") {
+    val rows = JsonEtl.scd2(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("valid_from"),
+        Option(r.getAs[java.lang.Long]("valid_to")).map(_.toLong),
+        r.getAs[Long]("is_current")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { vs =>
+      val sorted = vs.sortBy(_._2)
+      assert(sorted.count(_._4 == 1L) === 1, "exactly one current version per key")
+      assert(sorted.last._4 === 1L && sorted.last._3.isEmpty,
+        "the open version is the last and has no end")
+      sorted.init.foreach(v => assert(v._3.isDefined && v._4 == 0L))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3.contains(b._2),
+          "each version ends exactly where the next begins")
+        case _ =>
+      }
+    }
+    // versions cover every signup event
+    val n = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_type") === "signup").count()
+    assert(rows.length.toLong === n)
+  }
 }

@@ -214,4 +214,32 @@ class TextAnalysisSpec extends SparkSpec {
     // doc 1: 130 tokens -> last chunk must end exactly at 130
     assert(byDoc(1L).map(_._4).max === 130L)
   }
+
+  test("span dedup matches a brute-force 8-gram recomputation and shingles once") {
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val gramSets = texts.map { case (id, t) =>
+      id -> t.trim.split("\\s+").sliding(8).filter(_.length == 8)
+        .map(_.mkString(" ")).toSet
+    }.toMap
+    val df = gramSets.values.flatten
+      .groupBy(identity).map { case (g, os) => g -> os.size }
+    val expected = gramSets.map { case (id, gs) =>
+      id -> (gs.size.toLong, gs.count(g => df(g) >= 2).toLong)
+    }
+    val out = TextAnalysis.spanDedupDocs(spark, sf)
+    val got = out.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (id, (n, sh)) =>
+      val (gn, gsh, ratio) = got(id)
+      assert(gn === n && gsh === sh, s"doc $id: expected ($n,$sh) got ($gn,$gsh)")
+      if (n > 0) assert(ratio === sh.toDouble / n.toDouble)
+    }
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"all three consumers must derive from one shingle pass:\n${plan.take(2000)}")
+  }
 }

@@ -355,7 +355,11 @@ object TextAnalysis {
     * count, so the op is an explode-only map stage — no shuffle, no state;
     * at 100 TB it rides the ingest scan. Oracle-exact.
     */
-  def chunkDocuments(docsDf: DataFrame, window: Int = 50, stride: Int = 40): DataFrame = {
+  /** Sort-free chunking core — stateless column expressions only, so it
+    * runs identically under readStream (see graft.streaming.Streams
+    * .chunkStream; StreamingSpec pins batch/stream parity).
+    */
+  private[graft] def chunkCore(docsDf: DataFrame, window: Int, stride: Int): DataFrame = {
     require(window > 0 && stride > 0 && stride <= window,
       s"need 0 < stride <= window, got window=$window stride=$stride")
     val lastIdx = when(col("n_tok") <= window, lit(0L))
@@ -363,13 +367,14 @@ object TextAnalysis {
     val start = col("chunk_idx") * stride
     val end = least(start + window, col("n_tok"))
     docsDf
-      .select(col("doc_id"), size(words(col("text"))).cast(LongType).as("n_tok"))
-      .select(col("doc_id"), col("n_tok"),
-        explode(sequence(lit(0L), lastIdx)).as("chunk_idx"))
+      .withColumn("n_tok", size(words(col("text"))).cast(LongType))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), lastIdx)))
       .select(col("doc_id"), col("chunk_idx"), start.as("start_tok"),
         end.as("end_tok"), (end - start).as("n_chunk_tokens"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
   }
+
+  def chunkDocuments(docsDf: DataFrame, window: Int = 50, stride: Int = 40): DataFrame =
+    chunkCore(docsDf, window, stride).orderBy(col("doc_id"), col("chunk_idx"))
 
   def chunkDocumentsQuery(s: SparkSession, dir: String): DataFrame =
     chunkDocuments(Tables(s, dir).documents)

@@ -187,6 +187,17 @@ object Streams {
       .withColumn(textCol, graft.etl.JsonEtl.scrub(col(textCol)))
   }
 
+  /** Stateless context-window chunking on a live document stream — the
+    * continuous twin of graft.ops.TextAnalysis.chunkDocuments (same core,
+    * shared not copied): each arriving document fans out to its
+    * window/stride chunks via a pure explode, zero streaming state, so a
+    * replayed micro-batch emits byte-identical chunks. Compose after
+    * [[curateGate]]/[[incrementalDedup]] so only surviving docs are
+    * chunked. StreamingSpec pins batch/stream row parity.
+    */
+  def chunkStream(docs: DataFrame, window: Int = 50, stride: Int = 40): DataFrame =
+    graft.ops.TextAnalysis.chunkCore(docs, window, stride)
+
   /** pyetl's multi-destination writer loop: one micro-batch, N sinks, via
     * foreachBatch. The batch is persisted once so each route filters the
     * cached data instead of re-reading the source.

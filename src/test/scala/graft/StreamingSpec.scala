@@ -186,4 +186,26 @@ class StreamingSpec extends SparkSpec {
     val doc3 = streamed.find(_._1 == 3L)
     doc3.foreach { case (_, t) => assert(t.contains("<EMAIL>") && !t.contains("example.com")) }
   }
+
+  test("streaming chunker emits exactly the batch chunks (stateless explode)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 130).map(i => s"w$i").mkString(" ")),
+      (2L, (1 to 50).map(i => s"w$i").mkString(" ")),
+      (3L, "tiny doc"))
+    val cols = Seq("doc_id", "text")
+    val batch = graft.ops.TextAnalysis.chunkDocuments(docs.toDF(cols: _*))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val in = MemoryStream[(Long, String)]
+    in.addData(docs: _*)
+    runToMemory(Streams.chunkStream(in.toDF().toDF(cols: _*)), "ck")
+    val streamed = spark.table("ck").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(streamed === batch,
+      "a stateless chunker must emit identical rows under readStream")
+    assert(streamed.count(_._1 == 1L) === 3)
+  }
 }

@@ -166,6 +166,37 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rk"))
   }
 
+  // ------------------------------------------------------------ surprisal
+  /** Unigram surprisal score — the dependency-free stand-in for the LM-
+    * perplexity quality filter (CCNet-style): mean negative log unigram
+    * probability per document; rare-word/garbage docs score high, fluent
+    * in-distribution docs score low. Derivation mirrors tfIdf: ONE corpus
+    * explode produces (doc, word) counts, corpus frequencies derive from
+    * them (ReusedExchange), the per-doc score is one more aggregate on the
+    * same key. Declared rows-only: the log-sum is double arithmetic whose
+    * summation order Spark doesn't pin (and ln, unlike sqrt, has no
+    * cross-engine correctly-rounded guarantee); TextAnalysisSpec pins the
+    * values against an exact driver-side recomputation at 1e-9.
+    */
+  def surprisal(s: SparkSession, dir: String): DataFrame = {
+    val tf = docs(s, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val wc = tf.groupBy(col("word")).agg(sum(col("tf")).as("cnt"))
+    // corpus token total: one scalar off the word-count frame (vocab-sized,
+    // not corpus-sized), computed once on the driver
+    val totalTokens = wc.agg(sum(col("cnt"))).first().getLong(0)
+    tf.join(wc, "word")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf").cast(DoubleType)
+          * log(col("cnt").cast(DoubleType) / lit(totalTokens.toDouble))).as("sum_logp"),
+        sum(col("tf")).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        (-col("sum_logp") / col("n_tokens").cast(DoubleType)).as("surprisal"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ edit distance
   /** Nearest neighbor by Levenshtein distance for the first 10 docs,
     * candidate-pruned by length: |len(a)−len(b)| is a lower bound on edit
@@ -597,7 +628,8 @@ object TextAnalysis {
     "text_source_stats" -> (sourceStats _),
     "text_vocab_coverage" -> ((s: SparkSession, dir: String) => vocabCoverage(s, dir)),
     "text_chunk_documents" -> (chunkDocumentsQuery _),
-    "text_span_dedup" -> (spanDedupDocs _))
+    "text_span_dedup" -> (spanDedupDocs _),
+    "text_surprisal" -> (surprisal _))
 
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ",", ")")
   private def sqlHits(stop: Seq[String]) =

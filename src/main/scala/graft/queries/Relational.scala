@@ -476,6 +476,23 @@ object Relational {
       .orderBy(col("bucket"))
   }
 
+  // ---------------------------------------------------------------- moving avg
+  /** 7-order trailing moving average of order value per customer — the
+    * bounded-ROWS-frame window (running/lag frames are covered elsewhere;
+    * this is the sliding one). The frame sum stays decimal until the single
+    * division, so the average is exact cross-engine.
+    */
+  def movingAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-6, Window.currentRow)
+    Tables(s, dir).orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        (sum(dec(col("o_totalprice"))).over(w).cast(DoubleType)
+          / count(lit(1)).over(w).cast(DoubleType)).as("avg_price_7"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   // ---------------------------------------------------------------- islands
   /** Gaps-and-islands: maximal runs of consecutive active months per
     * customer (the classic m - row_number() grouping trick — one window
@@ -550,9 +567,18 @@ object Relational {
     "q_string_agg"        -> (stringAgg _),
     "q_retention"         -> (retentionCohorts _),
     "q_funnel"            -> (funnelConversion _),
-    "q_order_islands"     -> (orderIslands _))
+    "q_order_islands"     -> (orderIslands _),
+    "q_moving_avg"        -> (movingAvg _))
 
   val oracles: Map[String, String] = Map(
+    "q_moving_avg" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    / CAST(COUNT(*) OVER w AS DOUBLE) AS avg_price_7
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_retention" ->
       """WITH ev AS (SELECT user_id, epoch_ms(ts)//1000//86400 AS day FROM events),
         |f AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id)

@@ -242,4 +242,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(plan.contains("ReusedExchange"),
       s"all three consumers must derive from one shingle pass:\n${plan.take(2000)}")
   }
+
+  test("surprisal matches an exact unigram-model recomputation") {
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+    val counts = texts.flatMap(_._2).groupBy(identity)
+      .map { case (w, os) => w -> os.size.toLong }
+    val total = counts.values.sum.toDouble
+    val expected = texts.map { case (id, ws) =>
+      id -> (ws.size.toLong,
+        -ws.map(w => math.log(counts(w) / total)).sum / ws.size)
+    }.toMap
+    val got = TextAnalysis.surprisal(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (id, (n, s0)) =>
+      val (gn, gs) = got(id)
+      assert(gn === n)
+      assert(math.abs(gs - s0) < 1e-9, s"doc $id: expected $s0 got $gs")
+      assert(gs > 0.0, "negative mean log-prob is positive surprisal")
+    }
+  }
 }

@@ -89,6 +89,20 @@ object ScaleProbe {
     time("text_pack_sequences")(
       graft.ops.TextAnalysis.packSequencesDocs(spark, out).count())
     time("dedup_incremental")(graft.ops.Dedup.incremental(spark, out).count())
+    // span dedup in the dup-dense corpus: every interior 8-gram is shared
+    // by all repl copies, so gram frequencies are ~repl per key while the
+    // key cardinality stays ~fixed — wall should track the (doc, gram)
+    // pair volume, i.e. ~linear in N
+    time("text_span_dedup")(graft.ops.TextAnalysis.spanDedupDocs(spark, out).count())
+    time("text_surprisal")(graft.ops.TextAnalysis.surprisal(spark, out).count())
+    time("text_chunk_documents")(
+      graft.ops.TextAnalysis.chunkDocumentsQuery(spark, out).count())
+    // centroid tiers: the exact tier's per-label collect_list grows with N
+    // (its declared limit); the partial tier's shuffle stays labels × dims
+    time("emb_label_centroids(exact)")(
+      graft.ops.Similarity.labelCentroids(spark, out).count())
+    time("emb_label_centroids(partial)")(
+      graft.ops.Similarity.labelCentroidsPartial(spark, out).count())
     time("text_mixture_sample")(
       graft.ops.Curation.mixtureSampleDocs(spark, out).count())
     time("text_select_budget_threshold")(

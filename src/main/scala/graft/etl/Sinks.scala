@@ -115,6 +115,20 @@ object Sinks {
       .sortBy(bucketCol)
       .saveAsTable(table)
 
+  /** ORC sink, day-partitioned and rolled like [[partitionedWrite]] — the
+    * second columnar lake format Spark executes natively (same vectorized
+    * reader + pushdown machinery as parquet), for consumers standardized on
+    * ORC (Hive/Trino lakes). EtlSpec proves the round-trip keeps partition
+    * pruning and file rolling.
+    */
+  def orcWrite(df: DataFrame, dayCol: Column, outDir: String,
+      maxRecordsPerFile: Long = 1000000L): Unit =
+    df.withColumn("day", dayCol)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("day")
+      .orc(outDir)
+
   /** CSV sink with header — the RDBMS-load/interchange destination. */
   def csvWrite(df: DataFrame, outDir: String,
       maxRecordsPerFile: Long = 1000000L): Unit =

@@ -67,6 +67,26 @@ class EtlSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("day"))
   }
 
+  test("orc sink round-trips day-partitioned with pruning and rolling intact") {
+    val dir = Files.createTempDirectory("graft-orc").toString + "/out"
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    Sinks.orcWrite(ev,
+      date_format(timestamp_seconds((col("ts") / 1000000000L).cast(LongType)), "yyyy-MM-dd"),
+      dir, maxRecordsPerFile = 10)
+    val back = spark.read.orc(dir)
+    assert(back.count() === ev.count())
+    val files = new java.io.File(dir).listFiles().filter(_.getName.startsWith("day="))
+    assert(files.nonEmpty)
+    assert(files.exists(_.listFiles().count(_.getName.endsWith(".orc")) > 1),
+      "the 10-record cap must roll files within a day partition")
+    val one = back.select("day").distinct().head.get(0).toString
+    val plan = back.filter(col("day") === one).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("day"))
+    // the value filter reaches the ORC scan (native pushdown, like parquet)
+    val pushed = back.filter(col("value") > 50.0).queryExecution.executedPlan.toString
+    assert(pushed.contains("PushedFilters") && pushed.contains("value"))
+  }
+
   test("flattenStruct lifts nested structs to prefixed top-level columns") {
     import spark.implicits._
     val nested = Seq((1L, """{"a": {"b": 2, "c": {"d": "x"}}, "e": 5}"""))

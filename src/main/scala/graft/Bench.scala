@@ -21,7 +21,7 @@ object Bench {
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q_window_running", "q_rank_in_group", "q_range_join", "q_rollup",
     "q_asof_join", "q_topk_orders", "q_grouping_sets",
-    "q_retention", "q_funnel", "q_order_islands", "q_moving_avg",
+    "q_retention", "q_funnel", "q_order_islands", "q_moving_avg", "q_set_ops",
     "etl_json_extract", "etl_latest_by_key", "etl_sessionize",
     "etl_tumbling_window", "etl_sliding_window", "etl_redact",
     "etl_quality_audit", "etl_scd2",

@@ -40,6 +40,15 @@ object Pipeline {
     * @param ingestFile     add an `ingest_file` column carrying the source
     *                       file path (`_metadata.file_path` — pyetl's
     *                       ingest-provenance metadata), free at any scale
+    * @param validations    rule name → predicate matching VIOLATING rows
+    *                       (the pre-promotion gate: nothing is written when
+    *                       any rule's violation count exceeds
+    *                       `maxViolations`). All rules run as ONE
+    *                       conditional-count pass over the already-cached
+    *                       frame — no extra scans; a rule that doesn't
+    *                       resolve fails fast naming the rule
+    * @param maxViolations  per-rule violation budget (default 0: any
+    *                       violating row aborts the run)
     */
   def run(input: DataFrame, baseDir: String,
       routes: Map[String, Route],
@@ -52,7 +61,9 @@ object Pipeline {
       lowercaseNames: Boolean = false,
       redactCols: Seq[String] = Nil,
       casts: Map[String, String] = Map.empty,
-      ingestFile: Boolean = false): Map[String, Long] = {
+      ingestFile: Boolean = false,
+      validations: Map[String, Column] = Map.empty,
+      maxViolations: Long = 0L): Map[String, Long] = {
     val parsed0 = jsonCol match {
       case Some(c) => jsonPaths.foldLeft(input) { case (df, (path, name)) =>
         df.withColumn(name, get_json_object(col(c), path))
@@ -103,7 +114,26 @@ object Pipeline {
       case None => shaped
     }
     val cached = enriched.cache()
-    try
+    try {
+      if (validations.nonEmpty) {
+        // resolution check per rule so a typo'd column names its config key
+        // instead of surfacing a bare UNRESOLVED_COLUMN
+        validations.foreach { case (name, pred) =>
+          try { cached.select(pred); () }
+          catch { case e: Exception => throw new IllegalArgumentException(
+            s"validation rule '$name' does not resolve: ${e.getMessage}") }
+        }
+        val aggs = validations.toSeq.map { case (name, pred) =>
+          count(when(pred, 1)).as(name) }
+        val row = cached.agg(aggs.head, aggs.tail: _*).first()
+        val bad = validations.keys.toSeq.sorted
+          .map(n => n -> row.getAs[Long](n))
+          .filter(_._2 > maxViolations)
+        require(bad.isEmpty,
+          "validation failed, nothing written: " + bad.map { case (n, c) =>
+            s"rule '$n' has $c violating rows (budget $maxViolations)"
+          }.mkString("; "))
+      }
       routes.map { case (name, r) =>
         val routed = cached.filter(r.predicate)
         val writer = routed.write.mode("overwrite")
@@ -116,7 +146,7 @@ object Pipeline {
         }
         name -> routed.count()
       }
-    finally cached.unpersist()
+    } finally cached.unpersist()
   }
 
   /** pyetl's config-driven UX, Spark-native: one JSON document describes the
@@ -178,6 +208,10 @@ object Pipeline {
         .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil),
       casts = opt("casts").map(strMap(_).map { case (k, v) => k -> v.asText })
         .getOrElse(Map.empty),
-      ingestFile = opt("ingestFile").exists(_.asBoolean))
+      ingestFile = opt("ingestFile").exists(_.asBoolean),
+      validations = opt("validations")
+        .map(strMap(_).map { case (k, v) => k -> expr(v.asText) })
+        .getOrElse(Map.empty),
+      maxViolations = opt("maxViolations").map(_.asLong).getOrElse(0L))
   }
 }

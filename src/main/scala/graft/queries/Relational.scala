@@ -476,6 +476,27 @@ object Relational {
       .orderBy(col("bucket"))
   }
 
+  // ---------------------------------------------------------------- set ops
+  /** INTERSECT / EXCEPT audience arithmetic: customers with an open order
+    * vs customers with a high balance, partitioned into both / only-open /
+    * only-rich. Catalyst plans the set ops as left-semi/left-anti hash
+    * joins over the distinct key sets — id-only exchanges, aggregate-sized
+    * output.
+    */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val open = t.orders.filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("k")).distinct()
+    val rich = t.customer.filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("k")).distinct()
+    def tagged(df: DataFrame, tag: String): DataFrame =
+      df.agg(count(lit(1)).as("n")).select(lit(tag).as("side"), col("n"))
+    tagged(open.intersect(rich), "both")
+      .union(tagged(open.except(rich), "only_open"))
+      .union(tagged(rich.except(open), "only_rich"))
+      .orderBy(col("side"))
+  }
+
   // ---------------------------------------------------------------- moving avg
   /** 7-order trailing moving average of order value per customer — the
     * bounded-ROWS-frame window (running/lag frames are covered elsewhere;
@@ -568,9 +589,20 @@ object Relational {
     "q_retention"         -> (retentionCohorts _),
     "q_funnel"            -> (funnelConversion _),
     "q_order_islands"     -> (orderIslands _),
-    "q_moving_avg"        -> (movingAvg _))
+    "q_moving_avg"        -> (movingAvg _),
+    "q_set_ops"           -> (setOps _))
 
   val oracles: Map[String, String] = Map(
+    "q_set_ops" ->
+      """WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'),
+        |b AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_acctbal > 5000)
+        |SELECT 'both' AS side, COUNT(*) AS n
+        |  FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+        |UNION ALL SELECT 'only_open', COUNT(*)
+        |  FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+        |UNION ALL SELECT 'only_rich', COUNT(*)
+        |  FROM (SELECT k FROM b EXCEPT SELECT k FROM a)
+        |ORDER BY side""".stripMargin,
     "q_moving_avg" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)

@@ -195,6 +195,43 @@ class PipelineSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/all").count() === counts("all"))
   }
 
+  test("config validations gate the write: violations name the rule, clean runs pass") {
+    val dir = Files.createTempDirectory("graft-pipe-val").toString
+    // clean run: impossible-violation rules pass, routes land
+    val ok = s"""{
+      "input": {"path": "$sf/events.parquet"},
+      "baseDir": "$dir/ok",
+      "validations": {"no_null_user": "user_id IS NULL",
+                      "value_in_range": "value < -1e9"},
+      "routes": {"all": {"predicate": "true"}}
+    }"""
+    assert(Pipeline.runConfig(spark, ok)("all") > 0)
+    // a firing rule aborts the run, names itself with its count, writes nothing
+    val bad = s"""{
+      "input": {"path": "$sf/events.parquet"},
+      "baseDir": "$dir/bad",
+      "validations": {"no_purchases": "event_type = 'purchase'"},
+      "routes": {"all": {"predicate": "true"}}
+    }"""
+    val e = intercept[IllegalArgumentException](Pipeline.runConfig(spark, bad))
+    assert(e.getMessage.contains("no_purchases")
+      && e.getMessage.contains("violating rows"))
+    assert(!new java.io.File(s"$dir/bad/all").exists(), "gate must precede writes")
+    // the budget makes the same rule pass
+    val budgeted = bad.replace(""""routes"""",
+      """"maxViolations": 1000000, "routes"""")
+    assert(Pipeline.runConfig(spark, budgeted)("all") > 0)
+    // an unresolvable rule names its config key, not a bare column error
+    val typo = s"""{
+      "input": {"path": "$sf/events.parquet"},
+      "baseDir": "$dir/typo",
+      "validations": {"typo_rule": "no_such_column IS NULL"},
+      "routes": {"all": {"predicate": "true"}}
+    }"""
+    val e2 = intercept[IllegalArgumentException](Pipeline.runConfig(spark, typo))
+    assert(e2.getMessage.contains("typo_rule"))
+  }
+
   test("streaming multi-sink survives a restart from checkpoint without dupes") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

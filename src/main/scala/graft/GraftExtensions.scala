@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, MinHashSig, SimHashChunks}
+import graft.functions.{CosineSim, HashedNgrams, JaccardHashed, MinHashSig, SimHashChunks}
 
 /** SQL surface for graft's custom Catalyst expressions.
   *
@@ -54,6 +54,21 @@ object GraftExtensions {
         (args: Seq[Expression]) => {
           require(args.length == 1, "simhash_chunks(hashes) takes 1 argument")
           SimHashChunks(args(0))
+        }),
+      "hashed_ngrams" -> (
+        new ExpressionInfo(classOf[HashedNgrams].getName, "hashed_ngrams"),
+        (args: Seq[Expression]) => {
+          require(args.length == 4,
+            "hashed_ngrams(tokens, n, prime, distinct) takes 4 arguments")
+          require(args(3).foldable, "distinct must be a literal")
+          HashedNgrams(args(0), intArg(args(1), "n"), longArg(args(2), "prime"),
+            args(3).eval().asInstanceOf[Boolean])
+        }),
+      "jaccard_hashed" -> (
+        new ExpressionInfo(classOf[JaccardHashed].getName, "jaccard_hashed"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "jaccard_hashed(a, b) takes 2 arguments")
+          JaccardHashed(args(0), args(1))
         }))
 
   /** Register graft's SQL functions on a live session. */

@@ -24,4 +24,19 @@ package object functions {
     */
   def simhash_chunks(wordHashes: Column): Column =
     GraftSqlBridge.column(SimHashChunks(GraftSqlBridge.expression(wordHashes)))
+
+  /** Hashed word n-grams (array<string> tokens → array<long>) in one
+    * compiled loop — see [[HashedNgrams]].
+    */
+  def hashed_ngrams(tokens: Column, n: Int, prime: Long = 0L,
+      distinct: Boolean = false): Column =
+    GraftSqlBridge.column(
+      HashedNgrams(GraftSqlBridge.expression(tokens), n, prime, distinct))
+
+  /** Merge-based Jaccard of two sorted distinct array<long> sets — see
+    * [[JaccardHashed]].
+    */
+  def jaccard_hashed(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      JaccardHashed(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 }

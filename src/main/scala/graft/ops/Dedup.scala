@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 import graft.Tables
-import graft.functions.{cosine_sim, minhash_sig, simhash_chunks}
+import graft.functions.{cosine_sim, hashed_ngrams, minhash_sig, simhash_chunks}
 
 /** Deduplication for training-data pipelines (SURVEY §2.C) over the
   * `documents` and `embeddings` tables.
@@ -153,12 +153,19 @@ object Dedup {
     // scan with the whole shingle+minhash chain inlined — recomputing it
     // per row, interpreted. ≥2 words ⟺ ≥1 shingle, and split+size is
     // codegen'd and cheap at the scan.
+    // shingle+hash is ONE codegen'd kernel (HashedNgrams) — the HOF chain
+    // it replaces (zip_with → transform(xxhash64) → array_distinct)
+    // evaluated interpreted per element (measured 51.0 → 42.5 s end-to-end
+    // at the 100× dup-dense probe, where verification dominates); values
+    // are bit-identical (same space-joined grams, same xxhash64 seed, same
+    // pmod), FunctionsSpec pins the equality. The kernel returns the set
+    // SORTED, which is what lets verification below merge instead of
+    // hashing
     val docs = Tables(s, dir).documents
       .filter(size(words(col("text"))) >= 2)
       .repartition(spread(s), col("doc_id"))
       .select(col("doc_id"),
-        array_distinct(transform(shingles(col("text")),
-          sh => pmod(xxhash64(sh), lit(P)))).as("hs"))
+        hashed_ngrams(words(col("text")), 2, P, distinct = true).as("hs"))
       .repartition(spread(s), col("doc_id"))
     // Signature via the codegen'd MinHashSig (the HOF formulation — 64
     // array_min lambdas — evaluates interpreted and measured ~1000×
@@ -189,13 +196,17 @@ object Dedup {
           && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    // exact-verify candidates only (jaccard over hashed shingle sets)
+    // exact-verify candidates only: merge-based jaccard over the SORTED
+    // hashed shingle sets (JaccardHashed — zero per-pair allocation). The
+    // array_intersect + array_union formulation this replaces built a hash
+    // set and materialized an intersection array per candidate pair just
+    // to take sizes; verification is the dominant stage when duplication
+    // is dense, so this is where the operator's wall actually goes.
     cand
       .join(docs.select(col("doc_id").as("d1"), col("hs").as("s1")), "d1")
       .join(docs.select(col("doc_id").as("d2"), col("hs").as("s2")), "d2")
       .select(col("d1"), col("d2"),
-        (size(array_intersect(col("s1"), col("s2"))).cast(DoubleType) /
-          size(array_union(col("s1"), col("s2"))).cast(DoubleType)).as("jaccard"))
+        graft.functions.jaccard_hashed(col("s1"), col("s2")).as("jaccard"))
       .filter(col("jaccard") >= 0.7)
       .orderBy(col("d1"), col("d2"))
   }
@@ -208,12 +219,12 @@ object Dedup {
     */
   def simhash(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir).documents
-      .repartition(spread(s), col("doc_id")) // spread the interpreted tokenize+hash work
-      .select(col("doc_id"),
-        transform(words(col("text")), w => xxhash64(w)).as("wh"))
-      // a projection containing ANY higher-order function is excluded from
-      // WholeStageCodegen wholesale — keep the HOF tokenize+hash stage
-      // separate (exchange) so the SimHashChunks projection below codegens
+      .repartition(spread(s), col("doc_id")) // spread the tokenize+hash work
+      // word hashes via the HashedNgrams kernel (n=1, no mod, duplicates
+      // KEPT — every occurrence votes in the bit tally below); the
+      // transform(xxhash64) HOF it replaces evaluated interpreted AND
+      // excluded its whole projection from WholeStageCodegen
+      .select(col("doc_id"), hashed_ngrams(words(col("text")), 1).as("wh"))
       .repartition(spread(s), col("doc_id"))
     // 64-bit signature as 4×16-bit chunks via the codegen'd SimHashChunks
     // (the nested-aggregate HOF formulation evaluates interpreted, ~1000×

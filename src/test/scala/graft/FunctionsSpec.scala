@@ -48,7 +48,8 @@ class FunctionsSpec extends SparkSpec {
     val e = new SparkSessionExtensions
     new GraftExtensions().apply(e) // must not throw; builders are injected
     assert(GraftExtensions.builders.keySet ===
-      Set("cosine_sim", "minhash_sig", "simhash_chunks"))
+      Set("cosine_sim", "minhash_sig", "simhash_chunks", "hashed_ngrams",
+        "jaccard_hashed"))
   }
 
   test("custom expressions: codegen and interpreted paths agree bit-for-bit") {
@@ -72,6 +73,87 @@ class FunctionsSpec extends SparkSpec {
       spark.conf.set(factoryMode, "NO_CODEGEN")
       val interp = run()
       assert(gen === interp)
+    } finally prior match {
+      case Some(v) => spark.conf.set(factoryMode, v)
+      case None => spark.conf.unset(factoryMode)
+    }
+  }
+
+  test("hashed_ngrams reproduces the HOF shingle+hash chain bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val P = 4294967311L
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(100)
+    val w = split(trim(col("text")), "\\s+")
+    // the exact formulation minhash used before the kernel existed
+    val hofShingles = when(size(w) >= 2,
+      array_distinct(zip_with(
+        slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (a, b) => concat(a, lit(" "), b))))
+      .otherwise(array().cast("array<string>"))
+    val rows = docs.select(col("doc_id"),
+      array_sort(array_distinct(transform(hofShingles,
+        sh => pmod(xxhash64(sh), lit(P))))).as("hof2"),
+      array_sort(graft.functions.hashed_ngrams(w, 2, P, distinct = true)).as("ker2"),
+      transform(w, x => xxhash64(x)).as("hof1"),
+      graft.functions.hashed_ngrams(w, 1).as("ker1"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+        s"doc ${r.getLong(0)}: shingle-hash sets differ")
+      assert(r.getSeq[Long](3) === r.getSeq[Long](4),
+        s"doc ${r.getLong(0)}: word hashes differ (order and duplicates included)")
+    }
+    // codegen vs interpreted
+    val factoryMode = "spark.sql.codegen.factoryMode"
+    val prior = spark.conf.getOption(factoryMode)
+    def one(): Seq[Long] = docs.orderBy("doc_id")
+      .select(array_sort(graft.functions.hashed_ngrams(w, 2, P, distinct = true)))
+      .head.getSeq[Long](0)
+    try {
+      spark.conf.set(factoryMode, "CODEGEN_ONLY")
+      val gen = one()
+      spark.conf.set(factoryMode, "NO_CODEGEN")
+      assert(gen === one())
+    } finally prior match {
+      case Some(v) => spark.conf.set(factoryMode, v)
+      case None => spark.conf.unset(factoryMode)
+    }
+  }
+
+  test("jaccard_hashed equals the array_intersect formulation on real shingle sets") {
+    import org.apache.spark.sql.functions._
+    val P = 4294967311L
+    val w = split(trim(col("text")), "\\s+")
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(60)
+      .select(col("doc_id"), graft.functions.hashed_ngrams(w, 2, P, distinct = true).as("hs"))
+    val pairs = docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.hs").as("s1"), col("b.hs").as("s2"))
+    val rows = pairs.select(
+      graft.functions.jaccard_hashed(col("s1"), col("s2")).as("merge"),
+      size(array_intersect(col("s1"), col("s2"))).cast("double").as("inter"),
+      size(array_union(col("s1"), col("s2"))).cast("double").as("uni"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val expect = if (r.getDouble(2) == 0.0) 0.0 else r.getDouble(1) / r.getDouble(2)
+      assert(r.getDouble(0) === expect)
+    }
+    // sortedness precondition holds at the source: HashedNgrams(distinct)
+    docs.select(col("hs")).collect().foreach { r =>
+      val s0 = r.getSeq[Long](0)
+      assert(s0 === s0.sorted && s0 === s0.distinct)
+    }
+    // codegen vs interpreted
+    val factoryMode = "spark.sql.codegen.factoryMode"
+    val prior = spark.conf.getOption(factoryMode)
+    def one(): Double = pairs.limit(50)
+      .select(graft.functions.jaccard_hashed(col("s1"), col("s2")))
+      .collect().map(_.getDouble(0)).sum
+    try {
+      spark.conf.set(factoryMode, "CODEGEN_ONLY")
+      val gen = one()
+      spark.conf.set(factoryMode, "NO_CODEGEN")
+      assert(gen === one())
     } finally prior match {
       case Some(v) => spark.conf.set(factoryMode, v)
       case None => spark.conf.unset(factoryMode)

@@ -24,7 +24,7 @@ object Bench {
     "q_retention", "q_funnel", "q_order_islands", "q_moving_avg", "q_set_ops",
     "etl_json_extract", "etl_latest_by_key", "etl_sessionize",
     "etl_tumbling_window", "etl_sliding_window", "etl_redact",
-    "etl_quality_audit", "etl_scd2",
+    "etl_quality_audit", "etl_scd2", "etl_gap_fill",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
     "dedup_components", "dedup_incremental", "dedup_semantic",
     "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk",

@@ -193,6 +193,37 @@ object JsonEtl {
   def redactDocs(s: SparkSession, dir: String): DataFrame =
     redact(Tables(s, dir).documents, "text")
 
+  // ------------------------------------------------------------ gap fill
+  /** Time-series resampling with gap fill: per user-bucket hourly series
+    * over the full observed range, empty hours ZERO-filled for counts and
+    * FORWARD-filled (last observation carried forward) for the running
+    * value — the regularization step before any windowed model sees the
+    * data. The dense grid is buckets × hours built from two tiny frames
+    * (the crossJoin is dimension metadata, not data — 10 × |hours| rows);
+    * observations land on it via a left join on the (bucket, hour) key and
+    * the forward fill is one window per bucket. At 100 TB the grid is
+    * still keys × hours — independent of event volume.
+    */
+  def gapFill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hour = (tsSec(col("ts")) / lit(3600L)).cast(LongType)
+    val ev = Tables(s, dir).events
+      .select((col("user_id") % 10).as("bucket"), hour.as("h"), col("value"))
+    val agg = ev.groupBy(col("bucket"), col("h"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(D)).cast(DoubleType).as("sum_value"))
+    val bounds = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+    val grid = ev.select(col("bucket")).distinct()
+      .crossJoin(broadcast(bounds.select(explode(sequence(col("h0"), col("h1"))).as("h"))))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(agg, Seq("bucket", "h"), "left")
+      .select(col("bucket"), col("h"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("sum_value"), ignoreNulls = true).over(w).as("filled_value"))
+      .orderBy(col("bucket"), col("h"))
+  }
+
   // ------------------------------------------------------------ scd2
   /** Slowly-changing-dimension type-2 build from a change log — the
     * warehouse twin of [[latestByKey]]: instead of keeping only the latest
@@ -256,6 +287,7 @@ object JsonEtl {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_quality_audit"    -> (qualityAudit _),
     "etl_scd2"             -> (scd2 _),
+    "etl_gap_fill"         -> (gapFill _),
     "etl_redact"           -> (redactDocs _),
     "etl_json_extract"     -> (jsonExtract _),
     "etl_enrich_partition" -> (enrichPartition _),
@@ -270,6 +302,23 @@ object JsonEtl {
     * the nanos long.
     */
   val oracles: Map[String, String] = Map(
+    "etl_gap_fill" ->
+      """WITH ev AS (SELECT user_id % 10 AS bucket,
+        |    epoch_ms(ts)//1000//3600 AS h, value FROM events),
+        |agg AS (SELECT bucket, h, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM ev GROUP BY bucket, h),
+        |bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM ev),
+        |grid AS (SELECT b.bucket, g.h
+        |  FROM (SELECT DISTINCT bucket FROM ev) b,
+        |       (SELECT unnest(generate_series(h0, h1)) AS h FROM bounds) g)
+        |SELECT grid.bucket, grid.h,
+        |  COALESCE(agg.n, 0) AS n,
+        |  LAST_VALUE(agg.sum_value IGNORE NULLS) OVER (
+        |    PARTITION BY grid.bucket ORDER BY grid.h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+        |FROM grid LEFT JOIN agg ON grid.bucket = agg.bucket AND grid.h = agg.h
+        |ORDER BY grid.bucket, grid.h""".stripMargin,
     "etl_scd2" ->
       """SELECT user_id, event_id, value,
         |  epoch_ms(ts)//1000 AS valid_from,

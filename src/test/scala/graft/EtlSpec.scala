@@ -218,6 +218,31 @@ class EtlSpec extends SparkSpec {
     out.values.foreach(v => assert(v >= 0L))
   }
 
+  test("gap fill: dense hourly grid, zero-filled counts, forward-filled values") {
+    val rows = JsonEtl.gapFill(spark, sf).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("h"), r.getAs[Long]("n"),
+        Option(r.getAs[java.lang.Double]("filled_value")).map(_.toDouble)))
+    val byBucket = rows.groupBy(_._1)
+    val hours = rows.map(_._2)
+    val span = hours.max - hours.min + 1
+    byBucket.values.foreach { vs =>
+      assert(vs.length.toLong === span, "every bucket covers the full hour grid")
+      val sorted = vs.sortBy(_._2)
+      // forward fill: an empty hour carries the previous filled value; the
+      // value only becomes (and stays) defined after the first observation
+      sorted.sliding(2).foreach {
+        case Array(prev, cur) =>
+          if (cur._3 == 0L) assert(cur._4 === prev._4,
+            s"empty hour ${cur._2} must carry the previous value")
+          if (prev._4.isDefined) assert(cur._4.isDefined,
+            "a filled value never reverts to null")
+        case _ =>
+      }
+    }
+    val total = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(rows.map(_._3).sum === total, "zero-filled counts still sum to all events")
+  }
+
   test("scd2: versions chain into a gapless partition of each key's timeline") {
     val rows = JsonEtl.scd2(spark, sf).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("valid_from"),

@@ -39,4 +39,12 @@ package object functions {
   def jaccard_hashed(a: Column, b: Column): Column =
     GraftSqlBridge.column(
       JaccardHashed(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** All LSH hyperplane bucket signatures (array<int>, one per table) of an
+    * embedding in one compiled pass — see [[HyperplaneBuckets]].
+    */
+  def hyperplane_buckets(emb: Column, planes: Array[Double],
+      numTables: Int, bits: Int, dim: Int): Column =
+    GraftSqlBridge.column(HyperplaneBuckets(
+      GraftSqlBridge.expression(emb), planes, numTables, bits, dim))
 }

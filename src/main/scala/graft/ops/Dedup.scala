@@ -218,20 +218,19 @@ object Dedup {
     * chunk-equi, not all-pairs. Output: pairs with hamming ≤ 3.
     */
   def simhash(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(s, dir).documents
+    // ONE projection from raw text to the 64-bit signature: tokenize+hash
+    // (HashedNgrams, n=1, no mod, duplicates KEPT — every occurrence votes
+    // in the bit tally) feeds SimHashChunks directly, both compiled
+    // kernels. The old two-stage form paid an extra exchange of (doc_id,
+    // word-hash array) — ~150 longs/row — solely because its transform()
+    // HOF excluded the projection from WholeStageCodegen; with the kernel
+    // there is nothing to quarantine. The barrier AFTER the projection
+    // stays: the explode below references `chunks` twice, and without it
+    // CollapseProject would inline (recompute) the signature per reference.
+    val sig = Tables(s, dir).documents
       .repartition(spread(s), col("doc_id")) // spread the tokenize+hash work
-      // word hashes via the HashedNgrams kernel (n=1, no mod, duplicates
-      // KEPT — every occurrence votes in the bit tally below); the
-      // transform(xxhash64) HOF it replaces evaluated interpreted AND
-      // excluded its whole projection from WholeStageCodegen
-      .select(col("doc_id"), hashed_ngrams(words(col("text")), 1).as("wh"))
-      .repartition(spread(s), col("doc_id"))
-    // 64-bit signature as 4×16-bit chunks via the codegen'd SimHashChunks
-    // (the nested-aggregate HOF formulation evaluates interpreted, ~1000×
-    // slower). Second barrier: the explode references `chunks` twice.
-    val sig = docs
-      .withColumn("chunks", simhash_chunks(col("wh")))
-      .select(col("doc_id"), col("chunks"))
+      .select(col("doc_id"),
+        simhash_chunks(hashed_ngrams(words(col("text")), 1)).as("chunks"))
       .repartition(spread(s), col("doc_id"))
     // _outer: chunks always has 4 elements; the non-outer generator would
     // infer size(chunks) > 0 and push it to the scan with simhash_chunks

@@ -84,26 +84,30 @@ object Similarity {
     }
   }
 
-  /** dot(embedding, constant hyperplane) as a codegen'd fold. */
-  private def dotLit(emb: Column, hp: Array[Double]): Column =
-    aggregate(zip_with(emb, typedLit(hp), (x, y) => x.cast("double") * y),
-      lit(0.0), (acc, x) => acc + x)
-
   /** (table, bucket) signature pairs for every vector: bucket = `bits` sign
-    * bits of the hyperplane dots, per table. Projects the embedding away —
+    * bits of the hyperplane dots, per table, computed by the compiled
+    * [[graft.functions.HyperplaneBuckets]] kernel (the per-(table, bit)
+    * `aggregate(zip_with(...))` fold it replaces evaluated interpreted —
+    * numTables × bits × dim boxed lambda evals per vector; buckets are
+    * bit-identical, FunctionsSpec pins it). Projects the embedding away —
     * candidate generation downstream is id-only; callers re-join embeddings
     * after deduplicating candidates so no wide exchange carries vectors.
     */
   private[graft] def lshBuckets(e: DataFrame, dim: Int,
       numTables: Int = DefaultTables, bits: Int = DefaultBits): DataFrame = {
-    val tables = array((0 until numTables).map { t =>
-      val bucket = (0 until bits).map { j =>
-        when(dotLit(col("embedding"), hyperplane(t, j, dim)) > 0, 1 << j).otherwise(0)
-      }.reduce(_ + _)
-      struct(lit(t).as("tbl"), bucket.as("bucket"))
-    }: _*)
-    e.select(col("vec_id"), explode(tables).as("tb"))
-      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val planes = Array.tabulate(numTables * bits * dim) { i =>
+      val d = i % dim
+      val j = (i / dim) % bits
+      val t = i / (dim * bits)
+      hyperplane(t, j, dim)(d)
+    }
+    // posexplode_outer: the bucket array always has numTables elements, and
+    // the non-outer generator would let the optimizer infer size(...) > 0
+    // and push it to the scan with the kernel inlined (the recompute trap
+    // minhash documents)
+    e.select(col("vec_id"), posexplode_outer(
+        graft.functions.hyperplane_buckets(col("embedding"), planes,
+          numTables, bits, dim)).as(Seq("tbl", "bucket")))
   }
 
   /** LSH top-k: hash-equi join on (table, bucket) — never all-pairs. Missing

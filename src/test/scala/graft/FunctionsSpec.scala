@@ -160,6 +160,46 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("hyperplane_buckets matches an independent sign-bit recomputation") {
+    import org.apache.spark.sql.functions._
+    val (numTables, bits, dim) = (4, 4, 64)
+    // the same splitmix64 hyperplane stream Similarity derives (pinned here
+    // independently so a drift in either derivation fails)
+    def splitmix(seed: Long): Long = {
+      var z = seed + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def plane(t: Int, j: Int): Array[Double] = Array.tabulate(dim) { d =>
+      val h = splitmix((t.toLong << 32) | (j.toLong << 16) | d.toLong)
+      (h >>> 11).toDouble / (1L << 53).toDouble - 0.5
+    }
+    val planes = Array.tabulate(numTables * bits * dim) { i =>
+      plane(i / (dim * bits), (i / dim) % bits)(i % dim)
+    }
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet").limit(50)
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.hyperplane_buckets(col("embedding"), planes,
+          numTables, bits, dim).as("b"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val emb = r.getSeq[Float](1)
+      val got = r.getSeq[Int](2)
+      val expect = (0 until numTables).map { t =>
+        (0 until bits).map { j =>
+          val p = plane(t, j)
+          var dot = 0.0
+          var d = 0
+          while (d < dim) { dot += emb(d).toDouble * p(d); d += 1 }
+          if (dot > 0) 1 << j else 0
+        }.sum
+      }
+      assert(got === expect, s"vec ${r.getLong(0)}")
+    }
+  }
+
   test("cosine_sim agrees between SQL, Column API, and codegen/interpreted paths") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -33,7 +33,7 @@ object Bench {
     "text_repetition", "text_heavy_hitters", "text_prepare_corpus",
     "text_mixture_sample", "text_select_budget_threshold",
     "text_source_stats", "text_vocab_coverage", "text_chunk_documents",
-    "text_span_dedup", "text_surprisal", "emb_label_centroids",
+    "text_span_dedup", "text_surprisal", "emb_label_centroids", "emb_quantize",
     "mm_binary_meta", "mm_feature_extract", "mm_near_dup")
 
   /** One query per operator family, run (untimed) before measurement. q1

@@ -282,8 +282,34 @@ object Similarity {
       .select(col("label"), col("dim"), col("n_vecs"), col("centroid"))
       .orderBy(col("label"), col("dim"))
 
+  // ------------------------------------------------------------ quantization
+  /** Symmetric per-vector int8 scalar quantization — the storage/bandwidth
+    * compression step before ANN at 100 TB (4× smaller vectors, and int8
+    * dot products SIMD-vectorize downstream): q = round(x / scale · 127)
+    * with scale = max|x| per vector. Exact cross-engine: the max is
+    * order-independent, the quantize expression is fixed-order double
+    * arithmetic, and both engines round half away from zero — so this is
+    * oracle-checked, not rows-only. Exploded output (vec_id, dim, q) keeps
+    * the gate hashable; the shuffle carries (vec_id, scale) pairs, the
+    * quantize itself is map-side. All-zero vectors quantize to zeros
+    * rather than dividing by zero.
+    */
+  def quantize(s: SparkSession, dir: String): DataFrame = {
+    val ex = Tables(s, dir).embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("vec_id"), col("dim").cast(LongType).as("dim"),
+        col("xf").cast(DoubleType).as("x"))
+    val sc = ex.groupBy(col("vec_id")).agg(max(abs(col("x"))).as("scale"))
+    ex.join(sc, "vec_id")
+      .select(col("vec_id"), col("dim"),
+        when(col("scale") === 0, 0L)
+          .otherwise(round(col("x") / col("scale") * 127).cast(LongType)).as("q"))
+      .orderBy(col("vec_id"), col("dim"))
+  }
+
   // =================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_quantize" -> (quantize _),
     "emb_label_centroids" -> ((s: SparkSession, dir: String) => labelCentroids(s, dir)),
     "ann_bruteforce_topk" -> (bruteforceTopk _),
     "ann_lsh_topk"        -> ((s: SparkSession, dir: String) => lshTopk(s, dir)),
@@ -293,6 +319,15 @@ object Similarity {
     * asserts recall@5 vs brute force.
     */
   val oracles: Map[String, String] = Map(
+    "emb_quantize" ->
+      """WITH ex AS (SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+        |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)),
+        |sc AS (SELECT vec_id, MAX(ABS(x)) AS scale FROM ex GROUP BY vec_id)
+        |SELECT ex.vec_id, ex.dim,
+        |  CAST(CASE WHEN sc.scale = 0 THEN 0
+        |    ELSE round(x / sc.scale * 127) END AS BIGINT) AS q
+        |FROM ex JOIN sc ON ex.vec_id = sc.vec_id
+        |ORDER BY ex.vec_id, ex.dim""".stripMargin,
     "emb_label_centroids" ->
       """WITH packed AS (
         |  SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n_vecs,

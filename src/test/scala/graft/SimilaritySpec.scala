@@ -113,4 +113,25 @@ class SimilaritySpec extends SparkSpec {
       .map(_._2).sum === total, "per-label counts partition the corpus")
     assert(dims === 64)
   }
+
+  test("int8 quantization: bounded reconstruction error, near-unit cosine") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    val q = Similarity.quantize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(q.keySet.size === emb.size * 64)
+    emb.foreach { case (id, xs) =>
+      val scale = xs.map(math.abs).max
+      val deq = (0 until 64).map(d => q((id, d.toLong)).toDouble / 127.0 * scale)
+      // per-component error bound of symmetric int8: half a quantization step
+      xs.zip(deq).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= scale / 127.0 * 0.5 + 1e-12,
+          s"vec $id: |$x - $y| exceeds the quantization step bound") }
+      val dot = xs.zip(deq).map { case (a, b) => a * b }.sum
+      val na = math.sqrt(xs.map(a => a * a).sum)
+      val nb = math.sqrt(deq.map(b => b * b).sum)
+      if (na > 0 && nb > 0)
+        assert(dot / (na * nb) > 0.99, s"vec $id: quantization destroyed direction")
+    }
+  }
 }

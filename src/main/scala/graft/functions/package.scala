@@ -40,6 +40,13 @@ package object functions {
     GraftSqlBridge.column(
       JaccardHashed(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 
+  /** Exact integer dot product of two array<long> vectors — see
+    * [[DotLong]].
+    */
+  def dot_long(a: Column, b: Column): Column =
+    GraftSqlBridge.column(
+      DotLong(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
   /** All LSH hyperplane bucket signatures (array<int>, one per table) of an
     * embedding in one compiled pass — see [[HyperplaneBuckets]].
     */

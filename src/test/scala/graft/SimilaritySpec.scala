@@ -114,6 +114,23 @@ class SimilaritySpec extends SparkSpec {
     assert(dims === 64)
   }
 
+  test("int8 two-stage retrieval recovers the exact top-k almost everywhere") {
+    val exact = Similarity.bruteforceTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = Similarity.int8Topk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.9,
+      s"shortlist-50 + exact rerank should recover >=90% of true top-5, got $recall")
+    // reranked scores are the EXACT cosine, so overlapping pairs agree
+    val exactScores = Similarity.bruteforceTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    Similarity.int8Topk(spark, sf).collect().foreach { r =>
+      val k = (r.getLong(0), r.getLong(2))
+      exactScores.get(k).foreach(e => assert(e === r.getDouble(3)))
+    }
+  }
+
   test("int8 quantization: bounded reconstruction error, near-unit cosine") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap

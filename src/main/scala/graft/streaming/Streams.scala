@@ -41,6 +41,47 @@ object Streams {
       .option("startingOffsets", startingOffsets)
       .load()
 
+  /** Present any frame carrying a string `value` column (batch, or a
+    * MemoryStream/file stream in tests) under the EXACT output schema of
+    * the Kafka connector — key/value binary, topic, partition, offset,
+    * timestamp — so everything downstream of [[kafkaSource]] is
+    * exercisable end-to-end without the connector jar (which the offline
+    * resolver cannot ship). Deploy-time, `kafkaSource` replaces this
+    * frame and nothing downstream changes: that is the point of the
+    * contract.
+    */
+  def busFrom(df: DataFrame, topic: String): DataFrame =
+    df.select(
+      lit(null).cast("binary").as("key"),
+      encode(col("value"), "UTF-8").as("value"),
+      lit(topic).as("topic"),
+      lit(0).as("partition"),
+      // only a real broker assigns offsets; the emulator pins the SCHEMA
+      // with a placeholder (monotonically_increasing_id is rejected under
+      // readStream, and inventing offset semantics here would be a lie)
+      lit(-1L).as("offset"),
+      current_timestamp().as("timestamp"))
+
+  /** The pyetl "parse the consumed message" step against the bus contract:
+    * decode the binary `value`, tolerant-parse the JSON into `schema`
+    * columns (malformed payloads yield a row of nulls plus the raw line in
+    * `_corrupt`, never a failed batch), and keep the bus provenance
+    * (topic, partition, offset). Stateless — runs identically under
+    * readStream; StreamingSpec drives it MemoryStream → sink end-to-end,
+    * corrupt message included.
+    */
+  def parseBus(bus: DataFrame, schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val raw = col("value").cast("string")
+    // from_json returns an all-null struct (not a null) for malformed
+    // input, so corrupt detection uses the parser's own corrupt-record
+    // column — the same idiom as Sinks.tolerantJson
+    val withCorrupt = schema.add("_corrupt", org.apache.spark.sql.types.StringType)
+    val opts = Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")
+    bus.select(col("topic"), col("partition"), col("offset"),
+      from_json(raw, withCorrupt, opts).as("m"))
+      .select(col("topic"), col("partition"), col("offset"), col("m.*"))
+  }
+
   /** Watermarked tumbling-window counts — the streaming twin of
     * JsonEtl.tumblingWindow. State per (window, type) is dropped once the
     * watermark passes, so state size is O(active windows), not O(stream).

@@ -187,6 +187,36 @@ class StreamingSpec extends SparkSpec {
     doc3.foreach { case (_, t) => assert(t.contains("<EMAIL>") && !t.contains("example.com")) }
   }
 
+  test("bus contract end-to-end: connector schema -> tolerant parse -> aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("user", LongType), StructField("amount", DoubleType)))
+    val in = MemoryStream[String]
+    in.addData(
+      """{"user": 1, "amount": 10.5}""",
+      """{"user": 2, "amount": 3.0}""",
+      """not json at all{{""",
+      """{"user": 1, "amount": 2.5}""")
+    val bus = Streams.busFrom(in.toDF().toDF("value"), "events")
+    // the bus frame carries the connector's exact schema
+    assert(bus.schema.map(f => (f.name, f.dataType.typeName)) === Seq(
+      ("key", "binary"), ("value", "binary"), ("topic", "string"),
+      ("partition", "integer"), ("offset", "long"), ("timestamp", "timestamp")))
+    runToMemory(Streams.parseBus(bus, schema), "bus")
+    val rows = spark.table("bus").collect()
+    assert(rows.length === 4)
+    assert(rows.forall(_.getAs[String]("topic") == "events"))
+    val good = rows.filter(_.getAs[String]("_corrupt") == null)
+    assert(good.length === 3)
+    assert(good.map(_.getAs[Double]("amount")).sum === 16.0)
+    val bad = rows.filter(_.getAs[String]("_corrupt") != null)
+    assert(bad.length === 1 && bad.head.getAs[String]("_corrupt").startsWith("not json"))
+    assert(bad.head.isNullAt(bad.head.fieldIndex("user")),
+      "a corrupt payload parses to null columns, never a failed batch")
+  }
+
   test("streaming chunker emits exactly the batch chunks (stateless explode)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -103,6 +103,9 @@ object ScaleProbe {
       graft.ops.Similarity.labelCentroids(spark, out).count())
     time("emb_label_centroids(partial)")(
       graft.ops.Similarity.labelCentroidsPartial(spark, out).count())
+    // int8 retrieval: the cheap pass intentionally scans ALL N with the
+    // integer-dot kernel — wall should stay ~linear in N and small
+    time("ann_int8_topk")(graft.ops.Similarity.int8Topk(spark, out).count())
     time("text_mixture_sample")(
       graft.ops.Curation.mixtureSampleDocs(spark, out).count())
     time("text_select_budget_threshold")(

@@ -476,6 +476,26 @@ object Relational {
       .orderBy(col("bucket"))
   }
 
+  // ---------------------------------------------------------------- range frame
+  /** Value-based (RANGE) window frame: per customer, total spend within
+    * the trailing 30 DAYS of each order — rows land in the frame by
+    * order-date distance, not row count (the ROWS-frame cousins are
+    * [[windowRunning]] and [[movingAvg]]). Epoch-second longs order the
+    * frame, so the range arithmetic is engine-neutral integer math.
+    */
+  def rangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val sec = epochS(col("o_orderdate"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("sec"))
+      .rangeBetween(-30L * 86400, Window.currentRow)
+    Tables(s, dir).orders
+      .select(col("o_custkey"), col("o_orderkey"), sec.as("sec"),
+        dec(col("o_totalprice")).as("price"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(col("price")).over(w).cast(DoubleType).as("spend_30d"),
+        count(lit(1)).over(w).as("n_orders_30d"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   // ---------------------------------------------------------------- set ops
   /** INTERSECT / EXCEPT audience arithmetic: customers with an open order
     * vs customers with a high balance, partitioned into both / only-open /
@@ -590,9 +610,18 @@ object Relational {
     "q_funnel"            -> (funnelConversion _),
     "q_order_islands"     -> (orderIslands _),
     "q_moving_avg"        -> (movingAvg _),
-    "q_set_ops"           -> (setOps _))
+    "q_set_ops"           -> (setOps _),
+    "q_range_frame"       -> (rangeFrame _))
 
   val oracles: Map[String, String] = Map(
+    "q_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_30d,
+        |  COUNT(*) OVER w AS n_orders_30d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_ms(o_orderdate)//1000
+        |  RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_set_ops" ->
       """WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'),
         |b AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_acctbal > 5000)

@@ -83,7 +83,8 @@ object Pipeline {
       df.withColumnRenamed(from, to)
     }
     val shaped2 = if (lowercaseNames)
-      shaped1.toDF(shaped1.columns.map(_.toLowerCase): _*) else shaped1
+      shaped1.toDF(shaped1.columns.toIndexedSeq.map(_.toLowerCase): _*)
+    else shaped1
     // same courtesy for redaction (names refer to the post-rename schema);
     // the raw UNRESOLVED_COLUMN an operator would otherwise get doesn't say
     // which config key produced it

@@ -15,7 +15,11 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val repl = args.headOption.map(_.toInt).getOrElse(20)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val out = s"/tmp/graft_scale_${repl}x"
+    // the reuse marker must key on the SOURCE too: an out dir keyed only
+    // on repl would silently serve corpus A's replication to a probe of
+    // corpus B
+    val srcTag = java.lang.Integer.toHexString(sfDir.hashCode)
+    val out = s"/tmp/graft_scale_${repl}x_$srcTag"
     val spark = GraftSession.local(32, "graft-scale-probe")
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

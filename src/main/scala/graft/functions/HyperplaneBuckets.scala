@@ -51,16 +51,19 @@ case class HyperplaneBuckets(child: Expression, planes: Array[Double],
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
     copy(child = newChild)
 
-  // Array[Double] equality is reference-based in case-class equals; planes
-  // are a pure function of (numTables, bits, dim) at every call site, so
-  // semantic equality (canonicalization, exchange reuse) keys on those.
+  // Array[Double] equality is reference-based in case-class equals, which
+  // would make canonicalization (CSE, exchange reuse) treat equal-content
+  // plane tensors as distinct — so equality compares CONTENT. It must
+  // include the tensor: keying on dims alone would let Catalyst substitute
+  // one bucket computation for a differently-seeded one silently.
   override def equals(other: Any): Boolean = other match {
     case h: HyperplaneBuckets => h.child == child && h.numTables == numTables &&
-      h.bits == bits && h.dim == dim
+      h.bits == bits && h.dim == dim && java.util.Arrays.equals(h.planes, planes)
     case _ => false
   }
-  override def hashCode(): Int =
-    java.util.Objects.hash(child, Int.box(numTables), Int.box(bits), Int.box(dim))
+  override def hashCode(): Int = java.util.Objects.hash(child,
+    Int.box(numTables), Int.box(bits), Int.box(dim),
+    Int.box(java.util.Arrays.hashCode(planes)))
 }
 
 object HyperplaneBuckets {

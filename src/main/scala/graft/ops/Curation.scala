@@ -125,7 +125,11 @@ object Curation {
     require(bps.values.forall(p => p >= 0 && p <= 10000)
       && defaultBps >= 0 && defaultBps <= 10000,
       s"rates are basis points in [0, 10000]: $bps default=$defaultBps")
-    val h = pmod(col("doc_id") * lit(2654435761L), lit(10000L))
+    // reduce doc_id BEFORE the Knuth multiply: the raw product overflows
+    // long for doc_id > 2^63/2654435761 ≈ 3.47e9 — Spark would silently
+    // wrap while DuckDB raises, so the oracle-exact claim would break
+    // precisely at the 100 TB id range. (1e8-prime) · 2654435761 < 2^63.
+    val h = pmod(pmod(col("doc_id"), lit(100000007L)) * lit(2654435761L), lit(10000L))
     val threshold = bps.toSeq.sortBy(_._1)
       .foldLeft(lit(defaultBps).cast("long")) { case (acc, (src, p)) =>
         when(col("source") === src, lit(p.toLong)).otherwise(acc)
@@ -159,7 +163,7 @@ object Curation {
   val oracles: Map[String, String] = Map(
     "text_mixture_sample" ->
       """SELECT doc_id, source FROM documents
-        |WHERE (doc_id * 2654435761) % 10000 <
+        |WHERE ((doc_id % 100000007) * 2654435761) % 10000 <
         |  CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 7500
         |    WHEN 'src2' THEN 5000 WHEN 'src3' THEN 2500 ELSE 1000 END
         |ORDER BY doc_id""".stripMargin)

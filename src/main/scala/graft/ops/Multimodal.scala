@@ -195,16 +195,19 @@ object Multimodal {
   def nearDupCandidateStats(s: SparkSession, dir: String,
       numTables: Int = 8, r: Double = 0.01): (Long, Long, Long, Double) = {
     val (f, b) = nearDupBuckets(s, dir, numTables, r)
+    // coalesce: an empty/degenerate corpus aggregates zero buckets, where
+    // sum()/max() are null and a bare getLong would NPE the probe
     val row = b.groupBy(col("tbl"), col("c1"), col("c2"))
       .agg(count(lit(1)).as("n"))
-      .agg(sum(col("n") * (col("n") - lit(1L))).as("twice_cand"),
-        max(col("n")).as("max_bucket"))
+      .agg(coalesce(sum(col("n") * (col("n") - lit(1L))), lit(0L)).as("twice_cand"),
+        coalesce(max(col("n")), lit(0L)).as("max_bucket"))
       .head()
     val nDocs = f.count()
     val cand = row.getLong(0) / 2
     val allPairs = nDocs * (nDocs - 1) / 2
-    (nDocs, cand, row.getLong(1),
-      cand.toDouble / (allPairs.toDouble * numTables))
+    val rate = if (allPairs == 0) 0.0
+      else cand.toDouble / (allPairs.toDouble * numTables)
+    (nDocs, cand, row.getLong(1), rate)
   }
 
   // ------------------------------------------------------------ frames

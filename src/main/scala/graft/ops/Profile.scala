@@ -66,7 +66,10 @@ object Profile {
   def sampleDocuments(s: SparkSession, dir: String): DataFrame =
     stratifiedSample(Tables(s, dir).documents, "lang", "doc_id",
       Map("en" -> 0.5, "fr" -> 0.2, "es" -> 0.2, "de" -> 0.2, "zh" -> 0.2),
-      bucket = Some(pmod(col("doc_id") * lit(2654435761L), lit(1000L))))
+      // doc_id reduced before the multiply — see Curation.mixturePredicate's
+      // overflow note (raw product wraps past doc_id ≈ 3.47e9)
+      bucket = Some(pmod(
+        pmod(col("doc_id"), lit(100000007L)) * lit(2654435761L), lit(1000L))))
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
@@ -93,7 +96,7 @@ object Profile {
         |) ORDER BY "column"""".stripMargin,
     "text_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
-        |WHERE (doc_id * 2654435761) % 1000 <
+        |WHERE ((doc_id % 100000007) * 2654435761) % 1000 <
         |  CASE lang WHEN 'en' THEN 500 WHEN 'fr' THEN 200 WHEN 'es' THEN 200
         |    WHEN 'de' THEN 200 WHEN 'zh' THEN 200 ELSE -1 END
         |ORDER BY doc_id""".stripMargin)

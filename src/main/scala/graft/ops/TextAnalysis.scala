@@ -517,6 +517,9 @@ object TextAnalysis {
   def selectBudgetThreshold(s: SparkSession, dir: String,
       budget: Long = 10000L, bands: Int = 1000): DataFrame = {
     val scored = budgetScored(s, dir)
+      // an empty doc scores null (0/0 ratios); it can't be selected and a
+      // null band row would NPE the driver's histogram walk below
+      .filter(col("quality_score").isNotNull)
       .withColumn("band", floor(col("quality_score") * bands).cast(LongType))
     val hist = scored.groupBy(col("band"))
       .agg(sum(col("n_tokens")).as("toks"))

@@ -31,15 +31,17 @@ object JsonEtl {
 
   private val D = DecimalType(18, 2)
   /** Floor epoch-seconds from the nanos-epoch long `ts` column. EXACT
-    * integer arithmetic via a decimal floor-divide: the old
-    * `(ts / 1e9).cast(long)` coerced to double, whose 2^53 mantissa makes
-    * nanos magnitudes (~1.7e18, ULP 256 ns) round across second
-    * boundaries — any timestamp within ~128 ns below a boundary would
-    * floor differently from the oracle's integer `epoch_ms(ts)//1000`.
-    * Shared (private[graft]) so every module computes ts semantics one way.
+    * integer arithmetic via IntegralDivide (`div` — a codegen'd long
+    * division): the old `(ts / 1e9).cast(long)` coerced to double, whose
+    * 2^53 mantissa makes nanos magnitudes (~1.7e18, ULP 256 ns) round
+    * across second boundaries — any timestamp within ~128 ns below a
+    * boundary would floor differently from the oracle's integer
+    * `epoch_ms(ts)//1000`. (Positive epochs, so truncating division IS
+    * floor.) Shared (private[graft]) so every module computes ts
+    * semantics one way.
     */
   private[graft] def tsSec(c: Column): Column =
-    floor(c.cast(DecimalType(38, 0)) / lit(1000000000L)).cast(LongType)
+    call_function("div", c, lit(1000000000L)).cast(LongType)
 
   // ------------------------------------------------------------ json extract
   /** Parse the embedded JSON string column (pyetl's "message body") into

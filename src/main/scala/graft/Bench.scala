@@ -29,9 +29,11 @@ object Bench {
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
     "dedup_components", "dedup_incremental", "dedup_semantic",
     "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_int8_topk",
+    "ann_int8_ivf_topk",
     "text_quality", "text_fingerprint", "text_lang_id", "text_curate_corpus",
     "text_tfidf", "text_editdist_nn", "text_decontaminate", "text_pack_sequences",
     "text_repetition", "text_heavy_hitters", "text_prepare_corpus",
+    "text_prepare_corpus_pipelined",
     "text_mixture_sample", "text_select_budget_threshold",
     "text_source_stats", "text_vocab_coverage", "text_chunk_documents",
     "text_span_dedup", "text_surprisal", "emb_label_centroids", "emb_quantize",
@@ -94,7 +96,24 @@ object Bench {
       "\"" + k + "\":" + runs.map(r => f"$r%.4f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"warmup_sec":$warmupSec,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"warmup_sec":$warmupSec,"sf":"$sfDir"}"""
+    // The full artifact (per-run arrays) exceeds the driver's 2000-char
+    // output tail, which truncated the round-5 artifact. Two fixes:
+    // (1) write the full JSON to a file the driver (or a human) can read;
+    // (2) print a COMPACT summary as the LAST stdout line — per-query mins
+    // rounded to ms, no run arrays — sized to survive a 2000-char tail
+    // intact, so the captured artifact is always complete, parseable JSON.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath),
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(full)
+    val qsCompact = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.2f" }
+      .mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qsCompact,"warmup_sec":${f"$warmupSec%.1f"},"sf":"$sfDir","detail_file":"$outPath"}"""
+    println(compact)
     spark.stop()
   }
 }

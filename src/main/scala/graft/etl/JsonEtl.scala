@@ -342,7 +342,8 @@ object JsonEtl {
     "etl_quality_audit" ->
       """WITH ev AS (SELECT
         |    COUNT(*) FILTER (user_id IS NULL) AS events_null_user,
-        |    COUNT(*) FILTER (json_extract(props, '$.k') IS NULL) AS events_bad_props,
+        |    COUNT(*) FILTER (CASE WHEN json_valid(props)
+        |      THEN json_extract(props, '$.k') END IS NULL) AS events_bad_props,
         |    COUNT(*) FILTER (value < 0) AS events_negative_value
         |  FROM events),
         |ord AS (SELECT COUNT(*) FILTER (o_totalprice <= 0) AS orders_nonpositive_total

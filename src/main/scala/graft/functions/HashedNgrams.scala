@@ -64,7 +64,11 @@ object HashedNgrams {
   /** The shared kernel (called from both eval and generated code): one pass
     * over the token array, no per-element expression dispatch, no boxing on
     * the hash path. A null token (possible under `containsNull` input
-    * types) contributes no gram, matching the null-propagating HOF chain.
+    * types) contributes no gram. For n>1 this matches the null-propagating
+    * HOF chain it replaced; for n=1 it diverges from the replaced
+    * `transform(xxhash64)`, which maps a null element to the seed (42)
+    * instead of dropping it — unreachable via `split()` (never emits
+    * nulls), but a containsNull caller would see the drop semantics here.
     */
   def compute(tokens: ArrayData, n: Int, prime: Long, distinct: Boolean): ArrayData = {
     val len = tokens.numElements()

@@ -368,10 +368,66 @@ object Similarity {
     topkPerQuery(scored)
   }
 
+  /** [[int8Topk]] composed with IVF cell restriction — the tier for the N
+    * where even the int8 full scan dominates: the cheap integer pass runs
+    * only inside each query's [[NProbe]] nearest cells (the [[ivfTopk]]
+    * candidate set), so per-query work is |probed cells| not N, and the
+    * scanned bytes are the 4×-smaller int8 codes of those cells. Each
+    * vector lives in exactly one cell and probes are distinct cells, so
+    * the cell join yields each (query, neighbor) at most once — no
+    * candidate distinct needed. Recall contract (spec-pinned, rows-only):
+    * the int8 shortlist + exact rerank recovers ≥90% of what full-float
+    * scoring of the SAME cells ([[ivfTopk]]) finds; recall vs brute force
+    * is capped by the cell-probing stage, a property of the IVF family on
+    * this near-random corpus, not of the quantization.
+    */
+  def int8IvfTopk(s: SparkSession, dir: String, shortlist: Int = 50): DataFrame = {
+    val e = Tables(s, dir).embeddings
+    val cents = centroids(e)
+    val assigned = assignCells(e, cents).select(col("vec_id"), col("cell"))
+    // quantized corpus with its cell: the id-keyed join adds one narrow
+    // column to rows that were already being materialized
+    val qz = quantizeVectors(e).join(assigned, Seq("vec_id"))
+    val probes = e.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .join(broadcast(cents))
+      .select(col("query_id"), col("cell"),
+        cosine_sim(col("qe"), col("centroid")).as("ccos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cell"))))
+      .filter(col("rk") <= NProbe)
+      .select(col("query_id"), col("cell"))
+    val qq = qz.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
+        col("inorm").as("q_inorm"), col("step").as("q_step"))
+    val probeSide = broadcast(probes.join(qq, Seq("query_id")))
+    val cheap = qz.as("v").join(probeSide.as("p"),
+        col("v.cell") === col("p.cell") && col("v.vec_id") =!= col("p.query_id"))
+      .select(col("p.query_id"), col("v.vec_id").as("neighbor_id"),
+        (graft.functions.dot_long(col("v.qv"), col("p.q_qv")).cast(DoubleType)
+          * col("v.step") * col("p.q_step")
+          * col("v.inorm") * col("p.q_inorm")).as("ascore"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ascore").desc, col("neighbor_id"))
+    val short = cheap.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val qe = broadcast(e.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+    val scored = short
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")),
+        Seq("neighbor_id"))
+      .join(qe, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine_sim(col("qe"), col("ne")).as("cosine"))
+    topkPerQuery(scored)
+  }
+
   // =================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_quantize" -> (quantize _),
     "ann_int8_topk" -> ((s: SparkSession, dir: String) => int8Topk(s, dir)),
+    "ann_int8_ivf_topk" -> ((s: SparkSession, dir: String) => int8IvfTopk(s, dir)),
     "emb_label_centroids" -> ((s: SparkSession, dir: String) => labelCentroids(s, dir)),
     "ann_bruteforce_topk" -> (bruteforceTopk _),
     "ann_lsh_topk"        -> ((s: SparkSession, dir: String) => lshTopk(s, dir)),

@@ -184,8 +184,11 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
     val wc = tf.groupBy(col("word")).agg(sum(col("tf")).as("cnt"))
     // corpus token total: one scalar off the word-count frame (vocab-sized,
-    // not corpus-sized), computed once on the driver
-    val totalTokens = wc.agg(sum(col("cnt"))).first().getLong(0)
+    // not corpus-sized), computed once on the driver. coalesce: sum over
+    // zero rows is NULL, and getLong on a null primitive NPEs — an empty
+    // documents table must yield an empty result, not a driver crash.
+    val totalTokens =
+      wc.agg(coalesce(sum(col("cnt")), lit(0L))).first().getLong(0)
     tf.join(wc, "word")
       .groupBy(col("doc_id"))
       .agg(

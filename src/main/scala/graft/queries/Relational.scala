@@ -474,7 +474,11 @@ object Relational {
         count(col("t_view")).as("n_view"),
         count(col("t_click")).as("n_view_click"),
         count(col("t_purchase")).as("n_funnel"))
-      .orderBy(col("bucket"))
+      // asc_nulls_last: a NULL user_id yields a NULL bucket, which Spark
+      // sorts NULLS FIRST by default while DuckDB's ORDER BY defaults to
+      // NULLS LAST — pin the DuckDB convention so the engines agree if
+      // null user_ids ever appear in the data.
+      .orderBy(col("bucket").asc_nulls_last)
   }
 
   // ---------------------------------------------------------------- range frame

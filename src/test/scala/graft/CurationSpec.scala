@@ -63,6 +63,17 @@ class CurationSpec extends SparkSpec {
     } finally { pairs.unpersist(); () }
   }
 
+  test("pipelined query entry equals the one-shot funnel") {
+    // the memoized-pairs form is the same funnel fed materialized edges;
+    // calling it twice also exercises the memo's reuse path
+    val once = Curation.prepareCorpusPipelined(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("shard"))).toSet
+    val again = Curation.prepareCorpusPipelined(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("shard"))).toSet
+    assert(once === out.map(r => (r.getLong(0), r.getAs[Long]("shard"))).toSet)
+    assert(again === once)
+  }
+
   test("the funnel pins no labels cache after return (ownership honored)") {
     val cm = spark.sharedState.cacheManager
     cm.clearCache()

@@ -131,6 +131,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("int8+IVF recovers what full-float scoring of the same cells finds") {
+    // The composed tier's own contract: within the probed cells, the int8
+    // shortlist + exact rerank must recover >=90% of what ivfTopk's full-
+    // precision scan of the SAME cells finds. Recall vs brute force is
+    // capped by the cell-probing stage (a property of the IVF family on
+    // this near-random corpus), so that gets the family floor, not 0.9.
+    val ivf = topk(Similarity.ivfTopk(spark, sf))
+    val got = topk(Similarity.int8IvfTopk(spark, sf))
+    val hits = ivf.map { case (q, ns) =>
+      got.getOrElse(q, Seq.empty).count(ns.toSet.contains) }.sum
+    val vsIvf = hits.toDouble / ivf.values.map(_.size).sum
+    assert(vsIvf >= 0.9, s"int8+IVF vs float-IVF recall=$vsIvf")
+    val vsBf = recallAt5(got)
+    assert(vsBf >= 0.15, s"int8+IVF vs brute-force recall=$vsBf")
+    assert(got.size === 10)
+    got.values.foreach(ns => assert(ns.size === 5))
+  }
+
   test("int8 quantization: bounded reconstruction error, near-unit cosine") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap

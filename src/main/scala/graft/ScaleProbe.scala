@@ -46,7 +46,11 @@ object ScaleProbe {
       new java.io.FileOutputStream(s"$out/_replicated").close()
     }
 
-    def time(label: String)(f: => Long): Unit = {
+    // optional third arg: only run probes whose label contains it — a
+    // targeted re-probe after changing one operator shouldn't re-pay the
+    // whole suite at 100×
+    val only = if (args.length > 2) args(2) else ""
+    def time(label: String)(f: => Long): Unit = if (label.contains(only)) {
       val t0 = System.nanoTime()
       val n = f
       println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.1f s ($n rows)")
@@ -57,7 +61,7 @@ object ScaleProbe {
     // (its cost is the minhash_lsh line above) so this times the iterative
     // min-label propagation alone — the only multi-round operator, whose
     // O(log |largest component|) convergence claim needs scale evidence
-    locally {
+    if ("components".contains(only) || only.isEmpty) locally {
       val pairs = graft.ops.Dedup.minhashLsh(spark, out)
         .select(col("d1"), col("d2")).cache()
       val nPairs = pairs.count()
@@ -118,6 +122,13 @@ object ScaleProbe {
     // N by design — the quantity to watch is wall vs N with E|cluster|
     // pinned at targetCluster
     time("dedup_semantic")(graft.ops.Dedup.semantic(spark, out).count())
+    // two-level membership: same tier with the N·k scoring routed through
+    // the √k coarse layer — the wall gap vs the flat line above is the
+    // membership-scan saving, the pair counts should be ~equal
+    time("dedup_semantic(two-level)")(
+      graft.ops.Dedup.semantic(spark, out, coarseProbe = 2).count())
+    time("dedup_semantic(two-level,cprobe=3)")(
+      graft.ops.Dedup.semantic(spark, out, coarseProbe = 3).count())
     // fixed-size benchmark (like the decontaminate probe): with the %11 demo
     // predicate every dup-dense doc has a twin INSIDE the benchmark set, so
     // the funnel correctly drops ~everything and times an empty corpus
@@ -133,7 +144,7 @@ object ScaleProbe {
     // geometry schedules (Σ|bucket|² from the histogram, zero pairs built)
     // — the quantity that must stay a small fraction of all-pairs for the
     // contract to hold at 100 TB
-    locally {
+    if ("mm_near_dup candidates".contains(only) || only.isEmpty) locally {
       val t0 = System.nanoTime()
       val (n, cand, maxB, rate) =
         graft.ops.Multimodal.nearDupCandidateStats(spark, out)

@@ -214,25 +214,49 @@ object JsonEtl {
     * the forward fill is one window per bucket. At 100 TB the grid is
     * still keys × hours — independent of event volume.
     */
-  def gapFill(s: SparkSession, dir: String): DataFrame = {
+  /** General form — the operator users actually reach for: any key
+    * expression, any grain, any mix of fill strategies. `zeroFills` are
+    * aggregates whose empty periods read as 0 (counts, sums-as-activity);
+    * `locfFills` are carried forward from the last observed period per
+    * key (running values, balances). Output schema is fixed:
+    * (bucket, h, <zeroFills names>, <locfFills names>) with h = floor
+    * epoch-seconds / grainSec. The grid stays keys × periods regardless
+    * of event volume, and the LOCF windows all share the one
+    * (bucket-partitioned, h-ordered) sort.
+    */
+  def gapFill(events: DataFrame, key: Column, tsSecCol: Column, grainSec: Long,
+      zeroFills: Seq[(String, Column)], locfFills: Seq[(String, Column)]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hour = (tsSec(col("ts")) / lit(3600L)).cast(LongType)
-    val ev = Tables(s, dir).events
-      .select((col("user_id") % 10).as("bucket"), hour.as("h"), col("value"))
-    val agg = ev.groupBy(col("bucket"), col("h"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(D)).cast(DoubleType).as("sum_value"))
-    val bounds = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
-    val grid = ev.select(col("bucket")).distinct()
-      .crossJoin(broadcast(bounds.select(explode(sequence(col("h0"), col("h1"))).as("h"))))
-    val w = Window.partitionBy(col("bucket")).orderBy(col("h"))
+    require(grainSec > 0, s"grainSec must be positive, got $grainSec")
+    require(zeroFills.nonEmpty || locfFills.nonEmpty, "no fill columns given")
+    val base = events
+      .withColumn("__bucket", key)
+      .withColumn("__h", (tsSecCol / lit(grainSec)).cast(LongType))
+    val aggCols = (zeroFills ++ locfFills).map { case (n, c) => c.as(n) }
+    val agg = base.groupBy(col("__bucket"), col("__h"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val bounds = base.agg(min(col("__h")).as("h0"), max(col("__h")).as("h1"))
+    val grid = base.select(col("__bucket")).distinct()
+      .crossJoin(broadcast(bounds.select(explode(sequence(col("h0"), col("h1"))).as("__h"))))
+    val w = Window.partitionBy(col("__bucket")).orderBy(col("__h"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(agg, Seq("bucket", "h"), "left")
-      .select(col("bucket"), col("h"),
-        coalesce(col("n"), lit(0L)).as("n"),
-        last(col("sum_value"), ignoreNulls = true).over(w).as("filled_value"))
+    val outCols =
+      zeroFills.map { case (n, _) => coalesce(col(n), lit(0L)).as(n) } ++
+        locfFills.map { case (n, _) => last(col(n), ignoreNulls = true).over(w).as(n) }
+    grid.join(agg, Seq("__bucket", "__h"), "left")
+      .select(col("__bucket").as("bucket") +: col("__h").as("h") +: outCols: _*)
       .orderBy(col("bucket"), col("h"))
   }
+
+  /** The gate instance: user-bucket key, hourly grain, zero-filled event
+    * count + LOCF running hourly value sum — oracle-exact.
+    */
+  def gapFill(s: SparkSession, dir: String): DataFrame =
+    gapFill(Tables(s, dir).events,
+      col("user_id") % 10, tsSec(col("ts")), 3600L,
+      zeroFills = Seq("n" -> count(lit(1))),
+      locfFills = Seq(
+        "filled_value" -> sum(col("value").cast(D)).cast(DoubleType)))
 
   // ------------------------------------------------------------ scd2
   /** Slowly-changing-dimension type-2 build from a change log — the

@@ -332,14 +332,17 @@ object Dedup {
     * Lloyd refinement and the membership ranking; candidates travel
     * id-only through their distinct (16 B/row, the embeddingLsh
     * discipline) and embeddings re-join only for the exact verify. The
-    * N·k membership-scoring cost is the documented extreme-scale limit (a
-    * two-level quantizer shards it; public SemDeDup runs train k-means
-    * offline the same way). Precision is exact by construction (every
-    * emitted pair passed exact cosine ≥ τ); recall vs the all-pairs
-    * [[embedding]] truth is spec-pinned at two geometries.
+    * flat N·k membership scoring is the extreme-scale limit; past ~10M
+    * cells set `coarseProbe` > 0 to route membership through
+    * [[membershipTwoLevel]] (score N·√k coarse + N·cprobe·√k fine
+    * instead of N·k). Precision is exact by construction (every emitted
+    * pair passed exact cosine ≥ τ); recall vs the all-pairs [[embedding]]
+    * truth is spec-pinned at two geometries, and two-level vs flat
+    * membership parity is spec-pinned at two geometries too.
     */
   def semantic(s: SparkSession, dir: String, tau: Double = 0.4,
-      targetCluster: Int = 128, iters: Int = 2, nprobe: Int = 2): DataFrame = {
+      targetCluster: Int = 128, iters: Int = 2, nprobe: Int = 2,
+      coarseProbe: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
     val k = math.max(2, (e.count() / targetCluster).toInt)
@@ -347,13 +350,15 @@ object Dedup {
     // multi-probe membership: rank cells per vector (the window is why
     // this doesn't reuse assignCells' max_by — multi-probe needs the top
     // P, not the max; N·k rows ranked, id+cell out)
-    val member = e.join(broadcast(cents))
-      .select(col("vec_id"), col("cell"),
-        nanvl(cosine_sim(col("embedding"), col("centroid")), lit(-1.0)).as("ccos"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))))
-      .filter(col("rk") <= nprobe)
-      .select(col("vec_id"), col("cell"))
+    val member =
+      if (coarseProbe > 0) membershipTwoLevel(e, cents, nprobe, coarseProbe)
+      else e.join(broadcast(cents))
+        .select(col("vec_id"), col("cell"),
+          nanvl(cosine_sim(col("embedding"), col("centroid")), lit(-1.0)).as("ccos"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))))
+        .filter(col("rk") <= nprobe)
+        .select(col("vec_id"), col("cell"))
     val cand = member.as("a").join(member.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
@@ -364,6 +369,55 @@ object Dedup {
       .select(col("v1"), col("v2"), cosine_sim(col("e1"), col("e2")).as("cosine"))
       .filter(col("cosine") >= tau)
       .orderBy(col("v1"), col("v2"))
+  }
+
+  /** Two-level multi-probe membership — the quantizer shard that keeps
+    * SemDeDup credible past ~10M cells: cluster the k fine centroids into
+    * c ≈ √k coarse cells (k rows — driver-scale work), then each vector
+    * (1) scores the c coarse centroids and keeps its `cprobe` nearest,
+    * (2) scores only the fine cells OWNED by those coarse cells. Expected
+    * scoring work per vector is c + cprobe·(k/c) = O(√k·(1+cprobe))
+    * instead of k; both ranking windows shuffle skinny (id, cell, score)
+    * rows. The one extra exchange vs the flat scorer is the embedding
+    * re-join after the coarse top-P — N rows, dwarfed by the N·k rows the
+    * flat window shuffles once k outgrows dim. A vector near a coarse
+    * boundary can miss fine cells its flat scorer would rank (the coarse
+    * cell owning them wasn't probed) — cprobe ≥ 2 is the standard
+    * multi-probe fix; DedupSpec pins membership parity vs flat at two
+    * geometries.
+    */
+  private[ops] def membershipTwoLevel(e: DataFrame, cents: DataFrame,
+      nprobe: Int, cprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = cents.count() // cents is a driver-local toDF — counting is free
+    val c = math.max(2, math.ceil(math.sqrt(k.toDouble)).toInt)
+    // coarse layer: k-means over the fine-centroid table itself, seeded
+    // deterministically like every other clustering here
+    val centsAsVecs = cents
+      .select(col("cell").as("vec_id"), col("centroid").as("embedding"))
+    val coarse = Similarity.kmeans(centsAsVecs, pmod(col("vec_id"), lit(c)), 2)
+    // each fine cell's owning coarse cell (hard top-1 — ownership must
+    // partition the fine cells, multi-probing happens on the query side)
+    val fineOwner = Similarity.assignCells(centsAsVecs, coarse)
+      .select(col("vec_id").as("cell"), col("cell").as("ccell"))
+    val coarseTop = e.join(broadcast(
+        coarse.select(col("cell").as("ccell"), col("centroid").as("ccent"))))
+      .select(col("vec_id"), col("ccell"),
+        nanvl(cosine_sim(col("embedding"), col("ccent")), lit(-1.0)).as("ccos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("ccell"))))
+      .filter(col("rk") <= cprobe)
+      .select(col("vec_id"), col("ccell"))
+    // fine cells tagged with their owner: k rows, broadcast
+    val fineTagged = broadcast(cents.join(fineOwner, Seq("cell")))
+    e.join(coarseTop, Seq("vec_id"))
+      .join(fineTagged, Seq("ccell"))
+      .select(col("vec_id"), col("cell"),
+        nanvl(cosine_sim(col("embedding"), col("centroid")), lit(-1.0)).as("ccos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell"))))
+      .filter(col("rk") <= nprobe)
+      .select(col("vec_id"), col("cell"))
   }
 
   // ------------------------------------------------------------ components

@@ -2,7 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 import java.sql.Timestamp
 
 /** Structured Streaming surface (SURVEY §2.F) — pyetl's continuous loop
@@ -152,6 +154,78 @@ object Streams {
       .groupByKey(_.userId)
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.EventTimeTimeout())(update)
+  }
+
+  /** The per-key session logic of [[sessionizeTws]]: explicit value-state
+    * handle + one event-time timer per key, against [[sessionize]]'s
+    * single state object with a timeout. The fold over a batch's events is
+    * the same code shape; what changes is the lifecycle — timers are
+    * first-class (registered/deleted explicitly, at most one live per key
+    * here) and expiry gets its own callback instead of re-entering the
+    * update function with hasTimedOut.
+    */
+  private class SessionProcessor(gapSec: Long)
+      extends StatefulProcessor[Long, Event, Session] {
+    @transient private var state: ValueState[SessState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState("session",
+        org.apache.spark.sql.Encoders.product[SessState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, evs: Iterator[Event],
+        timers: TimerValues): Iterator[Session] = {
+      val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.value))
+      var closed = List.empty[Session]
+      var cur = if (state.exists()) Some(state.get()) else None
+      sorted.foreach { e =>
+        val sec = e.ts.getTime / 1000
+        cur match {
+          case Some(s) if sec - s.endSec <= gapSec =>
+            cur = Some(s.copy(endSec = sec, n = s.n + 1, sum = s.sum + e.value))
+          case Some(s) =>
+            closed ::= Session(userId, s.startSec, s.endSec, s.n, s.sum)
+            cur = Some(SessState(sec, sec, 1L, e.value))
+          case None =>
+            cur = Some(SessState(sec, sec, 1L, e.value))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        // one live timer per key: the session's close time moved, so the
+        // stale timer must go or every extension would leak a timer row
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        val target = (s.endSec + gapSec) * 1000
+        getHandle.registerTimer(math.max(target, timers.getCurrentWatermarkInMs + 1))
+      }
+      closed.reverseIterator
+    }
+
+    override def handleExpiredTimer(userId: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[Session] =
+      if (state.exists()) {
+        val s = state.get()
+        state.clear() // the eviction StreamingSpec pins via state metrics
+        Iterator(Session(userId, s.startSec, s.endSec, s.n, s.sum))
+      } else Iterator.empty
+  }
+
+  /** [[sessionize]] on `transformWithState` — Spark 4's successor to
+    * flatMapGroupsWithState: typed state handles and first-class timers
+    * instead of one state object with a timeout mode. Both twins stay:
+    * the FMGWS form runs on any state store provider, this one requires
+    * RocksDB (`spark.sql.streaming.stateStore.providerClass` →
+    * RocksDBStateStoreProvider — the API's backing-store contract), which
+    * is also the provider a 100 TB/day stream wants (state spills off-heap
+    * instead of into executor memory). StreamingSpec pins twin parity on
+    * the same input and state eviction under watermark advance.
+    */
+  def sessionizeTws(events: Dataset[Event], gapSec: Long = 1800L,
+      watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.userId)
+      .transformWithState(new SessionProcessor(gapSec),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Stream-static enrichment: join the live stream against a (slowly

@@ -206,6 +206,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("semantic two-level membership: recall parity with the flat scorer, two geometries") {
+    // the √k coarse layer must not cost recall: pairs found via two-level
+    // membership ⊆ exact truth (precision 1 by construction, same as flat)
+    // and recover ≥90% of what the flat N·k scorer finds, at two
+    // geometries — the contract that makes the scale tier a drop-in
+    val exact = Dedup.embedding(spark, sf)
+      .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Seq(128 -> 2, 256 -> 2).foreach { case (targetCluster, nprobe) =>
+      val flat = Dedup.semantic(spark, sf, targetCluster = targetCluster,
+        nprobe = nprobe)
+        .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val two = Dedup.semantic(spark, sf, targetCluster = targetCluster,
+        nprobe = nprobe, coarseProbe = 2)
+        .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(two.subsetOf(exact),
+        s"tc=$targetCluster: two-level pairs still pass exact cosine")
+      val parity = two.intersect(flat).size.toDouble / flat.size
+      assert(parity >= 0.9,
+        s"tc=$targetCluster nprobe=$nprobe two-level/flat parity=$parity " +
+          "(coarse probing must not lose the cells the flat scorer ranks)")
+    }
+  }
+
   test("semantic membership is computed once at runtime (exchange reuse)") {
     // the membership subplan (N·k cell scoring + window) feeds BOTH sides
     // of the candidate self-join; with shuffle joins AQE must reuse its

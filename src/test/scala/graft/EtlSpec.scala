@@ -243,6 +243,33 @@ class EtlSpec extends SparkSpec {
     assert(rows.map(_._3).sum === total, "zero-filled counts still sum to all events")
   }
 
+  test("gap fill is parameterized: daily grain over a different key") {
+    // the general form with (event_type key, 86400 s grain, max as the
+    // LOCF column) — proves key/grain/fills really are runtime knobs and
+    // the grid/fill semantics survive the change
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val rows = JsonEtl.gapFill(ev, col("event_type"), JsonEtl.tsSec(col("ts")),
+        86400L,
+        zeroFills = Seq("n" -> count(lit(1))),
+        locfFills = Seq("max_value" -> max(col("value"))))
+      .collect()
+      .map(r => (r.getAs[String]("bucket"), r.getAs[Long]("h"), r.getAs[Long]("n"),
+        Option(r.getAs[java.lang.Double]("max_value")).map(_.toDouble)))
+    val keys = ev.select(col("event_type")).distinct().count()
+    val days = rows.map(_._2)
+    val span = days.max - days.min + 1
+    assert(rows.length.toLong === keys * span,
+      "grid is exactly keys × days — event-volume independent")
+    rows.groupBy(_._1).values.foreach { vs =>
+      vs.sortBy(_._2).sliding(2).foreach {
+        case Array(prev, cur) if cur._3 == 0L =>
+          assert(cur._4 === prev._4, "empty day carries the previous value")
+        case _ =>
+      }
+    }
+    assert(rows.map(_._3).sum === ev.count())
+  }
+
   test("scd2: versions chain into a gapless partition of each key's timeline") {
     val rows = JsonEtl.scd2(spark, sf).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("valid_from"),

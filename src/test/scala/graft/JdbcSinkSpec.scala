@@ -44,6 +44,64 @@ class JdbcSinkSpec extends SparkSpec {
     assert(spark.read.jdbc(url, "docs", new Properties()).count() === 2 * docs.count())
   }
 
+  test("append to an existing table with a mismatched schema fails loudly, no rows land") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars")).limit(50)
+    Sinks.jdbcAppend(docs, url, "docs_strict", numPartitions = 2)
+    val before = spark.read.jdbc(url, "docs_strict", new Properties()).count()
+    // same arity, one renamed column: the INSERT names its columns, so the
+    // database rejects it — the error must surface to the caller, not
+    // vanish into a warn-and-continue
+    val renamed = docs.withColumnRenamed("doc_id", "doc_idx")
+    val e = intercept[Exception] {
+      Sinks.jdbcAppend(renamed, url, "docs_strict", numPartitions = 2)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m =>
+        m.toUpperCase.contains("DOC_IDX") || m.contains("42")),
+      s"the database's schema complaint must be preserved: ${messages(e)}")
+    assert(spark.read.jdbc(url, "docs_strict", new Properties()).count() === before,
+      "a rejected batch must not partially promote")
+  }
+
+  test("mid-write failure surfaces and leaves a detectable partial state, never a silent full promote") {
+    // pre-create a keyed table and seed a conflicting row, so one append
+    // partition hits a duplicate-key failure mid-write
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      conn.createStatement().execute(
+        "CREATE TABLE docs_pk (doc_id BIGINT PRIMARY KEY, n_chars BIGINT)")
+      conn.createStatement().execute(
+        "INSERT INTO docs_pk VALUES (5, 999)")
+    } finally conn.close()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("n_chars")).limit(100) // includes doc_id 5
+    val e = intercept[Exception] {
+      Sinks.jdbcAppend(docs, url, "docs_pk", numPartitions = 4)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).mkString.toUpperCase.contains("DUPLICATE")
+        || messages(e).mkString.contains("23505"),
+      s"the constraint violation must surface: ${messages(e)}")
+    // JDBC appends commit per partition (no global transaction — the
+    // documented contract; upstream mergeSnapshot + idempotent retry is
+    // the recovery path): partitions without the conflict may have
+    // committed, but the batch must NOT read as fully promoted
+    val after = spark.read.jdbc(url, "docs_pk", new Properties()).count()
+    assert(after >= 1, "the pre-existing row survives the failed append")
+    assert(after < 1 + docs.count(),
+      "a failed append must never look like a complete one")
+    // the seeded row's value is untouched (the conflicting insert rolled
+    // back its partition, it didn't upsert)
+    val seeded = spark.read.jdbc(url, "docs_pk", new Properties())
+      .filter(col("doc_id") === 5).collect()
+    assert(seeded.length === 1 && seeded.head.getLong(1) === 999L)
+  }
+
   test("the jdbc read path pushes predicates into the database") {
     val back = spark.read.jdbc(url, "docs", new Properties())
       .filter(col("n_chars") > 100)

@@ -71,6 +71,74 @@ class StreamingSpec extends SparkSpec {
       s.userId == 1 && s.nEvents == 2 && s.endSec - s.startSec == 600))
   }
 
+  private val rocksdb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  test("transformWithState twin emits the same sessions as flatMapGroupsWithState") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    withConf("spark.sql.streaming.stateStore.providerClass", rocksdb) {
+      val in = MemoryStream[Event]
+      in.addData(
+        Event(ts(0), 1, "click", 1.0), Event(ts(10), 1, "view", 2.0),
+        Event(ts(50), 1, "click", 4.0))
+      val q = Streams.sessionizeTws(in.toDS()).writeStream
+        .format("memory").queryName("sess_tws").outputMode("append")
+        .trigger(availableNow).start()
+      assert(q.awaitTermination(120000), "tws stream did not finish")
+      q.stop()
+      val tws = spark.table("sess_tws").as[Streams.Session].collect().toSet
+      // the FMGWS twin on the identical input (its own suite covers it
+      // standalone; here it is the parity oracle)
+      val in2 = MemoryStream[Event]
+      in2.addData(
+        Event(ts(0), 1, "click", 1.0), Event(ts(10), 1, "view", 2.0),
+        Event(ts(50), 1, "click", 4.0))
+      val q2 = Streams.sessionize(in2.toDS()).writeStream
+        .format("memory").queryName("sess_fmgws").outputMode("append")
+        .trigger(availableNow).start()
+      assert(q2.awaitTermination(120000), "fmgws stream did not finish")
+      q2.stop()
+      val fmgws = spark.table("sess_fmgws").as[Streams.Session].collect().toSet
+      assert(tws === fmgws, "the two state APIs must close identical sessions")
+      assert(tws.exists(s => s.userId == 1 && s.nEvents == 2
+        && s.endSec - s.startSec == 600))
+    }
+  }
+
+  test("transformWithState evicts session state once the watermark passes its close") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    withConf("spark.sql.streaming.stateStore.providerClass", rocksdb) {
+      val in = MemoryStream[Event]
+      in.addData(Event(ts(0), 1, "click", 1.0), Event(ts(10), 1, "view", 2.0))
+      val q = Streams.sessionizeTws(in.toDS()).writeStream
+        .format("memory").queryName("sess_evict").outputMode("append").start()
+      q.processAllAvailable()
+      // user 1's session (ends min 10, gap 30 → timer at min 40) holds one
+      // state row until the watermark passes it; user 2's event at min 60
+      // pushes the watermark to min 50 and MUST fire the timer
+      in.addData(Event(ts(60), 2, "click", 9.0))
+      q.processAllAvailable()
+      // the timer fires in the no-data batch after the watermark advance —
+      // poll until the closed session lands in the sink
+      val deadline = System.currentTimeMillis + 60000
+      while (spark.table("sess_evict").count() == 0
+          && System.currentTimeMillis < deadline)
+        Thread.sleep(200)
+      val closed = spark.table("sess_evict").as[Streams.Session].collect()
+      assert(closed.exists(s => s.userId == 1 && s.nEvents == 2),
+        "watermark advance must close and emit the idle session")
+      // eviction pinned by the operator metrics: only user 2's live
+      // session remains in the store
+      val lastState = q.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty).get.stateOperators(0)
+      q.stop()
+      assert(lastState.numRowsTotal === 1,
+        s"state must hold exactly the one live session, got ${lastState.numRowsTotal}")
+    }
+  }
+
   test("watermark drops events later than the horizon in append mode") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -423,11 +423,147 @@ object Similarity {
     topkPerQuery(scored)
   }
 
+  // ------------------------------------------------------------ PQ
+  /** Product-quantization codebooks (Jégou et al., IEEE TPAMI 2011 —
+    * the FAISS-standard ANN compression): split the vector into `m`
+    * subspaces, run L2 k-means with `ksub` centroids in EACH subspace,
+    * and a vector's code is its per-subspace nearest-centroid ids —
+    * m·log2(ksub) bits (8 bytes here for 256-byte float vectors, 32×
+    * smaller than the corpus, 4× smaller than int8).
+    *
+    * Spark shape: all m subspaces train in ONE Lloyd loop — subvectors
+    * are (vec_id, sub) rows, cells are globally numbered sub·ksub + j so
+    * a single groupBy refines every subspace's centroids at once (m
+    * sequential k-means jobs would scan the corpus m times per
+    * iteration). The codebook is m·ksub rows — driver/broadcast state,
+    * like every centroid table here. L2, not cosine: subvector norms
+    * carry information the distance table must keep.
+    */
+  private val PqM = 8
+  private val PqKsub = 16
+
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+        (x, y) => (x.cast(DoubleType) - y.cast(DoubleType))
+          * (x.cast(DoubleType) - y.cast(DoubleType))),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Subvector rows: (vec_id, sub, sv) — sv = dims [sub·dsub, (sub+1)·dsub).
+    * One generator over an array of slices: a single corpus pass, no
+    * self-join.
+    */
+  private def subvectors(e: DataFrame, m: Int, dim: Int): DataFrame = {
+    val dsub = dim / m
+    e.select(col("vec_id"), posexplode(array(
+        (0 until m).map(s => slice(col("embedding"), s * dsub + 1, dsub)): _*))
+      .as(Seq("sub", "sv")))
+  }
+
+  /** (cell = sub·ksub + j, centroid) codebook via Lloyd on subvector rows. */
+  private[graft] def pqCodebooks(e: DataFrame, m: Int = PqM, ksub: Int = PqKsub,
+      dim: Int = 64, iters: Int = 2): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val subs = subvectors(e, m, dim)
+    def centroidOf(assigned: DataFrame): DataFrame =
+      assigned.select(col("cell"), posexplode(col("sv")).as(Seq("d", "x")))
+        .groupBy(col("cell"), col("d"))
+        .agg(avg(col("x")).as("cx"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("cx")))),
+          s => s.getField("cx").cast("float")).as("centroid"))
+    // seed: vec_id mod ksub within each subspace — deterministic, like
+    // every clustering seed in this module
+    def assign(cb: DataFrame): DataFrame = {
+      // per (vec_id, sub): nearest of that SUB's ksub centroids. max_by
+      // over a packed (-dist, -cell) long, same HashAggregate-preserving
+      // trick as assignCells (struct buffers would fall back to sort)
+      val ord = floor(col("dist") * lit(-(1L << 30))).cast(LongType) * lit(1L << 20) - col("cell")
+      subs.join(broadcast(cb.withColumn("sub",
+          (col("cell") / lit(ksub)).cast("int"))), Seq("sub"))
+        .select(col("vec_id"), col("sub"), col("sv"), col("cell"),
+          l2sq(col("sv"), col("centroid")).as("dist"))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(max_by(col("cell"), ord).as("cell"))
+        .join(subs, Seq("vec_id", "sub"))
+        .select(col("cell"), col("sv"))
+    }
+    // centroids merge driver-side between iterations (they are collected
+    // for broadcast anyway): a cell whose members all defect keeps its
+    // previous centroid instead of vanishing — the standard empty-cell
+    // guard, so the codebook stays a full m·ksub and codes stay dense
+    var cb: Seq[(Int, Array[Float])] = centroidOf(
+      subs.select((col("sub") * ksub + pmod(col("vec_id"), lit(ksub))).cast("int")
+        .as("cell"), col("sv")))
+      .as[(Int, Array[Float])].collect().toSeq
+    var it = 0
+    while (it < iters) {
+      val next = centroidOf(assign(cb.toDF("cell", "centroid")))
+        .as[(Int, Array[Float])].collect().toSeq
+      val live = next.map(_._1).toSet
+      cb = next ++ cb.filter(c => !live(c._1))
+      it += 1
+    }
+    cb.toDF("cell", "centroid")
+  }
+
+  /** PQ ADC top-k: the asymmetric-distance scan. Each query precomputes a
+    * distance TABLE (its subvector's L2² to each of the m·ksub codebook
+    * centroids — Q·m·ksub rows, broadcast); a neighbor's approximate
+    * distance is m table lookups summed — the corpus side touches only
+    * the m-byte codes, never the vectors. Shortlist by ADC distance,
+    * exact float-cosine rerank (the [[int8Topk]] discipline). Rows-only:
+    * codebooks are engine-internal float averages; recall vs brute force
+    * is spec-pinned.
+    */
+  def pqTopk(s: SparkSession, dir: String, shortlist: Int = 100): DataFrame = {
+    val e = Tables(s, dir).embeddings
+    val cb = pqCodebooks(e)
+    val subs = subvectors(e, PqM, 64)
+    val cbSub = broadcast(cb.withColumn("sub",
+      (col("cell") / lit(PqKsub)).cast("int")))
+    // corpus codes: (vec_id, sub, code) — m rows per vector, the compressed
+    // representation an at-scale run materializes once
+    val ord = floor(col("dist") * lit(-(1L << 30))).cast(LongType) * lit(1L << 20) - col("cell")
+    val codes = subs.join(cbSub, Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("sv"), col("cell"),
+        l2sq(col("sv"), col("centroid")).as("dist"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(max_by(col("cell"), ord).as("code"))
+    // per-query distance tables over the SAME codebook
+    val qTables = broadcast(subs.filter(isQuery(col("vec_id")))
+      .join(cbSub, Seq("sub"))
+      .select(col("vec_id").as("query_id"), col("cell").as("code"),
+        l2sq(col("sv"), col("centroid")).as("qd")))
+    val cheap = codes.join(qTables, Seq("code"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("qd")).as("adc"), count(lit(1)).as("n_subs"))
+      // a (query, neighbor) pair matches exactly m table entries; fewer
+      // would mean a dropped subspace silently shrinking the distance
+      .filter(col("n_subs") === PqM)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("vec_id"))
+    val short = cheap.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= shortlist)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val qe = broadcast(e.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+    val scored = short
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")),
+        Seq("neighbor_id"))
+      .join(qe, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine_sim(col("qe"), col("ne")).as("cosine"))
+    topkPerQuery(scored)
+  }
+
   // =================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_quantize" -> (quantize _),
     "ann_int8_topk" -> ((s: SparkSession, dir: String) => int8Topk(s, dir)),
     "ann_int8_ivf_topk" -> ((s: SparkSession, dir: String) => int8IvfTopk(s, dir)),
+    "ann_pq_topk" -> ((s: SparkSession, dir: String) => pqTopk(s, dir)),
     "emb_label_centroids" -> ((s: SparkSession, dir: String) => labelCentroids(s, dir)),
     "ann_bruteforce_topk" -> (bruteforceTopk _),
     "ann_lsh_topk"        -> ((s: SparkSession, dir: String) => lshTopk(s, dir)),

@@ -173,9 +173,14 @@ object TextAnalysis {
     * in-distribution docs score low. Derivation mirrors tfIdf: ONE corpus
     * explode produces (doc, word) counts, corpus frequencies derive from
     * them (ReusedExchange), the per-doc score is one more aggregate on the
-    * same key. Declared rows-only: the log-sum is double arithmetic whose
-    * summation order Spark doesn't pin (and ln, unlike sqrt, has no
-    * cross-engine correctly-rounded guarantee); TextAnalysisSpec pins the
+    * same key. Declared rows-only, and measured UNPROMOTABLE to
+    * oracle-exact (round 6): even with a pinned summation order (the
+    * centroid-fold trick), the ln itself diverges — Spark's `log`
+    * evaluates StrictMath.log (fdlibm) while DuckDB's `ln` is
+    * bit-identical to glibc's, and over k/1000003 for k in 1..200000 the
+    * two disagree in the last bit on 1538/28572 inputs (5.4%; glibc vs
+    * JVM Math.log disagrees on 6/28572 — three implementations, no shared
+    * correctly-rounded guarantee, unlike sqrt). TextAnalysisSpec pins the
     * values against an exact driver-side recomputation at 1e-9.
     */
   def surprisal(s: SparkSession, dir: String): DataFrame = {

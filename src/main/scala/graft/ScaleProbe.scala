@@ -114,6 +114,11 @@ object ScaleProbe {
     // int8 retrieval: the cheap pass intentionally scans ALL N with the
     // integer-dot kernel — wall should stay ~linear in N and small
     time("ann_int8_topk")(graft.ops.Similarity.int8Topk(spark, out).count())
+    // PQ: codes are 8 bytes/vector, the ADC scan touches N·m code rows +
+    // per-query broadcast tables — wall should stay ~linear in N; inline
+    // codebook training (two Lloyd passes over N·m subvectors) is most
+    // of the cost and amortizes away in the fed-codebook pipeline form
+    time("ann_pq_topk")(graft.ops.Similarity.pqTopk(spark, out).count())
     time("text_mixture_sample")(
       graft.ops.Curation.mixtureSampleDocs(spark, out).count())
     time("text_select_budget_threshold")(

@@ -381,9 +381,10 @@ object Similarity {
     * is capped by the cell-probing stage, a property of the IVF family on
     * this near-random corpus, not of the quantization.
     */
-  def int8IvfTopk(s: SparkSession, dir: String, shortlist: Int = 50): DataFrame = {
+  def int8IvfTopk(s: SparkSession, dir: String, shortlist: Int = 50,
+      precomputedCents: Option[DataFrame] = None): DataFrame = {
     val e = Tables(s, dir).embeddings
-    val cents = centroids(e)
+    val cents = precomputedCents.getOrElse(centroids(e))
     val assigned = assignCells(e, cents).select(col("vec_id"), col("cell"))
     // quantized corpus with its cell: the id-keyed join adds one narrow
     // column to rows that were already being materialized
@@ -514,11 +515,21 @@ object Similarity {
     * the m-byte codes, never the vectors. Shortlist by ADC distance,
     * exact float-cosine rerank (the [[int8Topk]] discipline). Rows-only:
     * codebooks are engine-internal float averages; recall vs brute force
-    * is spec-pinned.
+    * is spec-pinned. The ADC scan is N·m·Q lookup rows — when the query
+    * batch outgrows it, restrict the scan to IVF-probed cells exactly as
+    * [[int8IvfTopk]] does for int8 (that composition is FAISS's IVFPQ);
+    * the code path composes the same way via [[assignCells]].
     */
-  def pqTopk(s: SparkSession, dir: String, shortlist: Int = 100): DataFrame = {
+  /** @param codebooks precomputed [[pqCodebooks]] output — the pipeline
+    *   form: at scale codebooks train once per corpus build and every
+    *   retrieval reads them; `None` trains inline (the self-contained
+    *   convenience form the gate/bench time, ~2/3 of whose cost is the
+    *   training).
+    */
+  def pqTopk(s: SparkSession, dir: String, shortlist: Int = 100,
+      codebooks: Option[DataFrame] = None): DataFrame = {
     val e = Tables(s, dir).embeddings
-    val cb = pqCodebooks(e)
+    val cb = codebooks.getOrElse(pqCodebooks(e))
     val subs = subvectors(e, PqM, 64)
     val cbSub = broadcast(cb.withColumn("sub",
       (col("cell") / lit(PqKsub)).cast("int")))

@@ -169,6 +169,21 @@ class SimilaritySpec extends SparkSpec {
     assert(r >= 0.6, s"PQ recall@5=$r")
   }
 
+  test("precomputed-model forms equal the self-contained forms (PQ codebooks, IVF centroids)") {
+    // the pipeline contract: train once, feed every retrieval — results
+    // must be identical to inline training (clustering is deterministic)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"),
+        org.apache.spark.sql.functions.col("label"))
+    val cb = Similarity.pqCodebooks(e)
+    assert(topk(Similarity.pqTopk(spark, sf, codebooks = Some(cb)))
+      === topk(Similarity.pqTopk(spark, sf)))
+    val cents = Similarity.centroids(e)
+    assert(topk(Similarity.int8IvfTopk(spark, sf, precomputedCents = Some(cents)))
+      === topk(Similarity.int8IvfTopk(spark, sf)))
+  }
+
   test("int8 quantization: bounded reconstruction error, near-unit cosine") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap

@@ -229,9 +229,15 @@ object JsonEtl {
     import org.apache.spark.sql.expressions.Window
     require(grainSec > 0, s"grainSec must be positive, got $grainSec")
     require(zeroFills.nonEmpty || locfFills.nonEmpty, "no fill columns given")
+    val names = (zeroFills ++ locfFills).map(_._1)
+    val reserved = Set("bucket", "h", "__bucket", "__h")
+    require(names.distinct == names && !names.exists(reserved),
+      s"fill names must be unique and avoid the fixed output columns $reserved: $names")
     val base = events
       .withColumn("__bucket", key)
-      .withColumn("__h", (tsSecCol / lit(grainSec)).cast(LongType))
+      // floor division, as documented: (x / y).cast(Long) truncates toward
+      // zero, which rounds the WRONG way for pre-epoch (negative) seconds
+      .withColumn("__h", floor(tsSecCol / lit(grainSec)).cast(LongType))
     val aggCols = (zeroFills ++ locfFills).map { case (n, c) => c.as(n) }
     val agg = base.groupBy(col("__bucket"), col("__h"))
       .agg(aggCols.head, aggCols.tail: _*)

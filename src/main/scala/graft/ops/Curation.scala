@@ -69,12 +69,20 @@ object Curation {
   def prepareCorpusPipelined(s: SparkSession, dir: String): DataFrame =
     prepareCorpus(s, dir, pairs = Some(materializedPairs(s, dir)))
 
+  // keyed by (context, dir): a checkpointed frame is only valid within
+  // the SparkContext that built it — a dir-only key would hand a later
+  // session in the same JVM blocks of a stopped context. Entries are
+  // bounded by live (context, dir) combinations; stale-context entries
+  // are dropped on first miss against a new context.
   private val pairsMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
 
-  private def materializedPairs(s: SparkSession, dir: String): DataFrame =
-    pairsMemo.computeIfAbsent(dir,
+  private def materializedPairs(s: SparkSession, dir: String): DataFrame = {
+    val ctx = s.sparkContext.applicationId + "/" + s.sparkContext.startTime
+    pairsMemo.keySet.removeIf(_._1 != ctx) // reap frames of dead contexts
+    pairsMemo.computeIfAbsent((ctx, dir),
       _ => Dedup.minhashLsh(s, dir).localCheckpoint())
+  }
 
   // ------------------------------------------------------------ resumable
   /** Resumable form of [[prepareCorpus]] — the operational shape of a long

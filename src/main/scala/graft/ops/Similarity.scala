@@ -41,6 +41,24 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Exact float-cosine rerank of an id-only (query_id, neighbor_id)
+    * candidate list — the shared tail of every approximate tier (LSH,
+    * int8, int8+IVF, PQ): broadcast the query vectors, re-join neighbor
+    * embeddings by id, score with the codegen'd cosine, keep top-K. One
+    * copy so a rerank change (tie-break, NaN policy) can never diverge
+    * between tiers.
+    */
+  private def rerankExact(e: DataFrame, cand: DataFrame): DataFrame = {
+    val qe = broadcast(e.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+    topkPerQuery(cand
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")),
+        Seq("neighbor_id"))
+      .join(qe, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine_sim(col("qe"), col("ne")).as("cosine")))
+  }
+
   // ------------------------------------------------------------ brute force
   /** Exact top-k: the small probe side is broadcast, so the big side streams
     * through one codegen'd scan — no shuffle except the final per-query
@@ -127,15 +145,7 @@ object Similarity {
           && col("c.vec_id") =!= col("q.query_id"))
       .select(col("q.query_id"), col("c.vec_id").as("neighbor_id"))
       .distinct()
-    val q = broadcast(e.filter(isQuery(col("vec_id")))
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
-    val scored = candIds
-      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")),
-        Seq("neighbor_id"))
-      .join(q, Seq("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosine_sim(col("qe"), col("ne")).as("cosine"))
-    topkPerQuery(scored)
+    rerankExact(e, candIds)
   }
 
   // ------------------------------------------------------------ IVF
@@ -357,15 +367,7 @@ object Similarity {
     val short = cheap.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= shortlist)
       .select(col("query_id"), col("neighbor_id"))
-    val qe = broadcast(e.filter(isQuery(col("vec_id")))
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
-    val scored = short
-      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")),
-        Seq("neighbor_id"))
-      .join(qe, Seq("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosine_sim(col("qe"), col("ne")).as("cosine"))
-    topkPerQuery(scored)
+    rerankExact(e, short)
   }
 
   /** [[int8Topk]] composed with IVF cell restriction — the tier for the N
@@ -413,15 +415,7 @@ object Similarity {
     val short = cheap.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= shortlist)
       .select(col("query_id"), col("neighbor_id"))
-    val qe = broadcast(e.filter(isQuery(col("vec_id")))
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
-    val scored = short
-      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")),
-        Seq("neighbor_id"))
-      .join(qe, Seq("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosine_sim(col("qe"), col("ne")).as("cosine"))
-    topkPerQuery(scored)
+    rerankExact(e, short)
   }
 
   // ------------------------------------------------------------ PQ
@@ -454,11 +448,33 @@ object Similarity {
     * self-join.
     */
   private def subvectors(e: DataFrame, m: Int, dim: Int): DataFrame = {
+    require(m > 0 && dim % m == 0,
+      s"dim must split evenly into subspaces: dim=$dim m=$m")
     val dsub = dim / m
     e.select(col("vec_id"), posexplode(array(
         (0 until m).map(s => slice(col("embedding"), s * dsub + 1, dsub)): _*))
       .as(Seq("sub", "sv")))
   }
+
+  /** Nearest sub-centroid per (vec_id, sub) — SHARED by codebook training
+    * and corpus encoding, so the ordering pack and tie-break can never
+    * diverge between the two (divergence would silently degrade recall).
+    * max_by over a packed (-dist, -cell) long, the same
+    * HashAggregate-preserving trick as [[assignCells]] (struct buffers
+    * would fall back to SortAggregate); ties resolve to the lowest cell.
+    * `cbSub` must carry (sub, cell, centroid) and be broadcast-sized.
+    */
+  private def assignCodes(subs: DataFrame, cbSub: DataFrame): DataFrame = {
+    val ord = floor(col("dist") * lit(-(1L << 30))).cast(LongType) * lit(1L << 20) - col("cell")
+    subs.join(broadcast(cbSub), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("cell"),
+        l2sq(col("sv"), col("centroid")).as("dist"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(max_by(col("cell"), ord).as("code"))
+  }
+
+  private def withSub(cb: DataFrame, ksub: Int): DataFrame =
+    cb.withColumn("sub", (col("cell") / lit(ksub)).cast("int"))
 
   /** (cell = sub·ksub + j, centroid) codebook via Lloyd on subvector rows. */
   private[graft] def pqCodebooks(e: DataFrame, m: Int = PqM, ksub: Int = PqKsub,
@@ -474,21 +490,13 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("d"), col("cx")))),
           s => s.getField("cx").cast("float")).as("centroid"))
     // seed: vec_id mod ksub within each subspace — deterministic, like
-    // every clustering seed in this module
-    def assign(cb: DataFrame): DataFrame = {
-      // per (vec_id, sub): nearest of that SUB's ksub centroids. max_by
-      // over a packed (-dist, -cell) long, same HashAggregate-preserving
-      // trick as assignCells (struct buffers would fall back to sort)
-      val ord = floor(col("dist") * lit(-(1L << 30))).cast(LongType) * lit(1L << 20) - col("cell")
-      subs.join(broadcast(cb.withColumn("sub",
-          (col("cell") / lit(ksub)).cast("int"))), Seq("sub"))
-        .select(col("vec_id"), col("sub"), col("sv"), col("cell"),
-          l2sq(col("sv"), col("centroid")).as("dist"))
-        .groupBy(col("vec_id"), col("sub"))
-        .agg(max_by(col("cell"), ord).as("cell"))
+    // every clustering seed in this module. Assignment is the shared
+    // assignCodes kernel (the one corpus encoding also uses).
+    def assign(cb: DataFrame): DataFrame =
+      assignCodes(subs, withSub(cb, ksub))
+        .withColumnRenamed("code", "cell")
         .join(subs, Seq("vec_id", "sub"))
         .select(col("cell"), col("sv"))
-    }
     // centroids merge driver-side between iterations (they are collected
     // for broadcast anyway): a cell whose members all defect keeps its
     // previous centroid instead of vanishing — the standard empty-cell
@@ -531,19 +539,14 @@ object Similarity {
     val e = Tables(s, dir).embeddings
     val cb = codebooks.getOrElse(pqCodebooks(e))
     val subs = subvectors(e, PqM, 64)
-    val cbSub = broadcast(cb.withColumn("sub",
-      (col("cell") / lit(PqKsub)).cast("int")))
+    val cbSub = withSub(cb, PqKsub)
     // corpus codes: (vec_id, sub, code) — m rows per vector, the compressed
-    // representation an at-scale run materializes once
-    val ord = floor(col("dist") * lit(-(1L << 30))).cast(LongType) * lit(1L << 20) - col("cell")
-    val codes = subs.join(cbSub, Seq("sub"))
-      .select(col("vec_id"), col("sub"), col("sv"), col("cell"),
-        l2sq(col("sv"), col("centroid")).as("dist"))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(max_by(col("cell"), ord).as("code"))
+    // representation an at-scale run materializes once; the SAME
+    // assignCodes kernel that trained the codebooks
+    val codes = assignCodes(subs, cbSub)
     // per-query distance tables over the SAME codebook
     val qTables = broadcast(subs.filter(isQuery(col("vec_id")))
-      .join(cbSub, Seq("sub"))
+      .join(broadcast(cbSub), Seq("sub"))
       .select(col("vec_id").as("query_id"), col("cell").as("code"),
         l2sq(col("sv"), col("centroid")).as("qd")))
     val cheap = codes.join(qTables, Seq("code"))
@@ -558,15 +561,7 @@ object Similarity {
     val short = cheap.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= shortlist)
       .select(col("query_id"), col("vec_id").as("neighbor_id"))
-    val qe = broadcast(e.filter(isQuery(col("vec_id")))
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
-    val scored = short
-      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")),
-        Seq("neighbor_id"))
-      .join(qe, Seq("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosine_sim(col("qe"), col("ne")).as("cosine"))
-    topkPerQuery(scored)
+    rerankExact(e, short)
   }
 
   // =================================================================

@@ -15,7 +15,11 @@ import java.sql.Timestamp
   * file source for replay). Watermarks bound state so a 1000-executor job
   * neither OOMs on late data nor keeps windows forever.
   */
-object Streams {
+// Serializable: the stateful closures (sessionize's update fn, the
+// SessionProcessor) call the shared foldEvents, which makes the compiled
+// lambda capture this module — the module is stateless, so shipping it is
+// free, but without the marker the task serializer rejects the closure.
+object Streams extends Serializable {
 
   /** One parsed event (the post-JSON-parse shape of the pyetl stream). */
   case class Event(ts: Timestamp, userId: Long, eventType: String, value: Double)
@@ -113,6 +117,31 @@ object Streams {
     * State = (start, end, count, sum) per live user — constant per key,
     * reaped by the watermark.
     */
+  /** The per-batch session fold SHARED by both state-API twins (their
+    * whole value is emitting identical sessions — one copy makes
+    * divergence impossible, the same shared-core discipline as
+    * chunkStream): sorted events against the live state → (sessions
+    * closed by gaps inside the batch, state to carry forward).
+    */
+  private def foldEvents(userId: Long, sorted: Seq[Event],
+      start: Option[SessState], gapSec: Long): (List[Session], Option[SessState]) = {
+    var closed = List.empty[Session]
+    var cur = start
+    sorted.foreach { e =>
+      val sec = e.ts.getTime / 1000
+      cur match {
+        case Some(s) if sec - s.endSec <= gapSec =>
+          cur = Some(s.copy(endSec = sec, n = s.n + 1, sum = s.sum + e.value))
+        case Some(s) =>
+          closed ::= Session(userId, s.startSec, s.endSec, s.n, s.sum)
+          cur = Some(SessState(sec, sec, 1L, e.value))
+        case None =>
+          cur = Some(SessState(sec, sec, 1L, e.value))
+      }
+    }
+    (closed.reverse, cur)
+  }
+
   def sessionize(events: Dataset[Event], gapSec: Long = 1800L,
       watermarkDelay: String = "10 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
@@ -125,20 +154,7 @@ object Streams {
         Iterator(Session(userId, s.startSec, s.endSec, s.n, s.sum))
       } else {
         val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.value))
-        var closed = List.empty[Session]
-        var cur = state.getOption
-        sorted.foreach { e =>
-          val sec = e.ts.getTime / 1000
-          cur match {
-            case Some(s) if sec - s.endSec <= gapSec =>
-              cur = Some(s.copy(endSec = sec, n = s.n + 1, sum = s.sum + e.value))
-            case Some(s) =>
-              closed ::= Session(userId, s.startSec, s.endSec, s.n, s.sum)
-              cur = Some(SessState(sec, sec, 1L, e.value))
-            case None =>
-              cur = Some(SessState(sec, sec, 1L, e.value))
-          }
-        }
+        val (closed, cur) = foldEvents(userId, sorted, state.getOption, gapSec)
         cur.foreach { s =>
           state.update(s)
           // close when the watermark passes session end + gap (the timeout
@@ -146,7 +162,7 @@ object Streams {
           val target = (s.endSec + gapSec) * 1000
           state.setTimeoutTimestamp(math.max(target, state.getCurrentWatermarkMs() + 1))
         }
-        closed.reverseIterator
+        closed.iterator
       }
     }
 
@@ -175,20 +191,8 @@ object Streams {
     override def handleInputRows(userId: Long, evs: Iterator[Event],
         timers: TimerValues): Iterator[Session] = {
       val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.value))
-      var closed = List.empty[Session]
-      var cur = if (state.exists()) Some(state.get()) else None
-      sorted.foreach { e =>
-        val sec = e.ts.getTime / 1000
-        cur match {
-          case Some(s) if sec - s.endSec <= gapSec =>
-            cur = Some(s.copy(endSec = sec, n = s.n + 1, sum = s.sum + e.value))
-          case Some(s) =>
-            closed ::= Session(userId, s.startSec, s.endSec, s.n, s.sum)
-            cur = Some(SessState(sec, sec, 1L, e.value))
-          case None =>
-            cur = Some(SessState(sec, sec, 1L, e.value))
-        }
-      }
+      val prev = if (state.exists()) Some(state.get()) else None
+      val (closed, cur) = foldEvents(userId, sorted, prev, gapSec)
       cur.foreach { s =>
         state.update(s)
         // one live timer per key: the session's close time moved, so the
@@ -197,7 +201,7 @@ object Streams {
         val target = (s.endSec + gapSec) * 1000
         getHandle.registerTimer(math.max(target, timers.getCurrentWatermarkInMs + 1))
       }
-      closed.reverseIterator
+      closed.iterator
     }
 
     override def handleExpiredTimer(userId: Long, timers: TimerValues,

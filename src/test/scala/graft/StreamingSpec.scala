@@ -106,6 +106,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState extends a session across batches: stale timer replaced, one emission") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    withConf("spark.sql.streaming.stateStore.providerClass", rocksdb) {
+      val in = MemoryStream[Event]
+      in.addData(Event(ts(0), 1, "click", 1.0))
+      val q = Streams.sessionizeTws(in.toDS()).writeStream
+        .format("memory").queryName("sess_extend").outputMode("append").start()
+      q.processAllAvailable()
+      // batch 2 re-enters handleInputRows for user 1 with a LIVE timer
+      // from batch 1 (close at min 30) — the listTimers/deleteTimer
+      // replacement path runs against RocksDB here, nowhere else
+      in.addData(Event(ts(10), 1, "view", 2.0))
+      q.processAllAvailable()
+      // batch 3 pushes the watermark past the REPLACED close (min 40)
+      in.addData(Event(ts(60), 2, "click", 9.0))
+      q.processAllAvailable()
+      val deadline = System.currentTimeMillis + 60000
+      while (spark.table("sess_extend").count() == 0
+          && System.currentTimeMillis < deadline)
+        Thread.sleep(200)
+      val closed = spark.table("sess_extend").as[Streams.Session].collect()
+      q.stop()
+      // the two batches merged into ONE session, emitted exactly once —
+      // a leaked stale timer would risk an extra (empty-state) expiry or
+      // a premature min-30 close splitting the session
+      assert(closed.count(_.userId == 1) === 1,
+        s"expected one closed session for user 1, got ${closed.toSeq}")
+      val s1 = closed.find(_.userId == 1).get
+      assert(s1.nEvents === 2 && s1.endSec - s1.startSec === 600)
+    }
+  }
+
   test("transformWithState evicts session state once the watermark passes its close") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -36,4 +36,19 @@ class CountsSpec extends AnyFunSuite {
     assert(survey.contains(s"**$nOracle oracle-backed + $nRowsOnly rows-only"),
       s"SURVEY §9 must claim $nOracle oracle-backed + $nRowsOnly rows-only")
   }
+
+  test("every Bench headline name resolves to an implemented query") {
+    val orphans = Bench.headline.toSet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"headline names without queries: $orphans")
+  }
+
+  test("the compact bench line stays inside the driver's 2000-char output tail") {
+    // Bench prints a compact summary as its LAST stdout line precisely so
+    // a 2000-char tail holds complete JSON; adding headline queries must
+    // not silently outgrow that. Worst case per entry: "name":1234.56,
+    val worst = Bench.headline.map(n => n.length + 12).sum + 150
+    assert(worst < 1950,
+      s"estimated compact-line worst case $worst chars — trim precision or " +
+        "split the headline before the driver tail truncates it again")
+  }
 }

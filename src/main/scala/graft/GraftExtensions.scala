@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, HashedNgrams, JaccardHashed, MinHashSig, SimHashChunks}
+import graft.functions.{CosineSim, DotLong, HashedNgrams, HyperplaneBuckets,
+  JaccardHashed, MinHashSig, SimHashChunks}
 
 /** SQL surface for graft's custom Catalyst expressions.
   *
@@ -69,6 +70,27 @@ object GraftExtensions {
         (args: Seq[Expression]) => {
           require(args.length == 2, "jaccard_hashed(a, b) takes 2 arguments")
           JaccardHashed(args(0), args(1))
+        }),
+      "dot_long" -> (
+        new ExpressionInfo(classOf[DotLong].getName, "dot_long"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "dot_long(a, b) takes 2 arguments")
+          DotLong(args(0), args(1))
+        }),
+      "hyperplane_buckets" -> (
+        new ExpressionInfo(classOf[HyperplaneBuckets].getName, "hyperplane_buckets"),
+        (args: Seq[Expression]) => {
+          require(args.length == 5,
+            "hyperplane_buckets(emb, planes, numTables, bits, dim) takes 5 arguments")
+          require(args(1).foldable, "planes must be a literal array<double>")
+          val planes = args(1).eval() match {
+            case a: org.apache.spark.sql.catalyst.util.ArrayData => a.toDoubleArray()
+            case other => throw new IllegalArgumentException(
+              s"planes must be array<double>, got $other")
+          }
+          HyperplaneBuckets(args(0), planes,
+            intArg(args(2), "numTables"), intArg(args(3), "bits"),
+            intArg(args(4), "dim"))
         }))
 
   /** Register graft's SQL functions on a live session. */

@@ -63,6 +63,22 @@ class CurationSpec extends SparkSpec {
     } finally { pairs.unpersist(); () }
   }
 
+  test("the funnel composes with SEMANTIC (embedding) pairs — any edge list plugs in") {
+    // the pairs parameter's contract: ANY (d1, d2) edge list drives the
+    // near-dup stage — here SemDeDup's embedding pairs instead of
+    // MinHash's text pairs, i.e. the "semantic curation" composition a
+    // training pipeline runs, with zero new operator code
+    val semPairs = Dedup.semantic(spark, sf)
+      .select(col("v1").as("d1"), col("v2").as("d2"))
+    val semOut = Curation.prepareCorpus(spark, sf, pairs = Some(semPairs)).collect()
+    assert(semOut.nonEmpty)
+    val semKept = semOut.map(_.getAs[Long]("doc_id")).toSet
+    semPairs.collect().foreach { r =>
+      assert(!(semKept(r.getLong(0)) && semKept(r.getLong(1))),
+        s"semantic pair (${r.getLong(0)}, ${r.getLong(1)}) must not survive whole")
+    }
+  }
+
   test("pipelined query entry equals the one-shot funnel") {
     // the memoized-pairs form is the same funnel fed materialized edges;
     // calling it twice also exercises the memo's reuse path

@@ -18,6 +18,15 @@ class FunctionsSpec extends SparkSpec {
     val chunks = spark.sql("SELECT simhash_chunks(array(0L)) AS c").head.getSeq[Long](0)
     // a single all-zero hash votes every bit negative → all chunks 0
     assert(chunks === Seq(0L, 0L, 0L, 0L))
+    val dot = spark.sql(
+      "SELECT dot_long(array(2L, 3L), array(5L, 7L)) AS d").head.getLong(0)
+    assert(dot === 31L) // 2·5 + 3·7 — exact integer
+    // one table × one bit over dim 2: plane (1, -1); (1, 0)·(1, -1) > 0 →
+    // sign bit set → bucket 1
+    val buckets = spark.sql(
+      "SELECT hyperplane_buckets(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(1.0D, -1.0D), 1, 1, 2) AS b").head.getSeq[Int](0)
+    assert(buckets === Seq(1))
   }
 
   test("registered views give pure-SQL users the whole table surface") {
@@ -49,7 +58,7 @@ class FunctionsSpec extends SparkSpec {
     new GraftExtensions().apply(e) // must not throw; builders are injected
     assert(GraftExtensions.builders.keySet ===
       Set("cosine_sim", "minhash_sig", "simhash_chunks", "hashed_ngrams",
-        "jaccard_hashed"))
+        "jaccard_hashed", "dot_long", "hyperplane_buckets"))
   }
 
   test("custom expressions: codegen and interpreted paths agree bit-for-bit") {

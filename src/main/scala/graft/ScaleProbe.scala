@@ -119,6 +119,7 @@ object ScaleProbe {
     // codebook training (two Lloyd passes over N·m subvectors) is most
     // of the cost and amortizes away in the fed-codebook pipeline form
     time("ann_pq_topk")(graft.ops.Similarity.pqTopk(spark, out).count())
+    time("ann_ivfpq_topk")(graft.ops.Similarity.ivfpqTopk(spark, out).count())
     time("text_mixture_sample")(
       graft.ops.Curation.mixtureSampleDocs(spark, out).count())
     time("text_select_budget_threshold")(

@@ -564,12 +564,69 @@ object Similarity {
     rerankExact(e, short)
   }
 
+  /** [[pqTopk]] composed with IVF cell restriction — IVFPQ, FAISS's
+    * flagship index shape: the ADC scan touches only the m-byte codes of
+    * each query's [[NProbe]] nearest cells, so per-query lookup work is
+    * Σ|probed cells|·m instead of N·m — the tier for when both N and the
+    * query batch are large. This variant encodes RAW vectors, not
+    * residuals (x − centroid): residual encoding buys finer per-cell
+    * quantization at the cost of per-cell code spaces; the restriction
+    * machinery is identical either way and raw codes keep ONE global
+    * codebook that trains once. Recall contract mirrors [[int8IvfTopk]]:
+    * the cell-probing stage caps recall vs brute force (an IVF-family
+    * property, spec floor), and the PQ-shortlist-within-cells quality is
+    * pinned against the full-scan [[pqTopk]] tier.
+    */
+  def ivfpqTopk(s: SparkSession, dir: String, shortlist: Int = 100,
+      codebooks: Option[DataFrame] = None,
+      precomputedCents: Option[DataFrame] = None): DataFrame = {
+    val e = Tables(s, dir).embeddings
+    val cents = precomputedCents.getOrElse(centroids(e))
+    val assigned = assignCells(e, cents)
+      .select(col("vec_id"), col("cell").as("ivf_cell"))
+    val cb = codebooks.getOrElse(pqCodebooks(e))
+    val subs = subvectors(e, PqM, 64)
+    val cbSub = withSub(cb, PqKsub)
+    // corpus codes tagged with their IVF cell: the id-keyed join adds one
+    // narrow column to the m-byte representation
+    val codes = assignCodes(subs, cbSub).join(assigned, Seq("vec_id"))
+    val probes = e.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .join(broadcast(cents))
+      .select(col("query_id"), col("cell"),
+        cosine_sim(col("qe"), col("centroid")).as("ccos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cell"))))
+      .filter(col("rk") <= NProbe)
+      .select(col("query_id"), col("cell").as("ivf_cell"))
+    val qTables = broadcast(subs.filter(isQuery(col("vec_id")))
+      .join(broadcast(cbSub), Seq("sub"))
+      .select(col("vec_id").as("query_id"), col("cell").as("code"),
+        l2sq(col("sv"), col("centroid")).as("qd")))
+    // cell restriction FIRST (codes ⋈ probes on ivf_cell), then the table
+    // lookup (⋈ on query_id + code) — only probed cells' codes ever meet
+    // a distance table
+    val cheap = codes.join(broadcast(probes), Seq("ivf_cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .join(qTables, Seq("query_id", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("qd")).as("adc"), count(lit(1)).as("n_subs"))
+      .filter(col("n_subs") === PqM)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("vec_id"))
+    val short = cheap.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= shortlist)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    rerankExact(e, short)
+  }
+
   // =================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_quantize" -> (quantize _),
     "ann_int8_topk" -> ((s: SparkSession, dir: String) => int8Topk(s, dir)),
     "ann_int8_ivf_topk" -> ((s: SparkSession, dir: String) => int8IvfTopk(s, dir)),
     "ann_pq_topk" -> ((s: SparkSession, dir: String) => pqTopk(s, dir)),
+    "ann_ivfpq_topk" -> ((s: SparkSession, dir: String) => ivfpqTopk(s, dir)),
     "emb_label_centroids" -> ((s: SparkSession, dir: String) => labelCentroids(s, dir)),
     "ann_bruteforce_topk" -> (bruteforceTopk _),
     "ann_lsh_topk"        -> ((s: SparkSession, dir: String) => lshTopk(s, dir)),

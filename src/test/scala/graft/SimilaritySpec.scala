@@ -169,6 +169,25 @@ class SimilaritySpec extends SparkSpec {
     assert(r >= 0.6, s"PQ recall@5=$r")
   }
 
+  test("IVFPQ: cell-restricted ADC keeps the family floor and tracks full-scan PQ") {
+    val got = topk(Similarity.ivfpqTopk(spark, sf))
+    assert(got.size === 10)
+    got.values.foreach(ns => assert(ns.size === 5))
+    // the cell stage caps recall vs brute force (IVF family property) —
+    // family floor, same as ivfTopk/int8IvfTopk; measured 0.50 here
+    val vsBf = recallAt5(got)
+    assert(vsBf >= 0.15, s"IVFPQ vs brute-force recall=$vsBf")
+    // the PQ-stage loss in isolation: against exact float scoring of the
+    // SAME probed cells (ivfTopk), the shortlist-100 ADC + exact rerank
+    // must recover the within-cell top-5 almost whole (the int8IvfTopk
+    // contract shape) — measured 0.98, pinned with headroom
+    val ivf = topk(Similarity.ivfTopk(spark, sf))
+    val hits = ivf.map { case (q, ns) =>
+      got.getOrElse(q, Seq.empty).count(ns.toSet.contains) }.sum
+    val vsIvf = hits.toDouble / ivf.values.map(_.size).sum
+    assert(vsIvf >= 0.85, s"IVFPQ vs float-IVF-same-cells recall=$vsIvf")
+  }
+
   test("precomputed-model forms equal the self-contained forms (PQ codebooks, IVF centroids)") {
     // the pipeline contract: train once, feed every retrieval — results
     // must be identical to inline training (clustering is deterministic)

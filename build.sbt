@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver captures `runMain graft.Bench` stdout and JSON-parses the last
+// line. sbt's default LoggedOutput wraps every forked-process line in
+// "[info] " and appends its own "[success] Total time..." epilogue — both
+// of which broke the round-6 artifact parse. StdoutOutput inherits the
+// parent's raw stdout/stderr; showSuccess drops the epilogue, so the
+// compact bench JSON really is the final stdout line.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

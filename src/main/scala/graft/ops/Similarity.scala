@@ -230,10 +230,15 @@ object Similarity {
 
   /** IVF top-k: assign every vector to its nearest centroid (cell), probe
     * the [[NProbe]] nearest cells per query, score only those cells.
+    *
+    * @param precomputedCents fed [[centroids]] (or [[loadModels]]) output —
+    *   the train-once pipeline form its descendants (int8IvfTopk, pqTopk,
+    *   ivfpqTopk) already had; `None` trains inline.
     */
-  def ivfTopk(s: SparkSession, dir: String): DataFrame = {
+  def ivfTopk(s: SparkSession, dir: String,
+      precomputedCents: Option[DataFrame] = None): DataFrame = {
     val e = Tables(s, dir).embeddings
-    val cents = centroids(e)
+    val cents = precomputedCents.getOrElse(centroids(e))
     val assigned = assignCells(e, cents)
     // nprobe nearest cells per query
     val probes = assigned.filter(isQuery(col("vec_id")))
@@ -443,18 +448,24 @@ object Similarity {
           * (x.cast(DoubleType) - y.cast(DoubleType))),
       lit(0.0), (acc, v) => acc + v)
 
+  /** The m subvector slices of a vector column, as an array-of-arrays —
+    * shared by [[subvectors]] (corpus side) and the per-(query, cell)
+    * residual slicing in [[ivfpqResidualTopk]].
+    */
+  private def subArray(v: Column, m: Int, dim: Int): Column = {
+    require(m > 0 && dim % m == 0,
+      s"dim must split evenly into subspaces: dim=$dim m=$m")
+    val dsub = dim / m
+    array((0 until m).map(s => slice(v, s * dsub + 1, dsub)): _*)
+  }
+
   /** Subvector rows: (vec_id, sub, sv) — sv = dims [sub·dsub, (sub+1)·dsub).
     * One generator over an array of slices: a single corpus pass, no
     * self-join.
     */
-  private def subvectors(e: DataFrame, m: Int, dim: Int): DataFrame = {
-    require(m > 0 && dim % m == 0,
-      s"dim must split evenly into subspaces: dim=$dim m=$m")
-    val dsub = dim / m
-    e.select(col("vec_id"), posexplode(array(
-        (0 until m).map(s => slice(col("embedding"), s * dsub + 1, dsub)): _*))
+  private def subvectors(e: DataFrame, m: Int, dim: Int): DataFrame =
+    e.select(col("vec_id"), posexplode(subArray(col("embedding"), m, dim))
       .as(Seq("sub", "sv")))
-  }
 
   /** Nearest sub-centroid per (vec_id, sub) — SHARED by codebook training
     * and corpus encoding, so the ordering pack and tie-break can never
@@ -465,7 +476,12 @@ object Similarity {
     * `cbSub` must carry (sub, cell, centroid) and be broadcast-sized.
     */
   private def assignCodes(subs: DataFrame, cbSub: DataFrame): DataFrame = {
-    val ord = floor(col("dist") * lit(-(1L << 30))).cast(LongType) * lit(1L << 20) - col("cell")
+    // the pack multiplies dist by 2^50 into a signed long, so it assumes
+    // dist < 2^13; unlike assignCells' cosine (bounded in [-1, 1]),
+    // subvector L2² is unbounded — clamp before packing so components
+    // beyond ~±32 degrade to "equally far, ties → lowest cell" instead of
+    // silently overflowing and corrupting the assignment
+    val ord = floor(least(col("dist"), lit(8191.0)) * lit(-(1L << 30))).cast(LongType) * lit(1L << 20) - col("cell")
     subs.join(broadcast(cbSub), Seq("sub"))
       .select(col("vec_id"), col("sub"), col("cell"),
         l2sq(col("sv"), col("centroid")).as("dist"))
@@ -620,6 +636,132 @@ object Similarity {
     rerankExact(e, short)
   }
 
+  // ------------------------------------------------------------ persistence
+  /** Persist trained ANN models — IVF centroids ([[centroids]]/[[kmeans]])
+    * and PQ codebooks ([[pqCodebooks]]) — as parquet under `path`. This is
+    * the missing half of the train-once story: the Option[DataFrame] params
+    * on the retrieval tiers share a model within one session; save/load
+    * shares it across jobs, which is what "train once per corpus build,
+    * read per retrieval" means at 100 TB. Both tables are driver-scale
+    * (cells·dim and m·ksub rows), so the write is trivially cheap; float
+    * centroids round-trip parquet bit-exactly, so fed-from-disk retrieval
+    * is IDENTICAL to fed-in-memory (SimilaritySpec pins the round trip).
+    */
+  def saveModels(path: String, cents: DataFrame, codebooks: DataFrame): Unit = {
+    cents.write.mode("overwrite").parquet(s"$path/ivf_centroids.parquet")
+    codebooks.write.mode("overwrite").parquet(s"$path/pq_codebooks.parquet")
+  }
+
+  /** (IVF centroids, PQ codebooks) back from [[saveModels]] output. The
+    * frames read lazily — each consumer re-scans two tiny parquet files,
+    * exactly what a retrieval service does per job.
+    */
+  def loadModels(s: SparkSession, path: String): (DataFrame, DataFrame) =
+    (s.read.parquet(s"$path/ivf_centroids.parquet"),
+      s.read.parquet(s"$path/pq_codebooks.parquet"))
+
+  // keyed by (context, dir), the Curation.pairsMemo discipline (including
+  // its one-session-per-context assumption — the loaded frames are bound
+  // to the session that read them): models are
+  // trained + persisted ONCE per (session, corpus) and every later call
+  // reads them back — so the bench's best-of-N min on the fed entry times
+  // what an at-scale retrieval job actually pays (load two driver-scale
+  // parquet tables + the cell-restricted ADC scan), not the training the
+  // one-shot ann_ivfpq_topk entry deliberately includes.
+  private val modelsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (DataFrame, DataFrame)]()
+
+  private def persistedModels(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val ctx = s.sparkContext.applicationId + "/" + s.sparkContext.startTime
+    modelsMemo.keySet.removeIf(_._1 != ctx) // reap models of dead contexts
+    modelsMemo.computeIfAbsent((ctx, dir), { _ =>
+      val e = Tables(s, dir).embeddings
+      val path = System.getProperty("java.io.tmpdir") + "/graft_ann_models_" +
+        java.lang.Integer.toHexString((ctx + "|" + dir).hashCode)
+      saveModels(path, centroids(e), pqCodebooks(e))
+      loadModels(s, path)
+    })
+  }
+
+  /** [[ivfpqTopk]] with BOTH models fed from parquet — the pipeline form
+    * as a first-class gate/bench entry. Output is identical to the
+    * one-shot entry (training is deterministic and floats round-trip);
+    * the bench delta between the two entries is the training cost a
+    * train-once deployment amortizes away.
+    */
+  def ivfpqTopkFed(s: SparkSession, dir: String): DataFrame = {
+    val (cents, cb) = persistedModels(s, dir)
+    ivfpqTopk(s, dir, codebooks = Some(cb), precomputedCents = Some(cents))
+  }
+
+  /** [[ivfpqTopk]] with RESIDUAL encoding — the FAISS-default IVFPQ form:
+    * PQ codes quantize x − centroid(cell) instead of x. Residuals
+    * concentrate near zero (the coarse quantizer explains the
+    * between-cell variance), so the same m·ksub code budget spends its
+    * resolution on the within-cell detail that actually ranks neighbors —
+    * recall ≥ the raw-code tier at the same geometry (spec-pinned). The
+    * price: distance tables become per-(query, probed cell) — Q·nprobe·
+    * m·ksub rows instead of Q·m·ksub, still broadcast-bounded — and fed
+    * codebooks must have been trained on residuals of the SAME centroid
+    * table (feed both from one [[saveModels]] build or neither).
+    *
+    * Plan shape mirrors [[ivfpqTopk]]: cell restriction FIRST, then the
+    * (query, cell, code) table lookup — per-query work stays
+    * Σ|probed cells|·m.
+    */
+  def ivfpqResidualTopk(s: SparkSession, dir: String, shortlist: Int = 100,
+      codebooks: Option[DataFrame] = None,
+      precomputedCents: Option[DataFrame] = None): DataFrame = {
+    val e = Tables(s, dir).embeddings
+    val cents = precomputedCents.getOrElse(centroids(e))
+    // residual corpus: x − centroid(cell), float, one broadcast join; the
+    // ivf_cell rides along so codes keep their cell tag without a re-join
+    val resid = assignCells(e, cents)
+      .join(broadcast(cents), Seq("cell"))
+      .select(col("vec_id"),
+        zip_with(col("embedding"), col("centroid"), (x, c) => x - c).as("embedding"),
+        col("cell").as("ivf_cell"))
+    val cb = codebooks.getOrElse(
+      pqCodebooks(resid.select(col("vec_id"), col("embedding"))))
+    val cbSub = withSub(cb, PqKsub)
+    val codes = assignCodes(subvectors(resid, PqM, 64), cbSub)
+      .join(resid.select(col("vec_id"), col("ivf_cell")), Seq("vec_id"))
+    val probes = e.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .join(broadcast(cents))
+      .select(col("query_id"), col("qe"), col("cell"),
+        cosine_sim(col("qe"), col("centroid")).as("ccos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cell"))))
+      .filter(col("rk") <= NProbe)
+      .select(col("query_id"), col("qe"), col("cell").as("ivf_cell"))
+    // per-(query, probed cell) residual distance tables: the query's
+    // residual DIFFERS per probed cell, so each (query, cell) pair gets
+    // its own m·ksub table — Q·nprobe·m·ksub rows, broadcast
+    val qTables = broadcast(probes
+      .join(broadcast(cents.select(col("cell").as("ivf_cell"),
+        col("centroid").as("ccent"))), Seq("ivf_cell"))
+      .select(col("query_id"), col("ivf_cell"),
+        posexplode(subArray(zip_with(col("qe"), col("ccent"), (x, c) => x - c),
+          PqM, 64)).as(Seq("sub", "sv")))
+      .join(broadcast(cbSub), Seq("sub"))
+      .select(col("query_id"), col("ivf_cell"), col("cell").as("code"),
+        l2sq(col("sv"), col("centroid")).as("qd")))
+    val cheap = codes
+      .join(broadcast(probes.select(col("query_id"), col("ivf_cell"))), Seq("ivf_cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .join(qTables, Seq("query_id", "ivf_cell", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("qd")).as("adc"), count(lit(1)).as("n_subs"))
+      .filter(col("n_subs") === PqM)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("vec_id"))
+    val short = cheap.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= shortlist)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    rerankExact(e, short)
+  }
+
   // =================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_quantize" -> (quantize _),
@@ -627,10 +769,12 @@ object Similarity {
     "ann_int8_ivf_topk" -> ((s: SparkSession, dir: String) => int8IvfTopk(s, dir)),
     "ann_pq_topk" -> ((s: SparkSession, dir: String) => pqTopk(s, dir)),
     "ann_ivfpq_topk" -> ((s: SparkSession, dir: String) => ivfpqTopk(s, dir)),
+    "ann_ivfpq_topk_fed" -> (ivfpqTopkFed _),
+    "ann_ivfpq_residual_topk" -> ((s: SparkSession, dir: String) => ivfpqResidualTopk(s, dir)),
     "emb_label_centroids" -> ((s: SparkSession, dir: String) => labelCentroids(s, dir)),
     "ann_bruteforce_topk" -> (bruteforceTopk _),
     "ann_lsh_topk"        -> ((s: SparkSession, dir: String) => lshTopk(s, dir)),
-    "ann_ivf_topk"        -> (ivfTopk _))
+    "ann_ivf_topk"        -> ((s: SparkSession, dir: String) => ivfTopk(s, dir)))
 
   /** LSH/IVF are rows-only (bucketing is engine-internal); SimilaritySpec
     * asserts recall@5 vs brute force.

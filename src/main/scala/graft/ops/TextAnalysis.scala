@@ -209,8 +209,11 @@ object TextAnalysis {
   /** Nearest neighbor by Levenshtein distance for the first 10 docs,
     * candidate-pruned by length: |len(a)−len(b)| is a lower bound on edit
     * distance, so only near-length docs are compared — the standard trick
-    * that keeps O(len²)-per-pair edit distance tractable (at 100 TB you'd
-    * pre-bucket by length and band within buckets, same idea).
+    * that keeps O(len²)-per-pair edit distance tractable. Length is the
+    * ONLY candidate bound here, so this is sf-bounded ground truth (SURVEY
+    * §6): a same-length-heavy corpus degrades to band² pairs. At 100 TB,
+    * generate candidates with the MinHash-LSH tier and spend levenshtein
+    * verifying that bounded set instead.
     */
   def editDistNeighbors(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

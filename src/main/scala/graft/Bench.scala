@@ -30,7 +30,7 @@ object Bench {
     "dedup_components", "dedup_incremental", "dedup_semantic",
     "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_int8_topk",
     "ann_int8_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",
-    "ann_ivfpq_topk_fed", "ann_ivfpq_residual_topk",
+    "ann_ivfpq_topk_fed", "ann_ivfpq_topk_indexed", "ann_ivfpq_residual_topk",
     "text_quality", "text_fingerprint", "text_lang_id", "text_curate_corpus",
     "text_tfidf", "text_editdist_nn", "text_decontaminate", "text_pack_sequences",
     "text_repetition", "text_heavy_hitters", "text_prepare_corpus",

@@ -129,24 +129,46 @@ object ScaleProbe {
     // of the cost and amortizes away in the fed-codebook pipeline form
     time("ann_pq_topk")(graft.ops.Similarity.pqTopk(spark, out).count())
     time("ann_ivfpq_topk")(graft.ops.Similarity.ivfpqTopk(spark, out).count())
-    // the train-once split the one-shot line above hides: train + persist
-    // both models (the once-per-corpus-build cost), then run the retrieval
-    // with FED models — the fed line is the per-job cost an at-scale
-    // retrieval service actually pays, i.e. the number that matters when
-    // the same index serves many query batches
+    // the train-once split the one-shot line above hides: build + persist
+    // the index (the once-per-corpus-build cost), then run the retrieval
+    // (a) with FED MODELS (encode still inline) and (b) with the FULL
+    // INDEX (probe + ADC only) — (b) is the per-batch cost an at-scale
+    // retrieval service actually pays once the same index serves many
+    // query batches
     if (matched("ann_ivfpq_topk(fed)")) locally {
-      val mp = s"$out/_ann_models"
+      val mp = s"$out/_ann_index"
       val emb = spark.read.parquet(s"$out/embeddings.parquet")
       val t0 = System.nanoTime()
-      graft.ops.Similarity.saveModels(mp,
-        graft.ops.Similarity.centroids(emb),
-        graft.ops.Similarity.pqCodebooks(emb))
-      println(f"ann_models_train_save: ${(System.nanoTime() - t0) / 1e9}%.1f s")
-      val (cents, cb) = graft.ops.Similarity.loadModels(spark, mp)
+      val cents = graft.ops.Similarity.centroids(emb)
+      val cb = graft.ops.Similarity.pqCodebooks(emb)
+      graft.ops.Similarity.saveIndex(mp, cents, cb,
+        graft.ops.Similarity.buildIvfpqIndex(emb, cents, cb))
+      println(f"ann_index_build_save: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val (lc, lcb, lcodes) = graft.ops.Similarity.loadIndex(spark, mp)
       val t1 = System.nanoTime()
-      val n = graft.ops.Similarity.ivfpqTopk(spark, out,
-        codebooks = Some(cb), precomputedCents = Some(cents)).count()
-      println(f"ann_ivfpq_topk(fed): ${(System.nanoTime() - t1) / 1e9}%.1f s ($n rows)")
+      val n1 = graft.ops.Similarity.ivfpqTopk(spark, out,
+        codebooks = Some(lcb), precomputedCents = Some(lc)).count()
+      println(f"ann_ivfpq_topk(fed): ${(System.nanoTime() - t1) / 1e9}%.1f s ($n1 rows)")
+      val t2 = System.nanoTime()
+      val n2 = graft.ops.Similarity.ivfpqTopk(spark, out,
+        codebooks = Some(lcb), precomputedCents = Some(lc),
+        precomputedCodes = Some(lcodes)).count()
+      println(f"ann_ivfpq_topk(indexed): ${(System.nanoTime() - t2) / 1e9}%.1f s ($n2 rows)")
+      // residual build is the expensive one (the residual chain re-enters
+      // training and encode) — which is exactly why it, too, is a corpus-
+      // build artifact; the indexed serving cost should match raw's
+      val t3 = System.nanoTime()
+      val rcb = graft.ops.Similarity.pqCodebooks(graft.ops.Similarity
+        .residualVectors(emb, cents).select(col("vec_id"), col("embedding")))
+      graft.ops.Similarity.saveIndex(s"$out/_ann_index_res", cents, rcb,
+        graft.ops.Similarity.buildIvfpqIndex(emb, cents, rcb, residual = true))
+      println(f"ann_residual_index_build_save: ${(System.nanoTime() - t3) / 1e9}%.1f s")
+      val (rc, rcb2, rcodes) = graft.ops.Similarity.loadIndex(spark, s"$out/_ann_index_res")
+      val t4 = System.nanoTime()
+      val n3 = graft.ops.Similarity.ivfpqResidualTopk(spark, out,
+        codebooks = Some(rcb2), precomputedCents = Some(rc),
+        precomputedCodes = Some(rcodes)).count()
+      println(f"ann_ivfpq_residual_topk(indexed): ${(System.nanoTime() - t4) / 1e9}%.1f s ($n3 rows)")
     }
     time("ann_ivfpq_residual_topk")(
       graft.ops.Similarity.ivfpqResidualTopk(spark, out).count())
@@ -156,8 +178,12 @@ object ScaleProbe {
       graft.ops.TextAnalysis.selectBudgetThreshold(spark, out).count())
     // semantic dedup: k and therefore centroid/membership work grow with
     // N by design — the quantity to watch is wall vs N with E|cluster|
-    // pinned at targetCluster
-    time("dedup_semantic")(graft.ops.Dedup.semantic(spark, out).count())
+    // pinned at targetCluster. Flat is FORCED here (coarseProbe = 0): at
+    // 100× k ≈ 1562 crosses AutoTwoLevelK, so the default auto path now
+    // routes two-level (≡ the cprobe=3 line below) and the flat-vs-two-
+    // level comparison needs the explicit knob
+    time("dedup_semantic(flat)")(
+      graft.ops.Dedup.semantic(spark, out, coarseProbe = 0).count())
     // two-level membership: same tier with the N·k scoring routed through
     // the √k coarse layer — the wall gap vs the flat line above is the
     // membership-scan saving, the pair counts should be ~equal

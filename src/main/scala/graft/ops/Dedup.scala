@@ -332,26 +332,29 @@ object Dedup {
     * Lloyd refinement and the membership ranking; candidates travel
     * id-only through their distinct (16 B/row, the embeddingLsh
     * discipline) and embeddings re-join only for the exact verify. The
-    * flat N·k membership scoring is the extreme-scale limit; past ~10M
-    * cells set `coarseProbe` > 0 to route membership through
+    * flat N·k membership scoring is the small-k path; the default
+    * (`coarseProbe = -1`, auto) routes membership through
     * [[membershipTwoLevel]] (score N·√k coarse + N·cprobe·√k fine
-    * instead of N·k). Precision is exact by construction (every emitted
+    * instead of N·k) once k reaches [[AutoTwoLevelK]] — pass 0 to force
+    * flat, > 0 to force two-level with that many coarse probes.
+    * Precision is exact by construction (every emitted
     * pair passed exact cosine ≥ τ); recall vs the all-pairs [[embedding]]
     * truth is spec-pinned at two geometries, and two-level vs flat
     * membership parity is spec-pinned at two geometries too.
     */
   def semantic(s: SparkSession, dir: String, tau: Double = 0.4,
       targetCluster: Int = 128, iters: Int = 2, nprobe: Int = 2,
-      coarseProbe: Int = 0): DataFrame = {
+      coarseProbe: Int = -1, autoTwoLevelK: Int = AutoTwoLevelK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
     val k = math.max(2, (e.count() / targetCluster).toInt)
     val cents = Similarity.kmeans(e, pmod(col("vec_id"), lit(k)), iters)
+    val cprobe = resolveCoarseProbe(coarseProbe, k, autoTwoLevelK)
     // multi-probe membership: rank cells per vector (the window is why
     // this doesn't reuse assignCells' max_by — multi-probe needs the top
     // P, not the max; N·k rows ranked, id+cell out)
     val member =
-      if (coarseProbe > 0) membershipTwoLevel(e, cents, nprobe, coarseProbe)
+      if (cprobe > 0) membershipTwoLevel(e, cents, nprobe, cprobe)
       else e.join(broadcast(cents))
         .select(col("vec_id"), col("cell"),
           nanvl(cosine_sim(col("embedding"), col("centroid")), lit(-1.0)).as("ccos"))
@@ -370,6 +373,25 @@ object Dedup {
       .filter(col("cosine") >= tau)
       .orderBy(col("v1"), col("v2"))
   }
+
+  /** Fine-cell count at which [[semantic]]'s auto path (coarseProbe = -1)
+    * cuts over from flat N·k membership scoring to [[membershipTwoLevel]]:
+    * the 100× probe (k ≈ 1562) measured two-level at 54-64 s vs 87 s flat
+    * at 82-86% pair parity — i.e. by ~1.5k cells two-level already wins
+    * wall, so auto engages at the measured win point rather than an
+    * extrapolated one. Below it, the flat window's N·k skinny rows are
+    * cheaper than the extra exchange two-level pays.
+    */
+  val AutoTwoLevelK = 1500
+
+  /** cprobe = 3 on auto-cutover: the measured parity/wall sweet spot
+    * (cprobe=2 → 82% pair parity, 3 → 86% for ~equal wall at 100×).
+    */
+  private[graft] def resolveCoarseProbe(coarseProbe: Int, k: Int,
+      autoTwoLevelK: Int): Int =
+    if (coarseProbe >= 0) coarseProbe
+    else if (k >= autoTwoLevelK) 3
+    else 0
 
   /** Two-level multi-probe membership — the quantizer shard that keeps
     * SemDeDup credible past ~10M cells: cluster the k fine centroids into

@@ -593,19 +593,22 @@ object Similarity {
     * property, spec floor), and the PQ-shortlist-within-cells quality is
     * pinned against the full-scan [[pqTopk]] tier.
     */
+  /** @param precomputedCodes fed [[buildIvfpqIndex]] (or [[loadIndex]])
+    *   output — the fully-materialized index form: corpus encode (the
+    *   assignCells + assignCodes passes) is a corpus-build artifact like
+    *   the models, so a retrieval service feeds all three and pays only
+    *   the probe + ADC scan per query batch.
+    */
   def ivfpqTopk(s: SparkSession, dir: String, shortlist: Int = 100,
       codebooks: Option[DataFrame] = None,
-      precomputedCents: Option[DataFrame] = None): DataFrame = {
+      precomputedCents: Option[DataFrame] = None,
+      precomputedCodes: Option[DataFrame] = None): DataFrame = {
     val e = Tables(s, dir).embeddings
     val cents = precomputedCents.getOrElse(centroids(e))
-    val assigned = assignCells(e, cents)
-      .select(col("vec_id"), col("cell").as("ivf_cell"))
     val cb = codebooks.getOrElse(pqCodebooks(e))
-    val subs = subvectors(e, PqM, 64)
     val cbSub = withSub(cb, PqKsub)
-    // corpus codes tagged with their IVF cell: the id-keyed join adds one
-    // narrow column to the m-byte representation
-    val codes = assignCodes(subs, cbSub).join(assigned, Seq("vec_id"))
+    val codes = precomputedCodes.getOrElse(
+      buildIvfpqIndex(e, cents, cb, residual = false))
     val probes = e.filter(isQuery(col("vec_id")))
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       .join(broadcast(cents))
@@ -615,7 +618,8 @@ object Similarity {
         Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cell"))))
       .filter(col("rk") <= NProbe)
       .select(col("query_id"), col("cell").as("ivf_cell"))
-    val qTables = broadcast(subs.filter(isQuery(col("vec_id")))
+    val qTables = broadcast(
+      subvectors(e.filter(isQuery(col("vec_id"))), PqM, 64)
       .join(broadcast(cbSub), Seq("sub"))
       .select(col("vec_id").as("query_id"), col("cell").as("code"),
         l2sq(col("sv"), col("centroid")).as("qd")))
@@ -660,38 +664,103 @@ object Similarity {
     (s.read.parquet(s"$path/ivf_centroids.parquet"),
       s.read.parquet(s"$path/pq_codebooks.parquet"))
 
+  /** Residual corpus: x − centroid(assigned cell), with the cell riding
+    * along as `ivf_cell` — the encode input for residual PQ (training and
+    * [[buildIvfpqIndex]] share it so the two can never disagree on what a
+    * residual is).
+    */
+  private[graft] def residualVectors(e: DataFrame, cents: DataFrame): DataFrame =
+    assignCells(e, cents)
+      .join(broadcast(cents), Seq("cell"))
+      .select(col("vec_id"),
+        zip_with(col("embedding"), col("centroid"), (x, c) => x - c).as("embedding"),
+        col("cell").as("ivf_cell"))
+
+  /** The corpus encode pass as a first-class artifact: (vec_id, sub, code,
+    * ivf_cell) — one assignCells + one assignCodes over the corpus. This
+    * is what "32× compression" is FOR at 100 TB: the codes table (a few
+    * bytes/vector) is materialized once per corpus build next to the
+    * models, and every retrieval batch scans IT, never re-encoding the
+    * corpus. Feed the result to `precomputedCodes` on [[ivfpqTopk]] /
+    * [[ivfpqResidualTopk]] (with `residual` matching, and the SAME cents/
+    * codebooks — codes encode against a specific model pair).
+    */
+  def buildIvfpqIndex(e: DataFrame, cents: DataFrame, codebooks: DataFrame,
+      residual: Boolean = false): DataFrame = {
+    val cbSub = withSub(codebooks, PqKsub)
+    if (residual) {
+      val resid = residualVectors(e, cents)
+      assignCodes(subvectors(resid, PqM, 64), cbSub)
+        .join(resid.select(col("vec_id"), col("ivf_cell")), Seq("vec_id"))
+    } else {
+      val assigned = assignCells(e, cents)
+        .select(col("vec_id"), col("cell").as("ivf_cell"))
+      assignCodes(subvectors(e, PqM, 64), cbSub).join(assigned, Seq("vec_id"))
+    }
+  }
+
+  /** [[saveModels]] plus the encoded corpus ([[buildIvfpqIndex]]) — the
+    * full on-disk index, FAISS-shaped: models + codes persist at corpus
+    * build; a retrieval job loads all three and pays only probe + ADC.
+    */
+  def saveIndex(path: String, cents: DataFrame, codebooks: DataFrame,
+      codes: DataFrame): Unit = {
+    saveModels(path, cents, codebooks)
+    codes.write.mode("overwrite").parquet(s"$path/pq_codes.parquet")
+  }
+
+  /** (IVF centroids, PQ codebooks, corpus codes) from [[saveIndex]]. */
+  def loadIndex(s: SparkSession, path: String): (DataFrame, DataFrame, DataFrame) = {
+    val (cents, cb) = loadModels(s, path)
+    (cents, cb, s.read.parquet(s"$path/pq_codes.parquet"))
+  }
+
   // keyed by (context, dir), the Curation.pairsMemo discipline (including
   // its one-session-per-context assumption — the loaded frames are bound
-  // to the session that read them): models are
-  // trained + persisted ONCE per (session, corpus) and every later call
-  // reads them back — so the bench's best-of-N min on the fed entry times
-  // what an at-scale retrieval job actually pays (load two driver-scale
-  // parquet tables + the cell-restricted ADC scan), not the training the
-  // one-shot ann_ivfpq_topk entry deliberately includes.
-  private val modelsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), (DataFrame, DataFrame)]()
+  // to the session that read them): the full index (models + encoded
+  // corpus) is built + persisted ONCE per (session, corpus) and every
+  // later call reads it back — so the bench's best-of-N min on the fed/
+  // indexed entries times what an at-scale retrieval job actually pays,
+  // not the build work the one-shot ann_ivfpq_topk entry deliberately
+  // includes.
+  private val indexMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (DataFrame, DataFrame, DataFrame)]()
 
-  private def persistedModels(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private def persistedIndex(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val ctx = s.sparkContext.applicationId + "/" + s.sparkContext.startTime
-    modelsMemo.keySet.removeIf(_._1 != ctx) // reap models of dead contexts
-    modelsMemo.computeIfAbsent((ctx, dir), { _ =>
+    indexMemo.keySet.removeIf(_._1 != ctx) // reap entries of dead contexts
+    indexMemo.computeIfAbsent((ctx, dir), { _ =>
       val e = Tables(s, dir).embeddings
-      val path = System.getProperty("java.io.tmpdir") + "/graft_ann_models_" +
+      val path = System.getProperty("java.io.tmpdir") + "/graft_ann_index_" +
         java.lang.Integer.toHexString((ctx + "|" + dir).hashCode)
-      saveModels(path, centroids(e), pqCodebooks(e))
-      loadModels(s, path)
+      val (cents, cb) = (centroids(e), pqCodebooks(e))
+      saveIndex(path, cents, cb, buildIvfpqIndex(e, cents, cb))
+      loadIndex(s, path)
     })
   }
 
-  /** [[ivfpqTopk]] with BOTH models fed from parquet — the pipeline form
-    * as a first-class gate/bench entry. Output is identical to the
-    * one-shot entry (training is deterministic and floats round-trip);
-    * the bench delta between the two entries is the training cost a
-    * train-once deployment amortizes away.
+  /** [[ivfpqTopk]] with BOTH models fed from parquet — the train-once
+    * pipeline form as a first-class gate/bench entry. Output is identical
+    * to the one-shot entry (training is deterministic and floats
+    * round-trip); the bench delta between the two entries is the training
+    * cost a train-once deployment amortizes away. Corpus encode stays
+    * inline here — [[ivfpqTopkIndexed]] amortizes that too.
     */
   def ivfpqTopkFed(s: SparkSession, dir: String): DataFrame = {
-    val (cents, cb) = persistedModels(s, dir)
+    val (cents, cb, _) = persistedIndex(s, dir)
     ivfpqTopk(s, dir, codebooks = Some(cb), precomputedCents = Some(cents))
+  }
+
+  /** [[ivfpqTopk]] with the FULL index fed from parquet (models + encoded
+    * corpus) — the steady-state serving shape: per query batch the job
+    * pays cell probing, the ADC scan over the m-byte codes of the probed
+    * cells, and the exact rerank. Nothing about the corpus is recomputed.
+    * Output identical to the one-shot entry (spec-pinned).
+    */
+  def ivfpqTopkIndexed(s: SparkSession, dir: String): DataFrame = {
+    val (cents, cb, codes) = persistedIndex(s, dir)
+    ivfpqTopk(s, dir, codebooks = Some(cb), precomputedCents = Some(cents),
+      precomputedCodes = Some(codes))
   }
 
   /** [[ivfpqTopk]] with RESIDUAL encoding — the FAISS-default IVFPQ form:
@@ -711,21 +780,18 @@ object Similarity {
     */
   def ivfpqResidualTopk(s: SparkSession, dir: String, shortlist: Int = 100,
       codebooks: Option[DataFrame] = None,
-      precomputedCents: Option[DataFrame] = None): DataFrame = {
+      precomputedCents: Option[DataFrame] = None,
+      precomputedCodes: Option[DataFrame] = None): DataFrame = {
     val e = Tables(s, dir).embeddings
     val cents = precomputedCents.getOrElse(centroids(e))
-    // residual corpus: x − centroid(cell), float, one broadcast join; the
-    // ivf_cell rides along so codes keep their cell tag without a re-join
-    val resid = assignCells(e, cents)
-      .join(broadcast(cents), Seq("cell"))
-      .select(col("vec_id"),
-        zip_with(col("embedding"), col("centroid"), (x, c) => x - c).as("embedding"),
-        col("cell").as("ivf_cell"))
-    val cb = codebooks.getOrElse(
-      pqCodebooks(resid.select(col("vec_id"), col("embedding"))))
+    val cb = codebooks.getOrElse(pqCodebooks(
+      residualVectors(e, cents).select(col("vec_id"), col("embedding"))))
     val cbSub = withSub(cb, PqKsub)
-    val codes = assignCodes(subvectors(resid, PqM, 64), cbSub)
-      .join(resid.select(col("vec_id"), col("ivf_cell")), Seq("vec_id"))
+    // the inline convenience form recomputes the residual chain per
+    // consumer (training iterations + encode) — at scale, feed codes
+    // from buildIvfpqIndex/loadIndex and none of that runs per batch
+    val codes = precomputedCodes.getOrElse(
+      buildIvfpqIndex(e, cents, cb, residual = true))
     val probes = e.filter(isQuery(col("vec_id")))
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       .join(broadcast(cents))
@@ -770,6 +836,7 @@ object Similarity {
     "ann_pq_topk" -> ((s: SparkSession, dir: String) => pqTopk(s, dir)),
     "ann_ivfpq_topk" -> ((s: SparkSession, dir: String) => ivfpqTopk(s, dir)),
     "ann_ivfpq_topk_fed" -> (ivfpqTopkFed _),
+    "ann_ivfpq_topk_indexed" -> (ivfpqTopkIndexed _),
     "ann_ivfpq_residual_topk" -> ((s: SparkSession, dir: String) => ivfpqResidualTopk(s, dir)),
     "emb_label_centroids" -> ((s: SparkSession, dir: String) => labelCentroids(s, dir)),
     "ann_bruteforce_topk" -> (bruteforceTopk _),

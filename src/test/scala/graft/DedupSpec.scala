@@ -229,6 +229,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("semantic auto-cutover: flat below AutoTwoLevelK, two-level (cprobe=3) at it") {
+    // the resolver is the entire auto policy — pin its edges directly
+    assert(Dedup.resolveCoarseProbe(-1, 1500, 1500) === 3)
+    assert(Dedup.resolveCoarseProbe(-1, 1499, 1500) === 0)
+    assert(Dedup.resolveCoarseProbe(0, 1000000, 1500) === 0, "0 forces flat")
+    assert(Dedup.resolveCoarseProbe(2, 2, 1500) === 2, ">0 forces two-level")
+    // gate geometry (k = 500/128 → 3): the default path is EXACTLY the
+    // flat path — auto must not change gate output
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(Dedup.semantic(spark, sf))
+      === pairs(Dedup.semantic(spark, sf, coarseProbe = 0)))
+    // large-k geometry (threshold lowered to what 500 vectors can reach:
+    // k = 500/4 = 125 ≥ 100): the default path must EXACTLY equal the
+    // forced two-level cprobe=3 path — exact equality proves the cutover
+    // engaged, since flat-vs-two-level only agree approximately (~0.9
+    // parity), never identically, on this corpus
+    assert(pairs(Dedup.semantic(spark, sf, targetCluster = 4, autoTwoLevelK = 100))
+      === pairs(Dedup.semantic(spark, sf, targetCluster = 4, coarseProbe = 3)))
+  }
+
   test("semantic membership is computed once at runtime (exchange reuse)") {
     // the membership subplan (N·k cell scoring + window) feeds BOTH sides
     // of the candidate self-join; with shuffle joins AQE must reuse its

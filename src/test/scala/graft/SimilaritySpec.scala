@@ -224,10 +224,27 @@ class SimilaritySpec extends SparkSpec {
     // ivfTopk joins the family: fed centroids = inline training
     assert(topk(Similarity.ivfTopk(spark, sf, Some(lc)))
       === topk(Similarity.ivfTopk(spark, sf)))
+    // the FULL index (models + corpus codes): codes round-trip parquet
+    // and index-fed retrieval — nothing about the corpus recomputed —
+    // is still identical, raw and residual alike
+    val ipath = java.nio.file.Files.createTempDirectory("graft_ann_index").toString
+    Similarity.saveIndex(ipath, cents, cb, Similarity.buildIvfpqIndex(e, cents, cb))
+    val (ic, icb, icodes) = Similarity.loadIndex(spark, ipath)
+    assert(topk(Similarity.ivfpqTopk(spark, sf, codebooks = Some(icb),
+        precomputedCents = Some(ic), precomputedCodes = Some(icodes)))
+      === topk(Similarity.ivfpqTopk(spark, sf)))
+    val rcb = Similarity.pqCodebooks(
+      Similarity.residualVectors(e, cents).select(col("vec_id"), col("embedding")))
+    val rcodes = Similarity.buildIvfpqIndex(e, cents, rcb, residual = true)
+    assert(topk(Similarity.ivfpqResidualTopk(spark, sf, codebooks = Some(rcb),
+        precomputedCents = Some(cents), precomputedCodes = Some(rcodes)))
+      === topk(Similarity.ivfpqResidualTopk(spark, sf)))
   }
 
-  test("the fed gate entry (train-save-load once per session) equals the one-shot entry") {
+  test("the fed and indexed gate entries (build-save-load once per session) equal the one-shot entry") {
     assert(topk(Similarity.ivfpqTopkFed(spark, sf))
+      === topk(Similarity.ivfpqTopk(spark, sf)))
+    assert(topk(Similarity.ivfpqTopkIndexed(spark, sf))
       === topk(Similarity.ivfpqTopk(spark, sf)))
   }
 
@@ -249,6 +266,51 @@ class SimilaritySpec extends SparkSpec {
       res.getOrElse(q, Seq.empty).count(ns.toSet.contains) }.sum
     val vsIvf = hits.toDouble / ivf.values.map(_.size).sum
     assert(vsIvf >= 0.85, s"residual IVFPQ vs float-IVF-same-cells recall=$vsIvf")
+  }
+
+  test("PQ/IVFPQ recall on a cluster-structured corpus (the regime the tiers are built for)") {
+    // the driver corpus is near-random — LSH/IVF/PQ's documented worst
+    // case, where the 0.5-0.88 recalls undersell the tiers. Real embedding
+    // corpora are cluster-structured; synthesize one (deterministic:
+    // splitmix-seeded centers, small within-cluster noise) and measure the
+    // same contracts where they're actually used.
+    val spark2 = spark
+    import spark2.implicits._
+    def prand(seed: Long): Double = { // splitmix64 → uniform [-0.5, 0.5)
+      var z = seed + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      (z >>> 11).toDouble / (1L << 53).toDouble - 0.5
+    }
+    val (n, nClusters, dim) = (2000, 20, 64)
+    val rows = (0 until n).map { i =>
+      val c = i % nClusters
+      val emb = Array.tabulate(dim) { d =>
+        (prand(c.toLong * 64 + d) + 0.15 * prand((i.toLong << 8) + d)).toFloat
+      }
+      (i.toLong, emb, c)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_structured").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val exactS = topk(Similarity.bruteforceTopk(spark, dir))
+    def recallS(m: Map[Long, Seq[Long]]): Double = {
+      val hits = exactS.map { case (q, ns) =>
+        m.getOrElse(q, Seq.empty).count(ns.toSet.contains) }.sum
+      hits.toDouble / (exactS.size * 5)
+    }
+    val pq = recallS(topk(Similarity.pqTopk(spark, dir)))
+    val ivfpq = recallS(topk(Similarity.ivfpqTopk(spark, dir)))
+    val res = recallS(topk(Similarity.ivfpqResidualTopk(spark, dir)))
+    // measured 1.0 / 1.0 / 1.0 — every tier recovers the exact top-5
+    // whole when the corpus has the structure the tiers exploit; the
+    // near-random-corpus floors (0.6 / 0.15) are the corpus's fault, not
+    // the tiers'. Pinned at 0.9 for headroom.
+    assert(pq >= 0.9, s"structured-corpus PQ recall@5=$pq")
+    assert(ivfpq >= 0.9, s"structured-corpus IVFPQ recall@5=$ivfpq")
+    assert(res >= ivfpq - 1e-9,
+      s"structured-corpus residual recall@5=$res must not trail raw=$ivfpq")
   }
 
   test("int8 quantization: bounded reconstruction error, near-unit cosine") {

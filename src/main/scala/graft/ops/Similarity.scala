@@ -357,9 +357,14 @@ object Similarity {
     * spec-pinned (rows-only for the driver — the shortlist boundary is
     * quantization-dependent).
     */
-  def int8Topk(s: SparkSession, dir: String, shortlist: Int = 50): DataFrame = {
+  /** @param precomputedQuantized fed [[quantizeVectors]] (or
+    *   [[loadInt8Codes]]) output — quantize once per corpus build, scan
+    *   the stored codes per batch.
+    */
+  def int8Topk(s: SparkSession, dir: String, shortlist: Int = 50,
+      precomputedQuantized: Option[DataFrame] = None): DataFrame = {
     val e = Tables(s, dir).embeddings
-    val qz = quantizeVectors(e)
+    val qz = precomputedQuantized.getOrElse(quantizeVectors(e))
     val q = broadcast(qz.filter(isQuery(col("vec_id")))
       .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
         col("inorm").as("q_inorm"), col("step").as("q_step")))
@@ -389,13 +394,15 @@ object Similarity {
     * this near-random corpus, not of the quantization.
     */
   def int8IvfTopk(s: SparkSession, dir: String, shortlist: Int = 50,
-      precomputedCents: Option[DataFrame] = None): DataFrame = {
+      precomputedCents: Option[DataFrame] = None,
+      precomputedQuantized: Option[DataFrame] = None): DataFrame = {
     val e = Tables(s, dir).embeddings
     val cents = precomputedCents.getOrElse(centroids(e))
     val assigned = assignCells(e, cents).select(col("vec_id"), col("cell"))
     // quantized corpus with its cell: the id-keyed join adds one narrow
     // column to rows that were already being materialized
-    val qz = quantizeVectors(e).join(assigned, Seq("vec_id"))
+    val qz = precomputedQuantized.getOrElse(quantizeVectors(e))
+      .join(assigned, Seq("vec_id"))
     val probes = e.filter(isQuery(col("vec_id")))
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
       .join(broadcast(cents))
@@ -714,6 +721,34 @@ object Similarity {
     val (cents, cb) = loadModels(s, path)
     (cents, cb, s.read.parquet(s"$path/pq_codes.parquet"))
   }
+
+  /** Persist the int8-quantized corpus ([[quantizeVectors]] output) — the
+    * 4×-compressed artifact the int8 tiers scan. Like the PQ codes, this
+    * is once-per-corpus-build work: quantization is per-vector (no model
+    * to train), so the only reason to recompute it per job is not having
+    * written it down. Doubles (inorm/step) and longs round-trip parquet
+    * bit-exactly → fed retrieval identical (spec-pinned).
+    */
+  def saveInt8Codes(path: String, quantized: DataFrame): Unit =
+    quantized.write.mode("overwrite").parquet(s"$path/int8_codes.parquet")
+
+  def loadInt8Codes(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(s"$path/int8_codes.parquet")
+
+  /** Encode a NEW vector batch against an existing index's FROZEN models
+    * and append its codes — incremental index maintenance, the
+    * [[graft.ops.Dedup.incremental]] analogue for ANN: the nightly batch
+    * pays one assignCells + one assignCodes over ITS rows only, never
+    * touching the base corpus. Codes are per-vector functions of the
+    * models, so append ≡ full rebuild with the same models (spec-pinned
+    * exact). Models stay frozen — the standard serving discipline;
+    * retrain + re-encode when drift accumulates, which is a corpus-build
+    * event, not an append.
+    */
+  def appendToIndex(newVecs: DataFrame, cents: DataFrame,
+      codebooks: DataFrame, codes: DataFrame,
+      residual: Boolean = false): DataFrame =
+    codes.unionByName(buildIvfpqIndex(newVecs, cents, codebooks, residual))
 
   // keyed by (context, dir), the Curation.pairsMemo discipline (including
   // its one-session-per-context assumption — the loaded frames are bound

@@ -248,6 +248,33 @@ class SimilaritySpec extends SparkSpec {
       === topk(Similarity.ivfpqTopk(spark, sf)))
   }
 
+  test("int8 codes persist and feed retrieval identically; index append equals full rebuild") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    // int8: quantize once, save, load, feed both tiers — outputs identical
+    // (longs and doubles round-trip parquet bit-exactly)
+    val path = java.nio.file.Files.createTempDirectory("graft_int8").toString
+    Similarity.saveInt8Codes(path, Similarity.quantizeVectors(e))
+    val qz = Similarity.loadInt8Codes(spark, path)
+    assert(topk(Similarity.int8Topk(spark, sf, precomputedQuantized = Some(qz)))
+      === topk(Similarity.int8Topk(spark, sf)))
+    assert(topk(Similarity.int8IvfTopk(spark, sf, precomputedQuantized = Some(qz)))
+      === topk(Similarity.int8IvfTopk(spark, sf)))
+    // append: encode a new batch against FROZEN models — identical to
+    // rebuilding the whole index with those models (codes are per-vector)
+    val cents = Similarity.centroids(e)
+    val cb = Similarity.pqCodebooks(e)
+    val base = e.filter(col("vec_id") < 450)
+    val batch = e.filter(col("vec_id") >= 450)
+    def codeSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Int, Int)] =
+      df.collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("sub"),
+        r.getAs[Int]("code"), r.getAs[Int]("ivf_cell"))).toSet
+    val appended = Similarity.appendToIndex(batch, cents, cb,
+      Similarity.buildIvfpqIndex(base, cents, cb))
+    assert(codeSet(appended) === codeSet(Similarity.buildIvfpqIndex(e, cents, cb)))
+  }
+
   test("residual IVFPQ: recall at least matches the raw-code tier at the same geometry") {
     val res = topk(Similarity.ivfpqResidualTopk(spark, sf))
     assert(res.size === 10)

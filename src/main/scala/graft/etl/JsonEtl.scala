@@ -288,6 +288,60 @@ object JsonEtl {
       .orderBy(col("user_id"), col("valid_from"), col("event_id"))
   }
 
+  // ------------------------------------------------------------ CDC merge
+  /** Generic CDC MERGE: fold a change batch into a base table with
+    * upsert-or-delete semantics — the apply step downstream of every
+    * change-capture feed (pyetl's keyed upsert, completed with deletes
+    * and inserts). `changes` carries the key, a per-key-unique sequence
+    * column, an `op` column ('D' deletes; anything else upserts) and any
+    * subset of base's columns as new values. Latest change per key wins.
+    *
+    * Scale shape: the latest-per-key reduction is max_by over the
+    * sequence — ONE map-side-combinable shuffle of the changes (which are
+    * tiny next to base in any real feed); the apply is a single
+    * full-outer equi-join on the key, so base shuffles once on the key it
+    * is usually already bucketed by, and a broadcast-sized change batch
+    * makes the apply shuffle-free on the base side. Keys absent from base
+    * insert (unmatched payload columns stay null); present keys update
+    * via coalesce; 'D' rows vanish.
+    */
+  def mergeUpsert(base: DataFrame, changes: DataFrame, key: String,
+      seq: String, op: String = "op"): DataFrame = {
+    val payload = changes.columns.filterNot(Set(key, seq, op)).toSeq
+    val latest = changes.groupBy(col(key)).agg(
+      max(col(seq)).as("last_seq"),
+      max_by(col(op), col(seq)).as("_op") +:
+        payload.map(c => max_by(col(c), col(seq)).as(s"_new_$c")): _*)
+    val merged = base.join(latest, Seq(key), "full_outer")
+      .filter(col("_op").isNull || col("_op") =!= "D")
+    val outCols = base.columns.map { c =>
+      if (c == key) col(key)
+      else if (payload.contains(c)) coalesce(col(s"_new_$c"), col(c)).as(c)
+      else col(c)
+    } :+ col("last_seq")
+    merged.select(outCols.toSeq: _*)
+  }
+
+  /** Gate entry: orders as the change feed against customer as the base —
+    * every order is a change event sequenced by its orderkey; custkeys
+    * ≡ 0 (mod 10) delete, custkeys ≡ 0 (mod 7) shift to a fresh key
+    * (exercising the insert path), everything else updates the account
+    * balance to the order total.
+    */
+  def mergeUpsertOrders(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val base = t.customer.select(col("c_custkey").cast(LongType).as("c_custkey"),
+      col("c_name"), col("c_acctbal"))
+    val changes = t.orders.select(
+      when(col("o_custkey") % 7 === 0, col("o_custkey") + 1000000L)
+        .otherwise(col("o_custkey")).as("c_custkey"),
+      col("o_orderkey").as("seq"),
+      when(col("o_custkey") % 10 === 0, lit("D")).otherwise(lit("U")).as("op"),
+      col("o_totalprice").as("c_acctbal"))
+    mergeUpsert(base, changes, "c_custkey", "seq")
+      .orderBy(col("c_custkey"))
+  }
+
   // ------------------------------------------------------------ quality audit
   /** Data-quality audit — the validation pass a config-driven ingest runs
     * before promoting a landing zone: one row per rule with its violation
@@ -327,6 +381,7 @@ object JsonEtl {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_quality_audit"    -> (qualityAudit _),
     "etl_scd2"             -> (scd2 _),
+    "etl_merge_upsert"     -> (mergeUpsertOrders _),
     "etl_gap_fill"         -> (gapFill _),
     "etl_redact"           -> (redactDocs _),
     "etl_json_extract"     -> (jsonExtract _),
@@ -342,6 +397,21 @@ object JsonEtl {
     * the nanos long.
     */
   val oracles: Map[String, String] = Map(
+    "etl_merge_upsert" ->
+      """WITH ch AS (SELECT
+        |    CASE WHEN o_custkey % 7 = 0 THEN o_custkey + 1000000 ELSE o_custkey END AS c_custkey,
+        |    o_orderkey AS seq,
+        |    CASE WHEN o_custkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    o_totalprice AS acctbal
+        |  FROM orders),
+        |latest AS (SELECT c_custkey, MAX(seq) AS last_seq,
+        |    arg_max(acctbal, seq) AS new_acctbal, arg_max(op, seq) AS last_op
+        |  FROM ch GROUP BY 1)
+        |SELECT COALESCE(b.c_custkey, l.c_custkey) AS c_custkey, b.c_name,
+        |  COALESCE(l.new_acctbal, b.c_acctbal) AS c_acctbal, l.last_seq
+        |FROM customer b FULL OUTER JOIN latest l ON b.c_custkey = l.c_custkey
+        |WHERE l.last_op IS NULL OR l.last_op <> 'D'
+        |ORDER BY c_custkey""".stripMargin,
     "etl_gap_fill" ->
       """WITH ev AS (SELECT user_id % 10 AS bucket,
         |    epoch_ms(ts)//1000//3600 AS h, value FROM events),

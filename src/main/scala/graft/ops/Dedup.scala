@@ -83,7 +83,38 @@ object Dedup {
     * shingle self-join is the quadratic step). jaccard = |∩| / (n1+n2-|∩|)
     * as a single int/int double division — bit-identical in DuckDB.
     */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    shinglePairCounts(s, dir)
+      .select(col("d1"), col("d2"), col("inter"),
+        (col("inter").cast(DoubleType) /
+          (col("n1") + col("n2") - col("inter")).cast(DoubleType)).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("d1"), col("d2"))
+      .limit(50)
+
+  /** Asymmetric CONTAINMENT, the quantity Jaccard is blind to: a short doc
+    * quoted whole inside a long one has tiny Jaccard (the union is the big
+    * doc) but containment 1.0 — the boilerplate/quotation duplication a
+    * curation pass actually wants to catch (Broder's "containment", 1997).
+    * Same ground-truth tier and machinery as [[ngramJaccard]] — the pair
+    * stats are shared code — scoring max(|∩|/|A|, |∩|/|B|) instead. Same
+    * int/int double division, bit-identical in DuckDB; at 100 TB the
+    * MinHash-LSH tier generates the candidates and this scoring verifies.
+    */
+  def containment(s: SparkSession, dir: String): DataFrame =
+    shinglePairCounts(s, dir)
+      .select(col("d1"), col("d2"), col("inter"),
+        greatest(
+          col("inter").cast(DoubleType) / col("n1").cast(DoubleType),
+          col("inter").cast(DoubleType) / col("n2").cast(DoubleType))
+          .as("containment"))
+      .orderBy(col("containment").desc, col("d1"), col("d2"))
+      .limit(50)
+
+  /** Shared all-pairs shingle statistics: (d1, d2, |∩|, |A|, |B|) for every
+    * doc pair with at least one common bigram shingle — the one quadratic
+    * step both exact-similarity scorers consume.
+    */
+  private def shinglePairCounts(s: SparkSession, dir: String): DataFrame = {
     // repartition BEFORE shingling: a small parquet lands as one partition,
     // and the HOF shingle pipeline is interpreted — spread it first
     val docs = Tables(s, dir).documents
@@ -105,10 +136,7 @@ object Dedup {
       .join(n.as("n1"), col("d1") === col("n1.doc_id"))
       .join(n.as("n2"), col("d2") === col("n2.doc_id"))
       .select(col("d1"), col("d2"), col("inter"),
-        (col("inter").cast(DoubleType) /
-          (col("n1.n") + col("n2.n") - col("inter")).cast(DoubleType)).as("jaccard"))
-      .orderBy(col("jaccard").desc, col("d1"), col("d2"))
-      .limit(50)
+        col("n1.n").as("n1"), col("n2.n").as("n2"))
   }
 
   // ------------------------------------------------------------ minhash+LSH
@@ -586,6 +614,7 @@ object Dedup {
     "dedup_exact"         -> (exact _),
     "dedup_normalized"    -> (normalized _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_containment"   -> (containment _),
     "dedup_minhash_lsh"   -> ((s: SparkSession, dir: String) => minhashLsh(s, dir)),
     "dedup_simhash"       -> (simhash _),
     "dedup_embedding"     -> (embedding _),
@@ -623,6 +652,20 @@ object Dedup {
         |  CAST(inter AS DOUBLE) / CAST(n1.n + n2.n - inter AS DOUBLE) AS jaccard
         |FROM inter JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
         |ORDER BY jaccard DESC, d1, d2 LIMIT 50""".stripMargin,
+    "dedup_containment" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(
+        |    [list_extract(ws, i) || ' ' || list_extract(ws, i+1) for i in range(1, len(ws))]) AS sh
+        |  FROM w),
+        |ex AS (SELECT doc_id, unnest(sh) AS sh FROM sh),
+        |n AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM sh),
+        |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+        |  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT d1, d2, inter,
+        |  GREATEST(CAST(inter AS DOUBLE) / CAST(n1.n AS DOUBLE),
+        |           CAST(inter AS DOUBLE) / CAST(n2.n AS DOUBLE)) AS containment
+        |FROM inter JOIN n n1 ON d1 = n1.doc_id JOIN n n2 ON d2 = n2.doc_id
+        |ORDER BY containment DESC, d1, d2 LIMIT 50""".stripMargin,
     "dedup_embedding" ->
       """WITH v AS (SELECT vec_id, embedding,
         |  sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)),

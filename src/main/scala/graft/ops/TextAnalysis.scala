@@ -233,6 +233,64 @@ object TextAnalysis {
       .orderBy(col("query_id"))
   }
 
+  /** ALL document pairs within Levenshtein distance `radius`, exactly —
+    * the scale-credible sibling of [[editDistNeighbors]]. Candidates come
+    * from the q-gram count filter (Gravano et al., VLDB 2001): one edit
+    * operation destroys at most q character q-grams, so a pair within
+    * distance d shares at least max(|a|,|b|) − q + 1 − d·q grams under
+    * BAG semantics (set intersection can undercount repeats, which would
+    * prune true pairs — hence the per-(doc, gram) counts and
+    * sum(least(cnt_a, cnt_b))). Candidate work is the gram equi-join —
+    * Σ|gram-bucket|², the same shape as every LSH tier here — NOT the
+    * band² scan of the NN entry; levenshtein runs on candidates only.
+    * Pairs where the threshold is non-positive (both docs shorter than
+    * d·q + q) can share zero grams and still qualify, so those docs — a
+    * radius-bounded set — fall back to the direct length-band join. The
+    * filter only ever OVER-generates; the final levenshtein ≤ d gate
+    * makes the output exact (oracle-checked vs brute force). Frequent
+    * grams fatten their buckets; the production extension is prefix
+    * filtering (index each doc's rarest grams only), which drops the
+    * heavy buckets without losing exactness.
+    */
+  def editDistRadius(s: SparkSession, dir: String, radius: Int = 25,
+      q: Int = 4): DataFrame = {
+    val d0 = docs(s, dir).select(col("doc_id"), col("text"),
+      length(col("text")).cast(LongType).as("len"))
+    // per-(doc, gram) bag counts; guard: sequence(1, n) REVERSES when
+    // n < 1 (Spark auto-steps -1), so short docs must map to no grams
+    val idx = when(col("len") >= q,
+      sequence(lit(1L), col("len") - (q - 1))).otherwise(array())
+    val grams = d0
+      .select(col("doc_id"),
+        explode(transform(idx, i => col("text").substr(i, lit(q)))).as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
+    val shared = grams.as("a").join(grams.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(sum(least(col("a.cnt"), col("b.cnt"))).as("shared"))
+    val lens = d0.select(col("doc_id"), col("len"))
+    val fromGrams = shared
+      .join(lens.as("l1"), col("d1") === col("l1.doc_id"))
+      .join(lens.as("l2"), col("d2") === col("l2.doc_id"))
+      .filter(abs(col("l1.len") - col("l2.len")) <= radius &&
+        col("shared") >=
+          greatest(col("l1.len"), col("l2.len")) - (q - 1) - radius * q)
+      .select(col("d1"), col("d2"))
+    val shortDocs = d0.filter(col("len") <= radius * q + q - 1)
+    val fromShort = shortDocs.as("a").join(shortDocs.as("b"),
+        col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.len") - col("b.len")) <= radius)
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    val texts = d0.select(col("doc_id"), col("text"))
+    fromGrams.union(fromShort).distinct()
+      .join(texts.as("t1"), col("d1") === col("t1.doc_id"))
+      .join(texts.as("t2"), col("d2") === col("t2.doc_id"))
+      .select(col("d1"), col("d2"),
+        levenshtein(col("t1.text"), col("t2.text")).cast(LongType).as("dist"))
+      .filter(col("dist") <= radius)
+      .orderBy(col("d1"), col("d2"))
+  }
+
   // ------------------------------------------------------------ curation
   /** The full corpus-curation funnel in one plan: quality gate (stopword
     * ratio ≥ 5%, i.e. reads like language) → declared-language filter →
@@ -631,6 +689,8 @@ object TextAnalysis {
     "text_ngram_freq"  -> (ngramFreq _),
     "text_tfidf"       -> (tfIdf _),
     "text_editdist_nn" -> (editDistNeighbors _),
+    "text_editdist_radius" ->
+      ((s: SparkSession, dir: String) => editDistRadius(s, dir)),
     "text_curate_corpus" -> (curateCorpus _),
     "text_decontaminate" -> (decontaminateDocs _),
     "text_pack_sequences" -> (packSequencesDocs _),
@@ -694,6 +754,16 @@ object TextAnalysis {
         |    ORDER BY dist, neighbor_id) AS rk FROM cand)
         |SELECT query_id, neighbor_id, dist FROM ranked WHERE rk = 1
         |ORDER BY query_id""".stripMargin,
+    // brute force within the |len| band — the band is a valid lower bound
+    // on edit distance, so this is the complete radius-25 answer the
+    // q-gram-pruned Spark plan must reproduce exactly
+    "text_editdist_radius" ->
+      """WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len FROM documents)
+        |SELECT a.doc_id AS d1, b.doc_id AS d2,
+        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id AND abs(a.len - b.len) <= 25
+        |WHERE levenshtein(a.text, b.text) <= 25
+        |ORDER BY d1, d2""".stripMargin,
     "text_tfidf" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term

@@ -250,6 +250,21 @@ class DedupSpec extends SparkSpec {
       === pairs(Dedup.semantic(spark, sf, targetCluster = 4, coarseProbe = 3)))
   }
 
+  test("containment dominates jaccard and catches subset pairs at full score") {
+    // greatest(|∩|/|A|, |∩|/|B|) = |∩|/min(|A|,|B|) ≥ |∩|/|A∪B| for every
+    // pair — containment can only reveal MORE similarity than jaccard
+    val cont = Dedup.containment(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(cont.nonEmpty)
+    cont.values.foreach(c => assert(c > 0.0 && c <= 1.0))
+    val jac = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val shared = cont.keySet.intersect(jac.keySet)
+    assert(shared.nonEmpty)
+    shared.foreach(p => assert(cont(p) >= jac(p) - 1e-12,
+      s"pair $p: containment ${cont(p)} < jaccard ${jac(p)}"))
+  }
+
   test("semantic membership is computed once at runtime (exchange reuse)") {
     // the membership subplan (N·k cell scoring + window) feeds BOTH sides
     // of the candidate self-join; with shuffle joins AQE must reuse its

@@ -270,6 +270,26 @@ class EtlSpec extends SparkSpec {
     assert(rows.map(_._3).sum === ev.count())
   }
 
+  test("mergeUpsert applies latest-wins updates, deletes, and inserts") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "bal")
+    val changes = Seq(
+      (1L, 1L, "U", 11.0), (1L, 3L, "U", 13.0), // latest (seq 3) wins
+      (2L, 2L, "D", 0.0),                       // delete
+      (4L, 4L, "U", 44.0),                      // insert (absent from base)
+      (5L, 5L, "D", 0.0))                       // delete of a ghost key: no row
+      .toDF("k", "seq", "op", "bal")
+    val out = JsonEtl.mergeUpsert(base, changes, "k", "seq")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getDouble(2), Option(r.getAs[java.lang.Long]("last_seq")).map(_.toLong)))
+      .toSet
+    assert(out === Set(
+      (1L, Some("a"), 13.0, Some(3L)),  // updated to the seq-3 value
+      (3L, Some("c"), 30.0, None),      // untouched base row
+      (4L, None, 44.0, Some(4L))))      // inserted; non-payload cols null
+  }
+
   test("scd2: versions chain into a gapless partition of each key's timeline") {
     val rows = JsonEtl.scd2(spark, sf).collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("valid_from"),

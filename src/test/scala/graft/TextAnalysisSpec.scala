@@ -243,6 +243,36 @@ class TextAnalysisSpec extends SparkSpec {
       s"all three consumers must derive from one shingle pass:\n${plan.take(2000)}")
   }
 
+  test("radius edit join equals the unpruned brute force (q-gram filter is lossless)") {
+    // the q-gram count filter may only OVER-generate candidates; this pins
+    // completeness by comparing against the direct band² scan at spec SF
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("len"))
+    val brute = d.as("a").join(d.as("b"),
+        col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.len") - col("b.len")) <= 25)
+      .select(col("a.doc_id"), col("b.doc_id"),
+        levenshtein(col("a.text"), col("b.text")).cast("long").as("dist"))
+      .filter(col("dist") <= 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pruned = TextAnalysis.editDistRadius(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pruned === brute)
+    // and at a radius where short docs fall ENTIRELY below the q-gram
+    // threshold, the length-band fallback path must still find their pairs
+    val wide = TextAnalysis.editDistRadius(spark, sf, radius = 120)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bruteWide = d.as("a").join(d.as("b"),
+        col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.len") - col("b.len")) <= 120)
+      .select(col("a.doc_id"), col("b.doc_id"),
+        levenshtein(col("a.text"), col("b.text")).cast("long").as("dist"))
+      .filter(col("dist") <= 120)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(wide === bruteWide)
+  }
+
   test("surprisal matches an exact unigram-model recomputation") {
     val texts = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()

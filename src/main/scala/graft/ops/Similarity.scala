@@ -322,6 +322,48 @@ object Similarity {
       .orderBy(col("vec_id"), col("dim"))
   }
 
+  /** Johnson–Lindenstrauss random projection: 64-dim embeddings → `ProjK`
+    * dims via a ±1 sign matrix, y_j = Σ_i x_i·s_ij / √k. The
+    * dimensionality-reduction step a 100 TB embedding pipeline runs before
+    * anything pairwise — distances are preserved within (1±ε) whp
+    * (Achlioptas 2003 for the ±1 form), and every downstream tier here
+    * (brute force, LSH, IVF) gets a 4× cheaper vector for free. Pure
+    * map stage: no shuffle, no state, the sign matrix is a literal baked
+    * into the plan (64·16 doubles — codegen constant-folds it).
+    *
+    * Oracle-exact: the SAME md5-derived sign literals are interpolated
+    * into the DuckDB SQL, and both engines fold the 64 products
+    * left-to-right in index order (the [[labelCentroids]] in-order-fold
+    * discipline), so the double sums match bit-for-bit; /√16 = /4 is a
+    * power of two and exact.
+    */
+  def project(s: SparkSession, dir: String): DataFrame = {
+    val ys = (0 until ProjK).map { j =>
+      aggregate(
+        zip_with(col("embedding"), typedlit(ProjSigns(j).toSeq),
+          (x, sg) => x.cast(DoubleType) * sg),
+        lit(0.0), (a, t) => a + t) / ProjNorm
+    }
+    Tables(s, dir).embeddings
+      .select(col("vec_id"), posexplode(array(ys: _*)).as(Seq("dim", "y")))
+      .select(col("vec_id"), col("dim").cast(LongType).as("dim"), col("y"))
+      .orderBy(col("vec_id"), col("dim"))
+  }
+
+  private[graft] val ProjK = 16
+  private def ProjNorm: Double = math.sqrt(ProjK.toDouble) // 4.0, exact
+
+  /** Deterministic ±1 signs: top bit of md5("j_i") — public-hash-derived so
+    * the oracle can rebuild the identical matrix (and any other engine
+    * could, from this one-line spec).
+    */
+  private[graft] lazy val ProjSigns: Array[Array[Double]] =
+    Array.tabulate(ProjK, 64) { (j, i) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${j}_${i}".getBytes("UTF-8"))
+      if ((h(0) & 0x80) == 0) 1.0 else -1.0
+    }
+
   /** Vector-form quantization for retrieval: (vec_id, qv array<long> of
     * int8 values, inorm = 1 / ‖x‖ reconstructed from the int vector). The
     * per-vector scale and norm are one HOF pass each — acceptable here
@@ -866,6 +908,7 @@ object Similarity {
   // =================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_quantize" -> (quantize _),
+    "emb_project"  -> (project _),
     "ann_int8_topk" -> ((s: SparkSession, dir: String) => int8Topk(s, dir)),
     "ann_int8_ivf_topk" -> ((s: SparkSession, dir: String) => int8IvfTopk(s, dir)),
     "ann_pq_topk" -> ((s: SparkSession, dir: String) => pqTopk(s, dir)),
@@ -882,6 +925,21 @@ object Similarity {
     * asserts recall@5 vs brute force.
     */
   val oracles: Map[String, String] = Map(
+    "emb_project" -> {
+      // the same md5-derived ±1 matrix, as literal rows — the oracle and
+      // the Spark plan share one source of truth (ProjSigns)
+      val rows = (0 until ProjK).map { j =>
+        ProjSigns(j).map(v => if (v > 0) "1.0" else "-1.0")
+          .mkString(s"($j, [", ",", "])")
+      }.mkString(",\n    ")
+      s"""WITH sgn(j, sg) AS (VALUES
+         |    $rows)
+         |SELECT e.vec_id, CAST(j AS BIGINT) AS dim,
+         |  list_reduce(list_transform(list_zip(e.embedding, sg),
+         |    p -> CAST(p[1] AS DOUBLE) * p[2]), (x, y) -> x + y) / 4.0 AS y
+         |FROM embeddings e, sgn
+         |ORDER BY vec_id, dim""".stripMargin
+    },
     "emb_quantize" ->
       """WITH ex AS (SELECT vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
         |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i)),

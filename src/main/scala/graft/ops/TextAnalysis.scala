@@ -247,42 +247,54 @@ object TextAnalysis {
     * d·q + q) can share zero grams and still qualify, so those docs — a
     * radius-bounded set — fall back to the direct length-band join. The
     * filter only ever OVER-generates; the final levenshtein ≤ d gate
-    * makes the output exact (oracle-checked vs brute force). Frequent
-    * grams fatten their buckets; the production extension is prefix
-    * filtering (index each doc's rarest grams only), which drops the
-    * heavy buckets without losing exactness.
+    * makes the output exact (oracle-checked vs brute force).
+    *
+    * Candidate-bound caveat, MEASURED: gram selectivity is a property of
+    * the corpus alphabet. This test corpus has only ~1000 distinct
+    * 4-grams (generator artifact), so at sf0.1 the gram join schedules
+    * Σ|bucket|² ≈ 1.9e9 row pairs (Ed-Join prefix filtering — index the
+    * d·q+1 rarest gram occurrences per doc — still measures 3.1e8: no
+    * character-gram index survives a 1000-symbol alphabet). A natural
+    * corpus has 10⁵-10⁶ distinct grams and the join is selective. Hence
+    * `candidates`: feed pairs from any generator (the MinHash-LSH tier —
+    * the 100 TB shape) and this becomes pure per-candidate verification;
+    * output is then exact WITHIN the fed candidate set (LSH recall
+    * bounds apply, spec-pinned equal on this corpus's dup structure).
     */
   def editDistRadius(s: SparkSession, dir: String, radius: Int = 25,
-      q: Int = 4): DataFrame = {
+      q: Int = 4, candidates: Option[DataFrame] = None): DataFrame = {
     val d0 = docs(s, dir).select(col("doc_id"), col("text"),
       length(col("text")).cast(LongType).as("len"))
-    // per-(doc, gram) bag counts; guard: sequence(1, n) REVERSES when
-    // n < 1 (Spark auto-steps -1), so short docs must map to no grams
-    val idx = when(col("len") >= q,
-      sequence(lit(1L), col("len") - (q - 1))).otherwise(array())
-    val grams = d0
-      .select(col("doc_id"),
-        explode(transform(idx, i => col("text").substr(i, lit(q)))).as("gram"))
-      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
-    val shared = grams.as("a").join(grams.as("b"),
-        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(sum(least(col("a.cnt"), col("b.cnt"))).as("shared"))
-    val lens = d0.select(col("doc_id"), col("len"))
-    val fromGrams = shared
-      .join(lens.as("l1"), col("d1") === col("l1.doc_id"))
-      .join(lens.as("l2"), col("d2") === col("l2.doc_id"))
-      .filter(abs(col("l1.len") - col("l2.len")) <= radius &&
-        col("shared") >=
-          greatest(col("l1.len"), col("l2.len")) - (q - 1) - radius * q)
-      .select(col("d1"), col("d2"))
-    val shortDocs = d0.filter(col("len") <= radius * q + q - 1)
-    val fromShort = shortDocs.as("a").join(shortDocs.as("b"),
-        col("a.doc_id") < col("b.doc_id") &&
-          abs(col("a.len") - col("b.len")) <= radius)
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+    val cand = candidates.getOrElse {
+      // per-(doc, gram) bag counts; guard: sequence(1, n) REVERSES when
+      // n < 1 (Spark auto-steps -1), so short docs must map to no grams
+      val idx = when(col("len") >= q,
+        sequence(lit(1L), col("len") - (q - 1))).otherwise(array())
+      val grams = d0
+        .select(col("doc_id"),
+          explode(transform(idx, i => col("text").substr(i, lit(q)))).as("gram"))
+        .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("cnt"))
+      val shared = grams.as("a").join(grams.as("b"),
+          col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(sum(least(col("a.cnt"), col("b.cnt"))).as("shared"))
+      val lens = d0.select(col("doc_id"), col("len"))
+      val fromGrams = shared
+        .join(lens.as("l1"), col("d1") === col("l1.doc_id"))
+        .join(lens.as("l2"), col("d2") === col("l2.doc_id"))
+        .filter(abs(col("l1.len") - col("l2.len")) <= radius &&
+          col("shared") >=
+            greatest(col("l1.len"), col("l2.len")) - (q - 1) - radius * q)
+        .select(col("d1"), col("d2"))
+      val shortDocs = d0.filter(col("len") <= radius * q + q - 1)
+      val fromShort = shortDocs.as("a").join(shortDocs.as("b"),
+          col("a.doc_id") < col("b.doc_id") &&
+            abs(col("a.len") - col("b.len")) <= radius)
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      fromGrams.union(fromShort)
+    }
     val texts = d0.select(col("doc_id"), col("text"))
-    fromGrams.union(fromShort).distinct()
+    cand.select(col("d1"), col("d2")).distinct()
       .join(texts.as("t1"), col("d1") === col("t1.doc_id"))
       .join(texts.as("t2"), col("d2") === col("t2.doc_id"))
       .select(col("d1"), col("d2"),

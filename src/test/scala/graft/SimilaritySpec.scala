@@ -340,6 +340,49 @@ class SimilaritySpec extends SparkSpec {
       s"structured-corpus residual recall@5=$res must not trail raw=$ivfpq")
   }
 
+  test("JL projection is bit-exact vs an in-order Scala fold and preserves distances") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables(spark, sf).embeddings
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").toArray)
+      .toMap
+    val proj = Similarity.project(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("dim")) ->
+        r.getAs[Double]("y"))
+      .toMap
+    assert(proj.size === emb.size * Similarity.ProjK)
+    // same fold order as the Spark plan: index 0..63 left to right
+    emb.foreach { case (id, x) =>
+      (0 until Similarity.ProjK).foreach { j =>
+        var acc = 0.0
+        var i = 0
+        while (i < 64) { acc += x(i).toDouble * Similarity.ProjSigns(j)(i); i += 1 }
+        assert(proj((id, j.toLong)) === acc / 4.0,
+          s"vec $id dim $j not bit-exact")
+      }
+    }
+    // JL property: projected L2 distances track original ones. With k=16
+    // the distortion is loose — and this corpus is near-random, so original
+    // distances are tightly clustered (little variance to explain); the
+    // deterministic measured correlation is 0.421, pinned with headroom.
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.zip(b).map { case (p, q) => (p - q) * (p - q) }.sum)
+    val ids = emb.keys.toSeq.sorted.take(30)
+    val orig = for (a <- ids; b <- ids if a < b)
+      yield l2(emb(a).map(_.toDouble), emb(b).map(_.toDouble))
+    val prjv = ids.map(id => (0 until Similarity.ProjK)
+      .map(j => proj((id, j.toLong))).toArray)
+    val prjMap = ids.zip(prjv).toMap
+    val red = for (a <- ids; b <- ids if a < b) yield l2(prjMap(a), prjMap(b))
+    val mo = orig.sum / orig.size; val mr = red.sum / red.size
+    val cov = orig.zip(red).map { case (o, r) => (o - mo) * (r - mr) }.sum
+    val corr = cov / math.sqrt(
+      orig.map(o => (o - mo) * (o - mo)).sum * red.map(r => (r - mr) * (r - mr)).sum)
+    assert(corr > 0.3, s"distance correlation $corr too weak for a JL map")
+  }
+
   test("int8 quantization: bounded reconstruction error, near-unit cosine") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap

@@ -271,6 +271,15 @@ class TextAnalysisSpec extends SparkSpec {
       .filter(col("dist") <= 120)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(wide === bruteWide)
+    // LSH-fed candidates — the 100 TB composition (the gram join is
+    // corpus-alphabet-bound; LSH is not): pure verification of a fed pair
+    // set. Exact-within-candidates by construction; on this corpus's dup
+    // structure the (deterministic, seeded) LSH candidates cover every
+    // radius pair, so the composed output equals brute force outright.
+    val fed = TextAnalysis.editDistRadius(spark, sf,
+        candidates = Some(graft.ops.Dedup.minhashLsh(spark, sf)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fed === brute)
   }
 
   test("surprisal matches an exact unigram-model recomputation") {

@@ -29,6 +29,7 @@ object Bench {
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
     "dedup_components", "dedup_incremental", "dedup_semantic",
     "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_int8_topk",
+    "ann_jl_topk",
     "ann_int8_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",
     "ann_ivfpq_topk_fed", "ann_ivfpq_topk_indexed", "ann_ivfpq_residual_topk",
     "text_quality", "text_fingerprint", "text_lang_id", "text_curate_corpus",

@@ -24,7 +24,8 @@ object SparkEntry {
       graft.ops.AsOf.queries ++
       graft.ops.Profile.queries ++
       graft.ops.Intervals.queries ++
-      graft.ops.Curation.queries
+      graft.ops.Curation.queries ++
+      graft.ops.Layout.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
@@ -36,5 +37,6 @@ object SparkEntry {
       graft.ops.AsOf.oracles ++
       graft.ops.Profile.oracles ++
       graft.ops.Intervals.oracles ++
-      graft.ops.Curation.oracles
+      graft.ops.Curation.oracles ++
+      graft.ops.Layout.oracles
 }

@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
+import graft.Tables
+
+/** Z-order (Morton-curve) data layout — the multi-dimensional clustering
+  * step a 100 TB table needs for data skipping on MORE THAN ONE column
+  * (SURVEY §2.B extra / §H).
+  *
+  * A table sorted by one key prunes parquet row groups and files on that
+  * key only; a range predicate on any other column scans everything.
+  * Interleaving the bits of two keys into one scalar and range-
+  * partitioning + sorting by IT gives every file a bounded min/max
+  * rectangle in BOTH dimensions, so the engine's ordinary min/max
+  * pruning (file-level via partition stats, row-group-level via pushed
+  * filters) skips on either column. This is Delta/Iceberg's OPTIMIZE
+  * ZORDER semantics, built from nothing but expressions and
+  * `repartitionByRange` — no table format required.
+  *
+  * The z-value itself is pure bit arithmetic (shift/and/or), so it stays
+  * inside whole-stage codegen and is oracle-exact: DuckDB computes the
+  * identical interleave with the same integer ops.
+  */
+object Layout {
+
+  /** Morton interleave of the low `bits` bits of two non-negative longs:
+    * x occupies even bit positions, y odd. 16+16 → a 32-bit z-value.
+    * Inputs are masked first, so out-of-range keys degrade to aliasing,
+    * never to a wrong-typed result.
+    */
+  def zvalue(x: Column, y: Column, bits: Int = 16): Column = {
+    val mask = (1L << bits) - 1
+    val xm = x.cast(LongType).bitwiseAND(lit(mask))
+    val ym = y.cast(LongType).bitwiseAND(lit(mask))
+    (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(xm, b).bitwiseAND(lit(1L)), 2 * b))
+        .bitwiseOR(shiftleft(shiftright(ym, b).bitwiseAND(lit(1L)), 2 * b + 1))
+    }
+  }
+
+  /** Linear rescale of a key with known [lo, hi] bounds onto the full
+    * `bits`-wide grid — REQUIRED before [[zvalue]] when the interleaved
+    * keys have unequal effective bit widths: raw interleave lets the wider
+    * key's high bits dominate the curve and the narrow key barely clusters
+    * (measured: a 10-bit custkey against a 14-bit epoch-day prunes 9/16
+    * files where the normalized form prunes ≤4). Bounds come from table
+    * stats or one cheap agg — at 100 TB that's the same min/max pass every
+    * compaction job already makes. (Delta's OPTIMIZE ZORDER normalizes the
+    * same way, via sampled range ids.)
+    */
+  def scaleTo(c: Column, lo: Long, hi: Long, bits: Int = 16): Column = {
+    val width = (1L << bits) - 1
+    floor((c.cast(LongType) - lit(lo)).cast("double") * width /
+      math.max(1L, hi - lo)).cast(LongType)
+  }
+
+  /** The matching DuckDB expression — same masks, shifts, ors. */
+  private[graft] def zvalueSql(x: String, y: String, bits: Int = 16): String = {
+    val mask = (1L << bits) - 1
+    val terms = (0 until bits).flatMap { b =>
+      Seq(s"((($x & $mask) >> $b & 1) << ${2 * b})",
+        s"((($y & $mask) >> $b & 1) << ${2 * b + 1})")
+    }
+    terms.mkString(" | ")
+  }
+
+  /** Write `df` z-ordered on `zcol` into `numFiles` range partitions, one
+    * sorted file each: every output file covers a contiguous z-range, so
+    * its min/max rectangle is bounded in both interleaved dimensions. At
+    * 100 TB this is the once-per-compaction layout job; the shuffle it
+    * pays (one range exchange) is the price of every later query's
+    * multi-column skipping.
+    */
+  def zorderWrite(df: DataFrame, zcol: Column, outDir: String,
+      numFiles: Int): Unit =
+    df.withColumn("_z", zcol)
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(outDir)
+
+  /** Epoch day from a NTZ timestamp — positive epochs, double division is
+    * exact at day magnitudes (same route as Relational's day bucketing).
+    */
+  private def epochDay(c: Column): Column =
+    floor(c.cast(TimestampType).cast(LongType) / lit(86400L)).cast(LongType)
+
+  /** Gate entry: the z-value computation itself, oracle-exact — orders
+    * keyed by (o_custkey, order epoch-day). The write path is spec-only
+    * ([[zorderWrite]] + the pruning assertions in LayoutSpec); the gate
+    * pins the scalar the layout is built on.
+    */
+  def zorderKeys(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).orders
+      .select(col("o_orderkey"),
+        zvalue(col("o_custkey"), epochDay(col("o_orderdate"))).as("zval"))
+      .orderBy(col("o_orderkey"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "layout_zorder" -> (zorderKeys _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "layout_zorder" ->
+      s"""SELECT o_orderkey,
+         |  ${zvalueSql("o_custkey", "epoch_ms(o_orderdate)//1000//86400")} AS zval
+         |FROM orders
+         |ORDER BY o_orderkey""".stripMargin
+  )
+}

@@ -337,17 +337,60 @@ object Similarity {
     * discipline), so the double sums match bit-for-bit; /√16 = /4 is a
     * power of two and exact.
     */
-  def project(s: SparkSession, dir: String): DataFrame = {
-    val ys = (0 until ProjK).map { j =>
-      aggregate(
-        zip_with(col("embedding"), typedlit(ProjSigns(j).toSeq),
-          (x, sg) => x.cast(DoubleType) * sg),
-        lit(0.0), (a, t) => a + t) / ProjNorm
-    }
+  def project(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).embeddings
-      .select(col("vec_id"), posexplode(array(ys: _*)).as(Seq("dim", "y")))
+      .select(col("vec_id"), posexplode(array(projExprs: _*)).as(Seq("dim", "y")))
       .select(col("vec_id"), col("dim").cast(LongType).as("dim"), col("y"))
       .orderBy(col("vec_id"), col("dim"))
+
+  /** The ProjK projection coordinates as column expressions — shared by the
+    * oracle-exact [[project]] (double, exploded) and the retrieval-side
+    * [[projectVectors]] (float array).
+    */
+  private def projExprs: Seq[Column] = (0 until ProjK).map { j =>
+    aggregate(
+      zip_with(col("embedding"), typedlit(ProjSigns(j).toSeq),
+        (x, sg) => x.cast(DoubleType) * sg),
+      lit(0.0), (a, t) => a + t) / ProjNorm
+  }
+
+  /** Array-form projected vectors for retrieval: (vec_id, pv array<float>).
+    * Float is deliberate — the point of the reduced space is a 4× smaller
+    * scan (16 floats = 64 bytes/vector vs 256), and the coarse scorer is
+    * the same compiled [[graft.functions.CosineSim]] kernel the exact tier
+    * uses. Like [[quantizeVectors]], this runs once per corpus build.
+    */
+  private[graft] def projectVectors(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), array(projExprs: _*).cast("array<float>").as("pv"))
+
+  /** JL-reduced two-stage retrieval: coarse cosine in the 16-dim projected
+    * space over ALL vectors (4× fewer bytes and multiplies than the 64-dim
+    * scan — the compiled kernel's cost is linear in dim), keep a
+    * `shortlist` per query, exact 64-dim rerank of the shortlist only.
+    *
+    * vs [[int8Topk]], the other full-scan-but-cheaper tier: int8 compresses
+    * the VALUES (4× fewer bytes, same dim count); JL compresses the
+    * DIMENSIONS (4× fewer of everything, values stay float). They stack —
+    * a production pipeline quantizes the projected vectors — but each is
+    * kept single-trick here so the spec can attribute recall to one
+    * mechanism. Rows-only for the driver (the shortlist boundary is
+    * projection-dependent); recall vs [[bruteforceTopk]] spec-pinned.
+    */
+  def jlTopk(s: SparkSession, dir: String, shortlist: Int = 50,
+      precomputedProjected: Option[DataFrame] = None): DataFrame = {
+    val e = Tables(s, dir).embeddings
+    val pv = precomputedProjected.getOrElse(projectVectors(e))
+    val q = broadcast(pv.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("query_id"), col("pv").as("q_pv")))
+    val cheap = pv.join(q, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine_sim(col("pv"), col("q_pv")).as("ascore"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ascore").desc, col("neighbor_id"))
+    val short = cheap.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    rerankExact(e, short)
   }
 
   private[graft] val ProjK = 16
@@ -909,6 +952,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_quantize" -> (quantize _),
     "emb_project"  -> (project _),
+    "ann_jl_topk" -> ((s: SparkSession, dir: String) => jlTopk(s, dir)),
     "ann_int8_topk" -> ((s: SparkSession, dir: String) => int8Topk(s, dir)),
     "ann_int8_ivf_topk" -> ((s: SparkSession, dir: String) => int8IvfTopk(s, dir)),
     "ann_pq_topk" -> ((s: SparkSession, dir: String) => pqTopk(s, dir)),

@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.Layout
+
+class LayoutSpec extends SparkSpec {
+
+  test("zvalue interleave round-trips: de-interleaving recovers both keys") {
+    import spark.implicits._
+    val keys = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (12345L, 54321L), (70000L, 3L)) // 70000 > 2^16: masked, aliases to 4464
+    val df = keys.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zvalue(col("x"), col("y")).as("z"))
+    df.collect().foreach { r =>
+      val (x, y, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      var rx = 0L; var ry = 0L
+      (0 until 16).foreach { b =>
+        rx |= ((z >> (2 * b)) & 1L) << b
+        ry |= ((z >> (2 * b + 1)) & 1L) << b
+      }
+      assert(rx === (x & 0xFFFFL), s"x lost for ($x, $y)")
+      assert(ry === (y & 0xFFFFL), s"y lost for ($x, $y)")
+    }
+  }
+
+  /** Files a range predicate must touch, judged by each file's own min/max
+    * of the predicate column — exactly the stats file-level skipping (and
+    * parquet row-group skipping) consults.
+    */
+  private def filesTouched(dir: String, colName: String,
+      lo: Long, hi: Long): (Int, Int) = {
+    val files = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.endsWith(".parquet")).sorted
+    val touched = files.count { f =>
+      val Array(mn, mx) = spark.read.parquet(f)
+        .agg(min(col(colName)), max(col(colName))).collect()
+        .flatMap(r => Array(r.getLong(0), r.getLong(1)))
+      mx >= lo && mn <= hi
+    }
+    (touched, files.length)
+  }
+
+  test("z-ordered layout prunes files on BOTH keys; single-sort prunes only its own") {
+    val sf01 = "/root/testdata/sf0.01"
+    val orders = Tables(spark, sf01).orders
+      .select(col("o_orderkey"), col("o_custkey"),
+        floor(col("o_orderdate").cast("timestamp").cast("long") / 86400L)
+          .cast("long").as("o_day"))
+    val n = 16
+    val zDir = "/tmp/graft_layout_z"
+    val sDir = "/tmp/graft_layout_s"
+    // normalize both keys onto the same 8-bit grid before interleaving
+    // (scaleTo's doc: raw interleave lets the wider key dominate)
+    val Array(cMin, cMax) = orders
+      .agg(min(col("o_custkey")), max(col("o_custkey"))).collect()
+      .flatMap(r => Array(r.getLong(0), r.getLong(1)))
+    val Array(dMin0, dMax0) = orders.agg(min(col("o_day")), max(col("o_day")))
+      .collect().flatMap(r => Array(r.getLong(0), r.getLong(1)))
+    Layout.zorderWrite(orders,
+      Layout.zvalue(
+        Layout.scaleTo(col("o_custkey"), cMin, cMax, 8),
+        Layout.scaleTo(col("o_day"), dMin0, dMax0, 8), bits = 8), zDir, n)
+    orders.repartitionByRange(n, col("o_custkey"))
+      .sortWithinPartitions(col("o_custkey"))
+      .write.mode("overwrite").parquet(sDir)
+
+    // mid-range band on each dimension, ~10% of each key's domain
+    val (cLo, cHi) = (400L, 499L)
+    val Array(dMin, dMax) = orders.agg(min(col("o_day")), max(col("o_day")))
+      .collect().flatMap(r => Array(r.getLong(0), r.getLong(1)))
+    val span = dMax - dMin
+    val (dLo, dHi) = (dMin + span * 45 / 100, dMin + span * 55 / 100)
+
+    val (zCust, total) = filesTouched(zDir, "o_custkey", cLo, cHi)
+    val (zDay, _) = filesTouched(zDir, "o_day", dLo, dHi)
+    val (sCust, _) = filesTouched(sDir, "o_custkey", cLo, cHi)
+    val (sDay, _) = filesTouched(sDir, "o_day", dLo, dHi)
+
+    assert(total === n)
+    // custkey-sorted is optimal on its own key...
+    assert(sCust <= 2, s"custkey-sorted should nail custkey bands, touched $sCust")
+    // ...and useless on the other: every file spans the whole day domain
+    assert(sDay === n, s"expected no day pruning from custkey sort, got $sDay")
+    // z-order prunes BOTH dimensions — neither band touches everything.
+    // The day band deliberately straddles the domain midpoint, the Morton
+    // curve's worst discontinuity (both top-bit halves contribute), so its
+    // bound is looser than the in-quadrant custkey band's.
+    assert(zCust <= n / 2, s"zorder touched $zCust/$n files for a 10% custkey band")
+    assert(zDay <= n * 5 / 8, s"zorder touched $zDay/$n files for a 10% day band")
+  }
+}

@@ -383,6 +383,24 @@ class SimilaritySpec extends SparkSpec {
     assert(corr > 0.3, s"distance correlation $corr too weak for a JL map")
   }
 
+  test("JL two-stage retrieval recovers most of the exact top-k; fed form is identical") {
+    val r50 = recallAt5(topk(Similarity.jlTopk(spark, sf)))
+    val r150 = recallAt5(topk(Similarity.jlTopk(spark, sf, shortlist = 150)))
+    // near-random 64-dim corpus squeezed to 16 dims — the hardest case for
+    // a JL coarse scorer (all cosines are near 0, so the projected ordering
+    // is noisy); measured 0.50 at shortlist-50, the IVFPQ family floor.
+    // The shortlist knob buys recall linearly in rerank cost — pinned
+    // monotone here. A structured corpus recovers ~1.0 (same mechanism
+    // as the PQ tiers' structured-corpus spec).
+    assert(r50 >= 0.45, s"JL recall@5 $r50 below floor at shortlist 50")
+    assert(r150 >= r50, s"wider shortlist lost recall: $r150 < $r50")
+    assert(r150 >= 0.6, s"JL recall@5 $r150 below floor at shortlist 150")
+    // fed-projection form (project once per corpus build) is plan-identical
+    val fed = Similarity.jlTopk(spark, sf, precomputedProjected =
+      Some(Similarity.projectVectors(graft.Tables(spark, sf).embeddings)))
+    assert(topk(fed) === topk(Similarity.jlTopk(spark, sf)))
+  }
+
   test("int8 quantization: bounded reconstruction error, near-unit cosine") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap

@@ -123,6 +123,21 @@ object ScaleProbe {
     // int8 retrieval: the cheap pass intentionally scans ALL N with the
     // integer-dot kernel — wall should stay ~linear in N and small
     time("ann_int8_topk")(graft.ops.Similarity.int8Topk(spark, out).count())
+    // JL tier: the coarse scan is over 16-dim floats (4× fewer bytes AND
+    // multiplies than brute force) — wall should stay ~linear in N with a
+    // ~4× lower slope than the 64-dim exact scan; the fed form drops the
+    // once-per-corpus projection pass
+    time("ann_jl_topk")(graft.ops.Similarity.jlTopk(spark, out).count())
+    if (matched("ann_jl_topk(fed)")) locally {
+      val emb = spark.read.parquet(s"$out/embeddings.parquet")
+      val pv = graft.ops.Similarity.projectVectors(emb).localCheckpoint()
+      val t0 = System.nanoTime()
+      val n = graft.ops.Similarity.jlTopk(spark, out,
+        precomputedProjected = Some(pv)).count()
+      println(f"ann_jl_topk(fed): ${(System.nanoTime() - t0) / 1e9}%.1f s ($n rows)")
+    }
+    time("ann_bruteforce_topk")(
+      graft.ops.Similarity.bruteforceTopk(spark, out).count())
     // PQ: codes are 8 bytes/vector, the ADC scan touches N·m code rows +
     // per-query broadcast tables — wall should stay ~linear in N; inline
     // codebook training (two Lloyd passes over N·m subvectors) is most

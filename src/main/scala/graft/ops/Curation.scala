@@ -185,10 +185,58 @@ object Curation {
   def mixtureSampleDocs(s: SparkSession, dir: String): DataFrame =
     mixtureSample(Tables(s, dir).documents, DemoMix, defaultBps = 1000)
 
+  /** Seeded hash over (seed, doc_id) — the one deterministic randomness
+    * primitive both engines share bit-for-bit (md5 of the same UTF-8
+    * bytes; Spark auto-casts string→binary, DuckDB hashes the varchar).
+    */
+  private def seededHash(seed: String): org.apache.spark.sql.Column =
+    md5(concat_ws(":", lit(seed), col("doc_id").cast("string")))
+
+  /** Deterministic global training-order shuffle: every epoch's read
+    * order is ORDER BY md5(seed:doc_id) — reshuffled per seed, stable
+    * under re-runs, and free of coordinator state (any worker can
+    * compute any doc's position). At 100 TB the artifact IS the
+    * range-sorted write (one range exchange, the once-per-epoch job;
+    * compose with [[graft.ops.Layout.zorderWrite]]'s discipline) — the
+    * explicit `pos` column here exists so the gate has a hashable total
+    * order; production skips it (the global row_number would serialize
+    * into one partition, the sorted files already encode the order).
+    */
+  def shuffleOrder(s: SparkSession, dir: String,
+      seed: String = "epoch0"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables(s, dir).documents
+      .select(col("doc_id"), seededHash(seed).as("h"))
+      .withColumn("pos", row_number()
+        .over(Window.orderBy(col("h"), col("doc_id"))).cast("long"))
+      .select(col("pos"), col("doc_id"))
+      .orderBy(col("pos"))
+  }
+
+  /** Deterministic train/val/test assignment: the first hex byte of
+    * md5(seed:doc_id) buckets each doc into 256 cells; [0,13) → test,
+    * [13,26) → val (~5.1% each), rest train. Pure map stage — no
+    * shuffle, no sampling state, stable across reruns and engines
+    * (lexicographic compare of lowercase hex is identical in both), and
+    * membership is decidable per-row at read time, which is what lets a
+    * 100 TB pipeline filter a split predicate straight down to the scan.
+    */
+  def splitAssign(s: SparkSession, dir: String,
+      seed: String = "split0"): DataFrame = {
+    val b = substring(seededHash(seed), 1, 2)
+    Tables(s, dir).documents
+      .select(col("doc_id"),
+        when(b < "0d", "test").when(b < "1a", "val")
+          .otherwise("train").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_prepare_corpus" -> ((s: SparkSession, dir: String) => prepareCorpus(s, dir)),
     "text_prepare_corpus_pipelined" -> (prepareCorpusPipelined _),
-    "text_mixture_sample" -> (mixtureSampleDocs _))
+    "text_mixture_sample" -> (mixtureSampleDocs _),
+    "text_shuffle_order" -> ((s: SparkSession, dir: String) => shuffleOrder(s, dir)),
+    "text_split_assign" -> ((s: SparkSession, dir: String) => splitAssign(s, dir)))
 
   /** prepare_corpus is rows-only: its near-dup stage depends on
     * engine-internal hashes. The mixture sample is pure integer
@@ -200,5 +248,18 @@ object Curation {
         |WHERE ((doc_id % 100000007) * 2654435761) % 10000 <
         |  CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 7500
         |    WHEN 'src2' THEN 5000 WHEN 'src3' THEN 2500 ELSE 1000 END
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    "text_shuffle_order" ->
+      """SELECT row_number() OVER (
+        |    ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |  AS pos, doc_id
+        |FROM documents ORDER BY pos""".stripMargin,
+    "text_split_assign" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5('split0:' || CAST(doc_id AS VARCHAR)), 1, 2) < '0d'
+        |    THEN 'test'
+        |  WHEN substr(md5('split0:' || CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+        |    THEN 'val'
+        |  ELSE 'train' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -147,6 +147,32 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("HashAggregate") && !plan.contains("Join"), plan)
   }
 
+  test("shuffle order is a seeded permutation; split assignment is stable and ~5/5/90") {
+    import org.apache.spark.sql.functions.col
+    val n = Tables(spark, sf).documents.count()
+    val e0 = Curation.shuffleOrder(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // a permutation: positions are exactly 1..n, each doc once
+    assert(e0.map(_._1).toSeq === (1L to n).toSeq)
+    assert(e0.map(_._2).distinct.length === n.toInt)
+    // epoch seeds reshuffle: a different seed must not preserve the order
+    val e1 = Curation.shuffleOrder(spark, sf, seed = "epoch1").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(e0.map(_._2).toSeq !== e1.map(_._2).toSeq)
+    assert(e1.map(_._2).sorted.toSeq === e0.map(_._2).sorted.toSeq)
+    // split: deterministic, full cover, fractions near 13/256 each tail
+    val splits = Curation.splitAssign(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(splits.length === n.toInt)
+    val frac = splits.groupBy(_._2).view.mapValues(_.length.toDouble / n).toMap
+    assert(frac("train") > 0.8, s"train fraction ${frac("train")}")
+    assert(frac.getOrElse("test", 0.0) > 0.01 && frac("test") < 0.12, frac.toString)
+    assert(frac.getOrElse("val", 0.0) > 0.01 && frac("val") < 0.12, frac.toString)
+    // membership is a pure per-row predicate — re-running agrees row-for-row
+    assert(Curation.splitAssign(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq === splits.toSeq)
+  }
+
   test("propagateMinLabels' returned frame really unpersists (sameResult contract)") {
     val cm = spark.sharedState.cacheManager
     cm.clearCache()

@@ -91,6 +91,26 @@ object GraftExtensions {
           HyperplaneBuckets(args(0), planes,
             intArg(args(2), "numTables"), intArg(args(3), "bits"),
             intArg(args(4), "dim"))
+        }),
+      "mat_vec" -> (
+        new ExpressionInfo(classOf[graft.functions.MatVec].getName, "mat_vec"),
+        (args: Seq[Expression]) => {
+          require(args.length == 5,
+            "mat_vec(emb, matrix, k, dim, divisor) takes 5 arguments")
+          require(args(1).foldable, "matrix must be a literal array<double>")
+          val matrix = args(1).eval() match {
+            case a: org.apache.spark.sql.catalyst.util.ArrayData => a.toDoubleArray()
+            case other => throw new IllegalArgumentException(
+              s"matrix must be array<double>, got $other")
+          }
+          require(args(4).foldable, "divisor must be a literal")
+          graft.functions.MatVec(args(0), matrix,
+            intArg(args(2), "k"), intArg(args(3), "dim"),
+            args(4).eval() match {
+              case d: Double => d
+              case other => throw new IllegalArgumentException(
+                s"divisor must be double, got $other")
+            })
         }))
 
   /** Register graft's SQL functions on a live session. */

@@ -54,4 +54,13 @@ package object functions {
       numTables: Int, bits: Int, dim: Int): Column =
     GraftSqlBridge.column(HyperplaneBuckets(
       GraftSqlBridge.expression(emb), planes, numTables, bits, dim))
+
+  /** Dense k×dim matrix–vector product (array<double> of k in-order-fold
+    * sums, each divided by `divisor`) in one compiled pass — see
+    * [[MatVec]].
+    */
+  def mat_vec(emb: Column, matrix: Array[Double], k: Int, dim: Int,
+      divisor: Double): Column =
+    GraftSqlBridge.column(MatVec(
+      GraftSqlBridge.expression(emb), matrix, k, dim, divisor))
 }

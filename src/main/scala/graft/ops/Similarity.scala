@@ -339,15 +339,27 @@ object Similarity {
     */
   def project(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).embeddings
-      .select(col("vec_id"), posexplode(array(projExprs: _*)).as(Seq("dim", "y")))
+      .select(col("vec_id"), posexplode(projArray).as(Seq("dim", "y")))
       .select(col("vec_id"), col("dim").cast(LongType).as("dim"), col("y"))
       .orderBy(col("vec_id"), col("dim"))
 
-  /** The ProjK projection coordinates as column expressions — shared by the
-    * oracle-exact [[project]] (double, exploded) and the retrieval-side
-    * [[projectVectors]] (float array).
+  /** The projected coordinate array (array<double>, length ProjK) — shared
+    * by the oracle-exact [[project]] (exploded) and the retrieval-side
+    * [[projectVectors]] (cast to float). Computed by the compiled
+    * [[graft.functions.MatVec]] kernel: one pass per vector instead of
+    * ProjK interpreted `aggregate(zip_with(...))` folds (the HOF
+    * formulation cost the 100× probe 6.3 s one-shot vs 1.5 s fed — the
+    * gap was almost entirely these boxed lambda evals). Bit-identical to
+    * the HOF form (in-order fold, same arithmetic; FunctionsSpec pins it).
     */
-  private def projExprs: Seq[Column] = (0 until ProjK).map { j =>
+  private def projArray: Column =
+    graft.functions.mat_vec(col("embedding"), ProjSigns.flatten, ProjK, 64,
+      ProjNorm)
+
+  /** The interpreted-HOF formulation [[projArray]] replaced — kept for the
+    * kernel-parity spec only.
+    */
+  private[graft] def projExprsHof: Seq[Column] = (0 until ProjK).map { j =>
     aggregate(
       zip_with(col("embedding"), typedlit(ProjSigns(j).toSeq),
         (x, sg) => x.cast(DoubleType) * sg),
@@ -361,7 +373,7 @@ object Similarity {
     * uses. Like [[quantizeVectors]], this runs once per corpus build.
     */
   private[graft] def projectVectors(e: DataFrame): DataFrame =
-    e.select(col("vec_id"), array(projExprs: _*).cast("array<float>").as("pv"))
+    e.select(col("vec_id"), projArray.cast("array<float>").as("pv"))
 
   /** JL-reduced two-stage retrieval: coarse cosine in the 16-dim projected
     * space over ALL vectors (4× fewer bytes and multiplies than the 64-dim

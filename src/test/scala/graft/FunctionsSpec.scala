@@ -58,7 +58,7 @@ class FunctionsSpec extends SparkSpec {
     new GraftExtensions().apply(e) // must not throw; builders are injected
     assert(GraftExtensions.builders.keySet ===
       Set("cosine_sim", "minhash_sig", "simhash_chunks", "hashed_ngrams",
-        "jaccard_hashed", "dot_long", "hyperplane_buckets"))
+        "jaccard_hashed", "dot_long", "hyperplane_buckets", "mat_vec"))
   }
 
   test("custom expressions: codegen and interpreted paths agree bit-for-bit") {
@@ -206,6 +206,25 @@ class FunctionsSpec extends SparkSpec {
         }.sum
       }
       assert(got === expect, s"vec ${r.getLong(0)}")
+    }
+  }
+
+  test("mat_vec equals the interpreted HOF fold bit-for-bit (the formulation it replaces)") {
+    import org.apache.spark.sql.functions._
+    val signs = graft.ops.Similarity.ProjSigns
+    val k = signs.length
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet").limit(50)
+      .select(col("vec_id"),
+        graft.functions.mat_vec(col("embedding"), signs.flatten, k, 64,
+          math.sqrt(k.toDouble)).as("kernel"),
+        array(graft.ops.Similarity.projExprsHof: _*).as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // === on doubles: BIT-exact agreement, not epsilon — the kernel's
+      // claim is that it is the same in-order fold, merely compiled
+      assert(r.getSeq[Double](1) === r.getSeq[Double](2),
+        s"vec ${r.getLong(0)}")
     }
   }
 

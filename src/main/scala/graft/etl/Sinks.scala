@@ -44,6 +44,50 @@ object Sinks {
       .partitionBy("day")
       .parquet(outDir)
 
+  /** Write-audit-promote: the validation pattern for data too big to
+    * validate BEFORE writing. [[Pipeline.run]]'s gate counts violations in
+    * a pre-write pass over a cached frame — right for its scale, but at
+    * 100 TB caching-for-validation is a second full materialization.
+    * Here the metrics ride the write itself via `Dataset.observe`
+    * (a CollectMetrics node on the write path — accumulator-backed,
+    * exactly one scan, no cache), the data lands in `<outDir>.staging`,
+    * and only if every rule's violation count is within budget is the
+    * staging dir atomically renamed to `outDir` (a metadata move on
+    * HDFS/local; object stores substitute their committer). Over budget:
+    * the staging dir is RETAINED for inspection and nothing appears at
+    * the published path — readers never see unaudited data.
+    *
+    * Returns rule → violation count on success; throws (naming rules and
+    * counts, like the Pipeline gate) on failure.
+    */
+  def auditedPromote(df: DataFrame, outDir: String,
+      validations: Map[String, Column],
+      maxViolations: Long = 0L): Map[String, Long] = {
+    require(validations.nonEmpty, "auditedPromote needs at least one rule")
+    val staging = s"$outDir.staging"
+    val obs = org.apache.spark.sql.Observation()
+    val aggs = validations.toSeq.map { case (name, pred) =>
+      count(when(pred, 1)).as(name) }
+    df.observe(obs, aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").parquet(staging)
+    val row = obs.get
+    val counts = validations.keys.map(n => n -> row(n).asInstanceOf[Long]).toMap
+    val bad = counts.toSeq.sortBy(_._1).filter(_._2 > maxViolations)
+    if (bad.nonEmpty)
+      throw new IllegalStateException(
+        "audit failed, staging retained at " + staging + ", nothing " +
+          "promoted: " + bad.map { case (n, c) =>
+            s"rule '$n' has $c violating rows (budget $maxViolations)"
+          }.mkString("; "))
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(outDir).getFileSystem(conf)
+    val dst = new org.apache.hadoop.fs.Path(outDir)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging), dst),
+      s"promote rename $staging -> $outDir failed")
+    counts
+  }
+
   /** Tolerant JSON-lines ingest: malformed records land in a quarantine
     * column instead of failing the job (pyetl's bad-message handling).
     * Returns (good rows, quarantined rows) DataFrames.

@@ -185,6 +185,36 @@ class EtlSpec extends SparkSpec {
     }
   }
 
+  test("audited promote: metrics ride the write; over-budget retains staging, never publishes") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sf).documents
+    val out = "/tmp/graft_audited_out"
+    def gone(p: String) = !new java.io.File(p).exists()
+    Seq(out, s"$out.staging").foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    // the metrics node is ON the write plan — one scan, no cache
+    val plan = docs.observe(org.apache.spark.sql.Observation(),
+      count(when(col("doc_id").isNull, 1)).as("x"))
+      .queryExecution.analyzed.toString
+    assert(plan.contains("CollectMetrics"), plan)
+    // failure path: every doc violates → throw, staging retained, no publish
+    val ex = intercept[IllegalStateException] {
+      Sinks.auditedPromote(docs, out,
+        Map("all_rows_flagged" -> col("doc_id").isNotNull))
+    }
+    assert(ex.getMessage.contains("all_rows_flagged"))
+    assert(gone(out), "over-budget audit must not publish")
+    assert(!gone(s"$out.staging"), "staging must be retained for inspection")
+    // success path: rules pass → promoted, staging consumed, counts returned
+    val n = docs.count()
+    val counts = Sinks.auditedPromote(docs, out,
+      Map("null_id" -> col("doc_id").isNull,
+          "short_text" -> (length(col("text")) < 1)))
+    assert(counts === Map("null_id" -> 0L, "short_text" -> 0L))
+    assert(!gone(out) && gone(s"$out.staging"))
+    assert(spark.read.parquet(out).count() === n)
+  }
+
   test("redaction strips emails and phone runs, counts each match") {
     import spark.implicits._
     val probe = Seq(

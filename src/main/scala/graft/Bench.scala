@@ -27,7 +27,8 @@ object Bench {
     "etl_tumbling_window", "etl_sliding_window", "etl_redact",
     "etl_quality_audit", "etl_scd2", "etl_gap_fill", "etl_merge_upsert",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
-    "dedup_components", "dedup_incremental", "dedup_semantic",
+    "dedup_components", "dedup_incremental", "dedup_minhash_incremental",
+    "dedup_semantic",
     "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_int8_topk",
     "ann_jl_topk",
     "ann_int8_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",

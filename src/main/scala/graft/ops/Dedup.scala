@@ -203,16 +203,7 @@ object Dedup {
     val sig = docs.withColumn("sig", minhash_sig(col("hs"), numHashes, P))
       .select(col("doc_id"), col("sig"))
       .repartition(spread(s), col("doc_id"))
-    val rowsPerBand = numHashes / bands
-    val bucketArr = transform(sequence(lit(0), lit(bands - 1)),
-      b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
-    // posexplode_outer, NOT posexplode: the non-outer generator makes the
-    // optimizer infer a size(...) > 0 filter, which then pushes to the
-    // scan with minhashsig inlined — an interpreted per-row recompute of
-    // the whole signature. The band array always has `bands` elements, so
-    // outer semantics are identical and no filter is inferred.
-    val banded = sig.select(col("doc_id"),
-      posexplode_outer(bucketArr).as(Seq("band", "bucket")))
+    val banded = bandBuckets(sig, numHashes, bands)
     // Candidate copies (a near-identical pair matches in ~all bands) are
     // collapsed by an id-only distinct(): 16 bytes/row through the
     // exchange. The first-shared-band trick that won for simhash (4
@@ -237,6 +228,25 @@ object Dedup {
         graft.functions.jaccard_hashed(col("s1"), col("s2")).as("jaccard"))
       .filter(col("jaccard") >= 0.7)
       .orderBy(col("d1"), col("d2"))
+  }
+
+  /** (doc_id, band, bucket) from a (doc_id, sig) frame — the LSH bucket
+    * derivation, shared verbatim between [[minhashLsh]] (inline sig) and
+    * [[minhashIncremental]] (sig read back from a persisted index), so the
+    * two can never disagree on what a bucket is.
+    *
+    * posexplode_outer, NOT posexplode: the non-outer generator makes the
+    * optimizer infer a size(...) > 0 filter, which then pushes to the
+    * scan with minhashsig inlined — an interpreted per-row recompute of
+    * the whole signature. The band array always has `bands` elements, so
+    * outer semantics are identical and no filter is inferred.
+    */
+  private def bandBuckets(sig: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val bucketArr = transform(sequence(lit(0), lit(bands - 1)),
+      b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
+    sig.select(col("doc_id"),
+      posexplode_outer(bucketArr).as(Seq("band", "bucket")))
   }
 
   // ------------------------------------------------------------ simhash
@@ -609,6 +619,117 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------------ minhash index / incremental near-dup
+  /** (doc_id, hs, sig) for a document frame — the unit the signature index
+    * persists. Same kernels, same geometry discipline as [[minhashLsh]]
+    * (word-count guard at the scan, HashedNgrams → MinHashSig compiled
+    * chain, repartition barriers around the heavy projections), so buckets
+    * sliced later from a persisted sig are bit-identical to inline banding.
+    * hs (the SORTED hashed shingle set) rides along because candidate
+    * verification needs it — persisting it is what lets an incremental run
+    * verify against the corpus without ever re-reading corpus text.
+    */
+  private def signatures(s: SparkSession, docs0: DataFrame,
+      numHashes: Int): DataFrame =
+    docs0
+      .filter(size(words(col("text"))) >= 2)
+      .repartition(spread(s), col("doc_id"))
+      .select(col("doc_id"),
+        hashed_ngrams(words(col("text")), 2, P, distinct = true).as("hs"))
+      .repartition(spread(s), col("doc_id"))
+      .withColumn("sig", minhash_sig(col("hs"), numHashes, P))
+      .select(col("doc_id"), col("hs"), col("sig"))
+
+  /** Persist the MinHash signature index for a corpus. At 100 TB the index
+    * is ~(distinct shingles + numHashes) longs per doc — a small fraction
+    * of the text it summarizes — and it is the ONLY thing an arriving
+    * batch ever has to join against: corpus text is scanned once, at index
+    * build, and never again.
+    */
+  def saveMinhashIndex(s: SparkSession, corpus: DataFrame, path: String,
+      numHashes: Int = DefaultNumHashes): Unit =
+    signatures(s, corpus, numHashes).write.mode("overwrite").parquet(path)
+
+  def loadMinhashIndex(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+
+  /** [[incremental]]'s daily-batch discipline lifted from exact hashes to
+    * MinHash near-dups: an arriving batch is near-dup-checked against the
+    * persisted corpus index AND within itself, without re-shingling or
+    * re-banding the corpus. Only the batch is shingled and signed; the
+    * corpus side's buckets are sliced from its stored signatures
+    * ([[bandBuckets]] is shared with [[minhashLsh]], so the bucket values
+    * agree bit-for-bit) and its stored shingle sets feed verification.
+    *
+    * Scale shape: per batch the work is |batch| shingling + one hash-equi
+    * join of the batch's bands against the index's bands (the index side
+    * prunes to matching (band, bucket) keys — a shuffle of bucket ids, not
+    * documents), then exact verification of candidates only. Appending the
+    * surviving batch signatures to the index (plain parquet append of the
+    * [[signatures]] frame) keeps it current — the same frozen-artifact
+    * discipline as [[graft.ops.Similarity.appendToIndex]].
+    *
+    * Output: (d1, d2, jaccard) with d1 < d2, ≥1 side in the batch,
+    * jaccard ≥ 0.7 — exactly [[minhashLsh]]'s full-corpus output restricted
+    * to pairs touching the batch (DedupSpec pins the equality).
+    */
+  def minhashIncremental(s: SparkSession, batch: DataFrame, index: DataFrame,
+      numHashes: Int = DefaultNumHashes, bands: Int = DefaultBands): DataFrame = {
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    val newSigned = signatures(s, batch, numHashes)
+      // projection barrier: bandBuckets slices sig `bands` times, and
+      // CollapseProject would otherwise inline (recompute) the signature
+      // per band — same discipline as minhashLsh's sig frame
+      .repartition(spread(s), col("doc_id"))
+    val newBand = bandBuckets(newSigned, numHashes, bands)
+    // batch ⋈ (index ∪ batch): every candidate pair touches ≥1 batch doc by
+    // construction; least/greatest + distinct collapses the double-counted
+    // batch-batch matches and the per-band candidate copies in one exchange
+    val allBand = bandBuckets(index, numHashes, bands).unionByName(newBand)
+    val cand = newBand.as("a").join(allBand.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("d1"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
+      .distinct()
+    val hs = index.select(col("doc_id"), col("hs"))
+      .unionByName(newSigned.select(col("doc_id"), col("hs")))
+    cand
+      .join(hs.select(col("doc_id").as("d1"), col("hs").as("s1")), "d1")
+      .join(hs.select(col("doc_id").as("d2"), col("hs").as("s2")), "d2")
+      .select(col("d1"), col("d2"),
+        graft.functions.jaccard_hashed(col("s1"), col("s2")).as("jaccard"))
+      .filter(col("jaccard") >= 0.7)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  // keyed by (context, dir) — the Curation.pairsMemo discipline, including
+  // its one-session-per-context assumption (the loaded frame is bound to
+  // the session that read it): the corpus index is built + persisted ONCE
+  // per (session, corpus) and every later call reads it back, so the gate/
+  // bench entry times what an incremental ingest actually pays per batch.
+  private val minhashIndexMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), DataFrame]()
+
+  /** Gate/bench form: the batch is a deterministic 1/4 slice of documents
+    * (doc_id % 4 == 0 — the testdata's near-dup twins are uniform over ids,
+    * so the slice crosses real pairs; a source-keyed batch would see zero),
+    * the index is the persisted signature frame of the other 3/4.
+    */
+  def minhashIncremental(s: SparkSession, dir: String): DataFrame = {
+    val ctx = s.sparkContext.applicationId + "/" + s.sparkContext.startTime
+    minhashIndexMemo.keySet.removeIf(_._1 != ctx)
+    val index = minhashIndexMemo.computeIfAbsent((ctx, dir), { _ =>
+      val path = System.getProperty("java.io.tmpdir") + "/graft_minhash_index_" +
+        java.lang.Integer.toHexString((ctx + "|" + dir).hashCode)
+      saveMinhashIndex(s,
+        Tables(s, dir).documents.filter(col("doc_id") % 4 =!= 0), path)
+      loadMinhashIndex(s, path)
+    })
+    minhashIncremental(s,
+      Tables(s, dir).documents.filter(col("doc_id") % 4 === 0), index)
+  }
+
   // =================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> (exact _),
@@ -622,7 +743,8 @@ object Dedup {
     "dedup_embedding_lsh" -> ((s: SparkSession, dir: String) => embeddingLsh(s, dir)),
     "dedup_semantic"      -> ((s: SparkSession, dir: String) => semantic(s, dir)),
     "dedup_survivors"     -> ((s: SparkSession, dir: String) => nearDupSurvivors(s, dir)),
-    "dedup_incremental"   -> ((s: SparkSession, dir: String) => incremental(s, dir)))
+    "dedup_incremental"   -> ((s: SparkSession, dir: String) => incremental(s, dir)),
+    "dedup_minhash_incremental" -> ((s: SparkSession, dir: String) => minhashIncremental(s, dir)))
 
   /** dedup_minhash_lsh / dedup_simhash are rows-only: signatures depend on
     * engine-internal hashes (xxhash64/murmur); DedupSpec pins their recall

@@ -171,6 +171,33 @@ class DedupSpec extends SparkSpec {
     assert(out === expected)
   }
 
+  test("minhash incremental ≡ full-corpus LSH restricted to pairs touching the batch") {
+    // the gate form: batch = doc_id % 4 == 0 signed inline, corpus = the
+    // other 3/4 read back from the persisted signature index. Buckets and
+    // verification must agree bit-for-bit with one full-corpus run.
+    val inc = Dedup.minhashIncremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val full = Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      .filter { case ((d1, d2), _) => d1 % 4 == 0 || d2 % 4 == 0 }
+    assert(inc.nonEmpty, "batch slice should cross planted near-dup pairs")
+    assert(inc == full,
+      s"incremental=${inc.keySet.toList.sorted} full-restricted=${full.keySet.toList.sorted}")
+  }
+
+  test("minhash signature index round-trips through parquet") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mh_idx").toString
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 4 =!= 0)
+    Dedup.saveMinhashIndex(spark, corpus, path)
+    val idx = Dedup.loadMinhashIndex(spark, path)
+    assert(idx.columns.toSeq == Seq("doc_id", "hs", "sig"))
+    // every ≥2-word corpus doc is indexed, none of the batch slice is
+    val expected = corpus.filter(size(split(trim(col("text")), "\\s+")) >= 2).count()
+    assert(idx.count() == expected)
+    assert(idx.filter(col("doc_id") % 4 === 0).count() == 0)
+  }
+
   test("embedding near-dup cosine matches an independent recomputation") {
     val out = Dedup.embedding(spark, sf).limit(5).collect()
     assert(out.nonEmpty)

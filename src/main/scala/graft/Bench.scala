@@ -33,7 +33,8 @@ object Bench {
     "ann_jl_topk",
     "ann_int8_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",
     "ann_ivfpq_topk_fed", "ann_ivfpq_topk_indexed", "ann_ivfpq_residual_topk",
-    "text_quality", "text_fingerprint", "text_lang_id", "text_curate_corpus",
+    "text_quality", "text_quality_classifier", "text_fingerprint",
+    "text_lang_id", "text_curate_corpus",
     "text_tfidf", "text_editdist_nn", "text_decontaminate", "text_pack_sequences",
     "text_repetition", "text_heavy_hitters", "text_prepare_corpus",
     "text_prepare_corpus_pipelined",
@@ -126,7 +127,10 @@ object Bench {
       java.nio.file.Paths.get(outPath),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(full)
-    val qsCompact = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.2f" }
+    // one decimal: the compact line must stay inside the driver's 2000-char
+    // tail as the headline grows (CountsSpec pins the worst case); the
+    // detail file keeps 4-decimal per-run precision
+    val qsCompact = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.1f" }
       .mkString("{", ",", "}")
     val compact =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qsCompact,"warmup_sec":${f"$warmupSec%.1f"},"load_start":"$loadStart","load_end":"$loadEnd","sf":"$sfDir","detail_file":"$outPath"}"""

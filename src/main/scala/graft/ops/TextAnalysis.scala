@@ -77,6 +77,75 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------------------ quality classifier
+  /** Weight vector for [[qualityClassifier]] — the trained artifact, fed as
+    * a parameter like the ANN tiers' centroids/codebooks. The defaults are
+    * a hand-fit stand-in (cut ≈ the sf0.01 margin median, so the gate entry
+    * splits the corpus nontrivially); a real pipeline trains offline
+    * (fastText / logistic regression on labeled pages) and feeds the
+    * coefficients here.
+    */
+  case class QualityWeights(bias: Double = -1.0, wWords: Double = 0.002,
+      wPunct: Double = 2.0, wStop: Double = 3.0, wMwl: Double = 0.05,
+      wDigit: Double = -2.0, wUpper: Double = -1.0, cut: Double = -0.42)
+
+  /** Fed-weights linear quality classifier — the "apply a trained filter
+    * model at scale" stage (the CCNet/fastText-classifier shape). One scan
+    * + map, no shuffle but the determinism sort; features are codegen'd
+    * char-class counts and ratios.
+    *
+    * The margin is the raw linear score, evaluated in DECLARED feature
+    * order (left-to-right double arithmetic → bit-identical across
+    * engines, the [[quality]] discipline). No sigmoid: the logistic is
+    * monotone, so p ≥ p₀ ⟺ margin ≥ logit(p₀) — `cut` IS the probability
+    * threshold expressed in margin space, and skipping exp() keeps the
+    * operator oracle-exact (text_surprisal measured the StrictMath-vs-libm
+    * last-bit divergence that transcendentals would reintroduce).
+    */
+  def qualityClassifier(s: SparkSession, dir: String,
+      w: QualityWeights = QualityWeights()): DataFrame = {
+    val nChars = length(col("text")).cast(LongType)
+    val nWords = size(words(col("text"))).cast(LongType)
+    val nPunct = length(regexp_replace(col("text"), "[^.,;:!?]", "")).cast(LongType)
+    val nStop  = hits(col("text"), stopEn)
+    val nDigit = length(regexp_replace(col("text"), "[^0-9]", "")).cast(LongType)
+    val nUpper = length(regexp_replace(col("text"), "[^A-Z]", "")).cast(LongType)
+    val margin = lit(w.bias) +
+      nWords.cast(DoubleType) * lit(w.wWords) +
+      (nPunct.cast(DoubleType) / nChars.cast(DoubleType)) * lit(w.wPunct) +
+      (nStop.cast(DoubleType) / nWords.cast(DoubleType)) * lit(w.wStop) +
+      (nChars.cast(DoubleType) / nWords.cast(DoubleType)) * lit(w.wMwl) +
+      (nDigit.cast(DoubleType) / nChars.cast(DoubleType)) * lit(w.wDigit) +
+      (nUpper.cast(DoubleType) / nChars.cast(DoubleType)) * lit(w.wUpper)
+    docs(s, dir)
+      .select(col("doc_id"), margin.as("margin"),
+        when(margin >= lit(w.cut), 1L).otherwise(0L).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The DuckDB twin of [[qualityClassifier]]'s margin, with the SAME
+    * weight literals interpolated in the SAME term order. */
+  private def classifierOracle(w: QualityWeights): String =
+    s"""WITH m AS (SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS n_chars,
+       |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
+       |  CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+       |  CAST(${sqlHits(stopEn)} AS BIGINT) AS n_stop,
+       |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+       |  CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT) AS n_upper
+       |  FROM documents),
+       |s AS (SELECT doc_id, ${w.bias}
+       |  + CAST(n_words AS DOUBLE) * ${w.wWords}
+       |  + (CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)) * ${w.wPunct}
+       |  + (CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE)) * ${w.wStop}
+       |  + (CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE)) * ${w.wMwl}
+       |  + (CAST(n_digit AS DOUBLE) / CAST(n_chars AS DOUBLE)) * ${w.wDigit}
+       |  + (CAST(n_upper AS DOUBLE) / CAST(n_chars AS DOUBLE)) * ${w.wUpper} AS margin
+       |  FROM m)
+       |SELECT doc_id, margin,
+       |  CAST(CASE WHEN margin >= ${w.cut} THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM s ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------ language id
   /** Stopword-list n-gram heuristic language ID: count hits per language's
     * closed stopword set, argmax with a fixed priority order (en > fr > es >
@@ -696,6 +765,8 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_token_count" -> (tokenCount _),
     "text_quality"     -> (quality _),
+    "text_quality_classifier" ->
+      ((s: SparkSession, dir: String) => qualityClassifier(s, dir)),
     "text_lang_id"     -> (langId _),
     "text_fingerprint" -> (fingerprint _),
     "text_ngram_freq"  -> (ngramFreq _),
@@ -812,6 +883,7 @@ object TextAnalysis {
          |    + (CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)) * 0.25
          |    + (CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE)) * 0.05 AS quality_score
          |FROM m ORDER BY doc_id""".stripMargin,
+    "text_quality_classifier" -> classifierOracle(QualityWeights()),
     "text_lang_id" ->
       s"""WITH c AS (SELECT doc_id,
          |  CAST(${sqlHits(stopEn)} AS BIGINT) AS c_en,

@@ -282,6 +282,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fed === brute)
   }
 
+  test("quality classifier: fed weights move the boundary; cut is monotone") {
+    import graft.ops.TextAnalysis.QualityWeights
+    val out = TextAnalysis.qualityClassifier(spark, sf).collect()
+    val kept = out.count(_.getAs[Long]("keep") == 1L)
+    // default cut sits near the margin median — both classes must appear
+    assert(kept > 0 && kept < out.length, s"kept $kept of ${out.length}")
+    // keep ⟺ margin ≥ cut, row by row
+    out.foreach { r =>
+      assert((r.getAs[Double]("margin") >= -0.42) == (r.getAs[Long]("keep") == 1L))
+    }
+    // raising the cut can only shrink the kept set (margins are unchanged —
+    // same weights, only the threshold moves)
+    val stricter = TextAnalysis.qualityClassifier(spark, sf,
+      QualityWeights(cut = -0.3)).collect()
+    val keptStrict = stricter.map(r => r.getLong(0) ->
+      r.getAs[Long]("keep")).toMap
+    val keptLoose = out.map(r => r.getLong(0) -> r.getAs[Long]("keep")).toMap
+    assert(keptStrict.count(_._2 == 1L) <= kept)
+    keptStrict.foreach { case (id, k) => if (k == 1L) assert(keptLoose(id) == 1L) }
+    // a degenerate cut keeps everything — the filter is the threshold, not
+    // a hidden feature gate
+    val all = TextAnalysis.qualityClassifier(spark, sf,
+      QualityWeights(cut = -1e9)).collect()
+    assert(all.forall(_.getAs[Long]("keep") == 1L))
+  }
+
   test("surprisal matches an exact unigram-model recomputation") {
     val texts = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()

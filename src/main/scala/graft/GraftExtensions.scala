@@ -111,6 +111,26 @@ object GraftExtensions {
               case other => throw new IllegalArgumentException(
                 s"divisor must be double, got $other")
             })
+        }),
+      "bpe_encode" -> (
+        new ExpressionInfo(classOf[graft.functions.BpeEncode].getName, "bpe_encode"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2,
+            "bpe_encode(word, merges) takes 2 arguments (merges: array<string> " +
+              "of 'left right' pairs in rank order)")
+          require(args(1).foldable, "merges must be a literal array<string>")
+          val ranks = new java.util.HashMap[String, Integer]()
+          args(1).eval() match {
+            case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+              var i = 0
+              while (i < a.numElements()) {
+                ranks.put(a.getUTF8String(i).toString, Integer.valueOf(i))
+                i += 1
+              }
+            case other => throw new IllegalArgumentException(
+              s"merges must be array<string>, got $other")
+          }
+          graft.functions.BpeEncode(args(0), ranks)
         }))
 
   /** Register graft's SQL functions on a live session. */

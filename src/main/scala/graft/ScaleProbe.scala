@@ -106,6 +106,25 @@ object ScaleProbe {
     time("text_pack_sequences")(
       graft.ops.TextAnalysis.packSequencesDocs(spark, out).count())
     time("dedup_incremental")(graft.ops.Dedup.incremental(spark, out).count())
+    // the near-dup twin of the line above: persist the signature index of
+    // the 3/4 "existing corpus" once (a corpus-build artifact, same
+    // discipline as the ANN index), then time the per-batch cost — batch
+    // shingling + band join against persisted buckets + candidate verify.
+    // Read against the minhash_lsh line: full re-dedup re-pays the whole
+    // corpus per ingest, incremental pays ~|batch| + its candidates
+    if (matched("dedup_minhash_incremental")) locally {
+      val docsAll = spark.read.parquet(s"$out/documents.parquet")
+      val ip = s"$out/_minhash_index"
+      val t0 = System.nanoTime()
+      graft.ops.Dedup.saveMinhashIndex(spark,
+        docsAll.filter(col("doc_id") % 4 =!= 0), ip)
+      println(f"minhash_index_build_save: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val idx = graft.ops.Dedup.loadMinhashIndex(spark, ip)
+      val t1 = System.nanoTime()
+      val n = graft.ops.Dedup.minhashIncremental(spark,
+        docsAll.filter(col("doc_id") % 4 === 0), idx).count()
+      println(f"dedup_minhash_incremental: ${(System.nanoTime() - t1) / 1e9}%.1f s ($n rows)")
+    }
     // span dedup in the dup-dense corpus: every interior 8-gram is shared
     // by all repl copies, so gram frequencies are ~repl per key while the
     // key cardinality stays ~fixed — wall should track the (doc, gram)

@@ -25,7 +25,8 @@ object SparkEntry {
       graft.ops.Profile.queries ++
       graft.ops.Intervals.queries ++
       graft.ops.Curation.queries ++
-      graft.ops.Layout.queries
+      graft.ops.Layout.queries ++
+      graft.ops.Bpe.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
@@ -38,5 +39,6 @@ object SparkEntry {
       graft.ops.Profile.oracles ++
       graft.ops.Intervals.oracles ++
       graft.ops.Curation.oracles ++
-      graft.ops.Layout.oracles
+      graft.ops.Layout.oracles ++
+      graft.ops.Bpe.oracles
 }

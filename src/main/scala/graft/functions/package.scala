@@ -63,4 +63,10 @@ package object functions {
       divisor: Double): Column =
     GraftSqlBridge.column(MatVec(
       GraftSqlBridge.expression(emb), matrix, k, dim, divisor))
+
+  /** BPE-encode a word with a learned merge table (rank map keyed
+    * "left right") — see [[BpeEncode]].
+    */
+  def bpe_encode(word: Column, ranks: java.util.HashMap[String, Integer]): Column =
+    GraftSqlBridge.column(BpeEncode(GraftSqlBridge.expression(word), ranks))
 }

@@ -58,7 +58,35 @@ class FunctionsSpec extends SparkSpec {
     new GraftExtensions().apply(e) // must not throw; builders are injected
     assert(GraftExtensions.builders.keySet ===
       Set("cosine_sim", "minhash_sig", "simhash_chunks", "hashed_ngrams",
-        "jaccard_hashed", "dot_long", "hyperplane_buckets", "mat_vec"))
+        "jaccard_hashed", "dot_long", "hyperplane_buckets", "mat_vec",
+        "bpe_encode"))
+  }
+
+  test("bpe_encode: SQL form, codegen/interpreted parity, merge semantics") {
+    GraftExtensions.register(spark)
+    // merges in rank order: (l,o) → lo, (lo,w) → low
+    val sub = spark.sql(
+      "SELECT bpe_encode('lower', array('l o', 'lo w')) AS s").head.getSeq[String](0)
+    assert(sub === Seq("low", "e", "r"))
+    // no applicable merge → plain characters
+    val chars = spark.sql(
+      "SELECT bpe_encode('ab', array('x y')) AS s").head.getSeq[String](0)
+    assert(chars === Seq("a", "b"))
+    val factoryMode = "spark.sql.codegen.factoryMode"
+    val prior = spark.conf.getOption(factoryMode)
+    def run(): Seq[String] = spark.sql(
+      "SELECT bpe_encode('newest', array('e s', 'es t', 'n e')) AS s")
+      .head.getSeq[String](0)
+    try {
+      spark.conf.set(factoryMode, "CODEGEN_ONLY")
+      val gen = run()
+      spark.conf.set(factoryMode, "NO_CODEGEN")
+      assert(gen === run())
+      assert(gen === Seq("ne", "w", "est"))
+    } finally prior match {
+      case Some(v) => spark.conf.set(factoryMode, v)
+      case None => spark.conf.unset(factoryMode)
+    }
   }
 
   test("custom expressions: codegen and interpreted paths agree bit-for-bit") {

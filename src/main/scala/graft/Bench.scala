@@ -39,7 +39,8 @@ object Bench {
     "text_repetition", "text_heavy_hitters", "text_prepare_corpus",
     "text_prepare_corpus_pipelined",
     "text_mixture_sample", "text_select_budget_threshold", "text_bpe_tokens",
-    "text_source_stats", "text_vocab_coverage", "text_chunk_documents",
+    "text_source_stats", "text_source_sketches", "text_vocab_coverage",
+    "text_chunk_documents",
     "text_span_dedup", "text_surprisal", "emb_label_centroids", "emb_quantize",
     "mm_binary_meta", "mm_feature_extract", "mm_near_dup")
 

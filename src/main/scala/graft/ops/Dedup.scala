@@ -703,6 +703,19 @@ object Dedup {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Fold a processed batch into the signature index — the step that keeps
+    * the index current between daily runs. Plain parquet append of the
+    * batch's [[signatures]] frame: signatures are content-derived and
+    * frozen (no retraining, nothing recomputed for existing rows), the
+    * [[graft.ops.Similarity.appendToIndex]] discipline. Appending the
+    * FULL batch (not just near-dup survivors) is the usual choice — the
+    * next batch must near-dup against everything already ingested;
+    * dropping rows is a curation decision downstream of detection.
+    */
+  def appendToMinhashIndex(s: SparkSession, batch: DataFrame, path: String,
+      numHashes: Int = DefaultNumHashes): Unit =
+    signatures(s, batch, numHashes).write.mode("append").parquet(path)
+
   // keyed by (context, dir) — the Curation.pairsMemo discipline, including
   // its one-session-per-context assumption (the loaded frame is bound to
   // the session that read it): the corpus index is built + persisted ONCE

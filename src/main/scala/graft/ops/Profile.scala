@@ -73,9 +73,56 @@ object Profile {
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
 
+  // ------------------------------------------------------------ mergeable sketches
+  /** Per-source HLL distinct sketches (DataSketches via Spark's native
+    * hll_sketch_agg) — the MERGEABLE audit artifact: each partition/day/
+    * source builds its sketch in one scan, the sketch bytes persist as a
+    * parquet row, and any later rollup UNIONS sketches in O(#sketches)
+    * without rescanning the corpus. At 100 TB this is the difference
+    * between "distincts across 90 days" being a 90-day rescan and being
+    * a 90-row aggregation.
+    */
+  def sourceSketches(docs: DataFrame, lgK: Int = 12): DataFrame =
+    docs
+      .select(col("source"), md5(col("text")).as("h"))
+      .groupBy(col("source"))
+      .agg(hll_sketch_agg(col("h"), lit(lgK)).as("sketch"),
+        count(lit(1)).as("n_rows"))
+
+  def saveSourceSketches(docs: DataFrame, path: String, lgK: Int = 12): Unit =
+    sourceSketches(docs, lgK).write.mode("overwrite").parquet(path)
+
+  def loadSourceSketches(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+
+  /** Estimates from a sketch frame: one row per source plus the corpus
+    * total from hll_union_agg over the per-source sketch bytes — the
+    * rollup never touches documents. Rows-only at the gate (estimates are
+    * sketch-dependent); ProfileSpec pins the error envelope against exact
+    * distinct counts and the save → load → union round trip.
+    */
+  def sourceSketchRollup(sketches: DataFrame): DataFrame = {
+    val perSource = sketches
+      .select(col("source"),
+        hll_sketch_estimate(col("sketch")).cast("long").as("est_distinct"),
+        col("n_rows"))
+    val overall = sketches
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(true)))
+          .cast("long").as("est_distinct"),
+        sum(col("n_rows")).as("n_rows"))
+      .select(lit("__ALL__").as("source"), col("est_distinct"), col("n_rows"))
+    perSource.unionByName(overall).orderBy(col("source"))
+  }
+
+  /** Gate form: build per-source sketches over documents, roll up. */
+  def sourceSketchRollup(s: SparkSession, dir: String): DataFrame =
+    sourceSketchRollup(sourceSketches(Tables(s, dir).documents))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile_documents" -> (profileDocuments _),
-    "text_stratified_sample" -> (sampleDocuments _))
+    "text_stratified_sample" -> (sampleDocuments _),
+    "text_source_sketches" ->
+      ((s: SparkSession, dir: String) => sourceSketchRollup(s, dir)))
 
   val oracles: Map[String, String] = Map(
     "q_profile_documents" ->

@@ -198,6 +198,27 @@ class DedupSpec extends SparkSpec {
     assert(idx.filter(col("doc_id") % 4 === 0).count() == 0)
   }
 
+  test("minhash index append: day-2 batch sees day-1 docs without any rebuild") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mh_append").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // day 0 corpus: doc_id % 4 ∈ {2, 3}; day 1 batch: % 4 == 1; day 2: % 4 == 0
+    Dedup.saveMinhashIndex(spark, docs.filter(col("doc_id") % 4 >= 2), path)
+    val day1 = docs.filter(col("doc_id") % 4 === 1)
+    Dedup.appendToMinhashIndex(spark, day1, path)
+    val idx = Dedup.loadMinhashIndex(spark, path)
+    val day2 = docs.filter(col("doc_id") % 4 === 0)
+    val pairs = Dedup.minhashIncremental(spark, day2, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ≡ the full-corpus run restricted to pairs touching day 2 — the same
+    // parity as the gate-form test, but with the index grown by append
+    val full = Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (d1, d2) => d1 % 4 == 0 || d2 % 4 == 0 }.toSet
+    assert(pairs == full)
+    // and day-1 docs are genuinely in the appended index
+    assert(idx.filter(col("doc_id") % 4 === 1).count() > 0)
+  }
+
   test("embedding near-dup cosine matches an independent recomputation") {
     val out = Dedup.embedding(spark, sf).limit(5).collect()
     assert(out.nonEmpty)

@@ -31,4 +31,35 @@ class ProfileSpec extends SparkSpec {
       assert(rate < 0.45, s"$l rate $rate should target 0.2")
     }
   }
+
+  test("source sketches: estimates track exact distincts; union never rescans") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val est = Profile.sourceSketchRollup(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("est_distinct")).toMap
+    val exact = docs.select(col("source"), md5(col("text")).as("h"))
+      .groupBy("source").agg(countDistinct(col("h")).as("d")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactAll = docs.select(md5(col("text"))).distinct().count()
+    // lgK=12 HLL: relative standard error ~1.6%; allow 3σ
+    exact.foreach { case (src, d) =>
+      assert(math.abs(est(src) - d) <= math.max(2.0, 0.05 * d),
+        s"$src: est ${est(src)} vs exact $d")
+    }
+    assert(math.abs(est("__ALL__") - exactAll) <= math.max(2.0, 0.05 * exactAll))
+  }
+
+  test("sketch artifacts round-trip: rollup from loaded parquet ≡ inline") {
+    val path = java.nio.file.Files.createTempDirectory("graft_sketch").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    Profile.saveSourceSketches(docs, path)
+    val fromDisk = Profile.sourceSketchRollup(
+      Profile.loadSourceSketches(spark, path)).collect().toSeq
+    val inline = Profile.sourceSketchRollup(spark, sf).collect().toSeq
+    assert(fromDisk == inline)
+    // the union side of the rollup reads sketch bytes, not documents: its
+    // plan over the loaded frame scans only the sketch parquet
+    val plan = Profile.sourceSketchRollup(Profile.loadSourceSketches(spark, path))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("documents.parquet"), plan.take(400))
+  }
 }

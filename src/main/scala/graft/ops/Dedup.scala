@@ -676,7 +676,21 @@ object Dedup {
   def minhashIncremental(s: SparkSession, batch: DataFrame, index: DataFrame,
       numHashes: Int = DefaultNumHashes, bands: Int = DefaultBands): DataFrame = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
-    val newSigned = signatures(s, batch, numHashes)
+    // ONE exchange of the batch's hashed shingles feeds all three consumers
+    // (the signature chain and both verify-join sides) — the minhashLsh
+    // staging, which ReuseExchange collapses to a single shingling pass.
+    // Reusing the combined [[signatures]] frame here instead would defeat
+    // it: column pruning specializes the plan under each consumer (the
+    // verify sides drop sig) and the exchanges stop matching.
+    val batchHs = batch
+      .filter(size(words(col("text"))) >= 2)
+      .repartition(spread(s), col("doc_id"))
+      .select(col("doc_id"),
+        hashed_ngrams(words(col("text")), 2, P, distinct = true).as("hs"))
+      .repartition(spread(s), col("doc_id"))
+    val newSigned = batchHs
+      .withColumn("sig", minhash_sig(col("hs"), numHashes, P))
+      .select(col("doc_id"), col("sig"))
       // projection barrier: bandBuckets slices sig `bands` times, and
       // CollapseProject would otherwise inline (recompute) the signature
       // per band — same discipline as minhashLsh's sig frame
@@ -693,7 +707,7 @@ object Dedup {
         greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
       .distinct()
     val hs = index.select(col("doc_id"), col("hs"))
-      .unionByName(newSigned.select(col("doc_id"), col("hs")))
+      .unionByName(batchHs)
     cand
       .join(hs.select(col("doc_id").as("d1"), col("hs").as("s1")), "d1")
       .join(hs.select(col("doc_id").as("d2"), col("hs").as("s2")), "d2")

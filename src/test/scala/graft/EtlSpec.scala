@@ -50,7 +50,7 @@ class EtlSpec extends SparkSpec {
 
   test("partitioned write prunes by day and rolls files") {
     val dir = Files.createTempDirectory("graft-pw").toString + "/out"
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ev = Tables(spark, sf).events
     Sinks.partitionedWrite(ev,
       date_format(timestamp_seconds((col("ts") / 1000000000L).cast(LongType)), "yyyy-MM-dd"),
       dir, maxRecordsPerFile = 10)
@@ -69,7 +69,7 @@ class EtlSpec extends SparkSpec {
 
   test("orc sink round-trips day-partitioned with pruning and rolling intact") {
     val dir = Files.createTempDirectory("graft-orc").toString + "/out"
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ev = Tables(spark, sf).events
     Sinks.orcWrite(ev,
       date_format(timestamp_seconds((col("ts") / 1000000000L).cast(LongType)), "yyyy-MM-dd"),
       dir, maxRecordsPerFile = 10)
@@ -118,7 +118,7 @@ class EtlSpec extends SparkSpec {
 
   test("json-lines sink round-trips day-partitioned, and csv keeps headers") {
     val dir = Files.createTempDirectory("graft-fmt").toString
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ev = Tables(spark, sf).events
       .select(col("event_id"), col("user_id"), col("event_type"),
         (col("ts") / 1000000000L).cast(LongType).as("sec"))
     Sinks.jsonLinesWrite(ev,
@@ -277,7 +277,7 @@ class EtlSpec extends SparkSpec {
     // the general form with (event_type key, 86400 s grain, max as the
     // LOCF column) — proves key/grain/fills really are runtime knobs and
     // the grid/fill semantics survive the change
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ev = Tables(spark, sf).events
     val rows = JsonEtl.gapFill(ev, col("event_type"), JsonEtl.tsSec(col("ts")),
         86400L,
         zeroFills = Seq("n" -> count(lit(1))),
@@ -318,6 +318,27 @@ class EtlSpec extends SparkSpec {
       (1L, Some("a"), 13.0, Some(3L)),  // updated to the seq-3 value
       (3L, Some("c"), 30.0, None),      // untouched base row
       (4L, None, 44.0, Some(4L))))      // inserted; non-payload cols null
+  }
+
+  test("snapshotDiff emits added/changed keys only, from one scan of the log") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, 1L, 10.0), (1L, 5L, 11.0),  // changed: 10.0 -> 11.0
+      (2L, 2L, 20.0), (2L, 6L, 20.0),  // new event, same value: excluded
+      (3L, 3L, 30.0),                  // prefix-only, unchanged: excluded
+      (4L, 7L, 40.0), (4L, 8L, 41.0))  // added after the cut
+      .toDF("k", "seq", "v")
+    val out = JsonEtl.snapshotDiff(log, Seq("k"), col("seq"), col("v"), lit(4L))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getAs[java.lang.Double]("old_value")).map(_.toDouble),
+        r.getDouble(3), r.getLong(4))).toSet
+    assert(out === Set(
+      (1L, "changed", Some(10.0), 11.0, 1L),
+      (4L, "added", None, 41.0, 2L)))
+    // single-scan shape: no join operator anywhere in the plan
+    val plan = JsonEtl.snapshotDiff(log, Seq("k"), col("seq"), col("v"),
+      lit(4L)).queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), s"expected join-free plan:\n$plan")
   }
 
   test("scd2: versions chain into a gapless partition of each key's timeline") {

@@ -16,7 +16,7 @@ class PipelineSpec extends SparkSpec {
 
   test("batch pipeline: parse, enrich, route, day-partitioned rolled writes") {
     val dir = Files.createTempDirectory("graft-pipe").toString
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ev = Tables(spark, sf).events
     val counts = Pipeline.run(ev, dir,
       routes = Map(
         "purchases" -> Pipeline.Route(col("event_type") === "purchase", "json"),
@@ -46,7 +46,7 @@ class PipelineSpec extends SparkSpec {
       "baseDir": "$dir",
       "jsonCol": "props",
       "jsonPaths": {"$$.k": "k"},
-      "tsSecExpr": "CAST(ts / 1000000000 AS BIGINT)",
+      "tsSecExpr": "unix_seconds(CAST(ts AS TIMESTAMP))",
       "maxRecordsPerFile": 10,
       "routes": {
         "purchases": {"predicate": "event_type = 'purchase'", "format": "json"},

@@ -96,7 +96,7 @@ class RelationalSpec extends SparkSpec {
   }
 
   test("funnel matches a brute-force per-user recomputation") {
-    val events = spark.read.parquet(s"$sf/events.parquet")
+    val events = Tables(spark, sf).events
       .select(col("user_id"), col("event_type"),
         (col("ts") / 1000000000L).cast("long").as("sec"))
       .collect()

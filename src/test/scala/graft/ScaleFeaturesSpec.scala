@@ -14,7 +14,7 @@ class ScaleFeaturesSpec extends SparkSpec {
 
   private lazy val base = {
     val tmp = Files.createTempDirectory("graft-scalefeat").toString
-    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val ev = Tables(spark, sf).events
       .withColumn("day", date_format(
         timestamp_seconds((col("ts") / 1000000000L).cast("long")), "yyyy-MM-dd"))
     ev.write.partitionBy("day").mode("overwrite").parquet(s"$tmp/events")

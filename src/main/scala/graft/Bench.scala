@@ -26,6 +26,7 @@ object Bench {
     "etl_json_extract", "etl_latest_by_key", "etl_sessionize",
     "etl_tumbling_window", "etl_sliding_window", "etl_redact",
     "etl_quality_audit", "etl_scd2", "etl_gap_fill", "etl_merge_upsert",
+    "etl_snapshot_diff",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
     "dedup_components", "dedup_incremental", "dedup_minhash_incremental",
     "dedup_semantic",
@@ -131,11 +132,18 @@ object Bench {
     // one decimal: the compact line must stay inside the driver's 2000-char
     // tail as the headline grows (CountsSpec pins the worst case); the
     // detail file keeps 4-decimal per-run precision
-    val qsCompact = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.1f" }
-      .mkString("{", ",", "}")
-    val compact =
+    def compactLine(fmt: Double => String): String = {
+      val qsCompact = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qsCompact,"warmup_sec":${f"$warmupSec%.1f"},"load_start":"$loadStart","load_end":"$loadEnd","sf":"$sfDir","detail_file":"$outPath"}"""
-    println(compact)
+    }
+    // runtime backstop for the 2000-char tail: if one-decimal per-query
+    // values ever outgrow it (they shouldn't — CountsSpec estimates the
+    // realistic worst case), fall back to whole seconds rather than let the
+    // driver capture a truncated line
+    val oneDecimal = compactLine(v => f"$v%.1f")
+    println(if (oneDecimal.length <= 1900) oneDecimal
+            else compactLine(v => f"$v%.0f"))
     spark.stop()
   }
 }

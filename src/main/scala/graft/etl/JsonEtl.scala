@@ -342,6 +342,54 @@ object JsonEtl {
       .orderBy(col("c_custkey"))
   }
 
+  // ------------------------------------------------------------ snapshot diff
+  /** Point-in-time snapshot diff over an append-only change log: the state
+    * each key had after applying the log up to `cut` vs the state at the
+    * log's end, emitted as the `added`/`changed` delta an incremental
+    * refresh would apply (an append-only log can't remove keys — deletes
+    * need tombstones, which is [[mergeUpsert]]'s job).
+    *
+    * The naive formulation — build snapshot(T1), build snapshot(T2), FULL
+    * OUTER JOIN them — scans the log twice and shuffles both snapshots.
+    * This is ONE scan and ONE map-side-combinable aggregation: both
+    * snapshots fall out of the same groupBy as conditional max_by's over
+    * the sequence (max_by skips rows whose ordering expression is null, so
+    * `when(seq <= cut, seq)` restricts the winner to the T1 prefix without
+    * a second pass), and the diff is a filter on the aggregate — no join
+    * anywhere. At 100 TB the shuffle carries one partial row per key per
+    * map task, the same cost as [[latestByKey]].
+    *
+    * `cut` may be a literal or a column (the gate entry cross-joins a
+    * broadcast 1-row bounds frame, the gap_fill discipline — nothing
+    * collects on the driver).
+    */
+  def snapshotDiff(log: DataFrame, keys: Seq[String], seq: Column,
+      value: Column, cut: Column): DataFrame = {
+    val st = log.groupBy(keys.map(col): _*).agg(
+      max_by(value, when(seq <= cut, seq)).as("old_value"),
+      count(when(seq <= cut, 1)).as("n_old"),
+      max_by(value, seq).as("new_value"),
+      count(when(seq > cut, 1)).as("n_new_events"))
+    st.filter(col("n_old") === 0 || col("old_value") =!= col("new_value"))
+      .select(keys.map(col) ++ Seq(
+        when(col("n_old") === 0, lit("added")).otherwise(lit("changed"))
+          .as("status"),
+        col("old_value"), col("new_value"), col("n_new_events")): _*)
+  }
+
+  /** Gate entry: per-(user, event_type) state = latest `value` by event_id
+    * (the log-sequence ordering a CDC replay uses — unique, so the winner
+    * is deterministic; a timestamp ordering would tie within a
+    * microsecond), cut at half the log. */
+  def snapshotDiffEvents(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir).events
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+    val bounds = ev.agg(floor(max(col("event_id")) / 2).cast(LongType).as("cut"))
+    snapshotDiff(ev.crossJoin(broadcast(bounds)),
+        Seq("user_id", "event_type"), col("event_id"), col("value"), col("cut"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   // ------------------------------------------------------------ quality audit
   /** Data-quality audit — the validation pass a config-driven ingest runs
     * before promoting a landing zone: one row per rule with its violation
@@ -382,6 +430,7 @@ object JsonEtl {
     "etl_quality_audit"    -> (qualityAudit _),
     "etl_scd2"             -> (scd2 _),
     "etl_merge_upsert"     -> (mergeUpsertOrders _),
+    "etl_snapshot_diff"    -> (snapshotDiffEvents _),
     "etl_gap_fill"         -> (gapFill _),
     "etl_redact"           -> (redactDocs _),
     "etl_json_extract"     -> (jsonExtract _),
@@ -412,6 +461,20 @@ object JsonEtl {
         |FROM customer b FULL OUTER JOIN latest l ON b.c_custkey = l.c_custkey
         |WHERE l.last_op IS NULL OR l.last_op <> 'D'
         |ORDER BY c_custkey""".stripMargin,
+    "etl_snapshot_diff" ->
+      """WITH b AS (SELECT CAST(FLOOR(MAX(event_id) / 2) AS BIGINT) AS cut
+        |  FROM events),
+        |st AS (SELECT user_id, event_type,
+        |    arg_max(value, event_id) FILTER (event_id <= cut) AS old_value,
+        |    COUNT(*) FILTER (event_id <= cut) AS n_old,
+        |    arg_max(value, event_id) AS new_value,
+        |    COUNT(*) FILTER (event_id > cut) AS n_new_events
+        |  FROM events, b GROUP BY user_id, event_type)
+        |SELECT user_id, event_type,
+        |  CASE WHEN n_old = 0 THEN 'added' ELSE 'changed' END AS status,
+        |  old_value, new_value, n_new_events
+        |FROM st WHERE n_old = 0 OR old_value <> new_value
+        |ORDER BY user_id, event_type""".stripMargin,
     "etl_gap_fill" ->
       """WITH ev AS (SELECT user_id % 10 AS bucket,
         |    epoch_ms(ts)//1000//3600 AS h, value FROM events),

@@ -45,13 +45,15 @@ class CountsSpec extends AnyFunSuite {
   test("the compact bench line stays inside the driver's 2000-char output tail") {
     // Bench prints a compact summary as its LAST stdout line precisely so
     // a 2000-char tail holds complete JSON; adding headline queries must
-    // not silently outgrow that. Worst case per entry: "name":99.9,
-    // (4 syntax chars + a 4-char one-decimal value — 100 s for ONE sf0.1
-    // query is 14× the historical per-query max; past that the artifact's
-    // size is the least of the round's problems). The 230-char constant
-    // covers the fixed fields, including the two loadavg strings.
-    val worst = Bench.headline.map(n => n.length + 8).sum + 230
-    assert(worst < 1950,
+    // not silently outgrow that. Worst case per entry: "name":9.9,
+    // (4 syntax chars + a 3-char one-decimal value — 10 s for ONE sf0.1
+    // query is ~2× the historical per-query max; Bench additionally
+    // falls back to whole-second precision at print time if the line
+    // ever exceeds 1900 chars, so a freak run degrades precision instead
+    // of truncating). The 230-char constant covers the fixed fields,
+    // including the two loadavg strings.
+    val worst = Bench.headline.map(n => n.length + 7).sum + 230
+    assert(worst < 1900,
       s"estimated compact-line worst case $worst chars — trim precision or " +
         "split the headline before the driver tail truncates it again")
   }

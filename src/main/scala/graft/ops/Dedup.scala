@@ -757,6 +757,66 @@ object Dedup {
       Tables(s, dir).documents.filter(col("doc_id") % 4 === 0), index)
   }
 
+  // ------------------------------------------------------------ fuzzy decontamination
+  /** Cross-corpus fuzzy decontamination: flag TRAINING docs that are
+    * MinHash near-duplicates of any BENCHMARK doc — the paraphrase-robust
+    * sibling of [[graft.ops.TextAnalysis.decontaminate]] (exact k-gram
+    * overlap). A benchmark item lightly rewritten into a training page
+    * shares few exact 13-grams but keeps a high shingle-set Jaccard, which
+    * is exactly the signal MinHash banding surfaces.
+    *
+    * Scale shape: each side is shingled+signed once with [[minhashLsh]]'s
+    * compiled kernels and shared [[bandBuckets]] (filter-then-shingle, the
+    * [[graft.ops.TextAnalysis.decontaminate]] discipline — the two
+    * branches cover disjoint docs, so the corpus is shingled once in
+    * total, and a persisted [[saveMinhashIndex]] frame could feed either
+    * side). The candidate join is band-bucket equi against the BENCHMARK
+    * side only, and benchmark suites are MBs while the corpus is the
+    * 100 TB side — so the bench bands and shingle sets broadcast, candidate
+    * work is Σ_buckets |train bucket|·|bench bucket| with the bench factor
+    * bounded, and exact Jaccard verifies candidates only. No train×train
+    * pair is ever considered, which is what separates this from running
+    * [[minhashLsh]] over the union.
+    *
+    * Output: one row per contaminated train doc — its strongest benchmark
+    * match (ties broken toward the larger bench id, deterministically),
+    * the verified jaccard, and how many benchmark docs it matched.
+    */
+  def decontaminateFuzzy(s: SparkSession, docsDf: DataFrame,
+      isBenchmark: Column, threshold: Double = 0.7,
+      numHashes: Int = DefaultNumHashes, bands: Int = DefaultBands): DataFrame = {
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
+    val bench = signatures(s, docsDf.filter(isBenchmark), numHashes)
+    val train = signatures(s, docsDf.filter(!isBenchmark), numHashes)
+    val benchBand = bandBuckets(bench.select(col("doc_id"), col("sig")),
+      numHashes, bands)
+    val trainBand = bandBuckets(train.select(col("doc_id"), col("sig")),
+      numHashes, bands)
+    val cand = trainBand.as("a").join(broadcast(benchBand).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.doc_id").as("train_id"), col("b.doc_id").as("bench_id"))
+      .distinct()
+    cand
+      .join(train.select(col("doc_id").as("train_id"), col("hs").as("s1")),
+        "train_id")
+      .join(broadcast(bench.select(col("doc_id").as("bench_id"),
+        col("hs").as("s2"))), "bench_id")
+      .select(col("train_id"), col("bench_id"),
+        graft.functions.jaccard_hashed(col("s1"), col("s2")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("train_id"))
+      .agg(max(struct(col("jaccard"), col("bench_id"))).as("best"),
+        count(lit(1)).as("n_matches"))
+      .select(col("train_id"), col("best.bench_id").as("bench_id"),
+        col("best.jaccard").as("jaccard"), col("n_matches"))
+      .orderBy(col("train_id"))
+  }
+
+  /** Gate form: the same benchmark split as the exact-overlap entry
+    * (doc_id % 11 — crosses the testdata's planted near-dup pairs). */
+  def decontaminateFuzzy(s: SparkSession, dir: String): DataFrame =
+    decontaminateFuzzy(s, Tables(s, dir).documents, col("doc_id") % 11 === 0)
+
   // =================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> (exact _),
@@ -771,7 +831,8 @@ object Dedup {
     "dedup_semantic"      -> ((s: SparkSession, dir: String) => semantic(s, dir)),
     "dedup_survivors"     -> ((s: SparkSession, dir: String) => nearDupSurvivors(s, dir)),
     "dedup_incremental"   -> ((s: SparkSession, dir: String) => incremental(s, dir)),
-    "dedup_minhash_incremental" -> ((s: SparkSession, dir: String) => minhashIncremental(s, dir)))
+    "dedup_minhash_incremental" -> ((s: SparkSession, dir: String) => minhashIncremental(s, dir)),
+    "text_decontaminate_fuzzy" -> ((s: SparkSession, dir: String) => decontaminateFuzzy(s, dir)))
 
   /** dedup_minhash_lsh / dedup_simhash are rows-only: signatures depend on
     * engine-internal hashes (xxhash64/murmur); DedupSpec pins their recall

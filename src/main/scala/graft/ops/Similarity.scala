@@ -392,6 +392,15 @@ object Similarity {
       precomputedProjected: Option[DataFrame] = None): DataFrame = {
     val e = Tables(s, dir).embeddings
     val pv = precomputedProjected.getOrElse(projectVectors(e))
+    coarseRerankTopk(e, pv, shortlist)
+  }
+
+  /** The reduced-space two-stage scaffold [[jlTopk]] and [[pcaTopk]]
+    * share: coarse cosine over the (vec_id, pv) reduced vectors, keep
+    * `shortlist` per query, exact full-dim rerank of the shortlist only.
+    */
+  private def coarseRerankTopk(e: DataFrame, pv: DataFrame,
+      shortlist: Int): DataFrame = {
     val q = broadcast(pv.filter(isQuery(col("vec_id")))
       .select(col("vec_id").as("query_id"), col("pv").as("q_pv")))
     val cheap = pv.join(q, col("query_id") =!= col("vec_id"))
@@ -403,6 +412,58 @@ object Similarity {
       .filter(col("rk") <= shortlist)
       .select(col("query_id"), col("neighbor_id"))
     rerankExact(e, short)
+  }
+
+  /** Train a PCA basis for the corpus: one distributed covariance pass
+    * (spark.ml PCA — a treeAggregate Gramian, then a driver-side
+    * eigendecomposition of the dim×dim matrix; dim=64 here, so the
+    * driver step is microseconds) returning (comp, weights,
+    * explained_var) — a driver-scale model artifact exactly like the IVF
+    * centroid and PQ codebook frames, persistable the same way (plain
+    * parquet) and fed back via [[pcaTopk]]'s `precomputedComponents`.
+    */
+  def trainPca(s: SparkSession, dir: String, k: Int = ProjK): DataFrame = {
+    import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.functions.array_to_vector
+    val model = new PCA().setK(k).setInputCol("features").setOutputCol("pc")
+      .fit(Tables(s, dir).embeddings
+        .select(array_to_vector(col("embedding")).as("features")))
+    val pc = model.pc // dim × k, column-major
+    val ev = model.explainedVariance.toArray
+    import s.implicits._
+    (0 until k).map(j => (j.toLong,
+        Array.tabulate(pc.numRows)(i => pc(i, j)).toSeq, ev(j)))
+      .toDF("comp", "weights", "explained_var")
+  }
+
+  /** PCA-reduced two-stage retrieval — the LEARNED sibling of [[jlTopk]]:
+    * same compiled MatVec projection, same coarse-cosine + exact-rerank
+    * scaffold, but the k×dim matrix is the corpus's own top-k variance
+    * directions instead of a random ±1 sheet, so at equal k the coarse
+    * space discards the least-informative directions rather than an
+    * expectation-preserving random mix. Coarse cosine is invariant to the
+    * eigenvector sign ambiguity (a simultaneous sign flip of one reduced
+    * coordinate leaves every pairwise dot term unchanged), so rankings
+    * don't depend on which LAPACK the driver linked.
+    *
+    * The model rides the plan as literals (k·dim doubles, like the JL
+    * sheet); training is one pass, amortized across query batches via
+    * `precomputedComponents` — the same train-once shape as the IVF/PQ
+    * tiers. Rows-only for the driver; SimilaritySpec pins recall vs brute
+    * force, basis orthonormality, variance ordering, and fed-vs-inline
+    * equality.
+    */
+  def pcaTopk(s: SparkSession, dir: String, shortlist: Int = 50,
+      precomputedComponents: Option[DataFrame] = None): DataFrame = {
+    val e = Tables(s, dir).embeddings
+    val m = precomputedComponents.getOrElse(trainPca(s, dir))
+      .select(col("comp"), col("weights")).collect()
+      .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+    val k = m.length
+    val pv = e.select(col("vec_id"),
+      graft.functions.mat_vec(col("embedding"), m.flatten, k, 64, 1.0)
+        .cast("array<float>").as("pv"))
+    coarseRerankTopk(e, pv, shortlist)
   }
 
   private[graft] val ProjK = 16
@@ -965,6 +1026,7 @@ object Similarity {
     "emb_quantize" -> (quantize _),
     "emb_project"  -> (project _),
     "ann_jl_topk" -> ((s: SparkSession, dir: String) => jlTopk(s, dir)),
+    "ann_pca_topk" -> ((s: SparkSession, dir: String) => pcaTopk(s, dir)),
     "ann_int8_topk" -> ((s: SparkSession, dir: String) => int8Topk(s, dir)),
     "ann_int8_ivf_topk" -> ((s: SparkSession, dir: String) => int8IvfTopk(s, dir)),
     "ann_pq_topk" -> ((s: SparkSession, dir: String) => pqTopk(s, dir)),

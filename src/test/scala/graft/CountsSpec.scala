@@ -44,17 +44,17 @@ class CountsSpec extends AnyFunSuite {
 
   test("the compact bench line stays inside the driver's 2000-char output tail") {
     // Bench prints a compact summary as its LAST stdout line precisely so
-    // a 2000-char tail holds complete JSON; adding headline queries must
-    // not silently outgrow that. Worst case per entry: "name":9.9,
-    // (4 syntax chars + a 3-char one-decimal value — 10 s for ONE sf0.1
-    // query is ~2× the historical per-query max; Bench additionally
-    // falls back to whole-second precision at print time if the line
-    // ever exceeds 1900 chars, so a freak run degrades precision instead
-    // of truncating). The 230-char constant covers the fixed fields,
-    // including the two loadavg strings.
-    val worst = Bench.headline.map(n => n.length + 7).sum + 230
-    assert(worst < 1900,
-      s"estimated compact-line worst case $worst chars — trim precision or " +
+    // a 2000-char tail holds complete JSON. Two layers keep that true as
+    // the headline grows: at print time Bench falls back from one-decimal
+    // to whole-second per-query values when the line would exceed 1900
+    // chars, and THIS assertion pins the fallback's own worst case — every
+    // entry at a 2-digit whole-second value ("name":99,) plus 230 chars of
+    // fixed fields (including the two loadavg strings) must still fit.
+    // One-decimal mode overflowing merely costs precision; the fallback
+    // overflowing would truncate the artifact, so that is the hard bound.
+    val worstFallback = Bench.headline.map(n => n.length + 6).sum + 230
+    assert(worstFallback < 1900,
+      s"estimated FALLBACK compact-line worst case $worstFallback chars — " +
         "split the headline before the driver tail truncates it again")
   }
 }

@@ -238,6 +238,37 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("fuzzy decontamination: cross-corpus recall, exact-verified scores, no train×train") {
+    val isBench = (id: Long) => id % 11 == 0
+    // ground truth: exact word-bigram jaccard restricted to cross-corpus
+    // pairs — the same shingle definition the operator hashes
+    val cross = Dedup.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"), r.getAs[Double]("jaccard")))
+      .filter { case (d1, d2, _) => isBench(d1) ^ isBench(d2) }
+      .map { case (d1, d2, j) => (if (isBench(d1)) (d2, d1) else (d1, d2), j) }
+    val truthTrain = cross.filter(_._2 >= 0.9).map(_._1._1).toSet
+    val crossJ = cross.toMap
+    val out = Dedup.decontaminateFuzzy(spark, sf).collect()
+      .map(r => (r.getAs[Long]("train_id"), r.getAs[Long]("bench_id"),
+        r.getAs[Double]("jaccard"), r.getAs[Long]("n_matches")))
+    val flagged = out.map(_._1).toSet
+    // recall: every train doc with a ≥0.9 exact cross match is flagged
+    // (0.9 truth vs the 0.7 verify cut = the same LSH margin the
+    // full-corpus recall test uses)
+    val recall = truthTrain.count(flagged.contains).toDouble / truthTrain.size
+    assert(truthTrain.nonEmpty, "split must cross planted near-dup pairs")
+    assert(recall >= 0.8, s"recall=$recall, truth=${truthTrain.size}")
+    out.foreach { case (t, b, j, n) =>
+      assert(!isBench(t) && isBench(b), "every reported pair is cross-corpus")
+      assert(j >= 0.7, "verify cut holds")
+      assert(n >= 1L)
+      // reported jaccard agrees with the exact string-gram recomputation
+      // (hashed sets differ only on xxhash64 collisions)
+      assert(math.abs(crossJ((t, b)) - j) < 1e-6,
+        s"($t,$b): exact=${crossJ((t, b))} reported=$j")
+    }
+  }
+
   test("semantic (SemDeDup) dedup: exact precision, high recall, two geometries") {
     val exact = Dedup.embedding(spark, sf)
       .select("v1", "v2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -401,6 +401,34 @@ class SimilaritySpec extends SparkSpec {
     assert(topk(fed) === topk(Similarity.jlTopk(spark, sf)))
   }
 
+  test("PCA basis: orthonormal, variance-ordered; retrieval ≥ JL; fed form identical") {
+    val comps = Similarity.trainPca(spark, sf).collect()
+      .sortBy(_.getAs[Long]("comp"))
+    val m = comps.map(_.getSeq[Double](1).toArray)
+    assert(m.length === Similarity.ProjK && m.forall(_.length === 64))
+    // orthonormal basis (the eigendecomposition contract)
+    for (a <- m.indices; b <- a until m.length) {
+      val dot = m(a).zip(m(b)).map { case (x, y) => x * y }.sum
+      val want = if (a == b) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"<c$a,c$b> = $dot")
+    }
+    // explained variance is non-increasing and positive
+    val ev = comps.map(_.getAs[Double]("explained_var"))
+    assert(ev.forall(_ > 0))
+    assert(ev.zip(ev.tail).forall { case (a, b) => a >= b },
+      s"variance not sorted: ${ev.toSeq}")
+    // learned basis beats (or ties) the random JL sheet at the same k —
+    // the point of paying the training pass
+    val rPca = recallAt5(topk(Similarity.pcaTopk(spark, sf)))
+    val rJl = recallAt5(topk(Similarity.jlTopk(spark, sf)))
+    assert(rPca >= rJl - 0.05, s"PCA recall $rPca far below JL $rJl at equal k")
+    assert(rPca >= 0.45, s"PCA recall@5 $rPca below floor")
+    // fed-components form (train once per corpus build) is output-identical
+    val fed = Similarity.pcaTopk(spark, sf,
+      precomputedComponents = Some(Similarity.trainPca(spark, sf)))
+    assert(topk(fed) === topk(Similarity.pcaTopk(spark, sf)))
+  }
+
   test("int8 quantization: bounded reconstruction error, near-unit cosine") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap

@@ -24,8 +24,11 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.aggregatePushdown", "true")
-      // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-      // reader rejects; read as nanos-epoch LongType and convert in-query.
+      // some events.parquet generations carry TIMESTAMP(NANOS), which
+      // Spark's vectorized reader rejects; read those as nanos-epoch
+      // LongType (micros generations read as timestamps and are normalized
+      // by Tables.tsToNanos — the two configs together make the ts
+      // representation generation-independent).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")

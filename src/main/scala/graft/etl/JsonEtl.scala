@@ -22,9 +22,10 @@ import graft.Tables
   * and window math are codegen'd expressions (no UDFs), and ordering is only
   * for oracle determinism (a real pipeline drops the final sort).
   *
-  * The driver's events.parquet carries TIMESTAMP(NANOS), which Spark 4 reads
-  * as nanos-epoch LongType under `spark.sql.legacy.parquet.nanosAsLong` (see
-  * GraftSession); DuckDB truncates the same value to micros. All time math
+  * events.ts arrives as a nanos-epoch LongType regardless of the parquet
+  * generation on disk ([[graft.Tables.tsToNanos]] normalizes TIMESTAMP(NANOS)
+  * and TIMESTAMP(MICROS) sources to one representation at the read
+  * boundary); DuckDB reads the same instants as timestamps. All time math
   * therefore happens on floor-seconds, identical in both engines.
   */
 object JsonEtl {

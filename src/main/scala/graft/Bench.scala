@@ -34,6 +34,7 @@ object Bench {
     "ann_jl_topk", "ann_pca_topk",
     "ann_int8_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",
     "ann_ivfpq_topk_fed", "ann_ivfpq_topk_indexed", "ann_ivfpq_residual_topk",
+    "text_decontaminate_fuzzy",
     "text_quality", "text_quality_classifier", "text_fingerprint",
     "text_lang_id", "text_curate_corpus",
     "text_tfidf", "text_editdist_nn", "text_decontaminate", "text_pack_sequences",

@@ -15,10 +15,13 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val repl = args.headOption.map(_.toInt).getOrElse(20)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    // the reuse marker must key on the SOURCE too: an out dir keyed only
-    // on repl would silently serve corpus A's replication to a probe of
-    // corpus B
-    val srcTag = java.lang.Integer.toHexString(sfDir.hashCode)
+    // the reuse marker must key on the SOURCE too — path AND generation:
+    // an out dir keyed only on repl would silently serve corpus A's
+    // replication to a probe of corpus B, and a path-only key would keep
+    // serving a STALE replication after the source is regenerated in place
+    // (the round-7 testdata regeneration is exactly that event)
+    val srcTag = java.lang.Integer.toHexString((sfDir + "|" +
+      new java.io.File(s"$sfDir/documents.parquet").lastModified).hashCode)
     val out = s"/tmp/graft_scale_${repl}x_$srcTag"
     val spark = GraftSession.local(32, "graft-scale-probe")
 
@@ -103,6 +106,13 @@ object ScaleProbe {
     // scale with N, which is not the shape being validated
     time("text_decontaminate")(graft.ops.TextAnalysis.decontaminate(
       spark.read.parquet(s"$out/documents.parquet"), col("doc_id") % 997 === 0).count())
+    // fuzzy (MinHash) decontamination under the same fixed-size-benchmark
+    // premise: the bench side's bands and shingle sets broadcast, so wall
+    // should track the corpus-side shingle+sign pass (~linear in N) plus
+    // the candidates the bounded bench buckets admit
+    time("text_decontaminate_fuzzy")(graft.ops.Dedup.decontaminateFuzzy(
+      spark, spark.read.parquet(s"$out/documents.parquet"),
+      col("doc_id") % 997 === 0).count())
     time("text_pack_sequences")(
       graft.ops.TextAnalysis.packSequencesDocs(spark, out).count())
     time("dedup_incremental")(graft.ops.Dedup.incremental(spark, out).count())
@@ -154,6 +164,17 @@ object ScaleProbe {
       val n = graft.ops.Similarity.jlTopk(spark, out,
         precomputedProjected = Some(pv)).count()
       println(f"ann_jl_topk(fed): ${(System.nanoTime() - t0) / 1e9}%.1f s ($n rows)")
+    }
+    // PCA tier: same reduced-space scan shape as JL (identical scaffold);
+    // the one-shot line additionally pays the covariance pass + 64×64 eig
+    // (the train-once cost), the fed line is the serving shape
+    time("ann_pca_topk")(graft.ops.Similarity.pcaTopk(spark, out).count())
+    if (matched("ann_pca_topk(fed)")) locally {
+      val m = graft.ops.Similarity.trainPca(spark, out).localCheckpoint()
+      val t0 = System.nanoTime()
+      val n = graft.ops.Similarity.pcaTopk(spark, out,
+        precomputedComponents = Some(m)).count()
+      println(f"ann_pca_topk(fed): ${(System.nanoTime() - t0) / 1e9}%.1f s ($n rows)")
     }
     time("ann_bruteforce_topk")(
       graft.ops.Similarity.bruteforceTopk(spark, out).count())

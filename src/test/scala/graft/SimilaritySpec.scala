@@ -429,6 +429,17 @@ class SimilaritySpec extends SparkSpec {
     assert(topk(fed) === topk(Similarity.pcaTopk(spark, sf)))
   }
 
+  test("PCA model round-trips through parquet with identical retrieval") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pca").toString
+    Similarity.trainPca(spark, sf).write.parquet(s"$dir/pca")
+    val loaded = spark.read.parquet(s"$dir/pca")
+    // parquet doubles round-trip bit-exactly, so fed-from-disk retrieval
+    // is identical to inline — the same train-once contract as the
+    // IVF/PQ model artifacts
+    assert(topk(Similarity.pcaTopk(spark, sf, precomputedComponents = Some(loaded)))
+      === topk(Similarity.pcaTopk(spark, sf)))
+  }
+
   test("int8 quantization: bounded reconstruction error, near-unit cosine") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap

@@ -99,6 +99,59 @@ object Layout {
         zvalue(col("o_custkey"), epochDay(col("o_orderdate"))).as("zval"))
       .orderBy(col("o_orderkey"))
 
+  /** Small-file compaction — the other half of lake maintenance next to
+    * [[zorderWrite]] (z-order organizes values; compaction fixes file
+    * counts). A partitioned table ingested in micro-batches accumulates
+    * files-per-partition ∝ batches × writer tasks; every later scan pays
+    * per-file open + footer cost, and at 100 TB the manifest/NameNode
+    * pressure alone forces periodic rewrite (Delta OPTIMIZE / Iceberg
+    * rewrite_data_files semantics, from bare Spark).
+    *
+    * One range exchange does everything: `repartitionByRange(ceil(rows /
+    * maxRecordsPerFile), partitionCol, orderCol)` packs each output task
+    * to ~one file's worth of CONTIGUOUS (partition, order) rows — so a
+    * skewed partition splits across exactly its proportional share of
+    * tasks (no hash-by-partition hot task), small partitions share tasks
+    * without producing extra files, and rows inside each rewritten file
+    * are clustered by `orderCol` for min/max skipping. The row-count pass
+    * that sizes the job is the same stats pass every compaction job
+    * already makes.
+    *
+    * Returns the per-partition audit (files_before, files_after, rows);
+    * content equality, file-count collapse, and pruning survival are
+    * spec-pinned (LayoutSpec).
+    */
+  def compactFiles(spark: SparkSession, inDir: String, outDir: String,
+      partitionCol: String, orderCol: Column,
+      maxRecordsPerFile: Long): DataFrame = {
+    val df = spark.read.parquet(inDir)
+    val total = df.count()
+    val nTasks = math.max(1L, (total + maxRecordsPerFile - 1) / maxRecordsPerFile).toInt
+    df.repartitionByRange(nTasks, col(partitionCol), orderCol)
+      .write.mode("overwrite").partitionBy(partitionCol)
+      .option("maxRecordsPerFile", maxRecordsPerFile).parquet(outDir)
+    val rows = df.groupBy(col(partitionCol).cast("string").as("partition"))
+      .agg(count(lit(1)).as("rows"))
+    import spark.implicits._
+    def filesPerPartition(dir: String): DataFrame = {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .map { st =>
+          val n = fs.listStatus(st.getPath)
+            .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          (st.getPath.getName.split("=", 2)(1), n.toLong)
+        }.toSeq.toDF("partition", "files")
+    }
+    rows
+      .join(filesPerPartition(inDir)
+        .withColumnRenamed("files", "files_before"), Seq("partition"), "left")
+      .join(filesPerPartition(outDir)
+        .withColumnRenamed("files", "files_after"), Seq("partition"), "left")
+      .orderBy(col("partition"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder" -> (zorderKeys _)
   )

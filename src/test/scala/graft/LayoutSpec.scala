@@ -42,6 +42,43 @@ class LayoutSpec extends SparkSpec {
     (touched, files.length)
   }
 
+
+  test("compaction collapses micro-batch files, preserves content and pruning") {
+    val base = Files.createTempDirectory("graft-compact").toString
+    val ev = Tables(spark, sf).events
+      .withColumn("day", date_format(
+        timestamp_seconds((col("ts") / 1000000000L).cast("long")), "yyyy-MM-dd"))
+    // fragment: 7-row rolling emulates many micro-batch ingests per day
+    ev.repartition(8)
+      .write.partitionBy("day").option("maxRecordsPerFile", 7)
+      .parquet(s"$base/in")
+    val audit = Layout.compactFiles(spark, s"$base/in", s"$base/out",
+      "day", col("user_id"), maxRecordsPerFile = 100000).collect()
+    assert(audit.nonEmpty)
+    audit.foreach { r =>
+      val (before, after, rows) = (r.getAs[Long]("files_before"),
+        r.getAs[Long]("files_after"), r.getAs[Long]("rows"))
+      assert(before > after, s"${r.getAs[String]("partition")}: $before -> $after")
+      // contiguous range packing: a day holding fewer rows than the cap
+      // lands in at most 2 files (a range boundary can split it once)
+      assert(after <= math.max(2L, rows / 100000 + 1),
+        s"${r.getAs[String]("partition")}: $after files for $rows rows")
+    }
+    // content round-trips exactly (day reads back as an inferred
+    // partition DATE — compare as string)
+    val back = spark.read.parquet(s"$base/out")
+    assert(back.count() === ev.count())
+    def canon(df: DataFrame) = df.select(col("event_id"), col("user_id"),
+      col("day").cast("string").as("day"))
+    assert(canon(back).except(canon(ev)).count() === 0)
+    assert(canon(ev).except(canon(back)).count() === 0)
+    // partition pruning survives the rewrite
+    val one = back.select("day").distinct().head.get(0).toString
+    val plan = back.filter(col("day") === one).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("day"))
+  }
+
+
   test("z-ordered layout prunes files on BOTH keys; single-sort prunes only its own") {
     val sf01 = "/root/testdata/sf0.01"
     val orders = Tables(spark, sf01).orders

@@ -2,7 +2,7 @@ package graft.etl
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType}
 import graft.Tables
 
 /** ETL surface (SURVEY §2.B) — the pyetl-equivalent pipeline re-expressed as
@@ -203,6 +203,33 @@ object JsonEtl {
 
   def redactDocs(s: SparkSession, dir: String): DataFrame =
     redact(Tables(s, dir).documents, "text")
+
+  // ------------------------------------------------------------ pseudonymize
+  /** Keyed pseudonymization: replace identity columns with stable salted
+    * digests — the sibling of [[redact]] for STRUCTURED identifiers.
+    * Redaction destroys the value; pseudonymization preserves the JOIN
+    * TOPOLOGY (same value + same salt → same token, across every table
+    * sharing the salt) while keeping no reversible mapping anywhere, so
+    * downstream analytics still group/join on the token. sha2-256 of
+    * salt:value, a pure codegen'd map stage — zero shuffle, rides the
+    * ingest scan at 100 TB exactly like redaction. Rotating the salt
+    * unlinks all prior tokens at once (the GDPR re-keying lever). Null
+    * identities stay null (concat propagates them) rather than collapsing
+    * onto a shared "null token" join key.
+    */
+  def pseudonymize(df: DataFrame, idCols: Seq[String],
+      salt: String): DataFrame =
+    idCols.foldLeft(df)((d, c) => d.withColumn(c,
+      sha2(concat(lit(salt), lit(":"), col(c).cast(StringType)), 256)))
+
+  /** Gate entry: events with user_id tokenized under a fixed demo salt
+    * (production salt comes from a secret store, not source code).
+    */
+  def pseudonymizeEvents(s: SparkSession, dir: String): DataFrame =
+    pseudonymize(Tables(s, dir).events
+        .select(col("event_id"), col("user_id"), col("event_type")),
+      Seq("user_id"), "pepper")
+      .orderBy(col("event_id"))
 
   // ------------------------------------------------------------ gap fill
   /** Time-series resampling with gap fill: per user-bucket hourly series
@@ -434,6 +461,7 @@ object JsonEtl {
     "etl_snapshot_diff"    -> (snapshotDiffEvents _),
     "etl_gap_fill"         -> (gapFill _),
     "etl_redact"           -> (redactDocs _),
+    "etl_pseudonymize"     -> (pseudonymizeEvents _),
     "etl_json_extract"     -> (jsonExtract _),
     "etl_enrich_partition" -> (enrichPartition _),
     "etl_route_filter"     -> (routeFilter _),
@@ -462,6 +490,11 @@ object JsonEtl {
         |FROM customer b FULL OUTER JOIN latest l ON b.c_custkey = l.c_custkey
         |WHERE l.last_op IS NULL OR l.last_op <> 'D'
         |ORDER BY c_custkey""".stripMargin,
+    "etl_pseudonymize" ->
+      """SELECT event_id,
+        |  sha256('pepper:' || CAST(user_id AS VARCHAR)) AS user_id,
+        |  event_type
+        |FROM events ORDER BY event_id""".stripMargin,
     "etl_snapshot_diff" ->
       """WITH b AS (SELECT CAST(FLOOR(MAX(event_id) / 2) AS BIGINT) AS cut
         |  FROM events),

@@ -320,6 +320,27 @@ class EtlSpec extends SparkSpec {
       (4L, None, 44.0, Some(4L))))      // inserted; non-payload cols null
   }
 
+  test("pseudonymize keeps join topology, leaves nulls null, unlinks on salt rotation") {
+    val ev = Tables(spark, sf).events.select("event_id", "user_id", "event_type")
+    val out = JsonEtl.pseudonymize(ev, Seq("user_id"), "s1")
+    // same id → same token: the distinct structure is untouched
+    assert(out.select("user_id").distinct().count()
+      === ev.select("user_id").distinct().count())
+    // group sizes survive tokenization (the multiset of per-key counts)
+    def sizes(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("user_id").count().select("count")
+        .collect().map(_.getLong(0)).sorted.toSeq
+    assert(sizes(out) === sizes(ev))
+    // null identities stay null — no shared "null token" join key
+    assert(out.filter(col("user_id").isNull).count()
+      === ev.filter(col("user_id").isNull).count())
+    // rotating the salt unlinks every token
+    def tokens(salt: String) = JsonEtl.pseudonymize(ev, Seq("user_id"), salt)
+      .filter(col("user_id").isNotNull).select("user_id")
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(tokens("s1").intersect(tokens("s2")).isEmpty)
+  }
+
   test("snapshotDiff emits added/changed keys only, from one scan of the log") {
     import spark.implicits._
     val log = Seq(

@@ -757,6 +757,95 @@ object Dedup {
       Tables(s, dir).documents.filter(col("doc_id") % 4 === 0), index)
   }
 
+  // ---------------------------------------------- embedding index / incremental
+  /** Persist the EMBEDDING near-dup index: raw vectors plus their
+    * materialized hyperplane buckets — [[saveMinhashIndex]]'s discipline
+    * for the vector tier. Buckets are recomputable (the kernel's planes
+    * are hash-derived constants), but materializing them is the point:
+    * an arriving batch then never rescans or re-hashes corpus vectors —
+    * it joins its own freshly-hashed buckets against stored bucket ids
+    * (16-byte rows) and pulls corpus vectors only for the candidates
+    * verification actually touches.
+    */
+  def saveEmbeddingIndex(s: SparkSession, vectors: DataFrame, path: String,
+      numTables: Int = Similarity.DefaultTables,
+      bits: Int = Similarity.DefaultBits): Unit = {
+    val e = vectors.select(col("vec_id"), col("embedding"))
+    e.write.mode("overwrite").parquet(s"$path/vectors")
+    Similarity.lshBuckets(e, 64, numTables, bits)
+      .write.mode("overwrite").parquet(s"$path/buckets")
+  }
+
+  /** (vectors, buckets) — pass both to [[embeddingIncremental]]. */
+  def loadEmbeddingIndex(s: SparkSession, path: String): (DataFrame, DataFrame) =
+    (s.read.parquet(s"$path/vectors"), s.read.parquet(s"$path/buckets"))
+
+  /** Fold a processed batch into the embedding index (plain parquet
+    * appends, nothing recomputed) — [[appendToMinhashIndex]]'s twin.
+    * The geometry (numTables, bits) must match the index's build
+    * geometry, as with every LSH artifact here.
+    */
+  def appendToEmbeddingIndex(s: SparkSession, batch: DataFrame, path: String,
+      numTables: Int = Similarity.DefaultTables,
+      bits: Int = Similarity.DefaultBits): Unit = {
+    val e = batch.select(col("vec_id"), col("embedding"))
+    e.write.mode("append").parquet(s"$path/vectors")
+    Similarity.lshBuckets(e, 64, numTables, bits)
+      .write.mode("append").parquet(s"$path/buckets")
+  }
+
+  /** [[minhashIncremental]]'s daily-batch discipline on the EMBEDDING
+    * tier: an arriving batch of vectors is near-dup-checked against the
+    * persisted index AND within itself without re-bucketing the corpus.
+    * Only the batch runs the hyperplane kernel; the corpus side
+    * contributes stored (tbl, bucket) ids to the candidate join and
+    * stored vectors to verification of candidates only. Output:
+    * (v1, v2, cosine) with v1 < v2, ≥1 side in the batch, cosine ≥ tau —
+    * exactly [[embeddingLsh]]'s full-corpus output restricted to pairs
+    * touching the batch (DedupSpec pins the equality).
+    */
+  def embeddingIncremental(s: SparkSession, batch: DataFrame,
+      indexVectors: DataFrame, indexBuckets: DataFrame, tau: Double = 0.4,
+      numTables: Int = Similarity.DefaultTables,
+      bits: Int = Similarity.DefaultBits): DataFrame = {
+    val be = batch.select(col("vec_id"), col("embedding"))
+    val bb = Similarity.lshBuckets(be, 64, numTables, bits)
+    val allB = indexBuckets.unionByName(bb)
+    val cand = bb.as("a").join(allB.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket")
+          && col("a.vec_id") =!= col("b.vec_id"))
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("v1"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("v2"))
+      .distinct()
+    val vecs = indexVectors.select(col("vec_id"), col("embedding")).unionByName(be)
+    cand
+      .join(vecs.select(col("vec_id").as("v1"), col("embedding").as("e1")), Seq("v1"))
+      .join(vecs.select(col("vec_id").as("v2"), col("embedding").as("e2")), Seq("v2"))
+      .select(col("v1"), col("v2"), cosine_sim(col("e1"), col("e2")).as("cosine"))
+      .filter(col("cosine") >= tau)
+      .orderBy(col("v1"), col("v2"))
+  }
+
+  private val embIndexMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (DataFrame, DataFrame)]()
+
+  /** Gate/bench form — the [[minhashIncremental]] slice discipline on
+    * vectors: batch = vec_id % 4 == 0, index = the persisted other 3/4.
+    */
+  def embeddingIncremental(s: SparkSession, dir: String): DataFrame = {
+    val ctx = s.sparkContext.applicationId + "/" + s.sparkContext.startTime
+    embIndexMemo.keySet.removeIf(_._1 != ctx)
+    val (vecs, buckets) = embIndexMemo.computeIfAbsent((ctx, dir), { _ =>
+      val path = System.getProperty("java.io.tmpdir") + "/graft_emb_index_" +
+        java.lang.Integer.toHexString((ctx + "|" + dir).hashCode)
+      saveEmbeddingIndex(s,
+        Tables(s, dir).embeddings.filter(col("vec_id") % 4 =!= 0), path)
+      loadEmbeddingIndex(s, path)
+    })
+    embeddingIncremental(s,
+      Tables(s, dir).embeddings.filter(col("vec_id") % 4 === 0), vecs, buckets)
+  }
+
   // ------------------------------------------------------------ fuzzy decontamination
   /** Cross-corpus fuzzy decontamination: flag TRAINING docs that are
     * MinHash near-duplicates of any BENCHMARK doc — the paraphrase-robust
@@ -832,7 +921,8 @@ object Dedup {
     "dedup_survivors"     -> ((s: SparkSession, dir: String) => nearDupSurvivors(s, dir)),
     "dedup_incremental"   -> ((s: SparkSession, dir: String) => incremental(s, dir)),
     "dedup_minhash_incremental" -> ((s: SparkSession, dir: String) => minhashIncremental(s, dir)),
-    "text_decontaminate_fuzzy" -> ((s: SparkSession, dir: String) => decontaminateFuzzy(s, dir)))
+    "text_decontaminate_fuzzy" -> ((s: SparkSession, dir: String) => decontaminateFuzzy(s, dir)),
+    "dedup_embedding_incremental" -> ((s: SparkSession, dir: String) => embeddingIncremental(s, dir)))
 
   /** dedup_minhash_lsh / dedup_simhash are rows-only: signatures depend on
     * engine-internal hashes (xxhash64/murmur); DedupSpec pins their recall

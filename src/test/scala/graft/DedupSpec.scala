@@ -238,6 +238,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("embedding incremental ≡ full-corpus LSH restricted to pairs touching the batch") {
+    val inc = Dedup.embeddingIncremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val full = Dedup.embeddingLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      .filter { case ((v1, v2), _) => v1 % 4 == 0 || v2 % 4 == 0 }
+    assert(inc.nonEmpty, "batch slice should cross near-dup vector pairs")
+    assert(inc == full,
+      s"incremental=${inc.keySet.toList.sorted} full-restricted=${full.keySet.toList.sorted}")
+  }
+
+  test("embedding index append: a later batch sees appended vectors without rebuild") {
+    val path = java.nio.file.Files.createTempDirectory("graft_emb_append").toString
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    Dedup.saveEmbeddingIndex(spark, e.filter(col("vec_id") % 4 >= 2), path)
+    Dedup.appendToEmbeddingIndex(spark, e.filter(col("vec_id") % 4 === 1), path)
+    val (vecs, buckets) = Dedup.loadEmbeddingIndex(spark, path)
+    val inc = Dedup.embeddingIncremental(spark,
+        e.filter(col("vec_id") % 4 === 0), vecs, buckets).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.embeddingLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (v1, v2) => v1 % 4 == 0 || v2 % 4 == 0 }.toSet
+    assert(inc === full)
+  }
+
   test("fuzzy decontamination: cross-corpus recall, exact-verified scores, no train×train") {
     val isBench = (id: Long) => id % 11 == 0
     // ground truth: exact word-bigram jaccard restricted to cross-corpus

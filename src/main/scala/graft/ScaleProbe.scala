@@ -135,6 +135,23 @@ object ScaleProbe {
         docsAll.filter(col("doc_id") % 4 === 0), idx).count()
       println(f"dedup_minhash_incremental: ${(System.nanoTime() - t1) / 1e9}%.1f s ($n rows)")
     }
+    // embedding twin of the line above: persist the vectors+buckets index
+    // of the 3/4 corpus once, then time the per-batch cost — batch
+    // hashing + bucket join against stored ids + cosine verify of
+    // candidates only (never a corpus rescan)
+    if (matched("dedup_embedding_incremental")) locally {
+      val embAll = spark.read.parquet(s"$out/embeddings.parquet")
+      val ip = s"$out/_emb_index"
+      val t0 = System.nanoTime()
+      graft.ops.Dedup.saveEmbeddingIndex(spark,
+        embAll.filter(col("vec_id") % 4 =!= 0), ip, bits = bits)
+      println(f"emb_index_build_save: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val (iv, ib) = graft.ops.Dedup.loadEmbeddingIndex(spark, ip)
+      val t1 = System.nanoTime()
+      val n = graft.ops.Dedup.embeddingIncremental(spark,
+        embAll.filter(col("vec_id") % 4 === 0), iv, ib, bits = bits).count()
+      println(f"dedup_embedding_incremental: ${(System.nanoTime() - t1) / 1e9}%.1f s ($n rows)")
+    }
     // span dedup in the dup-dense corpus: every interior 8-gram is shared
     // by all repl copies, so gram frequencies are ~repl per key while the
     // key cardinality stays ~fixed — wall should track the (doc, gram)

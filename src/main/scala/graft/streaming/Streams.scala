@@ -109,6 +109,34 @@ object Streams extends Serializable {
     events.withWatermark("ts", watermark)
       .dropDuplicates("userId", "ts")
 
+  /** Streaming keyed upsert — [[graft.etl.JsonEtl.latestByKey]]'s
+    * continuous twin: a latest-record-per-key materialized view fed by the
+    * stream, one state row per key holding the current winner (latest by
+    * (ts, value, eventType) — a total order, so ties can't flap between
+    * batches). Each batch emits ONLY keys whose winner changed — exactly
+    * the delta a downstream key-value store applies, pyetl's table
+    * destination without the per-message put loop.
+    *
+    * State is KEYSPACE-bounded (one row per live key), not
+    * watermark-bounded: an upsert view must answer for keys idle longer
+    * than any horizon, the same bound the downstream table itself carries.
+    * Late events fold in correctly (the max is order-independent), so no
+    * watermark is needed for correctness either.
+    */
+  def upsertLatest(events: Dataset[Event]): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[Event, Event](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (_: Long, evs: Iterator[Event], state: GroupState[Event]) =>
+          val prev = state.getOption
+          val winner = (evs ++ prev.iterator)
+            .maxBy(e => (e.ts.getTime, e.value, e.eventType))
+          state.update(winner)
+          if (prev.contains(winner)) Iterator.empty else Iterator.single(winner)
+      }
+  }
+
   /** Gap-based session windows via flatMapGroupsWithState with *event-time*
     * timeouts: a session closes `gapSec` after its last event, measured
     * against the watermark — wall-clock-independent, so replays and

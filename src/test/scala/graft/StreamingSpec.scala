@@ -24,6 +24,33 @@ class StreamingSpec extends SparkSpec {
     assert(q.awaitTermination(120000), s"stream $name did not finish"); q.stop()
   }
 
+  test("streaming upsert emits only changed winners; late events fold in") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    in.addData(Event(ts(5), 1, "a", 1.0), Event(ts(9), 1, "b", 2.0),
+      Event(ts(3), 2, "c", 3.0))
+    val q = Streams.upsertLatest(in.toDS()).writeStream
+      .format("memory").queryName("ups").outputMode("update").start()
+    q.processAllAvailable()
+    // batch 1: one winner per key
+    val b1 = spark.table("ups").as[Event].collect()
+    assert(b1.toSet === Set(Event(ts(9), 1, "b", 2.0), Event(ts(3), 2, "c", 3.0)))
+    // batch 2: a LATE event for key 1 (older than its winner — no emit)
+    // and a newer event for key 2 (winner changes — one emit)
+    in.addData(Event(ts(7), 1, "late", 9.0), Event(ts(8), 2, "d", 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("ups").as[Event].collect()
+    assert(all.length === 3, s"late non-winner must not re-emit: ${all.toSeq}")
+    // the materialized view (last emission per key) equals the batch
+    // latest-by-key fold over everything ingested
+    val view = all.groupBy(_.userId).view
+      .mapValues(_.maxBy(e => (e.ts.getTime, e.value, e.eventType))).toMap
+    assert(view(1L) === Event(ts(9), 1, "b", 2.0))
+    assert(view(2L) === Event(ts(8), 2, "d", 4.0))
+  }
+
   test("windowed counts aggregate a stream per 5-minute window") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -34,10 +34,21 @@ object Curation {
   def prepareCorpus(s: SparkSession, dir: String,
       numBuckets: Int = 8, budget: Long = 256,
       isBenchmark: org.apache.spark.sql.Column = col("doc_id") % 11 === 0,
-      pairs: Option[DataFrame] = None): DataFrame = {
+      pairs: Option[DataFrame] = None,
+      fuzzyDecontaminate: Boolean = false): DataFrame = {
     val curated = TextAnalysis.curateCorpus(s, dir).select(col("doc_id"))
-    val clean = TextAnalysis.decontaminate(Tables(s, dir).documents, isBenchmark)
+    val clean0 = TextAnalysis.decontaminate(Tables(s, dir).documents, isBenchmark)
       .filter(col("contaminated") === 0L).select(col("doc_id"))
+    // fuzzy decon COMPLEMENTS the exact gate (paraphrased contamination
+    // shares few exact 5-grams but keeps high shingle Jaccard) — so it
+    // subtracts from, never replaces, the exact-clean set. An anti-join
+    // against the flagged ids (a small frame: contaminated docs only)
+    // composes with the funnel's other id-list joins for free.
+    val clean = if (!fuzzyDecontaminate) clean0
+      else clean0.join(
+        Dedup.decontaminateFuzzy(s, Tables(s, dir).documents, isBenchmark)
+          .select(col("train_id").as("doc_id")),
+        Seq("doc_id"), "left_anti")
     // propagateMinLabels returns its labels CACHED and assigns unpersist
     // ownership to the caller (Dedup.scala contract) — so pin only the
     // tiny dropped-id list (non-canonical members of dup clusters, stored

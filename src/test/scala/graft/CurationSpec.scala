@@ -63,6 +63,18 @@ class CurationSpec extends SparkSpec {
     } finally { pairs.unpersist(); () }
   }
 
+  test("fuzzy decontamination stage subtracts exactly the flagged ids from the funnel") {
+    val fuzzyOut = Curation.prepareCorpus(spark, sf, fuzzyDecontaminate = true)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val baseKept = out.map(_.getAs[Long]("doc_id")).toSet
+    val flagged = Dedup.decontaminateFuzzy(spark, sf)
+      .collect().map(_.getAs[Long]("train_id")).toSet
+    // fuzzy only ever narrows the corpus, and the narrowing is exactly
+    // the flagged docs that the rest of the funnel would have kept
+    assert(fuzzyOut.subsetOf(baseKept))
+    assert(baseKept -- fuzzyOut === baseKept.intersect(flagged))
+  }
+
   test("the funnel composes with SEMANTIC (embedding) pairs — any edge list plugs in") {
     // the pairs parameter's contract: ANY (d1, d2) edge list drives the
     // near-dup stage — here SemDeDup's embedding pairs instead of

@@ -40,7 +40,7 @@ object Bench {
     "text_lang_id", "text_curate_corpus",
     "text_tfidf", "text_editdist_nn", "text_decontaminate", "text_pack_sequences",
     "text_repetition", "text_heavy_hitters", "text_prepare_corpus",
-    "text_prepare_corpus_pipelined",
+    "text_prepare_corpus_pipelined", "text_prepare_corpus_classified",
     "text_mixture_sample", "text_select_budget_threshold", "text_bpe_tokens",
     "text_source_stats", "text_source_sketches", "text_vocab_coverage",
     "text_chunk_documents",
@@ -124,28 +124,52 @@ object Bench {
     // output tail, which truncated the round-5 artifact. Two fixes:
     // (1) write the full JSON to a file the driver (or a human) can read;
     // (2) print a COMPACT summary as the LAST stdout line — per-query mins
-    // rounded to ms, no run arrays — sized to survive a 2000-char tail
-    // intact, so the captured artifact is always complete, parseable JSON.
+    // at ≥2 significant digits, no run arrays — sized to survive a
+    // 2000-char tail intact, so the captured artifact is always complete,
+    // parseable JSON (see compactJson below for the overflow policy).
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(full)
-    // one decimal: the compact line must stay inside the driver's 2000-char
-    // tail as the headline grows (CountsSpec pins the worst case); the
-    // detail file keeps 4-decimal per-run precision
-    def compactLine(fmt: Double => String): String = {
-      val qsCompact = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qsCompact,"warmup_sec":${f"$warmupSec%.1f"},"load_start":"$loadStart","load_end":"$loadEnd","sf":"$sfDir","detail_file":"$outPath"}"""
-    }
-    // runtime backstop for the 2000-char tail: if one-decimal per-query
-    // values ever outgrow it (they shouldn't — CountsSpec estimates the
-    // realistic worst case), fall back to whole seconds rather than let the
-    // driver capture a truncated line
-    val oneDecimal = compactLine(v => f"$v%.1f")
-    println(if (oneDecimal.length <= 1900) oneDecimal
-            else compactLine(v => f"$v%.0f"))
+    println(compactJson(results.map { case (k, v, _) => (k, v) }, total,
+      warmupSec, loadStart, loadEnd, sfDir, outPath))
     spark.stop()
+  }
+
+  /** The compact summary printed as the LAST stdout line — sized to
+    * survive the driver's 2000-char output tail as complete, parseable
+    * JSON. Per-query values keep ≥2 significant digits (2 decimals under
+    * 10 s, 1 decimal above — the round-7 whole-second fallback collapsed
+    * 49 of 76 entries to 0/1, which made the driver artifact useless for
+    * per-query comparison); if the line would outgrow `budget`, the
+    * CHEAPEST entries are aggregated into a `"rest":{"n":K,"sec":S}`
+    * bucket instead of degrading everyone's precision — the expensive
+    * entries are the ones a cross-round comparison needs, and the detail
+    * file keeps full 4-decimal per-run arrays for the rest.
+    */
+  private[graft] def compactJson(entries: Seq[(String, Double)], total: Double,
+      warmupSec: Double, loadStart: String, loadEnd: String, sfDir: String,
+      outPath: String, budget: Int = 1900): String = {
+    // tiered precision, always ≥2 significant digits: "0.47", "1.2", "22.1"
+    def fmt(v: Double): String = if (v < 1) f"$v%.2f" else f"$v%.1f"
+    def line(kept: Seq[(String, Double)], rest: Seq[(String, Double)]): String = {
+      val qs = kept.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val restField = if (rest.isEmpty) ""
+        else s""","rest":{"n":${rest.size},"sec":${fmt(rest.map(_._2).sum)}}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs$restField,"warmup_sec":${f"$warmupSec%.1f"},"load_start":"$loadStart","load_end":"$loadEnd","sf":"$sfDir","detail_file":"$outPath"}"""
+    }
+    // entries stay in headline order; the DROP order is cheapest-first
+    val byCost = entries.sortBy(_._2).map(_._1)
+    var nDrop = 0
+    var out = line(entries, Nil)
+    while (out.length > budget && nDrop < entries.size) {
+      nDrop += 1
+      val dropped = byCost.take(nDrop).toSet
+      out = line(entries.filterNot(e => dropped(e._1)),
+        entries.filter(e => dropped(e._1)))
+    }
+    out
   }
 }

@@ -19,9 +19,13 @@ object ScaleProbe {
     // an out dir keyed only on repl would silently serve corpus A's
     // replication to a probe of corpus B, and a path-only key would keep
     // serving a STALE replication after the source is regenerated in place
-    // (the round-7 testdata regeneration is exactly that event)
+    // (the round-7 testdata regeneration is exactly that event). BOTH
+    // source tables key the tag: regenerating embeddings.parquet alone
+    // must invalidate too, or the ANN/embedding probes would run against
+    // a stale replicated vector corpus.
     val srcTag = java.lang.Integer.toHexString((sfDir + "|" +
-      new java.io.File(s"$sfDir/documents.parquet").lastModified).hashCode)
+      new java.io.File(s"$sfDir/documents.parquet").lastModified + "|" +
+      new java.io.File(s"$sfDir/embeddings.parquet").lastModified).hashCode)
     val out = s"/tmp/graft_scale_${repl}x_$srcTag"
     val spark = GraftSession.local(32, "graft-scale-probe")
 

@@ -124,29 +124,60 @@ object Layout {
   def compactFiles(spark: SparkSession, inDir: String, outDir: String,
       partitionCol: String, orderCol: Column,
       maxRecordsPerFile: Long): DataFrame = {
+    // the overwrite write would destroy its own input: reject outDir ==
+    // inDir (and either nested in the other — a partitioned write INTO the
+    // input tree corrupts later scans just as surely) on the QUALIFIED
+    // paths, so "/a/b" vs "/a/./b" vs a schemeless spelling can't sneak by
+    val conf = spark.sparkContext.hadoopConfiguration
+    def qualified(d: String): String = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(conf).makeQualified(p).toString.stripSuffix("/")
+    }
+    val (qIn, qOut) = (qualified(inDir), qualified(outDir))
+    require(qIn != qOut && !qIn.startsWith(qOut + "/") && !qOut.startsWith(qIn + "/"),
+      s"compactFiles would overwrite its input: in=$qIn out=$qOut")
     val df = spark.read.parquet(inDir)
     val total = df.count()
     val nTasks = math.max(1L, (total + maxRecordsPerFile - 1) / maxRecordsPerFile).toInt
-    df.repartitionByRange(nTasks, col(partitionCol), orderCol)
-      .write.mode("overwrite").partitionBy(partitionCol)
-      .option("maxRecordsPerFile", maxRecordsPerFile).parquet(outDir)
+    // the audit's input-side frames materialize BEFORE the rewrite: rows
+    // is a lazy scan of inDir, and deferring it past a (mis)configured
+    // rewrite is how an audit ends up reading what the rewrite left behind
     val rows = df.groupBy(col(partitionCol).cast("string").as("partition"))
       .agg(count(lit(1)).as("rows"))
+      .localCheckpoint()
     import spark.implicits._
+    // partition dir names carry Spark's %XX path escaping (a value like
+    // "a b" lands as "a%20b"); decode before joining against the CAST
+    // partition column or escaped values silently audit as missing
+    def unescape(s: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == '%' && i + 3 <= s.length) {
+          try { sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3 }
+          catch { case _: NumberFormatException => sb.append(s.charAt(i)); i += 1 }
+        } else { sb.append(s.charAt(i)); i += 1 }
+      }
+      sb.toString
+    }
     def filesPerPartition(dir: String): DataFrame = {
       val fs = new org.apache.hadoop.fs.Path(dir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileSystem(conf)
       fs.listStatus(new org.apache.hadoop.fs.Path(dir))
         .filter(st => st.isDirectory && st.getPath.getName.contains("="))
         .map { st =>
           val n = fs.listStatus(st.getPath)
             .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          (st.getPath.getName.split("=", 2)(1), n.toLong)
+          (unescape(st.getPath.getName.split("=", 2)(1)), n.toLong)
         }.toSeq.toDF("partition", "files")
     }
+    val before = filesPerPartition(inDir).withColumnRenamed("files", "files_before")
+      .localCheckpoint()
+    df.repartitionByRange(nTasks, col(partitionCol), orderCol)
+      .write.mode("overwrite").partitionBy(partitionCol)
+      .option("maxRecordsPerFile", maxRecordsPerFile).parquet(outDir)
     rows
-      .join(filesPerPartition(inDir)
-        .withColumnRenamed("files", "files_before"), Seq("partition"), "left")
+      .join(before, Seq("partition"), "left")
       .join(filesPerPartition(outDir)
         .withColumnRenamed("files", "files_after"), Seq("partition"), "left")
       .orderBy(col("partition"))

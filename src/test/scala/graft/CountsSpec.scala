@@ -42,19 +42,58 @@ class CountsSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"headline names without queries: $orphans")
   }
 
-  test("the compact bench line stays inside the driver's 2000-char output tail") {
-    // Bench prints a compact summary as its LAST stdout line precisely so
-    // a 2000-char tail holds complete JSON. Two layers keep that true as
-    // the headline grows: at print time Bench falls back from one-decimal
-    // to whole-second per-query values when the line would exceed 1900
-    // chars, and THIS assertion pins the fallback's own worst case — every
-    // entry at a 2-digit whole-second value ("name":99,) plus 230 chars of
-    // fixed fields (including the two loadavg strings) must still fit.
-    // One-decimal mode overflowing merely costs precision; the fallback
-    // overflowing would truncate the artifact, so that is the hard bound.
-    val worstFallback = Bench.headline.map(n => n.length + 6).sum + 230
-    assert(worstFallback < 1900,
-      s"estimated FALLBACK compact-line worst case $worstFallback chars — " +
-        "split the headline before the driver tail truncates it again")
+  private def compact(entries: Seq[(String, Double)]): String =
+    Bench.compactJson(entries, entries.map(_._2).sum, 12.3,
+      "1.23 2.34 3.45", "1.23 2.34 3.45", "/root/testdata/sf0.1",
+      "BENCH_local.json")
+
+  test("the compact bench line keeps ≥2-significant-digit precision at quiet-host values") {
+    // the round-7 regression: the one-decimal line outgrew the tail and
+    // the whole-second fallback collapsed 49 of 76 entries to 0/1. The
+    // rebuilt compactJson keeps ≥2 significant digits per KEPT entry
+    // ("0.47" / "1.2" / "22.1") and aggregates only the CHEAPEST entries
+    // into a "rest":{"n","sec"} bucket when the line would overflow — at
+    // 77 headline names (1221 chars of keys alone) some bucketing is
+    // structural, so the guard is: the bucket stays small, and every
+    // entry that matters for cross-round comparison stays individual.
+    val entries = Bench.headline.zipWithIndex.map { case (n, i) =>
+      (n, if (i % 3 == 0) 1.23 else 0.47) } // realistic quiet-host mix
+    val line = compact(entries)
+    assert(line.length <= 1900, s"quiet-host line is ${line.length} chars")
+    assert(line.contains("\":0.47") || line.contains("\":1.2"),
+      "kept entries must keep tiered ≥2-sig-digit precision")
+    val restN = """"rest":\{"n":(\d+)""".r.findFirstMatchIn(line)
+      .map(_.group(1).toInt).getOrElse(0)
+    assert(restN <= 12,
+      s"quiet-host bucketing must stay small ($restN bucketed) — " +
+        "trim fixed fields or split the line before it grows")
+    // the bucket only ever absorbs the cheapest tier
+    if (restN > 0) {
+      val qEnd = if (line.contains("\"rest\"")) line.indexOf("\"rest\"")
+                 else line.indexOf("\"warmup_sec\"")
+      val keptVals = """":(\d+\.\d+)""".r.findAllMatchIn(
+        line.substring(line.indexOf("\"queries\""), qEnd))
+        .map(_.group(1).toDouble).toSeq
+      assert(keptVals.count(_ >= 1.0) === entries.count(_._2 >= 1.0),
+        "every ≥1s entry must survive bucketing individually")
+    }
+  }
+
+  test("the compact bench line survives contaminated-host values via the rest bucket") {
+    // the round-7 failure shape: every entry inflated to tens of seconds
+    // (5 chars each). The line must STILL fit the 2000-char tail, the
+    // expensive entries must keep their precision, and what overflows
+    // must be accounted for in the rest bucket, not silently dropped.
+    val entries = Bench.headline.zipWithIndex.map { case (n, i) =>
+      (n, 10.0 + i * 0.7) }
+    val line = compact(entries)
+    assert(line.length <= 1900, s"contaminated line is ${line.length} chars")
+    // the most expensive entry always survives with 1-decimal precision
+    val (topName, topV) = entries.maxBy(_._2)
+    assert(line.contains("\"" + topName + "\":" + f"$topV%.1f"),
+      s"most expensive entry must stay individually reported: $topName")
+    // if anything was bucketed, the bucket carries count + seconds
+    if (line.contains("\"rest\""))
+      assert(line.matches(""".*"rest":\{"n":\d+,"sec":[0-9.]+\}.*"""))
   }
 }

@@ -41,12 +41,22 @@ class PipelineSpec extends SparkSpec {
 
   test("config-driven pipeline: a JSON config string drives the full run") {
     val dir = Files.createTempDirectory("graft-pipe-cfg").toString
+    // the config path reads the RAW parquet (no Tables.tsToNanos seam), so
+    // the ts expression must match the generation on disk: a nanos-epoch
+    // LongType generation fed to CAST(ts AS TIMESTAMP) would interpret the
+    // long as SECONDS and produce far-future day partitions the count
+    // assertions below would silently accept — hence the type branch AND
+    // the plausible-day assertion against the Tables-normalized truth.
+    val tsType = spark.read.parquet(s"$sf/events.parquet").schema("ts").dataType
+    val tsSecExpr =
+      if (tsType == LongType) "CAST(ts / 1000000000 AS BIGINT)"
+      else "unix_seconds(CAST(ts AS TIMESTAMP))"
     val config = s"""{
       "input": {"path": "$sf/events.parquet", "format": "parquet"},
       "baseDir": "$dir",
       "jsonCol": "props",
       "jsonPaths": {"$$.k": "k"},
-      "tsSecExpr": "unix_seconds(CAST(ts AS TIMESTAMP))",
+      "tsSecExpr": "$tsSecExpr",
       "maxRecordsPerFile": 10,
       "routes": {
         "purchases": {"predicate": "event_type = 'purchase'", "format": "json"},
@@ -65,6 +75,17 @@ class PipelineSpec extends SparkSpec {
     val dayDirs = new java.io.File(s"$dir/everything_else").listFiles()
       .filter(_.getName.startsWith("day="))
     assert(dayDirs.nonEmpty)
+    // the day partitions must be the REAL event days, not an artifact of a
+    // mis-typed ts expression: compare against the generation-independent
+    // normalization (Tables.tsToNanos → floor-seconds → yyyy-MM-dd)
+    val expectDays = Tables(spark, sf).events
+      .select(date_format(timestamp_seconds((col("ts") / 1000000000L)
+        .cast(LongType)), "yyyy-MM-dd").as("day"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val gotDays = dayDirs.map(_.getName.stripPrefix("day=")).toSet
+    assert(gotDays.subsetOf(expectDays),
+      s"config-run day partitions must be real event days; got ${gotDays.take(3)} " +
+        s"expected within ${expectDays.take(3)}")
   }
 
   test("config validation: missing pieces fail fast with a clear message") {

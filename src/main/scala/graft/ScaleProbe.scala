@@ -101,6 +101,23 @@ object ScaleProbe {
     time(s"embedding_lsh(bits=$bits)")(
       graft.ops.Dedup.embeddingLsh(spark, out, 0.4, 4, bits).count())
     time("ann_ivf_topk")(graft.ops.Similarity.ivfTopk(spark, out).count())
+    // sample-trained Lloyd: training wall must decouple from N. Times the
+    // same 2-iteration refinement full-corpus vs on the bounded hash
+    // sample (cap forced to 32k here: this replication's 200k vectors sit
+    // under the 256k production default, so the engaged-sample path needs
+    // a smaller cap to exercise at probe scale). The centroids differ;
+    // recall parity is SimilaritySpec's job — this line measures the wall
+    if (matched("kmeans_train")) locally {
+      val emb = spark.read.parquet(s"$out/embeddings.parquet")
+      val t0 = System.nanoTime()
+      graft.ops.Similarity.kmeans(emb, col("label"), 2,
+        trainCap = Long.MaxValue).count()
+      println(f"kmeans_train(full): ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val t1 = System.nanoTime()
+      graft.ops.Similarity.kmeans(emb, col("label"), 2,
+        trainCap = 32768).count()
+      println(f"kmeans_train(sample=32k): ${(System.nanoTime() - t1) / 1e9}%.1f s")
+    }
     time("text_tfidf")(graft.ops.TextAnalysis.tfIdf(spark, out).count())
     time("text_curate")(graft.ops.TextAnalysis.curateCorpus(spark, out).count())
     time("text_lang_id")(graft.ops.TextAnalysis.langId(spark, out).count())

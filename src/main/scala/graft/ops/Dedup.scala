@@ -386,7 +386,17 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val e = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
     val k = math.max(2, (e.count() / targetCluster).toInt)
-    val cents = Similarity.kmeans(e, pmod(col("vec_id"), lit(k)), iters)
+    // k ∝ N here, so the kmeans default cap alone would starve large-k
+    // trainings (falling under 1 training point per cell once N/128
+    // outgrows 256k cells); scale the cap with k so Lloyd always sees
+    // ~TrainSamplePerCell points per cell. With targetCluster=128 that
+    // caps training at ~0.78N — a modest constant-factor saving, by
+    // design: when k must track N, per-cell sample floors dominate, and
+    // the structural 100 TB saving at this tier is two-level membership
+    // (and iters, each now scanning the sample, not the corpus).
+    val cents = Similarity.kmeans(e, pmod(col("vec_id"), lit(k)), iters,
+      trainCap = math.max(Similarity.TrainSamplePerCell * k,
+        Similarity.TrainSampleMin))
     val cprobe = resolveCoarseProbe(coarseProbe, k, autoTwoLevelK)
     // multi-probe membership: rank cells per vector (the window is why
     // this doesn't reuse assignCells' max_by — multi-probe needs the top

@@ -162,16 +162,56 @@ object Similarity {
   private[graft] def centroids(e: DataFrame, refineIters: Int = 2): DataFrame =
     kmeans(e, col("label"), refineIters)
 
+  /** Default Lloyd training-sample cap: 256k vectors. Below it the sample
+    * IS the corpus (training is exactly the pre-sampling behavior — every
+    * gate/spec scale sits here); above it the per-iteration scan cost is
+    * bounded regardless of N. FAISS's clustering defaults train on a
+    * bounded per-centroid sample for the same reason; callers that know k
+    * should pass max([[TrainSamplePerCell]]·k, this) so large-k clusterings
+    * keep ≥~100 training points per cell.
+    */
+  private[graft] val TrainSampleMin: Long = 256L * 1024
+  private[graft] val TrainSamplePerCell: Long = 100L
+
+  /** Deterministic bounded training sample: keep vec_ids whose xxhash64
+    * lands in the lowest ⌈cap/N⌉ slice of a 2^20 hash ring. Partition- and
+    * run-independent (pure function of vec_id), pushes to the scan as a
+    * filter, and degenerates to the identity when N ≤ cap — so small
+    * corpora train on everything and the sample only engages where the
+    * O(N)-per-iteration cost would actually bite. The count is one
+    * column-pruned pass, paid once per TRAINING (not per query batch).
+    */
+  private[graft] def trainSample(e: DataFrame, cap: Long): DataFrame = {
+    val n = e.count()
+    if (n <= cap) e
+    else {
+      val ring = 1L << 20
+      val keep = math.max(1L, math.ceil(cap.toDouble / n * ring).toLong)
+      e.filter(pmod(xxhash64(col("vec_id")), lit(ring)) < lit(keep))
+    }
+  }
+
   /** Lloyd's algorithm from an arbitrary deterministic seed assignment —
     * the general form behind [[centroids]] (label-seeded IVF) and
     * [[Dedup.semantic]] (vec_id-mod-k seeded SemDeDup clustering). Every
     * step is scan + groupBy with the centroid table broadcast —
     * O(cells·dim) driver state, broadcastable into the hundreds of
     * thousands of cells (25 MB at 100k cells × 64 floats).
+    *
+    * Training runs on a bounded deterministic sample ([[trainSample]],
+    * capped at `trainCap`): refinement iterations scan O(min(N, cap))
+    * vectors, so training wall is decoupled from corpus size — consumers
+    * assign the FULL corpus exactly once against the finished centroids
+    * (the [[assignCells]] pass they already pay). Identical to full-corpus
+    * training when N ≤ cap; at larger N the centroids differ but stay a
+    * valid quantization of the same distribution — SimilaritySpec pins
+    * recall parity of sample-trained vs full-trained retrieval.
     */
-  private[graft] def kmeans(e: DataFrame, seed: Column, refineIters: Int): DataFrame = {
+  private[graft] def kmeans(e: DataFrame, seed: Column, refineIters: Int,
+      trainCap: Long = TrainSampleMin): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
+    val train = trainSample(e, trainCap)
     def centroidOf(assigned: DataFrame): DataFrame =
       assigned.select(col("cell"), posexplode(col("embedding")).as(Seq("d", "x")))
         .groupBy(col("cell"), col("d"))
@@ -186,10 +226,10 @@ object Similarity {
     def materialize(df: DataFrame): DataFrame =
       df.as[(Int, Array[Float])].collect().toSeq.toDF("cell", "centroid")
     var cents = materialize(
-      centroidOf(e.select(seed.cast("int").as("cell"), col("embedding"))))
+      centroidOf(train.select(seed.cast("int").as("cell"), col("embedding"))))
     var it = 0
     while (it < refineIters) {
-      cents = materialize(centroidOf(assignCells(e, cents)))
+      cents = materialize(centroidOf(assignCells(train, cents)))
       it += 1
     }
     cents
@@ -657,12 +697,21 @@ object Similarity {
   private def withSub(cb: DataFrame, ksub: Int): DataFrame =
     cb.withColumn("sub", (col("cell") / lit(ksub)).cast("int"))
 
-  /** (cell = sub·ksub + j, centroid) codebook via Lloyd on subvector rows. */
+  /** (cell = sub·ksub + j, centroid) codebook via Lloyd on subvector rows.
+    * Trains on the bounded [[trainSample]] (the [[kmeans]] discipline —
+    * identity below [[TrainSampleMin]] vectors, so nothing changes at gate
+    * scale): each Lloyd iteration scans O(min(N, cap)·m) subvector rows
+    * regardless of corpus size. Corpus ENCODING ([[assignCodes]] in the
+    * consumers) still covers every vector — only the codebook fit is
+    * sampled, and ksub=16 centroids per subspace need far fewer than 256k
+    * training points to converge.
+    */
   private[graft] def pqCodebooks(e: DataFrame, m: Int = PqM, ksub: Int = PqKsub,
-      dim: Int = 64, iters: Int = 2): DataFrame = {
+      dim: Int = 64, iters: Int = 2,
+      trainCap: Long = TrainSampleMin): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    val subs = subvectors(e, m, dim)
+    val subs = subvectors(trainSample(e, trainCap), m, dim)
     def centroidOf(assigned: DataFrame): DataFrame =
       assigned.select(col("cell"), posexplode(col("sv")).as(Seq("d", "x")))
         .groupBy(col("cell"), col("d"))

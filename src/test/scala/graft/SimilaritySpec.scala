@@ -338,6 +338,21 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfpq >= 0.9, s"structured-corpus IVFPQ recall@5=$ivfpq")
     assert(res >= ivfpq - 1e-9,
       s"structured-corpus residual recall@5=$res must not trail raw=$ivfpq")
+    // sample-trained coarse quantizer in the same regime: 500 of 2000
+    // training points (25/cluster) recover the cluster structure a full
+    // scan would — retrieval parity holds tight exactly where the tiers
+    // are used (the near-random-corpus parity test needs a wider band
+    // because there the cells are arbitrary)
+    locally {
+      import org.apache.spark.sql.functions.col
+      val eS = spark.read.parquet(s"$dir/embeddings.parquet")
+      val fullIvf = recallS(topk(Similarity.ivfTopk(spark, dir,
+        Some(Similarity.kmeans(eS, col("label"), 2, trainCap = Long.MaxValue)))))
+      val sampIvf = recallS(topk(Similarity.ivfTopk(spark, dir,
+        Some(Similarity.kmeans(eS, col("label"), 2, trainCap = 500)))))
+      assert(sampIvf >= fullIvf - 0.05,
+        s"structured sample-trained IVF recall@5=$sampIvf vs full $fullIvf")
+    }
   }
 
   test("JL projection is bit-exact vs an in-order Scala fold and preserves distances") {
@@ -459,5 +474,64 @@ class SimilaritySpec extends SparkSpec {
       if (na > 0 && nb > 0)
         assert(dot / (na * nb) > 0.99, s"vec $id: quantization destroyed direction")
     }
+  }
+
+  test("training sample: deterministic, bounded, identity below the cap") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val n = e.count() // 500 at sf0.001
+    // identity when the corpus fits the cap — the no-op path every gate
+    // query takes, so nothing about gate plans or outputs changed
+    assert(Similarity.trainSample(e, n) eq e)
+    // deterministic: two evaluations pick the same vec_ids (pure hash of
+    // vec_id, independent of partitioning / evaluation order)
+    def ids(cap: Long): Seq[Long] = Similarity.trainSample(e, cap)
+      .select(col("vec_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(250) === ids(250))
+    // bounded: the hash slice targets ~cap rows; binomial noise around it
+    // is fine, an unbounded or near-empty sample is not
+    val got = ids(250).size
+    assert(got <= 350 && got >= 150, s"sample of cap=250 from n=$n got $got")
+    // monotone nesting: a smaller cap's sample is a subset of a larger
+    // cap's (the hash ring slices nest) — retraining with a raised cap
+    // only ADDs training data
+    assert(ids(125).toSet.subsetOf(ids(250).toSet))
+  }
+
+  test("sample-trained k-means: recall parity vs full-corpus training at two caps") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    // full-corpus training (cap >= N) is the pre-sampling behavior; force
+    // the sample on at two geometries and require retrieval recall within
+    // noise of it — the centroids differ, but both are valid quantizations
+    // of the same distribution, so the cell-probing recall cap moves only
+    // marginally
+    val full = recallAt5(topk(Similarity.ivfTopk(spark, sf,
+      Some(Similarity.kmeans(e, col("label"), 2, trainCap = Long.MaxValue)))))
+    // cap=250 keeps ~25 points/cell: measured 0.52 vs full 0.52 — within
+    // the 0.1 parity band
+    val rHalf = recallAt5(topk(Similarity.ivfTopk(spark, sf,
+      Some(Similarity.kmeans(e, col("label"), 2, trainCap = 250)))))
+    assert(rHalf >= full - 0.1,
+      s"sample-trained (cap=250) recall@5=$rHalf vs full-trained $full")
+    // cap=125 starves cells (~12 points each — far under the
+    // TrainSamplePerCell=100 floor the production cap formula enforces):
+    // measured 0.38 vs 0.52, a real degradation that is exactly WHY the
+    // per-cell floor exists. Still a valid quantization — pinned at the
+    // family's recall floor, not at parity
+    val rQuarter = recallAt5(topk(Similarity.ivfTopk(spark, sf,
+      Some(Similarity.kmeans(e, col("label"), 2, trainCap = 125)))))
+    assert(rQuarter >= 0.15,
+      s"sample-trained (cap=125) recall@5=$rQuarter below floor")
+    // PQ side: codebooks fit on the sample, corpus still encodes in full —
+    // ADC retrieval keeps useful recall at a halved training corpus
+    val fullPq = recallAt5(topk(Similarity.pqTopk(spark, sf,
+      codebooks = Some(Similarity.pqCodebooks(e, trainCap = Long.MaxValue)))))
+    val sampPq = recallAt5(topk(Similarity.pqTopk(spark, sf,
+      codebooks = Some(Similarity.pqCodebooks(e, trainCap = 250)))))
+    assert(sampPq >= fullPq - 0.1,
+      s"sample-trained PQ recall@5=$sampPq vs full-trained $fullPq")
   }
 }

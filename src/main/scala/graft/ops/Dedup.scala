@@ -657,11 +657,55 @@ object Dedup {
     * build, and never again.
     */
   def saveMinhashIndex(s: SparkSession, corpus: DataFrame, path: String,
-      numHashes: Int = DefaultNumHashes): Unit =
+      numHashes: Int = DefaultNumHashes): Unit = {
     signatures(s, corpus, numHashes).write.mode("overwrite").parquet(path)
+    // rebuild = clean slate: tombstones belong to the previous build
+    val ts = new org.apache.hadoop.fs.Path(minhashTombstonePath(path))
+    ts.getFileSystem(s.sparkContext.hadoopConfiguration).delete(ts, true)
+  }
 
+  /** The persisted signatures with any [[removeFromMinhashIndex]]
+    * tombstones already anti-joined away — consumers never see deleted
+    * docs. The tombstone file lives at a SIBLING path (`<path>_tombstones`)
+    * because the index path itself must stay a pure parquet dataset the
+    * plain append of [[appendToMinhashIndex]] can keep writing into.
+    */
   def loadMinhashIndex(s: SparkSession, path: String): DataFrame =
-    s.read.parquet(path)
+    Similarity.applyTombstones(s, s.read.parquet(path),
+      minhashTombstonePath(path), "doc_id")
+
+  private def minhashTombstonePath(path: String): String = s"${path}_tombstones"
+
+  /** Delete documents from the signature index without rewriting it —
+    * the takedown shape ([[graft.ops.Similarity.removeFromIndex]]'s
+    * discipline): append ids to the tombstone file, O(|removed|) per
+    * delete; [[loadMinhashIndex]] filters them on every read and
+    * [[compactMinhashIndex]] folds them into the physical table.
+    * Signatures are content-derived per doc, so the tombstoned index is
+    * EXACTLY the index built without those docs (spec-pinned).
+    */
+  def removeFromMinhashIndex(s: SparkSession, path: String,
+      removedIds: DataFrame): Unit =
+    removedIds.select(col("doc_id")).write.mode("append")
+      .parquet(minhashTombstonePath(path))
+
+  /** Nightly-append hygiene for the signature index: fold tombstones into
+    * the physical table and bound the file count that daily
+    * [[appendToMinhashIndex]] folds accumulate (one file per writer task
+    * per append — 30 appends of small batches is ~30+ footers every batch
+    * join re-opens). One [[graft.ops.Layout.compactFlat]] rewrite, staged
+    * and atomically swapped; returns (files_before, files_after, live_rows).
+    * Frames loaded BEFORE compaction are lazy views over the replaced
+    * files (tombstone file included) — re-load after maintenance.
+    */
+  def compactMinhashIndex(s: SparkSession, path: String,
+      maxRecordsPerFile: Long = 1L * 1024 * 1024): (Long, Long, Long) = {
+    val audit = graft.ops.Layout.compactFlat(s, path, col("doc_id"),
+      maxRecordsPerFile, source = Some(loadMinhashIndex(s, path)))
+    val ts = new org.apache.hadoop.fs.Path(minhashTombstonePath(path))
+    ts.getFileSystem(s.sparkContext.hadoopConfiguration).delete(ts, true)
+    audit
+  }
 
   /** [[incremental]]'s daily-batch discipline lifted from exact hashes to
     * MinHash near-dups: an arriving batch is near-dup-checked against the
@@ -784,11 +828,48 @@ object Dedup {
     e.write.mode("overwrite").parquet(s"$path/vectors")
     Similarity.lshBuckets(e, 64, numTables, bits)
       .write.mode("overwrite").parquet(s"$path/buckets")
+    // rebuild = clean slate: tombstones belong to the previous build
+    val ts = new org.apache.hadoop.fs.Path(s"$path/tombstones.parquet")
+    ts.getFileSystem(s.sparkContext.hadoopConfiguration).delete(ts, true)
   }
 
-  /** (vectors, buckets) — pass both to [[embeddingIncremental]]. */
-  def loadEmbeddingIndex(s: SparkSession, path: String): (DataFrame, DataFrame) =
-    (s.read.parquet(s"$path/vectors"), s.read.parquet(s"$path/buckets"))
+  /** (vectors, buckets) — pass both to [[embeddingIncremental]]. Both
+    * frames come back with any [[removeFromEmbeddingIndex]] tombstones
+    * anti-joined away, so a deleted vector neither generates candidates
+    * (buckets) nor serves verification (vectors).
+    */
+  def loadEmbeddingIndex(s: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val ts = s"$path/tombstones.parquet"
+    (Similarity.applyTombstones(s, s.read.parquet(s"$path/vectors"), ts, "vec_id"),
+      Similarity.applyTombstones(s, s.read.parquet(s"$path/buckets"), ts, "vec_id"))
+  }
+
+  /** Tombstone delete for the embedding index — one id list covers both
+    * the vectors and buckets tables ([[loadEmbeddingIndex]] filters both);
+    * [[compactEmbeddingIndex]] folds it into the physical files.
+    */
+  def removeFromEmbeddingIndex(s: SparkSession, path: String,
+      removedIds: DataFrame): Unit =
+    removedIds.select(col("vec_id")).write.mode("append")
+      .parquet(s"$path/tombstones.parquet")
+
+  /** Append hygiene for the embedding index: compact BOTH grown tables
+    * (vectors and buckets) with tombstones folded in, then drop the
+    * tombstone file. Returns the two audits as
+    * ((files_before, files_after, rows) vectors, (..) buckets).
+    */
+  def compactEmbeddingIndex(s: SparkSession, path: String,
+      maxRecordsPerFile: Long = 1L * 1024 * 1024)
+      : ((Long, Long, Long), (Long, Long, Long)) = {
+    val (vecs, buckets) = loadEmbeddingIndex(s, path)
+    val av = graft.ops.Layout.compactFlat(s, s"$path/vectors", col("vec_id"),
+      maxRecordsPerFile, source = Some(vecs))
+    val ab = graft.ops.Layout.compactFlat(s, s"$path/buckets", col("vec_id"),
+      maxRecordsPerFile, source = Some(buckets))
+    val ts = new org.apache.hadoop.fs.Path(s"$path/tombstones.parquet")
+    ts.getFileSystem(s.sparkContext.hadoopConfiguration).delete(ts, true)
+    (av, ab)
+  }
 
   /** Fold a processed batch into the embedding index (plain parquet
     * appends, nothing recomputed) — [[appendToMinhashIndex]]'s twin.

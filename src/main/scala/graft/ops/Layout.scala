@@ -183,6 +183,62 @@ object Layout {
       .orderBy(col("partition"))
   }
 
+  /** Rewrite a parquet dataset in place: the new content lands in
+    * `<dir>.compacting`, then two metadata renames swap it live (the old
+    * data rides at `<dir>.old` until the new tree is in place, then
+    * drops). The write callback receives the STAGING path — reading the
+    * live `dir` lazily inside it is safe because nothing touches `dir`
+    * until the write has committed. This is [[graft.etl.Sinks.auditedPromote]]'s
+    * staging discipline for maintenance rewrites of an existing artifact:
+    * concurrent readers see the old tree or the new tree, never a
+    * half-written one (rename is a metadata move on HDFS-likes; object
+    * stores need their usual rename caveats).
+    */
+  def rewriteInPlace(spark: SparkSession, dir: String)(write: String => Unit): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    val staging = new org.apache.hadoop.fs.Path(dir + ".compacting")
+    val old = new org.apache.hadoop.fs.Path(dir + ".old")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    write(staging.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(p, old), s"rewriteInPlace: rename $dir -> $old failed")
+    require(fs.rename(staging, p), s"rewriteInPlace: rename $staging -> $dir failed")
+    fs.delete(old, true)
+  }
+
+  /** [[compactFiles]] for an UNPARTITIONED parquet dataset rewritten in
+    * place — the shape the persisted dedup/ANN index artifacts have (flat
+    * dirs grown by nightly `mode("append")` folds, one small file per
+    * writer task per append). One range exchange on `orderCol` packs
+    * ~maxRecordsPerFile contiguous rows per output file (clustered for
+    * min/max skipping on the read key), and the swap is [[rewriteInPlace]].
+    * `source` defaults to the live dir; passing a filtered frame over it
+    * (e.g. the index minus its tombstones) folds deletes into the same
+    * rewrite — which is why the index compaction entry points route here.
+    * Returns (files_before, files_after, rows_written).
+    */
+  def compactFlat(spark: SparkSession, dir: String, orderCol: Column,
+      maxRecordsPerFile: Long,
+      source: Option[DataFrame] = None): (Long, Long, Long) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def parquetFiles(d: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(conf)
+      fs.listStatus(p).count(f => f.isFile && f.getPath.getName.endsWith(".parquet")).toLong
+    }
+    val before = parquetFiles(dir)
+    val df = source.getOrElse(spark.read.parquet(dir))
+    val total = df.count()
+    val nTasks = math.max(1L, (total + maxRecordsPerFile - 1) / maxRecordsPerFile).toInt
+    rewriteInPlace(spark, dir) { staging =>
+      df.repartitionByRange(nTasks, orderCol)
+        .write.option("maxRecordsPerFile", maxRecordsPerFile).parquet(staging)
+    }
+    (before, parquetFiles(dir), total)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder" -> (zorderKeys _)
   )

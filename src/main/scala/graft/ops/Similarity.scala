@@ -921,12 +921,73 @@ object Similarity {
       codes: DataFrame): Unit = {
     saveModels(path, cents, codebooks)
     codes.write.mode("overwrite").parquet(s"$path/pq_codes.parquet")
+    // a rebuilt index starts with a clean slate — tombstones belong to the
+    // PREVIOUS corpus build and must not filter the new one
+    val ts = new org.apache.hadoop.fs.Path(tombstonePath(path))
+    ts.getFileSystem(codes.sparkSession.sparkContext.hadoopConfiguration)
+      .delete(ts, true)
   }
 
-  /** (IVF centroids, PQ codebooks, corpus codes) from [[saveIndex]]. */
+  /** (IVF centroids, PQ codebooks, corpus codes) from [[saveIndex]] —
+    * with any [[removeFromIndex]] tombstones already applied, so every
+    * consumer (serving, compaction, further appends) sees only live
+    * vectors without having to know deletes exist.
+    */
   def loadIndex(s: SparkSession, path: String): (DataFrame, DataFrame, DataFrame) = {
     val (cents, cb) = loadModels(s, path)
-    (cents, cb, s.read.parquet(s"$path/pq_codes.parquet"))
+    val codes = s.read.parquet(s"$path/pq_codes.parquet")
+    (cents, cb, applyTombstones(s, codes, tombstonePath(path), "vec_id"))
+  }
+
+  private def tombstonePath(path: String): String = s"$path/tombstones.parquet"
+
+  /** Anti-join `df` against the tombstone set at `tsPath` when one exists
+    * (key-only rows — the join shuffles ids, never payloads). Shared by the
+    * ANN index here and the dedup indexes in [[graft.ops.Dedup]].
+    */
+  private[ops] def applyTombstones(s: SparkSession, df: DataFrame,
+      tsPath: String, key: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(tsPath)
+    if (p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p))
+      df.join(s.read.parquet(tsPath).select(col(key)).distinct(),
+        Seq(key), "left_anti")
+    else df
+  }
+
+  /** Delete vectors from a persisted index WITHOUT rewriting it: append
+    * their ids to a tombstone file that [[loadIndex]] anti-joins away on
+    * every read — the takedown/GDPR-delete shape (dedup survivors being
+    * dropped, redaction takedowns). O(|removed|) per delete regardless of
+    * index size; the physical rows leave at the next [[compactIndex]].
+    * Since codes are per-vector functions of frozen models, a tombstoned
+    * index is EXACTLY the index rebuilt without those vectors
+    * (spec-pinned), not an approximation of it.
+    */
+  def removeFromIndex(s: SparkSession, path: String, removedIds: DataFrame): Unit =
+    removedIds.select(col("vec_id")).write.mode("append")
+      .parquet(tombstonePath(path))
+
+  /** Fold tombstones into the physical codes table and bound its file
+    * count — the nightly-append hygiene step: `appendToIndex` grows one
+    * small file per writer task per batch, and deletes accumulate as
+    * tombstone rows that every read re-filters. One
+    * [[graft.ops.Layout.compactFlat]] rewrite (range-packed on vec_id,
+    * staged + atomically swapped) restores ~maxRecordsPerFile-sized files
+    * with the deleted vectors physically gone, then drops the tombstone
+    * file. Returns (files_before, files_after, live_rows). Frames loaded
+    * BEFORE compaction are lazy views over the replaced files — re-load
+    * after maintenance.
+    */
+  def compactIndex(s: SparkSession, path: String,
+      maxRecordsPerFile: Long = 4L * 1024 * 1024): (Long, Long, Long) = {
+    val codesDir = s"$path/pq_codes.parquet"
+    val live = applyTombstones(s, s.read.parquet(codesDir),
+      tombstonePath(path), "vec_id")
+    val audit = graft.ops.Layout.compactFlat(s, codesDir, col("vec_id"),
+      maxRecordsPerFile, source = Some(live))
+    val ts = new org.apache.hadoop.fs.Path(tombstonePath(path))
+    ts.getFileSystem(s.sparkContext.hadoopConfiguration).delete(ts, true)
+    audit
   }
 
   /** Persist the int8-quantized corpus ([[quantizeVectors]] output) — the

@@ -384,4 +384,102 @@ class DedupSpec extends SparkSpec {
         s"membership must be computed once:\n${plan.take(1500)}")
     }
   }
+
+  test("minhash index delete: tombstone hides the doc everywhere; compaction makes it physical") {
+    val spark2 = spark
+    import spark2.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_mh_del").toString + "/idx"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    Dedup.saveMinhashIndex(spark, docs.filter(col("doc_id") % 4 =!= 0), path)
+    // victim: a corpus-side doc that actually pairs with the batch slice —
+    // deleting it must change real candidate traffic, not a bystander
+    val cross = Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (d1, d2) => (d1 % 4 == 0) != (d2 % 4 == 0) }
+    val victim = cross.map { case (d1, d2) => if (d1 % 4 == 0) d2 else d1 }.min
+    Dedup.removeFromMinhashIndex(spark, path, Seq(victim).toDF("doc_id"))
+    val idx = Dedup.loadMinhashIndex(spark, path)
+    assert(idx.filter(col("doc_id") === victim).count() == 0,
+      "tombstoned doc must not load")
+    // the takedown contract: the removed doc never appears in candidates
+    val pairs = pairSet(Dedup.minhashIncremental(spark,
+      docs.filter(col("doc_id") % 4 === 0), idx))
+    assert(!pairs.exists(p => p._1 == victim || p._2 == victim))
+    // tombstoned index ≡ index rebuilt without the doc (signatures are
+    // per-doc content functions)
+    val path2 = java.nio.file.Files.createTempDirectory("graft_mh_del2").toString + "/idx"
+    Dedup.saveMinhashIndex(spark,
+      docs.filter(col("doc_id") % 4 =!= 0 && col("doc_id") =!= victim), path2)
+    def sigs(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      df.select("doc_id", "sig").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // materialized before compaction: loaded frames are lazy views over
+    // the index files (including the tombstone file compaction deletes) —
+    // maintenance invalidates them, consumers re-load after, by contract
+    val tombstonedSigs = sigs(idx)
+    assert(tombstonedSigs == sigs(Dedup.loadMinhashIndex(spark, path2)))
+    // compaction folds the tombstone into the files: the PHYSICAL table no
+    // longer contains the doc, the tombstone file is gone, reads unchanged
+    Dedup.compactMinhashIndex(spark, path)
+    assert(spark.read.parquet(path).filter(col("doc_id") === victim).count() == 0,
+      "compaction must physically remove tombstoned rows")
+    assert(!new java.io.File(path + "_tombstones").exists())
+    assert(sigs(Dedup.loadMinhashIndex(spark, path)) == tombstonedSigs)
+  }
+
+  test("index compaction: 30 daily appends collapse to a bounded file count, content preserved") {
+    val path = java.nio.file.Files.createTempDirectory("graft_mh_comp").toString + "/idx"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    Dedup.saveMinhashIndex(spark, docs.filter(col("doc_id") % 40 === 39), path)
+    // 30 nightly folds, each a small batch — every append leaves one file
+    // per writer task, the growth pattern compaction exists to bound
+    (0 until 30).foreach { day =>
+      Dedup.appendToMinhashIndex(spark, docs.filter(col("doc_id") % 40 === day), path)
+    }
+    def files(): Long = new java.io.File(path).listFiles
+      .count(f => f.isFile && f.getName.endsWith(".parquet")).toLong
+    val grown = files()
+    assert(grown >= 30, s"30 appends should leave >=30 files, saw $grown")
+    val before = Dedup.loadMinhashIndex(spark, path)
+      .select("doc_id", "sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val (fb, fa, rows) = Dedup.compactMinhashIndex(spark, path)
+    assert(fb == grown && fa == files())
+    assert(fa <= 4, s"compaction should collapse $grown files to a handful, left $fa")
+    assert(rows == before.size)
+    val after = Dedup.loadMinhashIndex(spark, path)
+      .select("doc_id", "sig").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(after == before, "compaction must not change index content")
+  }
+
+  test("embedding index delete: tombstone hides the vector from candidates and verification") {
+    val spark2 = spark
+    import spark2.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_emb_del").toString
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    Dedup.saveEmbeddingIndex(spark, emb.filter(col("vec_id") % 4 =!= 0), path)
+    val cross = Dedup.embeddingLsh(spark, sf, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (v1, v2) => (v1 % 4 == 0) != (v2 % 4 == 0) }
+    val victim = cross.map { case (v1, v2) => if (v1 % 4 == 0) v2 else v1 }.min
+    Dedup.removeFromEmbeddingIndex(spark, path, Seq(victim).toDF("vec_id"))
+    val (vecs, buckets) = Dedup.loadEmbeddingIndex(spark, path)
+    assert(vecs.filter(col("vec_id") === victim).count() == 0)
+    assert(buckets.filter(col("vec_id") === victim).count() == 0)
+    val pairs = Dedup.embeddingIncremental(spark,
+      emb.filter(col("vec_id") % 4 === 0), vecs, buckets).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cross.exists(p => p._1 == victim || p._2 == victim),
+      "victim must have been a real candidate before deletion")
+    assert(!pairs.exists(p => p._1 == victim || p._2 == victim))
+    // compaction: both tables rewritten minus the tombstone, file drops
+    val ((_, _, nv), (_, _, nb)) = Dedup.compactEmbeddingIndex(spark, path)
+    assert(spark.read.parquet(s"$path/vectors")
+      .filter(col("vec_id") === victim).count() == 0)
+    assert(spark.read.parquet(s"$path/buckets")
+      .filter(col("vec_id") === victim).count() == 0)
+    assert(!new java.io.File(s"$path/tombstones.parquet").exists())
+    assert(nv > 0 && nb > 0)
+  }
 }

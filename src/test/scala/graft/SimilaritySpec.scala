@@ -476,6 +476,55 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ANN index delete: tombstone ≡ rebuild-without-vector; compaction makes it physical") {
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val path = java.nio.file.Files.createTempDirectory("graft_ann_del").toString
+    val cents = Similarity.centroids(e)
+    val cb = Similarity.pqCodebooks(e)
+    Similarity.saveIndex(path, cents, cb, Similarity.buildIvfpqIndex(e, cents, cb))
+    val (lc, lcb, lcodes) = Similarity.loadIndex(spark, path)
+    def served(codes: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+      topk(Similarity.ivfpqTopk(spark, sf, codebooks = Some(lcb),
+        precomputedCents = Some(lc), precomputedCodes = Some(codes)))
+    // victim: a vector the index currently SERVES as a neighbor — deletion
+    // must change a real answer, not a bystander's codes
+    val victim = served(lcodes).values.flatten.filter(_ >= 10).min
+    Similarity.removeFromIndex(spark, path, Seq(victim).toDF("vec_id"))
+    val (_, _, codes2) = Similarity.loadIndex(spark, path)
+    assert(codes2.filter(col("vec_id") === victim).count() == 0)
+    assert(!served(codes2).values.flatten.toSet.contains(victim),
+      "deleted vector must never be served again")
+    // codes are per-vector functions of frozen models, so the tombstoned
+    // index is EXACTLY the index built without the vector — not approximately
+    def codeSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Int, Int)] =
+      df.collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("sub"),
+        r.getAs[Int]("code"), r.getAs[Int]("ivf_cell"))).toSet
+    val rebuilt = Similarity.buildIvfpqIndex(
+      e.filter(col("vec_id") =!= victim), cents, cb)
+    assert(codeSet(codes2) === codeSet(rebuilt))
+    // compaction: tombstone folded into the physical files and dropped;
+    // reads identical before and after
+    val (fb, fa, n) = Similarity.compactIndex(spark, path)
+    assert(spark.read.parquet(s"$path/pq_codes.parquet")
+      .filter(col("vec_id") === victim).count() == 0,
+      "compaction must physically remove tombstoned rows")
+    assert(!new java.io.File(s"$path/tombstones.parquet").exists())
+    assert(fa <= fb && n == rebuilt.count())
+    val (_, _, codes3) = Similarity.loadIndex(spark, path)
+    assert(codeSet(codes3) === codeSet(rebuilt))
+    // a REBUILD at the same path starts clean: no stale tombstones filter
+    // the new corpus build
+    Similarity.removeFromIndex(spark, path, Seq(0L).toDF("vec_id"))
+    Similarity.saveIndex(path, cents, cb, Similarity.buildIvfpqIndex(e, cents, cb))
+    val (_, _, fresh) = Similarity.loadIndex(spark, path)
+    assert(fresh.filter(col("vec_id") === 0L).count() > 0,
+      "rebuild must clear tombstones from the previous build")
+  }
+
   test("training sample: deterministic, bounded, identity below the cap") {
     import org.apache.spark.sql.functions.col
     val e = spark.read.parquet(s"$sf/embeddings.parquet")

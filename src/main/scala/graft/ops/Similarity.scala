@@ -746,9 +746,37 @@ object Similarity {
     cb.toDF("cell", "centroid")
   }
 
+  /** Per-query ADC distance tables are broadcast state: m·ksub rows/query
+    * raw ([[pqTopk]]/[[ivfpqTopk]]), nprobe·m·ksub rows/query residual
+    * ([[ivfpqResidualTopk]]) — a few KB per query, which at serving-batch
+    * Q (100k+) would push one broadcast toward GBs. Batches above this
+    * bound split into deterministic hash-chunks of ≤ MaxAdcBatchQ queries;
+    * each chunk is its own bounded-broadcast ADC subplan (tables ≤ ~13 MB
+    * raw / ~38 MB residual at the 8×16 geometry) and the per-chunk
+    * shortlists union into ONE exact rerank. Chunking is output-invariant
+    * (queries are independent through the shortlist; spec-pinned) and a
+    * no-op below the bound — the count that sizes it is one column-pruned
+    * scan of the query predicate.
+    */
+  private[graft] val MaxAdcBatchQ = 4096
+
+  /** One predicate per ADC chunk: `true` when the batch fits the bound,
+    * else pmod(xxhash64(vec_id), nChunks) == c — deterministic, and every
+    * query lands in exactly one chunk so the unioned shortlists partition
+    * the batch.
+    */
+  private def adcChunks(e: DataFrame, maxQ: Int): Seq[Column] = {
+    val q = e.filter(isQuery(col("vec_id"))).count()
+    val n = math.max(1L, (q + maxQ - 1) / maxQ).toInt
+    if (n == 1) Seq(lit(true))
+    else (0 until n).map(c =>
+      pmod(xxhash64(col("vec_id")), lit(n)) === lit(c))
+  }
+
   /** PQ ADC top-k: the asymmetric-distance scan. Each query precomputes a
     * distance TABLE (its subvector's L2² to each of the m·ksub codebook
-    * centroids — Q·m·ksub rows, broadcast); a neighbor's approximate
+    * centroids — Q·m·ksub rows, broadcast — Q bounded per subplan by
+    * [[MaxAdcBatchQ]] chunking); a neighbor's approximate
     * distance is m table lookups summed — the corpus side touches only
     * the m-byte codes, never the vectors. Shortlist by ADC distance,
     * exact float-cosine rerank (the [[int8Topk]] discipline). Rows-only:
@@ -765,7 +793,8 @@ object Similarity {
     *   training).
     */
   def pqTopk(s: SparkSession, dir: String, shortlist: Int = 100,
-      codebooks: Option[DataFrame] = None): DataFrame = {
+      codebooks: Option[DataFrame] = None,
+      maxBatchQ: Int = MaxAdcBatchQ): DataFrame = {
     val e = Tables(s, dir).embeddings
     val cb = codebooks.getOrElse(pqCodebooks(e))
     val subs = subvectors(e, PqM, 64)
@@ -774,23 +803,26 @@ object Similarity {
     // representation an at-scale run materializes once; the SAME
     // assignCodes kernel that trained the codebooks
     val codes = assignCodes(subs, cbSub)
-    // per-query distance tables over the SAME codebook
-    val qTables = broadcast(subs.filter(isQuery(col("vec_id")))
-      .join(broadcast(cbSub), Seq("sub"))
-      .select(col("vec_id").as("query_id"), col("cell").as("code"),
-        l2sq(col("sv"), col("centroid")).as("qd")))
-    val cheap = codes.join(qTables, Seq("code"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("qd")).as("adc"), count(lit(1)).as("n_subs"))
-      // a (query, neighbor) pair matches exactly m table entries; fewer
-      // would mean a dropped subspace silently shrinking the distance
-      .filter(col("n_subs") === PqM)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").asc, col("vec_id"))
-    val short = cheap.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= shortlist)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val short = adcChunks(e, maxBatchQ).map { chunk =>
+      // per-query distance tables over the SAME codebook — one broadcast
+      // per ≤ maxBatchQ-query chunk (the MaxAdcBatchQ bound)
+      val qTables = broadcast(subs.filter(isQuery(col("vec_id")) && chunk)
+        .join(broadcast(cbSub), Seq("sub"))
+        .select(col("vec_id").as("query_id"), col("cell").as("code"),
+          l2sq(col("sv"), col("centroid")).as("qd")))
+      val cheap = codes.join(qTables, Seq("code"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(sum(col("qd")).as("adc"), count(lit(1)).as("n_subs"))
+        // a (query, neighbor) pair matches exactly m table entries; fewer
+        // would mean a dropped subspace silently shrinking the distance
+        .filter(col("n_subs") === PqM)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc").asc, col("vec_id"))
+      cheap.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= shortlist)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    }.reduce(_ unionByName _)
     rerankExact(e, short)
   }
 
@@ -816,41 +848,47 @@ object Similarity {
   def ivfpqTopk(s: SparkSession, dir: String, shortlist: Int = 100,
       codebooks: Option[DataFrame] = None,
       precomputedCents: Option[DataFrame] = None,
-      precomputedCodes: Option[DataFrame] = None): DataFrame = {
+      precomputedCodes: Option[DataFrame] = None,
+      maxBatchQ: Int = MaxAdcBatchQ): DataFrame = {
     val e = Tables(s, dir).embeddings
     val cents = precomputedCents.getOrElse(centroids(e))
     val cb = codebooks.getOrElse(pqCodebooks(e))
     val cbSub = withSub(cb, PqKsub)
     val codes = precomputedCodes.getOrElse(
       buildIvfpqIndex(e, cents, cb, residual = false))
-    val probes = e.filter(isQuery(col("vec_id")))
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      .join(broadcast(cents))
-      .select(col("query_id"), col("cell"),
-        cosine_sim(col("qe"), col("centroid")).as("ccos"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cell"))))
-      .filter(col("rk") <= NProbe)
-      .select(col("query_id"), col("cell").as("ivf_cell"))
-    val qTables = broadcast(
-      subvectors(e.filter(isQuery(col("vec_id"))), PqM, 64)
-      .join(broadcast(cbSub), Seq("sub"))
-      .select(col("vec_id").as("query_id"), col("cell").as("code"),
-        l2sq(col("sv"), col("centroid")).as("qd")))
-    // cell restriction FIRST (codes ⋈ probes on ivf_cell), then the table
-    // lookup (⋈ on query_id + code) — only probed cells' codes ever meet
-    // a distance table
-    val cheap = codes.join(broadcast(probes), Seq("ivf_cell"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .join(qTables, Seq("query_id", "code"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("qd")).as("adc"), count(lit(1)).as("n_subs"))
-      .filter(col("n_subs") === PqM)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").asc, col("vec_id"))
-    val short = cheap.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= shortlist)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    // per-chunk ADC subplans (≤ maxBatchQ queries each — the MaxAdcBatchQ
+    // broadcast bound): probes + distance tables broadcast per chunk, the
+    // shortlists union into one exact rerank
+    val short = adcChunks(e, maxBatchQ).map { chunk =>
+      val probes = e.filter(isQuery(col("vec_id")) && chunk)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        .join(broadcast(cents))
+        .select(col("query_id"), col("cell"),
+          cosine_sim(col("qe"), col("centroid")).as("ccos"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cell"))))
+        .filter(col("rk") <= NProbe)
+        .select(col("query_id"), col("cell").as("ivf_cell"))
+      val qTables = broadcast(
+        subvectors(e.filter(isQuery(col("vec_id")) && chunk), PqM, 64)
+        .join(broadcast(cbSub), Seq("sub"))
+        .select(col("vec_id").as("query_id"), col("cell").as("code"),
+          l2sq(col("sv"), col("centroid")).as("qd")))
+      // cell restriction FIRST (codes ⋈ probes on ivf_cell), then the table
+      // lookup (⋈ on query_id + code) — only probed cells' codes ever meet
+      // a distance table
+      val cheap = codes.join(broadcast(probes), Seq("ivf_cell"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .join(qTables, Seq("query_id", "code"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(sum(col("qd")).as("adc"), count(lit(1)).as("n_subs"))
+        .filter(col("n_subs") === PqM)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc").asc, col("vec_id"))
+      cheap.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= shortlist)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    }.reduce(_ unionByName _)
     rerankExact(e, short)
   }
 
@@ -1073,7 +1111,8 @@ object Similarity {
     * resolution on the within-cell detail that actually ranks neighbors —
     * recall ≥ the raw-code tier at the same geometry (spec-pinned). The
     * price: distance tables become per-(query, probed cell) — Q·nprobe·
-    * m·ksub rows instead of Q·m·ksub, still broadcast-bounded — and fed
+    * m·ksub rows instead of Q·m·ksub, broadcast-bounded per subplan by
+    * the [[MaxAdcBatchQ]] chunking — and fed
     * codebooks must have been trained on residuals of the SAME centroid
     * table (feed both from one [[saveModels]] build or neither).
     *
@@ -1084,7 +1123,8 @@ object Similarity {
   def ivfpqResidualTopk(s: SparkSession, dir: String, shortlist: Int = 100,
       codebooks: Option[DataFrame] = None,
       precomputedCents: Option[DataFrame] = None,
-      precomputedCodes: Option[DataFrame] = None): DataFrame = {
+      precomputedCodes: Option[DataFrame] = None,
+      maxBatchQ: Int = MaxAdcBatchQ): DataFrame = {
     val e = Tables(s, dir).embeddings
     val cents = precomputedCents.getOrElse(centroids(e))
     val cb = codebooks.getOrElse(pqCodebooks(
@@ -1095,39 +1135,44 @@ object Similarity {
     // from buildIvfpqIndex/loadIndex and none of that runs per batch
     val codes = precomputedCodes.getOrElse(
       buildIvfpqIndex(e, cents, cb, residual = true))
-    val probes = e.filter(isQuery(col("vec_id")))
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      .join(broadcast(cents))
-      .select(col("query_id"), col("qe"), col("cell"),
-        cosine_sim(col("qe"), col("centroid")).as("ccos"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cell"))))
-      .filter(col("rk") <= NProbe)
-      .select(col("query_id"), col("qe"), col("cell").as("ivf_cell"))
-    // per-(query, probed cell) residual distance tables: the query's
-    // residual DIFFERS per probed cell, so each (query, cell) pair gets
-    // its own m·ksub table — Q·nprobe·m·ksub rows, broadcast
-    val qTables = broadcast(probes
-      .join(broadcast(cents.select(col("cell").as("ivf_cell"),
-        col("centroid").as("ccent"))), Seq("ivf_cell"))
-      .select(col("query_id"), col("ivf_cell"),
-        posexplode(subArray(zip_with(col("qe"), col("ccent"), (x, c) => x - c),
-          PqM, 64)).as(Seq("sub", "sv")))
-      .join(broadcast(cbSub), Seq("sub"))
-      .select(col("query_id"), col("ivf_cell"), col("cell").as("code"),
-        l2sq(col("sv"), col("centroid")).as("qd")))
-    val cheap = codes
-      .join(broadcast(probes.select(col("query_id"), col("ivf_cell"))), Seq("ivf_cell"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .join(qTables, Seq("query_id", "ivf_cell", "code"))
-      .groupBy(col("query_id"), col("vec_id"))
-      .agg(sum(col("qd")).as("adc"), count(lit(1)).as("n_subs"))
-      .filter(col("n_subs") === PqM)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").asc, col("vec_id"))
-    val short = cheap.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= shortlist)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    // per-chunk subplans: the residual tables are the HEAVIEST ADC
+    // broadcast (nprobe tables per query), so the MaxAdcBatchQ chunk
+    // bound matters most here — ≤ maxBatchQ·nprobe·m·ksub rows per chunk
+    val short = adcChunks(e, maxBatchQ).map { chunk =>
+      val probes = e.filter(isQuery(col("vec_id")) && chunk)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        .join(broadcast(cents))
+        .select(col("query_id"), col("qe"), col("cell"),
+          cosine_sim(col("qe"), col("centroid")).as("ccos"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cell"))))
+        .filter(col("rk") <= NProbe)
+        .select(col("query_id"), col("qe"), col("cell").as("ivf_cell"))
+      // per-(query, probed cell) residual distance tables: the query's
+      // residual DIFFERS per probed cell, so each (query, cell) pair gets
+      // its own m·ksub table — chunkQ·nprobe·m·ksub rows, broadcast
+      val qTables = broadcast(probes
+        .join(broadcast(cents.select(col("cell").as("ivf_cell"),
+          col("centroid").as("ccent"))), Seq("ivf_cell"))
+        .select(col("query_id"), col("ivf_cell"),
+          posexplode(subArray(zip_with(col("qe"), col("ccent"), (x, c) => x - c),
+            PqM, 64)).as(Seq("sub", "sv")))
+        .join(broadcast(cbSub), Seq("sub"))
+        .select(col("query_id"), col("ivf_cell"), col("cell").as("code"),
+          l2sq(col("sv"), col("centroid")).as("qd")))
+      val cheap = codes
+        .join(broadcast(probes.select(col("query_id"), col("ivf_cell"))), Seq("ivf_cell"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .join(qTables, Seq("query_id", "ivf_cell", "code"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(sum(col("qd")).as("adc"), count(lit(1)).as("n_subs"))
+        .filter(col("n_subs") === PqM)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc").asc, col("vec_id"))
+      cheap.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= shortlist)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    }.reduce(_ unionByName _)
     rerankExact(e, short)
   }
 

@@ -476,6 +476,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ADC query-batch chunking is output-invariant (chunked ≡ one-shot)") {
+    // maxBatchQ=3 forces the 10-query gate batch into 4 hash-chunks, each
+    // its own bounded-broadcast ADC subplan — outputs must be IDENTICAL to
+    // the single-broadcast form because queries are independent through
+    // the shortlist. This is the serving-batch contract: a 100k-query
+    // batch never rides one GB-scale broadcast
+    assert(topk(Similarity.pqTopk(spark, sf, maxBatchQ = 3))
+      === topk(Similarity.pqTopk(spark, sf)))
+    assert(topk(Similarity.ivfpqTopk(spark, sf, maxBatchQ = 3))
+      === topk(Similarity.ivfpqTopk(spark, sf)))
+    assert(topk(Similarity.ivfpqResidualTopk(spark, sf, maxBatchQ = 3))
+      === topk(Similarity.ivfpqResidualTopk(spark, sf)))
+  }
+
   test("ANN index delete: tombstone ≡ rebuild-without-vector; compaction makes it physical") {
     import org.apache.spark.sql.functions.col
     val spark2 = spark

@@ -31,12 +31,26 @@ object Curation {
     *   reads them; `None` recomputes MinHash+LSH inline, which is the
     *   one-shot convenience form, not the pipeline form.
     */
+  /** @param classifierWeights when set, the fed-weights linear quality
+    *   classifier ([[TextAnalysis.qualityClassifier]] — the CCNet/fastText
+    *   model-scoring stage) gates the funnel IN ADDITION to the heuristic
+    *   curate gate: only docs the model keeps survive. Like
+    *   `fuzzyDecontaminate` it composes as one more broadcast id-list
+    *   semi-join and only ever NARROWS the corpus (spec-pinned); the
+    *   weights are a fed model artifact, so reruns are deterministic.
+    */
   def prepareCorpus(s: SparkSession, dir: String,
       numBuckets: Int = 8, budget: Long = 256,
       isBenchmark: org.apache.spark.sql.Column = col("doc_id") % 11 === 0,
       pairs: Option[DataFrame] = None,
-      fuzzyDecontaminate: Boolean = false): DataFrame = {
-    val curated = TextAnalysis.curateCorpus(s, dir).select(col("doc_id"))
+      fuzzyDecontaminate: Boolean = false,
+      classifierWeights: Option[TextAnalysis.QualityWeights] = None): DataFrame = {
+    val curated0 = TextAnalysis.curateCorpus(s, dir).select(col("doc_id"))
+    val curated = classifierWeights.fold(curated0)(w =>
+      curated0.join(
+        TextAnalysis.qualityClassifier(s, dir, w)
+          .filter(col("keep") === 1L).select(col("doc_id")),
+        Seq("doc_id"), "left_semi"))
     val clean0 = TextAnalysis.decontaminate(Tables(s, dir).documents, isBenchmark)
       .filter(col("contaminated") === 0L).select(col("doc_id"))
     // fuzzy decon COMPLEMENTS the exact gate (paraphrased contamination
@@ -242,9 +256,19 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** The classifier-gated funnel as a runnable entry: the production
+    * shape, where the model filter (not just the heuristic gate) decides
+    * what trains. Default fed weights — the same model artifact the
+    * text_quality_classifier gate entry scores.
+    */
+  def prepareCorpusClassified(s: SparkSession, dir: String): DataFrame =
+    prepareCorpus(s, dir, pairs = Some(materializedPairs(s, dir)),
+      classifierWeights = Some(TextAnalysis.QualityWeights()))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_prepare_corpus" -> ((s: SparkSession, dir: String) => prepareCorpus(s, dir)),
     "text_prepare_corpus_pipelined" -> (prepareCorpusPipelined _),
+    "text_prepare_corpus_classified" -> (prepareCorpusClassified _),
     "text_mixture_sample" -> (mixtureSampleDocs _),
     "text_shuffle_order" -> ((s: SparkSession, dir: String) => shuffleOrder(s, dir)),
     "text_split_assign" -> ((s: SparkSession, dir: String) => splitAssign(s, dir)))

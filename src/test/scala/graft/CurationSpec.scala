@@ -75,6 +75,29 @@ class CurationSpec extends SparkSpec {
     assert(baseKept -- fuzzyOut === baseKept.intersect(flagged))
   }
 
+  test("classifier stage subtracts exactly the model-dropped ids; gated entry is deterministic") {
+    val w = graft.ops.TextAnalysis.QualityWeights()
+    val gated = Curation.prepareCorpus(spark, sf,
+        classifierWeights = Some(w))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val baseKept = out.map(_.getAs[Long]("doc_id")).toSet
+    val modelDropped = graft.ops.TextAnalysis.qualityClassifier(spark, sf, w)
+      .filter(org.apache.spark.sql.functions.col("keep") === 0L)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    // the model filter only ever NARROWS the funnel, and the narrowing is
+    // exactly the docs the classifier drops that the rest would have kept
+    assert(gated.subsetOf(baseKept))
+    assert(baseKept -- gated === baseKept.intersect(modelDropped))
+    assert(gated.nonEmpty, "default weights must keep a non-trivial corpus")
+    // the runnable entry (pipelined pairs + fed weights) reruns identically
+    val e1 = Curation.prepareCorpusClassified(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"))).toSet
+    val e2 = Curation.prepareCorpusClassified(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"))).toSet
+    assert(e1 === e2)
+    assert(e1.map(_._1) === gated)
+  }
+
   test("the funnel composes with SEMANTIC (embedding) pairs — any edge list plugs in") {
     // the pairs parameter's contract: ANY (d1, d2) edge list drives the
     // near-dup stage — here SemDeDup's embedding pairs instead of

@@ -676,6 +676,15 @@ object Dedup {
 
   private def minhashTombstonePath(path: String): String = s"${path}_tombstones"
 
+  /** An empty signature frame with the index schema — the bootstrap
+    * "index" a first streaming batch near-dup-checks against (within-batch
+    * duplicates are still detected; there is just no corpus side yet).
+    */
+  def emptyMinhashIndex(s: SparkSession,
+      numHashes: Int = DefaultNumHashes): DataFrame =
+    signatures(s, s.range(0).select(col("id").as("doc_id"),
+      lit("").as("text")), numHashes)
+
   /** Delete documents from the signature index without rewriting it —
     * the takedown shape ([[graft.ops.Similarity.removeFromIndex]]'s
     * discipline): append ids to the tombstone file, O(|removed|) per
@@ -700,8 +709,12 @@ object Dedup {
     */
   def compactMinhashIndex(s: SparkSession, path: String,
       maxRecordsPerFile: Long = 1L * 1024 * 1024): (Long, Long, Long) = {
+    // dropDuplicates folds any at-least-once re-appends (the streaming
+    // ingest sink's crash window): signatures are content-derived, so a
+    // doc's duplicate rows are identical and keeping one is lossless
     val audit = graft.ops.Layout.compactFlat(s, path, col("doc_id"),
-      maxRecordsPerFile, source = Some(loadMinhashIndex(s, path)))
+      maxRecordsPerFile,
+      source = Some(loadMinhashIndex(s, path).dropDuplicates("doc_id")))
     val ts = new org.apache.hadoop.fs.Path(minhashTombstonePath(path))
     ts.getFileSystem(s.sparkContext.hadoopConfiguration).delete(ts, true)
     audit

@@ -345,6 +345,56 @@ object Streams extends Serializable {
   def chunkStream(docs: DataFrame, window: Int = 50, stride: Int = 40): DataFrame =
     graft.ops.TextAnalysis.chunkCore(docs, window, stride)
 
+  /** The living-corpus ingest loop end to end: each arriving micro-batch
+    * of documents is near-dup-checked against the PERSISTED MinHash
+    * signature index ([[graft.ops.Dedup.minhashIncremental]] — detected
+    * pairs land in `pairsDir` tagged with their batch id) and then folded
+    * into the index ([[graft.ops.Dedup.appendToMinhashIndex]]). Streaming
+    * ingest keeping the batch world's dedup index current is the pyetl
+    * ingest loop at corpus scale: per batch the work is |batch| shingling
+    * + a band join against stored buckets, never a corpus rescan, and
+    * after N batches the index is EXACTLY the batch-built index over the
+    * same docs (StreamingSpec pins it). The first batch bootstraps
+    * against [[graft.ops.Dedup.emptyMinhashIndex]], so within-batch dups
+    * are detected from batch zero.
+    *
+    * Replay semantics: foreachBatch re-delivers a batch after failure; a
+    * marker file per batch id (under `<indexPath>_batches`) makes the
+    * fold idempotent on restart — a replayed batch skips whole. The
+    * marker commits AFTER the append, so a crash between the two re-folds
+    * that one batch (at-least-once); duplicated signature rows only
+    * duplicate candidate generation — they never lose pairs — and the
+    * next [[graft.ops.Dedup.compactMinhashIndex]] drops them
+    * (dropDuplicates on content-derived rows is lossless).
+    */
+  def dedupIngestSink(docs: DataFrame, indexPath: String, pairsDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(indexPath)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(
+          s"${indexPath}_batches/$batchId")
+        if (!fs.exists(marker)) {
+          val cached = batch.persist()
+          try {
+            val idx =
+              if (fs.exists(new org.apache.hadoop.fs.Path(indexPath)))
+                graft.ops.Dedup.loadMinhashIndex(s, indexPath)
+              else graft.ops.Dedup.emptyMinhashIndex(s)
+            graft.ops.Dedup.minhashIncremental(s, cached, idx)
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(pairsDir)
+            graft.ops.Dedup.appendToMinhashIndex(s, cached, indexPath)
+            fs.create(marker, true).close()
+          } finally { cached.unpersist(); () }
+        }
+      }
+      .start()
+
   /** pyetl's multi-destination writer loop: one micro-batch, N sinks, via
     * foreachBatch. The batch is persisted once so each route filters the
     * cached data instead of re-reading the source.

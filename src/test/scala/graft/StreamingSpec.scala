@@ -366,4 +366,54 @@ class StreamingSpec extends SparkSpec {
       "a stateless chunker must emit identical rows under readStream")
     assert(streamed.count(_._1 == 1L) === 3)
   }
+
+  test("dedup ingest sink: streamed batches fold into an index ≡ batch-built; pairs ≡ full LSH") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_ingest").toString
+    val docsAll = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.dedupIngestSink(in.toDF().toDF("doc_id", "text"),
+      s"$base/index", s"$base/pairs", s"$base/ckpt")
+    // three arrival days, each one micro-batch
+    (0 until 3).foreach { b =>
+      in.addData(docsAll.filter(_._1 % 3 == b).toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // the streamed index is EXACTLY the batch-built index over the same
+    // corpus — streaming ingest kept the living index current
+    graft.ops.Dedup.saveMinhashIndex(spark,
+      spark.read.parquet(s"$sf/documents.parquet"), s"$base/batch_index")
+    def sigs(p: String): Map[Long, Seq[Long]] =
+      graft.ops.Dedup.loadMinhashIndex(spark, p)
+        .select("doc_id", "sig").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(s"$base/index") == sigs(s"$base/batch_index"))
+    // every near-dup pair surfaced exactly when its later member arrived:
+    // the union of per-batch pair outputs is the full-corpus LSH pair set
+    val streamedPairs = spark.read.parquet(s"$base/pairs")
+      .select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairsOf(graft.ops.Dedup.minhashLsh(spark, sf))
+    assert(full.nonEmpty)
+    assert(streamedPairs === full)
+    // replayed batch ids are skipped whole (the marker guard): re-adding
+    // day 0's docs under an already-committed batch id is a no-op — the
+    // stream was stopped, so restart replays from the checkpoint
+    val sizeBefore = graft.ops.Dedup.loadMinhashIndex(spark, s"$base/index").count()
+    val in2 = MemoryStream[(Long, String)]
+    in2.addData(docsAll.filter(_._1 % 3 == 0).toIndexedSeq: _*)
+    val q2 = Streams.dedupIngestSink(in2.toDF().toDF("doc_id", "text"),
+      s"$base/index", s"$base/pairs", s"$base/ckpt2")
+    q2.processAllAvailable(); q2.stop()
+    // ckpt2 restarts batch ids at 0 — already marked — so nothing re-folds
+    assert(graft.ops.Dedup.loadMinhashIndex(spark, s"$base/index").count()
+      === sizeBefore)
+  }
+
+  private def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 }

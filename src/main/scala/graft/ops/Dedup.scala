@@ -794,8 +794,15 @@ object Dedup {
     * dropping rows is a curation decision downstream of detection.
     */
   def appendToMinhashIndex(s: SparkSession, batch: DataFrame, path: String,
-      numHashes: Int = DefaultNumHashes): Unit =
+      numHashes: Int = DefaultNumHashes): Unit = {
     signatures(s, batch, numHashes).write.mode("append").parquet(path)
+    // a re-added doc_id must RESURFACE: clear any tombstone a previous
+    // takedown left for ids this batch legitimately re-ingests (the
+    // tombstone file is deleted-ids-only — tiny — so this rewrite is
+    // driver-scale)
+    Similarity.clearTombstones(s, minhashTombstonePath(path),
+      batch.select(col("doc_id")), "doc_id")
+  }
 
   // keyed by (context, dir) — the Curation.pairsMemo discipline, including
   // its one-session-per-context assumption (the loaded frame is bound to
@@ -896,6 +903,9 @@ object Dedup {
     e.write.mode("append").parquet(s"$path/vectors")
     Similarity.lshBuckets(e, 64, numTables, bits)
       .write.mode("append").parquet(s"$path/buckets")
+    // re-added vec_ids resurface (the appendToMinhashIndex discipline)
+    Similarity.clearTombstones(s, s"$path/tombstones.parquet",
+      e.select(col("vec_id")), "vec_id")
   }
 
   /** [[minhashIncremental]]'s daily-batch discipline on the EMBEDDING

@@ -992,6 +992,26 @@ object Similarity {
     else df
   }
 
+  /** Un-tombstone ids that a later append legitimately RE-ADDS: without
+    * this, a taken-down doc_id/vec_id that re-enters the corpus (takedown
+    * reversed, content re-ingested under the same id) would stay silently
+    * hidden by its old tombstone. The tombstone file is tiny (deleted ids
+    * only), so the anti-join rewrite is driver-scale work; the staged
+    * in-place swap is [[graft.ops.Layout.rewriteInPlace]]. Shared by all
+    * three index families' append paths.
+    */
+  private[ops] def clearTombstones(s: SparkSession, tsPath: String,
+      readdedIds: DataFrame, key: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(tsPath)
+    if (p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)) {
+      val remaining = s.read.parquet(tsPath)
+        .join(readdedIds.select(col(key)), Seq(key), "left_anti")
+      graft.ops.Layout.rewriteInPlace(s, tsPath) { staging =>
+        remaining.write.parquet(staging)
+      }
+    }
+  }
+
   /** Delete vectors from a persisted index WITHOUT rewriting it: append
     * their ids to a tombstone file that [[loadIndex]] anti-joins away on
     * every read — the takedown/GDPR-delete shape (dedup survivors being
@@ -999,7 +1019,11 @@ object Similarity {
     * index size; the physical rows leave at the next [[compactIndex]].
     * Since codes are per-vector functions of frozen models, a tombstoned
     * index is EXACTLY the index rebuilt without those vectors
-    * (spec-pinned), not an approximation of it.
+    * (spec-pinned), not an approximation of it. Re-adding a deleted
+    * vec_id happens through [[saveIndex]] (a corpus rebuild — clears all
+    * tombstones) — this index has no incremental on-disk append, so
+    * there is no silent-resurrection-miss path; the dedup indexes'
+    * append functions clear re-added ids explicitly.
     */
   def removeFromIndex(s: SparkSession, path: String, removedIds: DataFrame): Unit =
     removedIds.select(col("vec_id")).write.mode("append")
@@ -1023,8 +1047,17 @@ object Similarity {
       tombstonePath(path), "vec_id")
     val audit = graft.ops.Layout.compactFlat(s, codesDir, col("vec_id"),
       maxRecordsPerFile, source = Some(live))
+    // the tombstone list covers EVERY per-vector artifact at the path —
+    // fold it into the int8 codes too (when present) before dropping it,
+    // or compaction would physically resurrect the vector there
+    val int8Dir = s"$path/int8_codes.parquet"
+    val conf = s.sparkContext.hadoopConfiguration
+    val int8P = new org.apache.hadoop.fs.Path(int8Dir)
+    if (int8P.getFileSystem(conf).exists(int8P))
+      graft.ops.Layout.compactFlat(s, int8Dir, col("vec_id"),
+        maxRecordsPerFile, source = Some(loadInt8Codes(s, path)))
     val ts = new org.apache.hadoop.fs.Path(tombstonePath(path))
-    ts.getFileSystem(s.sparkContext.hadoopConfiguration).delete(ts, true)
+    ts.getFileSystem(conf).delete(ts, true)
     audit
   }
 
@@ -1038,8 +1071,14 @@ object Similarity {
   def saveInt8Codes(path: String, quantized: DataFrame): Unit =
     quantized.write.mode("overwrite").parquet(s"$path/int8_codes.parquet")
 
+  /** Loads with the index path's [[removeFromIndex]] tombstones applied —
+    * one tombstone list per index path covers every artifact stored
+    * there, so a takedown hides the vector from the int8 tiers and the
+    * PQ tiers alike.
+    */
   def loadInt8Codes(s: SparkSession, path: String): DataFrame =
-    s.read.parquet(s"$path/int8_codes.parquet")
+    applyTombstones(s, s.read.parquet(s"$path/int8_codes.parquet"),
+      tombstonePath(path), "vec_id")
 
   /** Encode a NEW vector batch against an existing index's FROZEN models
     * and append its codes — incremental index maintenance, the

@@ -427,6 +427,41 @@ class DedupSpec extends SparkSpec {
     assert(sigs(Dedup.loadMinhashIndex(spark, path)) == tombstonedSigs)
   }
 
+  test("re-adding a tombstoned doc via append resurfaces it (takedown is reversible)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_mh_readd").toString + "/idx"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    Dedup.saveMinhashIndex(spark, docs.filter(col("doc_id") < 100), path)
+    val victim = 7L
+    Dedup.removeFromMinhashIndex(spark, path, Seq(victim).toDF("doc_id"))
+    assert(Dedup.loadMinhashIndex(spark, path)
+      .filter(col("doc_id") === victim).count() == 0)
+    // an unrelated append leaves the tombstone in force…
+    Dedup.appendToMinhashIndex(spark, docs.filter(col("doc_id") === 150), path)
+    assert(Dedup.loadMinhashIndex(spark, path)
+      .filter(col("doc_id") === victim).count() == 0)
+    // …but re-ingesting the doc itself clears it: the re-added signature
+    // loads, and is not double-counted with the (still physically
+    // present) original row beyond the duplicate compaction removes
+    Dedup.appendToMinhashIndex(spark, docs.filter(col("doc_id") === victim), path)
+    assert(Dedup.loadMinhashIndex(spark, path)
+      .filter(col("doc_id") === victim).count() >= 1)
+    Dedup.compactMinhashIndex(spark, path)
+    assert(Dedup.loadMinhashIndex(spark, path)
+      .filter(col("doc_id") === victim).count() == 1)
+    // embedding twin
+    val epath = java.nio.file.Files.createTempDirectory("graft_emb_readd").toString
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    Dedup.saveEmbeddingIndex(spark, emb.filter(col("vec_id") < 100), epath)
+    Dedup.removeFromEmbeddingIndex(spark, epath, Seq(victim).toDF("vec_id"))
+    assert(Dedup.loadEmbeddingIndex(spark, epath)._1
+      .filter(col("vec_id") === victim).count() == 0)
+    Dedup.appendToEmbeddingIndex(spark, emb.filter(col("vec_id") === victim), epath)
+    assert(Dedup.loadEmbeddingIndex(spark, epath)._1
+      .filter(col("vec_id") === victim).count() >= 1)
+  }
+
   test("index compaction: 30 daily appends collapse to a bounded file count, content preserved") {
     val path = java.nio.file.Files.createTempDirectory("graft_mh_comp").toString + "/idx"
     val docs = spark.read.parquet(s"$sf/documents.parquet")

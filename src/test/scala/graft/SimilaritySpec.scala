@@ -512,6 +512,12 @@ class SimilaritySpec extends SparkSpec {
     assert(codes2.filter(col("vec_id") === victim).count() == 0)
     assert(!served(codes2).values.flatten.toSet.contains(victim),
       "deleted vector must never be served again")
+    // one tombstone list covers every per-vector artifact at the path:
+    // int8 codes stored alongside load with the same takedown applied,
+    // and compaction (below) folds it into their files too
+    Similarity.saveInt8Codes(path, Similarity.quantizeVectors(e))
+    assert(Similarity.loadInt8Codes(spark, path)
+      .filter(col("vec_id") === victim).count() == 0)
     // codes are per-vector functions of frozen models, so the tombstoned
     // index is EXACTLY the index built without the vector — not approximately
     def codeSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Int, Int)] =
@@ -526,6 +532,9 @@ class SimilaritySpec extends SparkSpec {
     assert(spark.read.parquet(s"$path/pq_codes.parquet")
       .filter(col("vec_id") === victim).count() == 0,
       "compaction must physically remove tombstoned rows")
+    assert(spark.read.parquet(s"$path/int8_codes.parquet")
+      .filter(col("vec_id") === victim).count() == 0,
+      "compaction must fold the tombstone into EVERY per-vector artifact")
     assert(!new java.io.File(s"$path/tombstones.parquet").exists())
     assert(fa <= fb && n == rebuilt.count())
     val (_, _, codes3) = Similarity.loadIndex(spark, path)

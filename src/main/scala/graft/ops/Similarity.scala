@@ -48,9 +48,19 @@ object Similarity {
     * copy so a rerank change (tie-break, NaN policy) can never diverge
     * between tiers.
     */
-  private def rerankExact(e: DataFrame, cand: DataFrame): DataFrame = {
-    val qe = broadcast(e.filter(isQuery(col("vec_id")))
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+  private def rerankExact(e: DataFrame, cand: DataFrame): DataFrame =
+    rerankExactFor(e, cand,
+      e.filter(isQuery(col("vec_id")))
+        .select(col("vec_id").as("query_id"), col("embedding")))
+
+  /** [[rerankExact]] with an explicit (query_id, embedding) query frame —
+    * the seam that lets the ADC tiers serve an ARBITRARY query batch, not
+    * just corpus-resident probes.
+    */
+  private def rerankExactFor(e: DataFrame, cand: DataFrame,
+      queries: DataFrame): DataFrame = {
+    val qe = broadcast(queries
+      .select(col("query_id"), col("embedding").as("qe")))
     topkPerQuery(cand
       .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")),
         Seq("neighbor_id"))
@@ -760,18 +770,27 @@ object Similarity {
     */
   private[graft] val MaxAdcBatchQ = 4096
 
-  /** One predicate per ADC chunk: `true` when the batch fits the bound,
-    * else pmod(xxhash64(vec_id), nChunks) == c — deterministic, and every
+  /** One predicate per ADC chunk (over the query frame's query_id):
+    * `true` when the batch fits the bound, else
+    * pmod(xxhash64(query_id), nChunks) == c — deterministic, and every
     * query lands in exactly one chunk so the unioned shortlists partition
     * the batch.
     */
-  private def adcChunks(e: DataFrame, maxQ: Int): Seq[Column] = {
-    val q = e.filter(isQuery(col("vec_id"))).count()
+  private def adcChunks(queries: DataFrame, maxQ: Int): Seq[Column] = {
+    val q = queries.count()
     val n = math.max(1L, (q + maxQ - 1) / maxQ).toInt
     if (n == 1) Seq(lit(true))
     else (0 until n).map(c =>
-      pmod(xxhash64(col("vec_id")), lit(n)) === lit(c))
+      pmod(xxhash64(col("query_id")), lit(n)) === lit(c))
   }
+
+  /** The gate/bench query batch as a (query_id, embedding) frame — the 10
+    * lowest vec_ids of the corpus itself ([[isQuery]]). The *ForQueries
+    * serving forms accept any frame with this shape instead.
+    */
+  private def corpusQueries(e: DataFrame): DataFrame =
+    e.filter(isQuery(col("vec_id")))
+      .select(col("vec_id").as("query_id"), col("embedding"))
 
   /** PQ ADC top-k: the asymmetric-distance scan. Each query precomputes a
     * distance TABLE (its subvector's L2² to each of the m·ksub codebook
@@ -794,21 +813,39 @@ object Similarity {
     */
   def pqTopk(s: SparkSession, dir: String, shortlist: Int = 100,
       codebooks: Option[DataFrame] = None,
+      maxBatchQ: Int = MaxAdcBatchQ): DataFrame =
+    pqTopkForQueries(s, dir, corpusQueries(Tables(s, dir).embeddings),
+      shortlist, codebooks, maxBatchQ)
+
+  /** [[pqTopk]] over an ARBITRARY (query_id, embedding) query batch — the
+    * serving form: a retrieval service's queries arrive from outside the
+    * corpus, not as its 10 lowest vec_ids. Id-equal (query, neighbor)
+    * pairs are excluded, which preserves self-retrieval semantics when
+    * queries ARE corpus rows (the gate form — parity spec-pinned) and is
+    * a no-op for a disjoint external id namespace. The shared-`subs`
+    * staging of the corpus-query form is deliberately given up here: the
+    * query batch is its own frame, so its subvector pass is over Q rows,
+    * not a filter of the corpus scan.
+    */
+  def pqTopkForQueries(s: SparkSession, dir: String, queries: DataFrame,
+      shortlist: Int = 100, codebooks: Option[DataFrame] = None,
       maxBatchQ: Int = MaxAdcBatchQ): DataFrame = {
     val e = Tables(s, dir).embeddings
     val cb = codebooks.getOrElse(pqCodebooks(e))
-    val subs = subvectors(e, PqM, 64)
     val cbSub = withSub(cb, PqKsub)
     // corpus codes: (vec_id, sub, code) — m rows per vector, the compressed
     // representation an at-scale run materializes once; the SAME
     // assignCodes kernel that trained the codebooks
-    val codes = assignCodes(subs, cbSub)
-    val short = adcChunks(e, maxBatchQ).map { chunk =>
+    val codes = assignCodes(subvectors(e, PqM, 64), cbSub)
+    val qSubs = subvectors(queries.select(col("query_id").as("vec_id"),
+        col("embedding")), PqM, 64)
+      .select(col("vec_id").as("query_id"), col("sub"), col("sv"))
+    val short = adcChunks(queries, maxBatchQ).map { chunk =>
       // per-query distance tables over the SAME codebook — one broadcast
       // per ≤ maxBatchQ-query chunk (the MaxAdcBatchQ bound)
-      val qTables = broadcast(subs.filter(isQuery(col("vec_id")) && chunk)
+      val qTables = broadcast(qSubs.filter(chunk)
         .join(broadcast(cbSub), Seq("sub"))
-        .select(col("vec_id").as("query_id"), col("cell").as("code"),
+        .select(col("query_id"), col("cell").as("code"),
           l2sq(col("sv"), col("centroid")).as("qd")))
       val cheap = codes.join(qTables, Seq("code"))
         .filter(col("query_id") =!= col("vec_id"))
@@ -823,7 +860,7 @@ object Similarity {
         .filter(col("rk") <= shortlist)
         .select(col("query_id"), col("vec_id").as("neighbor_id"))
     }.reduce(_ unionByName _)
-    rerankExact(e, short)
+    rerankExactFor(e, short, queries)
   }
 
   /** [[pqTopk]] composed with IVF cell restriction — IVFPQ, FAISS's
@@ -849,6 +886,23 @@ object Similarity {
       codebooks: Option[DataFrame] = None,
       precomputedCents: Option[DataFrame] = None,
       precomputedCodes: Option[DataFrame] = None,
+      maxBatchQ: Int = MaxAdcBatchQ): DataFrame =
+    ivfpqTopkForQueries(s, dir, corpusQueries(Tables(s, dir).embeddings),
+      shortlist, codebooks, precomputedCents, precomputedCodes, maxBatchQ)
+
+  /** [[ivfpqTopk]] over an ARBITRARY (query_id, embedding) batch — the
+    * serving form ([[pqTopkForQueries]]' contract: id-equal pairs
+    * excluded, so corpus-resident queries keep self-retrieval semantics
+    * and external namespaces are untouched; parity spec-pinned). Combined
+    * with `precomputedCents`/`precomputedCodes` from [[loadIndex]], this
+    * is the full retrieval-service entry point: frozen index, external
+    * query traffic, chunk-bounded broadcasts.
+    */
+  def ivfpqTopkForQueries(s: SparkSession, dir: String, queries: DataFrame,
+      shortlist: Int = 100,
+      codebooks: Option[DataFrame] = None,
+      precomputedCents: Option[DataFrame] = None,
+      precomputedCodes: Option[DataFrame] = None,
       maxBatchQ: Int = MaxAdcBatchQ): DataFrame = {
     val e = Tables(s, dir).embeddings
     val cents = precomputedCents.getOrElse(centroids(e))
@@ -859,9 +913,9 @@ object Similarity {
     // per-chunk ADC subplans (≤ maxBatchQ queries each — the MaxAdcBatchQ
     // broadcast bound): probes + distance tables broadcast per chunk, the
     // shortlists union into one exact rerank
-    val short = adcChunks(e, maxBatchQ).map { chunk =>
-      val probes = e.filter(isQuery(col("vec_id")) && chunk)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val short = adcChunks(queries, maxBatchQ).map { chunk =>
+      val probes = queries.filter(chunk)
+        .select(col("query_id"), col("embedding").as("qe"))
         .join(broadcast(cents))
         .select(col("query_id"), col("cell"),
           cosine_sim(col("qe"), col("centroid")).as("ccos"))
@@ -870,7 +924,8 @@ object Similarity {
         .filter(col("rk") <= NProbe)
         .select(col("query_id"), col("cell").as("ivf_cell"))
       val qTables = broadcast(
-        subvectors(e.filter(isQuery(col("vec_id")) && chunk), PqM, 64)
+        subvectors(queries.filter(chunk)
+          .select(col("query_id").as("vec_id"), col("embedding")), PqM, 64)
         .join(broadcast(cbSub), Seq("sub"))
         .select(col("vec_id").as("query_id"), col("cell").as("code"),
           l2sq(col("sv"), col("centroid")).as("qd")))
@@ -889,7 +944,7 @@ object Similarity {
         .filter(col("rk") <= shortlist)
         .select(col("query_id"), col("vec_id").as("neighbor_id"))
     }.reduce(_ unionByName _)
-    rerankExact(e, short)
+    rerankExactFor(e, short, queries)
   }
 
   // ------------------------------------------------------------ persistence
@@ -1163,6 +1218,19 @@ object Similarity {
       codebooks: Option[DataFrame] = None,
       precomputedCents: Option[DataFrame] = None,
       precomputedCodes: Option[DataFrame] = None,
+      maxBatchQ: Int = MaxAdcBatchQ): DataFrame =
+    ivfpqResidualTopkForQueries(s, dir,
+      corpusQueries(Tables(s, dir).embeddings),
+      shortlist, codebooks, precomputedCents, precomputedCodes, maxBatchQ)
+
+  /** [[ivfpqResidualTopk]] over an ARBITRARY (query_id, embedding) batch
+    * — the serving form ([[ivfpqTopkForQueries]]' contract).
+    */
+  def ivfpqResidualTopkForQueries(s: SparkSession, dir: String,
+      queries: DataFrame, shortlist: Int = 100,
+      codebooks: Option[DataFrame] = None,
+      precomputedCents: Option[DataFrame] = None,
+      precomputedCodes: Option[DataFrame] = None,
       maxBatchQ: Int = MaxAdcBatchQ): DataFrame = {
     val e = Tables(s, dir).embeddings
     val cents = precomputedCents.getOrElse(centroids(e))
@@ -1177,9 +1245,9 @@ object Similarity {
     // per-chunk subplans: the residual tables are the HEAVIEST ADC
     // broadcast (nprobe tables per query), so the MaxAdcBatchQ chunk
     // bound matters most here — ≤ maxBatchQ·nprobe·m·ksub rows per chunk
-    val short = adcChunks(e, maxBatchQ).map { chunk =>
-      val probes = e.filter(isQuery(col("vec_id")) && chunk)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val short = adcChunks(queries, maxBatchQ).map { chunk =>
+      val probes = queries.filter(chunk)
+        .select(col("query_id"), col("embedding").as("qe"))
         .join(broadcast(cents))
         .select(col("query_id"), col("qe"), col("cell"),
           cosine_sim(col("qe"), col("centroid")).as("ccos"))
@@ -1212,7 +1280,7 @@ object Similarity {
         .filter(col("rk") <= shortlist)
         .select(col("query_id"), col("vec_id").as("neighbor_id"))
     }.reduce(_ unionByName _)
-    rerankExact(e, short)
+    rerankExactFor(e, short, queries)
   }
 
   // =================================================================

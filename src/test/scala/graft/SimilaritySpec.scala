@@ -490,6 +490,36 @@ class SimilaritySpec extends SparkSpec {
       === topk(Similarity.ivfpqResidualTopk(spark, sf)))
   }
 
+  test("serving forms answer arbitrary query batches; corpus-query parity is exact") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    // fed with the SAME batch the gate form derives internally, the
+    // serving forms must return identical results — same ADC tables,
+    // probes, chunks, rerank
+    val self = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    assert(topk(Similarity.pqTopkForQueries(spark, sf, self))
+      === topk(Similarity.pqTopk(spark, sf)))
+    assert(topk(Similarity.ivfpqTopkForQueries(spark, sf, self))
+      === topk(Similarity.ivfpqTopk(spark, sf)))
+    assert(topk(Similarity.ivfpqResidualTopkForQueries(spark, sf, self))
+      === topk(Similarity.ivfpqResidualTopk(spark, sf)))
+    // an EXTERNAL batch (disjoint id namespace, vectors copied from
+    // corpus rows): the nearest neighbor of a corpus vector's copy is
+    // the vector itself — rank 1, cosine ≈ 1 — because no id-equality
+    // exclusion applies across namespaces
+    val ext = e.filter(col("vec_id") >= 20 && col("vec_id") < 25)
+      .select((col("vec_id") + 1000000L).as("query_id"), col("embedding"))
+    val got = Similarity.ivfpqTopkForQueries(spark, sf, ext).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine")))
+    assert(got.map(_._1).distinct.length === 5)
+    got.filter(_._2 == 1L).foreach { case (q, _, n, c) =>
+      assert(n === q - 1000000L && c > 0.999,
+        s"query $q: expected its source vector at rank 1, got $n ($c)")
+    }
+  }
+
   test("ANN index delete: tombstone ≡ rebuild-without-vector; compaction makes it physical") {
     import org.apache.spark.sql.functions.col
     val spark2 = spark

@@ -74,10 +74,20 @@ object Similarity {
     * through one codegen'd scan — no shuffle except the final per-query
     * top-k (which AQE keeps tiny).
     */
-  def bruteforceTopk(s: SparkSession, dir: String): DataFrame = {
+  def bruteforceTopk(s: SparkSession, dir: String): DataFrame =
+    bruteforceTopkForQueries(s, dir,
+      corpusQueries(Tables(s, dir).embeddings))
+
+  /** [[bruteforceTopk]] over an ARBITRARY (query_id, embedding) batch —
+    * the exact-tier serving form (the right service when Q is small and
+    * recall must be 1.0). Same contract as the other *ForQueries forms:
+    * id-equal pairs excluded, external namespaces untouched.
+    */
+  def bruteforceTopkForQueries(s: SparkSession, dir: String,
+      queries: DataFrame): DataFrame = {
     val e = Tables(s, dir).embeddings
-    val q = broadcast(e.filter(isQuery(col("vec_id")))
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe")))
+    val q = broadcast(queries
+      .select(col("query_id"), col("embedding").as("qe")))
     val scored = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
       .join(q, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -439,20 +449,34 @@ object Similarity {
     * projection-dependent); recall vs [[bruteforceTopk]] spec-pinned.
     */
   def jlTopk(s: SparkSession, dir: String, shortlist: Int = 50,
+      precomputedProjected: Option[DataFrame] = None): DataFrame =
+    jlTopkForQueries(s, dir, corpusQueries(Tables(s, dir).embeddings),
+      shortlist, precomputedProjected)
+
+  /** [[jlTopk]] over an ARBITRARY (query_id, embedding) batch — the
+    * serving form: the query batch projects through the SAME literal ±1
+    * sheet (pure map), so corpus-resident queries land on bit-identical
+    * reduced vectors (parity spec-pinned).
+    */
+  def jlTopkForQueries(s: SparkSession, dir: String, queries: DataFrame,
+      shortlist: Int = 50,
       precomputedProjected: Option[DataFrame] = None): DataFrame = {
     val e = Tables(s, dir).embeddings
     val pv = precomputedProjected.getOrElse(projectVectors(e))
-    coarseRerankTopk(e, pv, shortlist)
+    val qpv = projectVectors(
+        queries.select(col("query_id").as("vec_id"), col("embedding")))
+      .select(col("vec_id").as("query_id"), col("pv").as("q_pv"))
+    coarseRerankTopk(e, pv, shortlist, queries, qpv)
   }
 
   /** The reduced-space two-stage scaffold [[jlTopk]] and [[pcaTopk]]
     * share: coarse cosine over the (vec_id, pv) reduced vectors, keep
     * `shortlist` per query, exact full-dim rerank of the shortlist only.
+    * `qpv` is the query batch in the same reduced space.
     */
   private def coarseRerankTopk(e: DataFrame, pv: DataFrame,
-      shortlist: Int): DataFrame = {
-    val q = broadcast(pv.filter(isQuery(col("vec_id")))
-      .select(col("vec_id").as("query_id"), col("pv").as("q_pv")))
+      shortlist: Int, queries: DataFrame, qpv: DataFrame): DataFrame = {
+    val q = broadcast(qpv)
     val cheap = pv.join(q, col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine_sim(col("pv"), col("q_pv")).as("ascore"))
@@ -461,7 +485,7 @@ object Similarity {
     val short = cheap.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= shortlist)
       .select(col("query_id"), col("neighbor_id"))
-    rerankExact(e, short)
+    rerankExactFor(e, short, queries)
   }
 
   /** Train a PCA basis for the corpus: one distributed covariance pass
@@ -504,16 +528,28 @@ object Similarity {
     * equality.
     */
   def pcaTopk(s: SparkSession, dir: String, shortlist: Int = 50,
+      precomputedComponents: Option[DataFrame] = None): DataFrame =
+    pcaTopkForQueries(s, dir, corpusQueries(Tables(s, dir).embeddings),
+      shortlist, precomputedComponents)
+
+  /** [[pcaTopk]] over an ARBITRARY (query_id, embedding) batch — the
+    * serving form: queries reduce through the SAME learned basis (fed or
+    * trained inline), the [[jlTopkForQueries]] contract.
+    */
+  def pcaTopkForQueries(s: SparkSession, dir: String, queries: DataFrame,
+      shortlist: Int = 50,
       precomputedComponents: Option[DataFrame] = None): DataFrame = {
     val e = Tables(s, dir).embeddings
     val m = precomputedComponents.getOrElse(trainPca(s, dir))
       .select(col("comp"), col("weights")).collect()
       .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
     val k = m.length
-    val pv = e.select(col("vec_id"),
+    def reduce(df: DataFrame): DataFrame = df.select(col("vec_id"),
       graft.functions.mat_vec(col("embedding"), m.flatten, k, 64, 1.0)
         .cast("array<float>").as("pv"))
-    coarseRerankTopk(e, pv, shortlist)
+    val qpv = reduce(queries.select(col("query_id").as("vec_id"), col("embedding")))
+      .select(col("vec_id").as("query_id"), col("pv").as("q_pv"))
+    coarseRerankTopk(e, reduce(e), shortlist, queries, qpv)
   }
 
   private[graft] val ProjK = 16
@@ -570,10 +606,23 @@ object Similarity {
     *   the stored codes per batch.
     */
   def int8Topk(s: SparkSession, dir: String, shortlist: Int = 50,
+      precomputedQuantized: Option[DataFrame] = None): DataFrame =
+    int8TopkForQueries(s, dir, corpusQueries(Tables(s, dir).embeddings),
+      shortlist, precomputedQuantized)
+
+  /** [[int8Topk]] over an ARBITRARY (query_id, embedding) batch — the
+    * serving form: the query batch quantizes with the SAME per-vector
+    * transform the corpus codes were built with (pure function, so a
+    * corpus-resident query gets bit-identical codes whether fed from the
+    * stored artifact or re-quantized here — parity spec-pinned).
+    */
+  def int8TopkForQueries(s: SparkSession, dir: String, queries: DataFrame,
+      shortlist: Int = 50,
       precomputedQuantized: Option[DataFrame] = None): DataFrame = {
     val e = Tables(s, dir).embeddings
     val qz = precomputedQuantized.getOrElse(quantizeVectors(e))
-    val q = broadcast(qz.filter(isQuery(col("vec_id")))
+    val q = broadcast(quantizeVectors(
+        queries.select(col("query_id").as("vec_id"), col("embedding")))
       .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
         col("inorm").as("q_inorm"), col("step").as("q_step")))
     val cheap = qz.join(q, col("query_id") =!= col("vec_id"))
@@ -585,7 +634,7 @@ object Similarity {
     val short = cheap.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= shortlist)
       .select(col("query_id"), col("neighbor_id"))
-    rerankExact(e, short)
+    rerankExactFor(e, short, queries)
   }
 
   /** [[int8Topk]] composed with IVF cell restriction — the tier for the N

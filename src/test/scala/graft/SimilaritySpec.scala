@@ -504,6 +504,13 @@ class SimilaritySpec extends SparkSpec {
       === topk(Similarity.ivfpqTopk(spark, sf)))
     assert(topk(Similarity.ivfpqResidualTopkForQueries(spark, sf, self))
       === topk(Similarity.ivfpqResidualTopk(spark, sf)))
+    assert(topk(Similarity.bruteforceTopkForQueries(spark, sf, self)) === exact)
+    assert(topk(Similarity.int8TopkForQueries(spark, sf, self))
+      === topk(Similarity.int8Topk(spark, sf)))
+    assert(topk(Similarity.jlTopkForQueries(spark, sf, self))
+      === topk(Similarity.jlTopk(spark, sf)))
+    assert(topk(Similarity.pcaTopkForQueries(spark, sf, self))
+      === topk(Similarity.pcaTopk(spark, sf)))
     // an EXTERNAL batch (disjoint id namespace, vectors copied from
     // corpus rows): the nearest neighbor of a corpus vector's copy is
     // the vector itself — rank 1, cosine ≈ 1 — because no id-equality

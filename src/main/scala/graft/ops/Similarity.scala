@@ -48,14 +48,9 @@ object Similarity {
     * copy so a rerank change (tie-break, NaN policy) can never diverge
     * between tiers.
     */
-  private def rerankExact(e: DataFrame, cand: DataFrame): DataFrame =
-    rerankExactFor(e, cand,
-      e.filter(isQuery(col("vec_id")))
-        .select(col("vec_id").as("query_id"), col("embedding")))
-
-  /** [[rerankExact]] with an explicit (query_id, embedding) query frame —
-    * the seam that lets the ADC tiers serve an ARBITRARY query batch, not
-    * just corpus-resident probes.
+  /** Exact rerank with an explicit (query_id, embedding) query frame —
+    * the seam that lets every retrieval tier serve an ARBITRARY query
+    * batch, not just corpus-resident probes.
     */
   private def rerankExactFor(e: DataFrame, cand: DataFrame,
       queries: DataFrame): DataFrame = {
@@ -155,17 +150,29 @@ object Similarity {
     * row, not two 64-float vectors.
     */
   def lshTopk(s: SparkSession, dir: String,
+      numTables: Int = DefaultTables, bits: Int = DefaultBits): DataFrame =
+    lshTopkForQueries(s, dir, corpusQueries(Tables(s, dir).embeddings),
+      numTables, bits)
+
+  /** [[lshTopk]] over an ARBITRARY (query_id, embedding) batch — the
+    * serving form: the batch hashes through the SAME hash-derived
+    * hyperplanes (pure per-vector kernel), so corpus-resident queries get
+    * bit-identical buckets (parity spec-pinned). Geometry must match the
+    * corpus side's, as with every LSH artifact here.
+    */
+  def lshTopkForQueries(s: SparkSession, dir: String, queries: DataFrame,
       numTables: Int = DefaultTables, bits: Int = DefaultBits): DataFrame = {
     val e = Tables(s, dir).embeddings
     val b = lshBuckets(e, 64, numTables, bits)
-    val qb = b.filter(isQuery(col("vec_id")))
+    val qb = lshBuckets(queries.select(col("query_id").as("vec_id"),
+        col("embedding")), 64, numTables, bits)
       .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
     val candIds = b.as("c").join(broadcast(qb).as("q"),
         col("c.tbl") === col("q.tbl") && col("c.bucket") === col("q.bucket")
           && col("c.vec_id") =!= col("q.query_id"))
       .select(col("q.query_id"), col("c.vec_id").as("neighbor_id"))
       .distinct()
-    rerankExact(e, candIds)
+    rerankExactFor(e, candIds, queries)
   }
 
   // ------------------------------------------------------------ IVF
@@ -296,13 +303,23 @@ object Similarity {
     *   ivfpqTopk) already had; `None` trains inline.
     */
   def ivfTopk(s: SparkSession, dir: String,
+      precomputedCents: Option[DataFrame] = None): DataFrame =
+    ivfTopkForQueries(s, dir, corpusQueries(Tables(s, dir).embeddings),
+      precomputedCents)
+
+  /** [[ivfTopk]] over an ARBITRARY (query_id, embedding) batch — the
+    * serving form: external queries rank the same broadcast centroid
+    * table to pick their probe cells (parity with the gate form
+    * spec-pinned for corpus-resident queries).
+    */
+  def ivfTopkForQueries(s: SparkSession, dir: String, queries: DataFrame,
       precomputedCents: Option[DataFrame] = None): DataFrame = {
     val e = Tables(s, dir).embeddings
     val cents = precomputedCents.getOrElse(centroids(e))
     val assigned = assignCells(e, cents)
     // nprobe nearest cells per query
-    val probes = assigned.filter(isQuery(col("vec_id")))
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val probes = queries
+      .select(col("query_id"), col("embedding").as("qe"))
       .join(broadcast(cents))
       .select(col("query_id"), col("qe"), col("cell"),
         cosine_sim(col("qe"), col("centroid")).as("ccos"))
@@ -652,6 +669,17 @@ object Similarity {
     */
   def int8IvfTopk(s: SparkSession, dir: String, shortlist: Int = 50,
       precomputedCents: Option[DataFrame] = None,
+      precomputedQuantized: Option[DataFrame] = None): DataFrame =
+    int8IvfTopkForQueries(s, dir, corpusQueries(Tables(s, dir).embeddings),
+      shortlist, precomputedCents, precomputedQuantized)
+
+  /** [[int8IvfTopk]] over an ARBITRARY (query_id, embedding) batch — the
+    * serving form ([[int8TopkForQueries]]' quantize contract +
+    * [[ivfTopkForQueries]]' probe contract; parity spec-pinned).
+    */
+  def int8IvfTopkForQueries(s: SparkSession, dir: String, queries: DataFrame,
+      shortlist: Int = 50,
+      precomputedCents: Option[DataFrame] = None,
       precomputedQuantized: Option[DataFrame] = None): DataFrame = {
     val e = Tables(s, dir).embeddings
     val cents = precomputedCents.getOrElse(centroids(e))
@@ -660,8 +688,8 @@ object Similarity {
     // column to rows that were already being materialized
     val qz = precomputedQuantized.getOrElse(quantizeVectors(e))
       .join(assigned, Seq("vec_id"))
-    val probes = e.filter(isQuery(col("vec_id")))
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val probes = queries
+      .select(col("query_id"), col("embedding").as("qe"))
       .join(broadcast(cents))
       .select(col("query_id"), col("cell"),
         cosine_sim(col("qe"), col("centroid")).as("ccos"))
@@ -669,7 +697,8 @@ object Similarity {
         Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cell"))))
       .filter(col("rk") <= NProbe)
       .select(col("query_id"), col("cell"))
-    val qq = qz.filter(isQuery(col("vec_id")))
+    val qq = quantizeVectors(
+        queries.select(col("query_id").as("vec_id"), col("embedding")))
       .select(col("vec_id").as("query_id"), col("qv").as("q_qv"),
         col("inorm").as("q_inorm"), col("step").as("q_step"))
     val probeSide = broadcast(probes.join(qq, Seq("query_id")))
@@ -684,7 +713,7 @@ object Similarity {
     val short = cheap.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= shortlist)
       .select(col("query_id"), col("neighbor_id"))
-    rerankExact(e, short)
+    rerankExactFor(e, short, queries)
   }
 
   // ------------------------------------------------------------ PQ

@@ -511,6 +511,12 @@ class SimilaritySpec extends SparkSpec {
       === topk(Similarity.jlTopk(spark, sf)))
     assert(topk(Similarity.pcaTopkForQueries(spark, sf, self))
       === topk(Similarity.pcaTopk(spark, sf)))
+    assert(topk(Similarity.lshTopkForQueries(spark, sf, self))
+      === topk(Similarity.lshTopk(spark, sf)))
+    assert(topk(Similarity.ivfTopkForQueries(spark, sf, self))
+      === topk(Similarity.ivfTopk(spark, sf)))
+    assert(topk(Similarity.int8IvfTopkForQueries(spark, sf, self))
+      === topk(Similarity.int8IvfTopk(spark, sf)))
     // an EXTERNAL batch (disjoint id namespace, vectors copied from
     // corpus rows): the nearest neighbor of a corpus vector's copy is
     // the vector itself — rank 1, cosine ≈ 1 — because no id-equality

@@ -910,6 +910,17 @@ object Similarity {
       maxBatchQ: Int = MaxAdcBatchQ): DataFrame = {
     val e = Tables(s, dir).embeddings
     val cb = codebooks.getOrElse(pqCodebooks(e))
+    rerankExactFor(e, pqShortlist(e, queries, cb, shortlist, maxBatchQ),
+      queries)
+  }
+
+  /** The PQ ADC shortlist over an explicit corpus frame — the shared body
+    * of [[pqTopkForQueries]] and the OPQ tier (whose corpus/query frames
+    * are the ROTATED vectors while the exact rerank stays in the original
+    * space). Returns (query_id, neighbor_id) candidates.
+    */
+  private def pqShortlist(e: DataFrame, queries: DataFrame, cb: DataFrame,
+      shortlist: Int, maxBatchQ: Int): DataFrame = {
     val cbSub = withSub(cb, PqKsub)
     // corpus codes: (vec_id, sub, code) — m rows per vector, the compressed
     // representation an at-scale run materializes once; the SAME
@@ -918,7 +929,7 @@ object Similarity {
     val qSubs = subvectors(queries.select(col("query_id").as("vec_id"),
         col("embedding")), PqM, 64)
       .select(col("vec_id").as("query_id"), col("sub"), col("sv"))
-    val short = adcChunks(queries, maxBatchQ).map { chunk =>
+    adcChunks(queries, maxBatchQ).map { chunk =>
       // per-query distance tables over the SAME codebook — one broadcast
       // per ≤ maxBatchQ-query chunk (the MaxAdcBatchQ bound)
       val qTables = broadcast(qSubs.filter(chunk)
@@ -938,7 +949,160 @@ object Similarity {
         .filter(col("rk") <= shortlist)
         .select(col("query_id"), col("vec_id").as("neighbor_id"))
     }.reduce(_ unionByName _)
-    rerankExactFor(e, short, queries)
+  }
+
+  // ------------------------------------------------------------ OPQ
+  /** OPQ training is a rotation fit, not a corpus statistic — a handful
+    * of thousands of points pins a 64×64 orthogonal matrix (the public
+    * OPQ implementations train their rotation on a bounded sample for the
+    * same reason), so its cap sits far below [[TrainSampleMin]].
+    */
+  private[graft] val OpqTrainCap = 16384L
+  private[graft] val OpqIters = 3
+
+  /** Rotate a (vec_id, embedding) frame by a row-major dim×dim matrix —
+    * one compiled [[graft.functions.MatVec]] pass; the matrix rides the
+    * plan as literals exactly like the JL sheet and the PCA basis.
+    */
+  private[graft] def rotateFrame(df: DataFrame,
+      r: Array[Array[Double]], dim: Int = 64): DataFrame =
+    df.select(col("vec_id"),
+      graft.functions.mat_vec(col("embedding"), r.flatten, dim, dim, 1.0)
+        .cast("array<float>").as("embedding"))
+
+  /** Optimized Product Quantization (Ge et al., CVPR 2013; the FAISS
+    * `OPQMatrix` pre-transform): learn an orthogonal rotation R that
+    * redistributes variance across the PQ subspaces before quantizing, so
+    * the same m·ksub code budget spends itself where the data actually
+    * varies — lower reconstruction error than raw PQ at identical
+    * serving cost (the rotation is one extra [[MatVec]] per vector,
+    * applied once at corpus-encode time and once per query).
+    *
+    * Alternating minimization, all heavy steps distributed:
+    *  1. fix R → train PQ codebooks on the rotated sample (the existing
+    *     [[pqCodebooks]] Lloyd machinery, unchanged);
+    *  2. fix codes → the optimal R is the orthogonal Procrustes solution
+    *     min‖RX − Ŷ‖: R = UVᵀ from SVD(ŶXᵀ). The cross-covariance
+    *     M = ŶXᵀ never materializes reconstructions: since every ŷ row is
+    *     a codebook centroid, M[sub·dsub+a][j] = Σ_k c_k[a]·S_k[j] where
+    *     S_k[j] = Σ_{x assigned to k} x[j] — ONE groupBy over
+    *     (sub, code, dim) yielding m·ksub·dim = 8 192 driver rows, then a
+    *     64×64 SVD (breeze, ships with Spark) on the driver.
+    *
+    * Training cost per iteration is O(sample), bounded by
+    * [[OpqTrainCap]]; the corpus is only ever touched by the final
+    * encode, exactly like the other fed-model tiers. Returns
+    * (rotation rows (comp, weights) like the PCA basis, codebooks trained
+    * in the final rotated space) — feed both to [[opqTopk]] /
+    * [[saveOpqModel]].
+    */
+  def trainOpq(s: SparkSession, dir: String, iters: Int = OpqIters,
+      trainCap: Long = OpqTrainCap): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val dim = 64
+    val dsub = dim / PqM
+    val train = trainSample(Tables(s, dir).embeddings, trainCap)
+      .select(col("vec_id"), col("embedding"))
+    train.persist()
+    var r: Array[Array[Double]] =
+      Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    var it = 0
+    while (it < iters) {
+      val rotated = rotateFrame(train, r)
+      // sample is already bounded — pass an effectively-infinite cap so
+      // pqCodebooks' own trainSample is the identity
+      val cb = pqCodebooks(rotated, trainCap = Long.MaxValue)
+      val cbLocal: Map[Int, Seq[Float]] =
+        cb.as[(Int, Seq[Float])].collect().toMap
+      // S[code][j] = Σ_{n assigned to code in its subspace} x_n[j] over
+      // the ORIGINAL vectors — the only distributed pass of the M step
+      val sums = assignCodes(subvectors(rotated, PqM, dim), withSub(cb, PqKsub))
+        .join(train, Seq("vec_id"))
+        .select(col("code"), posexplode(col("embedding")).as(Seq("j", "x")))
+        .groupBy(col("code"), col("j"))
+        .agg(sum(col("x").cast(DoubleType)).as("sx"))
+        .as[(Int, Int, Double)].collect()
+      val m = Array.ofDim[Double](dim, dim)
+      sums.foreach { case (code, j, sx) =>
+        val c = cbLocal(code)
+        val off = (code / PqKsub) * dsub
+        var a = 0
+        while (a < dsub) { m(off + a)(j) += c(a) * sx; a += 1 }
+      }
+      val mm = new breeze.linalg.DenseMatrix(dim, dim,
+        Array.tabulate(dim * dim)(x => m(x % dim)(x / dim))) // column-major
+      val s3 = breeze.linalg.svd(mm)
+      val ru = s3.U * s3.Vt
+      r = Array.tabulate(dim, dim)((i, j) => ru(i, j))
+      it += 1
+    }
+    // codebooks must match the FINAL rotation (the last Procrustes step
+    // moved R after they were fit)
+    val cbF = pqCodebooks(rotateFrame(train, r), trainCap = Long.MaxValue)
+    train.unpersist()
+    val rotDf = r.zipWithIndex
+      .map { case (row, i) => (i.toLong, row.toSeq) }.toSeq
+      .toDF("comp", "weights")
+    (rotDf, cbF)
+  }
+
+  def saveOpqModel(path: String, rotation: DataFrame,
+      codebooks: DataFrame): Unit = {
+    rotation.write.mode("overwrite").parquet(s"$path/opq_rotation.parquet")
+    codebooks.write.mode("overwrite").parquet(s"$path/opq_codebooks.parquet")
+  }
+
+  def loadOpqModel(s: SparkSession, path: String): (DataFrame, DataFrame) =
+    (s.read.parquet(s"$path/opq_rotation.parquet"),
+      s.read.parquet(s"$path/opq_codebooks.parquet"))
+
+  /** Total PQ reconstruction error Σ‖x − decode(code(x))‖² of a frame
+    * under a codebook — the quantity OPQ minimizes; SimilaritySpec pins
+    * the OPQ-rotated error under (≤) the raw-PQ error.
+    */
+  private[graft] def quantizationError(e: DataFrame, cb: DataFrame): Double = {
+    val cbSub = withSub(cb, PqKsub)
+    val subs = subvectors(e, PqM, 64)
+    assignCodes(subs, cbSub).withColumnRenamed("code", "cell")
+      .join(subs, Seq("vec_id", "sub"))
+      .join(broadcast(cbSub), Seq("sub", "cell"))
+      .agg(sum(l2sq(col("sv"), col("centroid")))).head.getDouble(0)
+  }
+
+  /** [[pqTopk]] with the OPQ rotation in front: corpus and queries rotate
+    * through the SAME learned R (one compiled MatVec each), the ADC
+    * shortlist runs in rotated space over the rotated-space codebooks, and
+    * the exact rerank stays in the ORIGINAL space (R is orthogonal, so
+    * rotated-space cosine equals original-space cosine up to float
+    * rounding — reranking on the originals avoids even that). Rows-only:
+    * the rotation is an engine-internal learned model; recall and the
+    * reconstruction-error win are spec-pinned.
+    */
+  def opqTopk(s: SparkSession, dir: String, shortlist: Int = 100,
+      model: Option[(DataFrame, DataFrame)] = None,
+      maxBatchQ: Int = MaxAdcBatchQ): DataFrame =
+    opqTopkForQueries(s, dir, corpusQueries(Tables(s, dir).embeddings),
+      shortlist, model, maxBatchQ)
+
+  /** [[opqTopk]] over an ARBITRARY (query_id, embedding) batch — the
+    * serving form ([[pqTopkForQueries]]' contract); feed
+    * `model = Some(loadOpqModel(...))` so serving pays only the two
+    * MatVec passes and the ADC scan.
+    */
+  def opqTopkForQueries(s: SparkSession, dir: String, queries: DataFrame,
+      shortlist: Int = 100,
+      model: Option[(DataFrame, DataFrame)] = None,
+      maxBatchQ: Int = MaxAdcBatchQ): DataFrame = {
+    val e = Tables(s, dir).embeddings
+    val (rotDf, cb) = model.getOrElse(trainOpq(s, dir))
+    val r = rotDf.select(col("comp"), col("weights")).collect()
+      .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+    val rotE = rotateFrame(e, r)
+    val rotQ = rotateFrame(
+        queries.select(col("query_id").as("vec_id"), col("embedding")), r)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    rerankExactFor(e, pqShortlist(rotE, rotQ, cb, shortlist, maxBatchQ),
+      queries)
   }
 
   /** [[pqTopk]] composed with IVF cell restriction — IVFPQ, FAISS's
@@ -1370,6 +1534,7 @@ object Similarity {
     "ann_int8_topk" -> ((s: SparkSession, dir: String) => int8Topk(s, dir)),
     "ann_int8_ivf_topk" -> ((s: SparkSession, dir: String) => int8IvfTopk(s, dir)),
     "ann_pq_topk" -> ((s: SparkSession, dir: String) => pqTopk(s, dir)),
+    "ann_opq_topk" -> ((s: SparkSession, dir: String) => opqTopk(s, dir)),
     "ann_ivfpq_topk" -> ((s: SparkSession, dir: String) => ivfpqTopk(s, dir)),
     "ann_ivfpq_topk_fed" -> (ivfpqTopkFed _),
     "ann_ivfpq_topk_indexed" -> (ivfpqTopkIndexed _),

@@ -169,6 +169,80 @@ class SimilaritySpec extends SparkSpec {
     assert(r >= 0.6, s"PQ recall@5=$r")
   }
 
+  test("OPQ: orthonormal learned rotation, PQ-floor recall, fed = inline = saved model") {
+    val (rot, cb) = Similarity.trainOpq(spark, sf)
+    val r = rot.collect()
+      .map(x => (x.getAs[Long]("comp"), x.getAs[Seq[Double]]("weights")))
+      .sortBy(_._1).map(_._2.toArray)
+    assert(r.length === 64)
+    // R must stay orthogonal through the Procrustes iterations: RRᵀ = I
+    for (i <- 0 until 64; j <- i until 64) {
+      val dot = (0 until 64).map(k => r(i)(k) * r(j)(k)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-8,
+        s"RRt($i,$j)=$dot")
+    }
+    // rotation is learned to HELP quantization: rotated-space error under
+    // the OPQ codebooks must not exceed raw PQ error beyond local-optimum
+    // noise (near-random embeddings are ~isotropic, so the two converge;
+    // the strict-improvement case is the anisotropic corpus test below)
+    val e = graft.Tables(spark, sf).embeddings
+    val errPq = Similarity.quantizationError(e, Similarity.pqCodebooks(e))
+    val errOpq = Similarity.quantizationError(Similarity.rotateFrame(e, r), cb)
+    assert(errOpq <= errPq * 1.05,
+      s"OPQ reconstruction error $errOpq vs PQ $errPq")
+    val fed = topk(Similarity.opqTopk(spark, sf, model = Some((rot, cb))))
+    assert(fed.size === 10)
+    fed.values.foreach(ns => assert(ns.size === 5))
+    assert(recallAt5(fed) >= 0.6, s"OPQ recall@5=${recallAt5(fed)}")
+    // training is deterministic, so the inline convenience form and a
+    // parquet-round-tripped model must reproduce the fed output exactly
+    assert(topk(Similarity.opqTopk(spark, sf)) === fed)
+    val dir = java.nio.file.Files.createTempDirectory("graft_opq").toString
+    Similarity.saveOpqModel(dir, rot, cb)
+    val (rot2, cb2) = Similarity.loadOpqModel(spark, dir)
+    assert(topk(Similarity.opqTopk(spark, sf, model = Some((rot2, cb2)))) === fed)
+  }
+
+  test("OPQ beats PQ where PQ is weakest: variance concentrated inside one subspace") {
+    // anisotropic corpus — the textbook OPQ case (Ge et al. 2013 §5's
+    // multi-Gaussian setting): 20 well-separated cluster centers whose
+    // geometry lives entirely in dims 0-7, exactly one PQ subspace. Raw
+    // PQ must quantize 20 centers with the 16 centroids of that one
+    // subspace (the other 15/16 of the code budget sees only noise);
+    // the learned rotation spreads the center geometry across all 8
+    // subspaces, whose independent 16-cell quantizers compose to 16^8
+    // effective cells — reconstruction error must drop strictly.
+    val spark2 = spark
+    import spark2.implicits._
+    def prand(seed: Long): Double = {
+      var z = seed + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      (z >>> 11).toDouble / (1L << 53).toDouble - 0.5
+    }
+    val rows = (0 until 1500).map { i =>
+      val c = i % 20
+      val emb = Array.tabulate(64) { d =>
+        val center = if (d < 8) 4.0 * prand(c.toLong * 64 + d) else 0.0
+        (center + 0.25 * prand((i.toLong << 8) + d)).toFloat
+      }
+      (i.toLong, emb)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_aniso").toString
+    rows.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val errPq = Similarity.quantizationError(e, Similarity.pqCodebooks(e))
+    val (rot, cb) = Similarity.trainOpq(spark, dir)
+    val r = rot.collect()
+      .map(x => (x.getAs[Long]("comp"), x.getAs[Seq[Double]]("weights")))
+      .sortBy(_._1).map(_._2.toArray)
+    val errOpq = Similarity.quantizationError(Similarity.rotateFrame(e, r), cb)
+    assert(errOpq < errPq * 0.9,
+      s"OPQ must strictly beat PQ on anisotropic data: $errOpq vs $errPq")
+  }
+
   test("IVFPQ: cell-restricted ADC keeps the family floor and tracks full-scan PQ") {
     val got = topk(Similarity.ivfpqTopk(spark, sf))
     assert(got.size === 10)

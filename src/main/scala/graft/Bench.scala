@@ -25,7 +25,8 @@ object Bench {
     "q_range_frame",
     "etl_json_extract", "etl_latest_by_key", "etl_sessionize",
     "etl_tumbling_window", "etl_sliding_window", "etl_redact",
-    "etl_quality_audit", "etl_scd2", "etl_gap_fill", "etl_merge_upsert",
+    "etl_quality_audit", "etl_expectations", "etl_scd2", "etl_gap_fill",
+    "etl_merge_upsert",
     "etl_snapshot_diff",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
     "dedup_components", "dedup_incremental", "dedup_minhash_incremental",
@@ -33,7 +34,7 @@ object Bench {
     "dedup_semantic",
     "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_int8_topk",
     "ann_jl_topk", "ann_pca_topk",
-    "ann_int8_ivf_topk", "ann_pq_topk", "ann_ivfpq_topk",
+    "ann_int8_ivf_topk", "ann_pq_topk", "ann_opq_topk", "ann_ivfpq_topk",
     "ann_ivfpq_topk_fed", "ann_ivfpq_topk_indexed", "ann_ivfpq_residual_topk",
     "text_decontaminate_fuzzy",
     "text_quality", "text_quality_classifier", "text_fingerprint",

@@ -17,6 +17,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.etl.JsonEtl.queries ++
+      graft.etl.Expectations.queries ++
       graft.ops.TextAnalysis.queries ++
       graft.ops.Dedup.queries ++
       graft.ops.Similarity.queries ++
@@ -31,6 +32,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.etl.JsonEtl.oracles ++
+      graft.etl.Expectations.oracles ++
       graft.ops.TextAnalysis.oracles ++
       graft.ops.Dedup.oracles ++
       graft.ops.Similarity.oracles ++

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import graft.etl.Expectations
+
+class ExpectationsSpec extends SparkSpec {
+
+  test("a dirty frame yields exact violation counts; budgets decide passed") {
+    val s2 = spark
+    import s2.implicits._
+    val df = Seq(
+      (1L, Some("a"), 10.0),
+      (2L, None, -1.0),
+      (2L, Some("c"), 5.0),  // duplicate id
+      (3L, None, 0.0)
+    ).toDF("id", "name", "amount")
+    val got = Expectations.expectations(df,
+      checks = Seq(
+        ("name_complete", col("name").isNull, 1L),  // 2 nulls > budget 1
+        ("amount_positive", col("amount") <= 0, 2L)), // 2 violations = budget
+      uniqueKeys = Seq(("id_unique", col("id"), 0L)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    assert(got === Seq(
+      ("amount_positive", 2L, 4L, true),
+      ("id_unique", 1L, 4L, false),
+      ("name_complete", 2L, 4L, false)))
+  }
+
+  test("a clean frame passes every check in the orders contract") {
+    val rows = Expectations.ordersContract(spark, sf).collect()
+    assert(rows.length === 6)
+    assert(rows.forall(_.getAs[Boolean]("passed")),
+      s"gate-data contract must be clean: ${rows.mkString(", ")}")
+    assert(rows.forall(_.getAs[Long]("violations") === 0L))
+  }
+
+  test("the contract compiles to one aggregation pass (no per-check scans)") {
+    val plan = Expectations.ordersContract(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans === 1, s"expected one scan, plan:\n$plan")
+  }
+}

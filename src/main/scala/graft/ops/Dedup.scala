@@ -853,6 +853,17 @@ object Dedup {
     ts.getFileSystem(s.sparkContext.hadoopConfiguration).delete(ts, true)
   }
 
+  /** Zero-row (vectors, buckets) with the persisted schemas — what batch
+    * 0 of a streaming ingest bootstraps on ([[emptyMinhashIndex]]'s twin);
+    * derived from the real builders over an empty frame so the schemas
+    * can never drift.
+    */
+  def emptyEmbeddingIndex(s: SparkSession): (DataFrame, DataFrame) = {
+    val e = s.range(0).select(col("id").as("vec_id"),
+      array().cast("array<float>").as("embedding"))
+    (e, Similarity.lshBuckets(e, 64))
+  }
+
   /** (vectors, buckets) — pass both to [[embeddingIncremental]]. Both
     * frames come back with any [[removeFromEmbeddingIndex]] tombstones
     * anti-joined away, so a deleted vector neither generates candidates

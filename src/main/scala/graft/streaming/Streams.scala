@@ -395,6 +395,48 @@ object Streams extends Serializable {
       }
       .start()
 
+  /** [[dedupIngestSink]]'s EMBEDDING twin — the other half of the
+    * living-corpus loop: each micro-batch of (vec_id, embedding) rows is
+    * near-dup-checked against the persisted embedding index
+    * ([[graft.ops.Dedup.embeddingIncremental]] — only the batch runs the
+    * hyperplane kernel; the corpus side contributes stored buckets and
+    * vectors), the batch-tagged (v1, v2, cosine) pairs append to
+    * `pairsDir`, and the batch folds in via
+    * [[graft.ops.Dedup.appendToEmbeddingIndex]]. Batch 0 bootstraps on
+    * [[graft.ops.Dedup.emptyEmbeddingIndex]]; marker files make replays
+    * idempotent, and the at-least-once crash window between pairs-write
+    * and marker-create only duplicates content-derived rows, which index
+    * compaction drops losslessly — the [[dedupIngestSink]] argument.
+    */
+  def embeddingIngestSink(vectors: DataFrame, indexPath: String,
+      pairsDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(indexPath)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(
+          s"${indexPath}_batches/$batchId")
+        if (!fs.exists(marker)) {
+          val cached = batch.persist()
+          try {
+            val (vecs, buckets) =
+              if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/vectors")))
+                graft.ops.Dedup.loadEmbeddingIndex(s, indexPath)
+              else graft.ops.Dedup.emptyEmbeddingIndex(s)
+            graft.ops.Dedup.embeddingIncremental(s, cached, vecs, buckets)
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(pairsDir)
+            graft.ops.Dedup.appendToEmbeddingIndex(s, cached, indexPath)
+            fs.create(marker, true).close()
+          } finally { cached.unpersist(); () }
+        }
+      }
+      .start()
+
   /** pyetl's multi-destination writer loop: one micro-batch, N sinks, via
     * foreachBatch. The batch is persisted once so each route filters the
     * cached data instead of re-reading the source.

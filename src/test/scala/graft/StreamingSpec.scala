@@ -416,4 +416,52 @@ class StreamingSpec extends SparkSpec {
 
   private def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("embedding ingest sink: streamed batches fold into an index ≡ batch-built; pairs ≡ full LSH") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_emb_ingest").toString
+    val vecsAll = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = Streams.embeddingIngestSink(in.toDF().toDF("vec_id", "embedding"),
+      s"$base/index", s"$base/pairs", s"$base/ckpt")
+    (0 until 3).foreach { b =>
+      in.addData(vecsAll.filter(_._1 % 3 == b).toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // streamed index ≡ batch-built over the same corpus, on BOTH tables
+    graft.ops.Dedup.saveEmbeddingIndex(spark,
+      spark.read.parquet(s"$sf/embeddings.parquet"), s"$base/batch_index")
+    def vecsOf(p: String): Map[Long, Seq[Float]] = {
+      val (v, _) = graft.ops.Dedup.loadEmbeddingIndex(spark, p)
+      v.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    }
+    def bucketsOf(p: String): Set[(Long, Int, Long)] = {
+      val (_, b) = graft.ops.Dedup.loadEmbeddingIndex(spark, p)
+      b.collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("tbl"),
+        r.getAs[Long]("bucket"))).toSet
+    }
+    assert(vecsOf(s"$base/index") === vecsOf(s"$base/batch_index"))
+    assert(bucketsOf(s"$base/index") === bucketsOf(s"$base/batch_index"))
+    // the union of per-batch pair outputs is the full-corpus LSH pair set
+    val streamedPairs = spark.read.parquet(s"$base/pairs")
+      .select("v1", "v2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = graft.ops.Dedup.embeddingLsh(spark, sf)
+      .select("v1", "v2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.nonEmpty)
+    assert(streamedPairs === full)
+    // replay guard: a restarted checkpoint re-delivering batch 0 is a no-op
+    val before = vecsOf(s"$base/index").size
+    val in2 = MemoryStream[(Long, Array[Float])]
+    in2.addData(vecsAll.filter(_._1 % 3 == 0).toIndexedSeq: _*)
+    val q2 = Streams.embeddingIngestSink(in2.toDF().toDF("vec_id", "embedding"),
+      s"$base/index", s"$base/pairs", s"$base/ckpt2")
+    q2.processAllAvailable(); q2.stop()
+    assert(vecsOf(s"$base/index").size === before)
+  }
 }

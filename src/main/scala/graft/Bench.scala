@@ -42,7 +42,8 @@ object Bench {
     "text_tfidf", "text_editdist_nn", "text_decontaminate", "text_pack_sequences",
     "text_repetition", "text_heavy_hitters", "text_prepare_corpus",
     "text_prepare_corpus_pipelined", "text_prepare_corpus_classified",
-    "text_mixture_sample", "text_select_budget_threshold", "text_bpe_tokens",
+    "text_mixture_sample", "text_mixture_temperature",
+    "text_select_budget_threshold", "text_bpe_tokens",
     "text_source_stats", "text_source_sketches", "text_vocab_coverage",
     "text_chunk_documents",
     "text_span_dedup", "text_surprisal", "emb_label_centroids", "emb_quantize",

@@ -265,7 +265,51 @@ object Curation {
     prepareCorpus(s, dir, pairs = Some(materializedPairs(s, dir)),
       classifierWeights = Some(TextAnalysis.QualityWeights()))
 
+  /** Temperature-scaled mixture weights — the multilingual/multi-source
+    * sampling standard (XLM-R, mT5: p_s ∝ (n_s/N)^α): flatten the natural
+    * source distribution toward uniform so low-resource sources aren't
+    * starved. Per source: natural token share, α-scaled share,
+    * `sample_weight` = temp/natural (the per-doc up/down-sampling factor a
+    * sampler multiplies into its keep probability) and `epochs` = passes
+    * over the source implied by a token budget.
+    *
+    * α is fixed at 0.5 (the mT5 default) so the shares stay oracle-exact:
+    * sqrt is correctly rounded in both engines, and the normalizer folds
+    * over sources IN NAME ORDER (sort_array + aggregate here, an ordered
+    * list_reduce in DuckDB) so the double sum is bit-identical — the
+    * in-order-fold discipline every exact score here uses. One groupBy of
+    * the corpus; everything after runs on S source rows.
+    */
+  def mixtureTemperature(s: SparkSession, dir: String,
+      budgetTokens: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val per = Tables(s, dir).documents
+      .select(col("source"),
+        size(TextAnalysis.words(col("text"))).cast(LongType).as("nw"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_tokens"))
+    // S source rows from here on — the single-partition window is S rows
+    val w = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    per
+      .withColumn("nat_share", col("n_tokens").cast(DoubleType)
+        / sum(col("n_tokens")).over(w).cast(DoubleType))
+      .withColumn("sqrtp", sqrt(col("nat_share")))
+      .withColumn("z", aggregate(
+        array_sort(collect_list(struct(col("source"), col("sqrtp"))).over(w)),
+        lit(0.0), (a, x) => a + x.getField("sqrtp")))
+      .withColumn("temp_share", col("sqrtp") / col("z"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("nat_share"), col("temp_share"),
+        (col("temp_share") / col("nat_share")).as("sample_weight"),
+        (col("temp_share") * lit(budgetTokens)
+          / col("n_tokens").cast(DoubleType)).as("epochs"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_mixture_temperature" -> ((s: SparkSession, dir: String) => mixtureTemperature(s, dir)),
     "text_prepare_corpus" -> ((s: SparkSession, dir: String) => prepareCorpus(s, dir)),
     "text_prepare_corpus_pipelined" -> (prepareCorpusPipelined _),
     "text_prepare_corpus_classified" -> (prepareCorpusClassified _),
@@ -278,6 +322,19 @@ object Curation {
     * arithmetic, hence exact.
     */
   val oracles: Map[String, String] = Map(
+    "text_mixture_temperature" ->
+      """WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT *, CAST(n_tokens AS DOUBLE)
+        |    / CAST((SELECT SUM(n_tokens) FROM per) AS DOUBLE) AS nat_share FROM per),
+        |x AS (SELECT *, sqrt(nat_share) AS sqrtp FROM t),
+        |z AS (SELECT list_reduce(list(sqrtp ORDER BY source), (a, b) -> a + b) AS z FROM x)
+        |SELECT source, n_docs, n_tokens, nat_share,
+        |  sqrtp / z AS temp_share,
+        |  (sqrtp / z) / nat_share AS sample_weight,
+        |  (sqrtp / z) * 1000000 / CAST(n_tokens AS DOUBLE) AS epochs
+        |FROM x, z ORDER BY source""".stripMargin,
     "text_mixture_sample" ->
       """SELECT doc_id, source FROM documents
         |WHERE ((doc_id % 100000007) * 2654435761) % 10000 <

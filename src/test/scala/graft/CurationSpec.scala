@@ -208,6 +208,33 @@ class CurationSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSeq === splits.toSeq)
   }
 
+  test("temperature mixture: shares normalize, α=0.5 flattens toward uniform") {
+    val rows = graft.ops.Curation.mixtureTemperature(spark, sf).collect()
+    assert(rows.length > 1)
+    val nat = rows.map(_.getAs[Double]("nat_share"))
+    val temp = rows.map(_.getAs[Double]("temp_share"))
+    assert(math.abs(nat.sum - 1.0) < 1e-12)
+    assert(math.abs(temp.sum - 1.0) < 1e-12)
+    // α=0.5 preserves the source ORDER and compresses the extremes:
+    // the largest share can only shrink, the smallest can only grow,
+    // and the max/min ratio contracts to its square root (mid-sized
+    // sources may legitimately cross uniform — α-sampling flattens the
+    // distribution, it does not clamp at uniform)
+    val byNat = nat.zip(temp).sortBy(_._1)
+    assert(byNat.map(_._2).sameElements(byNat.map(_._2).sorted),
+      "temperature scaling must preserve the share order")
+    assert(byNat.last._2 <= byNat.last._1 + 1e-12, "max share must shrink")
+    assert(byNat.head._2 >= byNat.head._1 - 1e-12, "min share must grow")
+    val (nMin, tMin) = byNat.head; val (nMax, tMax) = byNat.last
+    assert(tMax / tMin <= math.sqrt(nMax / nMin) * (1 + 1e-9),
+      s"ratio must contract to sqrt: ${tMax / tMin} vs sqrt(${nMax / nMin})")
+    // sample_weight is the up/down-sampling factor by construction
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("sample_weight")
+        - r.getAs[Double]("temp_share") / r.getAs[Double]("nat_share")) < 1e-15)
+    }
+  }
+
   test("propagateMinLabels' returned frame really unpersists (sameResult contract)") {
     val cm = spark.sharedState.cacheManager
     cm.clearCache()

@@ -221,6 +221,15 @@ object ScaleProbe {
     // codebook training (two Lloyd passes over N·m subvectors) is most
     // of the cost and amortizes away in the fed-codebook pipeline form
     time("ann_pq_topk")(graft.ops.Similarity.pqTopk(spark, out).count())
+    // OPQ: training touches only the OpqTrainCap sample (wall flat in N);
+    // the fed line is serving cost — two MatVec passes over PQ's ADC scan
+    time("ann_opq_topk")(graft.ops.Similarity.opqTopk(spark, out).count())
+    if (matched("ann_opq_topk(fed)")) locally {
+      val m = graft.ops.Similarity.trainOpq(spark, out)
+      val t0 = System.nanoTime()
+      val n = graft.ops.Similarity.opqTopk(spark, out, model = Some(m)).count()
+      println(f"ann_opq_topk(fed): ${(System.nanoTime() - t0) / 1e9}%.1f s ($n rows)")
+    }
     time("ann_ivfpq_topk")(graft.ops.Similarity.ivfpqTopk(spark, out).count())
     // the train-once split the one-shot line above hides: build + persist
     // the index (the once-per-corpus-build cost), then run the retrieval

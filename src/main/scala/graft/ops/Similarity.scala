@@ -1525,8 +1525,53 @@ object Similarity {
     rerankExactFor(e, short, queries)
   }
 
+  // ------------------------------------------------------------ evaluation
+  /** Recall@k evaluation report — the retrieval-QA harness a serving team
+    * runs before switching tiers: score each approximate tier's
+    * (query_id, rank, neighbor_id) output against the exact top-k. Every
+    * join is id-only (two longs per row), per-query recalls reduce to one
+    * row per tier — evaluation cost is the tiers' own retrieval cost, the
+    * scoring is noise. At 100 TB you evaluate on a sampled query batch,
+    * which is exactly what the probe-batch contract already is; any
+    * *ForQueries output slots in unchanged.
+    */
+  def recallReport(exact: DataFrame, tiers: Seq[(String, DataFrame)],
+      k: Int = K): DataFrame = {
+    val ex = exact.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    tiers.map { case (name, df) =>
+      val ap = df.filter(col("rank") <= k)
+        .select(col("query_id"), col("neighbor_id"))
+      ex.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+        .join(ap.join(ex, Seq("query_id", "neighbor_id"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as("hits")),
+          Seq("query_id"), "left")
+        .select((coalesce(col("hits"), lit(0L)).cast(DoubleType)
+          / col("n_exact").cast(DoubleType)).as("recall"))
+        .agg(count(lit(1)).as("n_queries"),
+          avg(col("recall")).as("mean_recall"),
+          min(col("recall")).as("min_recall"))
+        .select(lit(name).as("tier"), col("n_queries"),
+          col("mean_recall"), col("min_recall"))
+    }.reduce(_ unionByName _).orderBy(col("tier"))
+  }
+
+  /** Gate form: the cheap tiers scored against brute force (rows-only —
+    * tier outputs are engine-internal; the spec pins exact-vs-exact = 1.0
+    * and agreement with its own recall computation).
+    */
+  def annRecallReport(s: SparkSession, dir: String): DataFrame = {
+    val ex = bruteforceTopk(s, dir)
+    recallReport(ex, Seq(
+      "exact" -> ex,
+      "int8" -> int8Topk(s, dir),
+      "ivf" -> ivfTopk(s, dir),
+      "lsh" -> lshTopk(s, dir)))
+  }
+
   // =================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_recall_report" -> (annRecallReport _),
     "emb_quantize" -> (quantize _),
     "emb_project"  -> (project _),
     "ann_jl_topk" -> ((s: SparkSession, dir: String) => jlTopk(s, dir)),

@@ -481,6 +481,37 @@ object Relational {
       .orderBy(col("bucket").asc_nulls_last)
   }
 
+  // ---------------------------------------------------------------- attribution
+  /** Last-touch revenue attribution: each purchase's value credits the
+    * user's most recent click/view within a 1-day lookback (else 'none').
+    * The touch resolves with ONE ignore-nulls `last` over the per-user
+    * event order — no purchases×touches self-join, so the only shuffle is
+    * the user_id window sort, the sessionize shape that survives 100 TB.
+    * Value sums in exact decimal ([[moneySum]]); tie-break is
+    * (sec, event_id), engine-neutral integer order.
+    */
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    val lookback = 86400L
+    val ev = Tables(s, dir).events
+      .select(col("user_id"), col("event_id"), evSec(col("ts")).as("sec"),
+        col("event_type"), col("value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type").isin("click", "view"),
+      struct(col("sec"), col("event_type")))
+    ev.withColumn("lt", last(touch, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        when(col("lt").isNull || col("sec") - col("lt.sec") > lookback,
+          lit("none")).otherwise(col("lt.event_type")).as("touch_type"),
+        col("value"))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        moneySum(col("value")).as("attributed_value"))
+      .orderBy(col("touch_type"))
+  }
+
   // ---------------------------------------------------------------- range frame
   /** Value-based (RANGE) window frame: per customer, total spend within
     * the trailing 30 DAYS of each order — rows land in the frame by
@@ -616,9 +647,27 @@ object Relational {
     "q_order_islands"     -> (orderIslands _),
     "q_moving_avg"        -> (movingAvg _),
     "q_set_ops"           -> (setOps _),
-    "q_range_frame"       -> (rangeFrame _))
+    "q_range_frame"       -> (rangeFrame _),
+    "q_attribution"       -> (attribution _))
 
   val oracles: Map[String, String] = Map(
+    "q_attribution" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_ms(ts)//1000 AS sec,
+        |    event_type, value FROM events),
+        |t AS (SELECT user_id, sec, event_type, value,
+        |  last_value(CASE WHEN event_type IN ('click','view') THEN sec END IGNORE NULLS)
+        |    OVER w AS lt_sec,
+        |  last_value(CASE WHEN event_type IN ('click','view') THEN event_type END IGNORE NULLS)
+        |    OVER w AS lt_type
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT CASE WHEN lt_sec IS NULL OR sec - lt_sec > 86400
+        |    THEN 'none' ELSE lt_type END AS touch_type,
+        |  COUNT(*) AS n_purchases,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY touch_type ORDER BY touch_type""".stripMargin,
     "q_range_frame" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_30d,

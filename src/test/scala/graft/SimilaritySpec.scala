@@ -243,6 +243,24 @@ class SimilaritySpec extends SparkSpec {
       s"OPQ must strictly beat PQ on anisotropic data: $errOpq vs $errPq")
   }
 
+  test("recall report: exact scores 1.0, tiers agree with the spec's own recall math") {
+    val rows = Similarity.annRecallReport(spark, sf).collect()
+      .map(r => r.getAs[String]("tier") ->
+        (r.getAs[Long]("n_queries"), r.getAs[Double]("mean_recall"),
+          r.getAs[Double]("min_recall"))).toMap
+    assert(rows.keySet === Set("exact", "int8", "ivf", "lsh"))
+    rows.values.foreach { case (n, mean, mn) =>
+      assert(n === 10)
+      assert(mean >= 0.0 && mean <= 1.0 && mn >= 0.0 && mn <= mean + 1e-12)
+    }
+    assert(rows("exact")._2 === 1.0 && rows("exact")._3 === 1.0)
+    // the report must compute the same number this suite computes
+    assert(math.abs(rows("lsh")._2
+      - recallAt5(topk(Similarity.lshTopk(spark, sf)))) < 1e-12)
+    assert(math.abs(rows("ivf")._2
+      - recallAt5(topk(Similarity.ivfTopk(spark, sf)))) < 1e-12)
+  }
+
   test("IVFPQ: cell-restricted ADC keeps the family floor and tracks full-scan PQ") {
     val got = topk(Similarity.ivfpqTopk(spark, sf))
     assert(got.size === 10)

@@ -960,15 +960,17 @@ object Similarity {
   private[graft] val OpqTrainCap = 16384L
   private[graft] val OpqIters = 3
 
-  /** Rotate a (vec_id, embedding) frame by a row-major dim×dim matrix —
-    * one compiled [[graft.functions.MatVec]] pass; the matrix rides the
-    * plan as literals exactly like the JL sheet and the PCA basis.
+  /** Rotate a frame's `embedding` by a row-major dim×dim matrix — one
+    * compiled [[graft.functions.MatVec]] pass; the matrix rides the plan
+    * as literals exactly like the JL sheet and the PCA basis. Other
+    * columns (vec_id, label) pass through untouched, so the rotated frame
+    * slots into every consumer of the original.
     */
   private[graft] def rotateFrame(df: DataFrame,
       r: Array[Array[Double]], dim: Int = 64): DataFrame =
-    df.select(col("vec_id"),
+    df.withColumn("embedding",
       graft.functions.mat_vec(col("embedding"), r.flatten, dim, dim, 1.0)
-        .cast("array<float>").as("embedding"))
+        .cast("array<float>"))
 
   /** Optimized Product Quantization (Ge et al., CVPR 2013; the FAISS
     * `OPQMatrix` pre-transform): learn an orthogonal rotation R that
@@ -1152,10 +1154,23 @@ object Similarity {
     val cbSub = withSub(cb, PqKsub)
     val codes = precomputedCodes.getOrElse(
       buildIvfpqIndex(e, cents, cb, residual = false))
+    rerankExactFor(e,
+      ivfpqShortlist(queries, cents, cbSub, codes, shortlist, maxBatchQ),
+      queries)
+  }
+
+  /** The IVFPQ cell-restricted ADC shortlist — the shared body of
+    * [[ivfpqTopkForQueries]] and the OPQ-composed tier (whose query frame
+    * and codes live in ROTATED space). The corpus enters only through the
+    * materialized `codes`; returns (query_id, neighbor_id).
+    */
+  private def ivfpqShortlist(queries: DataFrame, cents: DataFrame,
+      cbSub: DataFrame, codes: DataFrame, shortlist: Int,
+      maxBatchQ: Int): DataFrame =
     // per-chunk ADC subplans (≤ maxBatchQ queries each — the MaxAdcBatchQ
     // broadcast bound): probes + distance tables broadcast per chunk, the
     // shortlists union into one exact rerank
-    val short = adcChunks(queries, maxBatchQ).map { chunk =>
+    adcChunks(queries, maxBatchQ).map { chunk =>
       val probes = queries.filter(chunk)
         .select(col("query_id"), col("embedding").as("qe"))
         .join(broadcast(cents))
@@ -1186,7 +1201,72 @@ object Similarity {
         .filter(col("rk") <= shortlist)
         .select(col("query_id"), col("vec_id").as("neighbor_id"))
     }.reduce(_ unionByName _)
-    rerankExactFor(e, short, queries)
+
+  /** OPQ composed with IVFPQ — FAISS's "OPQ,IVF,PQ" flagship recipe: the
+    * learned rotation runs in front of BOTH the coarse quantizer and the
+    * code space, so cell restriction and ADC happen entirely in rotated
+    * coordinates (rotation is orthogonal — cosine cell-ranking in rotated
+    * space equals original-space ranking up to float rounding) while the
+    * exact rerank stays on the original vectors. Training:
+    * [[trainOpq]]'s rotation + codebooks, then IVF centroids fit on the
+    * ROTATED corpus; corpus encode is one [[buildIvfpqIndex]] pass over
+    * the rotated frame. All three models feed in via `model` (see
+    * [[saveOpqIvfModel]]), leaving probe + ADC + rerank as the only
+    * per-batch work — the same amortization ladder as the raw IVFPQ tier.
+    */
+  def opqIvfpqTopk(s: SparkSession, dir: String, shortlist: Int = 100,
+      model: Option[(DataFrame, DataFrame, DataFrame)] = None,
+      precomputedCodes: Option[DataFrame] = None,
+      maxBatchQ: Int = MaxAdcBatchQ): DataFrame =
+    opqIvfpqTopkForQueries(s, dir, corpusQueries(Tables(s, dir).embeddings),
+      shortlist, model, precomputedCodes, maxBatchQ)
+
+  /** [[opqIvfpqTopk]] over an ARBITRARY (query_id, embedding) batch — the
+    * serving form; queries rotate through the same learned R.
+    */
+  def opqIvfpqTopkForQueries(s: SparkSession, dir: String,
+      queries: DataFrame, shortlist: Int = 100,
+      model: Option[(DataFrame, DataFrame, DataFrame)] = None,
+      precomputedCodes: Option[DataFrame] = None,
+      maxBatchQ: Int = MaxAdcBatchQ): DataFrame = {
+    val e = Tables(s, dir).embeddings
+    val (rotDf, cents, cb) = model.getOrElse(trainOpqIvf(s, dir))
+    val r = rotDf.select(col("comp"), col("weights")).collect()
+      .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+    val rotQ = rotateFrame(
+        queries.select(col("query_id").as("vec_id"), col("embedding")), r)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val codes = precomputedCodes.getOrElse(
+      buildIvfpqIndex(rotateFrame(e, r), cents, cb, residual = false))
+    rerankExactFor(e,
+      ivfpqShortlist(rotQ, cents, withSub(cb, PqKsub), codes, shortlist,
+        maxBatchQ),
+      queries)
+  }
+
+  /** (rotation, rotated-space IVF centroids, rotated-space PQ codebooks)
+    * — the "OPQ,IVF,PQ" model triple. Rotation + codebooks come from
+    * [[trainOpq]] (sample-bounded); the coarse quantizer trains on the
+    * rotated corpus with the same label-seeded Lloyd as the raw tier.
+    */
+  def trainOpqIvf(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val (rot, cb) = trainOpq(s, dir)
+    val r = rot.select(col("comp"), col("weights")).collect()
+      .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+    val cents = centroids(rotateFrame(Tables(s, dir).embeddings, r))
+    (rot, cents, cb)
+  }
+
+  def saveOpqIvfModel(path: String, rotation: DataFrame, cents: DataFrame,
+      codebooks: DataFrame): Unit = {
+    saveOpqModel(path, rotation, codebooks)
+    cents.write.mode("overwrite").parquet(s"$path/opq_ivf_centroids.parquet")
+  }
+
+  def loadOpqIvfModel(s: SparkSession, path: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (rot, cb) = loadOpqModel(s, path)
+    (rot, s.read.parquet(s"$path/opq_ivf_centroids.parquet"), cb)
   }
 
   // ------------------------------------------------------------ persistence
@@ -1580,6 +1660,7 @@ object Similarity {
     "ann_int8_ivf_topk" -> ((s: SparkSession, dir: String) => int8IvfTopk(s, dir)),
     "ann_pq_topk" -> ((s: SparkSession, dir: String) => pqTopk(s, dir)),
     "ann_opq_topk" -> ((s: SparkSession, dir: String) => opqTopk(s, dir)),
+    "ann_opq_ivfpq_topk" -> ((s: SparkSession, dir: String) => opqIvfpqTopk(s, dir)),
     "ann_ivfpq_topk" -> ((s: SparkSession, dir: String) => ivfpqTopk(s, dir)),
     "ann_ivfpq_topk_fed" -> (ivfpqTopkFed _),
     "ann_ivfpq_topk_indexed" -> (ivfpqTopkIndexed _),

@@ -64,9 +64,12 @@ class CountsSpec extends AnyFunSuite {
       "kept entries must keep tiered ≥2-sig-digit precision")
     val restN = """"rest":\{"n":(\d+)""".r.findFirstMatchIn(line)
       .map(_.group(1).toInt).getOrElse(0)
-    assert(restN <= 12,
-      s"quiet-host bucketing must stay small ($restN bucketed) — " +
-        "trim fixed fields or split the line before it grows")
+    // proportional: ~1/6 of the headline may bucket (12 of the original
+    // 77) — growing the headline must not silently grow the bucket SHARE
+    assert(restN <= Bench.headline.size / 6,
+      s"quiet-host bucketing must stay small ($restN of " +
+        s"${Bench.headline.size} bucketed) — trim fixed fields or split " +
+        "the line before it grows")
     // the bucket only ever absorbs the cheapest tier
     if (restN > 0) {
       val qEnd = if (line.contains("\"rest\"")) line.indexOf("\"rest\"")

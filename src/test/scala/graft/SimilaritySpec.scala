@@ -203,6 +203,22 @@ class SimilaritySpec extends SparkSpec {
     assert(topk(Similarity.opqTopk(spark, sf, model = Some((rot2, cb2)))) === fed)
   }
 
+  test("OPQ+IVFPQ: family floor holds, fed = inline = saved model triple") {
+    val m = Similarity.trainOpqIvf(spark, sf)
+    val fed = topk(Similarity.opqIvfpqTopk(spark, sf, model = Some(m)))
+    assert(fed.size === 10)
+    fed.values.foreach(ns => assert(ns.size === 5))
+    // IVF-family floor: cell probing caps recall (the int8IvfTopk band)
+    assert(recallAt5(fed) >= 0.15, s"OPQ+IVFPQ recall@5=${recallAt5(fed)}")
+    // deterministic training → inline equals fed; model round-trips
+    assert(topk(Similarity.opqIvfpqTopk(spark, sf)) === fed)
+    val dir = java.nio.file.Files.createTempDirectory("graft_opqivf").toString
+    Similarity.saveOpqIvfModel(dir, m._1, m._2, m._3)
+    val (r2, c2, cb2) = Similarity.loadOpqIvfModel(spark, dir)
+    assert(topk(Similarity.opqIvfpqTopk(spark, sf,
+      model = Some((r2, c2, cb2)))) === fed)
+  }
+
   test("OPQ beats PQ where PQ is weakest: variance concentrated inside one subspace") {
     // anisotropic corpus — the textbook OPQ case (Ge et al. 2013 §5's
     // multi-Gaussian setting): 20 well-separated cluster centers whose

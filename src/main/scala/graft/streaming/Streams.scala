@@ -437,6 +437,31 @@ object Streams extends Serializable {
       }
       .start()
 
+  /** Continuous data-contract monitoring — [[graft.etl.Expectations]] per
+    * micro-batch: each batch's one-pass verdict report (check,
+    * violations, total, passed) appends batch-tagged to `auditDir`, so
+    * the audit table IS the contract's time series (alert = read the
+    * tail, trend = group by check). The check list compiles into the
+    * same single HashAggregate as the batch form — per-batch cost is one
+    * scan of the batch, nothing corpus-sized. Completes the contract
+    * trio: read-side report (`expectations`), write-gate
+    * ([[graft.etl.Sinks]]' audited promote), and this streaming monitor.
+    */
+  def expectationsSink(events: DataFrame,
+      checks: Seq[(String, org.apache.spark.sql.Column, Long)],
+      uniqueKeys: Seq[(String, org.apache.spark.sql.Column, Long)],
+      auditDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.etl.Expectations.expectations(batch, checks, uniqueKeys)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(auditDir)
+      }
+      .start()
+
   /** pyetl's multi-destination writer loop: one micro-batch, N sinks, via
     * foreachBatch. The batch is persisted once so each route filters the
     * cached data instead of re-reading the source.

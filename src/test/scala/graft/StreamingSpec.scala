@@ -417,6 +417,43 @@ class StreamingSpec extends SparkSpec {
   private def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("expectations sink: per-batch contract verdicts match the batch form") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_exp_sink").toString
+    val checks = Seq(
+      ("name_complete", col("name").isNull, 0L),
+      ("amount_positive", col("amount") <= 0, 1L))
+    val keys = Seq(("id_unique", col("id"), 0L))
+    val in = MemoryStream[(Long, String, Double)]
+    val q = Streams.expectationsSink(in.toDF().toDF("id", "name", "amount"),
+      checks, keys, s"$base/audit", s"$base/ckpt")
+    val b0 = Seq((1L, "a", 1.0), (2L, "b", 2.0))          // clean
+    val b1 = Seq((3L, null.asInstanceOf[String], -1.0),   // dirty
+      (3L, "d", 4.0))
+    in.addData(b0: _*); q.processAllAvailable()
+    in.addData(b1: _*); q.processAllAvailable()
+    q.stop()
+    val audit = spark.read.parquet(s"$base/audit")
+    assert(audit.count() === 6) // 3 checks × 2 batches
+    def verdicts(bid: Long): Map[String, (Long, Boolean)] =
+      audit.filter(col("batch_id") === bid).collect()
+        .map(r => r.getAs[String]("check") ->
+          (r.getAs[Long]("violations"), r.getAs[Boolean]("passed"))).toMap
+    assert(verdicts(0L) === Map("name_complete" -> (0L, true),
+      "amount_positive" -> (0L, true), "id_unique" -> (0L, true)))
+    // batch 1: one null name (budget 0 → fail), one non-positive amount
+    // (budget 1 → pass), one duplicate id (budget 0 → fail)
+    assert(verdicts(1L) === Map("name_complete" -> (1L, false),
+      "amount_positive" -> (1L, true), "id_unique" -> (1L, false)))
+    // the streamed verdicts ARE the batch form's output on the same rows
+    val batchForm = graft.etl.Expectations
+      .expectations(b1.toDF("id", "name", "amount"), checks, keys)
+      .collect().map(r => r.getAs[String]("check") ->
+        (r.getAs[Long]("violations"), r.getAs[Boolean]("passed"))).toMap
+    assert(batchForm === verdicts(1L))
+  }
+
   test("embedding ingest sink: streamed batches fold into an index ≡ batch-built; pairs ≡ full LSH") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -118,11 +118,99 @@ object Profile {
   def sourceSketchRollup(s: SparkSession, dir: String): DataFrame =
     sourceSketchRollup(sourceSketches(Tables(s, dir).documents))
 
+  // -------------------------------------------------- quantile sketches (KLL)
+  /** Per-group KLL quantile sketches (DataSketches KllDoublesSketch, the
+    * library Spark's own HLL functions wrap) — [[sourceSketches]]' sibling
+    * for NUMERIC columns: the mergeable artifact that answers "p50/p99 of
+    * X across 90 days/sources" as an O(#sketches) merge instead of a
+    * corpus rescan. Spark has no native mergeable-quantile aggregate
+    * (approx_percentile's digest is not exposed as a value), so the scan
+    * is one `mapPartitions` pass building a sketch per (partition, group)
+    * — the same justified imperative seam as the multimodal decoder —
+    * and the merge runs driver-side over the ≤ partitions·groups partial
+    * sketches (a few KB each: model-scale state, the kmeans-centroid
+    * discipline, so the hot path stays UDF-free).
+    *
+    * Output: (group, sketch bytes, n_rows) — save as parquet, reload,
+    * [[valueSketchRollup]] any subset without touching the source table.
+    */
+  def valueSketches(df: DataFrame, by: String, valueCol: String,
+      k: Int = 200): DataFrame = {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    val s2 = df.sparkSession
+    import s2.implicits._
+    val partials = df
+      .select(col(by).cast("string").as("g"), col(valueCol).cast("double").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+      .as[(String, Double)]
+      .mapPartitions { it =>
+        val sk = scala.collection.mutable.Map[String, KllDoublesSketch]()
+        val n = scala.collection.mutable.Map[String, Long]()
+        it.foreach { case (g, v) =>
+          sk.getOrElseUpdate(g, KllDoublesSketch.newHeapInstance(k)).update(v)
+          n.update(g, n.getOrElse(g, 0L) + 1)
+        }
+        sk.iterator.map { case (g, s) => (g, s.toByteArray, n(g)) }
+      }
+      .collect() // ≤ partitions·groups rows, a few KB each — model-scale
+    partials.groupBy(_._1).map { case (g, parts) =>
+      val merged = KllDoublesSketch.newHeapInstance(k)
+      parts.foreach(p => merged.merge(KllDoublesSketch.heapify(Memory.wrap(p._2))))
+      (g, merged.toByteArray, parts.map(_._3).sum)
+    }.toSeq.sortBy(_._1).toDF(by, "sketch", "n_rows")
+  }
+
+  def saveValueSketches(df: DataFrame, path: String, by: String,
+      valueCol: String, k: Int = 200): Unit =
+    valueSketches(df, by, valueCol, k).write.mode("overwrite").parquet(path)
+
+  def loadValueSketches(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+
+  /** Quantile estimates from a sketch frame: one row per group plus the
+    * '__ALL__' union row — the rollup reads sketch BYTES, never the
+    * source table ([[sourceSketchRollup]]'s contract). Rows-only at the
+    * gate (KLL compaction is randomized); ProfileSpec pins a rank-error
+    * envelope against exact order statistics and the save → load → union
+    * round trip.
+    */
+  def valueSketchRollup(sketches: DataFrame, by: String,
+      qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
+    require(qs.size == 3, s"three ranks expected (p50/p90/p99 columns): $qs")
+    val s2 = sketches.sparkSession
+    import s2.implicits._
+    val rows = sketches.select(col(by).cast("string"), col("sketch"),
+        col("n_rows")).collect()
+      .map(r => (r.getString(0), r.getAs[Array[Byte]](1), r.getLong(2)))
+    def est(bytes: Array[Byte]): Seq[Double] = {
+      val sk = KllDoublesSketch.heapify(Memory.wrap(bytes))
+      qs.map(q => sk.getQuantile(q, QuantileSearchCriteria.INCLUSIVE))
+    }
+    val union = KllDoublesSketch.newHeapInstance(200)
+    rows.foreach(r => union.merge(KllDoublesSketch.heapify(Memory.wrap(r._2))))
+    val all = ("__ALL__", est(union.toByteArray), rows.map(_._3).sum)
+    (rows.map(r => (r._1, est(r._2), r._3)).toSeq :+ all)
+      .sortBy(_._1)
+      .map { case (g, e, n) => (g, n, e(0), e(1), e(2)) }
+      .toDF(by, "n_rows", "p50", "p90", "p99")
+  }
+
+  /** Gate form: per-source n_chars quantiles over documents (rows-only). */
+  def valueSketchRollup(s: SparkSession, dir: String): DataFrame =
+    valueSketchRollup(
+      valueSketches(Tables(s, dir).documents, "source", "n_chars"), "source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile_documents" -> (profileDocuments _),
     "text_stratified_sample" -> (sampleDocuments _),
     "text_source_sketches" ->
-      ((s: SparkSession, dir: String) => sourceSketchRollup(s, dir)))
+      ((s: SparkSession, dir: String) => sourceSketchRollup(s, dir)),
+    "profile_value_sketches" ->
+      ((s: SparkSession, dir: String) => valueSketchRollup(s, dir)))
 
   val oracles: Map[String, String] = Map(
     "q_profile_documents" ->

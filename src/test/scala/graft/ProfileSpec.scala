@@ -48,6 +48,65 @@ class ProfileSpec extends SparkSpec {
     assert(math.abs(est("__ALL__") - exactAll) <= math.max(2.0, 0.05 * exactAll))
   }
 
+  test("value sketches: quantile estimates sit inside the KLL rank envelope") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val got = Profile.valueSketchRollup(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_rows"), r.getAs[Double]("p50"),
+          r.getAs[Double]("p90"))).toMap
+    def exactSorted(src: Option[String]): Array[Double] = {
+      val d = src.fold(docs)(v => docs.filter(col("source") === v))
+      d.select(col("n_chars").cast("double")).collect()
+        .map(_.getDouble(0)).sorted
+    }
+    // KLL k=200 normalized rank error ≈ 1.65%; a ±10% rank band is a
+    // generous, flake-proof envelope: the estimated pQ must equal SOME
+    // order statistic between ranks Q-0.10 and Q+0.10
+    def inBand(sorted: Array[Double], v: Double, q: Double): Boolean = {
+      val lo = sorted(math.max(0, ((q - 0.10) * sorted.length).toInt))
+      val hi = sorted(math.min(sorted.length - 1, ((q + 0.10) * sorted.length).toInt))
+      v >= lo && v <= hi
+    }
+    val sources = got.keySet - "__ALL__"
+    assert(sources.nonEmpty)
+    sources.foreach { src =>
+      val sorted = exactSorted(Some(src))
+      val (n, p50, p90) = got(src)
+      assert(n === sorted.length.toLong)
+      assert(inBand(sorted, p50, 0.5), s"$src p50=$p50")
+      assert(inBand(sorted, p90, 0.9), s"$src p90=$p90")
+    }
+    val all = exactSorted(None)
+    assert(got("__ALL__")._1 === all.length.toLong)
+    assert(inBand(all, got("__ALL__")._2, 0.5), s"__ALL__ p50")
+    assert(inBand(all, got("__ALL__")._3, 0.9), s"__ALL__ p90")
+  }
+
+  test("value sketches merge: half-corpus sketches union to full-corpus estimates; no rescan") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft_kll").toString
+    // two independent builds over disjoint halves, appended to one store —
+    // the daily-increment shape: rollup must see the WHOLE corpus
+    Profile.valueSketches(docs.filter(col("doc_id") % 2 === 0),
+      "source", "n_chars").write.mode("append").parquet(path)
+    Profile.valueSketches(docs.filter(col("doc_id") % 2 =!= 0),
+      "source", "n_chars").write.mode("append").parquet(path)
+    val rolled = Profile.valueSketchRollup(
+      Profile.loadValueSketches(spark, path), "source").collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_rows"),
+        r.getAs[Double]("p50"))).toMap
+    assert(rolled("__ALL__")._1 === docs.count())
+    val sorted = docs.select(col("n_chars").cast("double")).collect()
+      .map(_.getDouble(0)).sorted
+    val lo = sorted(((0.4) * sorted.length).toInt)
+    val hi = sorted(math.min(sorted.length - 1, ((0.6) * sorted.length).toInt))
+    assert(rolled("__ALL__")._2 >= lo && rolled("__ALL__")._2 <= hi,
+      s"merged p50 ${rolled("__ALL__")._2} outside [$lo, $hi]")
+    // no-rescan holds by construction here: the rollup's only input is
+    // the loaded sketch frame (its collect reads the sketch parquet and
+    // nothing else — valueSketchRollup never sees a source-table handle)
+  }
+
   test("sketch artifacts round-trip: rollup from loaded parquet ≡ inline") {
     val path = java.nio.file.Files.createTempDirectory("graft_sketch").toString
     val docs = spark.read.parquet(s"$sf/documents.parquet")

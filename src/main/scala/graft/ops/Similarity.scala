@@ -1071,6 +1071,47 @@ object Similarity {
       .agg(sum(l2sq(col("sv"), col("centroid")))).head.getDouble(0)
   }
 
+  private val opqMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (DataFrame, DataFrame, DataFrame)]()
+
+  /** Session-memoized OPQ model triple persisted to parquet — the
+    * [[persistedIndex]] discipline for the OPQ tiers: train once per
+    * (session, corpus), save via [[saveOpqIvfModel]], serve every later
+    * call from the loaded frames. The bench delta between the one-shot
+    * and fed entries is the training cost a train-once deployment
+    * amortizes away.
+    */
+  private def persistedOpqModel(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val ctx = s.sparkContext.applicationId + "/" + s.sparkContext.startTime
+    opqMemo.keySet.removeIf(_._1 != ctx)
+    opqMemo.computeIfAbsent((ctx, dir), { _ =>
+      val path = System.getProperty("java.io.tmpdir") + "/graft_opq_model_" +
+        java.lang.Integer.toHexString((ctx + "|" + dir).hashCode)
+      val (rot, cents, cb) = trainOpqIvf(s, dir)
+      saveOpqIvfModel(path, rot, cents, cb)
+      loadOpqIvfModel(s, path)
+    })
+  }
+
+  /** [[opqTopk]] with the model fed from parquet (train-once form);
+    * output identical to the one-shot entry (spec-pinned).
+    */
+  def opqTopkFed(s: SparkSession, dir: String): DataFrame = {
+    val (rot, _, cb) = persistedOpqModel(s, dir)
+    opqTopk(s, dir, model = Some((rot, cb)))
+  }
+
+  /** [[opqIvfpqTopk]] with the model triple fed from parquet; corpus
+    * encode stays inline (the rotated-frame [[buildIvfpqIndex]] pass) —
+    * at scale the encoded index is itself a build artifact via
+    * `precomputedCodes`, exactly as in the raw IVFPQ ladder.
+    */
+  def opqIvfpqTopkFed(s: SparkSession, dir: String): DataFrame = {
+    val (rot, cents, cb) = persistedOpqModel(s, dir)
+    opqIvfpqTopk(s, dir, model = Some((rot, cents, cb)))
+  }
+
   /** [[pqTopk]] with the OPQ rotation in front: corpus and queries rotate
     * through the SAME learned R (one compiled MatVec each), the ADC
     * shortlist runs in rotated space over the rotated-space codebooks, and
@@ -1660,7 +1701,9 @@ object Similarity {
     "ann_int8_ivf_topk" -> ((s: SparkSession, dir: String) => int8IvfTopk(s, dir)),
     "ann_pq_topk" -> ((s: SparkSession, dir: String) => pqTopk(s, dir)),
     "ann_opq_topk" -> ((s: SparkSession, dir: String) => opqTopk(s, dir)),
+    "ann_opq_topk_fed" -> (opqTopkFed _),
     "ann_opq_ivfpq_topk" -> ((s: SparkSession, dir: String) => opqIvfpqTopk(s, dir)),
+    "ann_opq_ivfpq_topk_fed" -> (opqIvfpqTopkFed _),
     "ann_ivfpq_topk" -> ((s: SparkSession, dir: String) => ivfpqTopk(s, dir)),
     "ann_ivfpq_topk_fed" -> (ivfpqTopkFed _),
     "ann_ivfpq_topk_indexed" -> (ivfpqTopkIndexed _),

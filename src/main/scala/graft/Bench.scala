@@ -45,7 +45,8 @@ object Bench {
     "text_prepare_corpus_pipelined", "text_prepare_corpus_classified",
     "text_mixture_sample", "text_mixture_temperature",
     "text_select_budget_threshold", "text_bpe_tokens",
-    "text_source_stats", "text_source_sketches", "text_vocab_coverage",
+    "text_source_stats", "text_source_sketches", "profile_value_sketches",
+    "text_vocab_coverage",
     "text_chunk_documents",
     "text_span_dedup", "text_surprisal", "emb_label_centroids", "emb_quantize",
     "mm_binary_meta", "mm_feature_extract", "mm_near_dup")

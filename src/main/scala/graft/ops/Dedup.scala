@@ -541,10 +541,24 @@ object Dedup {
       var it = 1
       var converged = false
       while (it < maxIter && !converged) {
-        val next = edges.join(labels, col("dst") === col("doc_id"))
+        // hop: min label over graph neighbors — one groupBy over the edges
+        val hop = edges.join(labels, col("dst") === col("doc_id"))
           .groupBy(col("src"))
           .agg(min(col("label")).as("label"))
           .select(col("src").as("doc_id"), col("label"))
+        // pointer jump: label := label(label) — every label value is a
+        // vertex id and hop covers every vertex (self-loops), so this
+        // DOUBLES the propagation horizon per round. Hop alone converges
+        // in O(diameter) rounds, which a path-shaped component turns into
+        // maxIter-exhaustion (the dup-dense clique corpora here converge
+        // in 2 either way — the chain spec pins the pathological shape);
+        // hop+jump is O(log diameter), the pointer-doubling of the
+        // classic PRAM/MapReduce CC algorithms (cf. Kiveris et al. 2014).
+        // The two hop references compile to one exchange (ReusedExchange).
+        val next = hop
+          .join(hop.select(col("doc_id").as("label"), col("label").as("jl")),
+            Seq("label"))
+          .select(col("doc_id"), least(col("label"), col("jl")).as("label"))
           .cache()
         // the convergence join materializes `next` into its cache, so the
         // superseded frame can drop immediately — without this, a long-lived

@@ -145,6 +145,31 @@ class DedupSpec extends SparkSpec {
     } finally pairs.unpersist()
   }
 
+  test("components converge in O(log diameter): a 40-hop chain resolves within 8 rounds") {
+    // path-shaped components are min-label propagation's pathological
+    // case — hop-only propagation moves the minimum ONE edge per round,
+    // so a 40-edge chain would exhaust maxIter=10 and return a silently
+    // unconverged labeling. Pointer jumping doubles the horizon per
+    // round: the chain must fully resolve to label 0, well within budget.
+    val s2 = spark
+    import s2.implicits._
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val (labels, rounds) = Dedup.propagateMinLabels(chain)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    labels.unpersist()
+    assert(got.size === 41)
+    assert(got.values.forall(_ === 0L),
+      s"every chain vertex must resolve to component min 0: $got")
+    assert(rounds <= 8, s"pointer jumping must converge a 40-hop chain " +
+      s"in O(log d) rounds, took $rounds")
+    // a star (the clique-like easy case) still converges immediately
+    val star = (1L to 20L).map(i => (0L, i)).toDF("d1", "d2")
+    val (sl, sr) = Dedup.propagateMinLabels(star)
+    assert(sl.collect().forall(_.getLong(1) === 0L))
+    sl.unpersist()
+    assert(sr <= 3)
+  }
+
   test("incremental dedup agrees with a brute-force recomputation") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "source", "text").collect()

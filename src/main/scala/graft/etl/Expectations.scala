@@ -37,9 +37,14 @@ object Expectations {
   def expectations(df: DataFrame,
       checks: Seq[(String, Column, Long)],
       uniqueKeys: Seq[(String, Column, Long)] = Nil): DataFrame = {
+    require(checks.nonEmpty || uniqueKeys.nonEmpty,
+      "expectations needs at least one check")
+    // coalesce: sum() over ZERO rows is NULL — an empty batch (the
+    // streaming monitor's quiet interval) must report 0 violations /
+    // passed, not null verdicts
     val aggs =
       checks.map { case (n, pred, _) =>
-        sum(when(pred, 1L).otherwise(0L)).as(s"v_$n") } ++
+        coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L)).as(s"v_$n") } ++
       uniqueKeys.map { case (n, key, _) =>
         (count(lit(1)) - count_distinct(key)).as(s"v_$n") }
     val one = df.agg(aggs.head, aggs.tail :+ count(lit(1)).as("total"): _*)

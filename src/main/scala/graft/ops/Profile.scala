@@ -180,23 +180,31 @@ object Profile {
     import org.apache.datasketches.kll.KllDoublesSketch
     import org.apache.datasketches.memory.Memory
     import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
-    require(qs.size == 3, s"three ranks expected (p50/p90/p99 columns): $qs")
+    require(qs.size == 3,
+      s"three ranks expected (one column per rank, p<rank> naming): $qs")
     val s2 = sketches.sparkSession
     import s2.implicits._
+    val cols = Seq(by, "n_rows") ++ qs.map(q => s"p${math.round(q * 100)}")
     val rows = sketches.select(col(by).cast("string"), col("sketch"),
         col("n_rows")).collect()
       .map(r => (r.getString(0), r.getAs[Array[Byte]](1), r.getLong(2)))
-    def est(bytes: Array[Byte]): Seq[Double] = {
-      val sk = KllDoublesSketch.heapify(Memory.wrap(bytes))
+    // day-0 read of an empty store is a valid state, not an error
+    if (rows.isEmpty)
+      return Seq.empty[(String, Long, Double, Double, Double)].toDF(cols: _*)
+    def est(sk: KllDoublesSketch): Seq[Double] =
       qs.map(q => sk.getQuantile(q, QuantileSearchCriteria.INCLUSIVE))
-    }
-    val union = KllDoublesSketch.newHeapInstance(200)
+    // union at the PARTIALS' accuracy — a hardcoded k here would silently
+    // degrade the __ALL__ row below sketches built with a larger k
+    val first = KllDoublesSketch.heapify(Memory.wrap(rows.head._2))
+    val union = KllDoublesSketch.newHeapInstance(first.getK)
     rows.foreach(r => union.merge(KllDoublesSketch.heapify(Memory.wrap(r._2))))
-    val all = ("__ALL__", est(union.toByteArray), rows.map(_._3).sum)
-    (rows.map(r => (r._1, est(r._2), r._3)).toSeq :+ all)
+    val all = ("__ALL__", est(union), rows.map(_._3).sum)
+    (rows.map(r =>
+        (r._1, est(KllDoublesSketch.heapify(Memory.wrap(r._2))), r._3)).toSeq
+        :+ all)
       .sortBy(_._1)
       .map { case (g, e, n) => (g, n, e(0), e(1), e(2)) }
-      .toDF(by, "n_rows", "p50", "p90", "p99")
+      .toDF(cols: _*)
   }
 
   /** Gate form: per-source n_chars quantiles over documents (rows-only). */

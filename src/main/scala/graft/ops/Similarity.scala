@@ -1072,25 +1072,44 @@ object Similarity {
   }
 
   private val opqMemo = new java.util.concurrent.ConcurrentHashMap[
-    (String, String), (DataFrame, DataFrame, DataFrame)]()
+    (String, String), (DataFrame, DataFrame)]()
+  private val opqCentsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), DataFrame]()
 
-  /** Session-memoized OPQ model triple persisted to parquet — the
-    * [[persistedIndex]] discipline for the OPQ tiers: train once per
-    * (session, corpus), save via [[saveOpqIvfModel]], serve every later
-    * call from the loaded frames. The bench delta between the one-shot
-    * and fed entries is the training cost a train-once deployment
-    * amortizes away.
+  /** Session-memoized OPQ (rotation, codebooks) persisted to parquet —
+    * the [[persistedIndex]] discipline for the OPQ tiers: train once per
+    * (session, corpus), save via [[saveOpqModel]], serve every later call
+    * from the loaded frames. The bench delta between the one-shot and fed
+    * entries is the training cost a train-once deployment amortizes away.
+    * The IVF coarse quantizer is memoized SEPARATELY
+    * ([[persistedOpqCents]]) so a deployment serving only the flat OPQ
+    * tier never pays the rotated-corpus Lloyd pass it doesn't use.
     */
   private def persistedOpqModel(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame) = {
     val ctx = s.sparkContext.applicationId + "/" + s.sparkContext.startTime
     opqMemo.keySet.removeIf(_._1 != ctx)
     opqMemo.computeIfAbsent((ctx, dir), { _ =>
       val path = System.getProperty("java.io.tmpdir") + "/graft_opq_model_" +
         java.lang.Integer.toHexString((ctx + "|" + dir).hashCode)
-      val (rot, cents, cb) = trainOpqIvf(s, dir)
-      saveOpqIvfModel(path, rot, cents, cb)
-      loadOpqIvfModel(s, path)
+      val (rot, cb) = trainOpq(s, dir)
+      saveOpqModel(path, rot, cb)
+      loadOpqModel(s, path)
+    })
+  }
+
+  private def persistedOpqCents(s: SparkSession, dir: String): DataFrame = {
+    val ctx = s.sparkContext.applicationId + "/" + s.sparkContext.startTime
+    opqCentsMemo.keySet.removeIf(_._1 != ctx)
+    opqCentsMemo.computeIfAbsent((ctx, dir), { _ =>
+      val path = System.getProperty("java.io.tmpdir") + "/graft_opq_cents_" +
+        java.lang.Integer.toHexString((ctx + "|" + dir).hashCode)
+      val (rot, _) = persistedOpqModel(s, dir)
+      val r = rot.select(col("comp"), col("weights")).collect()
+        .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+      centroids(rotateFrame(Tables(s, dir).embeddings, r))
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
     })
   }
 
@@ -1098,7 +1117,7 @@ object Similarity {
     * output identical to the one-shot entry (spec-pinned).
     */
   def opqTopkFed(s: SparkSession, dir: String): DataFrame = {
-    val (rot, _, cb) = persistedOpqModel(s, dir)
+    val (rot, cb) = persistedOpqModel(s, dir)
     opqTopk(s, dir, model = Some((rot, cb)))
   }
 
@@ -1108,8 +1127,8 @@ object Similarity {
     * `precomputedCodes`, exactly as in the raw IVFPQ ladder.
     */
   def opqIvfpqTopkFed(s: SparkSession, dir: String): DataFrame = {
-    val (rot, cents, cb) = persistedOpqModel(s, dir)
-    opqIvfpqTopk(s, dir, model = Some((rot, cents, cb)))
+    val (rot, cb) = persistedOpqModel(s, dir)
+    opqIvfpqTopk(s, dir, model = Some((rot, persistedOpqCents(s, dir), cb)))
   }
 
   /** [[pqTopk]] with the OPQ rotation in front: corpus and queries rotate
@@ -1658,8 +1677,16 @@ object Similarity {
     */
   def recallReport(exact: DataFrame, tiers: Seq[(String, DataFrame)],
       k: Int = K): DataFrame = {
+    val s = exact.sparkSession
+    import s.implicits._
+    // the exact top-k is Q·k rows — materialize it ONCE into a local
+    // relation so the per-tier joins don't re-execute the brute-force
+    // lineage (each tier referenced it twice; 4 tiers would re-run the
+    // O(Q·N) scan ~8 times)
     val ex = exact.filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().toSeq
+      .toDF("query_id", "neighbor_id")
     tiers.map { case (name, df) =>
       val ap = df.filter(col("rank") <= k)
         .select(col("query_id"), col("neighbor_id"))

@@ -456,9 +456,20 @@ object Streams extends Serializable {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.etl.Expectations.expectations(batch, checks, uniqueKeys)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(auditDir)
+        // marker per batch id — the ingest sinks' replay guard: without
+        // it a crash in the append→checkpoint window would double-count
+        // this batch's verdicts in every tail read / trend group-by
+        val s = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(auditDir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(
+          s"${auditDir}_batches/$batchId")
+        if (!fs.exists(marker)) {
+          graft.etl.Expectations.expectations(batch, checks, uniqueKeys)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(auditDir)
+          fs.create(marker, true).close()
+        }
       }
       .start()
 

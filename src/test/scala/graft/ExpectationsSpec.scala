@@ -27,6 +27,24 @@ class ExpectationsSpec extends SparkSpec {
       ("name_complete", 2L, 4L, false)))
   }
 
+  test("an empty frame reports 0 violations / passed, not null verdicts") {
+    val s2 = spark
+    import s2.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("id", "name")
+    val got = Expectations.expectations(empty,
+      checks = Seq(("name_complete", col("name").isNull, 0L)),
+      uniqueKeys = Seq(("id_unique", col("id"), 0L))).collect()
+    assert(got.length === 2)
+    got.foreach { r =>
+      assert(r.getAs[Long]("violations") === 0L)
+      assert(r.getAs[Long]("total") === 0L)
+      assert(r.getAs[Boolean]("passed"))
+    }
+    intercept[IllegalArgumentException] {
+      Expectations.expectations(empty, Nil, Nil)
+    }
+  }
+
   test("a clean frame passes every check in the orders contract") {
     val rows = Expectations.ordersContract(spark, sf).collect()
     assert(rows.length === 6)

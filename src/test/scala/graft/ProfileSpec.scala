@@ -105,6 +105,14 @@ class ProfileSpec extends SparkSpec {
     // no-rescan holds by construction here: the rollup's only input is
     // the loaded sketch frame (its collect reads the sketch parquet and
     // nothing else — valueSketchRollup never sees a source-table handle)
+
+    // day-0 read: an empty sketch store rolls up to an empty report, it
+    // does not throw on the empty union sketch
+    val empty = Profile.valueSketchRollup(
+      Profile.loadValueSketches(spark, path).filter(col("n_rows") < 0),
+      "source")
+    assert(empty.count() === 0)
+    assert(empty.columns.toSeq === Seq("source", "n_rows", "p50", "p90", "p99"))
   }
 
   test("sketch artifacts round-trip: rollup from loaded parquet ≡ inline") {

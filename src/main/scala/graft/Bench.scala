@@ -35,7 +35,8 @@ object Bench {
     "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_int8_topk",
     "ann_jl_topk", "ann_pca_topk",
     "ann_int8_ivf_topk", "ann_pq_topk", "ann_opq_topk", "ann_opq_topk_fed",
-    "ann_opq_ivfpq_topk", "ann_opq_ivfpq_topk_fed", "ann_ivfpq_topk",
+    "ann_opq_ivfpq_topk", "ann_opq_ivfpq_topk_fed", "ann_opq_ivfpq_topk_indexed",
+    "ann_ivfpq_topk",
     "ann_ivfpq_topk_fed", "ann_ivfpq_topk_indexed", "ann_ivfpq_residual_topk",
     "text_decontaminate_fuzzy",
     "text_quality", "text_quality_classifier", "text_fingerprint",

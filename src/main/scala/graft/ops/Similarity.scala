@@ -1131,6 +1131,35 @@ object Similarity {
     opqIvfpqTopk(s, dir, model = Some((rot, persistedOpqCents(s, dir), cb)))
   }
 
+  private val opqCodesMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), DataFrame]()
+
+  /** [[opqIvfpqTopk]] with models AND the encoded rotated corpus fed from
+    * parquet — the steady-state serving shape of the composed tier
+    * ([[ivfpqTopkIndexed]]'s rung on the OPQ ladder): per query batch the
+    * job pays the query rotation (one MatVec over Q rows), cell probing,
+    * the ADC scan over probed cells' codes, and the exact rerank. The
+    * rotated corpus is encoded ONCE per (session, corpus) by the same
+    * [[buildIvfpqIndex]] pass the one-shot form runs inline.
+    */
+  def opqIvfpqTopkIndexed(s: SparkSession, dir: String): DataFrame = {
+    val (rot, cb) = persistedOpqModel(s, dir)
+    val cents = persistedOpqCents(s, dir)
+    val ctx = s.sparkContext.applicationId + "/" + s.sparkContext.startTime
+    opqCodesMemo.keySet.removeIf(_._1 != ctx)
+    val codes = opqCodesMemo.computeIfAbsent((ctx, dir), { _ =>
+      val path = System.getProperty("java.io.tmpdir") + "/graft_opq_codes_" +
+        java.lang.Integer.toHexString((ctx + "|" + dir).hashCode)
+      val r = rot.select(col("comp"), col("weights")).collect()
+        .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+      buildIvfpqIndex(rotateFrame(Tables(s, dir).embeddings, r), cents, cb)
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+    })
+    opqIvfpqTopk(s, dir, model = Some((rot, cents, cb)),
+      precomputedCodes = Some(codes))
+  }
+
   /** [[pqTopk]] with the OPQ rotation in front: corpus and queries rotate
     * through the SAME learned R (one compiled MatVec each), the ADC
     * shortlist runs in rotated space over the rotated-space codebooks, and
@@ -1731,6 +1760,7 @@ object Similarity {
     "ann_opq_topk_fed" -> (opqTopkFed _),
     "ann_opq_ivfpq_topk" -> ((s: SparkSession, dir: String) => opqIvfpqTopk(s, dir)),
     "ann_opq_ivfpq_topk_fed" -> (opqIvfpqTopkFed _),
+    "ann_opq_ivfpq_topk_indexed" -> (opqIvfpqTopkIndexed _),
     "ann_ivfpq_topk" -> ((s: SparkSession, dir: String) => ivfpqTopk(s, dir)),
     "ann_ivfpq_topk_fed" -> (ivfpqTopkFed _),
     "ann_ivfpq_topk_indexed" -> (ivfpqTopkIndexed _),

@@ -217,8 +217,9 @@ class SimilaritySpec extends SparkSpec {
     val (r2, c2, cb2) = Similarity.loadOpqIvfModel(spark, dir)
     assert(topk(Similarity.opqIvfpqTopk(spark, sf,
       model = Some((r2, c2, cb2)))) === fed)
-    // the session-memoized fed gate entries equal their one-shot twins
+    // the session-memoized fed/indexed gate entries equal their one-shot twins
     assert(topk(Similarity.opqIvfpqTopkFed(spark, sf)) === fed)
+    assert(topk(Similarity.opqIvfpqTopkIndexed(spark, sf)) === fed)
     assert(topk(Similarity.opqTopkFed(spark, sf))
       === topk(Similarity.opqTopk(spark, sf)))
   }

@@ -60,6 +60,33 @@ object Expectations {
       .orderBy(col("check"))
   }
 
+  /** Row-level contract routing — the remediation half of the contract
+    * story: split a frame into (clean, quarantined) on the SAME
+    * violation predicates [[expectations]] reports on, so verdict counts
+    * and routed row counts agree wherever a predicate evaluates. The one
+    * deliberate divergence: a row where a predicate evaluates to NULL is
+    * quarantined (it cannot be certified clean) but is NOT counted by
+    * the report, which keeps SQL CASE semantics for oracle parity.
+    * Quarantined rows carry a `violated` array naming every failed check
+    * (the dead-letter convention: a row is fixed by replaying it after
+    * the named checks pass). Both frames are pure map-side filters of
+    * one scan — no shuffle, Catalyst shares the scan when both are
+    * consumed. Key-uniqueness checks are aggregate-level by nature and
+    * stay in [[expectations]]; routing is row-local by design.
+    */
+  def quarantine(df: DataFrame,
+      checks: Seq[(String, Column, Long)]): (DataFrame, DataFrame) = {
+    require(checks.nonEmpty, "quarantine needs at least one check")
+    // null predicate results count as violations here: a row on which a
+    // contract predicate cannot even evaluate does not belong in `clean`
+    val flags = checks.map { case (n, pred, _) =>
+      when(coalesce(pred, lit(true)), lit(n)) }
+    val violated = filter(array(flags: _*), c => c.isNotNull)
+    val tagged = df.withColumn("violated", violated)
+    (tagged.filter(size(col("violated")) === 0).drop("violated"),
+      tagged.filter(size(col("violated")) > 0))
+  }
+
   /** Gate entry: a representative contract over `orders` — completeness,
     * domain membership, a pattern, a range and a bounded-staleness check
     * as row predicates, plus primary-key uniqueness. Every metric is an

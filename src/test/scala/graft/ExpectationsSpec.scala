@@ -53,6 +53,40 @@ class ExpectationsSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("violations") === 0L))
   }
 
+  test("quarantine routes rows by the same predicates the report counts") {
+    val s2 = spark
+    import s2.implicits._
+    val df = Seq(
+      (1L, Some("a"), 10.0),
+      (2L, None, -1.0),     // two violations
+      (3L, Some("c"), 0.0), // one violation
+      (4L, Some("d"), 4.0)
+    ).toDF("id", "name", "amount")
+    val checks = Seq(
+      ("name_complete", col("name").isNull, 0L),
+      ("amount_positive", col("amount") <= 0, 0L))
+    val (clean, bad) = Expectations.quarantine(df, checks)
+    assert(clean.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 4L))
+    val tags = bad.select(col("id"), col("violated")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).sorted).toMap
+    assert(tags === Map(
+      2L -> Seq("amount_positive", "name_complete"),
+      3L -> Seq("amount_positive")))
+    // routed counts agree with the report's verdict counts per check
+    val report = Expectations.expectations(df, checks).collect()
+      .map(r => r.getAs[String]("check") -> r.getAs[Long]("violations")).toMap
+    checks.foreach { case (n, _, _) =>
+      assert(report(n) === tags.values.count(_.contains(n)).toLong)
+    }
+    // a row where a predicate cannot evaluate is NOT clean
+    val nullPred = Seq((1L, Option.empty[java.lang.Double]))
+      .toDF("id", "x")
+    val (c2, b2) = Expectations.quarantine(nullPred,
+      Seq(("x_positive", col("x") <= 0, 0L)))
+    assert(c2.count() === 0 && b2.count() === 1)
+  }
+
   test("the contract compiles to one aggregation pass (no per-check scans)") {
     val plan = Expectations.ordersContract(spark, sf)
       .queryExecution.executedPlan.toString

@@ -473,6 +473,41 @@ object Streams extends Serializable {
       }
       .start()
 
+  /** Streaming dead-letter routing — [[expectationsSink]]'s remediation
+    * twin: each micro-batch splits through
+    * [[graft.etl.Expectations.quarantine]] (same predicates as the
+    * verdict report), clean rows land in `cleanDir`, violating rows land
+    * batch-tagged with their `violated` check names in `quarantineDir`
+    * (replay a quarantined row after its named checks pass — the
+    * dead-letter convention). The batch persists once so the two routes
+    * filter cached data; marker files keep replays idempotent.
+    */
+  def quarantineSink(events: DataFrame,
+      checks: Seq[(String, org.apache.spark.sql.Column, Long)],
+      cleanDir: String, quarantineDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(cleanDir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(
+          s"${cleanDir}_batches/$batchId")
+        if (!fs.exists(marker)) {
+          val cached = batch.persist()
+          try {
+            val (clean, bad) = graft.etl.Expectations.quarantine(cached, checks)
+            clean.write.mode("append").parquet(cleanDir)
+            bad.withColumn("batch_id", lit(batchId))
+              .write.mode("append").parquet(quarantineDir)
+            fs.create(marker, true).close()
+          } finally { cached.unpersist(); () }
+        }
+      }
+      .start()
+
   /** pyetl's multi-destination writer loop: one micro-batch, N sinks, via
     * foreachBatch. The batch is persisted once so each route filters the
     * cached data instead of re-reading the source.

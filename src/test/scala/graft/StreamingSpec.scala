@@ -454,6 +454,43 @@ class StreamingSpec extends SparkSpec {
     assert(batchForm === verdicts(1L))
   }
 
+  test("quarantine sink: clean/dead-letter routing per batch, replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_dlq").toString
+    val checks = Seq(
+      ("name_complete", col("name").isNull, 0L),
+      ("amount_positive", col("amount") <= 0, 0L))
+    val in = MemoryStream[(Long, String, Double)]
+    val q = Streams.quarantineSink(in.toDF().toDF("id", "name", "amount"),
+      checks, s"$base/clean", s"$base/dlq", s"$base/ckpt")
+    in.addData((1L, "a", 1.0), (2L, null.asInstanceOf[String], 2.0))
+    q.processAllAvailable()
+    in.addData((3L, "c", -5.0), (4L, "d", 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val clean = spark.read.parquet(s"$base/clean")
+    assert(clean.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(1L, 4L))
+    assert(clean.columns.toSet === Set("id", "name", "amount"))
+    val dlq = spark.read.parquet(s"$base/dlq").collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Seq[String]]("violated").sorted, r.getAs[Long]("batch_id")))
+      .toMap
+    assert(dlq === Map(
+      2L -> (Seq("name_complete"), 0L),
+      3L -> (Seq("amount_positive"), 1L)))
+    // a restarted checkpoint re-delivering batch 0 appends nothing
+    val before = clean.count() + spark.read.parquet(s"$base/dlq").count()
+    val in2 = MemoryStream[(Long, String, Double)]
+    in2.addData((1L, "a", 1.0), (2L, null.asInstanceOf[String], 2.0))
+    val q2 = Streams.quarantineSink(in2.toDF().toDF("id", "name", "amount"),
+      checks, s"$base/clean", s"$base/dlq", s"$base/ckpt2")
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(s"$base/clean").count()
+      + spark.read.parquet(s"$base/dlq").count() === before)
+  }
+
   test("embedding ingest sink: streamed batches fold into an index ≡ batch-built; pairs ≡ full LSH") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

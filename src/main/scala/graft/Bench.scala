@@ -49,7 +49,8 @@ object Bench {
     "text_source_stats", "text_source_sketches", "profile_value_sketches",
     "text_vocab_coverage",
     "text_chunk_documents",
-    "text_span_dedup", "text_surprisal", "emb_label_centroids", "emb_quantize",
+    "text_span_dedup", "text_surprisal", "text_bigram_perplexity",
+    "emb_label_centroids", "emb_quantize",
     "mm_binary_meta", "mm_feature_extract", "mm_near_dup")
 
   /** One query per operator family, run (untimed) before measurement. q1

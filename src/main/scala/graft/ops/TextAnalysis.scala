@@ -274,6 +274,55 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram-LM perplexity — the step past [[surprisal]]'s unigram score
+    * and the shape of the classic LM-based quality filters (CCNet's
+    * wiki-LM perplexity gate): score each document by the mean negative
+    * log-probability of its word bigrams under an add-k-smoothed bigram
+    * model of the corpus itself, P(w2|w1) = (c(w1 w2) + k) / (c(w1) + k·V).
+    * Repeated boilerplate scores low (its bigrams dominate the corpus),
+    * disfluent/shuffled text scores high — a sharper signal than unigram
+    * frequency, which cannot see word ORDER at all.
+    *
+    * Scale shape: bigram extraction is one corpus explode; the model is
+    * two count tables built by groupBy (bigram-vocab-sized, NOT
+    * corpus-sized — they live distributed and join by key, no broadcast
+    * assumption); scoring joins each doc's distinct bigrams back to the
+    * model — all exchanges on bigram/unigram keys. Smoothing means
+    * unseen continuations cost (c1 + k·V)/k, so the score is defined for
+    * every document including singleton words. Rows-only: log is not
+    * oracle-portable; the spec pins an exact Scala recomputation at 1e-9
+    * and the boilerplate-vs-shuffled ordering.
+    */
+  def bigramPerplexity(s: SparkSession, dir: String,
+      smoothK: Double = 0.1): DataFrame = {
+    val pairs = docs(s, dir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), posexplode(
+        zip_with(col("ws"), slice(col("ws"), lit(2), size(col("ws"))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as(Seq("i", "bg")))
+      .filter(col("bg.w2").isNotNull)
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val tf = pairs.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val c12 = tf.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    // V = continuation vocabulary (distinct second words) — one scalar
+    // off the bigram-vocab-sized frame
+    val v = c12.select(col("w2")).distinct().count().toDouble
+    tf.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf").cast(DoubleType)
+            * log((col("c12").cast(DoubleType) + lit(smoothK))
+              / (col("c1").cast(DoubleType) + lit(smoothK * v))))
+          .as("sum_logp"),
+        sum(col("tf")).as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (-col("sum_logp") / col("n_bigrams").cast(DoubleType))
+          .as("bigram_surprisal"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ edit distance
   /** Nearest neighbor by Levenshtein distance for the first 10 docs,
     * candidate-pruned by length: |len(a)−len(b)| is a lower bound on edit
@@ -786,7 +835,9 @@ object TextAnalysis {
     "text_vocab_coverage" -> ((s: SparkSession, dir: String) => vocabCoverage(s, dir)),
     "text_chunk_documents" -> (chunkDocumentsQuery _),
     "text_span_dedup" -> (spanDedupDocs _),
-    "text_surprisal" -> (surprisal _))
+    "text_surprisal" -> (surprisal _),
+    "text_bigram_perplexity" ->
+      ((s: SparkSession, dir: String) => bigramPerplexity(s, dir)))
 
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString("(", ",", ")")
   private def sqlHits(stop: Seq[String]) =

@@ -39,6 +39,15 @@ object Expectations {
       uniqueKeys: Seq[(String, Column, Long)] = Nil): DataFrame = {
     require(checks.nonEmpty || uniqueKeys.nonEmpty,
       "expectations needs at least one check")
+    // names become v_<name> aggregate columns: a duplicate (or empty) name
+    // would surface only at runtime as an ambiguous-reference
+    // AnalysisException that never mentions which config entry collided
+    val names = checks.map(_._1) ++ uniqueKeys.map(_._1)
+    require(names.forall(_.nonEmpty), "expectations: empty check name")
+    val dups = names.groupBy(identity).filter(_._2.size > 1).keys
+    require(dups.isEmpty,
+      s"expectations: duplicate check name(s) [${dups.mkString(", ")}] — " +
+        "check and uniqueKey names must be distinct")
     // coalesce: sum() over ZERO rows is NULL — an empty batch (the
     // streaming monitor's quiet interval) must report 0 violations /
     // passed, not null verdicts

@@ -907,10 +907,17 @@ object Dedup {
       maxRecordsPerFile: Long = 1L * 1024 * 1024)
       : ((Long, Long, Long), (Long, Long, Long)) = {
     val (vecs, buckets) = loadEmbeddingIndex(s, path)
+    // dropDuplicates folds any at-least-once re-appends (the streaming
+    // ingest sink's crash window) — the compactMinhashIndex argument:
+    // embeddings and buckets are content-derived per vec_id, so a
+    // duplicated row is identical and keeping one is lossless. Without
+    // this, replay duplicates would persist forever and every later
+    // embeddingIncremental verification join would emit duplicated pairs.
     val av = graft.ops.Layout.compactFlat(s, s"$path/vectors", col("vec_id"),
-      maxRecordsPerFile, source = Some(vecs))
+      maxRecordsPerFile, source = Some(vecs.dropDuplicates("vec_id")))
     val ab = graft.ops.Layout.compactFlat(s, s"$path/buckets", col("vec_id"),
-      maxRecordsPerFile, source = Some(buckets))
+      maxRecordsPerFile,
+      source = Some(buckets.dropDuplicates("vec_id", "tbl", "bucket")))
     val ts = new org.apache.hadoop.fs.Path(s"$path/tombstones.parquet")
     ts.getFileSystem(s.sparkContext.hadoopConfiguration).delete(ts, true)
     (av, ab)

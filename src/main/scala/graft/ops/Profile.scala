@@ -127,9 +127,11 @@ object Profile {
     * (approx_percentile's digest is not exposed as a value), so the scan
     * is one `mapPartitions` pass building a sketch per (partition, group)
     * — the same justified imperative seam as the multimodal decoder —
-    * and the merge runs driver-side over the ≤ partitions·groups partial
-    * sketches (a few KB each: model-scale state, the kmeans-centroid
-    * discipline, so the hot path stays UDF-free).
+    * and the partials merge DISTRIBUTED: one shuffle of the few-KB
+    * partial sketches keyed by group, one merged sketch per group out the
+    * other side. Nothing ever collects to the driver, so `by` may be
+    * high-cardinality (per-user latency sketches) without an OOM hazard —
+    * the hll_union_agg discipline the HLL sibling gets natively.
     *
     * Output: (group, sketch bytes, n_rows) — save as parquet, reload,
     * [[valueSketchRollup]] any subset without touching the source table.
@@ -140,7 +142,7 @@ object Profile {
     import org.apache.datasketches.memory.Memory
     val s2 = df.sparkSession
     import s2.implicits._
-    val partials = df
+    df
       .select(col(by).cast("string").as("g"), col(valueCol).cast("double").as("v"))
       .filter(col("g").isNotNull && col("v").isNotNull)
       .as[(String, Double)]
@@ -153,12 +155,23 @@ object Profile {
         }
         sk.iterator.map { case (g, s) => (g, s.toByteArray, n(g)) }
       }
-      .collect() // ≤ partitions·groups rows, a few KB each — model-scale
-    partials.groupBy(_._1).map { case (g, parts) =>
-      val merged = KllDoublesSketch.newHeapInstance(k)
-      parts.foreach(p => merged.merge(KllDoublesSketch.heapify(Memory.wrap(p._2))))
-      (g, merged.toByteArray, parts.map(_._3).sum)
-    }.toSeq.sortBy(_._1).toDF(by, "sketch", "n_rows")
+      // the distributed merge: partials shuffle by group (each a few KB —
+      // the exchange carries sketch bytes, never source rows), then fold
+      // into one sketch per group. KLL merge is associative/commutative up
+      // to its randomized-compaction guarantees, which is the accuracy
+      // contract the rows-only gate + envelope spec pin.
+      .groupByKey(_._1)
+      .mapGroups { (g, parts) =>
+        val merged = KllDoublesSketch.newHeapInstance(k)
+        var n = 0L
+        parts.foreach { p =>
+          merged.merge(KllDoublesSketch.heapify(Memory.wrap(p._2)))
+          n += p._3
+        }
+        (g, merged.toByteArray, n)
+      }
+      .toDF(by, "sketch", "n_rows")
+      .orderBy(col(by))
   }
 
   def saveValueSketches(df: DataFrame, path: String, by: String,
@@ -176,7 +189,8 @@ object Profile {
     * round trip.
     */
   def valueSketchRollup(sketches: DataFrame, by: String,
-      qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+      qs: Seq[Double] = Seq(0.5, 0.9, 0.99),
+      maxGroups: Int = 100000): DataFrame = {
     import org.apache.datasketches.kll.KllDoublesSketch
     import org.apache.datasketches.memory.Memory
     import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
@@ -185,8 +199,19 @@ object Profile {
     val s2 = sketches.sparkSession
     import s2.implicits._
     val cols = Seq(by, "n_rows") ++ qs.map(q => s"p${math.round(q * 100)}")
-    val rows = sketches.select(col(by).cast("string"), col("sketch"),
-        col("n_rows")).collect()
+    // the rollup is a driver-side REPORT (one output row per group, plus
+    // the union row) — collecting it is the point, but only at report
+    // scale. A high-cardinality `by` (per-user sketches) must fail loudly
+    // here, not OOM the driver mid-collect; building such a sketch store
+    // is fine ([[valueSketches]] is fully distributed), rolling ALL of it
+    // into one report is the caller error this guard names.
+    val taken = sketches.select(col(by).cast("string"), col("sketch"),
+        col("n_rows")).take(maxGroups + 1)
+    require(taken.length <= maxGroups,
+      s"valueSketchRollup: more than $maxGroups groups in '$by' — a rollup " +
+        "report over that many rows is driver-unsafe; filter the sketch " +
+        "frame to the groups under audit (or raise maxGroups deliberately)")
+    val rows = taken
       .map(r => (r.getString(0), r.getAs[Array[Byte]](1), r.getLong(2)))
     // day-0 read of an empty store is a valid state, not an error
     if (rows.isEmpty)

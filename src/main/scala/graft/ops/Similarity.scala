@@ -1704,18 +1704,31 @@ object Similarity {
     * which is exactly what the probe-batch contract already is; any
     * *ForQueries output slots in unchanged.
     */
+  /** Above this many exact-top-k rows, [[recallReport]] keeps the exact
+    * frame distributed (persist + count) instead of collecting it into a
+    * driver-local relation — a 1M-query sampled serving batch evaluates
+    * without staging Q·k rows on the driver.
+    */
+  private[graft] val MaxLocalExactRows = 100000
+
   def recallReport(exact: DataFrame, tiers: Seq[(String, DataFrame)],
       k: Int = K): DataFrame = {
     val s = exact.sparkSession
     import s.implicits._
-    // the exact top-k is Q·k rows — materialize it ONCE into a local
-    // relation so the per-tier joins don't re-execute the brute-force
-    // lineage (each tier referenced it twice; 4 tiers would re-run the
-    // O(Q·N) scan ~8 times)
-    val ex = exact.filter(col("rank") <= k)
+    // the exact top-k must materialize ONCE so the per-tier joins don't
+    // re-execute the brute-force lineage (each tier references it twice;
+    // 4 tiers would re-run the O(Q·N) scan ~8 times). A probe batch's
+    // Q·k rows collect into a driver-local relation (broadcastable to
+    // every tier join); past the threshold — a large sampled serving
+    // batch — the frame persists DISTRIBUTED instead, so evaluation
+    // never stages millions of rows on the driver.
+    val exIds = exact.filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"))
-      .as[(Long, Long)].collect().toSeq
-      .toDF("query_id", "neighbor_id")
+    val taken = exIds.as[(Long, Long)].take(MaxLocalExactRows + 1)
+    val ex =
+      if (taken.length <= MaxLocalExactRows)
+        taken.toSeq.toDF("query_id", "neighbor_id")
+      else { val p = exIds.persist(); p.count(); p }
     tiers.map { case (name, df) =>
       val ap = df.filter(col("rank") <= k)
         .select(col("query_id"), col("neighbor_id"))

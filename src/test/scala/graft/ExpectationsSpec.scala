@@ -53,6 +53,23 @@ class ExpectationsSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("violations") === 0L))
   }
 
+  test("colliding or empty check names fail fast, not as an ambiguous-reference error") {
+    val s2 = spark
+    import s2.implicits._
+    val df = Seq((1L, 2.0)).toDF("k", "v")
+    val dup = intercept[IllegalArgumentException] {
+      Expectations.expectations(df,
+        checks = Seq(("k_ok", col("k").isNull, 0L)),
+        uniqueKeys = Seq(("k_ok", col("k"), 0L)))
+    }
+    assert(dup.getMessage.contains("duplicate check name"), dup.getMessage)
+    assert(dup.getMessage.contains("k_ok"), dup.getMessage)
+    val empty = intercept[IllegalArgumentException] {
+      Expectations.expectations(df, checks = Seq(("", col("k").isNull, 0L)))
+    }
+    assert(empty.getMessage.contains("empty check name"), empty.getMessage)
+  }
+
   test("quarantine routes rows by the same predicates the report counts") {
     val s2 = spark
     import s2.implicits._

@@ -129,4 +129,56 @@ class ProfileSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString
     assert(!plan.contains("documents.parquet"), plan.take(400))
   }
+
+  test("value sketches: distributed merge is geometry-independent within the envelope") {
+    // the r9 rework merges partials via a shuffle-by-group instead of a
+    // driver collect; partial COUNT (hence merge fan-in) now depends on
+    // the input partitioning, which must not move estimates outside the
+    // KLL accuracy contract. n_rows is exact arithmetic → identical.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def rolled(parts: Int): Map[String, (Long, Double)] =
+      Profile.valueSketchRollup(
+        Profile.valueSketches(docs.repartition(parts), "source", "n_chars"),
+        "source").collect()
+        .map(r => r.getString(0) -> (r.getAs[Long]("n_rows"),
+          r.getAs[Double]("p50"))).toMap
+    val (narrow, wide) = (rolled(2), rolled(13))
+    assert(narrow.keySet === wide.keySet)
+    val sortedBySrc = docs.select(col("source"), col("n_chars").cast("double"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    narrow.keySet.foreach { src =>
+      assert(narrow(src)._1 === wide(src)._1, s"$src n_rows must be exact")
+      if (src != "__ALL__") {
+        val sorted = sortedBySrc(src)
+        def inBand(v: Double): Boolean = {
+          val lo = sorted(math.max(0, (0.4 * sorted.length).toInt))
+          val hi = sorted(math.min(sorted.length - 1, (0.6 * sorted.length).toInt))
+          v >= lo && v <= hi
+        }
+        assert(inBand(narrow(src)._2) && inBand(wide(src)._2),
+          s"$src p50 at both geometries must sit in the rank band")
+      }
+    }
+  }
+
+  test("value sketches: high-cardinality group column builds distributed; rollup guards the collect") {
+    // building a per-user sketch store is legitimate (the sketch frame is
+    // distributed end to end — nothing driver-sized in the build path) …
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val perUser = Profile.valueSketches(events, "user_id", "value")
+    val nUsers = events.filter(col("user_id").isNotNull && col("value").isNotNull)
+      .select(col("user_id")).distinct().count()
+    assert(perUser.count() === nUsers)
+    // … but rolling ALL of it into one driver-side report must fail
+    // loudly naming the guard, not OOM mid-collect
+    val err = intercept[IllegalArgumentException] {
+      Profile.valueSketchRollup(perUser, "user_id", maxGroups = 5)
+    }
+    assert(err.getMessage.contains("more than 5 groups"), err.getMessage)
+    // a filtered audit subset under the bound rolls up fine
+    val some = perUser.limit(4)
+    assert(Profile.valueSketchRollup(some, "user_id", maxGroups = 5)
+      .count() === 5) // 4 groups + __ALL__
+  }
 }

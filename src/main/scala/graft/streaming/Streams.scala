@@ -345,6 +345,104 @@ object Streams extends Serializable {
   def chunkStream(docs: DataFrame, window: Int = 50, stride: Int = 40): DataFrame =
     graft.ops.TextAnalysis.chunkCore(docs, window, stride)
 
+  // ---------------------------------------------- sink batch-commit protocol
+  /** Replace one micro-batch's files in a flat parquet sink dir: write the
+    * batch to `<dir>_staging/<batchId>`, DELETE any `b<batchId>-*` files a
+    * previous crashed attempt left behind, then move the staged parquet
+    * files in under `b<batchId>-`-prefixed names. Because a retry replaces
+    * the batch's WHOLE file set (the prefix identifies it), re-running for
+    * a batch id is idempotent even though a batch spans several task
+    * files — the property plain `mode("append")` cannot give. Renames are
+    * per-file metadata moves on HDFS-likes; on object stores the usual
+    * rename caveats apply (same as [[graft.ops.Layout.rewriteInPlace]]).
+    */
+  private[graft] def replaceBatchFiles(s: SparkSession, dir: String,
+      batchId: Long)(write: String => Unit): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dirP = new Path(dir)
+    val fs = dirP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val staging = new Path(s"${dir}_staging/$batchId")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    write(staging.toString)
+    fs.mkdirs(dirP)
+    val prefix = s"b$batchId-"
+    fs.listStatus(dirP)
+      .filter(st => st.isFile && st.getPath.getName.startsWith(prefix))
+      .foreach(st => fs.delete(st.getPath, false))
+    fs.listStatus(staging)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .foreach { st =>
+        val dest = new Path(dirP, prefix + st.getPath.getName)
+        require(fs.rename(st.getPath, dest),
+          s"replaceBatchFiles: rename ${st.getPath} -> $dest failed")
+      }
+    fs.delete(staging, true)
+  }
+
+  /** Exactly-once per-batch commit across one or more sink dirs: marker
+    * check → staged writes → batch-prefixed file moves → marker create
+    * (at `<markerBase>_batches/<batchId>`). Every crash window replays
+    * clean: before the moves nothing reached a target dir; between moves
+    * and marker the replay REPLACES each dir's `b<batchId>-*` file set;
+    * after the marker the batch skips whole. This closes the
+    * at-least-once duplicate window the event-row sinks (verdict rows,
+    * clean/quarantined rows, route fan-outs) had under `mode("append")`
+    * — rows no compaction could dedup, because unlike the ingest sinks'
+    * content-derived index rows they carry no identity to dedup on.
+    * Concurrent readers may see a mid-commit batch partially (multi-file
+    * appends are never atomic as a set); they never see duplicates
+    * persist.
+    */
+  private[graft] def commitBatch(s: SparkSession, markerBase: String,
+      batchId: Long)(writes: (String, String => Unit)*): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(markerBase)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val marker = new Path(s"${markerBase}_batches/$batchId")
+    if (!fs.exists(marker)) {
+      writes.foreach { case (d, w) => replaceBatchFiles(s, d, batchId)(w) }
+      fs.create(marker, true).close()
+    }
+  }
+
+  /** Maintenance compaction for a streaming sink output dir
+    * (pairs/audit/clean/quarantine/route dirs — flat parquet growing one
+    * `b<id>-`-prefixed file per writer task per micro-batch): one
+    * [[graft.ops.Layout.compactFlat]] rewrite bounds the file count, the
+    * same nightly-hygiene step the persisted indexes get. Before
+    * compacting, `b<id>-*` files whose batch has NO commit marker are
+    * dropped — they are partial state of a crashed commit whose replay
+    * rewrites the whole batch, and folding them into compacted files
+    * would make that replay a duplication. Run it as the indexes'
+    * compactions are run: not concurrently with an in-flight commit to
+    * the same dir (single-writer maintenance, the lake discipline).
+    *
+    * @param markerBase where the sink keeps its markers when not at
+    *   `<dir>_batches` — [[multiSink]] route dirs share the base dir's
+    *   marker set, so pass `Some(baseDir)` for those.
+    */
+  def compactSinkDir(s: SparkSession, dir: String,
+      orderCol: org.apache.spark.sql.Column,
+      maxRecordsPerFile: Long = 1L * 1024 * 1024,
+      markerBase: Option[String] = None): (Long, Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+    val markers: Set[String] = {
+      val mp = new Path(s"${markerBase.getOrElse(dir)}_batches")
+      if (fs.exists(mp)) fs.listStatus(mp).map(_.getPath.getName).toSet
+      else Set.empty
+    }
+    val batchFile = "^b(\\d+)-.*".r
+    fs.listStatus(new Path(dir)).filter(_.isFile).foreach { st =>
+      st.getPath.getName match {
+        case batchFile(id) if !markers.contains(id) =>
+          fs.delete(st.getPath, false)
+        case _ => ()
+      }
+    }
+    graft.ops.Layout.compactFlat(s, dir, orderCol, maxRecordsPerFile)
+  }
+
   /** The living-corpus ingest loop end to end: each arriving micro-batch
     * of documents is near-dup-checked against the PERSISTED MinHash
     * signature index ([[graft.ops.Dedup.minhashIncremental]] — detected
@@ -362,10 +460,13 @@ object Streams extends Serializable {
     * marker file per batch id (under `<indexPath>_batches`) makes the
     * fold idempotent on restart — a replayed batch skips whole. The
     * marker commits AFTER the append, so a crash between the two re-folds
-    * that one batch (at-least-once); duplicated signature rows only
-    * duplicate candidate generation — they never lose pairs — and the
-    * next [[graft.ops.Dedup.compactMinhashIndex]] drops them
-    * (dropDuplicates on content-derived rows is lossless).
+    * that one batch (at-least-once on the INDEX side); duplicated
+    * signature rows only duplicate candidate generation — they never lose
+    * pairs — and the next [[graft.ops.Dedup.compactMinhashIndex]] drops
+    * them (dropDuplicates on content-derived rows is lossless). The
+    * PAIRS output has no such dedup identity across replays, so it goes
+    * through [[replaceBatchFiles]]: a replayed batch replaces its own
+    * file set instead of appending a second copy.
     */
   def dedupIngestSink(docs: DataFrame, indexPath: String, pairsDir: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
@@ -385,9 +486,11 @@ object Streams extends Serializable {
               if (fs.exists(new org.apache.hadoop.fs.Path(indexPath)))
                 graft.ops.Dedup.loadMinhashIndex(s, indexPath)
               else graft.ops.Dedup.emptyMinhashIndex(s)
-            graft.ops.Dedup.minhashIncremental(s, cached, idx)
-              .withColumn("batch_id", lit(batchId))
-              .write.mode("append").parquet(pairsDir)
+            replaceBatchFiles(s, pairsDir, batchId) { staging =>
+              graft.ops.Dedup.minhashIncremental(s, cached, idx)
+                .withColumn("batch_id", lit(batchId))
+                .write.parquet(staging)
+            }
             graft.ops.Dedup.appendToMinhashIndex(s, cached, indexPath)
             fs.create(marker, true).close()
           } finally { cached.unpersist(); () }
@@ -404,9 +507,12 @@ object Streams extends Serializable {
     * `pairsDir`, and the batch folds in via
     * [[graft.ops.Dedup.appendToEmbeddingIndex]]. Batch 0 bootstraps on
     * [[graft.ops.Dedup.emptyEmbeddingIndex]]; marker files make replays
-    * idempotent, and the at-least-once crash window between pairs-write
-    * and marker-create only duplicates content-derived rows, which index
-    * compaction drops losslessly — the [[dedupIngestSink]] argument.
+    * idempotent. The at-least-once crash window between index append and
+    * marker-create only duplicates content-derived vector/bucket rows,
+    * which [[graft.ops.Dedup.compactEmbeddingIndex]]'s dropDuplicates
+    * folds away losslessly — the [[dedupIngestSink]] argument; the pairs
+    * output replays through [[replaceBatchFiles]] (no append-duplicate
+    * window).
     */
   def embeddingIngestSink(vectors: DataFrame, indexPath: String,
       pairsDir: String, checkpoint: String)
@@ -427,9 +533,11 @@ object Streams extends Serializable {
               if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/vectors")))
                 graft.ops.Dedup.loadEmbeddingIndex(s, indexPath)
               else graft.ops.Dedup.emptyEmbeddingIndex(s)
-            graft.ops.Dedup.embeddingIncremental(s, cached, vecs, buckets)
-              .withColumn("batch_id", lit(batchId))
-              .write.mode("append").parquet(pairsDir)
+            replaceBatchFiles(s, pairsDir, batchId) { staging =>
+              graft.ops.Dedup.embeddingIncremental(s, cached, vecs, buckets)
+                .withColumn("batch_id", lit(batchId))
+                .write.parquet(staging)
+            }
             graft.ops.Dedup.appendToEmbeddingIndex(s, cached, indexPath)
             fs.create(marker, true).close()
           } finally { cached.unpersist(); () }
@@ -456,20 +564,15 @@ object Streams extends Serializable {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // marker per batch id — the ingest sinks' replay guard: without
-        // it a crash in the append→checkpoint window would double-count
-        // this batch's verdicts in every tail read / trend group-by
-        val s = batch.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(auditDir)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        val marker = new org.apache.hadoop.fs.Path(
-          s"${auditDir}_batches/$batchId")
-        if (!fs.exists(marker)) {
-          graft.etl.Expectations.expectations(batch, checks, uniqueKeys)
-            .withColumn("batch_id", lit(batchId))
-            .write.mode("append").parquet(auditDir)
-          fs.create(marker, true).close()
-        }
+        // verdict rows are NOT content-derived (no identity to dedup on
+        // later), so this sink commits through the exactly-once protocol:
+        // staged write → batch-prefixed file replace → marker
+        commitBatch(batch.sparkSession, auditDir, batchId)(
+          auditDir -> { staging =>
+            graft.etl.Expectations.expectations(batch, checks, uniqueKeys)
+              .withColumn("batch_id", lit(batchId))
+              .write.parquet(staging)
+          })
       }
       .start()
 
@@ -480,7 +583,11 @@ object Streams extends Serializable {
     * batch-tagged with their `violated` check names in `quarantineDir`
     * (replay a quarantined row after its named checks pass — the
     * dead-letter convention). The batch persists once so the two routes
-    * filter cached data; marker files keep replays idempotent.
+    * filter cached data; both dirs commit under ONE marker through the
+    * exactly-once protocol — a crash anywhere in the two-dir window
+    * replays by replacing each dir's batch file set, so neither clean
+    * nor quarantined rows can duplicate (they carry no dedup identity,
+    * so an append-duplicate would be permanent).
     */
   def quarantineSink(events: DataFrame,
       checks: Seq[(String, org.apache.spark.sql.Column, Long)],
@@ -490,27 +597,25 @@ object Streams extends Serializable {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val s = batch.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(cleanDir)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        val marker = new org.apache.hadoop.fs.Path(
-          s"${cleanDir}_batches/$batchId")
-        if (!fs.exists(marker)) {
-          val cached = batch.persist()
-          try {
-            val (clean, bad) = graft.etl.Expectations.quarantine(cached, checks)
-            clean.write.mode("append").parquet(cleanDir)
-            bad.withColumn("batch_id", lit(batchId))
-              .write.mode("append").parquet(quarantineDir)
-            fs.create(marker, true).close()
-          } finally { cached.unpersist(); () }
-        }
+        val cached = batch.persist()
+        try {
+          val (clean, bad) = graft.etl.Expectations.quarantine(cached, checks)
+          commitBatch(batch.sparkSession, cleanDir, batchId)(
+            cleanDir -> (staging => clean.write.parquet(staging)),
+            quarantineDir -> { staging =>
+              bad.withColumn("batch_id", lit(batchId)).write.parquet(staging)
+            })
+        } finally { cached.unpersist(); () }
       }
       .start()
 
   /** pyetl's multi-destination writer loop: one micro-batch, N sinks, via
     * foreachBatch. The batch is persisted once so each route filters the
-    * cached data instead of re-reading the source.
+    * cached data instead of re-reading the source; all routes commit
+    * under ONE marker (at `<baseDir>_batches`) through the exactly-once
+    * protocol, so a crash mid-fan-out replays without duplicating any
+    * route's rows. Route-dir maintenance goes through [[compactSinkDir]]
+    * with `markerBase = Some(baseDir)`.
     */
   def multiSink(events: DataFrame, baseDir: String,
       routes: Map[String, org.apache.spark.sql.Column],
@@ -520,9 +625,12 @@ object Streams extends Serializable {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val cached = batch.persist()
-        try routes.foreach { case (name, pred) =>
-          cached.filter(pred).write.mode("append").parquet(s"$baseDir/$name")
-        } finally { cached.unpersist(); () }
+        try commitBatch(batch.sparkSession, baseDir, batchId)(
+          routes.toSeq.map { case (name, pred) =>
+            (s"$baseDir/$name",
+              (staging: String) => cached.filter(pred).write.parquet(staging))
+          }: _*)
+        finally { cached.unpersist(); () }
       }
       .start()
 }

@@ -491,6 +491,64 @@ class StreamingSpec extends SparkSpec {
       + spark.read.parquet(s"$base/dlq").count() === before)
   }
 
+  test("sink batch commits: partial-append crash replays leave no duplicate rows") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_commit").toString
+    val dir = s"$base/audit"
+    def write(rows: Seq[(Long, String)])(staging: String): Unit =
+      rows.toDF("id", "tag").repartition(2).write.parquet(staging)
+    Streams.commitBatch(spark, dir, 0L)(dir -> write(Seq(1L -> "a", 2L -> "b")))
+    assert(spark.read.parquet(dir).count() === 2)
+    // crash simulation: batch 0's files all landed but the marker never
+    // did (the worst at-least-once window — plain append would now
+    // double every row on replay)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"${dir}_batches/0"), false)
+    Streams.commitBatch(spark, dir, 0L)(dir -> write(Seq(1L -> "a", 2L -> "b")))
+    assert(spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+      === Set(1L -> "a", 2L -> "b"),
+      "a replayed batch must REPLACE its file set, not append a second copy")
+    // with the marker present the batch skips whole — the write fn never runs
+    var ran = false
+    Streams.commitBatch(spark, dir, 0L)(
+      dir -> { st => ran = true; write(Seq(9L -> "x"))(st) })
+    assert(!ran, "a committed batch id must be a no-op")
+    // a later batch lands beside it
+    Streams.commitBatch(spark, dir, 1L)(dir -> write(Seq(3L -> "c")))
+    assert(spark.read.parquet(dir).count() === 3)
+  }
+
+  test("sink dir compaction: bounded files, content identical, uncommitted partials dropped") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_sinkcompact").toString
+    val dir = s"$base/pairs"
+    (0 until 12).foreach { b =>
+      Streams.commitBatch(spark, dir, b.toLong)(
+        dir -> (st => Seq((b.toLong, s"r$b")).toDF("id", "tag")
+          .write.parquet(st)))
+    }
+    // plus the partial state of a crashed, never-committed batch — its
+    // replay will rewrite the whole batch, so compaction must NOT absorb it
+    Streams.replaceBatchFiles(spark, dir, 99L)(
+      st => Seq((99L, "phantom")).toDF("id", "tag").write.parquet(st))
+    val expect = (0 until 12).map(b => (b.toLong, s"r$b")).toSet
+    val (before, after, rows) = Streams.compactSinkDir(spark, dir, col("id"))
+    // `before` counts AFTER the uncommitted-partial cleanup: 12 committed
+    // batch files (the phantom b99 file is already gone by then)
+    assert(before >= 12L, s"one file per batch before: $before")
+    assert(after <= 2L, s"compaction must bound the file count: $after")
+    assert(rows === 12L)
+    assert(spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet === expect,
+      "compaction preserves exactly the committed rows")
+    // a committed batch arriving after compaction still lands fine
+    Streams.commitBatch(spark, dir, 12L)(
+      dir -> (st => Seq((12L, "r12")).toDF("id", "tag").write.parquet(st)))
+    assert(spark.read.parquet(dir).count() === 13)
+  }
+
   test("embedding ingest sink: streamed batches fold into an index ≡ batch-built; pairs ≡ full LSH") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

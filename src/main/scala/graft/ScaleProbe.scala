@@ -173,6 +173,45 @@ object ScaleProbe {
         embAll.filter(col("vec_id") % 4 === 0), iv, ib, bits = bits).count()
       println(f"dedup_embedding_incremental: ${(System.nanoTime() - t1) / 1e9}%.1f s ($n rows)")
     }
+    // the living-corpus loop under load: per-micro-batch wall of the REAL
+    // dedup ingest sink (MemoryStream → foreachBatch → pairs commit +
+    // index fold) against the big persisted index — the claim under test
+    // is that batch cost tracks |batch| shingling + the band join against
+    // stored buckets, not index size, so ingest throughput holds as the
+    // index grows corpus-scale
+    if (matched("stream_dedup_ingest")) locally {
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val docsAll = spark.read.parquet(s"$out/documents.parquet")
+      val ip = s"$out/_stream_index"
+      // the out dir is reused across probe runs — start this scenario clean
+      Seq(ip, s"${ip}_batches", s"${ip}_tombstones", s"$out/_stream_pairs",
+        s"$out/_stream_pairs_staging", s"$out/_stream_pairs_batches",
+        s"$out/_stream_ckpt").foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      val t0 = System.nanoTime()
+      graft.ops.Dedup.saveMinhashIndex(spark,
+        docsAll.filter(col("doc_id") % 50 =!= 0), ip)
+      val idxN = graft.ops.Dedup.loadMinhashIndex(spark, ip).count()
+      println(f"stream_index_bootstrap: ${(System.nanoTime() - t0) / 1e9}%.1f s ($idxN docs)")
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val q = graft.streaming.Streams.dedupIngestSink(
+        in.toDF().toDF("doc_id", "text"), ip, s"$out/_stream_pairs",
+        s"$out/_stream_ckpt")
+      (0 until 3).foreach { b =>
+        val batch = docsAll.filter(col("doc_id") % 150 === b * 50)
+          .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+        val t1 = System.nanoTime()
+        in.addData(batch.toIndexedSeq: _*)
+        q.processAllAvailable()
+        println(f"stream_dedup_ingest batch $b (${batch.length} docs): " +
+          f"${(System.nanoTime() - t1) / 1e9}%.1f s")
+      }
+      q.stop()
+    }
     // span dedup in the dup-dense corpus: every interior 8-gram is shared
     // by all repl copies, so gram frequencies are ~repl per key while the
     // key cardinality stays ~fixed — wall should track the (doc, gram)

@@ -49,6 +49,19 @@ object Pipeline {
     *                       resolve fails fast naming the rule
     * @param maxViolations  per-rule violation budget (default 0: any
     *                       violating row aborts the run)
+    * @param onViolation    "abort" (default — the gate above) or
+    *                       "quarantine": instead of aborting, violating
+    *                       rows are routed to `quarantineDir` tagged with
+    *                       their `violated` rule names (the
+    *                       [[Expectations.quarantine]] semantics, batch
+    *                       form — [[graft.streaming.Streams.quarantineSink]]'s
+    *                       config-driven twin) and the routes see only
+    *                       clean rows. A row whose predicate evaluates to
+    *                       NULL quarantines (it cannot be certified
+    *                       clean). The returned counts gain a
+    *                       "__quarantined" entry.
+    * @param quarantineDir  dead-letter output dir, required when
+    *                       `onViolation = "quarantine"`
     */
   def run(input: DataFrame, baseDir: String,
       routes: Map[String, Route],
@@ -63,7 +76,13 @@ object Pipeline {
       casts: Map[String, String] = Map.empty,
       ingestFile: Boolean = false,
       validations: Map[String, Column] = Map.empty,
-      maxViolations: Long = 0L): Map[String, Long] = {
+      maxViolations: Long = 0L,
+      onViolation: String = "abort",
+      quarantineDir: Option[String] = None): Map[String, Long] = {
+    require(onViolation == "abort" || onViolation == "quarantine",
+      s"onViolation must be 'abort' or 'quarantine': '$onViolation'")
+    require(onViolation != "quarantine" || quarantineDir.nonEmpty,
+      "onViolation=quarantine needs quarantineDir")
     val parsed0 = jsonCol match {
       case Some(c) => jsonPaths.foldLeft(input) { case (df, (path, name)) =>
         df.withColumn(name, get_json_object(col(c), path))
@@ -124,19 +143,31 @@ object Pipeline {
           catch { case e: Exception => throw new IllegalArgumentException(
             s"validation rule '$name' does not resolve: ${e.getMessage}") }
         }
-        val aggs = validations.toSeq.map { case (name, pred) =>
-          count(when(pred, 1)).as(name) }
-        val row = cached.agg(aggs.head, aggs.tail: _*).first()
-        val bad = validations.keys.toSeq.sorted
-          .map(n => n -> row.getAs[Long](n))
-          .filter(_._2 > maxViolations)
-        require(bad.isEmpty,
-          "validation failed, nothing written: " + bad.map { case (n, c) =>
-            s"rule '$n' has $c violating rows (budget $maxViolations)"
-          }.mkString("; "))
+        if (onViolation == "abort") {
+          val aggs = validations.toSeq.map { case (name, pred) =>
+            count(when(pred, 1)).as(name) }
+          val row = cached.agg(aggs.head, aggs.tail: _*).first()
+          val bad = validations.keys.toSeq.sorted
+            .map(n => n -> row.getAs[Long](n))
+            .filter(_._2 > maxViolations)
+          require(bad.isEmpty,
+            "validation failed, nothing written: " + bad.map { case (n, c) =>
+              s"rule '$n' has $c violating rows (budget $maxViolations)"
+            }.mkString("; "))
+        }
       }
+      val (routeSource, quarantineCount) =
+        if (onViolation == "quarantine" && validations.nonEmpty) {
+          val (clean, bad) = Expectations.quarantine(cached,
+            validations.toSeq.map { case (n, p) => (n, p, 0L) })
+          bad.write.mode("overwrite")
+            .option("maxRecordsPerFile", maxRecordsPerFile)
+            .parquet(quarantineDir.get)
+          (clean, Some("__quarantined" ->
+            input.sparkSession.read.parquet(quarantineDir.get).count()))
+        } else (cached, None)
       routes.map { case (name, r) =>
-        val routed = cached.filter(r.predicate)
+        val routed = routeSource.filter(r.predicate)
         val writer = routed.write.mode("overwrite")
           .option("maxRecordsPerFile", maxRecordsPerFile)
         val partitioned =
@@ -146,7 +177,7 @@ object Pipeline {
           case _      => partitioned.parquet(s"$baseDir/$name")
         }
         name -> routed.count()
-      }
+      } ++ quarantineCount
     } finally cached.unpersist()
   }
 
@@ -213,6 +244,8 @@ object Pipeline {
       validations = opt("validations")
         .map(strMap(_).map { case (k, v) => k -> expr(v.asText) })
         .getOrElse(Map.empty),
-      maxViolations = opt("maxViolations").map(_.asLong).getOrElse(0L))
+      maxViolations = opt("maxViolations").map(_.asLong).getOrElse(0L),
+      onViolation = opt("onViolation").map(_.asText).getOrElse("abort"),
+      quarantineDir = opt("quarantineDir").map(_.asText))
   }
 }

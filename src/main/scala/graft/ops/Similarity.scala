@@ -303,9 +303,10 @@ object Similarity {
     *   ivfpqTopk) already had; `None` trains inline.
     */
   def ivfTopk(s: SparkSession, dir: String,
-      precomputedCents: Option[DataFrame] = None): DataFrame =
+      precomputedCents: Option[DataFrame] = None,
+      nprobe: Int = NProbe): DataFrame =
     ivfTopkForQueries(s, dir, corpusQueries(Tables(s, dir).embeddings),
-      precomputedCents)
+      precomputedCents, nprobe)
 
   /** [[ivfTopk]] over an ARBITRARY (query_id, embedding) batch — the
     * serving form: external queries rank the same broadcast centroid
@@ -313,11 +314,14 @@ object Similarity {
     * spec-pinned for corpus-resident queries).
     */
   def ivfTopkForQueries(s: SparkSession, dir: String, queries: DataFrame,
-      precomputedCents: Option[DataFrame] = None): DataFrame = {
+      precomputedCents: Option[DataFrame] = None,
+      nprobe: Int = NProbe): DataFrame = {
     val e = Tables(s, dir).embeddings
     val cents = precomputedCents.getOrElse(centroids(e))
     val assigned = assignCells(e, cents)
-    // nprobe nearest cells per query
+    // nprobe nearest cells per query — a serving-time knob (probe more
+    // cells → higher recall, proportionally more scanned codes), which is
+    // exactly the dial [[tuneForRecall]] escalates
     val probes = queries
       .select(col("query_id"), col("embedding").as("qe"))
       .join(broadcast(cents))
@@ -325,7 +329,7 @@ object Similarity {
         cosine_sim(col("qe"), col("centroid")).as("ccos"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cell"))))
-      .filter(col("rk") <= NProbe)
+      .filter(col("rk") <= nprobe)
       .select(col("query_id"), col("qe"), col("cell"))
     val scored = assigned.as("v").join(broadcast(probes).as("p"),
         col("v.cell") === col("p.cell") && col("v.vec_id") =!= col("p.query_id"))
@@ -1554,12 +1558,116 @@ object Similarity {
     * models, so append ≡ full rebuild with the same models (spec-pinned
     * exact). Models stay frozen — the standard serving discipline;
     * retrain + re-encode when drift accumulates, which is a corpus-build
-    * event, not an append.
+    * event, not an append — and "when" is what the drift monitor
+    * ([[recordDrift]] / [[driftReport]]) measures instead of leaving it
+    * to someone re-running recall QA by hand.
     */
   def appendToIndex(newVecs: DataFrame, cents: DataFrame,
       codebooks: DataFrame, codes: DataFrame,
       residual: Boolean = false): DataFrame =
     codes.unionByName(buildIvfpqIndex(newVecs, cents, codebooks, residual))
+
+  // ------------------------------------------------------------ model drift
+  /** (n_vecs, total reconstruction error) of a frame under frozen
+    * codebooks — one distributed encode + one aggregate; the per-batch
+    * cost is the batch's own assignCodes pass, nothing corpus-sized.
+    */
+  private def quantStats(e: DataFrame, cb: DataFrame): (Long, Double) = {
+    val cbSub = withSub(cb, PqKsub)
+    val subs = subvectors(e.select(col("vec_id"), col("embedding")), PqM, 64)
+    val row = assignCodes(subs, cbSub).withColumnRenamed("code", "cell")
+      .join(subs, Seq("vec_id", "sub"))
+      .join(broadcast(cbSub), Seq("sub", "cell"))
+      .agg(count_distinct(col("vec_id")).as("n"),
+        sum(l2sq(col("sv"), col("centroid"))).as("err"))
+      .head
+    (row.getLong(0), row.getDouble(1))
+  }
+
+  private def driftTablePath(path: String): String = s"$path/drift.parquet"
+
+  /** Record the BUILD-TIME mean quantization error of the training corpus
+    * under the index's codebooks — the reference point every later
+    * [[recordDrift]] row compares against. Overwrites the whole drift
+    * table (a rebuild resets the model's time series along with its
+    * tombstones). Run it once per corpus build, right after [[saveIndex]].
+    */
+  def recordDriftBaseline(s: SparkSession, path: String, vectors: DataFrame,
+      codebooks: DataFrame): Unit = {
+    val (n, err) = quantStats(vectors, codebooks)
+    require(n > 0, "drift baseline needs a non-empty corpus")
+    import s.implicits._
+    Seq((-1L, n, err / n)).toDF("batch_id", "n_vecs", "mean_err")
+      .write.mode("overwrite").parquet(driftTablePath(path))
+  }
+
+  /** The model-drift monitor for the frozen-model serving discipline: at
+    * append time, measure the arriving batch's mean quantization error
+    * under the SAME frozen codebooks the index encodes with, and append
+    * one (batch_id, n_vecs, mean_err) row to the drift table at the index
+    * path — the [[graft.etl.Expectations]] time-series idea applied to
+    * models. A distribution shift in the incoming vectors shows up as a
+    * rising mean_err long before anyone re-runs [[recallReport]] by hand:
+    * quantization error is exactly the quantity the codebooks were
+    * trained to minimize ON THE BUILD DISTRIBUTION, so vectors the frozen
+    * model no longer represents well reconstruct measurably worse. Call
+    * alongside [[appendToIndex]] per nightly batch; read with
+    * [[driftReport]]; a tripped report is the "retrain + re-encode"
+    * signal, which is a corpus-build event.
+    */
+  def recordDrift(s: SparkSession, path: String, batch: DataFrame,
+      codebooks: DataFrame, batchId: Long): Unit = {
+    val (n, err) = quantStats(batch, codebooks)
+    require(n > 0, s"drift batch $batchId is empty")
+    import s.implicits._
+    Seq((batchId, n, err / n)).toDF("batch_id", "n_vecs", "mean_err")
+      .write.mode("append").parquet(driftTablePath(path))
+  }
+
+  /** The drift time series with verdicts: one row per recorded batch,
+    * carrying the build-time baseline, the error ratio, and a `drifted`
+    * flag at `tripRatio` (default: a batch reconstructing ≥25% worse than
+    * the build corpus trips). The baseline is a one-row model artifact —
+    * it reads driver-side and enters the plan as a literal, the
+    * centroid-table discipline (no join, no broadcast).
+    */
+  def driftReport(s: SparkSession, path: String,
+      tripRatio: Double = 1.25): DataFrame = {
+    val t = s.read.parquet(driftTablePath(path))
+    val baseRows = t.filter(col("batch_id") === -1L)
+      .select(col("mean_err")).head(1)
+    require(baseRows.nonEmpty,
+      s"no drift baseline at $path — run recordDriftBaseline at corpus build")
+    val base = baseRows.head.getDouble(0)
+    t.filter(col("batch_id") >= 0L)
+      .select(col("batch_id"), col("n_vecs"), col("mean_err"),
+        lit(base).as("baseline_err"),
+        (col("mean_err") / lit(base)).as("err_ratio"),
+        (col("mean_err") > lit(base * tripRatio)).as("drifted"))
+      .orderBy(col("batch_id"))
+  }
+
+  /** Gate/bench form of the drift monitor (rows-only — k-means/PQ state
+    * is engine-internal): against the session's persisted index, record a
+    * baseline over the corpus, then two synthetic "nightly" batches — an
+    * in-distribution quarter of the corpus (batch 0) and the same quarter
+    * under a deterministic distribution shift (components scaled 3× —
+    * batch 1) — and report. The monitor must hold batch 0 inside the band
+    * and trip on batch 1 (SimilaritySpec pins both). Each call rewrites
+    * the table from its baseline (idempotent under bench best-of-N).
+    */
+  def annDriftReport(s: SparkSession, dir: String): DataFrame = {
+    val (_, cb, _) = persistedIndex(s, dir)
+    val path = annIndexPath(s, dir)
+    val e = Tables(s, dir).embeddings
+    recordDriftBaseline(s, path, e, cb)
+    val day = e.filter(col("vec_id") % 4 === 0)
+    recordDrift(s, path, day, cb, 0L)
+    recordDrift(s, path,
+      day.withColumn("embedding", transform(col("embedding"), x => x * lit(3.0f))),
+      cb, 1L)
+    driftReport(s, path)
+  }
 
   // keyed by (context, dir), the Curation.pairsMemo discipline (including
   // its one-session-per-context assumption — the loaded frames are bound
@@ -1572,13 +1680,18 @@ object Similarity {
   private val indexMemo = new java.util.concurrent.ConcurrentHashMap[
     (String, String), (DataFrame, DataFrame, DataFrame)]()
 
+  private def annIndexPath(s: SparkSession, dir: String): String = {
+    val ctx = s.sparkContext.applicationId + "/" + s.sparkContext.startTime
+    System.getProperty("java.io.tmpdir") + "/graft_ann_index_" +
+      java.lang.Integer.toHexString((ctx + "|" + dir).hashCode)
+  }
+
   private def persistedIndex(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val ctx = s.sparkContext.applicationId + "/" + s.sparkContext.startTime
     indexMemo.keySet.removeIf(_._1 != ctx) // reap entries of dead contexts
     indexMemo.computeIfAbsent((ctx, dir), { _ =>
       val e = Tables(s, dir).embeddings
-      val path = System.getProperty("java.io.tmpdir") + "/graft_ann_index_" +
-        java.lang.Integer.toHexString((ctx + "|" + dir).hashCode)
+      val path = annIndexPath(s, dir)
       val (cents, cb) = (centroids(e), pqCodebooks(e))
       saveIndex(path, cents, cb, buildIvfpqIndex(e, cents, cb))
       loadIndex(s, path)
@@ -1653,10 +1766,26 @@ object Similarity {
     // from buildIvfpqIndex/loadIndex and none of that runs per batch
     val codes = precomputedCodes.getOrElse(
       buildIvfpqIndex(e, cents, cb, residual = true))
+    rerankExactFor(e,
+      ivfpqResidualShortlist(queries, cents, cbSub, codes, shortlist,
+        maxBatchQ),
+      queries)
+  }
+
+  /** The residual-encoded cell-restricted ADC shortlist — the shared body
+    * of [[ivfpqResidualTopkForQueries]] and the residual OPQ composition
+    * (whose query frame and codes live in ROTATED space; the restriction
+    * machinery is one body either way, the [[ivfpqShortlist]] discipline).
+    * The corpus enters only through the materialized `codes`; returns
+    * (query_id, neighbor_id).
+    */
+  private def ivfpqResidualShortlist(queries: DataFrame, cents: DataFrame,
+      cbSub: DataFrame, codes: DataFrame, shortlist: Int,
+      maxBatchQ: Int): DataFrame =
     // per-chunk subplans: the residual tables are the HEAVIEST ADC
     // broadcast (nprobe tables per query), so the MaxAdcBatchQ chunk
     // bound matters most here — ≤ maxBatchQ·nprobe·m·ksub rows per chunk
-    val short = adcChunks(queries, maxBatchQ).map { chunk =>
+    adcChunks(queries, maxBatchQ).map { chunk =>
       val probes = queries.filter(chunk)
         .select(col("query_id"), col("embedding").as("qe"))
         .join(broadcast(cents))
@@ -1691,7 +1820,87 @@ object Similarity {
         .filter(col("rk") <= shortlist)
         .select(col("query_id"), col("vec_id").as("neighbor_id"))
     }.reduce(_ unionByName _)
-    rerankExactFor(e, short, queries)
+
+  /** Residual-encoded "OPQ,IVF,PQ" — the ACTUAL FAISS default composed
+    * recipe ([[opqIvfpqTopk]] quantizes raw rotated vectors; this one
+    * quantizes rotated residuals x' − centroid(cell(x')), spending the
+    * code budget on within-cell detail — [[ivfpqResidualTopk]]'s
+    * argument, now under the learned rotation): rotation in front of the
+    * coarse quantizer AND the residual code space, shortlist via the
+    * SAME [[ivfpqResidualShortlist]] body as the raw-space residual
+    * tier, exact rerank on the original vectors. Model triple =
+    * (rotation, rotated-space centroids, rotated-RESIDUAL codebooks) —
+    * [[trainOpqIvfResidual]] / the [[saveOpqIvfModel]] shape.
+    */
+  def opqIvfpqResidualTopk(s: SparkSession, dir: String, shortlist: Int = 100,
+      model: Option[(DataFrame, DataFrame, DataFrame)] = None,
+      precomputedCodes: Option[DataFrame] = None,
+      maxBatchQ: Int = MaxAdcBatchQ): DataFrame =
+    opqIvfpqResidualTopkForQueries(s, dir,
+      corpusQueries(Tables(s, dir).embeddings),
+      shortlist, model, precomputedCodes, maxBatchQ)
+
+  /** [[opqIvfpqResidualTopk]] over an ARBITRARY (query_id, embedding)
+    * batch — the serving form; queries rotate through the same learned R.
+    */
+  def opqIvfpqResidualTopkForQueries(s: SparkSession, dir: String,
+      queries: DataFrame, shortlist: Int = 100,
+      model: Option[(DataFrame, DataFrame, DataFrame)] = None,
+      precomputedCodes: Option[DataFrame] = None,
+      maxBatchQ: Int = MaxAdcBatchQ): DataFrame = {
+    val e = Tables(s, dir).embeddings
+    val (rotDf, cents, cb) = model.getOrElse(trainOpqIvfResidual(s, dir))
+    val r = rotDf.select(col("comp"), col("weights")).collect()
+      .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+    val rotQ = rotateFrame(
+        queries.select(col("query_id").as("vec_id"), col("embedding")), r)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val codes = precomputedCodes.getOrElse(
+      buildIvfpqIndex(rotateFrame(e, r), cents, cb, residual = true))
+    rerankExactFor(e,
+      ivfpqResidualShortlist(rotQ, cents, withSub(cb, PqKsub), codes,
+        shortlist, maxBatchQ),
+      queries)
+  }
+
+  /** (rotation, rotated-space IVF centroids, rotated-RESIDUAL PQ
+    * codebooks) — the residual composed model triple: rotation from
+    * [[trainOpq]] (sample-bounded), coarse quantizer on the rotated
+    * corpus, codebooks retrained on the rotated corpus's cell residuals
+    * (codes must quantize what serving decodes — residuals of THESE
+    * centroids; [[residualVectors]] is the one shared definition).
+    */
+  def trainOpqIvfResidual(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (rot, _) = trainOpq(s, dir)
+    val r = rot.select(col("comp"), col("weights")).collect()
+      .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+    val rotE = rotateFrame(Tables(s, dir).embeddings, r)
+    val cents = centroids(rotE)
+    val cb = pqCodebooks(
+      residualVectors(rotE, cents).select(col("vec_id"), col("embedding")))
+    (rot, cents, cb)
+  }
+
+  private val opqResidMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (DataFrame, DataFrame, DataFrame)]()
+
+  /** [[opqIvfpqResidualTopk]] with the model triple fed from parquet —
+    * the train-once serving form (identical output, spec-pinned); the
+    * bench delta vs the one-shot entry is the rotation + residual-Lloyd
+    * training a deployment pays once per corpus build.
+    */
+  def opqIvfpqResidualTopkFed(s: SparkSession, dir: String): DataFrame = {
+    val ctx = s.sparkContext.applicationId + "/" + s.sparkContext.startTime
+    opqResidMemo.keySet.removeIf(_._1 != ctx)
+    val m = opqResidMemo.computeIfAbsent((ctx, dir), { _ =>
+      val path = System.getProperty("java.io.tmpdir") + "/graft_opqres_model_" +
+        java.lang.Integer.toHexString((ctx + "|" + dir).hashCode)
+      val (rot, cents, cb) = trainOpqIvfResidual(s, dir)
+      saveOpqIvfModel(path, rot, cents, cb)
+      loadOpqIvfModel(s, path)
+    })
+    opqIvfpqResidualTopk(s, dir, model = Some(m))
   }
 
   // ------------------------------------------------------------ evaluation
@@ -1746,6 +1955,62 @@ object Similarity {
     }.reduce(_ unionByName _).orderBy(col("tier"))
   }
 
+  /** Recall-targeted serving-config resolver — the decision
+    * [[recallReport]] leaves manual: given a target recall@k and a list
+    * of candidate configs with their relative serving costs, evaluate
+    * candidates CHEAPEST-FIRST on the probe batch and stop at the first
+    * one meeting the target (candidates past it never run — escalation
+    * is the point, so neither is paying for tiers you won't pick). Each
+    * `run` thunk is lazy; `exact` is the ground-truth frame (any
+    * *TopkForQueries output over the same probe batch slots in).
+    *
+    * Returns (config name, measured mean recall, target met). When no
+    * candidate meets the target, the highest-recall one evaluated comes
+    * back with `met = false` — the caller decides whether to ship it or
+    * add tiers; include an exact tier as the last candidate to make the
+    * resolver total.
+    */
+  def tuneForRecall(exact: DataFrame,
+      candidates: Seq[(String, Double, () => DataFrame)],
+      target: Double, k: Int = K): (String, Double, Boolean) = {
+    require(candidates.nonEmpty, "tuneForRecall needs candidates")
+    require(target > 0 && target <= 1.0, s"target recall must be in (0,1]: $target")
+    val byCost = candidates.sortBy(_._2)
+    var best: Option[(String, Double)] = None
+    val it = byCost.iterator
+    while (it.hasNext) {
+      val (name, _, run) = it.next()
+      val recall = recallReport(exact, Seq(name -> run()), k)
+        .head.getAs[Double]("mean_recall")
+      if (best.forall(_._2 < recall)) best = Some((name, recall))
+      if (recall >= target) return (name, recall, true)
+    }
+    val (n, r) = best.get
+    (n, r, false)
+  }
+
+  /** Gate/bench form of the auto-tuner (rows-only — picks over
+    * engine-internal tiers): resolve the cheapest (tier, nprobe) meeting
+    * recall@5 ≥ 0.45 on the corpus probe batch, from the IVF nprobe
+    * ladder with brute force as the total last resort. One row:
+    * (tier, mean_recall, target_met, target). SimilaritySpec pins the
+    * decisions — the cheapest config wins on a cluster-structured corpus,
+    * the near-random corpus forces escalation — and that candidates past
+    * the winner never execute.
+    */
+  def annAutotune(s: SparkSession, dir: String, target: Double = 0.45): DataFrame = {
+    val (cents, _, _) = persistedIndex(s, dir)
+    val ex = bruteforceTopk(s, dir)
+    val (tier, recall, met) = tuneForRecall(ex, Seq(
+      ("ivf_nprobe1", 1.0, () => ivfTopk(s, dir, Some(cents), nprobe = 1)),
+      ("ivf_nprobe2", 2.0, () => ivfTopk(s, dir, Some(cents), nprobe = 2)),
+      ("ivf_nprobe3", 3.0, () => ivfTopk(s, dir, Some(cents), nprobe = 3)),
+      ("exact", 1e9, () => ex)), target)
+    import s.implicits._
+    Seq((tier, recall, met, target))
+      .toDF("tier", "mean_recall", "target_met", "target")
+  }
+
   /** Gate form: the cheap tiers scored against brute force (rows-only —
     * tier outputs are engine-internal; the spec pins exact-vs-exact = 1.0
     * and agreement with its own recall computation).
@@ -1762,6 +2027,8 @@ object Similarity {
   // =================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_recall_report" -> (annRecallReport _),
+    "ann_drift_report" -> (annDriftReport _),
+    "ann_autotune" -> ((s: SparkSession, dir: String) => annAutotune(s, dir)),
     "emb_quantize" -> (quantize _),
     "emb_project"  -> (project _),
     "ann_jl_topk" -> ((s: SparkSession, dir: String) => jlTopk(s, dir)),
@@ -1774,6 +2041,8 @@ object Similarity {
     "ann_opq_ivfpq_topk" -> ((s: SparkSession, dir: String) => opqIvfpqTopk(s, dir)),
     "ann_opq_ivfpq_topk_fed" -> (opqIvfpqTopkFed _),
     "ann_opq_ivfpq_topk_indexed" -> (opqIvfpqTopkIndexed _),
+    "ann_opq_ivfpq_residual_topk" -> ((s: SparkSession, dir: String) => opqIvfpqResidualTopk(s, dir)),
+    "ann_opq_ivfpq_residual_topk_fed" -> (opqIvfpqResidualTopkFed _),
     "ann_ivfpq_topk" -> ((s: SparkSession, dir: String) => ivfpqTopk(s, dir)),
     "ann_ivfpq_topk_fed" -> (ivfpqTopkFed _),
     "ann_ivfpq_topk_indexed" -> (ivfpqTopkIndexed _),

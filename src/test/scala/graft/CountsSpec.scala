@@ -71,8 +71,13 @@ class CountsSpec extends AnyFunSuite {
     // small share of total time (cross-round comparison loses almost
     // nothing), and the assertion below separately guarantees only the
     // cheapest tier ever buckets. Count cap is a loose backstop.
-    assert(restSec <= 0.15 * entries.map(_._2).sum,
-      s"bucketed seconds $restSec must stay <15% of total — the bucket " +
+    // 0.20 calibrated at the 89-name headline (the 0.15 of round 8 was
+    // calibrated at 77 names — key bytes grow with the surface, so the
+    // structural share of the cheapest tier that must bucket grows too);
+    // the every-≥1s-entry-survives assertion below is the protection that
+    // actually matters for cross-round comparison
+    assert(restSec <= 0.20 * entries.map(_._2).sum,
+      s"bucketed seconds $restSec must stay <20% of total — the bucket " +
         "is absorbing entries that matter")
     assert(restN <= math.ceil(Bench.headline.size * 0.3).toInt,
       s"quiet-host bucketing must stay bounded ($restN of " +

@@ -253,6 +253,43 @@ class PipelineSpec extends SparkSpec {
     assert(e2.getMessage.contains("typo_rule"))
   }
 
+  test("config onViolation=quarantine routes violators to the dead-letter dir instead of aborting") {
+    val dir = Files.createTempDirectory("graft-pipe-dlq").toString
+    val ev = Tables(spark, sf).events
+    val nPurch = ev.filter(col("event_type") === "purchase").count()
+    val total = ev.count()
+    assert(nPurch > 0 && nPurch < total)
+    // the same rule that ABORTS under the default gate now splits the run:
+    // violators land tagged in quarantineDir, routes see only clean rows
+    val cfg = s"""{
+      "input": {"path": "$sf/events.parquet"},
+      "baseDir": "$dir/out",
+      "validations": {"no_purchases": "event_type = 'purchase'"},
+      "onViolation": "quarantine",
+      "quarantineDir": "$dir/dlq",
+      "routes": {"all": {"predicate": "true"}}
+    }"""
+    val counts = Pipeline.runConfig(spark, cfg)
+    assert(counts("__quarantined") === nPurch)
+    assert(counts("all") === total - nPurch)
+    val dlq = spark.read.parquet(s"$dir/dlq")
+    assert(dlq.count() === nPurch)
+    assert(dlq.filter(array_contains(col("violated"), "no_purchases")).count()
+      === nPurch, "every dead-letter row names the rule that failed it")
+    val clean = spark.read.parquet(s"$dir/out/all")
+    assert(clean.count() === total - nPurch)
+    assert(clean.filter(col("event_type") === "purchase").count() === 0)
+    assert(!clean.columns.contains("violated"),
+      "clean rows carry no routing metadata")
+    // config sanity: quarantine mode without a dir names the problem
+    val noDir = cfg.replace(s""""quarantineDir": "$dir/dlq",""", "")
+    val e = intercept[IllegalArgumentException](Pipeline.runConfig(spark, noDir))
+    assert(e.getMessage.contains("quarantineDir"), e.getMessage)
+    val badMode = cfg.replace("\"quarantine\"", "\"shrug\"")
+    val e2 = intercept[IllegalArgumentException](Pipeline.runConfig(spark, badMode))
+    assert(e2.getMessage.contains("onViolation"), e2.getMessage)
+  }
+
   test("streaming multi-sink survives a restart from checkpoint without dupes") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -224,6 +224,30 @@ class SimilaritySpec extends SparkSpec {
       === topk(Similarity.opqTopk(spark, sf)))
   }
 
+  test("residual OPQ+IVFPQ: recall holds the composed raw-code tier, fed = inline = loaded") {
+    val m = Similarity.trainOpqIvfResidual(spark, sf)
+    val res = topk(Similarity.opqIvfpqResidualTopk(spark, sf, model = Some(m)))
+    assert(res.size === 10)
+    res.values.foreach(ns => assert(ns.size === 5))
+    // the residual composition must not trail the raw-code composition at
+    // the same geometry — the ivfpqResidualTopk argument carried under
+    // the learned rotation (residuals concentrate near zero, the code
+    // budget buys within-cell detail)
+    val raw = recallAt5(topk(Similarity.opqIvfpqTopk(spark, sf)))
+    val r = recallAt5(res)
+    assert(r >= raw,
+      s"residual OPQ+IVFPQ recall@5=$r must not trail raw composed=$raw")
+    assert(r >= 0.15, s"IVF-family floor: $r")
+    // deterministic training → inline ≡ fed; the triple round-trips disk
+    assert(topk(Similarity.opqIvfpqResidualTopk(spark, sf)) === res)
+    val dir = java.nio.file.Files.createTempDirectory("graft_opqres").toString
+    Similarity.saveOpqIvfModel(dir, m._1, m._2, m._3)
+    assert(topk(Similarity.opqIvfpqResidualTopk(spark, sf,
+      model = Some(Similarity.loadOpqIvfModel(spark, dir)))) === res)
+    // the memoized fed gate entry equals the one-shot twin
+    assert(topk(Similarity.opqIvfpqResidualTopkFed(spark, sf)) === res)
+  }
+
   test("OPQ beats PQ where PQ is weakest: variance concentrated inside one subspace") {
     // anisotropic corpus — the textbook OPQ case (Ge et al. 2013 §5's
     // multi-Gaussian setting): 20 well-separated cluster centers whose
@@ -761,5 +785,108 @@ class SimilaritySpec extends SparkSpec {
       codebooks = Some(Similarity.pqCodebooks(e, trainCap = 250)))))
     assert(sampPq >= fullPq - 0.1,
       s"sample-trained PQ recall@5=$sampPq vs full-trained $fullPq")
+  }
+
+  test("auto-tuner: cheapest config wins on structured data, near-random data escalates, no overshoot") {
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    // cluster-structured corpus (the regime the IVF ladder serves): a
+    // query's whole top-5 lives in its own cluster, so ONE probed cell
+    // already recovers it — the tuner must pick nprobe=1 and must never
+    // evaluate anything costlier
+    def prand(seed: Long): Double = {
+      var z = seed + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      (z >>> 11).toDouble / (1L << 53).toDouble - 0.5
+    }
+    val rows = (0 until 2000).map { i =>
+      val c = i % 20
+      (i.toLong, Array.tabulate(64) { d =>
+        (prand(c.toLong * 64 + d) + 0.15 * prand((i.toLong << 8) + d)).toFloat
+      }, c)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_tune").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = Similarity.centroids(e)
+    val ran = scala.collection.mutable.Set[String]()
+    def cand(name: String, cost: Double, mk: () => org.apache.spark.sql.DataFrame) =
+      (name, cost, () => { ran += name; mk() })
+    val exS = Similarity.bruteforceTopk(spark, dir)
+    val (tierS, recallS, metS) = Similarity.tuneForRecall(exS, Seq(
+      cand("ivf_nprobe1", 1.0, () => Similarity.ivfTopk(spark, dir, Some(cents), nprobe = 1)),
+      cand("ivf_nprobe2", 2.0, () => Similarity.ivfTopk(spark, dir, Some(cents), nprobe = 2)),
+      cand("exact", 1e9, () => exS)), target = 0.8)
+    assert(tierS === "ivf_nprobe1" && metS && recallS >= 0.8,
+      s"structured corpus: cheapest config must win ($tierS, $recallS)")
+    assert(ran.toSet === Set("ivf_nprobe1"),
+      s"candidates past the winner must never execute: $ran")
+    // the near-random driver corpus: no nprobe in the ladder reaches 0.9
+    // — the tuner must escalate through the ladder to the exact tier
+    ran.clear()
+    val exR = Similarity.bruteforceTopk(spark, sf)
+    val centsR = Similarity.centroids(
+      spark.read.parquet(s"$sf/embeddings.parquet"))
+    val (tierR, recallR, metR) = Similarity.tuneForRecall(exR, Seq(
+      cand("ivf_nprobe1", 1.0, () => Similarity.ivfTopk(spark, sf, Some(centsR), nprobe = 1)),
+      cand("ivf_nprobe3", 3.0, () => Similarity.ivfTopk(spark, sf, Some(centsR), nprobe = 3)),
+      cand("exact", 1e9, () => exR)), target = 0.9)
+    assert(tierR === "exact" && metR && recallR === 1.0,
+      s"near-random corpus must escalate to exact ($tierR, $recallR)")
+    assert(ran.toSet === Set("ivf_nprobe1", "ivf_nprobe3", "exact"),
+      s"escalation must walk the whole ladder: $ran")
+    // the gate form resolves to one met-target row
+    val gate = Similarity.annAutotune(spark, sf).collect()
+    assert(gate.length === 1)
+    assert(gate.head.getAs[Boolean]("target_met"),
+      "the exact last resort makes the gate resolver total")
+  }
+
+  test("model drift monitor: in-distribution appends hold the band, a shifted batch trips") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val path = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    // corpus build on 3/4 of the vectors — the frozen model
+    val corpus = e.filter(col("vec_id") % 4 =!= 0)
+    val cb = Similarity.pqCodebooks(corpus)
+    Similarity.recordDriftBaseline(spark, path, corpus, cb)
+    // nightly batch 0: the HELD-OUT quarter — same distribution the model
+    // trained on, so its reconstruction error must sit inside the band
+    val day = e.filter(col("vec_id") % 4 === 0)
+    Similarity.recordDrift(spark, path, day, cb, 0L)
+    // nightly batch 1: the same vectors after a distribution shift the
+    // frozen codebooks never saw (components scaled 3× — quantization
+    // error scales ~9×, far past any band)
+    Similarity.recordDrift(spark, path,
+      day.withColumn("embedding", transform(col("embedding"), x => x * lit(3.0f))),
+      cb, 1L)
+    val rep = Similarity.driftReport(spark, path).collect()
+      .map(r => r.getAs[Long]("batch_id") ->
+        (r.getAs[Double]("err_ratio"), r.getAs[Boolean]("drifted"))).toMap
+    assert(rep.keySet === Set(0L, 1L))
+    val (inRatio, inDrifted) = rep(0L)
+    assert(!inDrifted && inRatio < 1.25,
+      s"held-out in-distribution batch must stay in the band: ratio=$inRatio")
+    assert(inRatio > 0.5, s"sanity: held-out error comparable to build: $inRatio")
+    val (shiftRatio, shiftDrifted) = rep(1L)
+    assert(shiftDrifted && shiftRatio > 2.0,
+      s"shifted batch must trip the monitor: ratio=$shiftRatio")
+    // the gate form agrees end-to-end (persisted-index path, fresh table
+    // per call — idempotent under bench best-of-N)
+    val gate1 = Similarity.annDriftReport(spark, sf).collect()
+    val gate2 = Similarity.annDriftReport(spark, sf).collect()
+    assert(gate1.length === 2 && gate2.length === 2,
+      "each call rewrites the table from its baseline")
+    val g = gate1.map(r => r.getAs[Long]("batch_id") ->
+      r.getAs[Boolean]("drifted")).toMap
+    assert(!g(0L) && g(1L),
+      s"gate form: corpus quarter clean, scaled twin tripped — got $g")
   }
 }

@@ -183,11 +183,11 @@ object ScaleProbe {
       implicit val sqlCtx = spark.sqlContext
       import spark.implicits._
       val docsAll = spark.read.parquet(s"$out/documents.parquet")
-      val ip = s"$out/_stream_index"
+      val ip = s"$out/stream9_index"
       // the out dir is reused across probe runs — start this scenario clean
-      Seq(ip, s"${ip}_batches", s"${ip}_tombstones", s"$out/_stream_pairs",
-        s"$out/_stream_pairs_staging", s"$out/_stream_pairs_batches",
-        s"$out/_stream_ckpt").foreach { d =>
+      Seq(ip, s"${ip}_batches", s"${ip}_tombstones", s"$out/stream9_pairs",
+        s"$out/stream9_pairs_staging", s"$out/stream9_pairs_batches",
+        s"$out/stream9_ckpt").foreach { d =>
         val p = new org.apache.hadoop.fs.Path(d)
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       }
@@ -199,8 +199,8 @@ object ScaleProbe {
       val in = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, String)]
       val q = graft.streaming.Streams.dedupIngestSink(
-        in.toDF().toDF("doc_id", "text"), ip, s"$out/_stream_pairs",
-        s"$out/_stream_ckpt")
+        in.toDF().toDF("doc_id", "text"), ip, s"$out/stream9_pairs",
+        s"$out/stream9_ckpt")
       (0 until 3).foreach { b =>
         val batch = docsAll.filter(col("doc_id") % 150 === b * 50)
           .select(col("doc_id"), col("text")).as[(Long, String)].collect()

@@ -975,21 +975,84 @@ object Dedup {
   private val embIndexMemo = new java.util.concurrent.ConcurrentHashMap[
     (String, String), (DataFrame, DataFrame)]()
 
-  /** Gate/bench form — the [[minhashIncremental]] slice discipline on
-    * vectors: batch = vec_id % 4 == 0, index = the persisted other 3/4.
+  private def persistedEmbIndexPath(s: SparkSession, dir: String): String = {
+    val ctx = s.sparkContext.applicationId + "/" + s.sparkContext.startTime
+    System.getProperty("java.io.tmpdir") + "/graft_emb_index_" +
+      java.lang.Integer.toHexString((ctx + "|" + dir).hashCode)
+  }
+
+  /** The session's persisted 3/4-corpus embedding index (built once per
+    * (session, corpus), served from disk after) — shared by the
+    * incremental gate entry and the bucket audit.
     */
-  def embeddingIncremental(s: SparkSession, dir: String): DataFrame = {
+  private def persistedEmbIndex(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val ctx = s.sparkContext.applicationId + "/" + s.sparkContext.startTime
     embIndexMemo.keySet.removeIf(_._1 != ctx)
-    val (vecs, buckets) = embIndexMemo.computeIfAbsent((ctx, dir), { _ =>
-      val path = System.getProperty("java.io.tmpdir") + "/graft_emb_index_" +
-        java.lang.Integer.toHexString((ctx + "|" + dir).hashCode)
+    embIndexMemo.computeIfAbsent((ctx, dir), { _ =>
+      val path = persistedEmbIndexPath(s, dir)
       saveEmbeddingIndex(s,
         Tables(s, dir).embeddings.filter(col("vec_id") % 4 =!= 0), path)
       loadEmbeddingIndex(s, path)
     })
+  }
+
+  /** Gate/bench form — the [[minhashIncremental]] slice discipline on
+    * vectors: batch = vec_id % 4 == 0, index = the persisted other 3/4.
+    */
+  def embeddingIncremental(s: SparkSession, dir: String): DataFrame = {
+    val (vecs, buckets) = persistedEmbIndex(s, dir)
     embeddingIncremental(s,
       Tables(s, dir).embeddings.filter(col("vec_id") % 4 === 0), vecs, buckets)
+  }
+
+  // ---------------------------------------------------- index bucket audit
+  /** Candidate-economics audit over an LSH bucket frame — the measured
+    * form of the "grow bits with log₂N" geometry rule (SURVEY §6/§8),
+    * and the dedup twin of the ANN occupancy-drift signal: per hash
+    * table, the comparisons the geometry actually schedules
+    * (Σ|b|·(|b|−1)/2), the fattest bucket, and the candidate rate vs
+    * all-pairs. Read it after nightly appends the way compaction audits
+    * file counts — a rising rate means the ingest distribution is
+    * concentrating buckets or N outgrew the bit width; either way the
+    * remedy is a [[recommendedBits]] bump + rebuild (bucket ids are
+    * geometry-bound, so a bits change is a rebuild event, like an ANN
+    * retrain). One groupBy over (tbl, bucket) id rows — never touches
+    * vectors, cost ∝ index rows.
+    */
+  def bucketAudit(buckets: DataFrame): DataFrame =
+    buckets.groupBy(col("tbl"), col("bucket")).agg(count(lit(1)).as("n"))
+      .groupBy(col("tbl"))
+      .agg(sum(col("n")).as("n_rows"),
+        count(lit(1)).as("n_buckets"),
+        max(col("n")).as("max_bucket"),
+        sum(col("n") * (col("n") - 1)).cast("long").as("cand2x"))
+      .select(col("tbl"), col("n_rows"), col("n_buckets"), col("max_bucket"),
+        (col("cand2x") / 2).cast("long").as("candidate_pairs"),
+        (col("cand2x").cast("double")
+          / (col("n_rows").cast("double") * (col("n_rows") - 1).cast("double")))
+          .as("candidate_rate"))
+      .orderBy(col("tbl"))
+
+  /** Bit width that keeps E|bucket| ≈ targetBucket at corpus size n —
+    * the §8 formula as API, so the audit's remedy is one call away.
+    */
+  def recommendedBits(n: Long, targetBucket: Long = 128): Int =
+    math.max(Similarity.DefaultBits,
+      math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket))
+        / math.log(2)).toInt)
+
+  /** [[bucketAudit]] over a persisted embedding index's bucket table
+    * (tombstones applied — the audit sees what candidate generation
+    * sees). */
+  def auditEmbeddingIndex(s: SparkSession, path: String): DataFrame =
+    bucketAudit(loadEmbeddingIndex(s, path)._2)
+
+  /** Gate/bench form (rows-only — bucket ids are hash-derived): audit
+    * the session's persisted 3/4-corpus index, one row per hash table.
+    */
+  def indexBucketAudit(s: SparkSession, dir: String): DataFrame = {
+    persistedEmbIndex(s, dir)
+    auditEmbeddingIndex(s, persistedEmbIndexPath(s, dir))
   }
 
   // ------------------------------------------------------------ fuzzy decontamination
@@ -1068,7 +1131,8 @@ object Dedup {
     "dedup_incremental"   -> ((s: SparkSession, dir: String) => incremental(s, dir)),
     "dedup_minhash_incremental" -> ((s: SparkSession, dir: String) => minhashIncremental(s, dir)),
     "text_decontaminate_fuzzy" -> ((s: SparkSession, dir: String) => decontaminateFuzzy(s, dir)),
-    "dedup_embedding_incremental" -> ((s: SparkSession, dir: String) => embeddingIncremental(s, dir)))
+    "dedup_embedding_incremental" -> ((s: SparkSession, dir: String) => embeddingIncremental(s, dir)),
+    "dedup_index_audit" -> (indexBucketAudit _))
 
   /** dedup_minhash_lsh / dedup_simhash are rows-only: signatures depend on
     * engine-internal hashes (xxhash64/murmur); DedupSpec pins their recall

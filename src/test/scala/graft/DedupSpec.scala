@@ -542,4 +542,37 @@ class DedupSpec extends SparkSpec {
     assert(!new java.io.File(s"$path/tombstones.parquet").exists())
     assert(nv > 0 && nb > 0)
   }
+
+  test("bucket audit measures candidate economics; wider bits cut the rate; bits formula is monotone") {
+    import graft.ops.Similarity
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    def audit(bits: Int) =
+      Dedup.bucketAudit(Similarity.lshBuckets(e, 64, 4, bits)).collect()
+        .map(r => r.getAs[Int]("tbl") -> (r.getAs[Long]("n_rows"),
+          r.getAs[Long]("candidate_pairs"), r.getAs[Double]("candidate_rate")))
+        .toMap
+    val (narrow, wide) = (audit(4), audit(8))
+    assert(narrow.keySet === Set(0, 1, 2, 3))
+    narrow.keySet.foreach { t =>
+      assert(narrow(t)._1 === n, "every vector appears once per table")
+      assert(narrow(t)._3 > 0 && narrow(t)._3 <= 1.0)
+      // the audit is Σ|b|(|b|−1)/2 over that table's buckets — the same
+      // comparisons the candidate equi-join schedules; wider bits must
+      // thin every table
+      assert(wide(t)._2 < narrow(t)._2,
+        s"table $t: 8-bit pairs ${wide(t)._2} !< 4-bit ${narrow(t)._2}")
+    }
+    // the remedy formula: flat at small N (the default floor), then one
+    // bit per corpus doubling past targetBucket·2^DefaultBits
+    assert(Dedup.recommendedBits(1000) === Similarity.DefaultBits)
+    assert(Dedup.recommendedBits(1L << 20) === 13) // 1M/128 = 8192 = 2^13
+    assert(Dedup.recommendedBits(1L << 21) === 14)
+    // the gate form audits the persisted index (tombstone-aware load)
+    val gate = Dedup.indexBucketAudit(spark, sf).collect()
+    assert(gate.length === Similarity.DefaultTables)
+    val idxN = e.filter(col("vec_id") % 4 =!= 0).count()
+    gate.foreach(r => assert(r.getAs[Long]("n_rows") === idxN))
+  }
 }

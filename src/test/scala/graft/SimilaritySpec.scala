@@ -825,6 +825,22 @@ class SimilaritySpec extends SparkSpec {
       s"structured corpus: cheapest config must win ($tierS, $recallS)")
     assert(ran.toSet === Set("ivf_nprobe1"),
       s"candidates past the winner must never execute: $ran")
+    // the flagship serving tier takes the same dial (round 9 threaded
+    // nprobe through the whole ivfpq/opq family): tuning the ivfpq
+    // nprobe ladder over a frozen index picks the cheapest probe depth
+    ran.clear()
+    val cb = Similarity.pqCodebooks(e)
+    val codes = Similarity.buildIvfpqIndex(e, cents, cb)
+    val (tierP, recallP, metP) = Similarity.tuneForRecall(exS, Seq(
+      cand("ivfpq_nprobe1", 1.0, () => Similarity.ivfpqTopk(spark, dir,
+        codebooks = Some(cb), precomputedCents = Some(cents),
+        precomputedCodes = Some(codes), nprobe = 1)),
+      cand("ivfpq_nprobe3", 3.0, () => Similarity.ivfpqTopk(spark, dir,
+        codebooks = Some(cb), precomputedCents = Some(cents),
+        precomputedCodes = Some(codes), nprobe = 3))), target = 0.8)
+    assert(tierP === "ivfpq_nprobe1" && metP && recallP >= 0.8,
+      s"frozen-index ivfpq tuning must pick nprobe=1 ($tierP, $recallP)")
+    assert(ran.toSet === Set("ivfpq_nprobe1"), s"early exit held: $ran")
     // the near-random driver corpus: no nprobe in the ladder reaches 0.9
     // — the tuner must escalate through the ladder to the exact tier
     ran.clear()
@@ -869,24 +885,35 @@ class SimilaritySpec extends SparkSpec {
       cb, 1L)
     val rep = Similarity.driftReport(spark, path).collect()
       .map(r => r.getAs[Long]("batch_id") ->
-        (r.getAs[Double]("err_ratio"), r.getAs[Boolean]("drifted"))).toMap
+        (r.getAs[Double]("err_ratio"), r.getAs[Boolean]("drifted"),
+          r.getAs[Double]("share_ratio"))).toMap
     assert(rep.keySet === Set(0L, 1L))
-    val (inRatio, inDrifted) = rep(0L)
+    val (inRatio, inDrifted, inShare) = rep(0L)
     assert(!inDrifted && inRatio < 1.25,
       s"held-out in-distribution batch must stay in the band: ratio=$inRatio")
     assert(inRatio > 0.5, s"sanity: held-out error comparable to build: $inRatio")
-    val (shiftRatio, shiftDrifted) = rep(1L)
+    assert(inShare.isNaN,
+      "rows recorded without a coarse quantizer judge on error alone")
+    val (shiftRatio, shiftDrifted, _) = rep(1L)
     assert(shiftDrifted && shiftRatio > 2.0,
       s"shifted batch must trip the monitor: ratio=$shiftRatio")
     // the gate form agrees end-to-end (persisted-index path, fresh table
-    // per call — idempotent under bench best-of-N)
+    // per call — idempotent under bench best-of-N) and adds the
+    // occupancy signal: the 3×-scaled twin is cosine-INVARIANT (same
+    // cell assignments — only the error signal can catch it) while the
+    // translated twin concentrates cell occupancy
     val gate1 = Similarity.annDriftReport(spark, sf).collect()
     val gate2 = Similarity.annDriftReport(spark, sf).collect()
-    assert(gate1.length === 2 && gate2.length === 2,
+    assert(gate1.length === 3 && gate2.length === 3,
       "each call rewrites the table from its baseline")
     val g = gate1.map(r => r.getAs[Long]("batch_id") ->
-      r.getAs[Boolean]("drifted")).toMap
-    assert(!g(0L) && g(1L),
-      s"gate form: corpus quarter clean, scaled twin tripped — got $g")
+      (r.getAs[Boolean]("drifted"), r.getAs[Double]("share_ratio"))).toMap
+    assert(!g(0L)._1 && g(1L)._1 && g(2L)._1,
+      s"gate form: corpus quarter clean, both shifted twins tripped — got $g")
+    assert(math.abs(g(1L)._2 - g(0L)._2) < 1e-9,
+      s"scaling is cosine-invariant: same cells, same share as the clean " +
+        s"batch — got ${g(1L)._2} vs ${g(0L)._2}")
+    assert(g(2L)._2 > 2.0,
+      s"the translated twin must concentrate occupancy: ${g(2L)._2}")
   }
 }

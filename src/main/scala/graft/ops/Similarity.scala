@@ -1643,15 +1643,36 @@ object Similarity {
     */
   def recordDrift(s: SparkSession, path: String, batch: DataFrame,
       codebooks: DataFrame, batchId: Long,
-      cents: Option[DataFrame] = None): Unit = {
+      cents: Option[DataFrame] = None): Unit =
+    driftRow(s, batch, codebooks, batchId, cents)
+      .write.mode("append").parquet(driftTablePath(path))
+
+  /** The one-row drift frame [[recordDrift]] appends — exposed so the
+    * streaming ingest sink can route it through the exactly-once batch
+    * commit instead of a bare append.
+    */
+  private[graft] def driftRow(s: SparkSession, batch: DataFrame,
+      codebooks: DataFrame, batchId: Long,
+      cents: Option[DataFrame]): DataFrame = {
     val (n, err) = quantStats(batch, codebooks)
     require(n > 0, s"drift batch $batchId is empty")
     import s.implicits._
     Seq((batchId, n, err / n,
         cents.map(c => topCellShare(batch, c)).getOrElse(Double.NaN)))
       .toDF("batch_id", "n_vecs", "mean_err", "top_cell_share")
-      .write.mode("append").parquet(driftTablePath(path))
   }
+
+  /** Un-tombstone vec_ids a batch legitimately RE-ADDS to a persisted
+    * index — the [[graft.ops.Dedup.appendToMinhashIndex]] resurrection
+    * rule, exposed for the ANN streaming append path (batch-level
+    * appends now exist for this index too, so the
+    * "re-adds only happen through saveIndex" argument no longer covers
+    * every path).
+    */
+  def clearIndexTombstones(s: SparkSession, path: String,
+      readdedIds: DataFrame): Unit =
+    clearTombstones(s, tombstonePath(path), readdedIds.select(col("vec_id")),
+      "vec_id")
 
   /** The drift time series with verdicts: one row per recorded batch,
     * carrying the build-time baselines, the error/occupancy ratios, and a

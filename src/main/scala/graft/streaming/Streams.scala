@@ -545,6 +545,62 @@ object Streams extends Serializable {
       }
       .start()
 
+  /** The ANN-index member of the living-corpus loop — nightly
+    * [[graft.ops.Similarity.appendToIndex]] as a streaming sink, with
+    * the drift monitor wired in: each micro-batch of (vec_id, embedding)
+    * rows encodes against the index's FROZEN models (one assignCells +
+    * one assignCodes over batch rows only — the corpus is never
+    * touched), its codes land in the index's codes table, and its drift
+    * statistics ([[graft.ops.Similarity.recordDrift]]'s row — mean
+    * quantization error + top-cell occupancy under the frozen models)
+    * append to the drift table, so the retrain signal accumulates as
+    * the index grows. Build the index with `saveIndex` +
+    * `recordDriftBaseline` first; serve with `loadIndex` (tombstones
+    * and all appended batches applied).
+    *
+    * Unlike the dedup ingest sinks — whose crash-window duplicate rows
+    * are harmless until compaction dedups them — duplicate CODE rows
+    * would break retrieval outright (the ADC completeness filter
+    * `n_subs = m` sees 2m rows per duplicated vector and drops it), so
+    * both writes go through the exactly-once [[replaceBatchFiles]]
+    * protocol under one marker: every crash window replays clean.
+    * Re-added vec_ids clear their tombstones (the takedown-reversal
+    * rule the dedup appends follow).
+    */
+  def annIngestSink(vectors: DataFrame, indexPath: String,
+      checkpoint: String, residual: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(indexPath)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val marker = new org.apache.hadoop.fs.Path(
+          s"${indexPath}_batches/$batchId")
+        if (!fs.exists(marker)) {
+          val cached = batch.persist()
+          try {
+            val (cents, cb) = graft.ops.Similarity.loadModels(s, indexPath)
+            replaceBatchFiles(s, s"$indexPath/pq_codes.parquet", batchId) {
+              staging =>
+                graft.ops.Similarity.buildIvfpqIndex(cached, cents, cb,
+                  residual).write.parquet(staging)
+            }
+            replaceBatchFiles(s, s"$indexPath/drift.parquet", batchId) {
+              staging =>
+                graft.ops.Similarity.driftRow(s, cached, cb, batchId,
+                  Some(cents)).write.parquet(staging)
+            }
+            graft.ops.Similarity.clearIndexTombstones(s, indexPath,
+              cached.select(col("vec_id")))
+            fs.create(marker, true).close()
+          } finally { cached.unpersist(); () }
+        }
+      }
+      .start()
+
   /** Continuous data-contract monitoring — [[graft.etl.Expectations]] per
     * micro-batch: each batch's one-pass verdict report (check,
     * violations, total, passed) appends batch-tagged to `auditDir`, so

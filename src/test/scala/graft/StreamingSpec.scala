@@ -491,6 +491,65 @@ class StreamingSpec extends SparkSpec {
       + spark.read.parquet(s"$base/dlq").count() === before)
   }
 
+  test("ann ingest sink: streamed batches encode against frozen models; index ≡ batch-built; drift rows per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.ops.Similarity
+    val base = Files.createTempDirectory("graft_ann_ingest").toString
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    // corpus build on 3/4 + baseline — the frozen artifact the stream
+    // appends against
+    val corpus = e.filter(col("vec_id") % 4 =!= 0)
+    val ip = s"$base/index"
+    val cents = Similarity.centroids(corpus)
+    val cb = Similarity.pqCodebooks(corpus)
+    Similarity.saveIndex(ip, cents, cb,
+      Similarity.buildIvfpqIndex(corpus, cents, cb))
+    Similarity.recordDriftBaseline(spark, ip, corpus, cb, Some(cents))
+    // the held-out quarter arrives as two micro-batches
+    val day = e.filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = Streams.annIngestSink(in.toDF().toDF("vec_id", "embedding"),
+      ip, s"$base/ckpt")
+    Seq(day.filter(_._1 % 8 == 0), day.filter(_._1 % 8 != 0)).foreach { b =>
+      in.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+    // codes are per-vector functions of the frozen models: the streamed
+    // index is EXACTLY the batch-built index over the full corpus
+    def codeSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Int, Int)] =
+      df.collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("sub"),
+        r.getAs[Int]("code"), r.getAs[Int]("ivf_cell"))).toSet
+    val (_, _, streamed) = Similarity.loadIndex(spark, ip)
+    val expect = codeSet(Similarity.buildIvfpqIndex(e, cents, cb))
+    assert(codeSet(streamed) === expect)
+    // the drift time series accumulated one in-distribution row per batch
+    val rep = Similarity.driftReport(spark, ip).collect()
+      .map(r => r.getAs[Long]("batch_id") ->
+        (r.getAs[Boolean]("drifted"), r.getAs[Long]("n_vecs"))).toMap
+    assert(rep.keySet === Set(0L, 1L))
+    assert(rep.values.map(_._2).sum === day.length.toLong)
+    assert(rep.values.forall(!_._1), s"in-distribution appends must not trip: $rep")
+    // crash replay: marker gone but files landed (the worst window) — the
+    // replay REPLACES batch 0's file set; duplicate code rows would break
+    // the ADC n_subs = m completeness filter, so set equality is the proof
+    val fs = new org.apache.hadoop.fs.Path(ip)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"${ip}_batches/0"), false)
+    val in2 = MemoryStream[(Long, Array[Float])]
+    in2.addData(day.filter(_._1 % 8 == 0).toIndexedSeq: _*)
+    val q2 = Streams.annIngestSink(in2.toDF().toDF("vec_id", "embedding"),
+      ip, s"$base/ckpt2")
+    q2.processAllAvailable(); q2.stop()
+    val (_, _, replayed) = Similarity.loadIndex(spark, ip)
+    assert(codeSet(replayed) === expect, "replay must replace, not duplicate")
+    assert(Similarity.driftReport(spark, ip).count() === 2,
+      "drift rows must not duplicate either")
+  }
+
   test("sink batch commits: partial-append crash replays leave no duplicate rows") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_commit").toString

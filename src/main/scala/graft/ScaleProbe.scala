@@ -173,6 +173,39 @@ object ScaleProbe {
         embAll.filter(col("vec_id") % 4 === 0), iv, ib, bits = bits).count()
       println(f"dedup_embedding_incremental: ${(System.nanoTime() - t1) / 1e9}%.1f s ($n rows)")
     }
+    // the drift monitor's cost claim: the BASELINE is corpus-build work
+    // (one full encode, paid once); per-append recording is batch-sized.
+    // Times both against the replicated vector corpus so the gap is
+    // visible at scale — at 100 TB the baseline rides the index build
+    // job and recordDrift rides each nightly append
+    if (matched("drift_monitor")) locally {
+      val emb = spark.read.parquet(s"$out/embeddings.parquet")
+      val mp = s"$out/drift_probe_index"
+      val cents = graft.ops.Similarity.centroids(emb)
+      val cb = graft.ops.Similarity.pqCodebooks(emb)
+      val t0 = System.nanoTime()
+      graft.ops.Similarity.recordDriftBaseline(spark, mp, emb, cb, Some(cents))
+      println(f"drift_baseline(corpus=$nEmb): ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val batch = emb.filter(col("vec_id") % 50 === 0)
+      val nb = batch.count()
+      val t1 = System.nanoTime()
+      graft.ops.Similarity.recordDrift(spark, mp, batch, cb, 0L, Some(cents))
+      println(f"drift_record(batch=$nb): ${(System.nanoTime() - t1) / 1e9}%.1f s")
+    }
+    // bucket-economics audit cost: one groupBy over (tbl, bucket) id
+    // rows — wall should track index rows, never vectors
+    if (matched("bucket_audit")) locally {
+      val emb = spark.read.parquet(s"$out/embeddings.parquet")
+      val b = graft.ops.Similarity.lshBuckets(
+        emb.select(col("vec_id"), col("embedding")), 64, 4, bits)
+        .localCheckpoint()
+      val t0 = System.nanoTime()
+      val rows = graft.ops.Dedup.bucketAudit(b).collect()
+      val worst = rows.map(r => r.getAs[Double]("candidate_rate")).max
+      println(f"bucket_audit($nEmb vectors, bits=$bits): " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s " +
+        f"(worst table candidate rate ${worst * 100}%.2f%%)")
+    }
     // the living-corpus loop under load: per-micro-batch wall of the REAL
     // dedup ingest sink (MemoryStream → foreachBatch → pairs commit +
     // index fold) against the big persisted index — the claim under test

@@ -608,6 +608,35 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === 13)
   }
 
+  test("multi-sink route dirs share one marker set; compaction with markerBase keeps committed rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-routes").toString
+    val in = MemoryStream[Event]
+    val q = Streams.multiSink(in.toDF(), dir, Map(
+      "purchases" -> (col("eventType") === "purchase"),
+      "clicks"    -> (col("eventType") === "click")), s"$dir/ckpt")
+    (0 until 6).foreach { b =>
+      in.addData(Event(ts(b), b.toLong, "purchase", b.toDouble),
+        Event(ts(b), b.toLong + 100, "click", 1.0))
+      q.processAllAvailable()
+    }
+    q.stop()
+    // one marker set at <baseDir>_batches covers every route dir
+    assert(new java.io.File(s"${dir}_batches").list().length >= 6)
+    val before = spark.read.parquet(s"$dir/purchases").collect()
+      .map(_.getAs[Long]("userId")).sorted.toSeq
+    // route dirs compact against the SHARED marker base — with the
+    // default (dir-local) markerBase every batch file would look
+    // uncommitted and be dropped, which is exactly the misuse the
+    // parameter exists to prevent
+    val (fb, fa, n) = Streams.compactSinkDir(spark, s"$dir/purchases",
+      col("userId"), markerBase = Some(dir))
+    assert(fb >= 6 && fa <= 2 && n === 6)
+    assert(spark.read.parquet(s"$dir/purchases").collect()
+      .map(_.getAs[Long]("userId")).sorted.toSeq === before)
+  }
+
   test("embedding ingest sink: streamed batches fold into an index ≡ batch-built; pairs ≡ full LSH") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

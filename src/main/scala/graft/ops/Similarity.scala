@@ -1664,15 +1664,54 @@ object Similarity {
 
   /** Un-tombstone vec_ids a batch legitimately RE-ADDS to a persisted
     * index — the [[graft.ops.Dedup.appendToMinhashIndex]] resurrection
-    * rule, exposed for the ANN streaming append path (batch-level
-    * appends now exist for this index too, so the
-    * "re-adds only happen through saveIndex" argument no longer covers
-    * every path).
+    * rule, exposed for the ANN append paths (batch-level appends now
+    * exist for this index too, so the "re-adds only happen through
+    * saveIndex" argument no longer covers every path).
     */
   def clearIndexTombstones(s: SparkSession, path: String,
       readdedIds: DataFrame): Unit =
     clearTombstones(s, tombstonePath(path), readdedIds.select(col("vec_id")),
       "vec_id")
+
+  /** The nightly ON-DISK append — [[appendToIndex]] (a frame union) made
+    * durable: encode `batch` against the index's FROZEN models and
+    * commit its codes plus its [[recordDrift]] row under ONE marker at
+    * `<path>_batches/<batchId>`, so a retried job replays idempotently
+    * (replace-not-append — duplicate code rows would break the ADC
+    * `n_subs = m` completeness filter, which is why this path gets the
+    * exactly-once protocol rather than a bare `mode("append")`).
+    * Re-added vec_ids clear their tombstones. Returns true when the
+    * batch applied, false when its marker already existed (a replay).
+    * Per batch the work is one assignCells + one assignCodes + the two
+    * drift statistics over BATCH rows only. [[loadIndex]] serves the
+    * base + every applied batch; fold file growth periodically with
+    * [[compactIndex]]. `graft.streaming.Streams.annIngestSink` is this
+    * call per micro-batch.
+    */
+  def appendToIndexAt(s: SparkSession, path: String, batch: DataFrame,
+      batchId: Long, residual: Boolean = false): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"${path}_batches/$batchId")
+    if (fs.exists(marker)) false
+    else {
+      val cached = batch.persist()
+      try {
+        val (cents, cb) = loadModels(s, path)
+        graft.streaming.Streams.replaceBatchFiles(s,
+          s"$path/pq_codes.parquet", batchId) { staging =>
+          buildIvfpqIndex(cached, cents, cb, residual).write.parquet(staging)
+        }
+        graft.streaming.Streams.replaceBatchFiles(s,
+          s"$path/drift.parquet", batchId) { staging =>
+          driftRow(s, cached, cb, batchId, Some(cents)).write.parquet(staging)
+        }
+        clearIndexTombstones(s, path, cached.select(col("vec_id")))
+        fs.create(marker, true).close()
+        true
+      } finally { cached.unpersist(); () }
+    }
+  }
 
   /** The drift time series with verdicts: one row per recorded batch,
     * carrying the build-time baselines, the error/occupancy ratios, and a

@@ -574,30 +574,9 @@ object Streams extends Serializable {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val s = batch.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(indexPath)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        val marker = new org.apache.hadoop.fs.Path(
-          s"${indexPath}_batches/$batchId")
-        if (!fs.exists(marker)) {
-          val cached = batch.persist()
-          try {
-            val (cents, cb) = graft.ops.Similarity.loadModels(s, indexPath)
-            replaceBatchFiles(s, s"$indexPath/pq_codes.parquet", batchId) {
-              staging =>
-                graft.ops.Similarity.buildIvfpqIndex(cached, cents, cb,
-                  residual).write.parquet(staging)
-            }
-            replaceBatchFiles(s, s"$indexPath/drift.parquet", batchId) {
-              staging =>
-                graft.ops.Similarity.driftRow(s, cached, cb, batchId,
-                  Some(cents)).write.parquet(staging)
-            }
-            graft.ops.Similarity.clearIndexTombstones(s, indexPath,
-              cached.select(col("vec_id")))
-            fs.create(marker, true).close()
-          } finally { cached.unpersist(); () }
-        }
+        graft.ops.Similarity.appendToIndexAt(batch.sparkSession, indexPath,
+          batch, batchId, residual)
+        ()
       }
       .start()
 

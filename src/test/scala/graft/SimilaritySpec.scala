@@ -862,6 +862,45 @@ class SimilaritySpec extends SparkSpec {
       "the exact last resort makes the gate resolver total")
   }
 
+  test("on-disk batch append: codes + drift row commit under one marker, retries replay idempotently") {
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val corpus = e.filter(col("vec_id") % 4 =!= 0)
+    val ip = java.nio.file.Files.createTempDirectory("graft_ann_append").toString + "/idx"
+    val cents = Similarity.centroids(corpus)
+    val cb = Similarity.pqCodebooks(corpus)
+    Similarity.saveIndex(ip, cents, cb,
+      Similarity.buildIvfpqIndex(corpus, cents, cb))
+    Similarity.recordDriftBaseline(spark, ip, corpus, cb, Some(cents))
+    val day = e.filter(col("vec_id") % 4 === 0)
+    assert(Similarity.appendToIndexAt(spark, ip, day, 0L), "first apply")
+    def codeSet(): Set[(Long, Int, Int, Int)] =
+      Similarity.loadIndex(spark, ip)._3.collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("sub"),
+          r.getAs[Int]("code"), r.getAs[Int]("ivf_cell"))).toSet
+    val expect = Similarity.buildIvfpqIndex(e, cents, cb).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("sub"),
+        r.getAs[Int]("code"), r.getAs[Int]("ivf_cell"))).toSet
+    assert(codeSet() === expect, "append ≡ rebuild under the same models")
+    val rep = Similarity.driftReport(spark, ip).collect()
+    assert(rep.length === 1 && rep.head.getAs[Long]("batch_id") === 0L
+      && !rep.head.getAs[Boolean]("drifted"))
+    // marker present → replay is a whole-batch no-op
+    assert(!Similarity.appendToIndexAt(spark, ip, day, 0L))
+    assert(codeSet() === expect)
+    // crash window (files landed, marker lost) → the retry REPLACES the
+    // batch's file set; duplicates would break the ADC n_subs = m filter
+    val fs = new org.apache.hadoop.fs.Path(ip)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"${ip}_batches/0"), false)
+    assert(Similarity.appendToIndexAt(spark, ip, day, 0L))
+    assert(codeSet() === expect, "retry must replace, not duplicate")
+    assert(Similarity.driftReport(spark, ip).count() === 1)
+  }
+
   test("model drift monitor: in-distribution appends hold the band, a shifted batch trips") {
     import org.apache.spark.sql.functions._
     val spark2 = spark

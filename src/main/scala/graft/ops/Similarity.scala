@@ -1521,6 +1521,14 @@ object Similarity {
   def compactIndex(s: SparkSession, path: String,
       maxRecordsPerFile: Long = 4L * 1024 * 1024): (Long, Long, Long) = {
     val codesDir = s"$path/pq_codes.parquet"
+    // appendToIndexAt grows this dir with marker-committed b<id>- files:
+    // a crashed, never-committed batch's partials must NOT be folded into
+    // compacted files (its retry rewrites the whole batch — absorbing
+    // them here would make that retry a code duplication, which the ADC
+    // n_subs = m filter turns into silently dropped vectors)
+    graft.streaming.Streams.dropUncommittedBatchFiles(s, codesDir, path)
+    graft.streaming.Streams.dropUncommittedBatchFiles(s,
+      s"$path/drift.parquet", path)
     val live = applyTombstones(s, s.read.parquet(codesDir),
       tombstonePath(path), "vec_id")
     val audit = graft.ops.Layout.compactFlat(s, codesDir, col("vec_id"),

@@ -421,14 +421,21 @@ object Streams extends Serializable {
     *   `<dir>_batches` — [[multiSink]] route dirs share the base dir's
     *   marker set, so pass `Some(baseDir)` for those.
     */
-  def compactSinkDir(s: SparkSession, dir: String,
-      orderCol: org.apache.spark.sql.Column,
-      maxRecordsPerFile: Long = 1L * 1024 * 1024,
-      markerBase: Option[String] = None): (Long, Long, Long) = {
+  /** Delete `b<id>-*` files in `dir` whose batch has NO commit marker
+    * under `<markerBase>_batches` — partial state of a crashed commit
+    * whose retry rewrites the whole batch. Shared by [[compactSinkDir]]
+    * and the ANN index compaction (whose codes dir takes the same
+    * batch-prefixed appends via `appendToIndexAt`): folding an
+    * uncommitted batch into compacted files would turn its retry into a
+    * duplication.
+    */
+  private[graft] def dropUncommittedBatchFiles(s: SparkSession, dir: String,
+      markerBase: String): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(dir))) return
     val markers: Set[String] = {
-      val mp = new Path(s"${markerBase.getOrElse(dir)}_batches")
+      val mp = new Path(s"${markerBase}_batches")
       if (fs.exists(mp)) fs.listStatus(mp).map(_.getPath.getName).toSet
       else Set.empty
     }
@@ -440,6 +447,13 @@ object Streams extends Serializable {
         case _ => ()
       }
     }
+  }
+
+  def compactSinkDir(s: SparkSession, dir: String,
+      orderCol: org.apache.spark.sql.Column,
+      maxRecordsPerFile: Long = 1L * 1024 * 1024,
+      markerBase: Option[String] = None): (Long, Long, Long) = {
+    dropUncommittedBatchFiles(s, dir, markerBase.getOrElse(dir))
     graft.ops.Layout.compactFlat(s, dir, orderCol, maxRecordsPerFile)
   }
 

@@ -899,6 +899,25 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.appendToIndexAt(spark, ip, day, 0L))
     assert(codeSet() === expect, "retry must replace, not duplicate")
     assert(Similarity.driftReport(spark, ip).count() === 1)
+    // compaction interplay: an UNCOMMITTED batch's partial code files
+    // (crash before marker) must not be absorbed into compacted files —
+    // its retry rewrites the whole batch, and absorption would make the
+    // retry a duplication the ADC filter turns into dropped vectors
+    graft.streaming.Streams.replaceBatchFiles(spark,
+      s"$ip/pq_codes.parquet", 7L) { staging =>
+      Similarity.buildIvfpqIndex(day.limit(3), cents, cb)
+        .write.parquet(staging)
+    }
+    val (_, after, live) = Similarity.compactIndex(spark, ip)
+    assert(live === expect.size.toLong,
+      "compaction keeps exactly the committed rows")
+    assert(codeSet() === expect)
+    assert(after <= 2L)
+    // the batch then applies cleanly post-compaction
+    assert(Similarity.appendToIndexAt(spark, ip,
+      day.limit(3).withColumn("vec_id", col("vec_id") + 1000000L), 7L))
+    assert(codeSet().size === expect.size + 3 * 8,
+      "a committed batch after compaction lands beside the compacted files")
   }
 
   test("model drift monitor: in-distribution appends hold the band, a shifted batch trips") {

@@ -731,6 +731,10 @@ object Dedup {
       source = Some(loadMinhashIndex(s, path).dropDuplicates("doc_id")))
     val ts = new org.apache.hadoop.fs.Path(minhashTombstonePath(path))
     ts.getFileSystem(s.sparkContext.hadoopConfiguration).delete(ts, true)
+    // fold the streaming ingest sink's contiguous committed replay markers
+    // into the watermark — compaction just dedup'd any pre-marker crash
+    // leftovers, so a folded id's replay must (and does) still skip
+    graft.streaming.Streams.advanceWatermark(s, path)
     audit
   }
 
@@ -920,6 +924,11 @@ object Dedup {
       source = Some(buckets.dropDuplicates("vec_id", "tbl", "bucket")))
     val ts = new org.apache.hadoop.fs.Path(s"$path/tombstones.parquet")
     ts.getFileSystem(s.sparkContext.hadoopConfiguration).delete(ts, true)
+    // the streaming ingest sink's replay markers: fold the contiguous
+    // committed prefix into the watermark so <path>_batches stays bounded
+    // (safe here because duplicates a pre-marker crash left behind were
+    // just dropDuplicates'd away — a replay of a folded id still skips)
+    graft.streaming.Streams.advanceWatermark(s, path)
     (av, ab)
   }
 

@@ -1544,6 +1544,11 @@ object Similarity {
         maxRecordsPerFile, source = Some(loadInt8Codes(s, path)))
     val ts = new org.apache.hadoop.fs.Path(tombstonePath(path))
     ts.getFileSystem(conf).delete(ts, true)
+    // compaction just absorbed every committed batch's files — fold the
+    // contiguous committed prefix of marker files into the watermark so
+    // the _batches dir stays bounded (replays of folded ids still skip,
+    // now answered by the watermark instead of a marker file)
+    graft.streaming.Streams.advanceWatermark(s, path)
     audit
   }
 
@@ -1701,7 +1706,7 @@ object Similarity {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(s"${path}_batches/$batchId")
-    if (fs.exists(marker)) false
+    if (graft.streaming.Streams.isBatchCommitted(s, path, batchId)) false
     else {
       val cached = batch.persist()
       try {
@@ -1804,6 +1809,146 @@ object Similarity {
       day.withColumn("embedding", transform(col("embedding"), x => x + lit(0.5f))),
       cb, 2L, Some(cents))
     driftReport(s, path)
+  }
+
+  // ------------------------------------------------- drift-triggered retrain
+  /** The corpus-build event a tripped [[driftReport]] calls for — retrain
+    * the frozen models and re-encode, in place at the index path:
+    *
+    *   - models retrain on `trainOn` (default: `corpus`) — pass the
+    *     trailing arrival window when the distribution MOVED rather than
+    *     widened, so the new codebooks spend their resolution on what
+    *     future batches will look like (the standard adaptation);
+    *     training cost is sample-bounded like every build ([[kmeans]]'s
+    *     256k hash-sample cap);
+    *   - the FULL `corpus` (everything the index serves) re-encodes
+    *     against the new models — one assignCells + one assignCodes pass,
+    *     the once-per-build cost [[appendToIndex]] exists to amortize;
+    *   - the int8 artifact rebuilds from `corpus` when present (one
+    *     tombstone list, one content set — every per-vector artifact at
+    *     the path stays consistent);
+    *   - the batch epoch FENCES
+    *     ([[graft.streaming.Streams.fenceBatchEpoch]]): every applied
+    *     batch's content is the caller's to include in `corpus`, so their
+    *     ids must never re-apply to the rebuilt index — replays of
+    *     pre-retrain ids skip via the watermark, and new batches number
+    *     above it (a streaming checkpoint's monotone ids do this
+    *     naturally);
+    *   - tombstones clear (the rebuild excludes removed vectors by
+    *     excluding them from `corpus` — [[saveIndex]]'s clean-slate rule)
+    *     and [[recordDriftBaseline]] restamps the drift time series from
+    *     the new models over the new corpus.
+    *
+    * Single-writer maintenance like [[compactIndex]]; on a mid-retrain
+    * crash, rerun it (the fence makes the rerun idempotent with respect
+    * to old batches).
+    */
+  def retrainIndex(s: SparkSession, path: String, corpus: DataFrame,
+      trainOn: Option[DataFrame] = None, residual: Boolean = false): Unit = {
+    val train = trainOn.getOrElse(corpus)
+    val cents = centroids(train)
+    val cb =
+      if (residual) pqCodebooks(
+        residualVectors(train, cents).select(col("vec_id"), col("embedding")))
+      else pqCodebooks(train)
+    graft.streaming.Streams.fenceBatchEpoch(s, path)
+    saveIndex(path, cents, cb, buildIvfpqIndex(corpus, cents, cb, residual))
+    val int8P = new org.apache.hadoop.fs.Path(s"$path/int8_codes.parquet")
+    if (int8P.getFileSystem(s.sparkContext.hadoopConfiguration).exists(int8P))
+      saveInt8Codes(path, quantizeVectors(corpus))
+    // the baseline is a property of the MODEL, not the archive: it
+    // restamps over the TRAINING window, because that is the distribution
+    // the codebooks were fit to and the reference future batches should
+    // be held against (baselining over a mixed old+new archive would
+    // shift the reference toward the world the retrain just left)
+    recordDriftBaseline(s, path, train, cb, Some(cents))
+  }
+
+  /** The monitor→action loop closed: read the index's drift time series
+    * and retrain ([[retrainIndex]]) when the signal has ACCUMULATED —
+    * `minTripped` of the last `lastK` recorded batches drifted. Majority-
+    * of-recent rather than any-single-trip, because one noisy small batch
+    * should not trigger a corpus-scale rebuild (the drift statistics are
+    * means over batch rows — small batches wobble); a real distribution
+    * shift trips batch after batch. The decision reads one tiny parquet
+    * table; only a firing decision costs anything more. Returns whether a
+    * retrain ran. Run it where [[compactIndex]] runs — nightly
+    * maintenance, single-writer.
+    */
+  def maybeRetrain(s: SparkSession, path: String, corpus: DataFrame,
+      trainOn: Option[DataFrame] = None, lastK: Int = 3, minTripped: Int = 2,
+      tripRatio: Double = 1.25, shareTripRatio: Double = 2.0,
+      residual: Boolean = false): Boolean = {
+    require(lastK >= 1 && minTripped >= 1 && minTripped <= lastK,
+      s"need 1 <= minTripped ($minTripped) <= lastK ($lastK)")
+    val tripped = driftReport(s, path, tripRatio, shareTripRatio)
+      .orderBy(col("batch_id").desc).limit(lastK)
+      .filter(col("drifted")).count()
+    if (tripped >= minTripped) {
+      retrainIndex(s, path, corpus, trainOn, residual); true
+    } else false
+  }
+
+  // the heavy lifecycle (build → drifted appends → retrain) runs once per
+  // (session, corpus); each later call re-reads the drift tables and
+  // re-decides — so the gate/bench entry times what the steady-state
+  // monitor→action DECISION costs, not the corpus builds it guards
+  private val retrainMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (Long, Long)]()
+
+  /** Gate/bench form of the monitor→action loop (rows-only — k-means/PQ
+    * state is engine-internal): a "world moved" scenario against a
+    * scratch index. Build on half the corpus and baseline it; two
+    * "nightly" batches arrive from the SHIFTED world (the other half
+    * scaled 3× — the drift the error signal owns); [[maybeRetrain]] sees
+    * 2/2 recent batches tripped and retrains — models on the trailing
+    * arrival window (the shifted batches), codes over everything the
+    * index serves — then a FRESH shifted-world batch records in-band
+    * (the retrained model represents the new world) and a second
+    * [[maybeRetrain]] correctly declines. Report: one row per phase with
+    * its batch/trip counts and whether the retrain fired (SimilaritySpec
+    * pins before = 2/2 fired, after = in-band declined, and the fence).
+    */
+  def annRetrainReport(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).embeddings
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val path = annIndexPath(s, dir) + "_retrain"
+    val past = e.filter(col("vec_id") % 2 === 0)
+    val shifted = e.filter(col("vec_id") % 2 === 1)
+      .withColumn("embedding", transform(col("embedding"), x => x * lit(3.0f)))
+    val ctx = s.sparkContext.applicationId + "/" + s.sparkContext.startTime
+    retrainMemo.keySet.removeIf(_._1 != ctx)
+    val (beforeBatches, beforeTripped) =
+      retrainMemo.computeIfAbsent((ctx, dir), { _ =>
+        val cents = centroids(past)
+        val cb = pqCodebooks(past)
+        saveIndex(path, cents, cb, buildIvfpqIndex(past, cents, cb))
+        recordDriftBaseline(s, path, past, cb, Some(cents))
+        appendToIndexAt(s, path, shifted.filter(col("vec_id") % 4 === 1), 0L)
+        appendToIndexAt(s, path, shifted.filter(col("vec_id") % 4 === 3), 1L)
+        val before = driftReport(s, path)
+          .agg(count(lit(1)), sum(col("drifted").cast("long"))).head
+        val fired = maybeRetrain(s, path,
+          corpus = past.unionByName(shifted), trainOn = Some(shifted))
+        require(fired, "the 2/2-tripped scenario must fire the retrain")
+        // the fresh post-retrain arrival — same shifted world, NEW ids
+        // (an arrival, not a re-add) and a batch id above the fence
+        appendToIndexAt(s, path, shifted.filter(col("vec_id") % 4 === 1)
+          .withColumn("vec_id", col("vec_id") + 10000000L), 2L)
+        (before.getLong(0), before.getLong(1))
+      })
+    // steady state, every call: read the post-retrain time series and
+    // re-decide (declines — the new world is in-band now)
+    val after = driftReport(s, path)
+      .agg(count(lit(1)), sum(col("drifted").cast("long"))).head
+    val firedAgain = maybeRetrain(s, path,
+      corpus = past.unionByName(shifted), trainOn = Some(shifted),
+      minTripped = 1, lastK = 1)
+    import s.implicits._
+    Seq(("before_retrain", beforeBatches, beforeTripped, true),
+      ("after_retrain", after.getLong(0), after.getLong(1), firedAgain))
+      .toDF("phase", "batches", "drifted", "retrain_fired")
+      .orderBy(col("phase"))
   }
 
   // keyed by (context, dir), the Curation.pairsMemo discipline (including
@@ -2170,6 +2315,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_recall_report" -> (annRecallReport _),
     "ann_drift_report" -> (annDriftReport _),
+    "ann_retrain_report" -> (annRetrainReport _),
     "ann_autotune" -> ((s: SparkSession, dir: String) => annAutotune(s, dir)),
     "emb_quantize" -> (quantize _),
     "emb_project"  -> (project _),

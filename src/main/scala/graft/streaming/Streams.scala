@@ -398,11 +398,98 @@ object Streams extends Serializable {
     import org.apache.hadoop.fs.Path
     val fs = new Path(markerBase)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val marker = new Path(s"${markerBase}_batches/$batchId")
-    if (!fs.exists(marker)) {
+    if (!isBatchCommitted(s, markerBase, batchId)) {
       writes.foreach { case (d, w) => replaceBatchFiles(s, d, batchId)(w) }
-      fs.create(marker, true).close()
+      fs.create(new Path(s"${markerBase}_batches/$batchId"), true).close()
     }
+  }
+
+  /** The committed-batch WATERMARK: every batch id ≤ the watermark is
+    * known committed, so its marker file is redundant and can be
+    * garbage-collected. Without this, `<markerBase>_batches` grows one
+    * empty file per micro-batch FOREVER — a year of 1-minute batches is
+    * half a million marker files, and every replay check lists the dir.
+    * [[advanceWatermark]] (called from the compactions — the natural
+    * maintenance point) folds the contiguous committed prefix into one
+    * number and deletes the folded markers; [[isBatchCommitted]] answers
+    * from the number first, the marker file second. Contiguity from the
+    * previous watermark is required to advance — a gap means the skipped
+    * id was never committed, and claiming it committed would make a later
+    * legitimate delivery of that id a silent drop. Streaming batch ids
+    * are 0-based and monotone, so the prefix is the whole history.
+    */
+  private[graft] def committedWatermark(s: SparkSession,
+      markerBase: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val wm = new Path(s"${markerBase}_batches/_watermark")
+    val fs = wm.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(wm)) -1L
+    else {
+      val in = fs.open(wm)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** True when `batchId` is already committed at `markerBase` — by
+    * watermark (≤ the GC'd prefix) or by a still-present marker file.
+    */
+  private[graft] def isBatchCommitted(s: SparkSession, markerBase: String,
+      batchId: Long): Boolean = {
+    import org.apache.hadoop.fs.Path
+    if (batchId <= committedWatermark(s, markerBase)) true
+    else {
+      val marker = new Path(s"${markerBase}_batches/$batchId")
+      marker.getFileSystem(s.sparkContext.hadoopConfiguration).exists(marker)
+    }
+  }
+
+  /** Fence the batch epoch at `markerBase`: force the watermark to at
+    * least the highest marker id ever committed there, GC'ing every
+    * marker file. The retrain/rebuild hygiene step — a rebuild absorbs
+    * the content of every applied batch, so their ids must never
+    * re-apply to the rebuilt artifact (a replay would re-append rows the
+    * rebuild already carries); new batches must number above the fence.
+    * Returns the fence value.
+    */
+  private[graft] def fenceBatchEpoch(s: SparkSession,
+      markerBase: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(s"${markerBase}_batches")
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val maxId: Long =
+      if (!fs.exists(dir)) -1L
+      else fs.listStatus(dir).map(_.getPath.getName)
+        .filter(_.matches("\\d+")).map(_.toLong)
+        .foldLeft(-1L)(math.max)
+    advanceWatermark(s, markerBase, floor = maxId)._2
+  }
+
+  /** Fold the contiguous committed prefix of marker files into the
+    * watermark and delete them; returns (old, new) watermark. `floor`
+    * forces the watermark AT LEAST that high first (the
+    * [[fenceBatchEpoch]] rebuild fence). Single-writer maintenance, like
+    * the compactions that call it.
+    */
+  private[graft] def advanceWatermark(s: SparkSession, markerBase: String,
+      floor: Long = -1L): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(s"${markerBase}_batches")
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val old = committedWatermark(s, markerBase)
+    val ids: Set[Long] =
+      if (!fs.exists(dir)) Set.empty
+      else fs.listStatus(dir).map(_.getPath.getName)
+        .filter(_.matches("\\d+")).map(_.toLong).toSet
+    var w = math.max(old, floor)
+    while (ids.contains(w + 1)) w += 1
+    if (w > old) {
+      val wm = new Path(dir, "_watermark")
+      val out = fs.create(wm, true)
+      try out.write(w.toString.getBytes("UTF-8")) finally out.close()
+    }
+    ids.filter(_ <= w).foreach(id => fs.delete(new Path(dir, id.toString), false))
+    (old, w)
   }
 
   /** Maintenance compaction for a streaming sink output dir
@@ -439,10 +526,15 @@ object Streams extends Serializable {
       if (fs.exists(mp)) fs.listStatus(mp).map(_.getPath.getName).toSet
       else Set.empty
     }
+    // ids at or below the watermark are committed even though their marker
+    // files were GC'd — multiSink route dirs share one marker base, so a
+    // compaction of route A must not turn route B's COMMITTED batch files
+    // into "uncommitted" deletions
+    val wm = committedWatermark(s, markerBase)
     val batchFile = "^b(\\d+)-.*".r
     fs.listStatus(new Path(dir)).filter(_.isFile).foreach { st =>
       st.getPath.getName match {
-        case batchFile(id) if !markers.contains(id) =>
+        case batchFile(id) if !markers.contains(id) && id.toLong > wm =>
           fs.delete(st.getPath, false)
         case _ => ()
       }
@@ -454,7 +546,13 @@ object Streams extends Serializable {
       maxRecordsPerFile: Long = 1L * 1024 * 1024,
       markerBase: Option[String] = None): (Long, Long, Long) = {
     dropUncommittedBatchFiles(s, dir, markerBase.getOrElse(dir))
-    graft.ops.Layout.compactFlat(s, dir, orderCol, maxRecordsPerFile)
+    val audit = graft.ops.Layout.compactFlat(s, dir, orderCol, maxRecordsPerFile)
+    // marker hygiene rides along: fold the contiguous committed prefix
+    // into the watermark so the _batches dir stays bounded by
+    // batches-since-last-compaction instead of growing one file per
+    // micro-batch forever
+    advanceWatermark(s, markerBase.getOrElse(dir))
+    audit
   }
 
   /** The living-corpus ingest loop end to end: each arriving micro-batch
@@ -491,9 +589,7 @@ object Streams extends Serializable {
         val s = batch.sparkSession
         val fs = new org.apache.hadoop.fs.Path(indexPath)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
-        val marker = new org.apache.hadoop.fs.Path(
-          s"${indexPath}_batches/$batchId")
-        if (!fs.exists(marker)) {
+        if (!isBatchCommitted(s, indexPath, batchId)) {
           val cached = batch.persist()
           try {
             val idx =
@@ -506,7 +602,8 @@ object Streams extends Serializable {
                 .write.parquet(staging)
             }
             graft.ops.Dedup.appendToMinhashIndex(s, cached, indexPath)
-            fs.create(marker, true).close()
+            fs.create(new org.apache.hadoop.fs.Path(
+              s"${indexPath}_batches/$batchId"), true).close()
           } finally { cached.unpersist(); () }
         }
       }
@@ -538,9 +635,7 @@ object Streams extends Serializable {
         val s = batch.sparkSession
         val fs = new org.apache.hadoop.fs.Path(indexPath)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
-        val marker = new org.apache.hadoop.fs.Path(
-          s"${indexPath}_batches/$batchId")
-        if (!fs.exists(marker)) {
+        if (!isBatchCommitted(s, indexPath, batchId)) {
           val cached = batch.persist()
           try {
             val (vecs, buckets) =
@@ -553,7 +648,8 @@ object Streams extends Serializable {
                 .write.parquet(staging)
             }
             graft.ops.Dedup.appendToEmbeddingIndex(s, cached, indexPath)
-            fs.create(marker, true).close()
+            fs.create(new org.apache.hadoop.fs.Path(
+              s"${indexPath}_batches/$batchId"), true).close()
           } finally { cached.unpersist(); () }
         }
       }

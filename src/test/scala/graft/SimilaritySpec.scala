@@ -913,6 +913,15 @@ class SimilaritySpec extends SparkSpec {
       "compaction keeps exactly the committed rows")
     assert(codeSet() === expect)
     assert(after <= 2L)
+    // marker hygiene: compaction folded batch 0's marker into the
+    // watermark (the _batches dir stays bounded across nightly appends),
+    // and the folded id still replays as a no-op — answered by the
+    // watermark now that its marker file is gone
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${ip}_batches/0")),
+      "compaction must GC the contiguous committed markers")
+    assert(graft.streaming.Streams.committedWatermark(spark, ip) === 0L)
+    assert(!Similarity.appendToIndexAt(spark, ip, day, 0L))
+    assert(codeSet() === expect)
     // the batch then applies cleanly post-compaction
     assert(Similarity.appendToIndexAt(spark, ip,
       day.limit(3).withColumn("vec_id", col("vec_id") + 1000000L), 7L))
@@ -973,5 +982,89 @@ class SimilaritySpec extends SparkSpec {
         s"batch — got ${g(1L)._2} vs ${g(0L)._2}")
     assert(g(2L)._2 > 2.0,
       s"the translated twin must concentrate occupancy: ${g(2L)._2}")
+  }
+
+  test("drift-triggered retrain: accumulated trips fire the rebuild, the new world lands in-band") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val ip = java.nio.file.Files.createTempDirectory("graft_retrain").toString + "/idx"
+    val past = e.filter(col("vec_id") % 2 === 0)
+    val cents0 = Similarity.centroids(past)
+    val cb0 = Similarity.pqCodebooks(past)
+    Similarity.saveIndex(ip, cents0, cb0,
+      Similarity.buildIvfpqIndex(past, cents0, cb0))
+    Similarity.recordDriftBaseline(spark, ip, past, cb0, Some(cents0))
+    // one clean nightly batch (new ids — an arrival, not a re-add):
+    // maybeRetrain must DECLINE (and a declined decision must not touch
+    // the models)
+    val clean = e.filter(col("vec_id") % 4 === 1)
+      .withColumn("vec_id", col("vec_id") + 20000000L)
+    assert(Similarity.appendToIndexAt(spark, ip, clean, 0L))
+    assert(!Similarity.maybeRetrain(spark, ip, corpus = past),
+      "an in-band time series must not fire a retrain")
+    val centsBefore = spark.read.parquet(s"$ip/ivf_centroids.parquet")
+      .collect().map(_.toString).sorted.toSeq
+    // the world moves: two consecutive batches from a 3×-scaled
+    // distribution — each trips the error signal
+    val shifted = e.filter(col("vec_id") % 2 === 1)
+      .withColumn("embedding", transform(col("embedding"), x => x * lit(3.0f)))
+    assert(Similarity.appendToIndexAt(spark, ip,
+      shifted.filter(col("vec_id") % 4 === 1), 1L))
+    assert(Similarity.appendToIndexAt(spark, ip,
+      shifted.filter(col("vec_id") % 4 === 3), 2L))
+    assert(spark.read.parquet(s"$ip/ivf_centroids.parquet")
+      .collect().map(_.toString).sorted.toSeq === centsBefore,
+      "the declined decision left the frozen models untouched")
+    val trips = Similarity.driftReport(spark, ip)
+      .filter(col("drifted")).count()
+    assert(trips === 2L, s"both shifted batches must trip: $trips")
+    // 2 of the last 3 tripped → the retrain fires: models on the arrival
+    // window, codes over everything the index serves (the build corpus
+    // plus every appended batch — clean and shifted alike)
+    val corpus = past.unionByName(clean).unionByName(shifted)
+    assert(Similarity.maybeRetrain(spark, ip, corpus = corpus,
+      trainOn = Some(shifted)))
+    // the rebuild re-encoded the FULL corpus against the new models —
+    // codes are exactly a fresh build's (content equality, the
+    // append ≡ rebuild discipline carried through retrain)
+    val (centsN, cbN, codesN) = Similarity.loadIndex(spark, ip)
+    val expect = Similarity.buildIvfpqIndex(corpus, centsN, cbN).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("sub"),
+        r.getAs[Int]("code"), r.getAs[Int]("ivf_cell"))).toSet
+    assert(codesN.collect().map(r => (r.getAs[Long]("vec_id"),
+      r.getAs[Int]("sub"), r.getAs[Int]("code"),
+      r.getAs[Int]("ivf_cell"))).toSet === expect)
+    // epoch fence: pre-retrain batch ids never re-apply (their content is
+    // the corpus's to carry), new ids land above the fence
+    assert(graft.streaming.Streams.committedWatermark(spark, ip) === 2L)
+    assert(!Similarity.appendToIndexAt(spark, ip, clean, 1L),
+      "a pre-retrain batch id must be fenced out")
+    // the drift series restarted from the new model's baseline: a fresh
+    // batch from the SHIFTED world now records in-band, and the next
+    // decision declines
+    val fresh = shifted.filter(col("vec_id") % 4 === 1)
+      .withColumn("vec_id", col("vec_id") + 10000000L)
+    assert(Similarity.appendToIndexAt(spark, ip, fresh, 3L))
+    val rep = Similarity.driftReport(spark, ip).collect()
+    assert(rep.map(_.getAs[Long]("batch_id")).toSeq === Seq(3L),
+      "retrain restamps the time series (old epoch's rows retired)")
+    assert(!rep.head.getAs[Boolean]("drifted"),
+      s"the new world must be in-band post-retrain: " +
+        s"ratio=${rep.head.getAs[Double]("err_ratio")}")
+    assert(!Similarity.maybeRetrain(spark, ip, corpus = corpus,
+      trainOn = Some(shifted), lastK = 1, minTripped = 1))
+    // the gate form pins the same story end-to-end and is idempotent
+    // under bench best-of-N
+    val g1 = Similarity.annRetrainReport(spark, sf).collect()
+    val g2 = Similarity.annRetrainReport(spark, sf).collect()
+    assert(g1.map(_.toString).toSeq === g2.map(_.toString).toSeq)
+    val byPhase = g1.map(r => r.getAs[String]("phase") ->
+      (r.getAs[Long]("batches"), r.getAs[Long]("drifted"),
+        r.getAs[Boolean]("retrain_fired"))).toMap
+    assert(byPhase("before_retrain") === ((2L, 2L, true)),
+      s"gate form before-phase: ${byPhase("before_retrain")}")
+    assert(byPhase("after_retrain") === ((1L, 0L, false)),
+      s"gate form after-phase: ${byPhase("after_retrain")}")
   }
 }

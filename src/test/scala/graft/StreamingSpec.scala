@@ -608,6 +608,47 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === 13)
   }
 
+  test("marker watermark: compaction GCs marker files, folded ids still skip, gaps never fold") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_wm").toString
+    val dir = s"$base/audit"
+    def commit(b: Long): Unit = Streams.commitBatch(spark, dir, b)(
+      dir -> (st => Seq((b, s"r$b")).toDF("id", "tag").write.parquet(st)))
+    (0L to 5L).foreach(commit)
+    assert(new java.io.File(s"${dir}_batches").list()
+      .count(_.matches("\\d+")) === 6)
+    Streams.compactSinkDir(spark, dir, col("id"))
+    // the six marker files fold into one watermark number
+    assert(new java.io.File(s"${dir}_batches").list()
+      .count(_.matches("\\d+")) === 0,
+      "compaction must GC the contiguous committed markers")
+    assert(Streams.committedWatermark(spark, dir) === 5L)
+    // a replay of a folded id still skips whole — answered by the
+    // watermark now that its marker file is gone
+    var ran = false
+    Streams.commitBatch(spark, dir, 3L)(dir -> { st =>
+      ran = true; Seq((99L, "x")).toDF("id", "tag").write.parquet(st) })
+    assert(!ran, "a watermark-covered batch id must stay a no-op")
+    assert(spark.read.parquet(dir).count() === 6)
+    // a gap never folds: commit 9 (7 and 8 missing) — the watermark
+    // must NOT advance past the gap (claiming 7 committed would turn
+    // its later legitimate delivery into a silent drop)
+    commit(9L)
+    Streams.compactSinkDir(spark, dir, col("id"))
+    assert(Streams.committedWatermark(spark, dir) === 5L)
+    assert(new java.io.File(s"${dir}_batches").list()
+      .count(_.matches("\\d+")) === 1, "the out-of-order marker survives")
+    commit(6L); commit(7L); commit(8L)
+    Streams.compactSinkDir(spark, dir, col("id"))
+    assert(Streams.committedWatermark(spark, dir) === 9L)
+    assert(new java.io.File(s"${dir}_batches").list()
+      .count(_.matches("\\d+")) === 0)
+    // content is exactly the ten committed batches throughout
+    assert(spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+      === (0L to 9L).map(b => (b, s"r$b")).toSet)
+  }
+
   test("multi-sink route dirs share one marker set; compaction with markerBase keeps committed rows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

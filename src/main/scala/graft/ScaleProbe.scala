@@ -192,6 +192,39 @@ object ScaleProbe {
       graft.ops.Similarity.recordDrift(spark, mp, batch, cb, 0L, Some(cents))
       println(f"drift_record(batch=$nb): ${(System.nanoTime() - t1) / 1e9}%.1f s")
     }
+    // the monitor→action loop's cost structure at scale: the DECISION
+    // (read a tiny drift table, count recent trips) must be ~free at any
+    // corpus size, and the RETRAIN must cost one corpus build — training
+    // bounded by the Lloyd sample cap (flat in N), plus the irreducible
+    // full-corpus re-encode pass
+    if (matched("retrain")) locally {
+      val emb = spark.read.parquet(s"$out/embeddings.parquet")
+      val mp = s"$out/retrain_probe_index"
+      Seq(mp, s"${mp}_batches").foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      val t0 = System.nanoTime()
+      val cents = graft.ops.Similarity.centroids(emb)
+      val cb = graft.ops.Similarity.pqCodebooks(emb)
+      graft.ops.Similarity.saveIndex(mp, cents, cb,
+        graft.ops.Similarity.buildIvfpqIndex(emb, cents, cb))
+      graft.ops.Similarity.recordDriftBaseline(spark, mp, emb, cb, Some(cents))
+      println(f"retrain_initial_build($nEmb vecs): ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      // one in-band nightly append so the decision has a series to read
+      graft.ops.Similarity.appendToIndexAt(spark, mp,
+        emb.filter(col("vec_id") % 50 === 0)
+          .withColumn("vec_id", col("vec_id") + 1000000000L), 0L)
+      val t1 = System.nanoTime()
+      val declined = !graft.ops.Similarity.maybeRetrain(spark, mp, emb)
+      println(f"retrain_decision(declined=$declined): " +
+        f"${(System.nanoTime() - t1) / 1e9}%.1f s")
+      val t2 = System.nanoTime()
+      graft.ops.Similarity.retrainIndex(spark, mp, emb,
+        trainOn = Some(emb.filter(col("vec_id") % 2 === 1)))
+      println(f"retrain_rebuild($nEmb vecs, window=half): " +
+        f"${(System.nanoTime() - t2) / 1e9}%.1f s")
+    }
     // bucket-economics audit cost: one groupBy over (tbl, bucket) id
     // rows — wall should track index rows, never vectors
     if (matched("bucket_audit")) locally {

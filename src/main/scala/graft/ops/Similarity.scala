@@ -1005,11 +1005,19 @@ object Similarity {
     * [[saveOpqModel]].
     */
   def trainOpq(s: SparkSession, dir: String, iters: Int = OpqIters,
+      trainCap: Long = OpqTrainCap): (DataFrame, DataFrame) =
+    trainOpqOn(s, Tables(s, dir).embeddings, iters, trainCap)
+
+  /** [[trainOpq]] on an arbitrary (vec_id, embedding) corpus frame — the
+    * form [[retrainIndex]] needs (retraining fits the rotation to a
+    * caller-chosen arrival window, not to the session's corpus table).
+    */
+  def trainOpqOn(s: SparkSession, corpus: DataFrame, iters: Int = OpqIters,
       trainCap: Long = OpqTrainCap): (DataFrame, DataFrame) = {
     import s.implicits._
     val dim = 64
     val dsub = dim / PqM
-    val train = trainSample(Tables(s, dir).embeddings, trainCap)
+    val train = trainSample(corpus, trainCap)
       .select(col("vec_id"), col("embedding"))
     train.persist()
     var r: Array[Array[Double]] =
@@ -1154,13 +1162,17 @@ object Similarity {
     val ctx = s.sparkContext.applicationId + "/" + s.sparkContext.startTime
     opqCodesMemo.keySet.removeIf(_._1 != ctx)
     val codes = opqCodesMemo.computeIfAbsent((ctx, dir), { _ =>
-      val path = System.getProperty("java.io.tmpdir") + "/graft_opq_codes_" +
+      // persist through the REAL composed-index artifact ([[saveOpqIndex]]
+      // — rotation + models + codes under one path with the full
+      // maintenance lifecycle), so the gate/bench entry serves exactly
+      // what a deployment would load, tombstone filtering included
+      val path = System.getProperty("java.io.tmpdir") + "/graft_opq_index_" +
         java.lang.Integer.toHexString((ctx + "|" + dir).hashCode)
       val r = rot.select(col("comp"), col("weights")).collect()
         .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
-      buildIvfpqIndex(rotateFrame(Tables(s, dir).embeddings, r), cents, cb)
-        .write.mode("overwrite").parquet(path)
-      s.read.parquet(path)
+      saveOpqIndex(path, rot, cents, cb,
+        buildIvfpqIndex(rotateFrame(Tables(s, dir).embeddings, r), cents, cb))
+      loadOpqIndex(s, path)._4
     })
     opqIvfpqTopk(s, dir, model = Some((rot, cents, cb)),
       precomputedCodes = Some(codes))
@@ -1437,11 +1449,60 @@ object Similarity {
       codes: DataFrame): Unit = {
     saveModels(path, cents, codebooks)
     codes.write.mode("overwrite").parquet(s"$path/pq_codes.parquet")
+    val conf = codes.sparkSession.sparkContext.hadoopConfiguration
     // a rebuilt index starts with a clean slate — tombstones belong to the
     // PREVIOUS corpus build and must not filter the new one
     val ts = new org.apache.hadoop.fs.Path(tombstonePath(path))
-    ts.getFileSystem(codes.sparkSession.sparkContext.hadoopConfiguration)
-      .delete(ts, true)
+    ts.getFileSystem(conf).delete(ts, true)
+    // ...and a RAW rebuild over a previously-OPQ path demotes it: a stale
+    // rotation artifact would make every later append/drift/serving pass
+    // rotate batches the new codes were never encoded with
+    // ([[saveOpqIndex]] rewrites the rotation AFTER this runs)
+    val rp = new org.apache.hadoop.fs.Path(s"$path/opq_rotation.parquet")
+    rp.getFileSystem(conf).delete(rp, true)
+  }
+
+  /** The composed-OPQ ("OPQ,IVF,PQ") index as ONE on-disk artifact, under
+    * the SAME layout as the raw index (coarse centroids + codebooks +
+    * codes at the standard filenames) plus the rotation — so the entire
+    * maintenance lifecycle ([[appendToIndexAt]], [[removeFromIndex]],
+    * [[compactIndex]], the drift monitor, [[retrainIndex]]) applies to
+    * the flagship tier unchanged: those paths detect the rotation
+    * artifact and rotate batches before encoding. `cents`, `codebooks`
+    * and `codes` must all live in the ROTATED space (what
+    * [[trainOpqIvf]] / [[trainOpqIvfResidual]] and a rotated-frame
+    * [[buildIvfpqIndex]] produce).
+    */
+  def saveOpqIndex(path: String, rotation: DataFrame, cents: DataFrame,
+      codebooks: DataFrame, codes: DataFrame): Unit = {
+    saveIndex(path, cents, codebooks, codes)
+    rotation.write.mode("overwrite").parquet(s"$path/opq_rotation.parquet")
+  }
+
+  /** (rotation, coarse centroids, codebooks, live codes) back from
+    * [[saveOpqIndex]] — tombstones applied; feed the tail three plus the
+    * rotation to [[opqIvfpqTopkForQueries]] (`model` + `precomputedCodes`)
+    * for steady-state serving of the composed tier.
+    */
+  def loadOpqIndex(s: SparkSession, path: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (cents, cb, codes) = loadIndex(s, path)
+    (s.read.parquet(s"$path/opq_rotation.parquet"), cents, cb, codes)
+  }
+
+  /** The index's rotation as a driver-side matrix when the path is a
+    * composed-OPQ index ([[saveOpqIndex]]), None for a raw index — how
+    * the shared maintenance paths decide whether a batch rotates before
+    * encode. 64×64 doubles: reading it per append is as cheap as the
+    * models read beside it.
+    */
+  private def indexRotation(s: SparkSession,
+      path: String): Option[Array[Array[Double]]] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/opq_rotation.parquet")
+    if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)) None
+    else Some(s.read.parquet(s"$path/opq_rotation.parquet")
+      .select(col("comp"), col("weights")).collect()
+      .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray))
   }
 
   /** (IVF centroids, PQ codebooks, corpus codes) from [[saveIndex]] —
@@ -1529,6 +1590,10 @@ object Similarity {
     graft.streaming.Streams.dropUncommittedBatchFiles(s, codesDir, path)
     graft.streaming.Streams.dropUncommittedBatchFiles(s,
       s"$path/drift.parquet", path)
+    // crashed appendToIndexAt commits leave staging dirs behind — the
+    // retry rebuilds its staging from scratch, so maintenance drops them
+    graft.streaming.Streams.dropStaleStaging(s, codesDir)
+    graft.streaming.Streams.dropStaleStaging(s, s"$path/drift.parquet")
     val live = applyTombstones(s, s.read.parquet(codesDir),
       tombstonePath(path), "vec_id")
     val audit = graft.ops.Layout.compactFlat(s, codesDir, col("vec_id"),
@@ -1711,13 +1776,22 @@ object Similarity {
       val cached = batch.persist()
       try {
         val (cents, cb) = loadModels(s, path)
+        // a composed-OPQ index ([[saveOpqIndex]]) keeps its models and
+        // codes in ROTATED space — the batch rotates first (one MatVec
+        // over batch rows), then the encode and drift statistics run
+        // against the rotated-space models exactly as the raw path does
+        val enc = indexRotation(s, path) match {
+          case Some(r) =>
+            rotateFrame(cached.select(col("vec_id"), col("embedding")), r)
+          case None => cached
+        }
         graft.streaming.Streams.replaceBatchFiles(s,
           s"$path/pq_codes.parquet", batchId) { staging =>
-          buildIvfpqIndex(cached, cents, cb, residual).write.parquet(staging)
+          buildIvfpqIndex(enc, cents, cb, residual).write.parquet(staging)
         }
         graft.streaming.Streams.replaceBatchFiles(s,
           s"$path/drift.parquet", batchId) { staging =>
-          driftRow(s, cached, cb, batchId, Some(cents)).write.parquet(staging)
+          driftRow(s, enc, cb, batchId, Some(cents)).write.parquet(staging)
         }
         clearIndexTombstones(s, path, cached.select(col("vec_id")))
         fs.create(marker, true).close()
@@ -1846,13 +1920,36 @@ object Similarity {
   def retrainIndex(s: SparkSession, path: String, corpus: DataFrame,
       trainOn: Option[DataFrame] = None, residual: Boolean = false): Unit = {
     val train = trainOn.getOrElse(corpus)
-    val cents = centroids(train)
-    val cb =
-      if (residual) pqCodebooks(
-        residualVectors(train, cents).select(col("vec_id"), col("embedding")))
-      else pqCodebooks(train)
+    // a composed-OPQ index stays composed-OPQ through retrain: the
+    // rotation is itself a frozen model that drifts with the codebooks it
+    // feeds, so the alternating minimization reruns on the same training
+    // window and everything downstream (coarse quantizer, codebooks,
+    // codes, drift baseline) rebuilds in the NEW rotated space
+    val maybeRot = indexRotation(s, path).map { _ =>
+      val (rotDf, cbFlat) = trainOpqOn(s, train)
+      (rotDf, rotDf.select(col("comp"), col("weights")).collect()
+        .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray), cbFlat)
+    }
+    val trainEnc = maybeRot.map { case (_, r, _) => rotateFrame(train, r) }
+      .getOrElse(train)
+    val cents = centroids(trainEnc)
+    val cb = maybeRot match {
+      case Some((_, _, cbFlat)) if !residual => cbFlat
+      case _ =>
+        if (residual) pqCodebooks(residualVectors(trainEnc, cents)
+          .select(col("vec_id"), col("embedding")))
+        else pqCodebooks(trainEnc)
+    }
     graft.streaming.Streams.fenceBatchEpoch(s, path)
-    saveIndex(path, cents, cb, buildIvfpqIndex(corpus, cents, cb, residual))
+    val corpusEnc = maybeRot.map { case (_, r, _) => rotateFrame(corpus, r) }
+      .getOrElse(corpus)
+    val codes = buildIvfpqIndex(corpusEnc, cents, cb, residual)
+    maybeRot match {
+      case Some((rotDf, _, _)) => saveOpqIndex(path, rotDf, cents, cb, codes)
+      case None => saveIndex(path, cents, cb, codes)
+    }
+    // the int8 artifact is raw-space (rotation-free quantization) — it
+    // rebuilds from the raw corpus either way
     val int8P = new org.apache.hadoop.fs.Path(s"$path/int8_codes.parquet")
     if (int8P.getFileSystem(s.sparkContext.hadoopConfiguration).exists(int8P))
       saveInt8Codes(path, quantizeVectors(corpus))
@@ -1861,7 +1958,7 @@ object Similarity {
     // the codebooks were fit to and the reference future batches should
     // be held against (baselining over a mixed old+new archive would
     // shift the reference toward the world the retrain just left)
-    recordDriftBaseline(s, path, train, cb, Some(cents))
+    recordDriftBaseline(s, path, trainEnc, cb, Some(cents))
   }
 
   /** The monitor→action loop closed: read the index's drift time series

@@ -541,10 +541,25 @@ object Streams extends Serializable {
     }
   }
 
+  /** Remove `<dir>_staging` wholesale — crashed commits leave their
+    * staging dir behind (the cleanup in [[replaceBatchFiles]] only runs
+    * on success), and a retry always starts by deleting its own staging
+    * anyway. Maintenance-time only (single-writer: no in-flight commit
+    * may be staging while a compaction runs, the same contract the data
+    * rewrite itself requires).
+    */
+  private[graft] def dropStaleStaging(s: SparkSession, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"${dir}_staging")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    ()
+  }
+
   def compactSinkDir(s: SparkSession, dir: String,
       orderCol: org.apache.spark.sql.Column,
       maxRecordsPerFile: Long = 1L * 1024 * 1024,
       markerBase: Option[String] = None): (Long, Long, Long) = {
+    dropStaleStaging(s, dir)
     dropUncommittedBatchFiles(s, dir, markerBase.getOrElse(dir))
     val audit = graft.ops.Layout.compactFlat(s, dir, orderCol, maxRecordsPerFile)
     // marker hygiene rides along: fold the contiguous committed prefix

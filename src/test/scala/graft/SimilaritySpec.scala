@@ -984,6 +984,87 @@ class SimilaritySpec extends SparkSpec {
       s"the translated twin must concentrate occupancy: ${g(2L)._2}")
   }
 
+  test("composed-OPQ index lifecycle: raw-space appends rotate, drift tracks, retrain keeps the tier composed") {
+    import org.apache.spark.sql.functions._
+    val sf01 = "/root/testdata/sf0.1" // 2000 vectors — the largest corpus
+    val e = spark.read.parquet(s"$sf01/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val past = e.filter(col("vec_id") % 4 =!= 1)
+    val ip = java.nio.file.Files.createTempDirectory("graft_opq_idx").toString + "/idx"
+    // corpus build: rotation + rotated-space coarse quantizer, codebooks
+    // and codes persist as ONE artifact at one path. The train cap is
+    // forced BELOW the corpus size to reproduce production geometry: at
+    // scale, N >> OpqTrainCap makes the build-corpus baseline mostly
+    // held-out, so an in-distribution arrival sits at ratio ≈ 1; at toy
+    // scale an uncapped build fits the whole corpus and the
+    // in-sample-vs-held-out generalization gap alone reads as ~1.3×
+    // "drift" — a geometry artifact, not a monitor property
+    val (rot, cb) = Similarity.trainOpqOn(spark, past, trainCap = 512L)
+    val r = rot.select(col("comp"), col("weights")).collect()
+      .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+    val rotPast = Similarity.rotateFrame(past, r)
+    val cents = Similarity.centroids(rotPast)
+    Similarity.saveOpqIndex(ip, rot, cents, cb,
+      Similarity.buildIvfpqIndex(rotPast, cents, cb))
+    Similarity.recordDriftBaseline(spark, ip, rotPast, cb, Some(cents))
+    // the nightly batch arrives in RAW space — the append path detects
+    // the rotation artifact and encodes rotated, so after the append the
+    // codes table is EXACTLY a rotated-space rebuild over the full corpus
+    val day = e.filter(col("vec_id") % 4 === 1)
+    assert(Similarity.appendToIndexAt(spark, ip, day, 0L))
+    val (rotL, centsL, cbL, codesL) = Similarity.loadOpqIndex(spark, ip)
+    def codeSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Int, Int)] =
+      df.collect().map(row => (row.getAs[Long]("vec_id"), row.getAs[Int]("sub"),
+        row.getAs[Int]("code"), row.getAs[Int]("ivf_cell"))).toSet
+    assert(codeSet(codesL) ===
+      codeSet(Similarity.buildIvfpqIndex(Similarity.rotateFrame(e, r), cents, cb)),
+      "raw-space append ≡ rotated-space rebuild under the same models")
+    // the in-distribution batch's drift row (computed in rotated space)
+    // sits in the band
+    val rep0 = Similarity.driftReport(spark, ip).collect()
+    assert(rep0.length === 1 && !rep0.head.getAs[Boolean]("drifted"),
+      s"in-distribution raw-space append must record in-band: " +
+        s"${rep0.head.getAs[Double]("err_ratio")}")
+    // steady-state serving straight from the disk artifact ≡ the
+    // model-fed inline form
+    val queries = e.limit(5)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val served = Similarity.opqIvfpqTopkForQueries(spark, sf01, queries,
+      model = Some((rotL, centsL, cbL)), precomputedCodes = Some(codesL))
+      .collect().map(_.toString).sorted.toSeq
+    val inline = Similarity.opqIvfpqTopkForQueries(spark, sf01, queries,
+      model = Some((rot, cents, cb))).collect().map(_.toString).sorted.toSeq
+    assert(served === inline,
+      "serving from the loaded artifact must equal the inline-encode form")
+    // the world moves: two shifted batches trip, the retrain fires, and
+    // the index COMES BACK COMPOSED — new rotation, new rotated-space
+    // models, the shifted world in-band
+    val shifted = e.withColumn("vec_id", col("vec_id") + 10000000L)
+      .withColumn("embedding", transform(col("embedding"), x => x * lit(3.0f)))
+    assert(Similarity.appendToIndexAt(spark, ip,
+      shifted.filter(col("vec_id") % 4 === 1), 1L))
+    assert(Similarity.appendToIndexAt(spark, ip,
+      shifted.filter(col("vec_id") % 4 === 3), 2L))
+    assert(Similarity.maybeRetrain(spark, ip,
+      corpus = e.unionByName(shifted), trainOn = Some(shifted)))
+    val (rotN, centsN, cbN, codesN) = Similarity.loadOpqIndex(spark, ip)
+    val rN = rotN.select(col("comp"), col("weights")).collect()
+      .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+    assert(rN.flatten.toSeq !== r.flatten.toSeq,
+      "retrain must refit the rotation to the new window")
+    assert(codeSet(codesN) === codeSet(Similarity.buildIvfpqIndex(
+      Similarity.rotateFrame(e.unionByName(shifted), rN), centsN, cbN)),
+      "post-retrain codes ≡ rebuild in the NEW rotated space")
+    val fresh = shifted.filter(col("vec_id") % 4 === 1)
+      .withColumn("vec_id", col("vec_id") + 10000000L)
+    assert(Similarity.appendToIndexAt(spark, ip, fresh, 3L))
+    val repN = Similarity.driftReport(spark, ip).collect()
+    assert(repN.map(_.getAs[Long]("batch_id")).toSeq === Seq(3L))
+    assert(!repN.head.getAs[Boolean]("drifted"),
+      s"the shifted world must be in-band under the refit rotation: " +
+        s"${repN.head.getAs[Double]("err_ratio")}")
+  }
+
   test("drift-triggered retrain: accumulated trips fire the rebuild, the new world lands in-band") {
     import org.apache.spark.sql.functions._
     val e = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -592,8 +592,14 @@ class StreamingSpec extends SparkSpec {
     // replay will rewrite the whole batch, so compaction must NOT absorb it
     Streams.replaceBatchFiles(spark, dir, 99L)(
       st => Seq((99L, "phantom")).toDF("id", "tag").write.parquet(st))
+    // and a stale staging dir from a commit that crashed mid-write —
+    // maintenance must sweep it (retries rebuild their staging anyway)
+    Seq((98L, "stale")).toDF("id", "tag")
+      .write.parquet(s"${dir}_staging/98")
     val expect = (0 until 12).map(b => (b.toLong, s"r$b")).toSet
     val (before, after, rows) = Streams.compactSinkDir(spark, dir, col("id"))
+    assert(!new java.io.File(s"${dir}_staging").exists(),
+      "compaction must sweep crashed commits' staging dirs")
     // `before` counts AFTER the uncommitted-partial cleanup: 12 committed
     // batch files (the phantom b99 file is already gone by then)
     assert(before >= 12L, s"one file per batch before: $before")

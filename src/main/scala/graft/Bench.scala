@@ -38,8 +38,8 @@ object Bench {
     "ann_opq_ivfpq_topk", "ann_opq_ivfpq_topk_fed", "ann_opq_ivfpq_topk_indexed",
     "ann_ivfpq_topk",
     "ann_ivfpq_topk_fed", "ann_ivfpq_topk_indexed", "ann_ivfpq_residual_topk",
-    "ann_drift_report", "ann_retrain_report",
-    "ann_opq_ivfpq_residual_topk_fed",
+    "ann_drift_report", "ann_retrain_report", "ann_index_report",
+    "ann_opq_ivfpq_residual_topk_fed", "ann_opq_ivfpq_residual_topk_indexed",
     "text_decontaminate_fuzzy",
     "text_quality", "text_quality_classifier", "text_fingerprint",
     "text_lang_id", "text_curate_corpus",

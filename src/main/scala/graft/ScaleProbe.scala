@@ -379,7 +379,8 @@ object ScaleProbe {
       val rcb = graft.ops.Similarity.pqCodebooks(graft.ops.Similarity
         .residualVectors(emb, cents).select(col("vec_id"), col("embedding")))
       graft.ops.Similarity.saveIndex(s"$out/_ann_index_res", cents, rcb,
-        graft.ops.Similarity.buildIvfpqIndex(emb, cents, rcb, residual = true))
+        graft.ops.Similarity.buildIvfpqIndex(emb, cents, rcb, residual = true),
+        residual = true)
       println(f"ann_residual_index_build_save: ${(System.nanoTime() - t3) / 1e9}%.1f s")
       val (rc, rcb2, rcodes) = graft.ops.Similarity.loadIndex(spark, s"$out/_ann_index_res")
       val t4 = System.nanoTime()

@@ -1444,9 +1444,17 @@ object Similarity {
   /** [[saveModels]] plus the encoded corpus ([[buildIvfpqIndex]]) — the
     * full on-disk index, FAISS-shaped: models + codes persist at corpus
     * build; a retrieval job loads all three and pays only probe + ADC.
+    * `residual` records the codes' ENCODING in the artifact (a
+    * `_residual` flag file): codes quantizing x − centroid(cell) are
+    * meaningless under the raw ADC tables and vice versa, so the
+    * maintenance paths ([[appendToIndexAt]], [[retrainIndex]]) read the
+    * encoding from disk rather than trusting every later caller to
+    * repeat a boolean correctly — a mismatched append would poison the
+    * codes table silently (same schema, wrong geometry), the exact
+    * failure shape the rotation artifact already guards against.
     */
   def saveIndex(path: String, cents: DataFrame, codebooks: DataFrame,
-      codes: DataFrame): Unit = {
+      codes: DataFrame, residual: Boolean = false): Unit = {
     saveModels(path, cents, codebooks)
     codes.write.mode("overwrite").parquet(s"$path/pq_codes.parquet")
     val conf = codes.sparkSession.sparkContext.hadoopConfiguration
@@ -1460,6 +1468,24 @@ object Similarity {
     // ([[saveOpqIndex]] rewrites the rotation AFTER this runs)
     val rp = new org.apache.hadoop.fs.Path(s"$path/opq_rotation.parquet")
     rp.getFileSystem(conf).delete(rp, true)
+    // the encoding flag follows the same overwrite discipline: a raw
+    // rebuild over a residual path demotes it
+    val rf = new org.apache.hadoop.fs.Path(residualFlagPath(path))
+    val rffs = rf.getFileSystem(conf)
+    if (residual) rffs.create(rf, true).close()
+    else { rffs.delete(rf, false); () }
+  }
+
+  private def residualFlagPath(path: String): String = s"$path/_residual"
+
+  /** Whether the index at `path` stores RESIDUAL-encoded codes — read
+    * from the artifact ([[saveIndex]]'s `_residual` flag), the way the
+    * rotation is detected: the encoding is a property of the index, not
+    * an argument.
+    */
+  private[ops] def indexResidual(s: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(residualFlagPath(path))
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** The composed-OPQ ("OPQ,IVF,PQ") index as ONE on-disk artifact, under
@@ -1474,8 +1500,9 @@ object Similarity {
     * [[buildIvfpqIndex]] produce).
     */
   def saveOpqIndex(path: String, rotation: DataFrame, cents: DataFrame,
-      codebooks: DataFrame, codes: DataFrame): Unit = {
-    saveIndex(path, cents, codebooks, codes)
+      codebooks: DataFrame, codes: DataFrame,
+      residual: Boolean = false): Unit = {
+    saveIndex(path, cents, codebooks, codes, residual)
     rotation.write.mode("overwrite").parquet(s"$path/opq_rotation.parquet")
   }
 
@@ -1767,7 +1794,7 @@ object Similarity {
     * call per micro-batch.
     */
   def appendToIndexAt(s: SparkSession, path: String, batch: DataFrame,
-      batchId: Long, residual: Boolean = false): Boolean = {
+      batchId: Long): Boolean = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(s"${path}_batches/$batchId")
@@ -1776,6 +1803,11 @@ object Similarity {
       val cached = batch.persist()
       try {
         val (cents, cb) = loadModels(s, path)
+        // the encoding is the INDEX's property, read from the artifact —
+        // a caller-repeated boolean here would let one mistyped append
+        // poison a residual index with raw-encoded codes (same schema,
+        // silently wrong ADC distances)
+        val residual = indexResidual(s, path)
         // a composed-OPQ index ([[saveOpqIndex]]) keeps its models and
         // codes in ROTATED space — the batch rotates first (one MatVec
         // over batch rows), then the encode and drift statistics run
@@ -1838,6 +1870,75 @@ object Similarity {
         (col("mean_err") > lit(base * tripRatio)
           || (!isnan(shareRatio) && shareRatio > shareTripRatio)).as("drifted"))
       .orderBy(col("batch_id"))
+  }
+
+  /** The index artifact's one-row operational inventory — what an ops
+    * dashboard (or an on-call human) reads before touching a serving
+    * index: its KIND (raw / composed-OPQ — the rotation artifact) and
+    * ENCODING (raw / residual — the `_residual` flag), live vs
+    * tombstoned vector counts, physical file count of the codes dir
+    * (the compaction signal), whether the int8 sibling artifact exists,
+    * the committed-batch watermark and still-open marker count (the
+    * replay-protocol state), and the drift tail (recorded batches, last
+    * batch's error ratio and verdict) when a baseline exists. Cost: one
+    * column-pruned distinct over code vec_ids plus driver-side listings
+    * and the few-row drift read — audit-priced, corpus-scan-free.
+    */
+  def describeIndex(s: SparkSession, path: String): DataFrame = {
+    import s.implicits._
+    val conf = s.sparkContext.hadoopConfiguration
+    def hp(sub: String) = new org.apache.hadoop.fs.Path(sub)
+    def exists(sub: String) = hp(sub).getFileSystem(conf).exists(hp(sub))
+    val kind = if (exists(s"$path/opq_rotation.parquet")) "opq" else "raw"
+    val encoding = if (indexResidual(s, path)) "residual" else "raw"
+    val codesDir = s"$path/pq_codes.parquet"
+    val fs = hp(codesDir).getFileSystem(conf)
+    val codeFiles = fs.listStatus(hp(codesDir))
+      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet")).toLong
+    val ids = s.read.parquet(codesDir).select(col("vec_id")).distinct()
+    val live = applyTombstones(s, ids, tombstonePath(path), "vec_id").count()
+    val tomb =
+      if (exists(tombstonePath(path)))
+        s.read.parquet(tombstonePath(path)).select(col("vec_id"))
+          .distinct().count()
+      else 0L
+    val wm = graft.streaming.Streams.committedWatermark(s, path)
+    val markerDir = hp(s"${path}_batches")
+    val openMarkers =
+      if (!fs.exists(markerDir)) 0L
+      else fs.listStatus(markerDir)
+        .count(_.getPath.getName.matches("\\d+")).toLong
+    val drift: Option[(Long, Long, Double, Boolean)] =
+      if (!exists(driftTablePath(path))) None
+      else {
+        val t = s.read.parquet(driftTablePath(path))
+        if (t.filter(col("batch_id") === -1L).isEmpty) None
+        else {
+          val rows = driftReport(s, path)
+            .orderBy(col("batch_id").desc).limit(1).collect()
+          rows.headOption.map { r =>
+            (t.filter(col("batch_id") >= 0L).count(),
+              r.getAs[Long]("batch_id"), r.getAs[Double]("err_ratio"),
+              r.getAs[Boolean]("drifted"))
+          }
+        }
+      }
+    Seq((kind, encoding, live, tomb, codeFiles,
+        exists(s"$path/int8_codes.parquet"), wm, openMarkers,
+        drift.map(_._1).getOrElse(0L), drift.map(_._2), drift.map(_._3),
+        drift.map(_._4)))
+      .toDF("kind", "encoding", "live_vectors", "tombstoned", "code_files",
+        "has_int8", "batch_watermark", "open_markers", "drift_batches",
+        "last_batch_id", "last_err_ratio", "last_drifted")
+  }
+
+  /** Gate/bench form of [[describeIndex]] (rows-only — artifact state is
+    * engine-internal): the one-row inventory of the session's persisted
+    * IVFPQ index.
+    */
+  def annIndexReport(s: SparkSession, dir: String): DataFrame = {
+    persistedIndex(s, dir)
+    describeIndex(s, annIndexPath(s, dir))
   }
 
   /** Gate/bench form of the drift monitor (rows-only — k-means/PQ state
@@ -1913,12 +2014,38 @@ object Similarity {
     *     and [[recordDriftBaseline]] restamps the drift time series from
     *     the new models over the new corpus.
     *
-    * Single-writer maintenance like [[compactIndex]]; on a mid-retrain
-    * crash, rerun it (the fence makes the rerun idempotent with respect
-    * to old batches).
+    * Single-writer maintenance like [[compactIndex]]; crash-safe via
+    * staged promotion: the ENTIRE new generation (models, codes, int8,
+    * encoding flag, rotation, drift baseline) builds under
+    * `<path>_retrain_staging` while the live index keeps serving, then
+    * swaps in with two renames. A crash anywhere before the swap leaves
+    * the old index fully intact (rerun rebuilds staging from scratch); a
+    * crash between the renames leaves the old index at
+    * `<path>_retrain_old`, which the rerun restores first — the live
+    * path is never a mixed generation (new codebooks over old codes
+    * would serve silently wrong distances, the worst failure mode a
+    * maintenance job can have). The index's encoding (raw/residual) and
+    * kind (raw/OPQ) are read from the artifact and preserved through the
+    * rebuild.
     */
   def retrainIndex(s: SparkSession, path: String, corpus: DataFrame,
-      trainOn: Option[DataFrame] = None, residual: Boolean = false): Unit = {
+      trainOn: Option[DataFrame] = None): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val pathP = new org.apache.hadoop.fs.Path(path)
+    val fs = pathP.getFileSystem(conf)
+    val stagingP = new org.apache.hadoop.fs.Path(s"${path}_retrain_staging")
+    val oldP = new org.apache.hadoop.fs.Path(s"${path}_retrain_old")
+    // crash recovery first: a rerun after a mid-promote crash finds the
+    // live path missing and the old generation parked — restore it (the
+    // rebuild below starts over either way); a crash after the second
+    // rename just leaves the parked dir to delete
+    if (!fs.exists(pathP) && fs.exists(oldP))
+      require(fs.rename(oldP, pathP),
+        s"retrain recovery: restoring $oldP -> $pathP failed")
+    fs.delete(oldP, true)
+    fs.delete(stagingP, true)
+    val staging = stagingP.toString
+    val residual = indexResidual(s, path)
     val train = trainOn.getOrElse(corpus)
     // a composed-OPQ index stays composed-OPQ through retrain: the
     // rotation is itself a frozen model that drifts with the codebooks it
@@ -1940,25 +2067,39 @@ object Similarity {
           .select(col("vec_id"), col("embedding")))
         else pqCodebooks(trainEnc)
     }
-    graft.streaming.Streams.fenceBatchEpoch(s, path)
     val corpusEnc = maybeRot.map { case (_, r, _) => rotateFrame(corpus, r) }
       .getOrElse(corpus)
     val codes = buildIvfpqIndex(corpusEnc, cents, cb, residual)
+    // build the COMPLETE new generation under staging — the live index
+    // serves untouched until the swap
     maybeRot match {
-      case Some((rotDf, _, _)) => saveOpqIndex(path, rotDf, cents, cb, codes)
-      case None => saveIndex(path, cents, cb, codes)
+      case Some((rotDf, _, _)) =>
+        saveOpqIndex(staging, rotDf, cents, cb, codes, residual)
+      case None => saveIndex(staging, cents, cb, codes, residual)
     }
     // the int8 artifact is raw-space (rotation-free quantization) — it
     // rebuilds from the raw corpus either way
     val int8P = new org.apache.hadoop.fs.Path(s"$path/int8_codes.parquet")
-    if (int8P.getFileSystem(s.sparkContext.hadoopConfiguration).exists(int8P))
-      saveInt8Codes(path, quantizeVectors(corpus))
+    if (int8P.getFileSystem(conf).exists(int8P))
+      saveInt8Codes(staging, quantizeVectors(corpus))
     // the baseline is a property of the MODEL, not the archive: it
     // restamps over the TRAINING window, because that is the distribution
     // the codebooks were fit to and the reference future batches should
     // be held against (baselining over a mixed old+new archive would
     // shift the reference toward the world the retrain just left)
-    recordDriftBaseline(s, path, trainEnc, cb, Some(cents))
+    recordDriftBaseline(s, staging, trainEnc, cb, Some(cents))
+    // fence, then promote: old batch ids must never re-apply to the new
+    // generation (their content is the caller's to include in `corpus`),
+    // and the swap itself is two renames — the only window in which the
+    // live path is not a complete single-generation index is "missing",
+    // which fails loudly, never "mixed", which would serve wrong
+    graft.streaming.Streams.fenceBatchEpoch(s, path)
+    require(fs.rename(pathP, oldP),
+      s"retrain promote: parking $pathP -> $oldP failed")
+    require(fs.rename(stagingP, pathP),
+      s"retrain promote: activating $stagingP -> $pathP failed")
+    fs.delete(oldP, true)
+    ()
   }
 
   /** The monitor→action loop closed: read the index's drift time series
@@ -1974,15 +2115,14 @@ object Similarity {
     */
   def maybeRetrain(s: SparkSession, path: String, corpus: DataFrame,
       trainOn: Option[DataFrame] = None, lastK: Int = 3, minTripped: Int = 2,
-      tripRatio: Double = 1.25, shareTripRatio: Double = 2.0,
-      residual: Boolean = false): Boolean = {
+      tripRatio: Double = 1.25, shareTripRatio: Double = 2.0): Boolean = {
     require(lastK >= 1 && minTripped >= 1 && minTripped <= lastK,
       s"need 1 <= minTripped ($minTripped) <= lastK ($lastK)")
     val tripped = driftReport(s, path, tripRatio, shareTripRatio)
       .orderBy(col("batch_id").desc).limit(lastK)
       .filter(col("drifted")).count()
     if (tripped >= minTripped) {
-      retrainIndex(s, path, corpus, trainOn, residual); true
+      retrainIndex(s, path, corpus, trainOn); true
     } else false
   }
 
@@ -2287,6 +2427,47 @@ object Similarity {
     opqIvfpqResidualTopk(s, dir, model = Some(m))
   }
 
+  private val opqResidCodesMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), DataFrame]()
+
+  /** [[opqIvfpqResidualTopk]] with models AND the encoded corpus fed —
+    * the steady-state serving rung of the full FAISS-default recipe
+    * ("OPQ,IVF,PQ" with residual codes): per query batch the job pays
+    * the query rotation, cell probing, the per-(query, probed cell)
+    * residual ADC tables, and the exact rerank. The corpus persists
+    * through the REAL composed-index artifact — [[saveOpqIndex]] with
+    * `residual = true`, so the artifact records BOTH properties and the
+    * whole maintenance lifecycle (rotated+residual appends, tombstones,
+    * compaction, a rotation-refitting residual retrain) applies to this
+    * flagship tier unchanged.
+    */
+  def opqIvfpqResidualTopkIndexed(s: SparkSession, dir: String): DataFrame = {
+    val ctx = s.sparkContext.applicationId + "/" + s.sparkContext.startTime
+    opqResidMemo.keySet.removeIf(_._1 != ctx)
+    val m = opqResidMemo.computeIfAbsent((ctx, dir), { _ =>
+      val path = System.getProperty("java.io.tmpdir") + "/graft_opqres_model_" +
+        java.lang.Integer.toHexString((ctx + "|" + dir).hashCode)
+      val (rot, cents, cb) = trainOpqIvfResidual(s, dir)
+      saveOpqIvfModel(path, rot, cents, cb)
+      loadOpqIvfModel(s, path)
+    })
+    opqResidCodesMemo.keySet.removeIf(_._1 != ctx)
+    val codes = opqResidCodesMemo.computeIfAbsent((ctx, dir), { _ =>
+      val path = System.getProperty("java.io.tmpdir") + "/graft_opqres_index_" +
+        java.lang.Integer.toHexString((ctx + "|" + dir).hashCode)
+      val (rot, cents, cb) = m
+      val r = rot.select(col("comp"), col("weights")).collect()
+        .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+      saveOpqIndex(path, rot, cents, cb,
+        buildIvfpqIndex(rotateFrame(Tables(s, dir).embeddings, r), cents, cb,
+          residual = true),
+        residual = true)
+      loadOpqIndex(s, path)._4
+    })
+    opqIvfpqResidualTopk(s, dir, model = Some(m),
+      precomputedCodes = Some(codes))
+  }
+
   // ------------------------------------------------------------ evaluation
   /** Recall@k evaluation report — the retrieval-QA harness a serving team
     * runs before switching tiers: score each approximate tier's
@@ -2412,6 +2593,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_recall_report" -> (annRecallReport _),
     "ann_drift_report" -> (annDriftReport _),
+    "ann_index_report" -> (annIndexReport _),
     "ann_retrain_report" -> (annRetrainReport _),
     "ann_autotune" -> ((s: SparkSession, dir: String) => annAutotune(s, dir)),
     "emb_quantize" -> (quantize _),
@@ -2428,6 +2610,7 @@ object Similarity {
     "ann_opq_ivfpq_topk_indexed" -> (opqIvfpqTopkIndexed _),
     "ann_opq_ivfpq_residual_topk" -> ((s: SparkSession, dir: String) => opqIvfpqResidualTopk(s, dir)),
     "ann_opq_ivfpq_residual_topk_fed" -> (opqIvfpqResidualTopkFed _),
+    "ann_opq_ivfpq_residual_topk_indexed" -> (opqIvfpqResidualTopkIndexed _),
     "ann_ivfpq_topk" -> ((s: SparkSession, dir: String) => ivfpqTopk(s, dir)),
     "ann_ivfpq_topk_fed" -> (ivfpqTopkFed _),
     "ann_ivfpq_topk_indexed" -> (ivfpqTopkIndexed _),

@@ -693,14 +693,16 @@ object Streams extends Serializable {
     * rule the dedup appends follow).
     */
   def annIngestSink(vectors: DataFrame, indexPath: String,
-      checkpoint: String, residual: Boolean = false)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     vectors.writeStream
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the encoding (raw/residual) and kind (raw/OPQ) are the INDEX's
+        // properties, read from the artifact by the append — one sink
+        // body serves every index flavor
         graft.ops.Similarity.appendToIndexAt(batch.sparkSession, indexPath,
-          batch, batchId, residual)
+          batch, batchId)
         ()
       }
       .start()

@@ -49,7 +49,7 @@ class SimilaritySpec extends SparkSpec {
   test("LSH geometry is a runtime knob: more bits → fewer candidates") {
     import org.apache.spark.sql.functions._
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
-      .select(col("vec_id"), col("embedding"))
+      .select(col("vec_id"), col("embedding"), col("label"))
     // Σ n·(n-1)/2 over buckets = the candidate-pair volume the equi-join does
     def candidatePairs(bits: Int): Long =
       Similarity.lshBuckets(e, 64, 4, bits)
@@ -244,8 +244,12 @@ class SimilaritySpec extends SparkSpec {
     Similarity.saveOpqIvfModel(dir, m._1, m._2, m._3)
     assert(topk(Similarity.opqIvfpqResidualTopk(spark, sf,
       model = Some(Similarity.loadOpqIvfModel(spark, dir)))) === res)
-    // the memoized fed gate entry equals the one-shot twin
+    // the memoized fed gate entry equals the one-shot twin, and the
+    // indexed rung (serving from the saveOpqIndex(residual=true)
+    // artifact — rotation, residual flag, models and codes all read
+    // back from disk) reproduces it too
     assert(topk(Similarity.opqIvfpqResidualTopkFed(spark, sf)) === res)
+    assert(topk(Similarity.opqIvfpqResidualTopkIndexed(spark, sf)) === res)
   }
 
   test("OPQ beats PQ where PQ is weakest: variance concentrated inside one subspace") {
@@ -934,7 +938,7 @@ class SimilaritySpec extends SparkSpec {
     val spark2 = spark
     import spark2.implicits._
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
-      .select(col("vec_id"), col("embedding"))
+      .select(col("vec_id"), col("embedding"), col("label"))
     val path = java.nio.file.Files.createTempDirectory("graft_drift").toString
     // corpus build on 3/4 of the vectors — the frozen model
     val corpus = e.filter(col("vec_id") % 4 =!= 0)
@@ -1063,6 +1067,175 @@ class SimilaritySpec extends SparkSpec {
     assert(!repN.head.getAs[Boolean]("drifted"),
       s"the shifted world must be in-band under the refit rotation: " +
         s"${repN.head.getAs[Double]("err_ratio")}")
+  }
+
+  test("index encoding is a property of the artifact: residual appends auto-detect, a raw rebuild demotes") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val corpus = e.filter(col("vec_id") % 4 =!= 0)
+    val ip = java.nio.file.Files.createTempDirectory("graft_enc_idx").toString + "/idx"
+    val cents = Similarity.centroids(corpus)
+    val rcb = Similarity.pqCodebooks(Similarity.residualVectors(corpus, cents)
+      .select(col("vec_id"), col("embedding")))
+    Similarity.saveIndex(ip, cents, rcb,
+      Similarity.buildIvfpqIndex(corpus, cents, rcb, residual = true),
+      residual = true)
+    def codeSet(): Set[(Long, Int, Int, Int)] =
+      Similarity.loadIndex(spark, ip)._3.collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("sub"),
+          r.getAs[Int]("code"), r.getAs[Int]("ivf_cell"))).toSet
+    def expect(cb: org.apache.spark.sql.DataFrame, residual: Boolean) =
+      Similarity.buildIvfpqIndex(e, cents, cb, residual).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("sub"),
+          r.getAs[Int]("code"), r.getAs[Int]("ivf_cell"))).toSet
+    // the nightly append carries NO encoding flag — it reads the
+    // artifact's _residual marker; with a caller-repeated boolean the
+    // default (raw) would have silently poisoned the residual codes table
+    val day = e.filter(col("vec_id") % 4 === 0)
+    assert(Similarity.appendToIndexAt(spark, ip, day, 0L))
+    assert(codeSet() === expect(rcb, residual = true),
+      "append must auto-detect the RESIDUAL encoding from the artifact")
+    val d0 = Similarity.describeIndex(spark, ip).collect().head
+    assert(d0.getAs[String]("encoding") === "residual")
+    assert(d0.getAs[String]("kind") === "raw")
+    // a raw rebuild over the same path DEMOTES the encoding (saveIndex's
+    // overwrite discipline, like the stale-rotation delete)
+    val cb = Similarity.pqCodebooks(corpus)
+    Similarity.saveIndex(ip, cents, cb,
+      Similarity.buildIvfpqIndex(corpus, cents, cb))
+    assert(Similarity.describeIndex(spark, ip).collect().head
+      .getAs[String]("encoding") === "raw")
+    assert(Similarity.appendToIndexAt(spark, ip, day, 1L))
+    assert(codeSet() === expect(cb, residual = false),
+      "post-demotion appends must encode raw")
+  }
+
+  test("composed-residual index: appends auto-detect rotation AND residual, retrain preserves both") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val corpus = e.filter(col("vec_id") % 4 =!= 0)
+    val ip = java.nio.file.Files.createTempDirectory("graft_opqres_idx").toString + "/idx"
+    val (rot, _) = Similarity.trainOpqOn(spark, corpus)
+    val r = rot.select(col("comp"), col("weights")).collect()
+      .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+    val rotC = Similarity.rotateFrame(corpus, r)
+    val cents = Similarity.centroids(rotC)
+    val rcb = Similarity.pqCodebooks(Similarity.residualVectors(rotC, cents)
+      .select(col("vec_id"), col("embedding")))
+    Similarity.saveOpqIndex(ip, rot, cents, rcb,
+      Similarity.buildIvfpqIndex(rotC, cents, rcb, residual = true),
+      residual = true)
+    def codeSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Int, Int)] =
+      df.collect().map(row => (row.getAs[Long]("vec_id"), row.getAs[Int]("sub"),
+        row.getAs[Int]("code"), row.getAs[Int]("ivf_cell"))).toSet
+    // the raw-space nightly batch must rotate AND residual-encode — both
+    // properties read from the artifact, no caller flags anywhere
+    val day = e.filter(col("vec_id") % 4 === 0)
+    assert(Similarity.appendToIndexAt(spark, ip, day, 0L))
+    assert(codeSet(Similarity.loadIndex(spark, ip)._3) === codeSet(
+      Similarity.buildIvfpqIndex(Similarity.rotateFrame(e, r), cents, rcb,
+        residual = true)),
+      "append ≡ rotated residual-encoded rebuild under the same models")
+    val d = Similarity.describeIndex(spark, ip).collect().head
+    assert(d.getAs[String]("kind") === "opq")
+    assert(d.getAs[String]("encoding") === "residual")
+    // retrain keeps the tier composed-residual: new rotation, new
+    // rotated-space coarse quantizer, codebooks refit on the NEW rotated
+    // residuals, codes ≡ a fresh composed-residual build
+    Similarity.retrainIndex(spark, ip, e)
+    val d2 = Similarity.describeIndex(spark, ip).collect().head
+    assert(d2.getAs[String]("kind") === "opq")
+    assert(d2.getAs[String]("encoding") === "residual")
+    val (rotN, centsN, cbN, codesN) = Similarity.loadOpqIndex(spark, ip)
+    val rN = rotN.select(col("comp"), col("weights")).collect()
+      .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+    assert(codeSet(codesN) === codeSet(Similarity.buildIvfpqIndex(
+      Similarity.rotateFrame(e, rN), centsN, cbN, residual = true)),
+      "post-retrain codes ≡ fresh composed-residual build in the new space")
+  }
+
+  test("retrain is staged: the live index is never a mixed generation, crash windows recover") {
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val past = e.filter(col("vec_id") % 2 === 0)
+    val ip = java.nio.file.Files.createTempDirectory("graft_retrain_stg").toString + "/idx"
+    val fs = new org.apache.hadoop.fs.Path(ip)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stagingP = new org.apache.hadoop.fs.Path(s"${ip}_retrain_staging")
+    val oldP = new org.apache.hadoop.fs.Path(s"${ip}_retrain_old")
+    val cents0 = Similarity.centroids(past)
+    val cb0 = Similarity.pqCodebooks(past)
+    Similarity.saveIndex(ip, cents0, cb0,
+      Similarity.buildIvfpqIndex(past, cents0, cb0))
+    Similarity.recordDriftBaseline(spark, ip, past, cb0, Some(cents0))
+    // a stale staging dir from a crashed earlier retrain must neither
+    // corrupt the rebuild nor survive it
+    Seq((1L, "junk")).toDF("vec_id", "junk")
+      .write.parquet(s"${ip}_retrain_staging/garbage.parquet")
+    Similarity.retrainIndex(spark, ip, e)
+    def codeSet(): Set[(Long, Int, Int, Int)] =
+      Similarity.loadIndex(spark, ip)._3.collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("sub"),
+          r.getAs[Int]("code"), r.getAs[Int]("ivf_cell"))).toSet
+    val centsN = Similarity.centroids(e)
+    val cbN = Similarity.pqCodebooks(e)
+    val expect = Similarity.buildIvfpqIndex(e, centsN, cbN).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("sub"),
+        r.getAs[Int]("code"), r.getAs[Int]("ivf_cell"))).toSet
+    assert(codeSet() === expect, "retrained index ≡ fresh build")
+    assert(!fs.exists(stagingP) && !fs.exists(oldP),
+      "a completed retrain leaves no staging or parked dirs")
+    // the WORST crash window: between the two promote renames the live
+    // path is missing and the old generation is parked — a rerun must
+    // restore it first, then rebuild and promote cleanly (training is
+    // deterministic, so the recovered rebuild reproduces the same index)
+    require(fs.rename(new org.apache.hadoop.fs.Path(ip), oldP))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(ip)))
+    Similarity.retrainIndex(spark, ip, e)
+    assert(codeSet() === expect,
+      "rerun after a mid-promote crash must recover to the same index")
+    assert(!fs.exists(stagingP) && !fs.exists(oldP))
+  }
+
+  test("describeIndex: the one-row ops inventory tracks the lifecycle") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val corpus = e.filter(col("vec_id") % 4 =!= 0)
+    val ip = java.nio.file.Files.createTempDirectory("graft_describe").toString + "/idx"
+    val cents = Similarity.centroids(corpus)
+    val cb = Similarity.pqCodebooks(corpus)
+    Similarity.saveIndex(ip, cents, cb,
+      Similarity.buildIvfpqIndex(corpus, cents, cb))
+    Similarity.recordDriftBaseline(spark, ip, corpus, cb, Some(cents))
+    val nCorpus = corpus.count()
+    val day = e.filter(col("vec_id") % 4 === 0)
+    assert(Similarity.appendToIndexAt(spark, ip, day, 0L))
+    Similarity.removeFromIndex(spark, ip, corpus.limit(5).select(col("vec_id")))
+    val d = Similarity.describeIndex(spark, ip).collect().head
+    assert(d.getAs[String]("kind") === "raw")
+    assert(d.getAs[String]("encoding") === "raw")
+    assert(d.getAs[Long]("live_vectors") === nCorpus + day.count() - 5)
+    assert(d.getAs[Long]("tombstoned") === 5L)
+    assert(!d.getAs[Boolean]("has_int8"))
+    assert(d.getAs[Long]("batch_watermark") === -1L)
+    assert(d.getAs[Long]("open_markers") === 1L)
+    assert(d.getAs[Long]("drift_batches") === 1L)
+    assert(d.getAs[Long]("last_batch_id") === 0L)
+    assert(!d.getAs[Boolean]("last_drifted"))
+    // maintenance folds tombstones and markers — the inventory follows
+    Similarity.compactIndex(spark, ip)
+    val d2 = Similarity.describeIndex(spark, ip).collect().head
+    assert(d2.getAs[Long]("live_vectors") === nCorpus + day.count() - 5)
+    assert(d2.getAs[Long]("tombstoned") === 0L)
+    assert(d2.getAs[Long]("batch_watermark") === 0L)
+    assert(d2.getAs[Long]("open_markers") === 0L)
+    assert(d2.getAs[Long]("code_files") <= 2L)
   }
 
   test("drift-triggered retrain: accumulated trips fire the rebuild, the new world lands in-band") {

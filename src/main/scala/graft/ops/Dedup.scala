@@ -836,17 +836,30 @@ object Dedup {
     * the index is the persisted signature frame of the other 3/4.
     */
   def minhashIncremental(s: SparkSession, dir: String): DataFrame = {
+    minhashIncremental(s,
+      Tables(s, dir).documents.filter(col("doc_id") % 4 === 0),
+      persistedMinhashIndex(s, dir))
+  }
+
+  private def persistedMinhashIndexPath(s: SparkSession, dir: String): String = {
+    val ctx = s.sparkContext.applicationId + "/" + s.sparkContext.startTime
+    System.getProperty("java.io.tmpdir") + "/graft_minhash_index_" +
+      java.lang.Integer.toHexString((ctx + "|" + dir).hashCode)
+  }
+
+  /** The session's persisted 3/4-corpus signature index (built once per
+    * (session, corpus), read back after) — shared by the incremental gate
+    * entry and the index inventory.
+    */
+  private def persistedMinhashIndex(s: SparkSession, dir: String): DataFrame = {
     val ctx = s.sparkContext.applicationId + "/" + s.sparkContext.startTime
     minhashIndexMemo.keySet.removeIf(_._1 != ctx)
-    val index = minhashIndexMemo.computeIfAbsent((ctx, dir), { _ =>
-      val path = System.getProperty("java.io.tmpdir") + "/graft_minhash_index_" +
-        java.lang.Integer.toHexString((ctx + "|" + dir).hashCode)
+    minhashIndexMemo.computeIfAbsent((ctx, dir), { _ =>
+      val path = persistedMinhashIndexPath(s, dir)
       saveMinhashIndex(s,
         Tables(s, dir).documents.filter(col("doc_id") % 4 =!= 0), path)
       loadMinhashIndex(s, path)
     })
-    minhashIncremental(s,
-      Tables(s, dir).documents.filter(col("doc_id") % 4 === 0), index)
   }
 
   // ---------------------------------------------- embedding index / incremental
@@ -1064,6 +1077,77 @@ object Dedup {
     auditEmbeddingIndex(s, persistedEmbIndexPath(s, dir))
   }
 
+  // ---------------------------------------------------- index inventory
+  private def parquetFileCount(s: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p)
+      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet")).toLong
+  }
+
+  private def distinctIds(s: SparkSession, dir: String, idCol: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)) 0L
+    else s.read.parquet(dir).select(col(idCol)).distinct().count()
+  }
+
+  /** One-row operational inventory of a dedup index —
+    * [[graft.ops.Similarity.describeIndex]]'s discipline for the near-dup
+    * artifacts, sharing one schema across both families so an ops
+    * dashboard unions them: family, live vs tombstoned id counts,
+    * physical file count across the family's data tables (the compaction
+    * signal — nightly appends grow one file per writer task per batch),
+    * and the streaming replay-protocol state (committed-batch watermark +
+    * still-open marker count). Cost: column-pruned distincts over id
+    * columns plus driver-side listings — audit-priced, never touches text
+    * or vectors.
+    */
+  def describeMinhashIndex(s: SparkSession, path: String): DataFrame =
+    dedupInventoryRow(s, "minhash", path,
+      live = loadMinhashIndex(s, path).select(col("doc_id")).distinct().count(),
+      tombstoned = distinctIds(s, minhashTombstonePath(path), "doc_id"),
+      dataFiles = parquetFileCount(s, path))
+
+  /** [[describeMinhashIndex]] for the embedding index — `data_files`
+    * spans BOTH its tables (vectors + buckets), since compaction rewrites
+    * both.
+    */
+  def describeEmbeddingIndex(s: SparkSession, path: String): DataFrame =
+    dedupInventoryRow(s, "embedding", path,
+      live = loadEmbeddingIndex(s, path)._1.select(col("vec_id"))
+        .distinct().count(),
+      tombstoned = distinctIds(s, s"$path/tombstones.parquet", "vec_id"),
+      dataFiles = parquetFileCount(s, s"$path/vectors")
+        + parquetFileCount(s, s"$path/buckets"))
+
+  private def dedupInventoryRow(s: SparkSession, family: String, path: String,
+      live: Long, tombstoned: Long, dataFiles: Long): DataFrame = {
+    import s.implicits._
+    val wm = graft.streaming.Streams.committedWatermark(s, path)
+    val markerDir = new org.apache.hadoop.fs.Path(s"${path}_batches")
+    val fs = markerDir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val openMarkers =
+      if (!fs.exists(markerDir)) 0L
+      else fs.listStatus(markerDir)
+        .count(_.getPath.getName.matches("\\d+")).toLong
+    Seq((family, live, tombstoned, dataFiles, wm, openMarkers))
+      .toDF("family", "live_ids", "tombstoned", "data_files",
+        "batch_watermark", "open_markers")
+  }
+
+  /** Gate/bench form (rows-only — artifact state is engine-internal):
+    * the two-row inventory of the session's persisted dedup indexes, one
+    * row per family.
+    */
+  def dedupIndexReport(s: SparkSession, dir: String): DataFrame = {
+    persistedMinhashIndex(s, dir)
+    persistedEmbIndex(s, dir)
+    describeMinhashIndex(s, persistedMinhashIndexPath(s, dir))
+      .unionByName(describeEmbeddingIndex(s, persistedEmbIndexPath(s, dir)))
+      .orderBy(col("family"))
+  }
+
   // ------------------------------------------------------------ fuzzy decontamination
   /** Cross-corpus fuzzy decontamination: flag TRAINING docs that are
     * MinHash near-duplicates of any BENCHMARK doc — the paraphrase-robust
@@ -1141,7 +1225,8 @@ object Dedup {
     "dedup_minhash_incremental" -> ((s: SparkSession, dir: String) => minhashIncremental(s, dir)),
     "text_decontaminate_fuzzy" -> ((s: SparkSession, dir: String) => decontaminateFuzzy(s, dir)),
     "dedup_embedding_incremental" -> ((s: SparkSession, dir: String) => embeddingIncremental(s, dir)),
-    "dedup_index_audit" -> (indexBucketAudit _))
+    "dedup_index_audit" -> (indexBucketAudit _),
+    "dedup_index_report" -> (dedupIndexReport _))
 
   /** dedup_minhash_lsh / dedup_simhash are rows-only: signatures depend on
     * engine-internal hashes (xxhash64/murmur); DedupSpec pins their recall

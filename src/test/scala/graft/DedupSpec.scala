@@ -575,4 +575,67 @@ class DedupSpec extends SparkSpec {
     val idxN = e.filter(col("vec_id") % 4 =!= 0).count()
     gate.foreach(r => assert(r.getAs[Long]("n_rows") === idxN))
   }
+
+  test("index inventory tracks the append → takedown → compact lifecycle on both families") {
+    val spark2 = spark
+    import spark2.implicits._
+    case class Inv(live: Long, tomb: Long, files: Long, wm: Long, open: Long)
+    def inv(df: org.apache.spark.sql.DataFrame): Inv = {
+      val r = df.collect().head
+      Inv(r.getAs[Long]("live_ids"), r.getAs[Long]("tombstoned"),
+        r.getAs[Long]("data_files"), r.getAs[Long]("batch_watermark"),
+        r.getAs[Long]("open_markers"))
+    }
+    // ---- minhash family
+    val mp = java.nio.file.Files.createTempDirectory("graft_mh_inv").toString + "/idx"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    Dedup.saveMinhashIndex(spark, docs.filter(col("doc_id") < 80), mp)
+    val built = inv(Dedup.describeMinhashIndex(spark, mp))
+    val n0 = Dedup.loadMinhashIndex(spark, mp).count()
+    assert(built.live === n0 && built.tomb === 0 && built.wm === -1L
+      && built.open === 0)
+    // appends grow the file count (the compaction signal the inventory
+    // surfaces) and the live count
+    (0 until 5).foreach { d =>
+      Dedup.appendToMinhashIndex(spark,
+        docs.filter(col("doc_id") === 100 + d), mp)
+    }
+    val grown = inv(Dedup.describeMinhashIndex(spark, mp))
+    assert(grown.live === built.live + 5)
+    assert(grown.files > built.files, "appends must show up as file growth")
+    // a takedown moves ids from live to tombstoned without touching files
+    Dedup.removeFromMinhashIndex(spark, mp, Seq(100L, 101L).toDF("doc_id"))
+    val taken = inv(Dedup.describeMinhashIndex(spark, mp))
+    assert(taken.live === grown.live - 2 && taken.tomb === 2)
+    // compaction folds tombstones physical and bounds files
+    Dedup.compactMinhashIndex(spark, mp)
+    val compacted = inv(Dedup.describeMinhashIndex(spark, mp))
+    assert(compacted.live === taken.live && compacted.tomb === 0)
+    assert(compacted.files < grown.files)
+    // ---- embedding family (data_files spans vectors + buckets)
+    val ep = java.nio.file.Files.createTempDirectory("graft_emb_inv").toString
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    Dedup.saveEmbeddingIndex(spark, emb.filter(col("vec_id") < 80), ep)
+    val eb = inv(Dedup.describeEmbeddingIndex(spark, ep))
+    assert(eb.live === 80 && eb.tomb === 0)
+    Dedup.appendToEmbeddingIndex(spark, emb.filter(col("vec_id") === 100), ep)
+    Dedup.removeFromEmbeddingIndex(spark, ep, Seq(100L).toDF("vec_id"))
+    val et = inv(Dedup.describeEmbeddingIndex(spark, ep))
+    assert(et.live === 80 && et.tomb === 1)
+    assert(et.files > eb.files)
+    Dedup.compactEmbeddingIndex(spark, ep)
+    val ec = inv(Dedup.describeEmbeddingIndex(spark, ep))
+    assert(ec.live === 80 && ec.tomb === 0 && ec.files <= eb.files)
+    // the gate form unions one row per family, deterministically ordered
+    val gateInv = Dedup.dedupIndexReport(spark, sf).collect()
+    assert(gateInv.map(_.getAs[String]("family")).toSeq
+      === Seq("embedding", "minhash"))
+    val docN = docs.filter(col("doc_id") % 4 =!= 0)
+      .filter(size(split(trim(col("text")), "\\s+")) >= 2).count()
+    assert(gateInv.find(_.getAs[String]("family") == "minhash").get
+      .getAs[Long]("live_ids") === docN)
+    assert(gateInv.find(_.getAs[String]("family") == "embedding").get
+      .getAs[Long]("live_ids")
+      === emb.filter(col("vec_id") % 4 =!= 0).count())
+  }
 }

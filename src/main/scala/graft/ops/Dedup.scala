@@ -841,11 +841,8 @@ object Dedup {
       persistedMinhashIndex(s, dir))
   }
 
-  private def persistedMinhashIndexPath(s: SparkSession, dir: String): String = {
-    val ctx = s.sparkContext.applicationId + "/" + s.sparkContext.startTime
-    System.getProperty("java.io.tmpdir") + "/graft_minhash_index_" +
-      java.lang.Integer.toHexString((ctx + "|" + dir).hashCode)
-  }
+  private def persistedMinhashIndexPath(s: SparkSession, dir: String): String =
+    Similarity.sessionScratchPath(s, "graft_minhash_index", dir)
 
   /** The session's persisted 3/4-corpus signature index (built once per
     * (session, corpus), read back after) — shared by the incremental gate
@@ -997,11 +994,8 @@ object Dedup {
   private val embIndexMemo = new java.util.concurrent.ConcurrentHashMap[
     (String, String), (DataFrame, DataFrame)]()
 
-  private def persistedEmbIndexPath(s: SparkSession, dir: String): String = {
-    val ctx = s.sparkContext.applicationId + "/" + s.sparkContext.startTime
-    System.getProperty("java.io.tmpdir") + "/graft_emb_index_" +
-      java.lang.Integer.toHexString((ctx + "|" + dir).hashCode)
-  }
+  private def persistedEmbIndexPath(s: SparkSession, dir: String): String =
+    Similarity.sessionScratchPath(s, "graft_emb_index", dir)
 
   /** The session's persisted 3/4-corpus embedding index (built once per
     * (session, corpus), served from disk after) — shared by the

@@ -738,7 +738,7 @@ object Similarity {
     * like every centroid table here. L2, not cosine: subvector norms
     * carry information the distance table must keep.
     */
-  private val PqM = 8
+  private[graft] val PqM = 8
   private val PqKsub = 16
 
   private def l2sq(a: Column, b: Column): Column =
@@ -1104,8 +1104,7 @@ object Similarity {
     val ctx = s.sparkContext.applicationId + "/" + s.sparkContext.startTime
     opqMemo.keySet.removeIf(_._1 != ctx)
     opqMemo.computeIfAbsent((ctx, dir), { _ =>
-      val path = System.getProperty("java.io.tmpdir") + "/graft_opq_model_" +
-        java.lang.Integer.toHexString((ctx + "|" + dir).hashCode)
+      val path = sessionScratchPath(s, "graft_opq_model", dir)
       val (rot, cb) = trainOpq(s, dir)
       saveOpqModel(path, rot, cb)
       loadOpqModel(s, path)
@@ -1116,8 +1115,7 @@ object Similarity {
     val ctx = s.sparkContext.applicationId + "/" + s.sparkContext.startTime
     opqCentsMemo.keySet.removeIf(_._1 != ctx)
     opqCentsMemo.computeIfAbsent((ctx, dir), { _ =>
-      val path = System.getProperty("java.io.tmpdir") + "/graft_opq_cents_" +
-        java.lang.Integer.toHexString((ctx + "|" + dir).hashCode)
+      val path = sessionScratchPath(s, "graft_opq_cents", dir)
       val (rot, _) = persistedOpqModel(s, dir)
       val r = rot.select(col("comp"), col("weights")).collect()
         .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
@@ -1166,8 +1164,7 @@ object Similarity {
       // — rotation + models + codes under one path with the full
       // maintenance lifecycle), so the gate/bench entry serves exactly
       // what a deployment would load, tombstone filtering included
-      val path = System.getProperty("java.io.tmpdir") + "/graft_opq_index_" +
-        java.lang.Integer.toHexString((ctx + "|" + dir).hashCode)
+      val path = sessionScratchPath(s, "graft_opq_index", dir)
       val r = rot.select(col("comp"), col("weights")).collect()
         .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
       saveOpqIndex(path, rot, cents, cb,
@@ -1473,7 +1470,18 @@ object Similarity {
     val rf = new org.apache.hadoop.fs.Path(residualFlagPath(path))
     val rffs = rf.getFileSystem(conf)
     if (residual) rffs.create(rf, true).close()
-    else { rffs.delete(rf, false); () }
+    else rffs.delete(rf, false)
+    // the replay-protocol state (markers + watermark) belongs to the
+    // previous build too: a stale watermark would silently fence out a
+    // fresh checkpoint's batch ids 0..N ("already committed" answered
+    // from the old build's history), dropping their vectors from the
+    // rebuilt index. [[retrainIndex]] deliberately KEEPS the live path's
+    // protocol state (it fences explicitly — its stream continues on the
+    // old checkpoint's monotone ids); it builds through a staging path,
+    // so this clean-slate rule never touches it.
+    val mb = new org.apache.hadoop.fs.Path(s"${path}_batches")
+    mb.getFileSystem(conf).delete(mb, true)
+    ()
   }
 
   private def residualFlagPath(path: String): String = s"$path/_residual"
@@ -1587,9 +1595,9 @@ object Similarity {
     * index is EXACTLY the index rebuilt without those vectors
     * (spec-pinned), not an approximation of it. Re-adding a deleted
     * vec_id happens through [[saveIndex]] (a corpus rebuild — clears all
-    * tombstones) — this index has no incremental on-disk append, so
-    * there is no silent-resurrection-miss path; the dedup indexes'
-    * append functions clear re-added ids explicitly.
+    * tombstones) or through [[appendToIndexAt]], whose batches clear
+    * their ids' tombstones explicitly (the dedup indexes' resurrection
+    * rule) and resurface the vector through its original rows.
     */
   def removeFromIndex(s: SparkSession, path: String, removedIds: DataFrame): Unit =
     removedIds.select(col("vec_id")).write.mode("append")
@@ -1623,8 +1631,13 @@ object Similarity {
     graft.streaming.Streams.dropStaleStaging(s, s"$path/drift.parquet")
     val live = applyTombstones(s, s.read.parquet(codesDir),
       tombstonePath(path), "vec_id")
+    // belt for historical duplicates (appendToIndexAt now refuses to
+    // re-write live ids, but indexes written before that guard may carry
+    // them): codes are content-derived per (vec_id, sub) under the frozen
+    // models, so duplicate rows are identical and keeping one is lossless
+    // — the compactMinhashIndex argument
     val audit = graft.ops.Layout.compactFlat(s, codesDir, col("vec_id"),
-      maxRecordsPerFile, source = Some(live))
+      maxRecordsPerFile, source = Some(live.dropDuplicates("vec_id", "sub")))
     // the tombstone list covers EVERY per-vector artifact at the path —
     // fold it into the int8 codes too (when present) before dropping it,
     // or compaction would physically resurrect the vector there
@@ -1636,6 +1649,15 @@ object Similarity {
         maxRecordsPerFile, source = Some(loadInt8Codes(s, path)))
     val ts = new org.apache.hadoop.fs.Path(tombstonePath(path))
     ts.getFileSystem(conf).delete(ts, true)
+    // the drift time series grows one file set per recorded batch — the
+    // same one-file-per-batch shape as the codes dir, one directory over;
+    // without this a year of minute-batches leaves ~500k tiny files that
+    // every driftReport/describeIndex decision read re-lists. All rows
+    // kept (it's a time series), just repacked.
+    val driftP = new org.apache.hadoop.fs.Path(driftTablePath(path))
+    if (driftP.getFileSystem(conf).exists(driftP))
+      graft.ops.Layout.compactFlat(s, driftTablePath(path), col("batch_id"),
+        maxRecordsPerFile)
     // compaction just absorbed every committed batch's files — fold the
     // contiguous committed prefix of marker files into the watermark so
     // the _batches dir stays bounded (replays of folded ids still skip,
@@ -1691,10 +1713,43 @@ object Similarity {
     val row = assignCodes(subs, cbSub).withColumnRenamed("code", "cell")
       .join(subs, Seq("vec_id", "sub"))
       .join(broadcast(cbSub), Seq("sub", "cell"))
+      // coalesce: a zero-row frame (an empty micro-batch) must yield
+      // (0, 0.0) for the callers' n > 0 guards to fire cleanly, not an
+      // NPE on a null sum
       .agg(count_distinct(col("vec_id")).as("n"),
-        sum(l2sq(col("sv"), col("centroid"))).as("err"))
+        coalesce(sum(l2sq(col("sv"), col("centroid"))), lit(0.0)).as("err"))
       .head
     (row.getLong(0), row.getDouble(1))
+  }
+
+  /** The (error-input, occupancy-input) views of a RAW batch under the
+    * index artifact's properties — the single place the drift statistics
+    * learn what space they measure in, so the baseline and every later
+    * batch row can never disagree: a composed-OPQ index rotates the batch
+    * first (its models live in rotated space), and a residual-encoded
+    * index measures error on x' − centroid(cell(x')) — the quantity its
+    * codebooks were actually trained to minimize (raw vectors against
+    * residual codebooks would let a pure translation trip the error
+    * signal that residual encoding absorbs per cell). Occupancy always
+    * reads the (rotated) vectors themselves — cells are assigned before
+    * residualizing.
+    */
+  private def driftViews(s: SparkSession, path: String, batch: DataFrame,
+      cents: Option[DataFrame]): (DataFrame, DataFrame) = {
+    val vecs = batch.select(col("vec_id"), col("embedding"))
+    val rotated = indexRotation(s, path) match {
+      case Some(r) => rotateFrame(vecs, r)
+      case None => vecs
+    }
+    val errInput =
+      if (!indexResidual(s, path)) rotated
+      else {
+        val c = cents.getOrElse(sys.error(
+          s"drift statistics on the residual-encoded index at $path need " +
+            "its coarse centroids (pass cents)"))
+        residualVectors(rotated, c).select(col("vec_id"), col("embedding"))
+      }
+    (errInput, rotated)
   }
 
   private def driftTablePath(path: String): String = s"$path/drift.parquet"
@@ -1723,11 +1778,15 @@ object Similarity {
     */
   def recordDriftBaseline(s: SparkSession, path: String, vectors: DataFrame,
       codebooks: DataFrame, cents: Option[DataFrame] = None): Unit = {
-    val (n, err) = quantStats(vectors, codebooks)
+    // `vectors` is RAW original-space — the index's rotation and residual
+    // encoding are read from the artifact ([[driftViews]]), so run this
+    // AFTER saveIndex/saveOpqIndex has written those properties
+    val (errInput, occInput) = driftViews(s, path, vectors, cents)
+    val (n, err) = quantStats(errInput, codebooks)
     require(n > 0, "drift baseline needs a non-empty corpus")
     import s.implicits._
     Seq((-1L, n, err / n,
-        cents.map(c => topCellShare(vectors, c)).getOrElse(Double.NaN)))
+        cents.map(c => topCellShare(occInput, c)).getOrElse(Double.NaN)))
       .toDF("batch_id", "n_vecs", "mean_err", "top_cell_share")
       .write.mode("overwrite").parquet(driftTablePath(path))
   }
@@ -1749,21 +1808,25 @@ object Similarity {
   def recordDrift(s: SparkSession, path: String, batch: DataFrame,
       codebooks: DataFrame, batchId: Long,
       cents: Option[DataFrame] = None): Unit =
-    driftRow(s, batch, codebooks, batchId, cents)
+    driftRow(s, path, batch, codebooks, batchId, cents)
       .write.mode("append").parquet(driftTablePath(path))
 
   /** The one-row drift frame [[recordDrift]] appends — exposed so the
-    * streaming ingest sink can route it through the exactly-once batch
-    * commit instead of a bare append.
+    * append path can route it through the exactly-once batch commit
+    * instead of a bare append. `batch` is RAW original-space; the index's
+    * rotation/residual properties are read from the artifact at `path`
+    * ([[driftViews]]) so these rows measure the same quantity the
+    * baseline did.
     */
-  private[graft] def driftRow(s: SparkSession, batch: DataFrame,
+  private[graft] def driftRow(s: SparkSession, path: String, batch: DataFrame,
       codebooks: DataFrame, batchId: Long,
       cents: Option[DataFrame]): DataFrame = {
-    val (n, err) = quantStats(batch, codebooks)
+    val (errInput, occInput) = driftViews(s, path, batch, cents)
+    val (n, err) = quantStats(errInput, codebooks)
     require(n > 0, s"drift batch $batchId is empty")
     import s.implicits._
     Seq((batchId, n, err / n,
-        cents.map(c => topCellShare(batch, c)).getOrElse(Double.NaN)))
+        cents.map(c => topCellShare(occInput, c)).getOrElse(Double.NaN)))
       .toDF("batch_id", "n_vecs", "mean_err", "top_cell_share")
   }
 
@@ -1802,6 +1865,12 @@ object Similarity {
     else {
       val cached = batch.persist()
       try {
+        // an empty micro-batch (everything filtered upstream, or an empty
+        // recovery batch) commits as a no-op: marker only, no files, no
+        // drift row — without this the streaming sink would crash on the
+        // empty batch's drift statistics and then replay it forever
+        if (cached.isEmpty) { fs.create(marker, true).close(); true }
+        else {
         val (cents, cb) = loadModels(s, path)
         // the encoding is the INDEX's property, read from the artifact —
         // a caller-repeated boolean here would let one mistyped append
@@ -1810,24 +1879,54 @@ object Similarity {
         val residual = indexResidual(s, path)
         // a composed-OPQ index ([[saveOpqIndex]]) keeps its models and
         // codes in ROTATED space — the batch rotates first (one MatVec
-        // over batch rows), then the encode and drift statistics run
-        // against the rotated-space models exactly as the raw path does
+        // over batch rows), then the encode runs against the
+        // rotated-space models exactly as the raw path does
         val enc = indexRotation(s, path) match {
           case Some(r) =>
             rotateFrame(cached.select(col("vec_id"), col("embedding")), r)
           case None => cached
         }
-        graft.streaming.Streams.replaceBatchFiles(s,
-          s"$path/pq_codes.parquet", batchId) { staging =>
-          buildIvfpqIndex(enc, cents, cb, residual).write.parquet(staging)
+        // ids already PHYSICALLY in the codes table must not write again:
+        // under the frozen models their rows are content-derived
+        // (identical), and a second copy would break the ADC `n_subs = m`
+        // completeness filter — the vector would silently vanish from
+        // every shortlist, and no compaction could pick which copy to
+        // keep if the content had changed. One column-pruned id scan +
+        // anti-join per batch (the same economics as the dedup indexes'
+        // bucket joins); a re-ingested id resurfaces through its ORIGINAL
+        // rows (tombstone cleared below). Re-ingesting CHANGED content
+        // under a live id is not an update — that is removeFromIndex →
+        // compactIndex → append, or a rebuild.
+        val codesDir = s"$path/pq_codes.parquet"
+        val codesP = new org.apache.hadoop.fs.Path(codesDir)
+        // drop a crashed earlier attempt's OWN partial files before the
+        // dedup scan: fed to the anti-join they would make this retry
+        // skip — and replaceBatchFiles then delete — exactly the ids the
+        // crash had already written
+        graft.streaming.Streams.dropBatchFiles(s, codesDir, batchId)
+        val hasCodes = fs.exists(codesP) && fs.listStatus(codesP)
+          .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        val newOnly =
+          if (!hasCodes) enc
+          else enc.join(s.read.parquet(codesDir).select(col("vec_id"))
+            .distinct(), Seq("vec_id"), "left_anti")
+        graft.streaming.Streams.replaceBatchFiles(s, codesDir, batchId) {
+          staging =>
+          buildIvfpqIndex(newOnly, cents, cb, residual).write.parquet(staging)
         }
+        // the drift row measures the WHOLE arriving batch (distribution
+        // monitoring wants every arrival, re-ingested or not), from the
+        // raw frame — driftRow reads the rotation/residual properties
+        // from the artifact itself
         graft.streaming.Streams.replaceBatchFiles(s,
           s"$path/drift.parquet", batchId) { staging =>
-          driftRow(s, enc, cb, batchId, Some(cents)).write.parquet(staging)
+          driftRow(s, path, cached, cb, batchId, Some(cents))
+            .write.parquet(staging)
         }
         clearIndexTombstones(s, path, cached.select(col("vec_id")))
         fs.create(marker, true).close()
         true
+        }
       } finally { cached.unpersist(); () }
     }
   }
@@ -2086,8 +2185,11 @@ object Similarity {
     // restamps over the TRAINING window, because that is the distribution
     // the codebooks were fit to and the reference future batches should
     // be held against (baselining over a mixed old+new archive would
-    // shift the reference toward the world the retrain just left)
-    recordDriftBaseline(s, staging, trainEnc, cb, Some(cents))
+    // shift the reference toward the world the retrain just left). The
+    // RAW window goes in — the staged artifact already carries the new
+    // rotation and encoding, and recordDriftBaseline reads both from it,
+    // exactly as every later batch row will.
+    recordDriftBaseline(s, staging, train, cb, Some(cents))
     // fence, then promote: old batch ids must never re-apply to the new
     // generation (their content is the caller's to include in `corpus`),
     // and the swap itself is two renames — the only window in which the
@@ -2199,11 +2301,20 @@ object Similarity {
   private val indexMemo = new java.util.concurrent.ConcurrentHashMap[
     (String, String), (DataFrame, DataFrame, DataFrame)]()
 
-  private def annIndexPath(s: SparkSession, dir: String): String = {
+  /** tmpdir scratch path unique to (session, prefix, corpus dir) — the
+    * one scheme behind every session-memoized on-disk artifact here and
+    * in [[graft.ops.Dedup]]; fix path hygiene (cleanup, isolation,
+    * collision policy) HERE, not at six call sites.
+    */
+  private[ops] def sessionScratchPath(s: SparkSession, prefix: String,
+      dir: String): String = {
     val ctx = s.sparkContext.applicationId + "/" + s.sparkContext.startTime
-    System.getProperty("java.io.tmpdir") + "/graft_ann_index_" +
+    System.getProperty("java.io.tmpdir") + "/" + prefix + "_" +
       java.lang.Integer.toHexString((ctx + "|" + dir).hashCode)
   }
+
+  private def annIndexPath(s: SparkSession, dir: String): String =
+    sessionScratchPath(s, "graft_ann_index", dir)
 
   private def persistedIndex(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val ctx = s.sparkContext.applicationId + "/" + s.sparkContext.startTime
@@ -2409,23 +2520,29 @@ object Similarity {
   private val opqResidMemo = new java.util.concurrent.ConcurrentHashMap[
     (String, String), (DataFrame, DataFrame, DataFrame)]()
 
+  /** The session's trained+persisted residual-OPQ model triple (built
+    * once per (session, corpus), read back after) — shared by the fed and
+    * indexed rungs so the two can never train divergent models.
+    */
+  private def persistedOpqResidModel(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val ctx = s.sparkContext.applicationId + "/" + s.sparkContext.startTime
+    opqResidMemo.keySet.removeIf(_._1 != ctx)
+    opqResidMemo.computeIfAbsent((ctx, dir), { _ =>
+      val path = sessionScratchPath(s, "graft_opqres_model", dir)
+      val (rot, cents, cb) = trainOpqIvfResidual(s, dir)
+      saveOpqIvfModel(path, rot, cents, cb)
+      loadOpqIvfModel(s, path)
+    })
+  }
+
   /** [[opqIvfpqResidualTopk]] with the model triple fed from parquet —
     * the train-once serving form (identical output, spec-pinned); the
     * bench delta vs the one-shot entry is the rotation + residual-Lloyd
     * training a deployment pays once per corpus build.
     */
-  def opqIvfpqResidualTopkFed(s: SparkSession, dir: String): DataFrame = {
-    val ctx = s.sparkContext.applicationId + "/" + s.sparkContext.startTime
-    opqResidMemo.keySet.removeIf(_._1 != ctx)
-    val m = opqResidMemo.computeIfAbsent((ctx, dir), { _ =>
-      val path = System.getProperty("java.io.tmpdir") + "/graft_opqres_model_" +
-        java.lang.Integer.toHexString((ctx + "|" + dir).hashCode)
-      val (rot, cents, cb) = trainOpqIvfResidual(s, dir)
-      saveOpqIvfModel(path, rot, cents, cb)
-      loadOpqIvfModel(s, path)
-    })
-    opqIvfpqResidualTopk(s, dir, model = Some(m))
-  }
+  def opqIvfpqResidualTopkFed(s: SparkSession, dir: String): DataFrame =
+    opqIvfpqResidualTopk(s, dir, model = Some(persistedOpqResidModel(s, dir)))
 
   private val opqResidCodesMemo = new java.util.concurrent.ConcurrentHashMap[
     (String, String), DataFrame]()
@@ -2443,18 +2560,10 @@ object Similarity {
     */
   def opqIvfpqResidualTopkIndexed(s: SparkSession, dir: String): DataFrame = {
     val ctx = s.sparkContext.applicationId + "/" + s.sparkContext.startTime
-    opqResidMemo.keySet.removeIf(_._1 != ctx)
-    val m = opqResidMemo.computeIfAbsent((ctx, dir), { _ =>
-      val path = System.getProperty("java.io.tmpdir") + "/graft_opqres_model_" +
-        java.lang.Integer.toHexString((ctx + "|" + dir).hashCode)
-      val (rot, cents, cb) = trainOpqIvfResidual(s, dir)
-      saveOpqIvfModel(path, rot, cents, cb)
-      loadOpqIvfModel(s, path)
-    })
+    val m = persistedOpqResidModel(s, dir)
     opqResidCodesMemo.keySet.removeIf(_._1 != ctx)
     val codes = opqResidCodesMemo.computeIfAbsent((ctx, dir), { _ =>
-      val path = System.getProperty("java.io.tmpdir") + "/graft_opqres_index_" +
-        java.lang.Integer.toHexString((ctx + "|" + dir).hashCode)
+      val path = sessionScratchPath(s, "graft_opqres_index", dir)
       val (rot, cents, cb) = m
       val r = rot.select(col("comp"), col("weights")).collect()
         .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
@@ -2499,11 +2608,11 @@ object Similarity {
     val exIds = exact.filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"))
     val taken = exIds.as[(Long, Long)].take(MaxLocalExactRows + 1)
-    val ex =
-      if (taken.length <= MaxLocalExactRows)
-        taken.toSeq.toDF("query_id", "neighbor_id")
-      else { val p = exIds.persist(); p.count(); p }
-    tiers.map { case (name, df) =>
+    val distributed =
+      if (taken.length <= MaxLocalExactRows) None
+      else { val p = exIds.persist(); p.count(); Some(p) }
+    val ex = distributed.getOrElse(taken.toSeq.toDF("query_id", "neighbor_id"))
+    val report = tiers.map { case (name, df) =>
       val ap = df.filter(col("rank") <= k)
         .select(col("query_id"), col("neighbor_id"))
       ex.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
@@ -2518,6 +2627,16 @@ object Similarity {
         .select(lit(name).as("tier"), col("n_queries"),
           col("mean_recall"), col("min_recall"))
     }.reduce(_ unionByName _).orderBy(col("tier"))
+    distributed match {
+      case None => report
+      case Some(p) =>
+        // the report is one row per tier — materialize it, then release
+        // the persisted exact frame (repeated evaluations in one session
+        // must not accumulate session-lifetime cached partitions)
+        val rows = report.collect().toSeq
+        p.unpersist()
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), report.schema)
+    }
   }
 
   /** Recall-targeted serving-config resolver — the decision

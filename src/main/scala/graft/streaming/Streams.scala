@@ -356,6 +356,25 @@ object Streams extends Serializable {
     * per-file metadata moves on HDFS-likes; on object stores the usual
     * rename caveats apply (same as [[graft.ops.Layout.rewriteInPlace]]).
     */
+  /** Delete one batch's `b<batchId>-*` files from a sink dir — the
+    * physical rows a crashed earlier attempt of that batch left behind.
+    * [[replaceBatchFiles]] does this before moving the retry's files in;
+    * `appendToIndexAt` also calls it BEFORE planning its batch (its
+    * dedup anti-join reads the dir, and feeding it the crashed attempt's
+    * own partial rows would make the retry skip — then delete — them).
+    */
+  private[graft] def dropBatchFiles(s: SparkSession, dir: String,
+      batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dirP = new Path(dir)
+    val fs = dirP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dirP)) return
+    val prefix = s"b$batchId-"
+    fs.listStatus(dirP)
+      .filter(st => st.isFile && st.getPath.getName.startsWith(prefix))
+      .foreach(st => fs.delete(st.getPath, false))
+  }
+
   private[graft] def replaceBatchFiles(s: SparkSession, dir: String,
       batchId: Long)(write: String => Unit): Unit = {
     import org.apache.hadoop.fs.Path
@@ -365,10 +384,8 @@ object Streams extends Serializable {
     if (fs.exists(staging)) fs.delete(staging, true)
     write(staging.toString)
     fs.mkdirs(dirP)
+    dropBatchFiles(s, dir, batchId)
     val prefix = s"b$batchId-"
-    fs.listStatus(dirP)
-      .filter(st => st.isFile && st.getPath.getName.startsWith(prefix))
-      .foreach(st => fs.delete(st.getPath, false))
     fs.listStatus(staging)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .foreach { st =>
@@ -532,7 +549,20 @@ object Streams extends Serializable {
     // into "uncommitted" deletions
     val wm = committedWatermark(s, markerBase)
     val batchFile = "^b(\\d+)-.*".r
-    fs.listStatus(new Path(dir)).filter(_.isFile).foreach { st =>
+    val batchFiles = fs.listStatus(new Path(dir)).filter(st =>
+      st.isFile && batchFile.pattern.matcher(st.getPath.getName).matches())
+    // no protocol state at all (no markers, no watermark) but batch files
+    // present means either a WRONG markerBase (the files were committed
+    // against some other base — sweeping would silently delete the whole
+    // committed dataset) or a compaction racing the very first commit.
+    // Neither is adjudicable here: fail loudly instead of deleting.
+    require(batchFiles.isEmpty || markers.nonEmpty || wm >= 0,
+      s"no commit-protocol state at ${markerBase}_batches but $dir holds " +
+        s"${batchFiles.length} batch-prefixed files — pass the sink's real " +
+        "markerBase (multiSink route dirs and ingest pairs dirs commit " +
+        "against a shared base), or let the first batch commit before " +
+        "compacting")
+    batchFiles.foreach { st =>
       st.getPath.getName match {
         case batchFile(id) if !markers.contains(id) && id.toLong > wm =>
           fs.delete(st.getPath, false)

@@ -1010,7 +1010,11 @@ class SimilaritySpec extends SparkSpec {
     val cents = Similarity.centroids(rotPast)
     Similarity.saveOpqIndex(ip, rot, cents, cb,
       Similarity.buildIvfpqIndex(rotPast, cents, cb))
-    Similarity.recordDriftBaseline(spark, ip, rotPast, cb, Some(cents))
+    // the baseline takes the RAW window: recordDriftBaseline reads the
+    // rotation from the artifact itself, the same detection the append
+    // path uses — baseline and batch rows measure in one space by
+    // construction
+    Similarity.recordDriftBaseline(spark, ip, past, cb, Some(cents))
     // the nightly batch arrives in RAW space — the append path detects
     // the rotation artifact and encodes rotated, so after the append the
     // codes table is EXACTLY a rotated-space rebuild over the full corpus
@@ -1127,6 +1131,10 @@ class SimilaritySpec extends SparkSpec {
     Similarity.saveOpqIndex(ip, rot, cents, rcb,
       Similarity.buildIvfpqIndex(rotC, cents, rcb, residual = true),
       residual = true)
+    // baseline over the RAW corpus: rotation AND residual encoding are
+    // read from the artifact, so the baseline measures rotated RESIDUAL
+    // reconstruction — the quantity these codebooks minimize
+    Similarity.recordDriftBaseline(spark, ip, corpus, rcb, Some(cents))
     def codeSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Int, Int)] =
       df.collect().map(row => (row.getAs[Long]("vec_id"), row.getAs[Int]("sub"),
         row.getAs[Int]("code"), row.getAs[Int]("ivf_cell"))).toSet
@@ -1134,6 +1142,30 @@ class SimilaritySpec extends SparkSpec {
     // properties read from the artifact, no caller flags anywhere
     val day = e.filter(col("vec_id") % 4 === 0)
     assert(Similarity.appendToIndexAt(spark, ip, day, 0L))
+    // the baseline and the batch's drift row both measure rotated
+    // RESIDUAL reconstruction — pin the space directly: the recorded
+    // baseline equals a manual residual-space recomputation (raw-vector
+    // error against these residual codebooks is a different quantity
+    // entirely), and the held-out batch sits near 1. The band is the
+    // toy-scale one: an uncapped codebook fit makes the in-sample
+    // baseline ~1.26× better than ANY held-out arrival (the
+    // generalization-gap geometry the OPQ drift spec documents); at
+    // production N >> train cap the baseline is mostly held-out too.
+    val baseRec = spark.read.parquet(s"$ip/drift.parquet")
+      .filter(col("batch_id") === -1L).collect().head
+    val manual = Similarity.quantizationError(
+      Similarity.residualVectors(Similarity.rotateFrame(corpus, r), cents)
+        .select(col("vec_id"), col("embedding")), rcb) / corpus.count()
+    assert(math.abs(baseRec.getAs[Double]("mean_err") - manual)
+      <= 1e-9 * math.max(1.0, manual),
+      s"baseline must measure rotated-residual space: recorded " +
+        s"${baseRec.getAs[Double]("mean_err")} vs manual $manual")
+    val dr = Similarity.driftReport(spark, ip, tripRatio = 1.6).collect()
+    assert(dr.length === 1 && !dr.head.getAs[Boolean]("drifted"),
+      s"in-distribution batch must record in-band on the residual index: " +
+        s"err_ratio=${dr.head.getAs[Double]("err_ratio")}")
+    assert(dr.head.getAs[Double]("err_ratio") < 1.5
+      && dr.head.getAs[Double]("err_ratio") > 0.7)
     assert(codeSet(Similarity.loadIndex(spark, ip)._3) === codeSet(
       Similarity.buildIvfpqIndex(Similarity.rotateFrame(e, r), cents, rcb,
         residual = true)),
@@ -1320,5 +1352,65 @@ class SimilaritySpec extends SparkSpec {
       s"gate form before-phase: ${byPhase("before_retrain")}")
     assert(byPhase("after_retrain") === ((1L, 0L, false)),
       s"gate form after-phase: ${byPhase("after_retrain")}")
+  }
+
+  test("append hygiene: re-ingested live ids never duplicate code rows, empty batches commit as no-ops, a rebuild clean-slates replay state") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val corpus = e.filter(col("vec_id") % 4 =!= 0)
+    val ip = java.nio.file.Files.createTempDirectory("graft_readd_idx").toString + "/idx"
+    val cents = Similarity.centroids(corpus)
+    val cb = Similarity.pqCodebooks(corpus)
+    Similarity.saveIndex(ip, cents, cb,
+      Similarity.buildIvfpqIndex(corpus, cents, cb))
+    Similarity.recordDriftBaseline(spark, ip, corpus, cb, Some(cents))
+    // batch 0 half overlaps the live corpus: the overlapping ids must NOT
+    // write a second copy of their code rows (the ADC n_subs = m
+    // completeness filter would silently drop them from every shortlist)
+    val overlap = corpus.filter(col("vec_id") < 40)
+    val fresh = e.filter(col("vec_id") % 4 === 0 && col("vec_id") < 80)
+    assert(Similarity.appendToIndexAt(spark, ip,
+      overlap.unionByName(fresh), 0L))
+    val codes = Similarity.loadIndex(spark, ip)._3
+    val dupCount = codes.groupBy(col("vec_id"), col("sub"))
+      .count().filter(col("count") > 1).count()
+    assert(dupCount === 0L, s"$dupCount duplicated (vec_id, sub) rows")
+    // …and the overlapping vectors still SERVE: every live id clears the
+    // completeness filter
+    val nLive = codes.select(col("vec_id")).distinct().count()
+    val complete = codes.groupBy(col("vec_id")).count()
+      .filter(col("count") === Similarity.PqM.toLong).count()
+    assert(complete === nLive, "every live vector must keep exactly m rows")
+    // the drift row covered the WHOLE batch (monitoring sees all arrivals)
+    val drift0 = Similarity.driftReport(spark, ip).collect()
+    assert(drift0.length === 1
+      && drift0.head.getAs[Long]("n_vecs") ===
+        overlap.unionByName(fresh).count())
+    // an EMPTY batch commits as a no-op: marker created (no replay churn),
+    // no crash, no files, no drift row
+    val before = codes.collect().map(_.toString).toSet
+    assert(Similarity.appendToIndexAt(spark, ip, e.filter(lit(false)), 1L))
+    assert(!Similarity.appendToIndexAt(spark, ip, e.filter(lit(false)), 1L),
+      "the empty batch's marker must make its replay skip")
+    assert(Similarity.loadIndex(spark, ip)._3.collect()
+      .map(_.toString).toSet === before)
+    assert(Similarity.driftReport(spark, ip).count() === 1L)
+    // compaction bounds the DRIFT table's file growth too
+    Similarity.compactIndex(spark, ip)
+    val driftFiles = new java.io.File(s"$ip/drift.parquet").listFiles
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(driftFiles <= 2, s"drift table left $driftFiles files")
+    assert(Similarity.driftReport(spark, ip).count() === 1L,
+      "drift rows must survive compaction")
+    // a REBUILD clean-slates the replay-protocol state along with the
+    // tombstones: batch ids restart at 0 under a fresh checkpoint, and a
+    // stale watermark would silently fence their vectors out
+    Similarity.saveIndex(ip, cents, cb,
+      Similarity.buildIvfpqIndex(corpus, cents, cb))
+    assert(!new java.io.File(s"${ip}_batches").exists(),
+      "rebuild must clear markers + watermark")
+    assert(Similarity.appendToIndexAt(spark, ip, fresh, 0L),
+      "post-rebuild batch 0 must apply, not read as already committed")
   }
 }

@@ -614,6 +614,35 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === 13)
   }
 
+  test("compaction refuses to sweep a dir whose commit protocol lives elsewhere (wrong markerBase = data loss)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_wrongbase").toString
+    val (idx, pairs) = (s"$base/index", s"$base/pairs")
+    // an ingest-sink shape: the pairs dir's batches commit against the
+    // INDEX's marker base
+    (0 until 3).foreach { b =>
+      Streams.commitBatch(spark, idx, b.toLong)(
+        pairs -> (st => Seq((b.toLong, s"p$b")).toDF("id", "tag")
+          .write.parquet(st)))
+    }
+    // the natural-but-wrong call (default markerBase = the dir itself)
+    // must fail loudly, not silently delete all three committed batches
+    val ex = intercept[IllegalArgumentException] {
+      Streams.compactSinkDir(spark, pairs, col("id"))
+    }
+    assert(ex.getMessage.contains("markerBase"))
+    assert(spark.read.parquet(pairs).count() === 3,
+      "the refused sweep must not have touched any file")
+    // the correct call compacts fine
+    val (_, after, rows) =
+      Streams.compactSinkDir(spark, pairs, col("id"),
+        markerBase = Some(idx))
+    assert(after <= 2 && rows === 3L)
+    assert(spark.read.parquet(pairs).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+      === (0 until 3).map(b => (b.toLong, s"p$b")).toSet)
+  }
+
   test("marker watermark: compaction GCs marker files, folded ids still skip, gaps never fold") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_wm").toString

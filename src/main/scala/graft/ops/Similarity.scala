@@ -1640,13 +1640,19 @@ object Similarity {
       maxRecordsPerFile, source = Some(live.dropDuplicates("vec_id", "sub")))
     // the tombstone list covers EVERY per-vector artifact at the path —
     // fold it into the int8 codes too (when present) before dropping it,
-    // or compaction would physically resurrect the vector there
+    // or compaction would physically resurrect the vector there. The int8
+    // dir takes the same batch-prefixed appends as the codes dir now, so
+    // it gets the same uncommitted-partial sweep and duplicate fold.
     val int8Dir = s"$path/int8_codes.parquet"
     val conf = s.sparkContext.hadoopConfiguration
     val int8P = new org.apache.hadoop.fs.Path(int8Dir)
-    if (int8P.getFileSystem(conf).exists(int8P))
+    if (int8P.getFileSystem(conf).exists(int8P)) {
+      graft.streaming.Streams.dropUncommittedBatchFiles(s, int8Dir, path)
+      graft.streaming.Streams.dropStaleStaging(s, int8Dir)
       graft.ops.Layout.compactFlat(s, int8Dir, col("vec_id"),
-        maxRecordsPerFile, source = Some(loadInt8Codes(s, path)))
+        maxRecordsPerFile,
+        source = Some(loadInt8Codes(s, path).dropDuplicates("vec_id")))
+    }
     val ts = new org.apache.hadoop.fs.Path(tombstonePath(path))
     ts.getFileSystem(conf).delete(ts, true)
     // the drift time series grows one file set per recorded batch — the
@@ -1913,6 +1919,22 @@ object Similarity {
         graft.streaming.Streams.replaceBatchFiles(s, codesDir, batchId) {
           staging =>
           buildIvfpqIndex(newOnly, cents, cb, residual).write.parquet(staging)
+        }
+        // the int8 sibling artifact stays current too (when present): the
+        // int8 tiers serve from it, so an append that only grew the PQ
+        // codes would leave them answering from a stale corpus. It is
+        // raw-space (rotation-free quantization — the retrainIndex rule),
+        // so the RAW batch rows of the same new ids append, under the
+        // same batch commit.
+        val int8Dir = s"$path/int8_codes.parquet"
+        val int8P = new org.apache.hadoop.fs.Path(int8Dir)
+        if (fs.exists(int8P)) {
+          graft.streaming.Streams.dropBatchFiles(s, int8Dir, batchId)
+          val rawNew = cached.select(col("vec_id"), col("embedding"))
+            .join(newOnly.select(col("vec_id")), Seq("vec_id"), "left_semi")
+          graft.streaming.Streams.replaceBatchFiles(s, int8Dir, batchId) {
+            staging => quantizeVectors(rawNew).write.parquet(staging)
+          }
         }
         // the drift row measures the WHOLE arriving batch (distribution
         // monitoring wants every arrival, re-ingested or not), from the

@@ -1364,6 +1364,7 @@ class SimilaritySpec extends SparkSpec {
     val cb = Similarity.pqCodebooks(corpus)
     Similarity.saveIndex(ip, cents, cb,
       Similarity.buildIvfpqIndex(corpus, cents, cb))
+    Similarity.saveInt8Codes(ip, Similarity.quantizeVectors(corpus))
     Similarity.recordDriftBaseline(spark, ip, corpus, cb, Some(cents))
     // batch 0 half overlaps the live corpus: the overlapping ids must NOT
     // write a second copy of their code rows (the ADC n_subs = m
@@ -1372,6 +1373,14 @@ class SimilaritySpec extends SparkSpec {
     val fresh = e.filter(col("vec_id") % 4 === 0 && col("vec_id") < 80)
     assert(Similarity.appendToIndexAt(spark, ip,
       overlap.unionByName(fresh), 0L))
+    // the int8 sibling artifact stays current through the SAME append —
+    // its ids track the codes table exactly (stale int8 would silently
+    // serve the pre-append corpus on the int8 tiers)
+    assert(Similarity.loadInt8Codes(spark, ip).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+      === Similarity.loadIndex(spark, ip)._3.select(col("vec_id"))
+        .distinct().collect().map(_.getLong(0)).toSet,
+      "int8 artifact must cover the same ids as the codes table")
     val codes = Similarity.loadIndex(spark, ip)._3
     val dupCount = codes.groupBy(col("vec_id"), col("sub"))
       .count().filter(col("count") > 1).count()

@@ -1810,6 +1810,13 @@ object Similarity {
     * alongside [[appendToIndex]] per nightly batch; read with
     * [[driftReport]]; a tripped report is the "retrain + re-encode"
     * signal, which is a corpus-build event.
+    *
+    * This convenience form appends bare (at-least-once: a job retried
+    * after a crash past this call records its batch twice) — safe because
+    * every reader ([[driftReport]], and [[describeIndex]]'s batch count)
+    * dedups on batch_id, which is lossless on these content-derived rows.
+    * [[appendToIndexAt]] routes the same row through the marker-committed
+    * batch protocol instead.
     */
   def recordDrift(s: SparkSession, path: String, batch: DataFrame,
       codebooks: DataFrame, batchId: Long,
@@ -1905,11 +1912,22 @@ object Similarity {
         // compactIndex → append, or a rebuild.
         val codesDir = s"$path/pq_codes.parquet"
         val codesP = new org.apache.hadoop.fs.Path(codesDir)
-        // drop a crashed earlier attempt's OWN partial files before the
-        // dedup scan: fed to the anti-join they would make this retry
-        // skip — and replaceBatchFiles then delete — exactly the ids the
-        // crash had already written
-        graft.streaming.Streams.dropBatchFiles(s, codesDir, batchId)
+        // sweep EVERY uncommitted batch's partial files before the dedup
+        // scan — not just this batch's own crashed attempt. Appends are
+        // single-writer (the compaction contract), so at this point any
+        // b<id>- file without a marker is a crashed commit's leftover: fed
+        // to the anti-join below it would make this batch skip ids whose
+        // only physical rows belong to a batch that never committed — the
+        // next compaction then deletes those rows, and the vectors vanish
+        // from the index even though THIS batch legitimately delivered
+        // them. The int8 and drift dirs get the same sweep: a crashed
+        // sibling's int8 partials would otherwise pair with this batch's
+        // re-delivery as duplicate vec_id rows that serve until the next
+        // compaction, and its drift partials would count as a recorded
+        // batch that never applied.
+        Seq(codesDir, s"$path/int8_codes.parquet", driftTablePath(path))
+          .foreach(d => graft.streaming.Streams.dropUncommittedBatchFiles(
+            s, d, path, requireProtocolState = false))
         val hasCodes = fs.exists(codesP) && fs.listStatus(codesP)
           .exists(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
         val newOnly =
@@ -1929,7 +1947,6 @@ object Similarity {
         val int8Dir = s"$path/int8_codes.parquet"
         val int8P = new org.apache.hadoop.fs.Path(int8Dir)
         if (fs.exists(int8P)) {
-          graft.streaming.Streams.dropBatchFiles(s, int8Dir, batchId)
           val rawNew = cached.select(col("vec_id"), col("embedding"))
             .join(newOnly.select(col("vec_id")), Seq("vec_id"), "left_semi")
           graft.streaming.Streams.replaceBatchFiles(s, int8Dir, batchId) {
@@ -1972,7 +1989,13 @@ object Similarity {
     */
   def driftReport(s: SparkSession, path: String,
       tripRatio: Double = 1.25, shareTripRatio: Double = 2.0): DataFrame = {
-    val t = s.read.parquet(driftTablePath(path))
+    // one row per batch even if a retried recorder double-appended: drift
+    // rows are content-derived from (batch, frozen models), so duplicates
+    // of a batch_id are identical and keeping one is lossless — without
+    // this, a crashed-and-retried bare recordDrift could count one noisy
+    // drifted batch twice toward maybeRetrain's minTripped-of-lastK and
+    // fire a corpus-scale retrain off a single batch
+    val t = s.read.parquet(driftTablePath(path)).dropDuplicates("batch_id")
     val baseRows = t.filter(col("batch_id") === -1L)
       .select(col("mean_err"), col("top_cell_share")).head(1)
     require(baseRows.nonEmpty,
@@ -2038,7 +2061,8 @@ object Similarity {
           val rows = driftReport(s, path)
             .orderBy(col("batch_id").desc).limit(1).collect()
           rows.headOption.map { r =>
-            (t.filter(col("batch_id") >= 0L).count(),
+            (t.filter(col("batch_id") >= 0L)
+              .select(col("batch_id")).distinct().count(),
               r.getAs[Long]("batch_id"), r.getAs[Double]("err_ratio"),
               r.getAs[Boolean]("drifted"))
           }
@@ -2124,12 +2148,14 @@ object Similarity {
     *     tombstone list, one content set — every per-vector artifact at
     *     the path stays consistent);
     *   - the batch epoch FENCES
-    *     ([[graft.streaming.Streams.fenceBatchEpoch]]): every applied
-    *     batch's content is the caller's to include in `corpus`, so their
-    *     ids must never re-apply to the rebuilt index — replays of
-    *     pre-retrain ids skip via the watermark, and new batches number
-    *     above it (a streaming checkpoint's monotone ids do this
-    *     naturally);
+    *     ([[graft.streaming.Streams.fenceBatchEpoch]]): every COMMITTED
+    *     batch's content is the caller's to include in `corpus`, so those
+    *     ids must never re-apply to the rebuilt index — replays skip via
+    *     the watermark (or a retained marker above a gap), and new
+    *     batches number above the fence (a streaming checkpoint's
+    *     monotone ids do this naturally). A never-committed id — a
+    *     crashed job that was never retried — stays retryable: its
+    *     content reached neither the old index nor `corpus`;
     *   - tombstones clear (the rebuild excludes removed vectors by
     *     excluding them from `corpus` — [[saveIndex]]'s clean-slate rule)
     *     and [[recordDriftBaseline]] restamps the drift time series from
@@ -2616,25 +2642,38 @@ object Similarity {
     */
   private[graft] val MaxLocalExactRows = 100000
 
-  def recallReport(exact: DataFrame, tiers: Seq[(String, DataFrame)],
-      k: Int = K): DataFrame = {
+  /** Materialize the exact top-k's (query_id, neighbor_id) pairs ONCE so
+    * the per-tier scoring joins don't re-execute the brute-force lineage
+    * (each tier references the frame twice; 4 tiers would re-run the
+    * O(Q·N) scan ~8 times). A probe batch's Q·k rows collect into a
+    * driver-local relation (broadcastable to every tier join); past the
+    * threshold — a large sampled serving batch — the frame persists
+    * DISTRIBUTED instead, so evaluation never stages millions of rows on
+    * the driver. The persist happens BEFORE the size probe: take()
+    * partially executes the lineage, and caching those partitions lets
+    * the distributed branch's count() finish the remainder instead of
+    * re-running the whole scan from scratch. Returns (frame, the persisted
+    * handle to release when Some — the local branch released already).
+    */
+  private def exactIdsMaterialized(exact: DataFrame, k: Int)
+      : (DataFrame, Option[DataFrame]) = {
     val s = exact.sparkSession
     import s.implicits._
-    // the exact top-k must materialize ONCE so the per-tier joins don't
-    // re-execute the brute-force lineage (each tier references it twice;
-    // 4 tiers would re-run the O(Q·N) scan ~8 times). A probe batch's
-    // Q·k rows collect into a driver-local relation (broadcastable to
-    // every tier join); past the threshold — a large sampled serving
-    // batch — the frame persists DISTRIBUTED instead, so evaluation
-    // never stages millions of rows on the driver.
-    val exIds = exact.filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"))
-    val taken = exIds.as[(Long, Long)].take(MaxLocalExactRows + 1)
-    val distributed =
-      if (taken.length <= MaxLocalExactRows) None
-      else { val p = exIds.persist(); p.count(); Some(p) }
-    val ex = distributed.getOrElse(taken.toSeq.toDF("query_id", "neighbor_id"))
-    val report = tiers.map { case (name, df) =>
+    val p = exact.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id")).persist()
+    val taken = p.as[(Long, Long)].take(MaxLocalExactRows + 1)
+    if (taken.length <= MaxLocalExactRows) {
+      p.unpersist()
+      (taken.toSeq.toDF("query_id", "neighbor_id"), None)
+    } else { p.count(); (p, Some(p)) }
+  }
+
+  /** The scoring plan shared by [[recallReport]] and [[tuneForRecall]]:
+    * `ex` must already be materialized ([[exactIdsMaterialized]]).
+    */
+  private def recallScores(ex: DataFrame, tiers: Seq[(String, DataFrame)],
+      k: Int): DataFrame =
+    tiers.map { case (name, df) =>
       val ap = df.filter(col("rank") <= k)
         .select(col("query_id"), col("neighbor_id"))
       ex.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
@@ -2649,7 +2688,13 @@ object Similarity {
         .select(lit(name).as("tier"), col("n_queries"),
           col("mean_recall"), col("min_recall"))
     }.reduce(_ unionByName _).orderBy(col("tier"))
-    distributed match {
+
+  def recallReport(exact: DataFrame, tiers: Seq[(String, DataFrame)],
+      k: Int = K): DataFrame = {
+    val s = exact.sparkSession
+    val (ex, persisted) = exactIdsMaterialized(exact, k)
+    val report = recallScores(ex, tiers, k)
+    persisted match {
       case None => report
       case Some(p) =>
         // the report is one row per tier — materialize it, then release
@@ -2681,18 +2726,24 @@ object Similarity {
       target: Double, k: Int = K): (String, Double, Boolean) = {
     require(candidates.nonEmpty, "tuneForRecall needs candidates")
     require(target > 0 && target <= 1.0, s"target recall must be in (0,1]: $target")
-    val byCost = candidates.sortBy(_._2)
-    var best: Option[(String, Double)] = None
-    val it = byCost.iterator
-    while (it.hasNext) {
-      val (name, _, run) = it.next()
-      val recall = recallReport(exact, Seq(name -> run()), k)
-        .head.getAs[Double]("mean_recall")
-      if (best.forall(_._2 < recall)) best = Some((name, recall))
-      if (recall >= target) return (name, recall, true)
-    }
-    val (n, r) = best.get
-    (n, r, false)
+    // the exact ground truth materializes ONCE for the whole ladder — per
+    // candidate only that tier's own retrieval runs, never another pass
+    // of the O(Q·N) brute-force lineage
+    val (ex, persisted) = exactIdsMaterialized(exact, k)
+    try {
+      val byCost = candidates.sortBy(_._2)
+      var best: Option[(String, Double)] = None
+      val it = byCost.iterator
+      while (it.hasNext) {
+        val (name, _, run) = it.next()
+        val recall = recallScores(ex, Seq(name -> run()), k)
+          .head.getAs[Double]("mean_recall")
+        if (best.forall(_._2 < recall)) best = Some((name, recall))
+        if (recall >= target) return (name, recall, true)
+      }
+      val (n, r) = best.get
+      (n, r, false)
+    } finally persisted.foreach { p => p.unpersist(); () }
   }
 
   /** Gate/bench form of the auto-tuner (rows-only — picks over

@@ -440,12 +440,20 @@ object Streams extends Serializable {
     import org.apache.hadoop.fs.Path
     val wm = new Path(s"${markerBase}_batches/_watermark")
     val fs = wm.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(wm)) -1L
-    else {
-      val in = fs.open(wm)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-      finally in.close()
-    }
+    def readLong(p: Path): Long =
+      if (!fs.exists(p)) -1L
+      else {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          .toLongOption.getOrElse(-1L)
+        finally in.close()
+      }
+    // the max of both files is always a valid watermark: any value ever
+    // written to either was contiguous-committed at write time, and
+    // committed-ness is permanent. Reading both (and tolerating an
+    // unparseable one) makes every crash window of [[advanceWatermark]]'s
+    // tmp-then-swap recoverable without manual repair.
+    math.max(readLong(wm), readLong(new Path(wm.toString + ".tmp")))
   }
 
   /** True when `batchId` is already committed at `markerBase` — by
@@ -461,13 +469,18 @@ object Streams extends Serializable {
     }
   }
 
-  /** Fence the batch epoch at `markerBase`: force the watermark to at
-    * least the highest marker id ever committed there, GC'ing every
-    * marker file. The retrain/rebuild hygiene step — a rebuild absorbs
-    * the content of every applied batch, so their ids must never
-    * re-apply to the rebuilt artifact (a replay would re-append rows the
-    * rebuild already carries); new batches must number above the fence.
-    * Returns the fence value.
+  /** Fence the batch epoch at `markerBase` for a rebuild
+    * ([[graft.ops.Similarity.retrainIndex]]): fold the contiguous
+    * COMMITTED prefix into the watermark and return the highest batch id
+    * ever seen, so new batches number above everything pre-rebuild.
+    * Committed ids above a gap keep their marker files (they still skip
+    * on replay, answered by the marker instead of the watermark). A
+    * never-committed gap id is NOT fenced: its content reached neither
+    * the old index nor the rebuild (the rebuild's corpus is the
+    * COMMITTED content), so a later legitimate retry of that id must
+    * still apply — forcing the watermark over the gap would turn that
+    * retry into a silent drop, exactly the hazard the contiguity rule
+    * exists to prevent.
     */
   private[graft] def fenceBatchEpoch(s: SparkSession,
       markerBase: String): Long = {
@@ -479,32 +492,45 @@ object Streams extends Serializable {
       else fs.listStatus(dir).map(_.getPath.getName)
         .filter(_.matches("\\d+")).map(_.toLong)
         .foldLeft(-1L)(math.max)
-    advanceWatermark(s, markerBase, floor = maxId)._2
+    math.max(advanceWatermark(s, markerBase)._2, maxId)
   }
 
   /** Fold the contiguous committed prefix of marker files into the
-    * watermark and delete them; returns (old, new) watermark. `floor`
-    * forces the watermark AT LEAST that high first (the
-    * [[fenceBatchEpoch]] rebuild fence). Single-writer maintenance, like
-    * the compactions that call it.
+    * watermark and delete them; returns (old, new) watermark.
+    * Single-writer maintenance, like the compactions that call it. The
+    * watermark file update is crash-safe: the new value writes to
+    * `_watermark.tmp` first, then swaps in (delete + rename) — a kill at
+    * any point leaves at least one parseable file carrying a valid
+    * watermark ([[committedWatermark]] reads the max of both), never a
+    * truncated `_watermark` that would reset folded ids to "uncommitted"
+    * after their marker files are gone.
     */
-  private[graft] def advanceWatermark(s: SparkSession, markerBase: String,
-      floor: Long = -1L): (Long, Long) = {
+  private[graft] def advanceWatermark(s: SparkSession,
+      markerBase: String): (Long, Long) = {
     import org.apache.hadoop.fs.Path
     val dir = new Path(s"${markerBase}_batches")
     val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
     val old = committedWatermark(s, markerBase)
+    val wm = new Path(dir, "_watermark")
+    val tmp = new Path(dir, "_watermark.tmp")
+    // heal a previous swap that crashed between delete and rename: tmp is
+    // then the ONLY valid copy, and truncating it for this round's write
+    // before promoting it would destroy the watermark entirely
+    if (!fs.exists(wm) && fs.exists(tmp)) fs.rename(tmp, wm)
     val ids: Set[Long] =
       if (!fs.exists(dir)) Set.empty
       else fs.listStatus(dir).map(_.getPath.getName)
         .filter(_.matches("\\d+")).map(_.toLong).toSet
-    var w = math.max(old, floor)
+    var w = old
     while (ids.contains(w + 1)) w += 1
     if (w > old) {
-      val wm = new Path(dir, "_watermark")
-      val out = fs.create(wm, true)
+      val out = fs.create(tmp, true)
       try out.write(w.toString.getBytes("UTF-8")) finally out.close()
+      fs.delete(wm, false)
+      require(fs.rename(tmp, wm),
+        s"advanceWatermark: rename $tmp -> $wm failed")
     }
+    // markers delete only after the watermark durably covers them
     ids.filter(_ <= w).foreach(id => fs.delete(new Path(dir, id.toString), false))
     (old, w)
   }
@@ -533,8 +559,15 @@ object Streams extends Serializable {
     * uncommitted batch into compacted files would turn its retry into a
     * duplication.
     */
+  /** @param requireProtocolState when true (the maintenance default),
+    *   refuse to sweep a dir holding batch files but NO marker/watermark
+    *   state — the caller-supplied markerBase is probably wrong. The
+    *   append path passes false: its markerBase is derived from the index
+    *   path (never wrong), and a first-ever batch that crashed between
+    *   file moves and marker leaves exactly this state legitimately.
+    */
   private[graft] def dropUncommittedBatchFiles(s: SparkSession, dir: String,
-      markerBase: String): Unit = {
+      markerBase: String, requireProtocolState: Boolean = true): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(dir).getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(dir))) return
@@ -556,7 +589,8 @@ object Streams extends Serializable {
     // against some other base — sweeping would silently delete the whole
     // committed dataset) or a compaction racing the very first commit.
     // Neither is adjudicable here: fail loudly instead of deleting.
-    require(batchFiles.isEmpty || markers.nonEmpty || wm >= 0,
+    require(!requireProtocolState || batchFiles.isEmpty || markers.nonEmpty ||
+      wm >= 0,
       s"no commit-protocol state at ${markerBase}_batches but $dir holds " +
         s"${batchFiles.length} batch-prefixed files — pass the sink's real " +
         "markerBase (multiSink route dirs and ingest pairs dirs commit " +

@@ -933,6 +933,74 @@ class SimilaritySpec extends SparkSpec {
       "a committed batch after compaction lands beside the compacted files")
   }
 
+  test("append dedup never trusts uncommitted sibling partials: a crashed batch's ids re-deliver through a later batch") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val corpus = e.filter(col("vec_id") % 4 =!= 0)
+    val day = e.filter(col("vec_id") % 4 === 0)
+    val ip = java.nio.file.Files.createTempDirectory("graft_ann_sib").toString + "/idx"
+    val cents = Similarity.centroids(corpus)
+    val cb = Similarity.pqCodebooks(corpus)
+    Similarity.saveIndex(ip, cents, cb,
+      Similarity.buildIvfpqIndex(corpus, cents, cb))
+    Similarity.recordDriftBaseline(spark, ip, corpus, cb, Some(cents))
+    // batch 5 crashed AFTER its code files moved in but BEFORE its marker:
+    // its rows are physically present yet the batch never committed
+    graft.streaming.Streams.replaceBatchFiles(spark,
+      s"$ip/pq_codes.parquet", 5L) { staging =>
+      Similarity.buildIvfpqIndex(day, cents, cb).write.parquet(staging)
+    }
+    // batch 6 legitimately delivers the same vectors. If the dedup
+    // anti-join trusted the crashed batch's partial rows it would skip
+    // these ids — and the next compaction (which sweeps uncommitted
+    // partials) would then erase them from the index for good.
+    assert(Similarity.appendToIndexAt(spark, ip, day, 6L))
+    def codeSet(): Set[(Long, Int)] =
+      Similarity.loadIndex(spark, ip)._3.collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("sub"))).toSet
+    val expect = Similarity.buildIvfpqIndex(e, cents, cb).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("sub"))).toSet
+    assert(codeSet() === expect,
+      "batch 6's delivery must own the ids the crashed batch never committed")
+    val (_, _, live) = Similarity.compactIndex(spark, ip)
+    assert(live === expect.size.toLong,
+      "compaction keeps every live (vec_id, sub) code row")
+    assert(codeSet() === expect)
+  }
+
+  test("bare recordDrift replays dedup at read time: one decision row per batch") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val ip = java.nio.file.Files.createTempDirectory("graft_ann_dr").toString + "/idx"
+    val cents = Similarity.centroids(e)
+    val cb = Similarity.pqCodebooks(e)
+    Similarity.saveIndex(ip, cents, cb,
+      Similarity.buildIvfpqIndex(e, cents, cb))
+    Similarity.recordDriftBaseline(spark, ip, e, cb, Some(cents))
+    // a nightly job retried after a crash past recordDrift double-appends
+    // the same content-derived row — the at-least-once window the bare
+    // convenience form documents
+    val shifted = e.withColumn("embedding",
+      org.apache.spark.sql.functions.transform(col("embedding"),
+        x => x * org.apache.spark.sql.functions.lit(3.0f)))
+    Similarity.recordDrift(spark, ip, shifted, cb, 0L, Some(cents))
+    Similarity.recordDrift(spark, ip, shifted, cb, 0L, Some(cents))
+    val rep = Similarity.driftReport(spark, ip).collect()
+    assert(rep.length === 1, "duplicate batch rows must fold to one decision row")
+    assert(rep.head.getAs[Long]("batch_id") === 0L)
+    assert(rep.head.getAs[Boolean]("drifted"))
+    // the duplicated drifted batch must count ONCE toward the
+    // minTripped-of-lastK retrain decision, not trip it alone
+    assert(!Similarity.maybeRetrain(spark, ip, corpus = e,
+      lastK = 3, minTripped = 2),
+      "one noisy batch recorded twice must not fire a corpus-scale retrain")
+    // describeIndex's batch count dedups the same way
+    val d = Similarity.describeIndex(spark, ip).head
+    assert(d.getAs[Long]("drift_batches") === 1L)
+  }
+
   test("model drift monitor: in-distribution appends hold the band, a shifted batch trips") {
     import org.apache.spark.sql.functions._
     val spark2 = spark

@@ -684,6 +684,65 @@ class StreamingSpec extends SparkSpec {
       === (0L to 9L).map(b => (b, s"r$b")).toSet)
   }
 
+  test("watermark file is crash-safe: tmp-only swap state heals, truncation never resets folded ids") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_wmcrash").toString
+    val dir = s"$base/audit"
+    def commit(b: Long): Unit = Streams.commitBatch(spark, dir, b)(
+      dir -> (st => Seq((b, s"r$b")).toDF("id", "tag").write.parquet(st)))
+    (0L to 3L).foreach(commit)
+    Streams.compactSinkDir(spark, dir, col("id"))
+    assert(Streams.committedWatermark(spark, dir) === 3L)
+    val wm = new java.io.File(s"${dir}_batches/_watermark")
+    val tmp = new java.io.File(s"${dir}_batches/_watermark.tmp")
+    // crash window: the swap died between delete and rename — tmp is the
+    // ONLY copy. Reads must answer from it (the folded markers are gone;
+    // a -1 fallback would replay batches 0-3 as uncommitted duplicates)
+    java.nio.file.Files.move(wm.toPath, tmp.toPath)
+    assert(Streams.committedWatermark(spark, dir) === 3L,
+      "the tmp file must answer while the swap is unhealed")
+    // the next advance heals the swap rather than truncating the only copy
+    commit(4L)
+    Streams.advanceWatermark(spark, dir)
+    assert(wm.exists && !tmp.exists, "the advance must promote tmp first")
+    assert(Streams.committedWatermark(spark, dir) === 4L)
+    // a truncated (empty) watermark file must not throw — the stale tmp
+    // of an interrupted write still carries the last valid value
+    java.nio.file.Files.write(tmp.toPath, "4".getBytes("UTF-8"))
+    java.nio.file.Files.write(wm.toPath, Array.empty[Byte])
+    assert(Streams.committedWatermark(spark, dir) === 4L)
+    // folded ids still skip through every one of those states
+    var ran = false
+    Streams.commitBatch(spark, dir, 2L)(dir -> { st =>
+      ran = true; Seq((99L, "x")).toDF("id", "tag").write.parquet(st) })
+    assert(!ran, "a watermark-covered id must stay a no-op")
+    assert(spark.read.parquet(dir).count() === 5)
+  }
+
+  test("epoch fence: committed ids fold or keep markers, a never-committed gap id stays retryable") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_fence").toString
+    val dir = s"$base/audit"
+    def commit(b: Long): Unit = Streams.commitBatch(spark, dir, b)(
+      dir -> (st => Seq((b, s"r$b")).toDF("id", "tag").write.parquet(st)))
+    commit(0L); commit(2L) // batch 1 crashed before its marker: a gap
+    val fence = Streams.fenceBatchEpoch(spark, dir)
+    assert(fence === 2L, "new batches must number above everything ever seen")
+    assert(Streams.committedWatermark(spark, dir) === 0L,
+      "the watermark must not jump the never-committed gap")
+    assert(Streams.isBatchCommitted(spark, dir, 2L),
+      "the committed id above the gap keeps its marker fence")
+    assert(!Streams.isBatchCommitted(spark, dir, 1L),
+      "fencing the gap id would turn its later retry into a silent drop")
+    // the gap id's late retry still applies, and the history completes
+    commit(1L)
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().toSet
+      === Set(0L, 1L, 2L))
+    // with the gap closed, the fence folds everything
+    assert(Streams.fenceBatchEpoch(spark, dir) === 2L)
+    assert(Streams.committedWatermark(spark, dir) === 2L)
+  }
+
   test("multi-sink route dirs share one marker set; compaction with markerBase keeps committed rows") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

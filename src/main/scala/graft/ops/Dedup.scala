@@ -160,7 +160,17 @@ object Dedup {
     * asserts recall vs [[ngramJaccard]] ground truth.
     */
   def minhashLsh(s: SparkSession, dir: String,
-      numHashes: Int = DefaultNumHashes, bands: Int = DefaultBands): DataFrame = {
+      numHashes: Int = DefaultNumHashes, bands: Int = DefaultBands): DataFrame =
+    minhashPairsOf(s, Tables(s, dir).documents, numHashes, bands, tau = 0.7)
+
+  /** [[minhashLsh]]'s body over an arbitrary (doc_id, text) frame with the
+    * verify threshold as a parameter — the corpus-reading gate entry above
+    * and [[tuneBands]]'s probe-sample evaluations share this verbatim, so
+    * the geometry the tuner measures is exactly the geometry the detector
+    * runs.
+    */
+  private[graft] def minhashPairsOf(s: SparkSession, docs0: DataFrame,
+      numHashes: Int, bands: Int, tau: Double): DataFrame = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
     // repartition BEFORE the expensive work: the scan is one partition (one
     // small file), and shingling is an interpreted HOF pipeline — shuffle
@@ -189,7 +199,7 @@ object Dedup {
     // pmod), FunctionsSpec pins the equality. The kernel returns the set
     // SORTED, which is what lets verification below merge instead of
     // hashing
-    val docs = Tables(s, dir).documents
+    val docs = docs0
       .filter(size(words(col("text"))) >= 2)
       .repartition(spread(s), col("doc_id"))
       .select(col("doc_id"),
@@ -226,7 +236,7 @@ object Dedup {
       .join(docs.select(col("doc_id").as("d2"), col("hs").as("s2")), "d2")
       .select(col("d1"), col("d2"),
         graft.functions.jaccard_hashed(col("s1"), col("s2")).as("jaccard"))
-      .filter(col("jaccard") >= 0.7)
+      .filter(col("jaccard") >= tau)
       .orderBy(col("d1"), col("d2"))
   }
 
@@ -248,6 +258,132 @@ object Dedup {
     sig.select(col("doc_id"),
       posexplode_outer(bucketArr).as(Seq("band", "bucket")))
   }
+
+  // ----------------------------------------------------- banding auto-tune
+  /** EXACT near-dup ground truth over a (doc_id, text) frame, in the same
+    * hashed-shingle space [[minhashPairsOf]] verifies in: candidates are
+    * pairs sharing ≥1 hashed shingle — complete for jaccard > 0, so
+    * lossless at any tau > 0 — then the same merge-based jaccard cut.
+    * All-pairs in the worst case by nature (it IS the exact tier), which
+    * is why [[tuneBands]] only ever runs it on a bounded probe sample.
+    */
+  private def exactHashedJaccardPairs(s: SparkSession, docs0: DataFrame,
+      tau: Double): DataFrame = {
+    val docs = docs0
+      .filter(size(words(col("text"))) >= 2)
+      .repartition(spread(s), col("doc_id"))
+      .select(col("doc_id"),
+        hashed_ngrams(words(col("text")), 2, P, distinct = true).as("hs"))
+      .repartition(spread(s), col("doc_id"))
+    val ex = docs.select(col("doc_id"), explode_outer(col("hs")).as("h"))
+    val cand = ex.as("a").join(ex.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("d1"), col("hs").as("s1")), "d1")
+      .join(docs.select(col("doc_id").as("d2"), col("hs").as("s2")), "d2")
+      .filter(graft.functions.jaccard_hashed(col("s1"), col("s2")) >= tau)
+      .select(col("d1"), col("d2"))
+  }
+
+  /** Banding-geometry resolver — [[graft.ops.Similarity.tuneForRecall]]'s
+    * decision for the MinHash-LSH family: given the verify threshold tau
+    * and a target recall, evaluate candidate band counts CHEAPEST-FIRST
+    * (ascending bands — fewer bands ⇒ fewer bucket collisions ⇒ fewer
+    * candidate verifications ⇒ cheaper, at lower recall) on a bounded
+    * deterministic probe sample against the sample's EXACT ground truth,
+    * and stop at the first geometry meeting the target. Candidates past
+    * the winner never run — escalation is the point.
+    *
+    * Because [[minhashPairsOf]] exact-verifies its candidates with the
+    * same jaccard cut the truth uses, its output is a SUBSET of the truth:
+    * precision is 1.0 structurally and recall is the only dial, exactly
+    * the S-curve trade the banding controls. Each evaluated geometry also
+    * reports its analytic S-curve threshold (1/b)^(1/r) — the similarity
+    * at which a pair's collision probability crosses ~1/2 — so the chosen
+    * config is explainable, not just measured.
+    *
+    * The probe sample is a deterministic hash-cut of doc ids capped at
+    * `sampleCap` (the [[graft.ops.Similarity.trainSample]] discipline):
+    * tuner cost is bounded by the cap — including the exact tier's
+    * worst-case all-pairs — regardless of corpus size, which is what
+    * makes it runnable against the 100 TB corpus at all. Within-sample
+    * recall is the standard unbiased probe estimate (both endpoints must
+    * survive the cut, so sparse-duplication corpora want a larger cap).
+    *
+    * Output: one row per EVALUATED geometry in evaluation order —
+    * the escalation trace, last row = the decision:
+    * (bands, rows_per_band, s_curve_tau, truth_pairs, found_pairs,
+    *  measured_recall, target_met, target, sample_docs).
+    */
+  def tuneBands(s: SparkSession, docs0: DataFrame, tau: Double = 0.7,
+      targetRecall: Double = 0.9, numHashes: Int = DefaultNumHashes,
+      candidateBands: Seq[Int] = Seq(4, 8, 16, 32),
+      sampleCap: Long = 2000L): DataFrame = {
+    require(tau > 0 && tau <= 1.0, s"tau must be in (0,1]: $tau")
+    require(targetRecall > 0 && targetRecall <= 1.0,
+      s"target recall must be in (0,1]: $targetRecall")
+    require(candidateBands.nonEmpty, "tuneBands needs candidate band counts")
+    candidateBands.foreach(b => require(b > 0 && numHashes % b == 0,
+      s"every candidate band count must divide numHashes ($numHashes): $b"))
+    require(sampleCap > 0, s"sampleCap must be positive: $sampleCap")
+    val n = docs0.count()
+    val sample =
+      if (n <= sampleCap) docs0
+      else {
+        // hash-cut, not limit(): deterministic, order-independent, and
+        // unbiased w.r.t. duplication structure (dup twins hash apart)
+        val keepPerM = math.max(1L, (sampleCap * 1000000L) / n)
+        docs0.filter(pmod(xxhash64(col("doc_id")), lit(1000000L)) < keepPerM)
+      }
+    val truth = exactHashedJaccardPairs(s, sample, tau).persist()
+    try {
+      val nTruth = truth.count()
+      val nSample = if (n <= sampleCap) n else sample.count()
+      val ladder = candidateBands.sorted
+      val rows = scala.collection.mutable.ListBuffer
+        .empty[(Int, Int, Double, Long, Long, Double, Boolean)]
+      val it = ladder.iterator
+      var done = false
+      while (it.hasNext && !done) {
+        val b = it.next()
+        val r = numHashes / b
+        val found =
+          if (nTruth == 0) 0L
+          else minhashPairsOf(s, sample, numHashes, b, tau)
+            .select(col("d1"), col("d2"))
+            .join(truth, Seq("d1", "d2")).count()
+        // an empty truth set means the sample carries no pairs at tau —
+        // every geometry is vacuously sufficient; report the cheapest as
+        // met so the resolver is total, and surface truth_pairs = 0 for
+        // the caller to judge (raise sampleCap / lower tau)
+        val recall = if (nTruth == 0) 1.0 else found.toDouble / nTruth
+        val met = recall >= targetRecall
+        rows += ((b, r, math.pow(1.0 / b, 1.0 / r), nTruth, found,
+          recall, met))
+        if (met) done = true
+      }
+      import s.implicits._
+      rows.toSeq
+        .toDF("bands", "rows_per_band", "s_curve_tau", "truth_pairs",
+          "found_pairs", "measured_recall", "target_met")
+        .withColumn("target", lit(targetRecall))
+        .withColumn("sample_docs", lit(nSample))
+        .orderBy(col("bands"))
+    } finally { truth.unpersist(); () }
+  }
+
+  /** Gate/bench form of the banding resolver (rows-only — the escalation
+    * trace is engine-internal): resolve the cheapest band count meeting
+    * recall ≥ 0.9 at the detector's own tau = 0.7 verify cut, over the
+    * default 64-hash budget. DedupSpec pins the decisions (a generous
+    * target stops the ladder early and never runs the geometries past the
+    * winner; a strict target escalates), the S-curve closed form, and the
+    * recall arithmetic against a hand recount.
+    */
+  def dedupTuneBands(s: SparkSession, dir: String): DataFrame =
+    tuneBands(s, Tables(s, dir).documents)
 
   // ------------------------------------------------------------ simhash
   /** 64-bit SimHash over word hashes, kept as 4×16-bit chunks (ANSI-safe —
@@ -1220,7 +1356,8 @@ object Dedup {
     "text_decontaminate_fuzzy" -> ((s: SparkSession, dir: String) => decontaminateFuzzy(s, dir)),
     "dedup_embedding_incremental" -> ((s: SparkSession, dir: String) => embeddingIncremental(s, dir)),
     "dedup_index_audit" -> (indexBucketAudit _),
-    "dedup_index_report" -> (dedupIndexReport _))
+    "dedup_index_report" -> (dedupIndexReport _),
+    "dedup_tune_bands" -> (dedupTuneBands _))
 
   /** dedup_minhash_lsh / dedup_simhash are rows-only: signatures depend on
     * engine-internal hashes (xxhash64/murmur); DedupSpec pins their recall

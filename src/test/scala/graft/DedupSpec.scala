@@ -638,4 +638,84 @@ class DedupSpec extends SparkSpec {
       .getAs[Long]("live_ids")
       === emb.filter(col("vec_id") % 4 =!= 0).count())
   }
+
+  // ---------------------------------------------------- banding auto-tune
+
+  test("banding auto-tune: escalation trace, S-curve closed form, recall arithmetic") {
+    val rep = Dedup.tuneBands(spark, Tables(spark, sf).documents,
+      tau = 0.7, targetRecall = 0.9).collect()
+    assert(rep.nonEmpty)
+    // ascending bands, evaluation order preserved
+    val bands = rep.map(_.getAs[Int]("bands")).toSeq
+    assert(bands == bands.sorted, s"trace must ascend: $bands")
+    // every non-last row failed the target (or the ladder wouldn't have
+    // escalated past it); the last row is the decision
+    rep.dropRight(1).foreach { r =>
+      assert(!r.getAs[Boolean]("target_met"))
+      assert(r.getAs[Double]("measured_recall") < 0.9)
+    }
+    rep.foreach { r =>
+      val b = r.getAs[Int]("bands")
+      val rpb = r.getAs[Int]("rows_per_band")
+      assert(b * rpb === 64, "geometry must exhaust the hash budget")
+      // the analytic S-curve threshold (1/b)^(1/r)
+      assert(math.abs(r.getAs[Double]("s_curve_tau")
+        - math.pow(1.0 / b, 1.0 / rpb)) < 1e-12)
+      // recall IS found/truth — the report's arithmetic, re-done by hand
+      val truth = r.getAs[Long]("truth_pairs")
+      val found = r.getAs[Long]("found_pairs")
+      assert(found <= truth, "verified pairs are a subset of the truth")
+      assert(math.abs(r.getAs[Double]("measured_recall")
+        - found.toDouble / truth) < 1e-12)
+      assert(r.getAs[Double]("target") === 0.9)
+    }
+  }
+
+  test("banding auto-tune: a generous target stops the ladder at the cheapest geometry") {
+    val rep = Dedup.tuneBands(spark, Tables(spark, sf).documents,
+      tau = 0.7, targetRecall = 0.02).collect()
+    // candidates past the winner never ran: the trace is exactly one row
+    assert(rep.length === 1, s"expected one evaluated geometry, got ${rep.length}")
+    assert(rep.head.getAs[Int]("bands") === 4)
+    assert(rep.head.getAs[Boolean]("target_met"))
+  }
+
+  test("banding auto-tune: mid-similarity pairs escalate past coarse bands to the default geometry") {
+    import spark.implicits._
+    // 20 planted pairs at jaccard = 33/45 ≈ 0.733 — just above the 0.7
+    // verify cut, where the S-curve separates the ladder hard: per-pair
+    // collision ≈ 3% at 4 bands (r=16), ≈ 50% at 8 (r=8), ≈ 99.6% at 16
+    // (r=4). Vocabulary is disjoint across pairs so no accidental truth.
+    val docs = (0 until 20).flatMap { p =>
+      val base = (0 until 40).map(w => s"p${p}_w$w")
+      val twin = base.take(34) ++ (0 until 6).map(w => s"p${p}_x$w")
+      Seq((p.toLong * 2, base.mkString(" ")), (p.toLong * 2 + 1, twin.mkString(" ")))
+    }.toDF("doc_id", "text")
+    val strict = Dedup.tuneBands(spark, docs, tau = 0.7, targetRecall = 0.9)
+      .collect()
+    assert(strict.head.getAs[Long]("truth_pairs") === 20L,
+      "every planted pair sits above tau, nothing else does")
+    val winner = strict.last
+    assert(winner.getAs[Boolean]("target_met"))
+    assert(winner.getAs[Int]("bands") === 16,
+      "0.9 recall at tau 0.7 lands on the library's default 16x4 geometry")
+    assert(strict.length === 3, "the 4- and 8-band rungs were evaluated and failed")
+    // a lax target on the same corpus stops earlier — the dial moves the
+    // decision, cheaper geometry for the caller who tolerates misses
+    val lax = Dedup.tuneBands(spark, docs, tau = 0.7, targetRecall = 0.15)
+      .collect()
+    assert(lax.length < strict.length)
+    assert(lax.last.getAs[Boolean]("target_met"))
+  }
+
+  test("banding auto-tune: truth tier agrees with the exhaustive 64-band recount") {
+    // at 64 bands x 1 row every >= tau pair collides with probability
+    // 1 - (1-tau)^64 (~1 - 1e-33 at 0.7): the detector IS the exact tier,
+    // so the tuner's truth count must match its output
+    val rep = Dedup.tuneBands(spark, Tables(spark, sf).documents,
+      tau = 0.7, targetRecall = 0.9).collect()
+    val exhaustive = Dedup.minhashLsh(spark, sf, numHashes = 64, bands = 64)
+      .count()
+    assert(rep.head.getAs[Long]("truth_pairs") === exhaustive)
+  }
 }

@@ -53,7 +53,8 @@ object Bench {
     "text_chunk_documents",
     "text_span_dedup", "text_surprisal", "text_bigram_perplexity",
     "emb_label_centroids", "emb_quantize",
-    "mm_binary_meta", "mm_feature_extract", "mm_near_dup")
+    "mm_binary_meta", "mm_feature_extract", "mm_near_dup",
+    "ops_maintenance_report")
 
   /** One query per operator family, run (untimed) before measurement. q1
     * alone proved insufficient: the dedup/ANN plans exercise codegen paths

@@ -27,7 +27,8 @@ object SparkEntry {
       graft.ops.Intervals.queries ++
       graft.ops.Curation.queries ++
       graft.ops.Layout.queries ++
-      graft.ops.Bpe.queries
+      graft.ops.Bpe.queries ++
+      graft.ops.Maintenance.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
@@ -42,5 +43,6 @@ object SparkEntry {
       graft.ops.Intervals.oracles ++
       graft.ops.Curation.oracles ++
       graft.ops.Layout.oracles ++
-      graft.ops.Bpe.oracles
+      graft.ops.Bpe.oracles ++
+      graft.ops.Maintenance.oracles
 }

@@ -170,41 +170,58 @@ object Dedup {
     * runs.
     */
   private[graft] def minhashPairsOf(s: SparkSession, docs0: DataFrame,
-      numHashes: Int, bands: Int, tau: Double): DataFrame = {
-    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
-    // repartition BEFORE the expensive work: the scan is one partition (one
-    // small file), and shingling is an interpreted HOF pipeline — shuffle
-    // the raw rows first so it runs across all cores. At 100 TB the scan
-    // arrives pre-split, but declaring the doc_id partitioning up front is
-    // still what lets every later stage reuse it.
-    // First exchange spreads the interpreted shingle pipeline across cores
-    // (a small parquet arrives as one partition); the second sits ABOVE the
-    // shingle-hash projection so all three consumers below (signature + the
-    // two verify-join sides) hit one ReusedExchange instead of re-shingling.
-    // Docs carry only hashed shingles (hs ∈ [0, P)) from here on: the
-    // exact-verify intersects long arrays instead of strings (~5× cheaper
-    // per candidate, and the dominant cost IS verification when real
-    // duplication is dense), at the price of a ~|sh|/P collision error in
-    // the reported jaccard — negligible and spec-checked.
-    // the non-empty-shingles guard is a WORD-COUNT filter on the raw text,
-    // not size(hs) > 0: a filter above the hs projection gets pushed to the
-    // scan with the whole shingle+minhash chain inlined — recomputing it
-    // per row, interpreted. ≥2 words ⟺ ≥1 shingle, and split+size is
-    // codegen'd and cheap at the scan.
-    // shingle+hash is ONE codegen'd kernel (HashedNgrams) — the HOF chain
-    // it replaces (zip_with → transform(xxhash64) → array_distinct)
-    // evaluated interpreted per element (measured 51.0 → 42.5 s end-to-end
-    // at the 100× dup-dense probe, where verification dominates); values
-    // are bit-identical (same space-joined grams, same xxhash64 seed, same
-    // pmod), FunctionsSpec pins the equality. The kernel returns the set
-    // SORTED, which is what lets verification below merge instead of
-    // hashing
-    val docs = docs0
+      numHashes: Int, bands: Int, tau: Double): DataFrame =
+    minhashPairsFromHs(s, hashedShingleDocs(s, docs0), numHashes, bands, tau)
+
+  /** The (doc_id, hs) preparation both similarity tiers build on — ONE
+    * definition so the tuner's exact-truth tier and the LSH tier can never
+    * shingle differently (the found ⊆ truth invariant the tuner's recall
+    * arithmetic rests on is a property of shared prep, not of review).
+    *
+    * Repartition BEFORE the expensive work: the scan is one partition (one
+    * small file), and shingling is an interpreted HOF pipeline — shuffle
+    * the raw rows first so it runs across all cores. At 100 TB the scan
+    * arrives pre-split, but declaring the doc_id partitioning up front is
+    * still what lets every later stage reuse it.
+    * First exchange spreads the interpreted shingle pipeline across cores
+    * (a small parquet arrives as one partition); the second sits ABOVE the
+    * shingle-hash projection so all three consumers downstream (signature +
+    * the two verify-join sides) hit one ReusedExchange instead of
+    * re-shingling.
+    * Docs carry only hashed shingles (hs ∈ [0, P)) from here on: the
+    * exact-verify intersects long arrays instead of strings (~5× cheaper
+    * per candidate, and the dominant cost IS verification when real
+    * duplication is dense), at the price of a ~|sh|/P collision error in
+    * the reported jaccard — negligible and spec-checked.
+    * The non-empty-shingles guard is a WORD-COUNT filter on the raw text,
+    * not size(hs) > 0: a filter above the hs projection gets pushed to the
+    * scan with the whole shingle+minhash chain inlined — recomputing it
+    * per row, interpreted. ≥2 words ⟺ ≥1 shingle, and split+size is
+    * codegen'd and cheap at the scan.
+    * Shingle+hash is ONE codegen'd kernel (HashedNgrams) — the HOF chain
+    * it replaces (zip_with → transform(xxhash64) → array_distinct)
+    * evaluated interpreted per element (measured 51.0 → 42.5 s end-to-end
+    * at the 100× dup-dense probe, where verification dominates); values
+    * are bit-identical (same space-joined grams, same xxhash64 seed, same
+    * pmod), FunctionsSpec pins the equality. The kernel returns the set
+    * SORTED, which is what lets verification merge instead of hashing.
+    */
+  private def hashedShingleDocs(s: SparkSession, docs0: DataFrame): DataFrame =
+    docs0
       .filter(size(words(col("text"))) >= 2)
       .repartition(spread(s), col("doc_id"))
       .select(col("doc_id"),
         hashed_ngrams(words(col("text")), 2, P, distinct = true).as("hs"))
       .repartition(spread(s), col("doc_id"))
+
+  /** [[minhashPairsOf]] from an already-prepared (doc_id, hs) frame —
+    * [[tuneBands]] persists ONE prepared probe sample and drives every
+    * ladder rung off it, so the tuner never re-scans or re-shingles the
+    * input per rung.
+    */
+  private def minhashPairsFromHs(s: SparkSession, docs: DataFrame,
+      numHashes: Int, bands: Int, tau: Double): DataFrame = {
+    require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
     // Signature via the codegen'd MinHashSig (the HOF formulation — 64
     // array_min lambdas — evaluates interpreted and measured ~1000×
     // slower). The repartition before `banded` is a projection barrier:
@@ -260,21 +277,16 @@ object Dedup {
   }
 
   // ----------------------------------------------------- banding auto-tune
-  /** EXACT near-dup ground truth over a (doc_id, text) frame, in the same
-    * hashed-shingle space [[minhashPairsOf]] verifies in: candidates are
-    * pairs sharing ≥1 hashed shingle — complete for jaccard > 0, so
-    * lossless at any tau > 0 — then the same merge-based jaccard cut.
-    * All-pairs in the worst case by nature (it IS the exact tier), which
-    * is why [[tuneBands]] only ever runs it on a bounded probe sample.
+  /** EXACT near-dup ground truth over an already-prepared (doc_id, hs)
+    * frame ([[hashedShingleDocs]] — the SAME prep the LSH tier uses, so
+    * the two can never shingle differently): candidates are pairs sharing
+    * ≥1 hashed shingle — complete for jaccard > 0, so lossless at any
+    * tau > 0 — then the same merge-based jaccard cut. All-pairs in the
+    * worst case by nature (it IS the exact tier), which is why
+    * [[tuneBands]] only ever runs it on a bounded probe sample.
     */
-  private def exactHashedJaccardPairs(s: SparkSession, docs0: DataFrame,
+  private def exactHashedJaccardPairs(s: SparkSession, docs: DataFrame,
       tau: Double): DataFrame = {
-    val docs = docs0
-      .filter(size(words(col("text"))) >= 2)
-      .repartition(spread(s), col("doc_id"))
-      .select(col("doc_id"),
-        hashed_ngrams(words(col("text")), 2, P, distinct = true).as("hs"))
-      .repartition(spread(s), col("doc_id"))
     val ex = docs.select(col("doc_id"), explode_outer(col("hs")).as("h"))
     val cand = ex.as("a").join(ex.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -305,17 +317,27 @@ object Dedup {
     * config is explainable, not just measured.
     *
     * The probe sample is a deterministic hash-cut of doc ids capped at
-    * `sampleCap` (the [[graft.ops.Similarity.trainSample]] discipline):
-    * tuner cost is bounded by the cap — including the exact tier's
-    * worst-case all-pairs — regardless of corpus size, which is what
-    * makes it runnable against the 100 TB corpus at all. Within-sample
-    * recall is the standard unbiased probe estimate (both endpoints must
-    * survive the cut, so sparse-duplication corpora want a larger cap).
+    * `sampleCap` (the [[graft.ops.Similarity.trainSample]] discipline, on
+    * a 2^40 ring rather than trainSample's 2^20: trainSample feeds a
+    * LINEAR consumer where the narrow ring's worst overshoot — a few× the
+    * cap once n outgrows cap·2^20 — costs a proportionally longer k-means
+    * scan, but this sample feeds the exact tier's QUADRATIC join, where
+    * the same overshoot squares; the wide ring keeps the expected sample
+    * within one doc of the cap out past 10^15 docs): tuner cost is
+    * bounded by the cap — including the exact tier's worst-case
+    * all-pairs — regardless of corpus size, which is what makes it
+    * runnable against the 100 TB corpus at all. Within-sample recall is
+    * the standard unbiased probe estimate (both endpoints must survive
+    * the cut, so sparse-duplication corpora want a larger cap). The
+    * prepared (doc_id, hs) sample persists ONCE and every ladder rung,
+    * the truth tier and the report counts all read the cached ~sampleCap
+    * rows — one pass over the input total, not one per rung.
     *
     * Output: one row per EVALUATED geometry in evaluation order —
     * the escalation trace, last row = the decision:
     * (bands, rows_per_band, s_curve_tau, truth_pairs, found_pairs,
-    *  measured_recall, target_met, target, sample_docs).
+    *  measured_recall, target_met, target, sample_docs — docs with ≥1
+    * shingle that survived the cut).
     */
   def tuneBands(s: SparkSession, docs0: DataFrame, tau: Double = 0.7,
       targetRecall: Double = 0.9, numHashes: Int = DefaultNumHashes,
@@ -333,14 +355,20 @@ object Dedup {
       if (n <= sampleCap) docs0
       else {
         // hash-cut, not limit(): deterministic, order-independent, and
-        // unbiased w.r.t. duplication structure (dup twins hash apart)
-        val keepPerM = math.max(1L, (sampleCap * 1000000L) / n)
-        docs0.filter(pmod(xxhash64(col("doc_id")), lit(1000000L)) < keepPerM)
+        // unbiased w.r.t. duplication structure (dup twins hash apart).
+        // 2^40 ring — see the docstring; ceil keeps the cut binding (a
+        // floored keep of 0 would mean an empty sample, a floored narrow
+        // ring stops binding entirely once n > cap·ring)
+        val ring = 1L << 40
+        val keep = math.max(1L, (sampleCap * ring + n - 1) / n)
+        docs0.filter(pmod(xxhash64(col("doc_id")), lit(ring)) < keep)
       }
-    val truth = exactHashedJaccardPairs(s, sample, tau).persist()
+    // ONE prepared, persisted probe frame behind the whole ladder
+    val prepped = hashedShingleDocs(s, sample).persist()
+    val truth = exactHashedJaccardPairs(s, prepped, tau).persist()
     try {
       val nTruth = truth.count()
-      val nSample = if (n <= sampleCap) n else sample.count()
+      val nSample = prepped.count()
       val ladder = candidateBands.sorted
       val rows = scala.collection.mutable.ListBuffer
         .empty[(Int, Int, Double, Long, Long, Double, Boolean)]
@@ -351,7 +379,7 @@ object Dedup {
         val r = numHashes / b
         val found =
           if (nTruth == 0) 0L
-          else minhashPairsOf(s, sample, numHashes, b, tau)
+          else minhashPairsFromHs(s, prepped, numHashes, b, tau)
             .select(col("d1"), col("d2"))
             .join(truth, Seq("d1", "d2")).count()
         // an empty truth set means the sample carries no pairs at tau —
@@ -371,7 +399,7 @@ object Dedup {
         .withColumn("target", lit(targetRecall))
         .withColumn("sample_docs", lit(nSample))
         .orderBy(col("bands"))
-    } finally { truth.unpersist(); () }
+    } finally { truth.unpersist(); prepped.unpersist(); () }
   }
 
   /** Gate/bench form of the banding resolver (rows-only — the escalation

@@ -80,6 +80,9 @@ object Maintenance {
           s"${Kinds.toSeq.sorted.mkString(", ")}): ${t.path}")
       require(t.kind == "ann_index" || t.retrainCorpus.isEmpty,
         s"retrain only applies to ann_index targets: ${t.path}")
+      require(t.retrainOn.isEmpty || t.retrainCorpus.isDefined,
+        s"retrainOn without retrainCorpus would silently skip the retrain " +
+          s"check: ${t.path}")
       require(t.kind == "sink_dir" || (t.orderCol.isEmpty && t.markerBase.isEmpty),
         s"orderCol/markerBase only apply to sink_dir targets: ${t.path}")
     }
@@ -88,8 +91,19 @@ object Maintenance {
       val (checked, fired, audit) = t.kind match {
         case "ann_index" =>
           val fired = t.retrainCorpus match {
-            case Some(corpus) => Some(Similarity.maybeRetrain(s, t.path,
-              corpus, t.retrainOn, t.lastK, t.minTripped))
+            case Some(corpus) =>
+              // sweep crashed appends' drift partials BEFORE the decision:
+              // a never-committed batch's drift row must not count toward
+              // minTripped-of-lastK (compactIndex would drop the row right
+              // after — deciding first off the raw table would let a
+              // phantom row fire a corpus-scale rebuild). Same sweep
+              // appendToIndexAt runs before reading the series.
+              graft.streaming.Streams.dropUncommittedBatchFiles(s,
+                s"${t.path}/drift.parquet", t.path)
+              graft.streaming.Streams.dropStaleStaging(s,
+                s"${t.path}/drift.parquet")
+              Some(Similarity.maybeRetrain(s, t.path,
+                corpus, t.retrainOn, t.lastK, t.minTripped))
             case None => None
           }
           (fired.isDefined, fired.getOrElse(false),
@@ -143,12 +157,22 @@ object Maintenance {
     val targets = root.get("targets").elements().asScala.map { t =>
       require(t.hasNonNull("kind") && t.hasNonNull("path"),
         "every target needs kind and path")
+      val kind = t.get("kind").asText
+      val path = t.get("path").asText
+      // validate BEFORE touching any retrain parquet: a bad kind or a
+      // retrain block on the wrong kind must fail with the named require,
+      // not whatever AnalysisException the eager read happens to throw
+      require(Kinds.contains(kind),
+        s"unknown maintenance kind '$kind' (expected one of " +
+          s"${Kinds.toSeq.sorted.mkString(", ")}): $path")
       val retrain = optField(t, "retrain")
+      require(kind == "ann_index" || retrain.isEmpty,
+        s"retrain only applies to ann_index targets: $path")
       retrain.foreach(r => require(r.hasNonNull("corpusPath"),
         "retrain needs corpusPath"))
       Target(
-        kind = t.get("kind").asText,
-        path = t.get("path").asText,
+        kind = kind,
+        path = path,
         orderCol = optField(t, "orderCol").map(_.asText),
         markerBase = optField(t, "markerBase").map(_.asText),
         retrainCorpus = retrain.map(r => s.read.parquet(r.get("corpusPath").asText)),

@@ -170,6 +170,28 @@ class MaintenanceSpec extends SparkSpec {
     val live = spark.read.parquet(s"$base/ann/pq_codes.parquet")
       .select("vec_id").distinct().count()
     assert(live === everything.count())
+
+    // a CRASHED append (files written, marker never created) leaves a
+    // drifted phantom row in the drift table; the orchestrator must sweep
+    // it BEFORE the decision — with minTripped=1 a counted phantom would
+    // fire a corpus-scale rebuild off a batch that never applied
+    val phantom = vectors(64, idBase = 50000L, scale = 3.0)
+    Similarity.appendToIndexAt(spark, s"$base/ann", phantom, 10L)
+    val marker = new org.apache.hadoop.fs.Path(s"$base/ann_batches/10")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(marker, false), "crash simulation needs the marker gone")
+    val afterCrash = Maintenance.runAll(spark, Seq(
+      Target("ann_index", s"$base/ann", retrainCorpus = Some(everything),
+        lastK = 1, minTripped = 1))).collect().head
+    assert(!afterCrash.getAs[Boolean]("retrain_fired"),
+      "a never-committed batch's drift row must not fire the retrain")
+  }
+
+  test("a target setting retrainOn without retrainCorpus fails loudly instead of silently skipping the check") {
+    intercept[IllegalArgumentException] {
+      Maintenance.runAll(spark, Seq(
+        Target("ann_index", "/nowhere", retrainOn = Some(vectors(8)))))
+    }
   }
 
   test("config round-trip: JSON targets drive the same pass; malformed configs fail loudly") {
@@ -204,9 +226,11 @@ class MaintenanceSpec extends SparkSpec {
         s"""{"targets": [{"kind": "sink_dir", "path": "$base/sink"}]}""")
     }
     intercept[IllegalArgumentException] {
+      // bogus corpusPath on purpose: the kind check must fire BEFORE the
+      // eager parquet read, or this would surface as an AnalysisException
       Maintenance.runConfig(spark,
         s"""{"targets": [{"kind": "minhash_index", "path": "$base/mh",
-             "retrain": {"corpusPath": "$corpusPath"}}]}""")
+             "retrain": {"corpusPath": "$base/does_not_exist"}}]}""")
     }
     intercept[IllegalArgumentException] {
       Maintenance.runConfig(spark,

@@ -415,6 +415,13 @@ object ScaleProbe {
     // the funnel correctly drops ~everything and times an empty corpus
     time("text_prepare_corpus")(graft.ops.Curation.prepareCorpus(
       spark, out, isBenchmark = col("doc_id") % 997 === 0).count())
+    // the banding tuner's contract is that its cost is bounded by the
+    // probe-sample cap REGARDLESS of corpus size (the exact-truth tier it
+    // runs is quadratic in the sample): the wall here should be ~flat in
+    // repl — one corpus count + everything else over ≤2000 cached docs
+    time("dedup_tune_bands")(
+      graft.ops.Dedup.tuneBands(spark, graft.Tables(spark, out).documents)
+        .count())
     // the dup-dense corpus makes every doc ~repl mutual perceptual twins, so
     // mm_near_dup's TRUE pair count grows ∝ repl² (15.2M pairs at 20× — the
     // output itself, not overhead); probing past 20× times pair

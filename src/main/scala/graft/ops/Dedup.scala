@@ -493,8 +493,18 @@ object Dedup {
     */
   def embeddingLsh(s: SparkSession, dir: String, tau: Double = 0.4,
       numTables: Int = Similarity.DefaultTables,
-      bits: Int = Similarity.DefaultBits): DataFrame = {
-    val e = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+      bits: Int = Similarity.DefaultBits): DataFrame =
+    embeddingLshPairsOf(s,
+      Tables(s, dir).embeddings.select(col("vec_id"), col("embedding")),
+      tau, numTables, bits)
+
+  /** [[embeddingLsh]]'s body over an arbitrary (vec_id, embedding) frame —
+    * the corpus-reading gate entry above and [[tuneEmbeddingLsh]]'s
+    * probe-sample evaluations share this verbatim, so the geometry the
+    * tuner measures is exactly the geometry the detector deploys.
+    */
+  private[graft] def embeddingLshPairsOf(s: SparkSession, e: DataFrame,
+      tau: Double, numTables: Int, bits: Int): DataFrame = {
     // buckets are id-only: dedup candidate pairs as (v1, v2) longs first,
     // re-join the embeddings after — the distinct's exchange carries 16
     // bytes/row instead of two 64-float vectors. `bits` is the scale knob:
@@ -513,6 +523,106 @@ object Dedup {
       .filter(col("cosine") >= tau)
       .orderBy(col("v1"), col("v2"))
   }
+
+  /** Hyperplane-LSH geometry resolver — [[tuneBands]]' decision for the
+    * EMBEDDING near-dup family: given the cosine verify threshold tau and
+    * a target recall, evaluate candidate (tables, bits) geometries
+    * CHEAPEST-FIRST on a bounded deterministic probe sample against the
+    * sample's exact all-pairs ground truth, stopping at the first
+    * geometry meeting the target (geometries past the winner never run).
+    * Cost ordering is the candidate-economics closed form: expected
+    * Σ|bucket|² work ∝ tables / 2^bits for well-spread buckets — more
+    * tables buy recall linearly in cost, more bits cut candidates
+    * exponentially at recall's expense.
+    *
+    * Like the banding tuner, precision is structurally 1.0 (the detector
+    * exact-verifies candidates at the same tau with the same compiled
+    * cosine), so found ⊆ truth and recall is the only dial. Each row also
+    * carries the analytic collision probability at tau itself —
+    * 1 − (1 − (1 − arccos(tau)/π)^bits)^tables, the Charikar
+    * random-hyperplane form — so the decision is explainable: measured
+    * recall exceeds it because real duplicate pairs sit well above the
+    * threshold. Probe-sample discipline identical to [[tuneBands]]
+    * (2^40-ring hash-cut, cap binding regardless of corpus size, one
+    * persisted sample behind the whole ladder).
+    *
+    * Output: one row per EVALUATED geometry, ascending cost — the
+    * escalation trace, last row = the decision: (tables, bits,
+    * collision_at_tau, truth_pairs, found_pairs, measured_recall,
+    * target_met, target, sample_vecs).
+    */
+  def tuneEmbeddingLsh(s: SparkSession, vectors0: DataFrame,
+      tau: Double = 0.4, targetRecall: Double = 0.9,
+      candidates: Seq[(Int, Int)] = Seq((2, 6), (4, 4), (6, 3), (8, 2)),
+      sampleCap: Long = 2000L): DataFrame = {
+    require(tau > -1.0 && tau <= 1.0, s"tau must be in (-1,1]: $tau")
+    require(targetRecall > 0 && targetRecall <= 1.0,
+      s"target recall must be in (0,1]: $targetRecall")
+    require(candidates.nonEmpty, "tuneEmbeddingLsh needs candidate geometries")
+    candidates.foreach { case (t, b) =>
+      require(t > 0 && b > 0 && b <= 30,
+        s"geometry must have positive tables and bits in (0,30]: ($t, $b)")
+    }
+    require(sampleCap > 0, s"sampleCap must be positive: $sampleCap")
+    val n = vectors0.count()
+    val sample =
+      if (n <= sampleCap) vectors0
+      else {
+        val ring = 1L << 40
+        val keep = math.max(1L, (sampleCap * ring + n - 1) / n)
+        vectors0.filter(pmod(xxhash64(col("vec_id")), lit(ring)) < keep)
+      }
+    val e = sample.select(col("vec_id"), col("embedding")).persist()
+    val truth = e.select(col("vec_id").as("v1"), col("embedding").as("e1"))
+      .join(e.select(col("vec_id").as("v2"), col("embedding").as("e2")),
+        col("v1") < col("v2"))
+      .filter(cosine_sim(col("e1"), col("e2")) >= tau)
+      .select(col("v1"), col("v2"))
+      .persist()
+    try {
+      val nTruth = truth.count()
+      val nSample = e.count()
+      val ladder = candidates.sortBy { case (t, b) => t.toDouble / (1L << b) }
+      val rows = scala.collection.mutable.ListBuffer
+        .empty[(Int, Int, Double, Long, Long, Double, Boolean)]
+      val it = ladder.iterator
+      var done = false
+      while (it.hasNext && !done) {
+        val (t, b) = it.next()
+        val found =
+          if (nTruth == 0) 0L
+          else embeddingLshPairsOf(s, e, tau, t, b)
+            .select(col("v1"), col("v2"))
+            .join(truth, Seq("v1", "v2")).count()
+        // empty truth = no pairs at tau in the sample: vacuously met on
+        // the cheapest geometry (the tuneBands totality rule), with
+        // truth_pairs = 0 surfaced for the caller to judge
+        val recall = if (nTruth == 0) 1.0 else found.toDouble / nTruth
+        val met = recall >= targetRecall
+        val pBit = 1.0 - math.acos(math.max(-1.0, math.min(1.0, tau))) / math.Pi
+        val collide = 1.0 - math.pow(1.0 - math.pow(pBit, b), t)
+        rows += ((t, b, collide, nTruth, found, recall, met))
+        if (met) done = true
+      }
+      import s.implicits._
+      rows.toSeq
+        .toDF("tables", "bits", "collision_at_tau", "truth_pairs",
+          "found_pairs", "measured_recall", "target_met")
+        .withColumn("target", lit(targetRecall))
+        .withColumn("sample_vecs", lit(nSample))
+        .orderBy(col("tables") / pow(lit(2.0), col("bits")))
+    } finally { truth.unpersist(); e.unpersist(); () }
+  }
+
+  /** Gate/bench form of the embedding-geometry resolver (rows-only — the
+    * escalation trace is engine-internal): resolve the cheapest
+    * (tables, bits) meeting recall ≥ 0.9 at the family's own tau = 0.4
+    * cut. DedupSpec pins the decisions, the Charikar closed form, the
+    * recall arithmetic, and a controlled just-above-threshold corpus
+    * escalating exactly as the S-curve predicts.
+    */
+  def dedupTuneEmbedding(s: SparkSession, dir: String): DataFrame =
+    tuneEmbeddingLsh(s, Tables(s, dir).embeddings)
 
   // ------------------------------------------------------------ semantic
   /** SemDeDup-shaped semantic dedup (Abbas et al., arXiv:2303.09540):
@@ -1385,7 +1495,8 @@ object Dedup {
     "dedup_embedding_incremental" -> ((s: SparkSession, dir: String) => embeddingIncremental(s, dir)),
     "dedup_index_audit" -> (indexBucketAudit _),
     "dedup_index_report" -> (dedupIndexReport _),
-    "dedup_tune_bands" -> (dedupTuneBands _))
+    "dedup_tune_bands" -> (dedupTuneBands _),
+    "dedup_tune_embedding" -> (dedupTuneEmbedding _))
 
   /** dedup_minhash_lsh / dedup_simhash are rows-only: signatures depend on
     * engine-internal hashes (xxhash64/murmur); DedupSpec pins their recall

@@ -708,6 +708,60 @@ class DedupSpec extends SparkSpec {
     assert(lax.last.getAs[Boolean]("target_met"))
   }
 
+  test("embedding-geometry auto-tune: cheapest-first, Charikar closed form, recall arithmetic") {
+    val rep = Dedup.tuneEmbeddingLsh(spark, Tables(spark, sf).embeddings,
+      tau = 0.4, targetRecall = 0.05).collect()
+    // the gate corpus's planted dups sit near cosine 1 — even the cheapest
+    // geometry catches a few, so a generous target stops the ladder at
+    // exactly one evaluated row: the candidate-economics-cheapest (2,6)
+    assert(rep.length === 1)
+    assert(rep.head.getAs[Int]("tables") === 2 && rep.head.getAs[Int]("bits") === 6)
+    assert(rep.head.getAs[Boolean]("target_met"))
+    // closed form + arithmetic on the evaluated row
+    val pBit = 1.0 - math.acos(0.4) / math.Pi
+    assert(math.abs(rep.head.getAs[Double]("collision_at_tau")
+      - (1.0 - math.pow(1.0 - math.pow(pBit, 6), 2))) < 1e-12)
+    val (tr, fo) = (rep.head.getAs[Long]("truth_pairs"),
+      rep.head.getAs[Long]("found_pairs"))
+    assert(fo <= tr)
+    assert(math.abs(rep.head.getAs[Double]("measured_recall")
+      - fo.toDouble / tr) < 1e-12)
+  }
+
+  test("embedding-geometry auto-tune: just-above-threshold pairs escalate as the collision curve predicts") {
+    import spark.implicits._
+    // 20 planted pairs at cosine EXACTLY 0.45 (each pair in its own
+    // 2-dim subspace, so cross-pair cosine is exactly 0 and truth is
+    // exactly the 20 planted pairs): collision at 0.45 is ~14% for
+    // (2,6), ~54% for (4,4), ~62% for (6,3), ~99% for (8,2) — a strict
+    // target must walk the whole ladder, a lax one stops early
+    val c = 0.45f
+    val sOrth = math.sqrt(1.0 - c * c).toFloat
+    val vecs = (0 until 20).flatMap { p =>
+      val u = Array.tabulate(64)(d => if (d == 3 * p) 1.0f else 0.0f)
+      val v = Array.tabulate(64)(d =>
+        if (d == 3 * p) c else if (d == 3 * p + 1) sOrth else 0.0f)
+      Seq((p.toLong * 2, u), (p.toLong * 2 + 1, v))
+    }.toDF("vec_id", "embedding")
+    val strict = Dedup.tuneEmbeddingLsh(spark, vecs,
+      tau = 0.4, targetRecall = 0.9).collect()
+    assert(strict.head.getAs[Long]("truth_pairs") === 20L,
+      "the subspace construction pins truth to exactly the planted pairs")
+    // ascending candidate-economics cost, strictly
+    val costs = strict.map(r =>
+      r.getAs[Int]("tables").toDouble / (1L << r.getAs[Int]("bits"))).toSeq
+    assert(costs == costs.sorted)
+    strict.dropRight(1).foreach(r => assert(!r.getAs[Boolean]("target_met")))
+    val winner = strict.last
+    assert(winner.getAs[Boolean]("target_met"))
+    assert((winner.getAs[Int]("tables"), winner.getAs[Int]("bits")) === ((8, 2)),
+      "0.9 recall on just-above-threshold pairs needs the many-tables geometry")
+    val lax = Dedup.tuneEmbeddingLsh(spark, vecs,
+      tau = 0.4, targetRecall = 0.3).collect()
+    assert(lax.length < strict.length)
+    assert(lax.last.getAs[Boolean]("target_met"))
+  }
+
   test("banding auto-tune: truth tier agrees with the exhaustive 64-band recount") {
     // at 64 bands x 1 row every >= tau pair collides with probability
     // 1 - (1-tau)^64 (~1 - 1e-33 at 0.7): the detector IS the exact tier,

@@ -29,7 +29,8 @@ object Bench {
     "etl_merge_upsert",
     "etl_snapshot_diff",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
-    "dedup_components", "dedup_incremental", "dedup_minhash_incremental",
+    "dedup_components", "dedup_components_incremental",
+    "dedup_incremental", "dedup_minhash_incremental",
     "dedup_embedding_incremental", "dedup_index_audit", "dedup_index_report",
     "dedup_tune_bands", "dedup_tune_embedding", "dedup_semantic",
     "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_int8_topk",

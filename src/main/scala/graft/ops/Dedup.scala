@@ -788,6 +788,68 @@ object Dedup {
 
   def nearDupGroups(pairs: DataFrame): DataFrame = nearDupGroups(pairs, 10)
 
+  /** Components INCREMENTALLY: fold a batch's new edges into an existing
+    * labeling without revisiting the old pair set — the missing step of
+    * the living-corpus loop (the ingest sinks already find each batch's
+    * pairs incrementally; this keeps the component table current the same
+    * way, instead of re-running propagation over every pair ever found).
+    *
+    * The old labeling IS a connectivity-preserving contraction of the old
+    * graph: every doc is connected to its component's canonical and to
+    * nothing else, so components(labelEdges ∪ newPairs) ≡
+    * components(oldPairs ∪ newPairs) — EXACTLY, canonical ids included
+    * (the full recompute picks each merged component's min doc id, and
+    * every old doc is present here as a labelEdge endpoint, so the same
+    * min wins; DedupSpec pins the equality, bridged components included).
+    *
+    * Scale shape: per batch the propagation input is |corpus| label edges
+    * (a star forest — diameter 2 by construction) plus |batch| new edges,
+    * NOT the full historical pair set (dup-dense corpora carry far more
+    * pairs than docs); and because the old graph arrives pre-contracted,
+    * convergence needs only the rounds the NEW bridges demand (≤3 for
+    * typical batch bridging — spec-pinned on a worst-case chain that the
+    * full recompute needs 8 rounds for), not the old graph's diameter.
+    */
+  def nearDupGroupsIncremental(labels0: DataFrame, newPairs: DataFrame,
+      maxIter: Int = 10): DataFrame = {
+    val labelEdges = labels0
+      .select(col("doc_id").as("d1"), col("canonical_id").as("d2"))
+    // truncate lineage at the fold seam: labels0 usually IS a previous
+    // propagation's output, whose plan nests one join layer per round —
+    // feeding that into another iterative propagation compounds plans
+    // multiplicatively (the convergence checks and plan stringification
+    // blow up long before the data does). localCheckpoint materializes
+    // the edge list (tiny: two longs per doc + batch pair) and restarts
+    // the plan from blocks, exactly the standard iterative-algorithm
+    // seam. In a real pipeline the labeling would round-trip through the
+    // component table on disk anyway — this keeps the in-session
+    // composition equivalent to that.
+    val input = labelEdges
+      .unionByName(newPairs.select(col("d1"), col("d2")))
+      .localCheckpoint()
+    nearDupGroups(input, maxIter)
+  }
+
+  /** Gate/bench form (rows-only — labelings are engine-internal): the
+    * living-corpus composition at gate scale — components over the
+    * pre-batch 3/4-corpus's pairs, then ONE incremental fold of the
+    * batch's index-found pairs ([[minhashIncremental]]'s gate output —
+    * the same doc_id % 4 batch convention and persisted index). Output ≡
+    * a full recompute over the whole corpus's pairs (spec-pinned; the
+    * two inputs partition the full pair set exactly because incremental
+    * ≡ full-LSH-restricted-to-batch-touching is already pinned).
+    */
+  def dedupComponentsIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val base = nearDupGroups(
+      minhashPairsOf(s, docs.filter(col("doc_id") % 4 =!= 0),
+        DefaultNumHashes, DefaultBands, tau = 0.7), 10)
+    val out = nearDupGroupsIncremental(base, minhashIncremental(s, dir))
+      .orderBy(col("doc_id"))
+    base.unpersist()
+    out
+  }
+
   /** Min-label propagation returning (labels, rounds-run) — the stats form
     * ScaleProbe uses to report convergence behavior.
     *
@@ -1496,7 +1558,8 @@ object Dedup {
     "dedup_index_audit" -> (indexBucketAudit _),
     "dedup_index_report" -> (dedupIndexReport _),
     "dedup_tune_bands" -> (dedupTuneBands _),
-    "dedup_tune_embedding" -> (dedupTuneEmbedding _))
+    "dedup_tune_embedding" -> (dedupTuneEmbedding _),
+    "dedup_components_incremental" -> (dedupComponentsIncremental _))
 
   /** dedup_minhash_lsh / dedup_simhash are rows-only: signatures depend on
     * engine-internal hashes (xxhash64/murmur); DedupSpec pins their recall

@@ -170,6 +170,64 @@ class DedupSpec extends SparkSpec {
     assert(sr <= 3)
   }
 
+  test("incremental components: fold ≡ full recompute, bridges and new docs included") {
+    val s2 = spark
+    import s2.implicits._
+    // old graph: component A = chain 0-1-2-3, component B = {10, 11},
+    // component C = {20} (via self-pair), singleton-free edge list
+    val p1 = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("d1", "d2")
+    val labels1 = Dedup.nearDupGroups(p1)
+    // batch: a BRIDGE merging A and B (3-10: B's canonical must fall to
+    // 0), an extension of C (21-22), and a brand-new component {30, 31}
+    val p2 = Seq((3L, 10L), (21L, 22L), (30L, 31L)).toDF("d1", "d2")
+    val inc = Dedup.nearDupGroupsIncremental(labels1, p2)
+    val full = Dedup.nearDupGroups(p1.unionByName(p2))
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val (gi, gf) = (toMap(inc), toMap(full))
+    inc.unpersist(); full.unpersist(); labels1.unpersist()
+    assert(gi === gf, "incremental fold must equal the full recompute exactly")
+    assert(gi(11L) === 0L, "the bridged component must take the merged min")
+    assert(gi(22L) === 20L && gi(31L) === 30L)
+  }
+
+  test("incremental components: the contracted old graph converges in batch rounds, not corpus diameter") {
+    val s2 = spark
+    import s2.implicits._
+    // the 40-hop chain needs ~8 pointer-jump rounds from scratch; once
+    // contracted to a labeling (a star), folding a batch bridge must
+    // converge in the rounds the NEW edge demands — the incremental claim
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val labels = Dedup.nearDupGroups(chain)
+    val labelEdges = labels
+      .select(col("doc_id").as("d1"), col("canonical_id").as("d2"))
+    val bridge = Seq((40L, 100L), (100L, 101L)).toDF("d1", "d2")
+    // same lineage truncation nearDupGroupsIncremental applies at its
+    // fold seam (this test reaches for propagateMinLabels directly only
+    // to read the rounds counter)
+    val (incLabels, rounds) =
+      Dedup.propagateMinLabels(
+        labelEdges.unionByName(bridge).localCheckpoint())
+    val got = incLabels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    incLabels.unpersist(); labels.unpersist()
+    assert(got(101L) === 0L, "the new docs must join the chain's component")
+    assert(got.size === 43)
+    assert(rounds <= 3,
+      s"folding a batch into a contracted labeling must converge in " +
+        s"batch-bridge rounds, took $rounds")
+  }
+
+  test("incremental components gate entry ≡ full-corpus recompute") {
+    val inc = Dedup.dedupComponentsIncremental(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.nearDupGroups(spark, sf)
+    val gf = full.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    full.unpersist()
+    assert(inc === gf)
+    assert(inc.nonEmpty)
+  }
+
   test("incremental dedup agrees with a brute-force recomputation") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "source", "text").collect()

@@ -422,6 +422,35 @@ object ScaleProbe {
     time("dedup_tune_bands")(
       graft.ops.Dedup.tuneBands(spark, graft.Tables(spark, out).documents)
         .count())
+    // incremental components: full propagation over ALL pairs vs folding
+    // one ~3% batch's pairs into the pre-batch labeling. Pairs
+    // materialize once (cached) and both sides derive from them, so the
+    // wall gap is pure propagation input size: |allPairs| vs
+    // |corpus| star edges + |batch-touching pairs|
+    if (matched("dedup_components_incremental")) locally {
+      val pairs = graft.ops.Dedup
+        .minhashPairsOf(spark, graft.Tables(spark, out).documents,
+          graft.ops.Dedup.DefaultNumHashes, graft.ops.Dedup.DefaultBands,
+          tau = 0.7)
+        .select(col("d1"), col("d2")).persist()
+      val nPairs = pairs.count()
+      val inBatch = (c: org.apache.spark.sql.Column) => c % 29 === 0
+      val basePairs = pairs.filter(!inBatch(col("d1")) && !inBatch(col("d2")))
+      val batchPairs = pairs.filter(inBatch(col("d1")) || inBatch(col("d2")))
+      val t0 = System.nanoTime()
+      val full = graft.ops.Dedup.nearDupGroups(pairs, 10)
+      val nFull = full.count()
+      val tFull = (System.nanoTime() - t0) / 1e9
+      full.unpersist()
+      val labels = graft.ops.Dedup.nearDupGroups(basePairs, 10) // pre-batch state
+      val t1 = System.nanoTime()
+      val inc = graft.ops.Dedup.nearDupGroupsIncremental(labels, batchPairs)
+      val nInc = inc.count()
+      val tInc = (System.nanoTime() - t1) / 1e9
+      inc.unpersist(); labels.unpersist(); pairs.unpersist()
+      println(f"dedup_components_incremental: full $tFull%.1f s ($nFull labels " +
+        f"over $nPairs pairs) vs fold $tInc%.1f s ($nInc labels)")
+    }
     // the dup-dense corpus makes every doc ~repl mutual perceptual twins, so
     // mm_near_dup's TRUE pair count grows ∝ repl² (15.2M pairs at 20× — the
     // output itself, not overhead); probing past 20× times pair

@@ -299,6 +299,28 @@ object Dedup {
       .select(col("d1"), col("d2"))
   }
 
+  /** The bounded deterministic probe sample both tuners cut with — ONE
+    * home for the ring/ceil arithmetic. Hash-cut, not limit():
+    * deterministic, order-independent, unbiased w.r.t. duplication
+    * structure (dup twins hash apart). 2^40 ring — wide enough that the
+    * ceil'd keep slice stays within one row of the cap out past 10^15
+    * rows (a 2^20 ring would stop binding at cap·2^20 — fatal in front
+    * of the tuners' QUADRATIC exact-truth tiers; cf. the deliberately
+    * narrower [[graft.ops.Similarity.trainSample]], whose linear k-means
+    * consumer tolerates the overshoot). The keep count computes in
+    * BigInt: cap·2^40 overflows Long past cap = 2^23, and the wrapped
+    * negative would silently collapse the sample to ~empty — a vacuous
+    * "cheapest geometry met" answer instead of an error.
+    */
+  private[graft] def hashCutSample(df: DataFrame,
+      key: org.apache.spark.sql.Column, cap: Long, n: Long): DataFrame =
+    if (n <= cap) df
+    else {
+      val ring = 1L << 40
+      val keep = ((BigInt(cap) * ring + n - 1) / n).min(BigInt(ring)).toLong
+      df.filter(pmod(xxhash64(key), lit(ring)) < math.max(1L, keep))
+    }
+
   /** Banding-geometry resolver — [[graft.ops.Similarity.tuneForRecall]]'s
     * decision for the MinHash-LSH family: given the verify threshold tau
     * and a target recall, evaluate candidate band counts CHEAPEST-FIRST
@@ -351,18 +373,7 @@ object Dedup {
       s"every candidate band count must divide numHashes ($numHashes): $b"))
     require(sampleCap > 0, s"sampleCap must be positive: $sampleCap")
     val n = docs0.count()
-    val sample =
-      if (n <= sampleCap) docs0
-      else {
-        // hash-cut, not limit(): deterministic, order-independent, and
-        // unbiased w.r.t. duplication structure (dup twins hash apart).
-        // 2^40 ring — see the docstring; ceil keeps the cut binding (a
-        // floored keep of 0 would mean an empty sample, a floored narrow
-        // ring stops binding entirely once n > cap·ring)
-        val ring = 1L << 40
-        val keep = math.max(1L, (sampleCap * ring + n - 1) / n)
-        docs0.filter(pmod(xxhash64(col("doc_id")), lit(ring)) < keep)
-      }
+    val sample = hashCutSample(docs0, col("doc_id"), sampleCap, n)
     // ONE prepared, persisted probe frame behind the whole ladder
     val prepped = hashedShingleDocs(s, sample).persist()
     val truth = exactHashedJaccardPairs(s, prepped, tau).persist()
@@ -565,13 +576,7 @@ object Dedup {
     }
     require(sampleCap > 0, s"sampleCap must be positive: $sampleCap")
     val n = vectors0.count()
-    val sample =
-      if (n <= sampleCap) vectors0
-      else {
-        val ring = 1L << 40
-        val keep = math.max(1L, (sampleCap * ring + n - 1) / n)
-        vectors0.filter(pmod(xxhash64(col("vec_id")), lit(ring)) < keep)
-      }
+    val sample = hashCutSample(vectors0, col("vec_id"), sampleCap, n)
     val e = sample.select(col("vec_id"), col("embedding")).persist()
     val truth = e.select(col("vec_id").as("v1"), col("embedding").as("e1"))
       .join(e.select(col("vec_id").as("v2"), col("embedding").as("e2")),
@@ -844,8 +849,11 @@ object Dedup {
     val base = nearDupGroups(
       minhashPairsOf(s, docs.filter(col("doc_id") % 4 =!= 0),
         DefaultNumHashes, DefaultBands, tau = 0.7), 10)
+    // returned AS the cached frame (already orderBy(doc_id) inside
+    // propagateMinLabels) — wrapping it in another projection would make
+    // the caller's unpersist a silent no-op, the exact anti-pattern the
+    // propagateMinLabels scaladoc warns about
     val out = nearDupGroupsIncremental(base, minhashIncremental(s, dir))
-      .orderBy(col("doc_id"))
     base.unpersist()
     out
   }

@@ -174,7 +174,7 @@ class DedupSpec extends SparkSpec {
     val s2 = spark
     import s2.implicits._
     // old graph: component A = chain 0-1-2-3, component B = {10, 11},
-    // component C = {20} (via self-pair), singleton-free edge list
+    // component C = {20, 21}
     val p1 = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
       .toDF("d1", "d2")
     val labels1 = Dedup.nearDupGroups(p1)
@@ -818,6 +818,21 @@ class DedupSpec extends SparkSpec {
       tau = 0.4, targetRecall = 0.3).collect()
     assert(lax.length < strict.length)
     assert(lax.last.getAs[Boolean]("target_met"))
+  }
+
+  test("tuner hash-cut sampler: the keep slice stays proportional at caps past the Long-overflow point") {
+    import spark.implicits._
+    val df = (0L until 1000L).toDF("doc_id")
+    // cap = 2^24 > the 2^23 overflow point of a naive cap * 2^40 Long
+    // product; with n = 2·cap the cut must keep ~half the ring — the
+    // wrapped-negative arithmetic this pins against kept ~n/2^40 ≈ none
+    val kept = Dedup.hashCutSample(df, col("doc_id"),
+      cap = 1L << 24, n = 1L << 25).count()
+    assert(kept > 350 && kept < 650,
+      s"a half-ring cut of 1000 rows must keep ~500, kept $kept")
+    // and the identity path below the cap
+    assert(Dedup.hashCutSample(df, col("doc_id"), cap = 2000L, n = 1000L)
+      .count() === 1000L)
   }
 
   test("banding auto-tune: truth tier agrees with the exhaustive 64-band recount") {

@@ -665,26 +665,83 @@ object Streams extends Serializable {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val s = batch.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(indexPath)
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (!isBatchCommitted(s, indexPath, batchId)) {
-          val cached = batch.persist()
-          try {
-            val idx =
-              if (fs.exists(new org.apache.hadoop.fs.Path(indexPath)))
-                graft.ops.Dedup.loadMinhashIndex(s, indexPath)
-              else graft.ops.Dedup.emptyMinhashIndex(s)
-            replaceBatchFiles(s, pairsDir, batchId) { staging =>
-              graft.ops.Dedup.minhashIncremental(s, cached, idx)
-                .withColumn("batch_id", lit(batchId))
-                .write.parquet(staging)
-            }
-            graft.ops.Dedup.appendToMinhashIndex(s, cached, indexPath)
-            fs.create(new org.apache.hadoop.fs.Path(
-              s"${indexPath}_batches/$batchId"), true).close()
-          } finally { cached.unpersist(); () }
-        }
+        ingestDocBatch(batch, batchId, indexPath, pairsDir, labelsDir = None)
+      }
+      .start()
+
+  /** One micro-batch of the doc-ingest loop — shared verbatim by
+    * [[dedupIngestSink]] and [[componentsIngestSink]] so the two can never
+    * disagree on the pairs/index/commit protocol; the component fold is
+    * the only optional step.
+    */
+  private[graft] def ingestDocBatch(batch: DataFrame, batchId: Long,
+      indexPath: String, pairsDir: String, labelsDir: Option[String]): Unit = {
+    val s = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!isBatchCommitted(s, indexPath, batchId)) {
+      val cached = batch.persist()
+      try {
+        val idx =
+          if (fs.exists(new org.apache.hadoop.fs.Path(indexPath)))
+            graft.ops.Dedup.loadMinhashIndex(s, indexPath)
+          else graft.ops.Dedup.emptyMinhashIndex(s)
+        val pairs = graft.ops.Dedup.minhashIncremental(s, cached, idx)
+          .withColumn("batch_id", lit(batchId))
+          .persist()
+        try {
+          replaceBatchFiles(s, pairsDir, batchId)(pairs.write.parquet(_))
+          // fold the batch's pairs into the persisted component table
+          // BEFORE the index append (both orders are correct — the fold
+          // reads only the pairs — but this keeps every artifact the fold
+          // depends on strictly pre-batch). A crash between this rewrite
+          // and marker-create replays the whole body, and re-folding the
+          // SAME pairs into the already-folded labeling is a no-op by the
+          // contraction argument (components(labels ∪ p) = components(
+          // labels) when labels already absorbed p — spec-pinned), so the
+          // at-least-once window cannot corrupt or duplicate labels.
+          labelsDir.foreach { ld =>
+            val ldp = new org.apache.hadoop.fs.Path(ld)
+            val labels0 =
+              if (fs.exists(ldp)) s.read.parquet(ld)
+              else s.range(0).select(col("id").as("doc_id"),
+                col("id").as("canonical_id"))
+            val folded = graft.ops.Dedup.nearDupGroupsIncremental(
+              labels0, pairs.select(col("d1"), col("d2")))
+            if (fs.exists(ldp))
+              graft.ops.Layout.rewriteInPlace(s, ld)(folded.write.parquet(_))
+            else folded.write.parquet(ld)
+            folded.unpersist()
+          }
+        } finally { pairs.unpersist(); () }
+        graft.ops.Dedup.appendToMinhashIndex(s, cached, indexPath)
+        fs.create(new org.apache.hadoop.fs.Path(
+          s"${indexPath}_batches/$batchId"), true).close()
+      } finally { cached.unpersist(); () }
+    }
+  }
+
+  /** [[dedupIngestSink]] plus a live COMPONENT TABLE: each micro-batch's
+    * pairs fold into the persisted labeling at `labelsDir` via
+    * [[graft.ops.Dedup.nearDupGroupsIncremental]] (the contraction
+    * argument — never re-propagating history), so the near-dup group
+    * assignment a curation pass reads is always current without any
+    * full-corpus recompute ever running. After N batches the table is
+    * EXACTLY `nearDupGroups` over the full corpus's pairs (spec-pinned:
+    * batch-k pairs are precisely the pairs whose latest member arrived in
+    * batch k, so the folds partition the full pair set). The labeling
+    * rewrites in place per batch (it is a function of all pairs so far,
+    * not an append); replay and crash windows are no-ops by fold
+    * idempotency, documented in [[ingestDocBatch]].
+    */
+  def componentsIngestSink(docs: DataFrame, indexPath: String,
+      pairsDir: String, labelsDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestDocBatch(batch, batchId, indexPath, pairsDir, Some(labelsDir))
       }
       .start()
 

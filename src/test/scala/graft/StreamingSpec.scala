@@ -417,6 +417,44 @@ class StreamingSpec extends SparkSpec {
   private def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
     df.select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("components ingest sink: the live component table ≡ a full-corpus recompute; refold is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_comp_ingest").toString
+    val docsAll = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.componentsIngestSink(in.toDF().toDF("doc_id", "text"),
+      s"$base/index", s"$base/pairs", s"$base/labels", s"$base/ckpt")
+    (0 until 3).foreach { b =>
+      in.addData(docsAll.filter(_._1 % 3 == b).toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // after N folds the persisted table is EXACTLY the full-corpus
+    // labeling — no full recompute ever ran, yet nothing diverges
+    def labelMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("canonical_id"))).toMap
+    val streamed = labelMap(spark.read.parquet(s"$base/labels"))
+    val full = graft.ops.Dedup.nearDupGroups(
+      graft.ops.Dedup.minhashLsh(spark, sf), 10)
+    val expected = labelMap(full)
+    full.unpersist()
+    assert(streamed.nonEmpty)
+    assert(streamed === expected)
+    // the crash-window argument: re-folding pairs the labeling already
+    // absorbed changes nothing (components(labels ∪ p) = components(labels))
+    val somePairs = spark.read.parquet(s"$base/pairs")
+      .filter(col("batch_id") === 2L).select(col("d1"), col("d2"))
+    val refolded = graft.ops.Dedup.nearDupGroupsIncremental(
+      spark.read.parquet(s"$base/labels"), somePairs)
+    val refoldedMap = labelMap(refolded)
+    refolded.unpersist()
+    assert(refoldedMap === streamed)
+  }
+
   test("expectations sink: per-batch contract verdicts match the batch form") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

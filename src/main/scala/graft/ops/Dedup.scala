@@ -1017,9 +1017,18 @@ object Dedup {
   def saveMinhashIndex(s: SparkSession, corpus: DataFrame, path: String,
       numHashes: Int = DefaultNumHashes): Unit = {
     signatures(s, corpus, numHashes).write.mode("overwrite").parquet(path)
+    val conf = s.sparkContext.hadoopConfiguration
     // rebuild = clean slate: tombstones belong to the previous build
     val ts = new org.apache.hadoop.fs.Path(minhashTombstonePath(path))
-    ts.getFileSystem(s.sparkContext.hadoopConfiguration).delete(ts, true)
+    ts.getFileSystem(conf).delete(ts, true)
+    // ...and so does the streaming replay-protocol state: a stale
+    // watermark/marker set from the previous generation would answer
+    // "already committed" for a fresh checkpoint's batch ids, silently
+    // dropping their docs from the rebuilt index (the saveIndex
+    // clean-slate rule, applied to this family too)
+    val mb = new org.apache.hadoop.fs.Path(s"${path}_batches")
+    mb.getFileSystem(conf).delete(mb, true)
+    ()
   }
 
   /** The persisted signatures with any [[removeFromMinhashIndex]]
@@ -1220,9 +1229,53 @@ object Dedup {
     e.write.mode("overwrite").parquet(s"$path/vectors")
     Similarity.lshBuckets(e, 64, numTables, bits)
       .write.mode("overwrite").parquet(s"$path/buckets")
+    // the artifact declares its OWN geometry — appends and audits read it
+    // from here instead of trusting a caller parameter (a mistyped append
+    // would otherwise write foreign-geometry buckets into the candidate
+    // join: same schema, silently missing candidates — the failure class
+    // the ANN _residual flag closed)
+    writeEmbeddingGeometry(s, path, numTables, bits)
+    val conf = s.sparkContext.hadoopConfiguration
     // rebuild = clean slate: tombstones belong to the previous build
     val ts = new org.apache.hadoop.fs.Path(s"$path/tombstones.parquet")
-    ts.getFileSystem(s.sparkContext.hadoopConfiguration).delete(ts, true)
+    ts.getFileSystem(conf).delete(ts, true)
+    // ...and so does the replay-protocol state: a stale watermark/marker
+    // set would answer "already committed" for a FRESH checkpoint's batch
+    // ids 0..N, silently dropping their vectors from the rebuilt index —
+    // the saveIndex clean-slate rule ([[maybeRebuildEmbeddingIndex]]
+    // deliberately does NOT route through here: an in-place regeometry
+    // keeps the live stream's protocol state, the retrainIndex argument)
+    val mb = new org.apache.hadoop.fs.Path(s"${path}_batches")
+    mb.getFileSystem(conf).delete(mb, true)
+    ()
+  }
+
+  private def embGeometryPath(path: String) = s"$path/_geometry"
+
+  private def writeEmbeddingGeometry(s: SparkSession, path: String,
+      numTables: Int, bits: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(embGeometryPath(path))
+    val out = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .create(p, true)
+    out.write(s"$numTables $bits".getBytes("UTF-8")); out.close()
+  }
+
+  /** The embedding index's declared (numTables, bits) — absent file (an
+    * artifact predating the flag, or a streaming bootstrap that has only
+    * ever appended) reads as the library defaults, which is what those
+    * artifacts were built with.
+    */
+  def embeddingIndexGeometry(s: SparkSession, path: String): (Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(embGeometryPath(path))
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) (Similarity.DefaultTables, Similarity.DefaultBits)
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val Array(t, b) = txt.trim.split("\\s+")
+      (t.toInt, b.toInt)
+    }
   }
 
   /** Zero-row (vectors, buckets) with the persisted schemas — what batch
@@ -1291,9 +1344,16 @@ object Dedup {
     * The geometry (numTables, bits) must match the index's build
     * geometry, as with every LSH artifact here.
     */
-  def appendToEmbeddingIndex(s: SparkSession, batch: DataFrame, path: String,
-      numTables: Int = Similarity.DefaultTables,
-      bits: Int = Similarity.DefaultBits): Unit = {
+  def appendToEmbeddingIndex(s: SparkSession, batch: DataFrame,
+      path: String): Unit = {
+    // the ARTIFACT declares the bucket geometry — no caller parameter to
+    // mistype (a streaming bootstrap that has only ever appended stamps
+    // the defaults on first touch, so the artifact is self-describing
+    // from batch 0)
+    val (numTables, bits) = embeddingIndexGeometry(s, path)
+    val gp = new org.apache.hadoop.fs.Path(embGeometryPath(path))
+    if (!gp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(gp))
+      writeEmbeddingGeometry(s, path, numTables, bits)
     val e = batch.select(col("vec_id"), col("embedding"))
     e.write.mode("append").parquet(s"$path/vectors")
     Similarity.lshBuckets(e, 64, numTables, bits)
@@ -1301,6 +1361,41 @@ object Dedup {
     // re-added vec_ids resurface (the appendToMinhashIndex discipline)
     Similarity.clearTombstones(s, s"$path/tombstones.parquet",
       e.select(col("vec_id")), "vec_id")
+  }
+
+  /** The monitor→action decision for the embedding index —
+    * [[graft.ops.Similarity.maybeRetrain]]'s twin, driven by the
+    * §6 candidate-economics rule the bucket audit polices: when the live
+    * corpus outgrows the built geometry (recommendedBits(n) > built
+    * bits), regeometry IN PLACE — rebucket the live vectors at the
+    * recommended width (one lshBuckets pass), fold tombstones physically,
+    * stamp the new geometry. Vectors rewrite too (tombstone fold rides
+    * along), both through [[graft.ops.Layout.rewriteInPlace]] staging.
+    * The replay-protocol state is deliberately KEPT (the live stream
+    * continues on its checkpoint's monotone batch ids — the retrainIndex
+    * argument; a replayed batch re-appends content-derived rows that
+    * compaction dedups, exactly as before the regeometry).
+    */
+  def maybeRebuildEmbeddingIndex(s: SparkSession, path: String,
+      targetBucket: Long = 128): Boolean = {
+    val (vecs, _) = loadEmbeddingIndex(s, path)
+    val live = vecs.persist()
+    try {
+      val n = live.count()
+      val (tables, bits) = embeddingIndexGeometry(s, path)
+      val rec = recommendedBits(n, targetBucket)
+      if (rec <= bits) false
+      else {
+        graft.ops.Layout.rewriteInPlace(s, s"$path/vectors")(
+          live.write.parquet(_))
+        graft.ops.Layout.rewriteInPlace(s, s"$path/buckets")(stg =>
+          Similarity.lshBuckets(live, 64, tables, rec).write.parquet(stg))
+        writeEmbeddingGeometry(s, path, tables, rec)
+        val ts = new org.apache.hadoop.fs.Path(s"$path/tombstones.parquet")
+        ts.getFileSystem(s.sparkContext.hadoopConfiguration).delete(ts, true)
+        true
+      }
+    } finally { live.unpersist(); () }
   }
 
   /** [[minhashIncremental]]'s daily-batch discipline on the EMBEDDING

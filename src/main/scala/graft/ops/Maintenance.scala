@@ -48,6 +48,11 @@ object Maintenance {
     *                      train replacement models on (None = retrainCorpus)
     * @param lastK         ann_index only: drift-decision window
     * @param minTripped    ann_index only: trips within the window that fire
+    * @param rebuild       embedding_index only: run the
+    *                      [[Dedup.maybeRebuildEmbeddingIndex]] decision —
+    *                      regeometry in place when the live corpus outgrew
+    *                      the built bucket width (recommendedBits(n) >
+    *                      built bits)
     */
   final case class Target(
       kind: String,
@@ -57,7 +62,8 @@ object Maintenance {
       retrainCorpus: Option[DataFrame] = None,
       retrainOn: Option[DataFrame] = None,
       lastK: Int = 3,
-      minTripped: Int = 2)
+      minTripped: Int = 2,
+      rebuild: Boolean = false)
 
   val Kinds: Set[String] =
     Set("ann_index", "minhash_index", "embedding_index", "sink_dir")
@@ -70,6 +76,10 @@ object Maintenance {
     * files_after, rows_written, wall_ms) — embedding_index sums its two
     * data tables (vectors + buckets); ann_index reports its PQ-codes table
     * (the int8 sibling and drift series are compacted in the same call).
+    * The retrain_* columns carry each family's monitor→action decision:
+    * the drift-decided model retrain for ann_index, the outgrown-geometry
+    * rebucket ([[Dedup.maybeRebuildEmbeddingIndex]]) for embedding_index
+    * targets with `rebuild` set.
     */
   def runAll(s: SparkSession, targets: Seq[Target],
       maxRecordsPerFile: Long = 1L * 1024 * 1024): DataFrame = {
@@ -83,6 +93,8 @@ object Maintenance {
       require(t.retrainOn.isEmpty || t.retrainCorpus.isDefined,
         s"retrainOn without retrainCorpus would silently skip the retrain " +
           s"check: ${t.path}")
+      require(t.kind == "embedding_index" || !t.rebuild,
+        s"rebuild only applies to embedding_index targets: ${t.path}")
       require(t.kind == "sink_dir" || (t.orderCol.isEmpty && t.markerBase.isEmpty),
         s"orderCol/markerBase only apply to sink_dir targets: ${t.path}")
     }
@@ -111,9 +123,17 @@ object Maintenance {
         case "minhash_index" =>
           (false, false, Dedup.compactMinhashIndex(s, t.path, maxRecordsPerFile))
         case "embedding_index" =>
+          // the family's monitor→action decision first, like ann_index:
+          // a regeometry rewrites both tables anyway, so a firing rebuild
+          // should not be preceded by a wasted compaction of the old
+          // bucket set
+          val rebuilt =
+            if (t.rebuild) Some(Dedup.maybeRebuildEmbeddingIndex(s, t.path))
+            else None
           val ((vb, va, vr), (bb, ba, br)) =
             Dedup.compactEmbeddingIndex(s, t.path, maxRecordsPerFile)
-          (false, false, (vb + bb, va + ba, vr + br))
+          (rebuilt.isDefined, rebuilt.getOrElse(false),
+            (vb + bb, va + ba, vr + br))
         case "sink_dir" =>
           val order = t.orderCol.getOrElse(
             throw new IllegalArgumentException(
@@ -141,7 +161,7 @@ object Maintenance {
     *                 "trainOnPath": "/corpus/last30d",   // optional
     *                 "lastK": 3, "minTripped": 2}},      // optional
     *    {"kind": "minhash_index", "path": "/idx/mh"},
-    *    {"kind": "embedding_index", "path": "/idx/emb"},
+    *    {"kind": "embedding_index", "path": "/idx/emb", "rebuild": true},
     *    {"kind": "sink_dir", "path": "/sinks/audit",
     *     "orderCol": "batch_id", "markerBase": "/sinks/base"}]}
     * }}}
@@ -175,6 +195,7 @@ object Maintenance {
         path = path,
         orderCol = optField(t, "orderCol").map(_.asText),
         markerBase = optField(t, "markerBase").map(_.asText),
+        rebuild = optField(t, "rebuild").exists(_.asBoolean),
         retrainCorpus = retrain.map(r => s.read.parquet(r.get("corpusPath").asText)),
         retrainOn = retrain.flatMap(optField(_, "trainOnPath"))
           .map(p => s.read.parquet(p.asText)),

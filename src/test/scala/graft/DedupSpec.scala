@@ -820,6 +820,85 @@ class DedupSpec extends SparkSpec {
     assert(lax.last.getAs[Boolean]("target_met"))
   }
 
+  test("embedding index geometry is artifact-declared: appends bucket with the stored width, not a caller guess") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_emb_geom").toString + "/idx"
+    Dedup.saveEmbeddingIndex(spark, emb.filter(col("vec_id") < 100), path,
+      numTables = 3, bits = 7)
+    assert(Dedup.embeddingIndexGeometry(spark, path) === ((3, 7)))
+    val batch = emb.filter(col("vec_id") >= 100 && col("vec_id") < 140)
+    Dedup.appendToEmbeddingIndex(spark, batch, path)
+    // the appended rows' buckets are EXACTLY the stored geometry's —
+    // no caller parameter existed to mistype
+    def bset(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "tbl", "bucket").collect()
+        .map(r => (r.getLong(0), r.get(1).toString, r.get(2).toString)).toSet
+    val stored = bset(spark.read.parquet(s"$path/buckets")
+      .filter(col("vec_id") >= 100))
+    assert(stored === bset(graft.ops.Similarity.lshBuckets(batch, 64, 3, 7)))
+    // a fresh append-only path (the streaming bootstrap shape) stamps the
+    // defaults on first touch, making the artifact self-describing
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft_emb_geom2").toString + "/idx"
+    Dedup.appendToEmbeddingIndex(spark, batch, fresh)
+    assert(Dedup.embeddingIndexGeometry(spark, fresh) ===
+      ((graft.ops.Similarity.DefaultTables, graft.ops.Similarity.DefaultBits)))
+  }
+
+  test("embedding index regeometry: fires when the corpus outgrows the built width, folds tombstones, keeps protocol state") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_emb_regeom").toString + "/idx"
+    // the 500-vector corpus at 1 bit: recommendedBits(~500) = 4 > 1 → outgrown
+    Dedup.saveEmbeddingIndex(spark, emb, path, numTables = 2, bits = 1)
+    Dedup.removeFromEmbeddingIndex(spark, path, Seq(5L).toDF("vec_id"))
+    // streaming protocol state must SURVIVE the in-place regeometry (the
+    // retrainIndex argument — the live stream continues its checkpoint)
+    val mb = new org.apache.hadoop.fs.Path(s"${path}_batches/7")
+    val fs = mb.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(mb.getParent); fs.create(mb, true).close()
+    assert(Dedup.maybeRebuildEmbeddingIndex(spark, path),
+      "an outgrown geometry must fire the rebucket")
+    assert(Dedup.embeddingIndexGeometry(spark, path) === ((2, 4)))
+    // buckets are exactly a fresh bucketing of the live (tombstone-folded)
+    // vectors at the recommended width; the tombstoned id is physically gone
+    val liveIds = spark.read.parquet(s"$path/vectors")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!liveIds.contains(5L) && liveIds.size === 499)
+    assert(spark.read.parquet(s"$path/buckets")
+      .filter(col("vec_id") === 5L).isEmpty)
+    assert(graft.streaming.Streams.isBatchCommitted(spark, path, 7L),
+      "regeometry must not clear the replay-protocol state")
+    // a right-sized index declines and changes nothing
+    assert(!Dedup.maybeRebuildEmbeddingIndex(spark, path))
+    assert(Dedup.embeddingIndexGeometry(spark, path) === ((2, 4)))
+  }
+
+  test("index savers clear stale replay-protocol state (fresh checkpoint ids must not be fenced)") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_save_slate").toString
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 50)
+    val docs = Tables(spark, sf).documents.limit(50)
+    Seq(s"$base/emb", s"$base/mh").foreach { p =>
+      val m = new org.apache.hadoop.fs.Path(s"${p}_batches/0")
+      val fs = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(m.getParent); fs.create(m, true).close()
+    }
+    Dedup.saveEmbeddingIndex(spark, emb, s"$base/emb")
+    Dedup.saveMinhashIndex(spark, docs, s"$base/mh")
+    // a rebuild is a NEW generation: batch id 0 of the next checkpoint
+    // must not read as already committed
+    assert(!graft.streaming.Streams.isBatchCommitted(spark, s"$base/emb", 0L))
+    assert(!graft.streaming.Streams.isBatchCommitted(spark, s"$base/mh", 0L))
+  }
+
   test("tuner hash-cut sampler: the keep slice stays proportional at caps past the Long-overflow point") {
     import spark.implicits._
     val df = (0L until 1000L).toDF("doc_id")

@@ -192,6 +192,32 @@ class MaintenanceSpec extends SparkSpec {
       Maintenance.runAll(spark, Seq(
         Target("ann_index", "/nowhere", retrainOn = Some(vectors(8)))))
     }
+    intercept[IllegalArgumentException] {
+      Maintenance.runAll(spark, Seq(
+        Target("minhash_index", "/nowhere", rebuild = true)))
+    }
+  }
+
+  test("the embedding regeometry decision is wired through: an outgrown index fires, a right-sized one declines") {
+    val base = tmp("graft_maint_regeom")
+    val e = vectors(600)
+    graft.ops.Dedup.saveEmbeddingIndex(spark, e, s"$base/emb",
+      numTables = 2, bits = 1) // recommendedBits(600) = 4 > 1
+    val fired = Maintenance.runAll(spark, Seq(
+      Target("embedding_index", s"$base/emb", rebuild = true)))
+      .collect().head
+    assert(fired.getAs[Boolean]("retrain_checked"))
+    assert(fired.getAs[Boolean]("retrain_fired"))
+    assert(graft.ops.Dedup.embeddingIndexGeometry(spark, s"$base/emb")._2 === 4)
+    val declined = Maintenance.runAll(spark, Seq(
+      Target("embedding_index", s"$base/emb", rebuild = true)))
+      .collect().head
+    assert(declined.getAs[Boolean]("retrain_checked"))
+    assert(!declined.getAs[Boolean]("retrain_fired"))
+    // without the flag the decision is not claimed checked
+    val unchecked = Maintenance.runAll(spark, Seq(
+      Target("embedding_index", s"$base/emb"))).collect().head
+    assert(!unchecked.getAs[Boolean]("retrain_checked"))
   }
 
   test("config round-trip: JSON targets drive the same pass; malformed configs fail loudly") {

@@ -44,7 +44,9 @@ object Bench {
     "text_decontaminate_fuzzy",
     "text_quality", "text_quality_classifier", "text_fingerprint",
     "text_lang_id", "text_curate_corpus",
-    "text_tfidf", "text_editdist_nn", "text_decontaminate", "text_pack_sequences",
+    "text_tfidf", "text_editdist_nn", "text_decontaminate",
+    "text_decontaminate_bloom", "text_pack_sequences", "text_shard_manifest",
+    "text_cluster_mixture",
     "text_repetition", "text_heavy_hitters", "text_prepare_corpus",
     "text_prepare_corpus_pipelined", "text_prepare_corpus_classified",
     "text_mixture_sample", "text_mixture_temperature",

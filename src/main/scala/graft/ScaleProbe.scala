@@ -127,6 +127,14 @@ object ScaleProbe {
     // scale with N, which is not the shape being validated
     time("text_decontaminate")(graft.ops.TextAnalysis.decontaminate(
       spark.read.parquet(s"$out/documents.parquet"), col("doc_id") % 997 === 0).count())
+    // the Bloom serving tier under the same premise: the sketch build is
+    // bench-side-only (fixed-size), and the corpus-side decision is a
+    // scan-local projection — wall should track ONE corpus scan with no
+    // shuffle, widening the gap to the exact tier's explode+join+agg as N
+    // grows (the claim §2.E's entry makes)
+    time("text_decontaminate_bloom")(graft.ops.TextAnalysis.decontaminateBloom(
+      spark.read.parquet(s"$out/documents.parquet"),
+      col("doc_id") % 997 === 0).count())
     // fuzzy (MinHash) decontamination under the same fixed-size-benchmark
     // premise: the bench side's bands and shingle sets broadcast, so wall
     // should track the corpus-side shingle+sign pass (~linear in N) plus

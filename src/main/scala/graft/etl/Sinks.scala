@@ -110,6 +110,36 @@ object Sinks {
   def mergedRead(s: SparkSession, paths: String*): DataFrame =
     s.read.option("mergeSchema", "true").parquet(paths: _*)
 
+  /** XML sink — Spark 4's built-in XML source (the spark-xml merge), one
+    * element per row under `rowTag`. Rolled like every other sink here so
+    * no output file outgrows its reader.
+    */
+  def xmlWrite(df: DataFrame, outDir: String, rowTag: String = "row",
+      maxRecordsPerFile: Long = 1000000L): Unit =
+    df.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .option("rowTag", rowTag)
+      .format("xml").save(outDir)
+
+  /** Tolerant XML ingest — [[tolerantJson]]'s discipline on the other
+    * feed format legacy pipelines actually emit: malformed elements land
+    * in the quarantine column under PERMISSIVE instead of failing the
+    * job. Returns (good rows, quarantined raw records).
+    */
+  def tolerantXml(s: SparkSession, path: String, rowTag: String,
+      schema: StructType): (DataFrame, DataFrame) = {
+    val withCorrupt = schema.add("_corrupt_record", "string")
+    val raw = s.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("rowTag", rowTag)
+      .format("xml").load(path)
+      .cache() // PERMISSIVE corrupt-column queries require a materialized plan
+    (raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      raw.filter(col("_corrupt_record").isNotNull).select(col("_corrupt_record")))
+  }
+
   /** JSON-lines sink (pyetl's primary output format), day-partitioned and
     * rolled like [[partitionedWrite]]. gzip keeps the 100 TB text bill sane
     * while staying line-splittable per file for downstream consumers.

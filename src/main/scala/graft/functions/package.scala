@@ -69,4 +69,29 @@ package object functions {
     */
   def bpe_encode(word: Column, ranks: java.util.HashMap[String, Integer]): Column =
     GraftSqlBridge.column(BpeEncode(GraftSqlBridge.expression(word), ranks))
+
+  /** Aggregate pre-hashed longs into a serialized Bloom filter (binary) —
+    * Spark's own `BloomFilterAggregate`, the expression the runtime
+    * bloom-filter join rewrite plants; surfaced here so set-membership
+    * sketches (e.g. benchmark-gram decontamination) can be built
+    * explicitly. Pair with [[bloom_might_contain]] — both sides must feed
+    * the SAME hash of the raw value (xxhash64 here).
+    */
+  def bloom_agg(hashed: Column, expectedItems: Long, numBits: Long): Column =
+    GraftSqlBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        GraftSqlBridge.expression(hashed),
+        org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+        .toAggregateExpression())
+
+  /** Probabilistic membership of a pre-hashed long in a serialized Bloom
+    * filter: false positives at the sketch's design rate, NO false
+    * negatives — Spark's `BloomFilterMightContain`. The filter side must
+    * be a constant (a `lit(bytes)` from a collected [[bloom_agg]]).
+    */
+  def bloom_might_contain(bloom: Column, hashed: Column): Column =
+    GraftSqlBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        GraftSqlBridge.expression(bloom), GraftSqlBridge.expression(hashed)))
 }

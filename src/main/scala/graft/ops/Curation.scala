@@ -308,7 +308,57 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Embedding-cluster-balanced sampling — [[mixtureTemperature]]'s
+    * α = 0.5 flattening rule applied to LEARNED clusters instead of source
+    * labels (the topic-balancing step a pipeline runs when source tags are
+    * too coarse to rebalance on: cluster the corpus in embedding space,
+    * then sample so over-represented topics shrink toward the temperature
+    * share). k-means reuses the ANN tier's trainer (bounded deterministic
+    * training sample, corpus assigned ONCE against finished centroids);
+    * cluster sizes are k rows; per-cluster keep rates
+    * `min(1, temp_share·budget / n_c)` broadcast back; the per-doc keep
+    * decision is the same Knuth-multiply hash cut [[mixturePredicate]]
+    * uses (deterministic, rerun-stable, no sampling state). Scale cost:
+    * one k-means training on the capped sample + one N·k assignment + one
+    * corpus scan with a broadcast join — no shuffle of the corpus body
+    * beyond the assignment's groupBy. Rows-only at the gate (cluster
+    * identities are engine-internal); the spec pins determinism, the
+    * subset property, and that output cluster shares are FLATTER than the
+    * input's.
+    */
+  def clusterMixture(s: SparkSession, dir: String, k: Int = 16,
+      budgetDocs: Long = 300L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DoubleType
+    val e = Tables(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+    val cents = Similarity.kmeans(e, pmod(col("vec_id"), lit(k)), refineIters = 2)
+    val assigned = Similarity.assignCells(e, cents)
+      .select(col("vec_id"), col("cell"))
+    // k cluster rows from here to the rate table — the single-partition
+    // window is k rows, the mixtureTemperature pattern
+    val w = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rates = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .withColumn("sqrtn", sqrt(col("n").cast(DoubleType)))
+      .withColumn("temp_share", col("sqrtn") / sum(col("sqrtn")).over(w))
+      .select(col("cell"), col("n").as("cluster_n"),
+        least(lit(1.0), col("temp_share") * lit(budgetDocs.toDouble)
+          / col("n").cast(DoubleType)).as("keep_rate"))
+    // ppm hash ring so small rates still resolve (the bps ring of the
+    // source mixture quantizes to 1e-4; cluster rates can sit below that)
+    val h = pmod(pmod(col("vec_id"), lit(100000007L)) * lit(2654435761L),
+      lit(1000000L))
+    assigned.join(broadcast(rates), "cell")
+      .filter(h < col("keep_rate") * lit(1000000.0))
+      .join(Tables(s, dir).documents.select(col("doc_id"), col("source")),
+        col("vec_id") === col("doc_id"))
+      .select(col("doc_id"), col("cell").cast("long").as("cluster"),
+        col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_cluster_mixture" -> ((s: SparkSession, dir: String) => clusterMixture(s, dir)),
     "text_mixture_temperature" -> ((s: SparkSession, dir: String) => mixtureTemperature(s, dir)),
     "text_prepare_corpus" -> ((s: SparkSession, dir: String) => prepareCorpus(s, dir)),
     "text_prepare_corpus_pipelined" -> (prepareCorpusPipelined _),

@@ -504,6 +504,74 @@ object TextAnalysis {
   def decontaminateDocs(s: SparkSession, dir: String): DataFrame =
     decontaminate(Tables(s, dir).documents, col("doc_id") % 11 === 0)
 
+  /** [[decontaminate]]'s 100 TB serving tier — the GPT-3-style Bloom-filter
+    * formulation: the benchmark's distinct gram set collapses to a
+    * fixed-width bit sketch (≈[[bitsPerGram]]/8 bytes per gram instead of
+    * the gram STRINGS the exact tier broadcasts), and the corpus-side
+    * decision becomes one codegen'd `filter(grams, g → might_contain)` per
+    * row — NO corpus-side explode, join, or shuffle at all: the whole scan
+    * is embarrassingly parallel and the only exchange in the plan is the
+    * final gate `orderBy`. Guarantee inherited from the sketch: zero false
+    * NEGATIVES (every truly contaminated doc is flagged — the direction
+    * that matters; a missed leak poisons an eval, an over-flag costs one
+    * training doc), false positives at the design rate. The default 29
+    * bits/gram ≈ 1e-6 per-gram fp, so a 500-gram doc over-flags at ~5e-4.
+    *
+    * Rows-only at the gate (DuckDB has no twin of Spark's sketch); the
+    * spec pins flagged ⊇ exact-contaminated and a bounded over-flag count.
+    * At 100 TB: the sketch is built once per eval-suite release (the
+    * benchmark side is fixed-size), the per-stage cost of shipping it is
+    * one plan literal, and `spark.sql.optimizer.runtime.bloomFilter.max*`
+    * bounds apply if an eval suite's gram set outgrows the defaults.
+    */
+  def decontaminateBloom(docsDf: DataFrame, isBenchmark: Column, n: Int = 5,
+      bitsPerGram: Int = 29): DataFrame = {
+    val bloomBytes = buildBenchmarkBloom(docsDf.filter(isBenchmark), n, bitsPerGram)
+    docsDf.filter(!isBenchmark)
+      .select(col("doc_id"), bloomFlagged(bloomBytes, n).as("n_flagged"))
+      .select(col("doc_id"), col("n_flagged"),
+        when(col("n_flagged") > 0, 1L).otherwise(0L).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Build the benchmark-gram Bloom sketch: one explode+distinct over the
+    * (fixed-size) benchmark docs, sized from the REAL distinct-gram count
+    * so the fp rate is the designed one rather than an estimate's
+    * accident. The returned bytes are the serving artifact — persist them
+    * beside the eval suite and feed every consumer ([[decontaminateBloom]],
+    * graft.streaming.Streams.decontaminateStream).
+    */
+  def buildBenchmarkBloom(benchDocs: DataFrame, n: Int = 5,
+      bitsPerGram: Int = 29): Array[Byte] = {
+    val p = benchDocs.sparkSession.sparkContext.defaultParallelism
+    val benchHashed = benchDocs
+      .repartition(p, col("doc_id"))
+      .select(explode_outer(ngramsK(col("text"), n)).as("gram"))
+      .filter(col("gram").isNotNull)
+      .select(xxhash64(col("gram")).as("h")).distinct()
+      .persist()
+    try {
+      val nGrams = math.max(1L, benchHashed.count())
+      benchHashed
+        .agg(graft.functions.bloom_agg(col("h"), nGrams,
+          math.max(64L, nGrams * bitsPerGram.toLong)).as("bf"))
+        .head().getAs[Array[Byte]]("bf")
+    } finally { benchHashed.unpersist(); () }
+  }
+
+  /** The per-doc contaminated-gram count under a prebuilt sketch — a pure
+    * column expression (scan-local, zero shuffle, zero state), which is
+    * what lets the SAME decision run batch-side and under readStream.
+    */
+  private[graft] def bloomFlagged(bloomBytes: Array[Byte], n: Int): Column =
+    size(filter(ngramsK(col("text"), n),
+      g => graft.functions.bloom_might_contain(lit(bloomBytes), xxhash64(g))))
+      .cast(LongType)
+
+  /** Driver form — same benchmark convention as [[decontaminateDocs]]. */
+  def decontaminateBloomDocs(s: SparkSession, dir: String): DataFrame =
+    decontaminateBloom(Tables(s, dir).documents, col("doc_id") % 11 === 0)
+
   // ------------------------------------------------------------ span dedup
   /** Span-level exact-substring dedup signal (the span-granular form of
     * Lee et al.'s exact substring dedup): for every document, how many of
@@ -575,6 +643,55 @@ object TextAnalysis {
 
   def packSequencesDocs(s: SparkSession, dir: String): DataFrame =
     packSequences(Tables(s, dir).documents)
+
+  // ------------------------------------------------------------ shard export
+  /** The training-handoff manifest: per-shard doc/token/char totals under
+    * the deterministic `doc_id mod numShards` shard assignment
+    * [[exportShards]] writes. One map-side-combined groupBy over the
+    * corpus — numShards output rows — so the manifest costs one scan at
+    * any corpus size. Exact (the assignment is pure arithmetic), hence
+    * oracle-checked; the token count is the whitespace tokenizer the rest
+    * of the curation surface budgets with.
+    */
+  def shardManifest(docsDf: DataFrame, numShards: Int = 16): DataFrame =
+    docsDf
+      .groupBy(pmod(col("doc_id"), lit(numShards.toLong)).as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(words(col("text"))).cast(LongType)).as("n_tokens"),
+        sum(length(col("text")).cast(LongType)).as("n_chars"))
+      .orderBy(col("shard"))
+
+  def shardManifestDocs(s: SparkSession, dir: String): DataFrame =
+    shardManifest(Tables(s, dir).documents)
+
+  /** Sharded training export — the artifact the curation funnel hands to a
+    * trainer: `numShards` shard dirs (`shard=K/`, partition-pruned reads),
+    * docs in a seeded deterministic shuffle order WITHIN each shard (the
+    * [[graft.ops.Curation.shuffleOrder]] convention — rerun-stable, no
+    * global sort), files rolled at [[maxRecordsPerFile]], and the
+    * [[shardManifest]] written beside the data as `_manifest` (the `_`
+    * prefix keeps it invisible to parquet readers of the data dirs, the
+    * `_metadata` convention). One exchange total: the repartition that
+    * co-locates each shard's docs; the within-shard order rides
+    * sortWithinPartitions on the same exchange, so at 100 TB the export
+    * costs one shuffle of the (already-curated) corpus and one manifest
+    * scan — there is no global orderBy anywhere.
+    */
+  def exportShards(docsDf: DataFrame, outDir: String, numShards: Int = 16,
+      maxRecordsPerFile: Long = 1000000L, seed: String = "graft-export"): Unit = {
+    docsDf
+      .withColumn("shard", pmod(col("doc_id"), lit(numShards.toLong)))
+      .repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"),
+        xxhash64(concat_ws("|", lit(seed), col("doc_id").cast("string"))),
+        col("doc_id"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("shard")
+      .parquet(outDir)
+    shardManifest(docsDf, numShards)
+      .write.mode("overwrite").parquet(s"$outDir/_manifest")
+  }
 
   // ------------------------------------------------------------ chunking
   /** Sliding-window document chunking — the context-window split a training
@@ -825,7 +942,9 @@ object TextAnalysis {
       ((s: SparkSession, dir: String) => editDistRadius(s, dir)),
     "text_curate_corpus" -> (curateCorpus _),
     "text_decontaminate" -> (decontaminateDocs _),
+    "text_decontaminate_bloom" -> (decontaminateBloomDocs _),
     "text_pack_sequences" -> (packSequencesDocs _),
+    "text_shard_manifest" -> (shardManifestDocs _),
     "text_repetition"    -> (repetition _),
     "text_heavy_hitters" -> ((s: SparkSession, dir: String) => heavyHitters(s, dir)),
     "text_select_budget" -> ((s: SparkSession, dir: String) => selectBudget(s, dir)),
@@ -844,6 +963,12 @@ object TextAnalysis {
     s"len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w IN ${sqlList(stop)}))"
 
   val oracles: Map[String, String] = Map(
+    "text_shard_manifest" ->
+      """SELECT CAST(doc_id % 16 AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_span_dedup" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
         |g AS (SELECT doc_id, list_distinct(

@@ -345,6 +345,22 @@ object Streams extends Serializable {
   def chunkStream(docs: DataFrame, window: Int = 50, stride: Int = 40): DataFrame =
     graft.ops.TextAnalysis.chunkCore(docs, window, stride)
 
+  /** Stateless benchmark-decontamination gate on a live document stream —
+    * the continuous twin of graft.ops.TextAnalysis.decontaminateBloom
+    * (same `bloomFlagged` core, shared not copied): docs sharing any word
+    * n-gram with the prebuilt benchmark sketch are dropped as they arrive.
+    * The sketch is a BATCH artifact (benchmarks are static — build it once
+    * per eval-suite release with `buildBenchmarkBloom`, feed the bytes
+    * in); the per-doc decision is a pure scan-local projection, so the
+    * gate carries zero streaming state and a replayed micro-batch drops
+    * byte-identical rows. Zero false negatives structurally — no
+    * contaminated doc can slip through the stream. Compose upstream of
+    * [[incrementalDedup]]/[[chunkStream]].
+    */
+  def decontaminateStream(docs: DataFrame, bloomBytes: Array[Byte],
+      n: Int = 5): DataFrame =
+    docs.filter(graft.ops.TextAnalysis.bloomFlagged(bloomBytes, n) === 0L)
+
   // ---------------------------------------------- sink batch-commit protocol
   /** Replace one micro-batch's files in a flat parquet sink dir: write the
     * batch to `<dir>_staging/<batchId>`, DELETE any `b<batchId>-*` files a

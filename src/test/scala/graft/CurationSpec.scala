@@ -235,6 +235,48 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("cluster mixture: deterministic subset, near budget, flatter than input") {
+    val budget = 200L
+    val a = Curation.clusterMixture(spark, sf, k = 8, budgetDocs = budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = Curation.clusterMixture(spark, sf, k = 8, budgetDocs = budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSeq === b.toSeq, "hash-cut sampling must be rerun-deterministic")
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a.map(_._1).toSet.subsetOf(corpus))
+    assert(a.length.toDouble > budget * 0.5 && a.length.toDouble < budget * 1.5,
+      s"kept ${a.length} docs for budget $budget")
+    // exact recomputation: rebuild the designed per-cluster keep rates from
+    // the same clustering and pin the kept set to {docs whose Knuth-hash
+    // lands under their cluster's rate} — noise-free, and it makes the
+    // α = 0.5 flattening checkable on the DESIGNED rates (monotone
+    // non-increasing in cluster size), not on sampled counts
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cents = graft.ops.Similarity.kmeans(e, pmod(col("vec_id"), lit(8)), 2)
+    val assigned = graft.ops.Similarity.assignCells(e, cents)
+      .select(col("vec_id"), col("cell").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val sizes = assigned.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    val z = sizes.values.map(math.sqrt).sum
+    val rate = sizes.map { case (c, n) =>
+      c -> math.min(1.0, math.sqrt(n) / z * budget / n) }
+    val expected = assigned.filter { case (id, c) =>
+      (((id % 100000007L) * 2654435761L) % 1000000L + 1000000L) % 1000000L <
+        rate(c) * 1000000.0
+    }.map(_._1).toSet
+    assert(a.map(_._1).toSet === expected,
+      "kept set must equal the designed rate-cut recomputation")
+    rate.toSeq.sortBy(x => sizes(x._1)).sliding(2).foreach {
+      case Seq((c1, r1), (c2, r2)) =>
+        assert(r1 >= r2 - 1e-12,
+          s"rates must not increase with cluster size: " +
+            s"n=${sizes(c1)}→$r1 vs n=${sizes(c2)}→$r2")
+      case _ =>
+    }
+  }
+
   test("propagateMinLabels' returned frame really unpersists (sameResult contract)") {
     val cm = spark.sharedState.cacheManager
     cm.clearCache()

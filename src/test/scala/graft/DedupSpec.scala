@@ -879,6 +879,41 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.embeddingIndexGeometry(spark, path) === ((2, 4)))
   }
 
+  test("regeometry crash window self-heals: stale stamp re-fires and repairs mixed-width appends") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_emb_crash").toString + "/idx"
+    Dedup.saveEmbeddingIndex(spark, emb.filter(col("vec_id") < 400), path,
+      numTables = 2, bits = 1)
+    assert(Dedup.maybeRebuildEmbeddingIndex(spark, path))
+    // simulate the crash BETWEEN the buckets rewrite and the geometry
+    // stamp: buckets sit at the recommended width, the stamp still says
+    // the old one. The stamp-last order is deliberate — this window must
+    // RE-FIRE at the next maintenance pass (stamp-first would read as
+    // right-sized and leave the table mixed forever).
+    val gp = new org.apache.hadoop.fs.Path(s"$path/_geometry")
+    val fs = gp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(gp, true); out.write("2 1".getBytes("UTF-8")); out.close()
+    // an append in the window buckets at the STALE width — a mixed table
+    Dedup.appendToEmbeddingIndex(spark,
+      emb.filter(col("vec_id") >= 400), path)
+    // next maintenance pass: rec(500) = 4 > stamped 1 → re-fires, and the
+    // full rebucket of the live vectors REPAIRS the mixed-width rows
+    assert(Dedup.maybeRebuildEmbeddingIndex(spark, path),
+      "the stale stamp must re-fire the regeometry")
+    assert(Dedup.embeddingIndexGeometry(spark, path) === ((2, 4)))
+    def bset(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "tbl", "bucket").collect()
+        .map(r => (r.getLong(0), r.get(1).toString, r.get(2).toString)).toSet
+    val live = spark.read.parquet(s"$path/vectors")
+    assert(live.count() === 500)
+    assert(bset(spark.read.parquet(s"$path/buckets")) ===
+      bset(graft.ops.Similarity.lshBuckets(live, 64, 2, 4)),
+      "after the re-fire every bucket row is the recommended width")
+  }
+
   test("index savers clear stale replay-protocol state (fresh checkpoint ids must not be fenced)") {
     import spark.implicits._
     val base = java.nio.file.Files

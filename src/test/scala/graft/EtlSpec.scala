@@ -116,6 +116,31 @@ class EtlSpec extends SparkSpec {
     assert(bad.count() === 2)
   }
 
+  test("xml sink round-trips, and tolerant xml quarantines malformed elements") {
+    val dir = Files.createTempDirectory("graft-xml").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("source"))
+    Sinks.xmlWrite(docs, s"$dir/xml", rowTag = "doc")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("source", StringType)))
+    val back = spark.read.schema(schema).option("rowTag", "doc")
+      .format("xml").load(s"$dir/xml")
+    assert(back.count() === docs.count())
+    assert(back.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      docs.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    // the tolerant read: two good elements, one with a malformed value
+    Files.writeString(java.nio.file.Paths.get(s"$dir/feed.xml"),
+      """<rows>
+        |<doc><doc_id>1</doc_id><lang>en</lang><source>s0</source></doc>
+        |<doc><doc_id>NOT_A_NUMBER</doc_id><lang>xx</lang><source>s1</source></doc>
+        |<doc><doc_id>3</doc_id><lang>de</lang><source>s2</source></doc>
+        |</rows>""".stripMargin)
+    val (good, bad) = Sinks.tolerantXml(spark, s"$dir/feed.xml", "doc", schema)
+    assert(good.count() === 2)
+    assert(bad.count() === 1)
+  }
+
   test("json-lines sink round-trips day-partitioned, and csv keeps headers") {
     val dir = Files.createTempDirectory("graft-fmt").toString
     val ev = Tables(spark, sf).events

@@ -315,6 +315,32 @@ class StreamingSpec extends SparkSpec {
     doc3.foreach { case (_, t) => assert(t.contains("<EMAIL>") && !t.contains("example.com")) }
   }
 
+  test("decontamination gate: stream drops exactly the batch-flagged docs (shared bloom core)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val bench = Seq((100L, "x a b c d e f y"))
+      .toDF("doc_id", "text") // bench grams: the 5-grams of this doc
+    val bloom = graft.ops.TextAnalysis.buildBenchmarkBloom(bench)
+    val corpus = Seq(
+      (1L, "a b c d e f g"),                            // shares grams → dropped
+      (2L, "totally different words over here indeed"), // clean → kept
+      (3L, "tiny doc"))                                 // <5 words → kept
+    val cols = Seq("doc_id", "text")
+    val gate = (df: org.apache.spark.sql.DataFrame) =>
+      Streams.decontaminateStream(df, bloom)
+    val batchKept = gate(corpus.toDF(cols: _*)).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val in = MemoryStream[(Long, String)]
+    in.addData(corpus: _*)
+    runToMemory(gate(in.toDF().toDF(cols: _*)), "decon")
+    val streamKept = spark.table("decon").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(streamKept === batchKept,
+      "a stateless gate must drop identical rows under readStream")
+    assert(batchKept === Set(2L, 3L),
+      "the contaminated doc is dropped, clean and too-short docs survive")
+  }
+
   test("bus contract end-to-end: connector schema -> tolerant parse -> aggregation") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -64,6 +64,76 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!out.contains(100L), "benchmark docs are excluded from the report")
   }
 
+  test("shard export: lossless, manifest-exact, rolled files, rerun-deterministic") {
+    val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val nShards = 4
+    TextAnalysis.exportShards(docs, out, nShards, maxRecordsPerFile = 64L)
+    // partition-column inference types `shard` as int — normalize to long
+    val back = spark.read.parquet(out)
+      .withColumn("shard", col("shard").cast("long"))
+    // lossless: every doc exactly once, in its arithmetic shard
+    assert(back.count() === docs.count())
+    assert(back.select("doc_id").distinct().count() === docs.count())
+    assert(back.filter(col("shard") =!= pmod(col("doc_id"), lit(nShards.toLong)))
+      .count() === 0L)
+    // the manifest beside the data is invisible to data readers and exact
+    assert(!back.columns.contains("n_docs"))
+    val manifest = spark.read.parquet(s"$out/_manifest").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val actual = back.groupBy("shard").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(manifest.keySet === actual.keySet)
+    actual.foreach { case (shard, n) => assert(manifest(shard)._1 === n) }
+    // files rolled: no shard dir holds more than ceil(rows/64)+1 files
+    manifest.foreach { case (shard, (n, _)) =>
+      val files = new java.io.File(s"$out/shard=$shard")
+        .listFiles().count(_.getName.endsWith(".parquet"))
+      assert(files >= (n / 64).toInt && files <= (n / 64).toInt + 2,
+        s"shard $shard: $files files for $n rows at maxRecordsPerFile=64")
+    }
+    // rerun-deterministic: same shard contents in the same within-shard order
+    val order1 = back.withColumn("f", input_file_name()).collect()
+    val out2 = java.nio.file.Files.createTempDirectory("graft-shards2").toString
+    TextAnalysis.exportShards(docs, out2, nShards, maxRecordsPerFile = 64L)
+    def key(dir: String) = spark.read.parquet(dir)
+      .select(col("shard").cast("long"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(key(out) === key(out2))
+    assert(order1.nonEmpty)
+  }
+
+  test("bloom decontamination: superset of the exact tier, bounded over-flag") {
+    val exact = TextAnalysis.decontaminateDocs(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val bloom = TextAnalysis.decontaminateBloomDocs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(bloom.length === exact.size, "same corpus-doc universe")
+    bloom.foreach { case (id, nFlagged, c) =>
+      val (nShared, contaminated) = exact(id)
+      // no false negatives: the sketch can only ADD members
+      if (contaminated == 1L) assert(c === 1L, s"false negative at doc $id")
+      assert(nFlagged >= nShared, s"doc $id flags fewer grams than truly shared")
+    }
+    val clean = exact.values.count(_._2 == 0L)
+    val over = bloom.count { case (id, _, c) => c == 1L && exact(id)._2 == 0L }
+    assert(over <= math.max(1, clean / 100),
+      s"over-flagged $over of $clean clean docs — fp rate far above design")
+  }
+
+  test("bloom decontamination's corpus pass has no explode and no corpus-side shuffle") {
+    val df = TextAnalysis.decontaminateBloomDocs(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the bench side collapsed into the plan LITERAL before this frame was
+    // built, so the serving plan is scan → project → gate-orderBy only
+    assert("Generate".r.findAllIn(plan).isEmpty,
+      "the corpus-side decision must not explode grams")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 1,
+      s"only the gate orderBy may exchange, got $exchanges:\n${plan.take(1500)}")
+  }
+
   test("sequence packing: an independent recomputation agrees, shards respect the budget") {
     val rows = TextAnalysis.packSequencesDocs(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

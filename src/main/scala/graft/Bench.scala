@@ -33,7 +33,8 @@ object Bench {
     "dedup_incremental", "dedup_minhash_incremental",
     "dedup_embedding_incremental", "dedup_index_audit", "dedup_index_report",
     "dedup_tune_bands", "dedup_tune_embedding", "dedup_semantic",
-    "ann_bruteforce_topk", "ann_lsh_topk", "ann_ivf_topk", "ann_int8_topk",
+    "ann_bruteforce_topk", "ann_filtered_bruteforce", "ann_filtered_topk",
+    "ann_lsh_topk", "ann_ivf_topk", "ann_int8_topk",
     "ann_jl_topk", "ann_pca_topk",
     "ann_int8_ivf_topk", "ann_pq_topk", "ann_opq_topk", "ann_opq_topk_fed",
     "ann_opq_ivfpq_topk", "ann_opq_ivfpq_topk_fed", "ann_opq_ivfpq_topk_indexed",

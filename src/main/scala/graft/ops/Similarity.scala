@@ -338,6 +338,63 @@ object Similarity {
     topkPerQuery(scored)
   }
 
+  // ------------------------------------------------------------ filtered ANN
+  /** Metadata-FILTERED exact top-k — "filtered vector search", the serving
+    * feature every production vector store ships (only neighbors matching
+    * an attribute predicate are eligible). This is the PRE-filter
+    * formulation: the predicate restricts the corpus side BEFORE scoring,
+    * so k is always filled from the eligible set — post-filtering a
+    * generic top-k under-fills k whenever selectivity < k/N. The predicate
+    * is a plain column filter, so it pushes to the parquet scan
+    * (PushedFilters) and the scored row count is selectivity-proportional.
+    * Exact tier, oracle-checked (the gate form filters `label % 2 = 0`).
+    */
+  def bruteforceFilteredTopk(s: SparkSession, dir: String,
+      pred: Column = col("label") % 2 === 0): DataFrame = {
+    val e = Tables(s, dir).embeddings
+    val q = broadcast(corpusQueries(e)
+      .select(col("query_id"), col("embedding").as("qe")))
+    val scored = e.filter(pred)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      .join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine_sim(col("qe"), col("ne")).as("cosine"))
+    topkPerQuery(scored)
+  }
+
+  /** [[bruteforceFilteredTopk]]'s scale tier: the same pre-filter composed
+    * into the IVF probe — models stay trained on the FULL corpus (the
+    * filter is a serving-time argument; retraining per predicate would be
+    * absurd), only the probed-cell scan restricts to eligible vectors, so
+    * the scan cost is selectivity-proportional on top of IVF's cell
+    * restriction. Rows-only; the spec pins that every neighbor satisfies
+    * the predicate, that k fills whenever the eligible set can fill it,
+    * and recall vs the filtered-exact tier at the usual floor.
+    */
+  def ivfFilteredTopk(s: SparkSession, dir: String,
+      pred: Column = col("label") % 2 === 0,
+      precomputedCents: Option[DataFrame] = None,
+      nprobe: Int = NProbe): DataFrame = {
+    val e = Tables(s, dir).embeddings
+    val cents = precomputedCents.getOrElse(centroids(e))
+    val assigned = assignCells(
+      e.filter(pred).select(col("vec_id"), col("embedding")), cents)
+    val probes = corpusQueries(e)
+      .select(col("query_id"), col("embedding").as("qe"))
+      .join(broadcast(cents))
+      .select(col("query_id"), col("qe"), col("cell"),
+        cosine_sim(col("qe"), col("centroid")).as("ccos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cell"))))
+      .filter(col("rk") <= nprobe)
+      .select(col("query_id"), col("qe"), col("cell"))
+    val scored = assigned.as("v").join(broadcast(probes).as("p"),
+        col("v.cell") === col("p.cell") && col("v.vec_id") =!= col("p.query_id"))
+      .select(col("p.query_id"), col("v.vec_id").as("neighbor_id"),
+        cosine_sim(col("p.qe"), col("v.embedding")).as("cosine"))
+    topkPerQuery(scored)
+  }
+
   // ------------------------------------------------------------ centroids
   /** Per-label exact centroids — the audit a clustering/IVF pipeline runs
     * on its label assignments (and the ground truth for mixture-weight
@@ -2809,6 +2866,10 @@ object Similarity {
     "ann_ivfpq_residual_topk" -> ((s: SparkSession, dir: String) => ivfpqResidualTopk(s, dir)),
     "emb_label_centroids" -> ((s: SparkSession, dir: String) => labelCentroids(s, dir)),
     "ann_bruteforce_topk" -> (bruteforceTopk _),
+    "ann_filtered_bruteforce" ->
+      ((s: SparkSession, dir: String) => bruteforceFilteredTopk(s, dir)),
+    "ann_filtered_topk" ->
+      ((s: SparkSession, dir: String) => ivfFilteredTopk(s, dir)),
     "ann_lsh_topk"        -> ((s: SparkSession, dir: String) => lshTopk(s, dir)),
     "ann_ivf_topk"        -> ((s: SparkSession, dir: String) => ivfTopk(s, dir)))
 
@@ -2861,6 +2922,21 @@ object Similarity {
         |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
         |    / (q.nrm * c.nrm) AS cosine
         |  FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM scored)
+        |SELECT query_id, rank, neighbor_id, cosine FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_filtered_bruteforce" ->
+      """WITH v AS (SELECT vec_id, label, embedding,
+        |  sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)),
+        |    (x, y) -> x + y)) AS nrm
+        |  FROM embeddings),
+        |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+        |    / (q.nrm * c.nrm) AS cosine
+        |  FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+        |    AND c.label % 2 = 0),
         |ranked AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
         |    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank FROM scored)
         |SELECT query_id, rank, neighbor_id, cosine FROM ranked

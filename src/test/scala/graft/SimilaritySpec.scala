@@ -29,6 +29,33 @@ class SimilaritySpec extends SparkSpec {
     hits.toDouble / (exact.size * 5)
   }
 
+  test("filtered ANN: predicate honored, k fills from the eligible set, recall holds") {
+    import org.apache.spark.sql.functions._
+    val evenIds = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("label") % 2 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val fExact = topk(Similarity.bruteforceFilteredTopk(spark, sf))
+    val fIvf = topk(Similarity.ivfFilteredTopk(spark, sf))
+    // every neighbor in BOTH tiers satisfies the predicate
+    (fExact.values ++ fIvf.values).flatten.foreach(n =>
+      assert(evenIds.contains(n), s"neighbor $n fails the predicate"))
+    // PRE-filtering fills k from the eligible set (~50% selectivity leaves
+    // far more than 5 eligible); a post-filtered generic top-5 would keep
+    // only the even survivors of the unfiltered list
+    assert(fExact.size === 10)
+    fExact.values.foreach(ns => assert(ns.size === 5, "exact tier must fill k"))
+    fIvf.values.foreach(ns => assert(ns.size === 5, "ivf tier must fill k"))
+    val postFiltered = exact.view.mapValues(_.filter(evenIds.contains)).toMap
+    assert(postFiltered.values.exists(_.size < 5),
+      "on this corpus post-filtering demonstrably under-fills k — the " +
+        "shape pre-filtering exists to fix")
+    // recall vs the FILTERED exact tier at the family's usual floor
+    val hits = fExact.map { case (q, ns) =>
+      fIvf.getOrElse(q, Seq.empty).count(ns.toSet.contains) }.sum
+    val r = hits.toDouble / (fExact.size * 5)
+    assert(r >= 0.15, s"filtered recall@5=$r")
+  }
+
   test("LSH top-k achieves useful recall vs brute force") {
     val r = recallAt5(topk(Similarity.lshTopk(spark, sf)))
     // embeddings are near-random (max cosine ~0.5), the hardest case for

@@ -127,14 +127,28 @@ object ScaleProbe {
     // scale with N, which is not the shape being validated
     time("text_decontaminate")(graft.ops.TextAnalysis.decontaminate(
       spark.read.parquet(s"$out/documents.parquet"), col("doc_id") % 997 === 0).count())
-    // the Bloom serving tier under the same premise: the sketch build is
-    // bench-side-only (fixed-size), and the corpus-side decision is a
-    // scan-local projection — wall should track ONE corpus scan with no
-    // shuffle, widening the gap to the exact tier's explode+join+agg as N
-    // grows (the claim §2.E's entry makes)
-    time("text_decontaminate_bloom")(graft.ops.TextAnalysis.decontaminateBloom(
-      spark.read.parquet(s"$out/documents.parquet"),
-      col("doc_id") % 997 === 0).count())
+    // the Bloom serving tier under the same premise, build and serve timed
+    // SEPARATELY (production builds the sketch once per eval-suite
+    // release; the serving cost is what scales with the corpus): the
+    // corpus-side decision is two compiled kernel calls per row inside
+    // one scan — no explode, no join, no shuffle — so serve wall should
+    // stay flat while the sketch stays a few hundred KB
+    if (matched("decontaminate_bloom")) locally {
+      val docsN = spark.read.parquet(s"$out/documents.parquet")
+      val isBench = col("doc_id") % 997 === 0
+      val t0 = System.nanoTime()
+      val bloom = graft.ops.TextAnalysis.buildBenchmarkBloom(docsN.filter(isBench))
+      println(f"decontaminate_bloom_build: ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+        f"(${bloom.length} sketch bytes)")
+      val t1 = System.nanoTime()
+      // agg(sum) forces the flagged count for every row — a bare count()
+      // would let Catalyst prune the kernel away and time an empty scan
+      val flagged = docsN.filter(!isBench)
+        .agg(sum(graft.ops.TextAnalysis.bloomFlagged(bloom, 5)).as("f"))
+        .head().getAs[Long]("f")
+      println(f"decontaminate_bloom_serve: ${(System.nanoTime() - t1) / 1e9}%.1f s " +
+        f"($flagged flagged grams)")
+    }
     // fuzzy (MinHash) decontamination under the same fixed-size-benchmark
     // premise: the bench side's bands and shingle sets broadcast, so wall
     // should track the corpus-side shingle+sign pass (~linear in N) plus

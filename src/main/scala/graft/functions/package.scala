@@ -94,4 +94,12 @@ package object functions {
     GraftSqlBridge.column(
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         GraftSqlBridge.expression(bloom), GraftSqlBridge.expression(hashed)))
+
+  /** Count of an `array<long>` hash set's members hitting a serialized
+    * Bloom filter, one compiled loop — see [[BloomCount]]. The whole-row
+    * decontamination decision when composed with [[hashed_ngrams]].
+    */
+  def bloom_count(hashed: Column, bloomBytes: Array[Byte]): Column =
+    GraftSqlBridge.column(
+      BloomCount(GraftSqlBridge.expression(hashed), bloomBytes))
 }

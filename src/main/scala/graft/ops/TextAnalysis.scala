@@ -544,11 +544,13 @@ object TextAnalysis {
   def buildBenchmarkBloom(benchDocs: DataFrame, n: Int = 5,
       bitsPerGram: Int = 29): Array[Byte] = {
     val p = benchDocs.sparkSession.sparkContext.defaultParallelism
+    // hashed_ngrams longs are bit-identical to xxhash64(the gram string),
+    // so the sketch's members and bloom_count's probes can never diverge
     val benchHashed = benchDocs
       .repartition(p, col("doc_id"))
-      .select(explode_outer(ngramsK(col("text"), n)).as("gram"))
-      .filter(col("gram").isNotNull)
-      .select(xxhash64(col("gram")).as("h")).distinct()
+      .select(explode(graft.functions.hashed_ngrams(
+        words(col("text")), n, distinct = true)).as("h"))
+      .distinct()
       .persist()
     try {
       val nGrams = math.max(1L, benchHashed.count())
@@ -561,12 +563,16 @@ object TextAnalysis {
 
   /** The per-doc contaminated-gram count under a prebuilt sketch — a pure
     * column expression (scan-local, zero shuffle, zero state), which is
-    * what lets the SAME decision run batch-side and under readStream.
+    * what lets the SAME decision run batch-side and under readStream. Two
+    * compiled kernel calls per row ([[graft.functions.HashedNgrams]] →
+    * [[graft.functions.BloomCount]]), fully inside whole-stage codegen —
+    * the interpreted HOF formulation this replaces re-built the gram
+    * strings per row and walked an expression tree per gram.
     */
   private[graft] def bloomFlagged(bloomBytes: Array[Byte], n: Int): Column =
-    size(filter(ngramsK(col("text"), n),
-      g => graft.functions.bloom_might_contain(lit(bloomBytes), xxhash64(g))))
-      .cast(LongType)
+    graft.functions.bloom_count(
+      graft.functions.hashed_ngrams(words(col("text")), n, distinct = true),
+      bloomBytes)
 
   /** Driver form — same benchmark convention as [[decontaminateDocs]]. */
   def decontaminateBloomDocs(s: SparkSession, dir: String): DataFrame =

@@ -116,6 +116,37 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("bloom_count equals the HOF might_contain formulation, codegen and interpreted") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(200)
+    val bloom = graft.ops.TextAnalysis.buildBenchmarkBloom(
+      docs.filter(col("doc_id") % 7 === 0))
+    val w = split(trim(col("text")), "\\s+")
+    val hashed = graft.functions.hashed_ngrams(w, 5, distinct = true)
+    def run(): Seq[(Long, Long, Long)] = docs
+      .select(col("doc_id"),
+        graft.functions.bloom_count(hashed, bloom).as("kc"),
+        size(filter(hashed, h =>
+          graft.functions.bloom_might_contain(lit(bloom), h)))
+          .cast("long").as("hc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val factoryMode = "spark.sql.codegen.factoryMode"
+    val prior = spark.conf.getOption(factoryMode)
+    try {
+      spark.conf.set(factoryMode, "CODEGEN_ONLY")
+      val gen = run()
+      spark.conf.set(factoryMode, "NO_CODEGEN")
+      val interp = run()
+      assert(gen === interp, "codegen and interpreted paths must agree")
+      gen.foreach { case (id, kernel, hof) =>
+        assert(kernel === hof, s"doc $id: kernel $kernel vs HOF $hof") }
+      assert(gen.exists(_._2 > 0), "some doc must actually hit the sketch")
+    } finally prior match {
+      case Some(v) => spark.conf.set(factoryMode, v)
+      case None => spark.conf.unset(factoryMode)
+    }
+  }
+
   test("hashed_ngrams reproduces the HOF shingle+hash chain bit-for-bit") {
     import org.apache.spark.sql.functions._
     val P = 4294967311L

@@ -53,6 +53,7 @@ object Bench {
     "text_mixture_sample", "text_mixture_temperature",
     "text_select_budget_threshold", "text_bpe_tokens",
     "text_source_stats", "text_source_sketches", "profile_value_sketches",
+    "profile_distribution_drift",
     "text_vocab_coverage",
     "text_chunk_documents",
     "text_span_dedup", "text_surprisal", "text_bigram_perplexity",

@@ -237,7 +237,71 @@ object Profile {
     valueSketchRollup(
       valueSketches(Tables(s, dir).documents, "source", "n_chars"), "source")
 
+  /** Population-Stability-Index drift report between two corpus snapshots —
+    * the DATA-drift twin of the ANN tier's model-drift monitor (that one
+    * asks "do the frozen codebooks still fit the vectors"; this one asks
+    * "does today's metadata distribution still look like the baseline's").
+    * Buckets are the baseline's [[buckets]]-quantile boundaries (the
+    * classic PSI recipe); both snapshots bucket by counting boundaries
+    * strictly below the value; shares are Laplace-smoothed (+0.5 per
+    * bucket) so empty buckets can't produce ±∞; per-bucket contribution is
+    * (p_cur − p_base)·ln(p_cur/p_base) and `psi_total` folds contributions
+    * in bucket order (the in-order-fold discipline every exact score here
+    * uses — this report is ORACLE-EXACT, unlike sketch-based monitors).
+    * The usual reading: <0.1 stable, 0.1–0.25 drifting, >0.25 shifted.
+    *
+    * Scale shape: the quantile pass is one aggregate over the baseline;
+    * bucketing is a scan-local projection against the broadcast one-row
+    * boundary frame; the result is `buckets` rows. The gate form splits
+    * the corpus by doc_id parity (even = baseline) over `n_chars`; a real
+    * deployment feeds yesterday's and today's snapshots.
+    */
+  def distributionDrift(s: SparkSession, dir: String,
+      valueCol: String = "n_chars", buckets: Int = 10): DataFrame =
+    distributionDriftOf(s, Tables(s, dir).documents,
+      col("doc_id") % 2 === 0, valueCol, buckets)
+
+  /** [[distributionDrift]] over arbitrary snapshots: rows where [[isBase]]
+    * holds are the baseline, the rest the current snapshot.
+    */
+  def distributionDriftOf(s: SparkSession, docs: DataFrame, isBase: Column,
+      valueCol: String = "n_chars", buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast("double")
+    val bounds = docs.filter(isBase)
+      .agg(array((1 until buckets).map(i =>
+        expr(s"percentile(CAST($valueCol AS DOUBLE), ${i.toDouble / buckets})")): _*)
+        .as("bs"))
+    def counted(side: DataFrame, as: String) = side
+      .crossJoin(broadcast(bounds))
+      .select(aggregate(col("bs"), lit(0L), (acc, b) =>
+        acc + when(v > b, 1L).otherwise(0L)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as(as))
+    val w = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    s.range(buckets).select(col("id").as("bucket"))
+      .join(counted(docs.filter(isBase), "n_base"), Seq("bucket"), "left")
+      .join(counted(docs.filter(!isBase), "n_cur"), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      .withColumn("p_base", (col("n_base") + lit(0.5))
+        / (sum(col("n_base")).over(w) + lit(0.5 * buckets)))
+      .withColumn("p_cur", (col("n_cur") + lit(0.5))
+        / (sum(col("n_cur")).over(w) + lit(0.5 * buckets)))
+      .withColumn("contrib",
+        (col("p_cur") - col("p_base")) * log(col("p_cur") / col("p_base")))
+      .withColumn("psi_total", aggregate(
+        array_sort(collect_list(struct(col("bucket"), col("contrib"))).over(w)),
+        lit(0.0), (a, x) => a + x.getField("contrib")))
+      .select(col("bucket"), col("n_base"), col("n_cur"),
+        col("p_base"), col("p_cur"), col("contrib"), col("psi_total"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "profile_distribution_drift" ->
+      ((s: SparkSession, dir: String) => distributionDrift(s, dir)),
     "q_profile_documents" -> (profileDocuments _),
     "text_stratified_sample" -> (sampleDocuments _),
     "text_source_sketches" ->
@@ -246,6 +310,33 @@ object Profile {
       ((s: SparkSession, dir: String) => valueSketchRollup(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "profile_distribution_drift" -> {
+      val qs = (1 until 10).map(i => s"quantile_cont(v, 0.$i)").mkString(", ")
+      // MATERIALIZED: DuckDB would otherwise inline the aggregate CTE into
+      // what it binds as a lateral join (the lambda references d.v) and
+      // refuse with "LATERAL join cannot contain aggregates"
+      s"""WITH d AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS v FROM documents),
+         |bounds AS MATERIALIZED (SELECT [$qs] AS bs FROM d WHERE doc_id % 2 = 0),
+         |bkt AS (SELECT doc_id % 2 = 0 AS is_base,
+         |    CAST(len(list_filter(bounds.bs, b -> v > b)) AS BIGINT) AS bucket
+         |  FROM d, bounds),
+         |cnt AS (SELECT bucket,
+         |    SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS nb,
+         |    SUM(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS nc
+         |  FROM bkt GROUP BY bucket),
+         |allb AS (SELECT CAST(r.range AS BIGINT) AS bucket,
+         |    CAST(COALESCE(nb, 0) AS BIGINT) AS n_base,
+         |    CAST(COALESCE(nc, 0) AS BIGINT) AS n_cur
+         |  FROM range(10) r LEFT JOIN cnt ON r.range = cnt.bucket),
+         |sh AS (SELECT *,
+         |    (n_base + 0.5) / ((SELECT SUM(n_base) FROM allb) + 5.0) AS p_base,
+         |    (n_cur + 0.5) / ((SELECT SUM(n_cur) FROM allb) + 5.0) AS p_cur
+         |  FROM allb),
+         |c AS (SELECT *, (p_cur - p_base) * ln(p_cur / p_base) AS contrib FROM sh),
+         |t AS (SELECT list_reduce(list(contrib ORDER BY bucket), (a, b) -> a + b) AS psi FROM c)
+         |SELECT bucket, n_base, n_cur, p_base, p_cur, contrib, psi AS psi_total
+         |FROM c, t ORDER BY bucket""".stripMargin
+    },
     "q_profile_documents" ->
       """SELECT * FROM (
         |  SELECT 'doc_id' AS "column", COUNT(*) FILTER (doc_id IS NULL) AS n_nulls,

@@ -181,4 +181,30 @@ class ProfileSpec extends SparkSpec {
     assert(Profile.valueSketchRollup(some, "user_id", maxGroups = 5)
       .count() === 5) // 4 groups + __ALL__
   }
+
+  test("distribution drift: same-distribution snapshots stable, a shifted one trips") {
+    // gate form: 10 buckets, every PSI contribution non-negative by algebra
+    val gate = Profile.distributionDrift(spark, sf).collect()
+    assert(gate.length === 10)
+    gate.foreach { r =>
+      assert(r.getAs[Double]("contrib") >= 0.0)
+      assert(!r.getAs[Double]("psi_total").isNaN)
+    }
+    // synthetic truth: identical value distributions across the parity
+    // split → PSI ~ 0; the odd half shifted by +60 → PSI far above the
+    // 0.25 "shifted" reading
+    def probe(shift: Long) = spark.range(4000).select(
+      col("id").as("doc_id"),
+      (col("id") % 100 +
+        when(col("id") % 2 === 1, shift).otherwise(0L)).as("v"))
+    val stable = Profile.distributionDriftOf(spark, probe(0),
+      col("doc_id") % 2 === 0, "v")
+      .select("psi_total").head().getDouble(0)
+    val shifted = Profile.distributionDriftOf(spark, probe(60),
+      col("doc_id") % 2 === 0, "v")
+      .select("psi_total").head().getDouble(0)
+    assert(stable < 0.02, s"identical distributions must read stable: $stable")
+    assert(shifted > 0.25, s"a +60 shift on a 0-99 range must trip: $shifted")
+    assert(shifted > stable * 10)
+  }
 }

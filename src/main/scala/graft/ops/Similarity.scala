@@ -371,6 +371,29 @@ object Similarity {
     * the predicate, that k fills whenever the eligible set can fill it,
     * and recall vs the filtered-exact tier at the usual floor.
     */
+  /** Serving-time ROUTER for filtered search — the standard vector-store
+    * heuristic: when the predicate is highly selective the eligible set is
+    * small enough that exact scoring is both cheaper than probing AND
+    * returns recall 1.0, so route exact; above [[exactThreshold]] eligible
+    * rows, the IVF pre-filter tier serves. The decision statistic is one
+    * count over the pushed-down predicate (column-pruned scan). Exposed
+    * separately as [[filteredServingTier]] so the decision itself is
+    * spec-pinnable and loggable by a serving layer.
+    */
+  def filteredTopkAuto(s: SparkSession, dir: String,
+      pred: Column = col("label") % 2 === 0,
+      exactThreshold: Long = 10000L,
+      precomputedCents: Option[DataFrame] = None,
+      nprobe: Int = NProbe): DataFrame =
+    if (filteredServingTier(s, dir, pred, exactThreshold) == "exact")
+      bruteforceFilteredTopk(s, dir, pred)
+    else ivfFilteredTopk(s, dir, pred, precomputedCents, nprobe)
+
+  def filteredServingTier(s: SparkSession, dir: String, pred: Column,
+      exactThreshold: Long = 10000L): String =
+    if (Tables(s, dir).embeddings.filter(pred)
+      .select(col("vec_id")).count() <= exactThreshold) "exact" else "ivf"
+
   def ivfFilteredTopk(s: SparkSession, dir: String,
       pred: Column = col("label") % 2 === 0,
       precomputedCents: Option[DataFrame] = None,

@@ -54,6 +54,14 @@ class SimilaritySpec extends SparkSpec {
       fIvf.getOrElse(q, Seq.empty).count(ns.toSet.contains) }.sum
     val r = hits.toDouble / (fExact.size * 5)
     assert(r >= 0.15, s"filtered recall@5=$r")
+    // the selectivity router: a tight threshold routes IVF, a loose one
+    // routes exact (recall 1.0 on a small eligible set), and the routed
+    // output IS the chosen tier's output
+    val pred = col("label") % 2 === 0
+    assert(Similarity.filteredServingTier(spark, sf, pred, 10L) === "ivf")
+    assert(Similarity.filteredServingTier(spark, sf, pred, 100000L) === "exact")
+    assert(topk(Similarity.filteredTopkAuto(spark, sf, pred, 100000L)) === fExact)
+    assert(topk(Similarity.filteredTopkAuto(spark, sf, pred, 10L)) === fIvf)
   }
 
   test("LSH top-k achieves useful recall vs brute force") {

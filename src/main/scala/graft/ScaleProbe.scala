@@ -101,6 +101,11 @@ object ScaleProbe {
     time(s"embedding_lsh(bits=$bits)")(
       graft.ops.Dedup.embeddingLsh(spark, out, 0.4, 4, bits).count())
     time("ann_ivf_topk")(graft.ops.Similarity.ivfTopk(spark, out).count())
+    // filtered serving at scale: the label-parity predicate halves the
+    // eligible set; wall should track the IVF tier's with the probed-cell
+    // scan cut by selectivity (the predicate rides the parquet scan)
+    time("ann_filtered_topk")(
+      graft.ops.Similarity.ivfFilteredTopk(spark, out).count())
     // sample-trained Lloyd: training wall must decouple from N. Times the
     // same 2-iteration refinement full-corpus vs on the bounded hash
     // sample (cap forced to 32k here: this replication's 200k vectors sit

@@ -254,7 +254,11 @@ object Profile {
     * bucketing is a scan-local projection against the broadcast one-row
     * boundary frame; the result is `buckets` rows. The gate form splits
     * the corpus by doc_id parity (even = baseline) over `n_chars`; a real
-    * deployment feeds yesterday's and today's snapshots.
+    * deployment feeds yesterday's and today's snapshots. At 100 TB the
+    * exact `percentile` aggregate (per-partition value-count maps) is the
+    * one piece to swap: feed boundaries from the [[valueSketches]] KLL
+    * artifact instead (mergeable, few KB) — the report downstream of the
+    * boundaries is unchanged and stays exact GIVEN the boundaries.
     */
   def distributionDrift(s: SparkSession, dir: String,
       valueCol: String = "n_chars", buckets: Int = 10): DataFrame =

@@ -481,6 +481,47 @@ class StreamingSpec extends SparkSpec {
     assert(refoldedMap === streamed)
   }
 
+  test("living corpus end-to-end: streamed pairs feed the funnel; export manifests the result") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_e2e").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val docsAll = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.dedupIngestSink(in.toDF().toDF("doc_id", "text"),
+      s"$base/index", s"$base/pairs", s"$base/ckpt")
+    (0 until 3).foreach { b =>
+      in.addData(docsAll.filter(_._1 % 3 == b).toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    // the curation funnel consumes the STREAMED pairs artifact in place
+    // of inline LSH — the composition a real deployment runs nightly —
+    // and produces EXACTLY the one-shot funnel's corpus (streamed pairs
+    // ≡ full-corpus LSH is pinned above; this pins that the composition
+    // seam loses nothing)
+    def packed(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamedPairs = spark.read.parquet(s"$base/pairs")
+      .select(col("d1"), col("d2"))
+    val fromStream = packed(graft.ops.Curation.prepareCorpus(
+      spark, sf, pairs = Some(streamedPairs)))
+    val oneShot = packed(graft.ops.Curation.prepareCorpus(spark, sf))
+    assert(fromStream.nonEmpty && fromStream === oneShot)
+    // ...and the training handoff: export the curated docs, manifest
+    // consistent with both the funnel output and the read-back
+    val curatedDocs = docs.join(
+      graft.ops.Curation.prepareCorpus(spark, sf, pairs = Some(streamedPairs))
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+    graft.ops.TextAnalysis.exportShards(curatedDocs, s"$base/export", 4)
+    val manifest = spark.read.parquet(s"$base/export/_manifest")
+    assert(manifest.agg(org.apache.spark.sql.functions.sum("n_docs"))
+      .head().getLong(0) === fromStream.size.toLong)
+    assert(spark.read.parquet(s"$base/export").count() === fromStream.size.toLong)
+  }
+
   test("expectations sink: per-batch contract verdicts match the batch form") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -685,18 +685,35 @@ object TextAnalysis {
     */
   def exportShards(docsDf: DataFrame, outDir: String, numShards: Int = 16,
       maxRecordsPerFile: Long = 1000000L, seed: String = "graft-export"): Unit = {
-    docsDf
-      .withColumn("shard", pmod(col("doc_id"), lit(numShards.toLong)))
-      .repartition(numShards, col("shard"))
-      .sortWithinPartitions(col("shard"),
-        xxhash64(concat_ws("|", lit(seed), col("doc_id").cast("string"))),
-        col("doc_id"))
-      .write.mode("overwrite")
-      .option("maxRecordsPerFile", maxRecordsPerFile)
-      .partitionBy("shard")
-      .parquet(outDir)
-    shardManifest(docsDf, numShards)
-      .write.mode("overwrite").parquet(s"$outDir/_manifest")
+    val s = docsDf.sparkSession
+    // staged promote (the auditedPromote/rewriteInPlace discipline): data
+    // AND manifest land in a staging dir and promote in one rename, so a
+    // trainer can never read a shard set whose manifest is missing or
+    // stale — a crash between the two writes was exactly that window
+    def writeAll(dir: String): Unit = {
+      docsDf
+        .withColumn("shard", pmod(col("doc_id"), lit(numShards.toLong)))
+        .repartition(numShards, col("shard"))
+        .sortWithinPartitions(col("shard"),
+          xxhash64(concat_ws("|", lit(seed), col("doc_id").cast("string"))),
+          col("doc_id"))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+        .partitionBy("shard")
+        .parquet(dir)
+      shardManifest(docsDf, numShards)
+        .write.mode("overwrite").parquet(s"$dir/_manifest")
+    }
+    val p = new org.apache.hadoop.fs.Path(outDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) graft.ops.Layout.rewriteInPlace(s, outDir)(writeAll)
+    else {
+      val staging = new org.apache.hadoop.fs.Path(outDir + ".staging")
+      if (fs.exists(staging)) fs.delete(staging, true) // crashed prior attempt
+      writeAll(staging.toString)
+      require(fs.rename(staging, p),
+        s"exportShards: promote $staging -> $outDir failed")
+    }
   }
 
   // ------------------------------------------------------------ chunking

@@ -94,7 +94,15 @@ class TextAnalysisSpec extends SparkSpec {
     }
     // rerun-deterministic: same shard contents in the same within-shard order
     val order1 = back.withColumn("f", input_file_name()).collect()
-    val out2 = java.nio.file.Files.createTempDirectory("graft-shards2").toString
+    val out2 = java.nio.file.Files.createTempDirectory("graft-shards2").toString + "/exp"
+    // a crashed prior attempt's staging dir is swept, and the promote is
+    // staged: no outDir ever exists without its manifest inside
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out2 + ".staging"))
+    TextAnalysis.exportShards(docs, out2, nShards, maxRecordsPerFile = 64L)
+    assert(!new java.io.File(out2 + ".staging").exists(),
+      "the promote must consume the staging dir")
+    assert(new java.io.File(s"$out2/_manifest").exists())
+    // an export over an EXISTING dir promotes through rewriteInPlace
     TextAnalysis.exportShards(docs, out2, nShards, maxRecordsPerFile = 64L)
     def key(dir: String) = spark.read.parquet(dir)
       .select(col("shard").cast("long"), col("doc_id"))

@@ -4,8 +4,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSim, DotLong, HashedNgrams, HyperplaneBuckets,
-  JaccardHashed, MinHashSig, SimHashChunks}
+import graft.functions.{BloomCount, CosineSim, DotLong, HashedNgrams,
+  HyperplaneBuckets, JaccardHashed, MinHashSig, SimHashChunks}
 
 /** SQL surface for graft's custom Catalyst expressions.
   *
@@ -76,6 +76,18 @@ object GraftExtensions {
         (args: Seq[Expression]) => {
           require(args.length == 2, "dot_long(a, b) takes 2 arguments")
           DotLong(args(0), args(1))
+        }),
+      "bloom_count" -> (
+        new ExpressionInfo(classOf[BloomCount].getName, "bloom_count"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2,
+            "bloom_count(hashes, bloomBytes) takes 2 arguments")
+          require(args(1).foldable, "bloomBytes must be a literal binary")
+          BloomCount(args(0), args(1).eval() match {
+            case b: Array[Byte] => b
+            case other => throw new IllegalArgumentException(
+              s"bloomBytes must be binary, got $other")
+          })
         }),
       "hyperplane_buckets" -> (
         new ExpressionInfo(classOf[HyperplaneBuckets].getName, "hyperplane_buckets"),

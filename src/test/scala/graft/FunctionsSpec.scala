@@ -27,6 +27,17 @@ class FunctionsSpec extends SparkSpec {
       "SELECT hyperplane_buckets(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
         "array(1.0D, -1.0D), 1, 1, 2) AS b").head.getSeq[Int](0)
     assert(buckets === Seq(1))
+    // bloom_count over a hex-literal sketch holding exactly {42}: the
+    // member always hits (no false negatives), the distant value at the
+    // designed fp rate (64 bits for 1 item → ~0)
+    val bloomBytes = spark.range(1)
+      .select(graft.functions.bloom_agg(
+        org.apache.spark.sql.functions.lit(42L), 1L, 64L).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val hex = bloomBytes.map("%02X".format(_)).mkString
+    val bc = spark.sql(
+      s"SELECT bloom_count(array(42L, 981273409L), X'$hex') AS c").head.getLong(0)
+    assert(bc === 1L)
   }
 
   test("registered views give pure-SQL users the whole table surface") {

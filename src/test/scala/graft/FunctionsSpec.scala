@@ -70,7 +70,7 @@ class FunctionsSpec extends SparkSpec {
     assert(GraftExtensions.builders.keySet ===
       Set("cosine_sim", "minhash_sig", "simhash_chunks", "hashed_ngrams",
         "jaccard_hashed", "dot_long", "hyperplane_buckets", "mat_vec",
-        "bpe_encode"))
+        "bpe_encode", "bloom_count"))
   }
 
   test("bpe_encode: SQL form, codegen/interpreted parity, merge semantics") {

@@ -34,6 +34,7 @@ object Bench {
     "dedup_embedding_incremental", "dedup_index_audit", "dedup_index_report",
     "dedup_tune_bands", "dedup_tune_embedding", "dedup_semantic",
     "ann_bruteforce_topk", "ann_filtered_bruteforce", "ann_filtered_topk",
+    "ann_filtered_topk_indexed",
     "ann_lsh_topk", "ann_ivf_topk", "ann_int8_topk",
     "ann_jl_topk", "ann_pca_topk",
     "ann_int8_ivf_topk", "ann_pq_topk", "ann_opq_topk", "ann_opq_topk_fed",
@@ -53,13 +54,13 @@ object Bench {
     "text_mixture_sample", "text_mixture_temperature",
     "text_select_budget_threshold", "text_bpe_tokens",
     "text_source_stats", "text_source_sketches", "profile_value_sketches",
-    "profile_distribution_drift",
+    "profile_distribution_drift", "profile_drift_fed", "text_token_shards",
     "text_vocab_coverage",
     "text_chunk_documents",
     "text_span_dedup", "text_surprisal", "text_bigram_perplexity",
     "emb_label_centroids", "emb_quantize",
     "mm_binary_meta", "mm_feature_extract", "mm_near_dup",
-    "ops_maintenance_report")
+    "ops_maintenance_report", "ops_fsck_report")
 
   /** One query per operator family, run (untimed) before measurement. q1
     * alone proved insufficient: the dedup/ANN plans exercise codegen paths

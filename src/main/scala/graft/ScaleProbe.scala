@@ -251,6 +251,14 @@ object ScaleProbe {
         trainOn = Some(emb.filter(col("vec_id") % 2 === 1)))
       println(f"retrain_rebuild($nEmb vecs, window=half): " +
         f"${(System.nanoTime() - t2) / 1e9}%.1f s")
+      // fsck's audit-pricing claim at the same corpus: the validator is
+      // column-pruned id-set aggregations over the artifact tables plus
+      // driver-side listings — wall should track code rows (m per
+      // vector), never the vector payloads it summarizes
+      val t3 = System.nanoTime()
+      val checks = graft.ops.Fsck.fsckAnnIndex(spark, mp).count()
+      println(f"fsck_ann($nEmb vecs): ${(System.nanoTime() - t3) / 1e9}%.1f s " +
+        f"($checks checks)")
     }
     // bucket-economics audit cost: one groupBy over (tbl, bucket) id
     // rows — wall should track index rows, never vectors
@@ -442,6 +450,12 @@ object ScaleProbe {
     // the funnel correctly drops ~everything and times an empty corpus
     time("text_prepare_corpus")(graft.ops.Curation.prepareCorpus(
       spark, out, isBenchmark = col("doc_id") % 997 === 0).count())
+    // token-budget sharding at scale: the two-phase prefix sum is one
+    // scan + one numRanges-row agg + one range-partitioned window — wall
+    // must track the scan; the naive `SUM() OVER (ORDER BY doc_id)` form
+    // this replaces would drag the whole corpus through ONE partition
+    time("token_shards")(graft.ops.TextAnalysis.tokenShardAssign(
+      spark.read.parquet(s"$out/documents.parquet"), budget = 500000L).count())
     // the banding tuner's contract is that its cost is bounded by the
     // probe-sample cap REGARDLESS of corpus size (the exact-truth tier it
     // runs is quadratic in the sample): the wall here should be ~flat in

@@ -28,7 +28,8 @@ object SparkEntry {
       graft.ops.Curation.queries ++
       graft.ops.Layout.queries ++
       graft.ops.Bpe.queries ++
-      graft.ops.Maintenance.queries
+      graft.ops.Maintenance.queries ++
+      graft.ops.Fsck.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
@@ -44,5 +45,6 @@ object SparkEntry {
       graft.ops.Curation.oracles ++
       graft.ops.Layout.oracles ++
       graft.ops.Bpe.oracles ++
-      graft.ops.Maintenance.oracles
+      graft.ops.Maintenance.oracles ++
+      graft.ops.Fsck.oracles
 }

@@ -1,0 +1,361 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Consistency validation (fsck) for the persisted artifacts — the checks
+  * every maintenance and serving path ASSUMES hold, run explicitly. The
+  * lifecycle calls each preserve their own invariants (spec-pinned), but a
+  * production deployment also wants the direct question answered nightly:
+  * "do the artifacts on disk satisfy the invariants right now?" — after a
+  * crash, an operator's manual surgery, a filesystem hiccup, or a version
+  * skew between writers, the assumption is exactly what breaks first.
+  *
+  * The checks are the failure modes the maintenance code guards against,
+  * verified from the artifact alone:
+  *
+  *   - ANN index: every live id carries exactly m complete PQ code rows
+  *     (an incomplete id silently VANISHES from results — the ADC
+  *     `n_subs = m` completeness filter drops it, the worst failure being
+  *     invisible); every code's ivf_cell exists in the centroid table (a
+  *     foreign cell id = mixed model generations, the failure
+  *     [[Similarity.retrainIndex]]'s staged promote exists to prevent);
+  *     the int8 sibling's id set matches the codes table; crashed appends'
+  *     uncommitted batch files; leftover staging/parked-generation dirs;
+  *     drift-monitoring state (table without baseline = a broken monitor,
+  *     no table = unmonitored).
+  *   - MinHash index: one signature row per live doc with a uniform
+  *     signature width (a doc with two rows double-generates candidates;
+  *     mixed widths break band grouping silently).
+  *   - Embedding index: vectors and buckets agree on the live id set (a
+  *     vector without buckets never surfaces as a candidate; buckets
+  *     without a vector fail verification joins) and bucket width is
+  *     uniform per vector (the regeometry crash shape — self-healing at
+  *     the next rebuild decision, but visible until then).
+  *   - Event-sink dirs: batch files whose commit marker is missing (the
+  *     crash window's partial rows — swept by compaction, visible to
+  *     readers until then) and redundant markers at or below the
+  *     watermark.
+  *
+  * Severity: `fail` = consumers can return wrong/missing results NOW;
+  * `warn` = hygiene debt with a defined self-heal path (crash leftovers a
+  * retry or compaction sweeps, orphan tombstones, an unmonitored index);
+  * `ok` otherwise. Cost: column-pruned id-set aggregations over the
+  * artifact tables (never the corpus) plus driver-side listings — the
+  * audit tier, same as [[Similarity.describeIndex]].
+  */
+object Fsck {
+
+  private final case class Check(check: String, status: String,
+      observed: Long, detail: String)
+
+  private def ok(name: String, detail: String = "") =
+    Check(name, "ok", 0L, detail)
+  private def failIf(name: String, n: Long, detail: String) =
+    Check(name, if (n > 0) "fail" else "ok", n, if (n > 0) detail else "")
+  private def warnIf(name: String, n: Long, detail: String) =
+    Check(name, if (n > 0) "warn" else "ok", n, if (n > 0) detail else "")
+
+  private def fsOf(s: SparkSession, p: String) =
+    new Path(p).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def exists(s: SparkSession, p: String): Boolean =
+    fsOf(s, p).exists(new Path(p))
+
+  /** Distinct ids of `b<id>-*` batch files in a dir whose batch was never
+    * marker-committed at `markerBase` — a crashed append's leftovers. The
+    * retry (or the next compaction's sweep) REPLACES them; until then a
+    * reader of the raw dir sees the partial rows.
+    */
+  private def uncommittedBatchIds(s: SparkSession, dir: String,
+      markerBase: String): Seq[Long] = {
+    val dirP = new Path(dir)
+    val fs = fsOf(s, dir)
+    if (!fs.exists(dirP)) return Nil
+    val pat = "^b(\\d+)-.*".r
+    fs.listStatus(dirP).toSeq
+      .collect { case st if st.isFile =>
+        st.getPath.getName match {
+          case pat(id) => Some(id.toLong)
+          case _ => None
+        }
+      }
+      .flatten.distinct
+      .filterNot(graft.streaming.Streams.isBatchCommitted(s, markerBase, _))
+  }
+
+  /** Leftover staging / parked-generation dirs from crashed maintenance —
+    * every producer rebuilds its staging from scratch on retry, so these
+    * are dead weight (and [[graft.streaming.Streams.dropStaleStaging]] /
+    * the compactions sweep them), but their presence means a crashed job
+    * nobody retried. Only NON-EMPTY dirs count: a successful
+    * `replaceBatchFiles` deletes its per-batch staging child but leaves
+    * the empty `_staging` parent, which is protocol residue, not debt.
+    */
+  private def stagingLeftovers(s: SparkSession, candidates: Seq[String]): Long =
+    candidates.count { c =>
+      val p = new Path(c)
+      val fs = fsOf(s, c)
+      fs.exists(p) && fs.listStatus(p).nonEmpty
+    }.toLong
+
+  // ------------------------------------------------------------ ANN index
+  def fsckAnnIndex(s: SparkSession, path: String): DataFrame = {
+    val codesDir = s"$path/pq_codes.parquet"
+    val ts = s"$path/tombstones.parquet"
+    val codes = s.read.parquet(codesDir)
+    val live = graft.ops.Similarity.applyTombstones(s, codes, ts, "vec_id")
+
+    // every live id: exactly m rows, all m distinct subs — anything else
+    // is invisible loss (the ADC completeness filter drops the id)
+    val m = graft.ops.Similarity.PqM.toLong
+    val incomplete = live.groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("sub")).as("ns"))
+      .filter(col("n") =!= m || col("ns") =!= m)
+      .count()
+
+    // every code row's cell must exist in the centroid table — a foreign
+    // cell is a mixed model generation (codes from one build, centroids
+    // from another): those rows can never be probed, or probe wrongly
+    val cents = s.read.parquet(s"$path/ivf_centroids.parquet")
+    val foreignCells = live.select(col("ivf_cell").as("cell")).distinct()
+      .join(cents.select(col("cell")).distinct(), Seq("cell"), "left_anti")
+      .count()
+
+    val tombOrphans =
+      if (!exists(s, ts)) 0L
+      else s.read.parquet(ts).select(col("vec_id")).distinct()
+        .join(codes.select(col("vec_id")).distinct(), Seq("vec_id"), "left_anti")
+        .count()
+
+    val int8Path = s"$path/int8_codes.parquet"
+    val (int8Extra, int8Missing) =
+      if (!exists(s, int8Path)) (0L, 0L)
+      else {
+        val i8 = graft.ops.Similarity.applyTombstones(s,
+          s.read.parquet(int8Path), ts, "vec_id")
+          .select(col("vec_id")).distinct()
+        val liveIds = live.select(col("vec_id")).distinct()
+        (i8.join(liveIds, Seq("vec_id"), "left_anti").count(),
+          liveIds.join(i8, Seq("vec_id"), "left_anti").count())
+      }
+
+    val uncommitted = Seq(codesDir, s"$path/drift.parquet", int8Path)
+      .flatMap(uncommittedBatchIds(s, _, path)).distinct.size.toLong
+
+    val staging = stagingLeftovers(s, Seq(
+      s"${path}_retrain_staging", s"${path}_retrain_old",
+      s"${codesDir}_staging", s"$path/drift.parquet_staging",
+      s"${int8Path}_staging", s"$codesDir.compacting",
+      s"$path/drift.parquet.compacting", s"$int8Path.compacting"))
+
+    val driftCheck = {
+      val dp = s"$path/drift.parquet"
+      if (!exists(s, dp)) Check("drift_monitored", "warn", 0L,
+        "no drift table — appends are unmonitored")
+      else if (s.read.parquet(dp).filter(col("batch_id") === -1L).isEmpty)
+        Check("drift_monitored", "fail", 1L,
+          "drift table has no baseline row — driftReport cannot run")
+      else ok("drift_monitored")
+    }
+
+    toDf(s, path, "ann_index", Seq(
+      failIf("codes_complete", incomplete,
+        s"live ids without exactly $m complete code rows — these vectors " +
+          "silently vanish from every ADC shortlist"),
+      failIf("cells_known", foreignCells,
+        "code cells absent from the centroid table — mixed model generations"),
+      if (int8Extra > 0)
+        Check("int8_sibling", "fail", int8Extra,
+          "int8 ids not live in the codes table — stale sibling artifact")
+      else warnIf("int8_sibling", int8Missing,
+        "live ids missing from the int8 sibling (zero-norm vectors are " +
+          "legitimate; large counts mean a stale sibling)"),
+      warnIf("uncommitted_batches", uncommitted,
+        "crashed appends' batch files awaiting retry or compaction sweep"),
+      warnIf("staging_leftovers", staging,
+        "crashed maintenance staging/parked dirs present"),
+      driftCheck,
+      warnIf("tombstone_orphans", tombOrphans,
+        "tombstoned ids that never existed in the codes table")))
+  }
+
+  // ------------------------------------------------------------ MinHash
+  def fsckMinhashIndex(s: SparkSession, path: String): DataFrame = {
+    val ts = s"${path}_tombstones"
+    val sigs = s.read.parquet(path)
+    val live = graft.ops.Similarity.applyTombstones(s, sigs, ts, "doc_id")
+
+    val dupDocs = live.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).count()
+    val sigWidths = live.select(size(col("sig")).as("w")).distinct().count()
+
+    val tombOrphans =
+      if (!exists(s, ts)) 0L
+      else s.read.parquet(ts).select(col("doc_id")).distinct()
+        .join(sigs.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+        .count()
+
+    toDf(s, path, "minhash_index", Seq(
+      failIf("one_row_per_doc", dupDocs,
+        "docs with multiple signature rows — candidates double-generate"),
+      failIf("sig_width_uniform", math.max(0L, sigWidths - 1L),
+        "mixed signature widths — band grouping silently misses candidates"),
+      warnIf("staging_leftovers",
+        stagingLeftovers(s, Seq(s"$path.compacting", s"$path.old")),
+        "crashed compaction dirs present"),
+      warnIf("tombstone_orphans", tombOrphans,
+        "tombstoned ids that never existed in the signature table")))
+  }
+
+  // ------------------------------------------------------------ embedding
+  def fsckEmbeddingIndex(s: SparkSession, path: String): DataFrame = {
+    val (vecs, buckets) = graft.ops.Dedup.loadEmbeddingIndex(s, path)
+    val vIds = vecs.select(col("vec_id")).distinct()
+    val bIds = buckets.select(col("vec_id")).distinct()
+    val parity = vIds.join(bIds, Seq("vec_id"), "left_anti").count() +
+      bIds.join(vIds, Seq("vec_id"), "left_anti").count()
+
+    val (numTables, _) = graft.ops.Dedup.embeddingIndexGeometry(s, path)
+    val badWidth = buckets.groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") =!= numTables.toLong).count()
+
+    val ts = s"$path/tombstones.parquet"
+    val tombOrphans =
+      if (!exists(s, ts)) 0L
+      else s.read.parquet(ts).select(col("vec_id")).distinct()
+        .join(s.read.parquet(s"$path/vectors").select(col("vec_id")).distinct(),
+          Seq("vec_id"), "left_anti")
+        .count()
+
+    toDf(s, path, "embedding_index", Seq(
+      failIf("vector_bucket_parity", parity,
+        "ids present in only one of vectors/buckets — candidates or " +
+          "verification silently miss them"),
+      failIf("bucket_width_uniform", badWidth,
+        s"vectors without exactly $numTables bucket rows — mixed geometry " +
+          "(the regeometry crash window; self-heals at the next rebuild check)"),
+      warnIf("staging_leftovers", stagingLeftovers(s, Seq(
+        s"$path/vectors.compacting", s"$path/buckets.compacting",
+        s"$path/vectors.old", s"$path/buckets.old")),
+        "crashed compaction dirs present"),
+      warnIf("tombstone_orphans", tombOrphans,
+        "tombstoned ids that never existed in the vectors table")))
+  }
+
+  // ------------------------------------------------------------ sink dirs
+  def fsckSinkDir(s: SparkSession, dir: String,
+      markerBase: Option[String] = None): DataFrame = {
+    val base = markerBase.getOrElse(dir)
+    val uncommitted = uncommittedBatchIds(s, dir, base).size.toLong
+    val wm = graft.streaming.Streams.committedWatermark(s, base)
+    val mbP = new Path(s"${base}_batches")
+    val fs = fsOf(s, s"${base}_batches")
+    val redundantMarkers =
+      if (!fs.exists(mbP)) 0L
+      else fs.listStatus(mbP).toSeq
+        .filter(_.getPath.getName.matches("\\d+"))
+        .count(_.getPath.getName.toLong <= wm).toLong
+    toDf(s, dir, "sink_dir", Seq(
+      failIf("batches_committed", uncommitted,
+        "batch files without a commit marker — readers see the crash " +
+          "window's partial rows until the retry or compaction sweep"),
+      warnIf("staging_leftovers",
+        stagingLeftovers(s, Seq(s"${dir}_staging", s"$dir.compacting",
+          s"$dir.old")),
+        "crashed commit staging dirs present"),
+      warnIf("markers_folded", redundantMarkers,
+        "marker files at or below the watermark — fold debt, next " +
+          "compaction collects them")))
+  }
+
+  private def toDf(s: SparkSession, path: String, kind: String,
+      checks: Seq[Check]): DataFrame = {
+    import s.implicits._
+    checks.map(c => (path, kind, c.check, c.status, c.observed, c.detail))
+      .toDF("path", "kind", "check", "status", "observed", "detail")
+  }
+
+  /** Validate a set of targets ([[Maintenance.Target]]'s kinds) in one
+    * report — the read-only sibling of [[Maintenance.runAll]]: run fsck
+    * first, maintenance second, and the warn rows should disappear.
+    */
+  def runAll(s: SparkSession,
+      targets: Seq[(String, String)],
+      markerBase: Option[String] = None): DataFrame = {
+    require(targets.nonEmpty, "fsck needs at least one target")
+    targets.map {
+      case ("ann_index", p) => fsckAnnIndex(s, p)
+      case ("minhash_index", p) => fsckMinhashIndex(s, p)
+      case ("embedding_index", p) => fsckEmbeddingIndex(s, p)
+      case ("sink_dir", p) => fsckSinkDir(s, p, markerBase)
+      case (k, p) => throw new IllegalArgumentException(
+        s"unknown fsck kind '$k' (expected one of " +
+          s"${Maintenance.Kinds.toSeq.sorted.mkString(", ")}): $p")
+    }.reduce(_ unionByName _)
+  }
+
+  /** Config-driven form — the [[Maintenance.runConfig]] discipline, so the
+    * nightly integrity pass is the same JSON document shape as the
+    * maintenance pass (run fsck first, maintenance second, fsck again —
+    * the warn rows should disappear):
+    *
+    * {{{
+    * {"targets": [
+    *    {"kind": "ann_index", "path": "/idx/ann"},
+    *    {"kind": "minhash_index", "path": "/idx/mh"},
+    *    {"kind": "embedding_index", "path": "/idx/emb"},
+    *    {"kind": "sink_dir", "path": "/sinks/audit",
+    *     "markerBase": "/sinks/base"}]}
+    * }}}
+    */
+  def runConfig(s: SparkSession, configJson: String): DataFrame = {
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(configJson)
+    require(root.hasNonNull("targets"), "config needs targets")
+    import scala.jdk.CollectionConverters._
+    val targets = root.get("targets").elements().asScala.map { t =>
+      require(t.hasNonNull("kind") && t.hasNonNull("path"),
+        "every target needs kind and path")
+      val kind = t.get("kind").asText
+      val path = t.get("path").asText
+      require(Maintenance.Kinds.contains(kind),
+        s"unknown fsck kind '$kind' (expected one of " +
+          s"${Maintenance.Kinds.toSeq.sorted.mkString(", ")}): $path")
+      val mb = Option(t.get("markerBase")).filterNot(_.isNull).map(_.asText)
+      require(kind == "sink_dir" || mb.isEmpty,
+        s"markerBase only applies to sink_dir targets: $path")
+      (kind, path, mb)
+    }.toSeq
+    require(targets.nonEmpty, "fsck needs at least one target")
+    targets.map {
+      case ("sink_dir", p, mb) => fsckSinkDir(s, p, mb)
+      case (k, p, _) => runAll(s, Seq(k -> p))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Gate/bench form (rows-only — artifact state is engine-internal): one
+    * fsck pass over the [[Maintenance.buildWorld]] scratch world (one
+    * artifact of every family, grown past its build by marker-committed
+    * appends). Everything it reports should be ok except the known
+    * hygiene debt the world's build deliberately leaves (none today —
+    * the spec pins ok/warn statuses per check, and that injected
+    * corruption flips exactly its own check).
+    */
+  def opsFsckReport(s: SparkSession, dir: String): DataFrame = {
+    val base = Maintenance.buildWorld(s, dir)
+    runAll(s, Seq(
+      "ann_index" -> s"$base/ann",
+      "minhash_index" -> s"$base/mh",
+      "embedding_index" -> s"$base/emb",
+      "sink_dir" -> s"$base/sink"))
+      .orderBy(col("path"), col("check"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ops_fsck_report" -> (opsFsckReport _))
+
+  val oracles: Map[String, String] = Map.empty
+}

@@ -217,7 +217,7 @@ object Maintenance {
   private val worldMemo = new java.util.concurrent.ConcurrentHashMap[
     (String, String), String]()
 
-  private def buildWorld(s: SparkSession, dir: String): String = {
+  private[ops] def buildWorld(s: SparkSession, dir: String): String = {
     val ctx = s.sparkContext.applicationId + "/" + s.sparkContext.startTime
     worldMemo.keySet.removeIf(_._1 != ctx)
     worldMemo.computeIfAbsent((ctx, dir), { _ =>

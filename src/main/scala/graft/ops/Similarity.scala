@@ -2480,6 +2480,44 @@ object Similarity {
       precomputedCodes = Some(codes))
   }
 
+  /** Metadata-filtered serving from the PERSISTED index — the missing rung
+    * between [[ivfFilteredTopk]] (filtered, but recomputes cell
+    * assignments per call) and [[ivfpqTopkIndexed]] (amortized, but
+    * unfiltered): the production shape where a vector store serves
+    * "neighbors of q WHERE label % 2 = 0" against an index built once.
+    * The predicate restricts the CODES table — a semi-join against the
+    * pushed-down, column-pruned eligible id list from the metadata scan —
+    * BEFORE cell restriction and ADC, so shortlist cost is
+    * selectivity-proportional on top of the probed-cell restriction, and
+    * k fills from the eligible set (the pre-filter formulation; the
+    * post-filter would under-fill whenever selectivity < k/N). The exact
+    * rerank reranks only shortlisted (hence eligible) candidates.
+    *
+    * Scale shape: eligible ids are one value per qualifying vector (a few
+    * bytes); at selective predicates the list broadcasts, at broad ones
+    * the semi-join shuffles on vec_id — both standard. Models stay
+    * trained on the FULL corpus: the filter is a serving-time argument
+    * (per-predicate retraining would be absurd), exactly as in
+    * [[ivfFilteredTopk]]. With `pred = lit(true)` the restriction is the
+    * identity and the output matches [[ivfpqTopkIndexed]] row-for-row
+    * (spec-pinned), so the filtered path cannot drift from the unfiltered
+    * serving tier.
+    */
+  def ivfpqFilteredTopkIndexed(s: SparkSession, dir: String,
+      pred: Column = col("label") % 2 === 0,
+      shortlist: Int = 100,
+      nprobe: Int = NProbe): DataFrame = {
+    val (cents, cb, codes) = persistedIndex(s, dir)
+    val e = Tables(s, dir).embeddings
+    val eligible = e.filter(pred).select(col("vec_id"))
+    val restricted = codes.join(eligible, Seq("vec_id"), "left_semi")
+    val queries = corpusQueries(e)
+    rerankExactFor(e,
+      ivfpqShortlist(queries, cents, withSub(cb, PqKsub), restricted,
+        shortlist, MaxAdcBatchQ, nprobe),
+      queries)
+  }
+
   /** [[ivfpqTopk]] with RESIDUAL encoding — the FAISS-default IVFPQ form:
     * PQ codes quantize x − centroid(cell) instead of x. Residuals
     * concentrate near zero (the coarse quantizer explains the
@@ -2893,6 +2931,8 @@ object Similarity {
       ((s: SparkSession, dir: String) => bruteforceFilteredTopk(s, dir)),
     "ann_filtered_topk" ->
       ((s: SparkSession, dir: String) => ivfFilteredTopk(s, dir)),
+    "ann_filtered_topk_indexed" ->
+      ((s: SparkSession, dir: String) => ivfpqFilteredTopkIndexed(s, dir)),
     "ann_lsh_topk"        -> ((s: SparkSession, dir: String) => lshTopk(s, dir)),
     "ann_ivf_topk"        -> ((s: SparkSession, dir: String) => ivfTopk(s, dir)))
 

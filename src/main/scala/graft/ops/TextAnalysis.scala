@@ -716,6 +716,111 @@ object TextAnalysis {
     }
   }
 
+  // ------------------------------------------------ token-budget shards
+  /** TOKEN-budget shard assignment — the handoff contract trainers
+    * actually state ("~100M tokens per shard", not "~1M docs"): shard k
+    * holds the docs whose global running token count starts in
+    * [k·budget, (k+1)·budget), in doc_id order, so shards are contiguous
+    * and token-balanced to within one document. The interesting part is
+    * computing a GLOBAL prefix sum without a global sort: the classic
+    * two-phase distributed scan —
+    *
+    *   1. docs bucket into `numRanges` arithmetic doc_id ranges (pure
+    *      arithmetic on max(doc_id), broadcast as a one-row bounds frame
+    *      — the gap_fill shape);
+    *   2. one `numRanges`-row groupBy gives per-range token totals, whose
+    *      exclusive prefix (a window over `numRanges` rows — param-
+    *      bounded, driver-scale) is each range's global OFFSET;
+    *   3. each doc's global position = its range's offset + the
+    *      within-range running sum, a window partitioned BY RANGE — every
+    *      partition holds ~N/numRanges rows, so no executor ever sees the
+    *      whole corpus, which is exactly what the naive
+    *      `sum() over (order by doc_id)` single-partition window would do.
+    *
+    * The result is bit-identical to the naive global window (the oracle
+    * computes it that way; spec pins Spark-side equality at three range
+    * geometries), and a doc straddling a boundary starts its shard — the
+    * [[packSequences]] convention. At 100 TB: one scan, one small agg,
+    * one partitioned window — shuffle bytes are (doc_id, n_tokens) pairs,
+    * never text.
+    */
+  def tokenShardAssign(docsDf: DataFrame, budget: Long = 50000L,
+      numRanges: Int = 64): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(numRanges > 0, s"numRanges must be positive, got $numRanges")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docsDf.select(col("doc_id"),
+      size(words(col("text"))).cast(LongType).as("n_tokens"))
+    val bounds = toks.agg(max(col("doc_id")).as("mx"))
+    val ranged = toks.crossJoin(broadcast(bounds))
+      .withColumn("rng", floor(col("doc_id") /
+        ceil((col("mx") + 1).cast(DoubleType) / lit(numRanges))).cast(LongType))
+      .drop("mx")
+    val offsets = ranged.groupBy(col("rng"))
+      .agg(sum(col("n_tokens")).as("rt"))
+      .withColumn("offset", coalesce(sum(col("rt")).over(
+        Window.orderBy(col("rng"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("rng"), col("offset"))
+    val wIn = Window.partitionBy(col("rng")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offsets), Seq("rng"))
+      .withColumn("cum_tokens", col("offset") + sum(col("n_tokens")).over(wIn))
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"),
+        floor((col("cum_tokens") - col("n_tokens")).cast(DoubleType)
+          / lit(budget.toDouble)).cast(LongType).as("shard"))
+  }
+
+  def tokenShardsDocs(s: SparkSession, dir: String): DataFrame =
+    // the orderBy is gate-determinism only — the export path and the
+    // scale probe consume the assignment unsorted
+    tokenShardAssign(Tables(s, dir).documents).orderBy(col("doc_id"))
+
+  /** [[exportShards]] with the [[tokenShardAssign]] contract: shard dirs
+    * bounded by TOKENS instead of doc counts, manifest beside the data.
+    * Same staged-promote discipline and one-exchange layout write (the
+    * partitionBy exchange); the within-shard order is the arrival order
+    * of the contiguous doc_id range (trainers who also want shuffled
+    * order compose [[graft.ops.Curation.shuffleOrder]] upstream — token
+    * sharding is about BOUNDING, shuffling is a separate, already-owned
+    * concern).
+    */
+  def exportShardsByTokens(docsDf: DataFrame, outDir: String,
+      budget: Long = 50000L, numRanges: Int = 64,
+      maxRecordsPerFile: Long = 1000000L): Unit = {
+    val s = docsDf.sparkSession
+    // the assignment feeds BOTH the data write (as the join's small side)
+    // and the manifest — persist it so the prefix sum runs once, not once
+    // per consumer (it's (doc_id, n_tokens, shard) triples, tiny relative
+    // to the text it shards)
+    val assigned = tokenShardAssign(docsDf, budget, numRanges)
+      .select(col("doc_id"), col("n_tokens"), col("shard")).persist()
+    try {
+      def writeAll(dir: String): Unit = {
+        docsDf.join(assigned.select(col("doc_id"), col("shard")), Seq("doc_id"))
+          .repartition(col("shard"))
+          .sortWithinPartitions(col("shard"), col("doc_id"))
+          .write.mode("overwrite")
+          .option("maxRecordsPerFile", maxRecordsPerFile)
+          .partitionBy("shard")
+          .parquet(dir)
+        assigned.groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+          .write.mode("overwrite").parquet(s"$dir/_manifest")
+      }
+      val p = new org.apache.hadoop.fs.Path(outDir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) graft.ops.Layout.rewriteInPlace(s, outDir)(writeAll)
+      else {
+        val staging = new org.apache.hadoop.fs.Path(outDir + ".staging")
+        if (fs.exists(staging)) fs.delete(staging, true)
+        writeAll(staging.toString)
+        require(fs.rename(staging, p),
+          s"exportShardsByTokens: promote $staging -> $outDir failed")
+      }
+    } finally { assigned.unpersist(); () }
+  }
+
   // ------------------------------------------------------------ chunking
   /** Sliding-window document chunking — the context-window split a training
     * pipeline applies to long documents: windows of `window` tokens every
@@ -968,6 +1073,7 @@ object TextAnalysis {
     "text_decontaminate_bloom" -> (decontaminateBloomDocs _),
     "text_pack_sequences" -> (packSequencesDocs _),
     "text_shard_manifest" -> (shardManifestDocs _),
+    "text_token_shards" -> (tokenShardsDocs _),
     "text_repetition"    -> (repetition _),
     "text_heavy_hitters" -> ((s: SparkSession, dir: String) => heavyHitters(s, dir)),
     "text_select_budget" -> ((s: SparkSession, dir: String) => selectBudget(s, dir)),
@@ -986,6 +1092,17 @@ object TextAnalysis {
     s"len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w IN ${sqlList(stop)}))"
 
   val oracles: Map[String, String] = Map(
+    "text_token_shards" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+        |  CAST(floor((cum_tokens - n_tokens) / 50000.0) AS BIGINT) AS shard
+        |FROM c ORDER BY doc_id""".stripMargin,
     "text_shard_manifest" ->
       """SELECT CAST(doc_id % 16 AS BIGINT) AS shard,
         |  CAST(count(*) AS BIGINT) AS n_docs,

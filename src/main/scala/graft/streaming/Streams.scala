@@ -932,4 +932,38 @@ object Streams extends Serializable {
         finally { cached.unpersist(); () }
       }
       .start()
+
+  /** Continuous DATA-drift monitoring — the streaming twin of
+    * [[graft.ops.Profile.distributionDrift]] and the data-side sibling of
+    * [[annIngestSink]]'s model-drift rows: each micro-batch's value
+    * distribution is PSI-scored against a FROZEN
+    * [[graft.ops.Profile.savePsiBaseline]] artifact (which names its own
+    * value column and bucket geometry — the sink cannot bucket the wrong
+    * thing against it), and the full 10-bucket report lands batch-tagged
+    * in `auditDir` with a `drifted` verdict at the classic PSI > 0.25
+    * threshold. The audit dir is the drift TIME SERIES an ops dashboard
+    * trends (the [[expectationsSink]] discipline applied to
+    * distributions, not row contracts); verdict rows are not
+    * content-derived, so the sink commits through the exactly-once
+    * protocol. Per-batch cost: one bucketing scan of the batch plus a
+    * 10-row join against the few-KB artifact. Batch ≡ stream parity and
+    * the shifted-batch trip are spec-pinned (StreamingSpec).
+    */
+  def psiDriftSink(events: DataFrame, baselinePath: String,
+      auditDir: String, checkpoint: String,
+      trip: Double = 0.25): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitBatch(batch.sparkSession, auditDir, batchId)(
+          auditDir -> { staging =>
+            graft.ops.Profile.psiAgainstBaseline(
+                batch.sparkSession, baselinePath, batch)
+              .withColumn("batch_id", lit(batchId))
+              .withColumn("drifted", col("psi_total") > lit(trip))
+              .write.parquet(staging)
+          })
+      }
+      .start()
 }

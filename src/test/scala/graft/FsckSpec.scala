@@ -1,0 +1,200 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Fsck, Similarity}
+
+/** The fsck contract: a freshly-built artifact of every family reports all
+  * checks ok, and each injected corruption flips EXACTLY its own check —
+  * a validator that cross-flags is as useless to an on-call as one that
+  * misses.
+  */
+class FsckSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def prand(seed: Long): Double = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    (z >>> 11).toDouble / (1L << 53).toDouble - 0.5
+  }
+
+  private def vectors(n: Int) =
+    (0 until n).map { i =>
+      val c = i % 8
+      val emb = Array.tabulate(64) { d =>
+        val center = if (d < 8) 4.0 * prand(c.toLong * 64 + d) else 0.0
+        (center + 0.25 * prand((i.toLong << 8) + d)).toFloat
+      }
+      (i.toLong, emb, (i % 8).toLong)
+    }.toDF("vec_id", "embedding", "label")
+
+  private def docs(n: Int) =
+    (0 until n).map { i =>
+      (i.toLong, (0 until 30).map(w => s"d${i}_w$w").mkString(" "))
+    }.toDF("doc_id", "text")
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def statusOf(df: org.apache.spark.sql.DataFrame,
+      check: String): (String, Long) = {
+    val r = df.filter(col("check") === check).collect()
+    assert(r.length === 1, s"expected exactly one '$check' row")
+    (r.head.getAs[String]("status"), r.head.getAs[Long]("observed"))
+  }
+
+  test("ann fsck: clean index all ok; each corruption flips only its check") {
+    val path = tmp("graft_fsck_ann") + "/idx"
+    val e = vectors(400)
+    val cents = Similarity.centroids(e)
+    val cb = Similarity.pqCodebooks(e)
+    Similarity.saveIndex(path, cents, cb, Similarity.buildIvfpqIndex(e, cents, cb))
+    Similarity.recordDriftBaseline(spark, path, e, cb, Some(cents))
+
+    val clean = Fsck.fsckAnnIndex(spark, path)
+    assert(clean.filter(col("status") =!= "ok").count() === 0,
+      "fresh index must pass every check")
+
+    // duplicate code rows for one id → codes_complete, and nothing else
+    val codesDir = s"$path/pq_codes.parquet"
+    spark.read.parquet(codesDir).filter(col("vec_id") === 7L)
+      .write.mode("append").parquet(codesDir)
+    val dup = Fsck.fsckAnnIndex(spark, path)
+    assert(statusOf(dup, "codes_complete") === ("fail", 1L))
+    assert(dup.filter(col("status") =!= "ok").count() === 1)
+
+    // a complete foreign-cell id → cells_known (codes_complete stays
+    // failed for id 7, so assert both and only both)
+    // arithmetic on the existing columns keeps their physical types — a
+    // lit() of the wrong width would make the parquet dir unreadable
+    spark.read.parquet(codesDir).filter(col("vec_id") === 11L)
+      .withColumn("vec_id", col("vec_id") * 0 + 900000L)
+      .withColumn("ivf_cell", col("ivf_cell") * 0 + 9999)
+      .write.mode("append").parquet(codesDir)
+    val foreign = Fsck.fsckAnnIndex(spark, path)
+    assert(statusOf(foreign, "cells_known")._1 === "fail")
+
+    // an orphan tombstone (id never indexed) → warn
+    Similarity.removeFromIndex(spark, path, Seq(12345678L).toDF("vec_id"))
+    assert(statusOf(Fsck.fsckAnnIndex(spark, path),
+      "tombstone_orphans") === ("warn", 1L))
+
+    // a crashed append's uncommitted batch file → warn. A real crash
+    // leaves VALID parquet task outputs (the marker step died, not the
+    // writes), so stage a real part file and rename it in with the
+    // b<id>- prefix the commit protocol uses
+    val fs = new org.apache.hadoop.fs.Path(codesDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = tmp("graft_fsck_stage")
+    spark.read.parquet(codesDir).filter(col("vec_id") === 13L)
+      .withColumn("vec_id", col("vec_id") * 0 + 901000L)
+      .coalesce(1).write.mode("overwrite").parquet(s"$stage/b")
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$stage/b"))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")).head
+    assert(fs.rename(part.getPath, new org.apache.hadoop.fs.Path(
+      s"$codesDir/b99-${part.getPath.getName}")))
+    assert(statusOf(Fsck.fsckAnnIndex(spark, path),
+      "uncommitted_batches") === ("warn", 1L))
+  }
+
+  test("ann fsck: missing drift baseline is fail, absent table is warn") {
+    val path = tmp("graft_fsck_drift") + "/idx"
+    val e = vectors(200)
+    val cents = Similarity.centroids(e)
+    val cb = Similarity.pqCodebooks(e)
+    Similarity.saveIndex(path, cents, cb, Similarity.buildIvfpqIndex(e, cents, cb))
+    assert(statusOf(Fsck.fsckAnnIndex(spark, path),
+      "drift_monitored")._1 === "warn") // unmonitored
+    // a drift table with batch rows but no baseline = a broken monitor
+    Seq((0L, 10L, 0.5, 0.2)).toDF("batch_id", "n_vecs", "mean_err",
+      "top_cell_share").write.parquet(s"$path/drift.parquet")
+    assert(statusOf(Fsck.fsckAnnIndex(spark, path),
+      "drift_monitored")._1 === "fail")
+  }
+
+  test("minhash fsck: duplicate doc row and mixed signature width flip their checks") {
+    val path = tmp("graft_fsck_mh") + "/idx"
+    Dedup.saveMinhashIndex(spark, docs(60), path)
+    val clean = Fsck.fsckMinhashIndex(spark, path)
+    assert(clean.filter(col("status") =!= "ok").count() === 0)
+
+    spark.read.parquet(path).filter(col("doc_id") === 3L)
+      .write.mode("append").parquet(path)
+    val dup = Fsck.fsckMinhashIndex(spark, path)
+    assert(statusOf(dup, "one_row_per_doc") === ("fail", 1L))
+    assert(statusOf(dup, "sig_width_uniform")._1 === "ok")
+
+    // a NEW doc with a truncated signature → width check only
+    spark.read.parquet(path).filter(col("doc_id") === 5L)
+      .withColumn("doc_id", lit(777L))
+      .withColumn("sig", slice(col("sig"), 1, 8))
+      .write.mode("append").parquet(path)
+    assert(statusOf(Fsck.fsckMinhashIndex(spark, path),
+      "sig_width_uniform")._1 === "fail")
+  }
+
+  test("embedding fsck: id parity and bucket width flip independently") {
+    val path = tmp("graft_fsck_emb") + "/idx"
+    Dedup.saveEmbeddingIndex(spark, vectors(80), path)
+    val clean = Fsck.fsckEmbeddingIndex(spark, path)
+    assert(clean.filter(col("status") =!= "ok").count() === 0)
+
+    // an extra bucket row for a live id → width fail, parity still ok
+    spark.read.parquet(s"$path/buckets").filter(col("vec_id") === 2L).limit(1)
+      .write.mode("append").parquet(s"$path/buckets")
+    val wide = Fsck.fsckEmbeddingIndex(spark, path)
+    assert(statusOf(wide, "bucket_width_uniform") === ("fail", 1L))
+    assert(statusOf(wide, "vector_bucket_parity")._1 === "ok")
+
+    // a vector with no bucket rows → parity fail
+    vectors(1).withColumn("vec_id", lit(5555L))
+      .select(col("vec_id"), col("embedding"))
+      .write.mode("append").parquet(s"$path/vectors")
+    assert(statusOf(Fsck.fsckEmbeddingIndex(spark, path),
+      "vector_bucket_parity")._1 === "fail")
+  }
+
+  test("sink fsck: an unmarked batch file is a fail; committed batches are ok") {
+    val base = tmp("graft_fsck_sink")
+    val dir = s"$base/audit"
+    (0L until 3L).foreach { b =>
+      graft.streaming.Streams.commitBatch(spark, dir, b)(
+        dir -> (stg => Seq((b, "x")).toDF("batch_id", "v").write.parquet(stg)))
+    }
+    val clean = Fsck.fsckSinkDir(spark, dir)
+    assert(clean.filter(col("status") =!= "ok").count() === 0)
+
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$dir/b9-part-00000.parquet"), true).close()
+    assert(statusOf(Fsck.fsckSinkDir(spark, dir),
+      "batches_committed") === ("fail", 1L))
+  }
+
+  test("config-driven fsck: JSON targets round-trip; malformed configs fail loudly") {
+    val base = tmp("graft_fsck_cfg")
+    val dir = s"$base/audit"
+    graft.streaming.Streams.commitBatch(spark, dir, 0L)(
+      dir -> (stg => Seq((0L, "x")).toDF("batch_id", "v").write.parquet(stg)))
+    val report = Fsck.runConfig(spark,
+      s"""{"targets": [{"kind": "sink_dir", "path": "$dir"}]}""")
+    assert(report.filter(col("status") =!= "ok").count() === 0)
+    assert(report.select("kind").distinct().head().getString(0) === "sink_dir")
+    intercept[IllegalArgumentException] {
+      Fsck.runConfig(spark, """{"targets": [{"kind": "bogus", "path": "/x"}]}""")
+    }
+    intercept[IllegalArgumentException] {
+      Fsck.runConfig(spark,
+        """{"targets": [{"kind": "ann_index", "path": "/x", "markerBase": "/y"}]}""")
+    }
+  }
+
+  test("the gate report covers all four families of the scratch world, no failures") {
+    val report = Fsck.opsFsckReport(spark, sf)
+    assert(report.select(col("kind")).distinct().count() === 4)
+    assert(report.filter(col("status") === "fail").count() === 0,
+      "the maintenance scratch world must hold no integrity failures")
+  }
+}

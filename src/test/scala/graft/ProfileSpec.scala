@@ -207,4 +207,23 @@ class ProfileSpec extends SparkSpec {
     assert(shifted > 0.25, s"a +60 shift on a 0-99 range must trip: $shifted")
     assert(shifted > stable * 10)
   }
+
+  test("psi baseline artifact: fed report is bit-identical to inline; artifact self-describes") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft_psi").toString
+    Profile.savePsiBaseline(docs.filter(col("doc_id") % 2 === 0), path)
+    val fed = Profile.psiAgainstBaseline(spark, path,
+      docs.filter(col("doc_id") % 2 =!= 0)).collect()
+    val inline = Profile.distributionDrift(spark, sf).collect()
+    assert(fed.length === 10)
+    // the artifact round-trip must not move a single bit of the report —
+    // this is why the fed gate entry shares the inline entry's oracle
+    fed.zip(inline).foreach { case (f, i) =>
+      assert(f === i, s"fed row $f differs from inline row $i") }
+    // self-description: the artifact names its value column and geometry,
+    // so a monitor cannot bucket the wrong thing against it
+    val meta = spark.read.parquet(s"$path/meta.parquet").head()
+    assert(meta.getAs[String]("value_col") === "n_chars")
+    assert(meta.getAs[Int]("buckets") === 10)
+  }
 }

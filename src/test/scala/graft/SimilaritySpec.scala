@@ -64,6 +64,30 @@ class SimilaritySpec extends SparkSpec {
     assert(topk(Similarity.filteredTopkAuto(spark, sf, pred, 10L)) === fIvf)
   }
 
+  test("filtered INDEXED serving: predicate honored, trivial filter ≡ unfiltered tier") {
+    import org.apache.spark.sql.functions._
+    val evenIds = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("label") % 2 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val fIdx = topk(Similarity.ivfpqFilteredTopkIndexed(spark, sf))
+    // every neighbor satisfies the predicate and k fills (pre-filter)
+    fIdx.values.flatten.foreach(n =>
+      assert(evenIds.contains(n), s"neighbor $n fails the predicate"))
+    assert(fIdx.size === 10)
+    fIdx.values.foreach(ns => assert(ns.size === 5, "indexed tier must fill k"))
+    // recall vs the filtered-exact tier at the PQ family's floor
+    val fExact = topk(Similarity.bruteforceFilteredTopk(spark, sf))
+    val hits = fExact.map { case (q, ns) =>
+      fIdx.getOrElse(q, Seq.empty).count(ns.toSet.contains) }.sum
+    val r = hits.toDouble / (fExact.size * 5)
+    assert(r >= 0.15, s"filtered indexed recall@5=$r")
+    // pred = true makes the restriction the identity: the filtered path
+    // must reproduce the unfiltered indexed serving tier row-for-row, so
+    // the two can never drift
+    assert(topk(Similarity.ivfpqFilteredTopkIndexed(spark, sf, lit(true)))
+      === topk(Similarity.ivfpqTopkIndexed(spark, sf)))
+  }
+
   test("LSH top-k achieves useful recall vs brute force") {
     val r = recallAt5(topk(Similarity.lshTopk(spark, sf)))
     // embeddings are near-random (max cosine ~0.5), the hardest case for

@@ -522,6 +522,42 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/export").count() === fromStream.size.toLong)
   }
 
+  test("psi drift sink: in-distribution batch stable, shifted batch trips; batch ≡ stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_psi_sink").toString
+    // frozen baseline: values 0..99 uniform
+    graft.ops.Profile.savePsiBaseline(
+      spark.range(4000).select(col("id").as("doc_id"), (col("id") % 100).as("v")),
+      s"$base/baseline", valueCol = "v")
+    val in = MemoryStream[(Long, Long)]
+    val q = Streams.psiDriftSink(in.toDF().toDF("doc_id", "v"),
+      s"$base/baseline", s"$base/audit", s"$base/ckpt")
+    val b0 = (0L until 2000L).map(i => (i, i % 100))        // in-distribution
+    val b1 = (0L until 2000L).map(i => (i, i % 100 + 60L))  // shifted +60
+    in.addData(b0: _*); q.processAllAvailable()
+    in.addData(b1: _*); q.processAllAvailable()
+    q.stop()
+    val audit = spark.read.parquet(s"$base/audit")
+    assert(audit.count() === 20) // 10 buckets × 2 batches
+    def psiOf(bid: Long): (Double, Boolean) = {
+      val r = audit.filter(col("batch_id") === bid).head()
+      (r.getAs[Double]("psi_total"), r.getAs[Boolean]("drifted"))
+    }
+    val (stablePsi, stableDrifted) = psiOf(0L)
+    val (shiftPsi, shiftDrifted) = psiOf(1L)
+    assert(stablePsi < 0.02 && !stableDrifted,
+      s"in-distribution batch must read stable: $stablePsi")
+    assert(shiftPsi > 0.25 && shiftDrifted,
+      s"a +60 shift must trip the 0.25 threshold: $shiftPsi")
+    // the streamed report IS the batch form on the same rows (shared core)
+    val batchForm = graft.ops.Profile.psiAgainstBaseline(spark,
+      s"$base/baseline", b1.toDF("doc_id", "v")).collect()
+    val streamed = audit.filter(col("batch_id") === 1L)
+      .drop("batch_id", "drifted").orderBy(col("bucket")).collect()
+    batchForm.zip(streamed).foreach { case (b, s) => assert(b === s) }
+  }
+
   test("expectations sink: per-batch contract verdicts match the batch form") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -111,6 +111,71 @@ class TextAnalysisSpec extends SparkSpec {
     assert(order1.nonEmpty)
   }
 
+  test("token shards: two-phase prefix sum equals the naive global window at any geometry") {
+    import spark.implicits._
+    // known token counts: doc i has (i % 7) + 1 tokens
+    val docs = (0L until 300L).map { i =>
+      (i, Seq.fill((i % 7).toInt + 1)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    def key(numRanges: Int) =
+      TextAnalysis.tokenShardAssign(docs, budget = 40L, numRanges = numRanges)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sortBy(_._1)
+    // numRanges = 1 IS the naive single-partition global window; wider
+    // geometries must be bit-identical (the distributed scan changes the
+    // plan, never the numbers)
+    val naive = key(1)
+    assert(key(4) === naive)
+    assert(key(17) === naive)
+    // the prefix sum is the actual running total
+    var cum = 0L
+    naive.foreach { case (_, n, c, _) => cum += n; assert(c === cum) }
+    // shards are contiguous in doc_id order and token-bounded: each shard's
+    // token span fits the budget plus at most one straddling document
+    val byShard = naive.groupBy(_._4)
+    assert(naive.map(_._4).toSeq === naive.map(_._4).toSeq.sorted,
+      "shard ids must be nondecreasing in doc_id order")
+    byShard.foreach { case (shard, rows) =>
+      val toks = rows.map(_._2).sum
+      val lastDoc = rows.map(_._2).max
+      assert(toks <= 40L + lastDoc,
+        s"shard $shard holds $toks tokens against budget 40")
+      if (shard < byShard.keys.max) {
+        // every non-final shard actually REACHED the budget boundary:
+        // its last doc's running total crosses the shard's end
+        val endCum = rows.map(_._3).max
+        assert(endCum >= (shard + 1) * 40L,
+          s"shard $shard closed early at $endCum")
+      }
+    }
+  }
+
+  test("token-budget shard export: lossless, manifest-exact, token-bounded dirs") {
+    import spark.implicits._
+    val docs = (0L until 200L).map { i =>
+      (i, Seq.fill((i % 5).toInt + 1)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft-tokshards")
+      .toString + "/exp"
+    TextAnalysis.exportShardsByTokens(docs, out, budget = 60L, numRanges = 8)
+    val back = spark.read.parquet(out).withColumn("shard", col("shard").cast("long"))
+    assert(back.count() === 200L)
+    assert(back.select("doc_id").distinct().count() === 200L)
+    val manifest = spark.read.parquet(s"$out/_manifest").collect()
+      .map(r => r.getAs[Long]("shard") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    val assign = TextAnalysis.tokenShardAssign(docs, budget = 60L, numRanges = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // dirs hold exactly the assignment; manifest totals are exact
+    back.collect().foreach { r =>
+      assert(r.getAs[Long]("shard") === assign(r.getAs[Long]("doc_id")))
+    }
+    val actual = back.groupBy("shard").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(manifest.view.mapValues(_._1).toMap === actual)
+    manifest.foreach { case (_, (_, toks)) => assert(toks <= 60L + 5L) }
+  }
+
   test("bloom decontamination: superset of the exact tier, bounded over-flag") {
     val exact = TextAnalysis.decontaminateDocs(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap

@@ -26,7 +26,7 @@ object Bench {
     "etl_json_extract", "etl_latest_by_key", "etl_sessionize",
     "etl_tumbling_window", "etl_sliding_window", "etl_redact",
     "etl_quality_audit", "etl_expectations", "etl_scd2", "etl_gap_fill",
-    "etl_merge_upsert",
+    "etl_merge_upsert", "etl_incremental_agg",
     "etl_snapshot_diff",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
     "dedup_components", "dedup_components_incremental",

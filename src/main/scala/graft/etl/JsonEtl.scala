@@ -316,6 +316,68 @@ object JsonEtl {
       .orderBy(col("user_id"), col("valid_from"), col("event_id"))
   }
 
+  // ------------------------------------------------ incremental aggregate
+  /** Per-key aggregate STATE for incremental maintenance — pyetl's rolling
+    * keyed aggregation as algebra: only ADDITIVE statistics persist
+    * (count, exact-decimal sum, min, max), because those are the ones
+    * where agg(history ∪ batch) = combine(agg_history, agg_batch) holds
+    * exactly — a nightly job folds each day's partial in without ever
+    * rescanning history. Derived stats (avg = sum_value / n_events) are
+    * read-time views over the state, never stored: storing a non-additive
+    * stat is the classic incremental-ETL bug (it silently stops being
+    * maintainable). The sum is DECIMAL, not double: double addition is
+    * partition-order-dependent, so a double state would make
+    * fold ≡ recompute only approximately — decimal makes it bit-exact
+    * (spec-pinned, and why the gate entry can be oracle-checked). The
+    * sum column is pinned to DECIMAL(28,2) so the folded state's schema
+    * equals the one-shot state's (Spark widens sum-of-decimal precision;
+    * unchecked, each fold generation would widen the type again).
+    */
+  def aggState(events: DataFrame,
+      keys: Seq[String] = Seq("user_id", "event_type"),
+      valueCol: String = "value"): DataFrame =
+    events.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n_events"),
+      sum(col(valueCol).cast(DecimalType(18, 2)))
+        .cast(DecimalType(28, 2)).as("sum_value"),
+      min(col(valueCol)).as("min_value"),
+      max(col(valueCol)).as("max_value"))
+
+  /** Fold a raw event batch into an existing [[aggState]] table: aggregate
+    * the batch alone (map-side combined, batch-sized), then combine
+    * states per key — count and sum add, min/min and max/max fold. One
+    * shuffle on the key for the batch agg + one on the (key-partitioned,
+    * usually much smaller) state union; history is never rescanned. The
+    * combine is associative AND commutative, so batch arrival order
+    * cannot change the state (spec-pinned) — the property that makes
+    * late/replayed days safe to fold in any order.
+    */
+  def aggUpsert(state: DataFrame, batch: DataFrame,
+      keys: Seq[String] = Seq("user_id", "event_type"),
+      valueCol: String = "value"): DataFrame =
+    state.unionByName(aggState(batch, keys, valueCol))
+      .groupBy(keys.map(col): _*).agg(
+        // coalesce is a semantic no-op (every group has ≥1 state row) but
+        // restores count()'s non-nullable type, keeping the folded schema
+        // EQUAL to the one-shot schema, nullability included
+        coalesce(sum(col("n_events")), lit(0L)).as("n_events"),
+        sum(col("sum_value")).cast(DecimalType(28, 2)).as("sum_value"),
+        min(col("min_value")).as("min_value"),
+        max(col("max_value")).as("max_value"))
+
+  /** Gate form: the events table folds in as four sequential batches
+    * (event_id mod 4 — stand-ins for four daily loads) and the folded
+    * state must equal the one-shot aggregate over everything, which is
+    * exactly what the oracle recomputes. ORACLE-EXACT by the decimal
+    * argument above.
+    */
+  def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).events
+    val slices = (0L to 3L).map(i => e.filter(col("event_id") % 4 === i))
+    slices.tail.foldLeft(aggState(slices.head))((st, b) => aggUpsert(st, b))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   // ------------------------------------------------------------ CDC merge
   /** Generic CDC MERGE: fold a change batch into a base table with
     * upsert-or-delete semantics — the apply step downstream of every
@@ -455,6 +517,7 @@ object JsonEtl {
 
   // =================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_incremental_agg"  -> (incrementalAgg _),
     "etl_quality_audit"    -> (qualityAudit _),
     "etl_scd2"             -> (scd2 _),
     "etl_merge_upsert"     -> (mergeUpsertOrders _),
@@ -475,6 +538,14 @@ object JsonEtl {
     * the nanos long.
     */
   val oracles: Map[String, String] = Map(
+    "etl_incremental_agg" ->
+      """SELECT user_id, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_value,
+        |  min(value) AS min_value,
+        |  max(value) AS max_value
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
     "etl_merge_upsert" ->
       """WITH ch AS (SELECT
         |    CASE WHEN o_custkey % 7 = 0 THEN o_custkey + 1000000 ELSE o_custkey END AS c_custkey,

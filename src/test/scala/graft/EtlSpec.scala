@@ -7,6 +7,29 @@ import java.nio.file.Files
 
 class EtlSpec extends SparkSpec {
 
+  test("incremental aggregate: fold ≡ one-shot recompute bit-exactly, in any batch order") {
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("user_id"), col("event_type")).collect().toSeq
+    val oneShot = JsonEtl.aggState(events)
+    val slices = (0L to 3L).map(i => events.filter(col("event_id") % 4 === i))
+    val folded = slices.tail.foldLeft(JsonEtl.aggState(slices.head))(
+      (st, b) => JsonEtl.aggUpsert(st, b))
+    // the decimal-sum argument: fold equals recompute EXACTLY, not
+    // approximately — schema too (the DECIMAL(28,2) pin keeps fold
+    // generations from widening the sum type)
+    assert(folded.schema === oneShot.schema)
+    assert(key(folded) === key(oneShot))
+    // commutativity: a permuted arrival order folds to the same state
+    val permuted = Seq(2, 0, 3, 1).map(slices(_))
+    val folded2 = permuted.tail.foldLeft(JsonEtl.aggState(permuted.head))(
+      (st, b) => JsonEtl.aggUpsert(st, b))
+    assert(key(folded2) === key(oneShot))
+    // an empty batch is a no-op
+    val foldedEmpty = JsonEtl.aggUpsert(folded, events.filter(lit(false)))
+    assert(key(foldedEmpty) === key(oneShot))
+  }
+
   test("latest-by-key keeps exactly one (latest) record per key") {
     val out = JsonEtl.latestByKey(spark, sf)
     val users = spark.read.parquet(s"$sf/events.parquet")

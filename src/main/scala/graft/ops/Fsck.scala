@@ -63,6 +63,35 @@ object Fsck {
   private def exists(s: SparkSession, p: String): Boolean =
     fsOf(s, p).exists(new Path(p))
 
+  /** A dir that is readable AS parquet: exists and holds at least one
+    * parquet file. The append protocol's own crash window produces
+    * exists-but-empty dirs (`replaceBatchFiles` mkdirs the target before
+    * any rename lands), and `spark.read.parquet` on one throws instead
+    * of returning empty — a validator must survive exactly the damaged
+    * states it exists to diagnose, so every OPTIONAL artifact read here
+    * gates on this, not on bare existence.
+    */
+  private def hasParquet(s: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir)
+    val fs = fsOf(s, dir)
+    fs.exists(p) && fs.listStatus(p).exists(st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** Marker files at or below the committed watermark — fold debt the
+    * next compaction's watermark GC collects. Shared by every kind with
+    * a `<base>_batches` replay protocol.
+    */
+  private def redundantMarkers(s: SparkSession, markerBase: String): Long = {
+    val wm = graft.streaming.Streams.committedWatermark(s, markerBase)
+    val mbP = new Path(s"${markerBase}_batches")
+    val fs = fsOf(s, s"${markerBase}_batches")
+    if (!fs.exists(mbP)) 0L
+    else fs.listStatus(mbP).toSeq
+      .filter(_.getPath.getName.matches("\\d+"))
+      .count(_.getPath.getName.toLong <= wm).toLong
+  }
+
   /** Distinct ids of `b<id>-*` batch files in a dir whose batch was never
     * marker-committed at `markerBase` — a crashed append's leftovers. The
     * retry (or the next compaction's sweep) REPLACES them; until then a
@@ -104,9 +133,13 @@ object Fsck {
   def fsckAnnIndex(s: SparkSession, path: String): DataFrame = {
     val codesDir = s"$path/pq_codes.parquet"
     val ts = s"$path/tombstones.parquet"
+    // the codes table feeds every check below — persist the
+    // tombstone-anti-joined view once so the audit pays ONE codes scan,
+    // not one per count() action (the advertised audit pricing)
     val codes = s.read.parquet(codesDir)
     val live = graft.ops.Similarity.applyTombstones(s, codes, ts, "vec_id")
-
+      .persist()
+    try {
     // every live id: exactly m rows, all m distinct subs — anything else
     // is invisible loss (the ADC completeness filter drops the id)
     val m = graft.ops.Similarity.PqM.toLong
@@ -124,14 +157,14 @@ object Fsck {
       .count()
 
     val tombOrphans =
-      if (!exists(s, ts)) 0L
+      if (!hasParquet(s, ts)) 0L
       else s.read.parquet(ts).select(col("vec_id")).distinct()
         .join(codes.select(col("vec_id")).distinct(), Seq("vec_id"), "left_anti")
         .count()
 
     val int8Path = s"$path/int8_codes.parquet"
     val (int8Extra, int8Missing) =
-      if (!exists(s, int8Path)) (0L, 0L)
+      if (!hasParquet(s, int8Path)) (0L, 0L)
       else {
         val i8 = graft.ops.Similarity.applyTombstones(s,
           s.read.parquet(int8Path), ts, "vec_id")
@@ -152,7 +185,7 @@ object Fsck {
 
     val driftCheck = {
       val dp = s"$path/drift.parquet"
-      if (!exists(s, dp)) Check("drift_monitored", "warn", 0L,
+      if (!hasParquet(s, dp)) Check("drift_monitored", "warn", 0L,
         "no drift table — appends are unmonitored")
       else if (s.read.parquet(dp).filter(col("batch_id") === -1L).isEmpty)
         Check("drift_monitored", "fail", 1L,
@@ -179,40 +212,63 @@ object Fsck {
       driftCheck,
       warnIf("tombstone_orphans", tombOrphans,
         "tombstoned ids that never existed in the codes table")))
+    } finally { live.unpersist(); () }
   }
 
   // ------------------------------------------------------------ MinHash
+  /** Unlike the ANN index, the dedup indexes append with plain
+    * `mode("append")` of content-derived rows (signatures/buckets are
+    * per-row functions of the doc), so there are no batch-prefixed files
+    * to audit: a crash between append and marker leaves duplicate rows
+    * that are LEGITIMATE pre-compaction state (compaction dedups them
+    * losslessly — the documented at-least-once argument), and the
+    * `one_row_per_doc` check here is precisely what surfaces them. The
+    * marker protocol itself is still audited via fold debt.
+    */
   def fsckMinhashIndex(s: SparkSession, path: String): DataFrame = {
     val ts = s"${path}_tombstones"
     val sigs = s.read.parquet(path)
     val live = graft.ops.Similarity.applyTombstones(s, sigs, ts, "doc_id")
-
+      .persist()
+    try {
     val dupDocs = live.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       .filter(col("n") > 1).count()
     val sigWidths = live.select(size(col("sig")).as("w")).distinct().count()
 
     val tombOrphans =
-      if (!exists(s, ts)) 0L
+      if (!hasParquet(s, ts)) 0L
       else s.read.parquet(ts).select(col("doc_id")).distinct()
         .join(sigs.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
         .count()
 
     toDf(s, path, "minhash_index", Seq(
       failIf("one_row_per_doc", dupDocs,
-        "docs with multiple signature rows — candidates double-generate"),
+        "docs with multiple signature rows — replayed appends awaiting " +
+          "compaction, or candidates double-generate"),
       failIf("sig_width_uniform", math.max(0L, sigWidths - 1L),
         "mixed signature widths — band grouping silently misses candidates"),
       warnIf("staging_leftovers",
         stagingLeftovers(s, Seq(s"$path.compacting", s"$path.old")),
         "crashed compaction dirs present"),
+      warnIf("markers_folded", redundantMarkers(s, path),
+        "marker files at or below the watermark — fold debt, next " +
+          "compaction collects them"),
       warnIf("tombstone_orphans", tombOrphans,
         "tombstoned ids that never existed in the signature table")))
+    } finally { live.unpersist(); () }
   }
 
   // ------------------------------------------------------------ embedding
+  /** Same plain-append discipline as [[fsckMinhashIndex]] — a crash
+    * window's duplicate rows surface through the width check (they DO
+    * double-generate candidates until compaction folds them, so fail is
+    * the honest verdict); the marker protocol is audited via fold debt.
+    */
   def fsckEmbeddingIndex(s: SparkSession, path: String): DataFrame = {
-    val (vecs, buckets) = graft.ops.Dedup.loadEmbeddingIndex(s, path)
+    val (vecs, buckets0) = graft.ops.Dedup.loadEmbeddingIndex(s, path)
     val vIds = vecs.select(col("vec_id")).distinct()
+    val buckets = buckets0.persist()
+    try {
     val bIds = buckets.select(col("vec_id")).distinct()
     val parity = vIds.join(bIds, Seq("vec_id"), "left_anti").count() +
       bIds.join(vIds, Seq("vec_id"), "left_anti").count()
@@ -224,7 +280,7 @@ object Fsck {
 
     val ts = s"$path/tombstones.parquet"
     val tombOrphans =
-      if (!exists(s, ts)) 0L
+      if (!hasParquet(s, ts)) 0L
       else s.read.parquet(ts).select(col("vec_id")).distinct()
         .join(s.read.parquet(s"$path/vectors").select(col("vec_id")).distinct(),
           Seq("vec_id"), "left_anti")
@@ -235,14 +291,19 @@ object Fsck {
         "ids present in only one of vectors/buckets — candidates or " +
           "verification silently miss them"),
       failIf("bucket_width_uniform", badWidth,
-        s"vectors without exactly $numTables bucket rows — mixed geometry " +
-          "(the regeometry crash window; self-heals at the next rebuild check)"),
+        s"vectors without exactly $numTables bucket rows — replayed appends " +
+          "awaiting compaction, or mixed geometry (the regeometry crash " +
+          "window; self-heals at the next rebuild check)"),
       warnIf("staging_leftovers", stagingLeftovers(s, Seq(
         s"$path/vectors.compacting", s"$path/buckets.compacting",
         s"$path/vectors.old", s"$path/buckets.old")),
         "crashed compaction dirs present"),
+      warnIf("markers_folded", redundantMarkers(s, path),
+        "marker files at or below the watermark — fold debt, next " +
+          "compaction collects them"),
       warnIf("tombstone_orphans", tombOrphans,
         "tombstoned ids that never existed in the vectors table")))
+    } finally { buckets.unpersist(); () }
   }
 
   // ------------------------------------------------------------ sink dirs
@@ -250,14 +311,6 @@ object Fsck {
       markerBase: Option[String] = None): DataFrame = {
     val base = markerBase.getOrElse(dir)
     val uncommitted = uncommittedBatchIds(s, dir, base).size.toLong
-    val wm = graft.streaming.Streams.committedWatermark(s, base)
-    val mbP = new Path(s"${base}_batches")
-    val fs = fsOf(s, s"${base}_batches")
-    val redundantMarkers =
-      if (!fs.exists(mbP)) 0L
-      else fs.listStatus(mbP).toSeq
-        .filter(_.getPath.getName.matches("\\d+"))
-        .count(_.getPath.getName.toLong <= wm).toLong
     toDf(s, dir, "sink_dir", Seq(
       failIf("batches_committed", uncommitted,
         "batch files without a commit marker — readers see the crash " +
@@ -266,7 +319,7 @@ object Fsck {
         stagingLeftovers(s, Seq(s"${dir}_staging", s"$dir.compacting",
           s"$dir.old")),
         "crashed commit staging dirs present"),
-      warnIf("markers_folded", redundantMarkers,
+      warnIf("markers_folded", redundantMarkers(s, base),
         "marker files at or below the watermark — fold debt, next " +
           "compaction collects them")))
   }
@@ -278,6 +331,21 @@ object Fsck {
       .toDF("path", "kind", "check", "status", "observed", "detail")
   }
 
+  /** The one kind→validator dispatch both entry points share — so a fifth
+    * artifact family (and its error contract) is added in exactly one
+    * place.
+    */
+  private def dispatch(s: SparkSession, kind: String, path: String,
+      markerBase: Option[String]): DataFrame = kind match {
+    case "ann_index" => fsckAnnIndex(s, path)
+    case "minhash_index" => fsckMinhashIndex(s, path)
+    case "embedding_index" => fsckEmbeddingIndex(s, path)
+    case "sink_dir" => fsckSinkDir(s, path, markerBase)
+    case k => throw new IllegalArgumentException(
+      s"unknown fsck kind '$k' (expected one of " +
+        s"${Maintenance.Kinds.toSeq.sorted.mkString(", ")}): $path")
+  }
+
   /** Validate a set of targets ([[Maintenance.Target]]'s kinds) in one
     * report — the read-only sibling of [[Maintenance.runAll]]: run fsck
     * first, maintenance second, and the warn rows should disappear.
@@ -286,15 +354,8 @@ object Fsck {
       targets: Seq[(String, String)],
       markerBase: Option[String] = None): DataFrame = {
     require(targets.nonEmpty, "fsck needs at least one target")
-    targets.map {
-      case ("ann_index", p) => fsckAnnIndex(s, p)
-      case ("minhash_index", p) => fsckMinhashIndex(s, p)
-      case ("embedding_index", p) => fsckEmbeddingIndex(s, p)
-      case ("sink_dir", p) => fsckSinkDir(s, p, markerBase)
-      case (k, p) => throw new IllegalArgumentException(
-        s"unknown fsck kind '$k' (expected one of " +
-          s"${Maintenance.Kinds.toSeq.sorted.mkString(", ")}): $p")
-    }.reduce(_ unionByName _)
+    targets.map { case (k, p) => dispatch(s, k, p, markerBase) }
+      .reduce(_ unionByName _)
   }
 
   /** Config-driven form — the [[Maintenance.runConfig]] discipline, so the
@@ -330,10 +391,8 @@ object Fsck {
       (kind, path, mb)
     }.toSeq
     require(targets.nonEmpty, "fsck needs at least one target")
-    targets.map {
-      case ("sink_dir", p, mb) => fsckSinkDir(s, p, mb)
-      case (k, p, _) => runAll(s, Seq(k -> p))
-    }.reduce(_ unionByName _)
+    targets.map { case (k, p, mb) => dispatch(s, k, p, mb) }
+      .reduce(_ unionByName _)
   }
 
   /** Gate/bench form (rows-only — artifact state is engine-internal): one

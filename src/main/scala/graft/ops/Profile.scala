@@ -346,12 +346,29 @@ object Profile {
       valueCol: String = "n_chars", buckets: Int = 10): Unit = {
     val s = df.sparkSession
     import s.implicits._
-    val bounds = psiBounds(df, valueCol, buckets)
-    bounds.write.mode("overwrite").parquet(s"$path/bounds.parquet")
-    psiBucketCounts(df, bounds, valueCol, "n_base")
-      .write.mode("overwrite").parquet(s"$path/base_counts.parquet")
-    Seq((valueCol, buckets)).toDF("value_col", "buckets")
-      .write.mode("overwrite").parquet(s"$path/meta.parquet")
+    // all three tables land in a staging dir and promote in one rename
+    // (the exportShards discipline): a crash mid-restamp, or a monitor
+    // reading mid-rewrite, must never see new-generation bounds paired
+    // with old-generation counts — that mixed baseline would skew every
+    // later PSI silently (false trips or masked drift)
+    def writeAll(dir: String): Unit = {
+      val bounds = psiBounds(df, valueCol, buckets)
+      bounds.write.mode("overwrite").parquet(s"$dir/bounds.parquet")
+      psiBucketCounts(df, bounds, valueCol, "n_base")
+        .write.mode("overwrite").parquet(s"$dir/base_counts.parquet")
+      Seq((valueCol, buckets)).toDF("value_col", "buckets")
+        .write.mode("overwrite").parquet(s"$dir/meta.parquet")
+    }
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) graft.ops.Layout.rewriteInPlace(s, path)(writeAll)
+    else {
+      val staging = new org.apache.hadoop.fs.Path(path + ".staging")
+      if (fs.exists(staging)) fs.delete(staging, true) // crashed prior attempt
+      writeAll(staging.toString)
+      require(fs.rename(staging, p),
+        s"savePsiBaseline: promote $staging -> $path failed")
+    }
   }
 
   /** PSI of a current snapshot against a [[savePsiBaseline]] artifact —

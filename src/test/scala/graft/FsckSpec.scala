@@ -98,6 +98,23 @@ class FsckSpec extends SparkSpec {
       "uncommitted_batches") === ("warn", 1L))
   }
 
+  test("ann fsck survives the exists-but-empty dirs the crash window produces") {
+    val path = tmp("graft_fsck_empty") + "/idx"
+    val e = vectors(120)
+    val cents = Similarity.centroids(e)
+    val cb = Similarity.pqCodebooks(e)
+    Similarity.saveIndex(path, cents, cb, Similarity.buildIvfpqIndex(e, cents, cb))
+    // replaceBatchFiles mkdirs the target before any rename lands — a
+    // crash there leaves empty dirs; the validator must diagnose, not die
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/drift.parquet"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/int8_codes.parquet"))
+    val report = Fsck.fsckAnnIndex(spark, path)
+    assert(statusOf(report, "drift_monitored")._1 === "warn") // unmonitored
+    assert(statusOf(report, "int8_sibling") === ("ok", 0L))
+  }
+
   test("ann fsck: missing drift baseline is fail, absent table is warn") {
     val path = tmp("graft_fsck_drift") + "/idx"
     val e = vectors(200)

@@ -225,5 +225,14 @@ class ProfileSpec extends SparkSpec {
     val meta = spark.read.parquet(s"$path/meta.parquet").head()
     assert(meta.getAs[String]("value_col") === "n_chars")
     assert(meta.getAs[Int]("buckets") === 10)
+    // re-stamping over an existing baseline promotes atomically through
+    // staging (the exportShards discipline): no staging dir survives and
+    // the fed report is unchanged — readers never see mixed generations
+    graft.ops.Profile.savePsiBaseline(docs.filter(col("doc_id") % 2 === 0), path)
+    assert(!new java.io.File(path + ".staging").exists())
+    assert(!new java.io.File(path + ".compacting").exists())
+    val refed = Profile.psiAgainstBaseline(spark, path,
+      docs.filter(col("doc_id") % 2 =!= 0)).collect()
+    refed.zip(inline).foreach { case (f, i) => assert(f === i) }
   }
 }

@@ -22,7 +22,7 @@ object Bench {
     "q_window_running", "q_rank_in_group", "q_range_join", "q_rollup",
     "q_asof_join", "q_topk_orders", "q_grouping_sets",
     "q_retention", "q_funnel", "q_order_islands", "q_moving_avg", "q_set_ops",
-    "q_range_frame", "q_attribution",
+    "q_range_frame", "q_attribution", "q_ewma",
     "etl_json_extract", "etl_latest_by_key", "etl_sessionize",
     "etl_tumbling_window", "etl_sliding_window", "etl_redact",
     "etl_quality_audit", "etl_expectations", "etl_scd2", "etl_gap_fill",

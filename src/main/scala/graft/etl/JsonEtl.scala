@@ -365,6 +365,71 @@ object JsonEtl {
         min(col("min_value")).as("min_value"),
         max(col("max_value")).as("max_value"))
 
+  // ------------------------------------------ durable incremental aggregate
+  private def aggWatermarkPath(path: String) = s"$path/_fold_watermark"
+
+  /** The state table's own fold watermark: the highest batch id already
+    * folded in, read from a `_`-prefixed file INSIDE the state dir (so
+    * parquet readers never see it, and it swaps atomically WITH the state
+    * it describes). −1 when the state doesn't exist yet.
+    */
+  def aggFoldWatermark(s: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(aggWatermarkPath(path))
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      txt.trim.toLong
+    }
+  }
+
+  /** Durable, replay-safe [[aggUpsert]] — the discipline the fold needs
+    * that the ingest sinks don't: their index rows are content-derived
+    * (a replayed append duplicates rows that compaction dedups), but an
+    * aggregate fold is NOT idempotent — folding the same batch twice
+    * DOUBLE-COUNTS, and no later pass can tell the inflation from real
+    * data. So the state carries its own fold watermark, and state + new
+    * watermark swap atomically in one [[graft.ops.Layout.rewriteInPlace]]
+    * (the watermark is a `_` file inside the state dir — there is no
+    * window where one is visible without the other). Replays of
+    * already-folded ids (`batchId` ≤ watermark) are no-ops; a crash
+    * between the swap's two renames parks the old generation at
+    * `<path>.old`, which the next call restores before folding — the
+    * state is never lost and never a mixed generation.
+    */
+  def aggUpsertAt(s: SparkSession, path: String, batch: DataFrame,
+      batchId: Long,
+      keys: Seq[String] = Seq("user_id", "event_type"),
+      valueCol: String = "value"): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    // crash-between-renames recovery: the previous generation is parked
+    // and the live path is missing — restore it before reading anything
+    if (!fs.exists(p) && fs.exists(old))
+      require(fs.rename(old, p), s"aggUpsertAt: restore $old -> $path failed")
+    if (batchId <= aggFoldWatermark(s, path)) return // replayed, already in
+    def stamp(dir: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(
+        s"$dir/_fold_watermark"), true)
+      out.write(batchId.toString.getBytes("UTF-8")); out.close()
+    }
+    if (!fs.exists(p)) {
+      val staging = new org.apache.hadoop.fs.Path(path + ".staging")
+      if (fs.exists(staging)) fs.delete(staging, true)
+      aggState(batch, keys, valueCol).write.parquet(staging.toString)
+      stamp(staging.toString)
+      require(fs.rename(staging, p),
+        s"aggUpsertAt: promote $staging -> $path failed")
+    } else graft.ops.Layout.rewriteInPlace(s, path) { staging =>
+      aggUpsert(s.read.parquet(path), batch, keys, valueCol)
+        .write.parquet(staging)
+      stamp(staging)
+    }
+  }
+
   /** Gate form: the events table folds in as four sequential batches
     * (event_id mod 4 — stand-ins for four daily loads) and the folded
     * state must equal the one-shot aggregate over everything, which is

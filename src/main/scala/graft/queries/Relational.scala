@@ -611,8 +611,45 @@ object Relational {
       .orderBy(col("n_name"))
   }
 
+  /** Per-user exponential moving average over the event stream — the
+    * order-SENSITIVE smoothing a recursive window (s_t = α·x_t +
+    * (1−α)·s_{t−1}) needs, which no plain window frame can express
+    * (weights depend on distance from t). The in-order-fold discipline
+    * makes it ORACLE-EXACT: one fold per user over the event_id-sorted
+    * value list builds ALL prefix EWMAs in O(n) (the oracle recomputes
+    * each prefix independently — O(n²) but bit-identical, same FP op
+    * sequence), then explodes back to rows. α = 0.5, an exact binary
+    * fraction. Bounded-group caveat as q_string_agg: the per-user list
+    * materializes, so this is for keys with bounded history — the
+    * unbounded-stream shape is the streaming state-store sessionize
+    * family, not a batch fold.
+    */
+  def ewma(s: SparkSession, dir: String): DataFrame = {
+    val packed = Tables(s, dir).events
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(col("event_id"), col("value"))))
+        .as("xs"))
+    val folded = aggregate(
+      col("xs"),
+      expr("CAST(array() AS ARRAY<STRUCT<event_id: BIGINT, value: DOUBLE, ewma: DOUBLE>>)"),
+      (acc, x) => {
+        val prev = element_at(acc, -1).getField("ewma")
+        val e = when(size(acc) === 0, x.getField("value"))
+          .otherwise(lit(0.5) * x.getField("value") + lit(0.5) * prev)
+        concat(acc, array(struct(
+          x.getField("event_id").as("event_id"),
+          x.getField("value").as("value"),
+          e.as("ewma"))))
+      })
+    packed.select(col("user_id"), explode(folded).as("r"))
+      .select(col("user_id"), col("r.event_id").as("event_id"),
+        col("r.value").as("value"), col("r.ewma").as("ewma"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   // =================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ewma"              -> (ewma _),
     "q1_pricing_summary"  -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier"   -> (q5LocalSupplier _),
@@ -735,6 +772,19 @@ object Relational {
         |  string_agg(s_name, ',' ORDER BY s_name) AS roster
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // each row's EWMA recomputed as an independent prefix fold — O(n²)
+    // per user but the SAME 0.5*x + 0.5*a FP op sequence as the Spark
+    // fold, hence bit-identical
+    "q_ewma" ->
+      """WITH w AS (SELECT user_id, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |  FROM events),
+        |seq AS (SELECT user_id, list(value ORDER BY event_id) AS xs
+        |  FROM events GROUP BY user_id)
+        |SELECT w.user_id, w.event_id, w.value,
+        |  list_reduce(xs[1:rn], (a, x) -> 0.5 * x + 0.5 * a) AS ewma
+        |FROM w JOIN seq USING (user_id)
+        |ORDER BY user_id, event_id""".stripMargin,
     "q_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS grp,

@@ -949,6 +949,32 @@ object Streams extends Serializable {
     * 10-row join against the few-KB artifact. Batch ≡ stream parity and
     * the shifted-batch trip are spec-pinned (StreamingSpec).
     */
+  /** Streaming incremental aggregation — pyetl's rolling keyed aggregate
+    * kept live by the stream itself: each micro-batch folds into the
+    * persisted [[graft.etl.JsonEtl.aggState]] table via
+    * [[graft.etl.JsonEtl.aggUpsertAt]]. Unlike the index ingest sinks
+    * (content-derived rows, replay-duplicates compact away), an aggregate
+    * fold is NOT idempotent — so this sink leans on the state's own
+    * atomically-swapped fold watermark instead of marker files: a
+    * replayed micro-batch is a no-op, a crash mid-swap restores the
+    * parked generation, and after N batches the state is EXACTLY the
+    * one-shot aggregate over everything delivered (spec-pinned). Per
+    * batch: one batch-sized agg + one state-sized merge — history is
+    * never rescanned.
+    */
+  def aggIngestSink(events: DataFrame, statePath: String,
+      checkpoint: String,
+      keys: Seq[String] = Seq("user_id", "event_type"),
+      valueCol: String = "value"): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.etl.JsonEtl.aggUpsertAt(batch.sparkSession, statePath, batch,
+          batchId, keys, valueCol)
+      }
+      .start()
+
   def psiDriftSink(events: DataFrame, baselinePath: String,
       auditDir: String, checkpoint: String,
       trip: Double = 0.25): org.apache.spark.sql.streaming.StreamingQuery =

@@ -30,6 +30,33 @@ class EtlSpec extends SparkSpec {
     assert(key(foldedEmpty) === key(oneShot))
   }
 
+  test("durable incremental aggregate: replay is a no-op, crash mid-swap recovers") {
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val path = Files.createTempDirectory("graft_aggstate").toString + "/state"
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("user_id"), col("event_type")).collect().toSeq
+    val slices = (0L to 3L).map(i => events.filter(col("event_id") % 4 === i))
+    JsonEtl.aggUpsertAt(spark, path, slices(0), 0L)
+    JsonEtl.aggUpsertAt(spark, path, slices(1), 1L)
+    // a replayed batch must NOT double-count — the non-idempotent-fold
+    // hazard the state's own watermark exists to close
+    JsonEtl.aggUpsertAt(spark, path, slices(1), 1L)
+    JsonEtl.aggUpsertAt(spark, path, slices(0), 0L)
+    assert(JsonEtl.aggFoldWatermark(spark, path) === 1L)
+    val twoIn = events.filter(col("event_id") % 4 <= 1)
+    assert(key(spark.read.parquet(path)) === key(JsonEtl.aggState(twoIn)))
+    // crash between rewriteInPlace's two renames: live path missing, old
+    // generation parked — the next fold restores it first, then folds
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + ".old")))
+    JsonEtl.aggUpsertAt(spark, path, slices(2), 2L)
+    JsonEtl.aggUpsertAt(spark, path, slices(3), 3L)
+    assert(key(spark.read.parquet(path)) === key(JsonEtl.aggState(events)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + ".old")))
+  }
+
   test("latest-by-key keeps exactly one (latest) record per key") {
     val out = JsonEtl.latestByKey(spark, sf)
     val users = spark.read.parquet(s"$sf/events.parquet")

@@ -124,6 +124,24 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("ewma satisfies the recursion s_t = 0.5·x_t + 0.5·s_{t-1} exactly, per user") {
+    val rows = Relational.ewma(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Double]("value"), r.getAs[Double]("ewma")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, es) =>
+      val sorted = es.sortBy(_._2)
+      assert(sorted.head._4 === sorted.head._3, "s_0 must equal x_0")
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, prev), (_, _, x, e)) =>
+          assert(e === 0.5 * x + 0.5 * prev, "the recursion must hold bit-exactly")
+        case _ =>
+      }
+    }
+    // coverage: every event appears exactly once
+    assert(rows.length === spark.read.parquet(s"$sf/events.parquet").count())
+  }
+
   test("order islands match a brute-force gaps-and-islands recomputation") {
     val months = spark.read.parquet(s"$sf/orders.parquet")
       .select(col("o_custkey"),

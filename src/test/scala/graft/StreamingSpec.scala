@@ -522,6 +522,27 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/export").count() === fromStream.size.toLong)
   }
 
+  test("agg ingest sink: N micro-batches fold to the one-shot aggregate, exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_agg_sink").toString
+    val in = MemoryStream[(Long, String, Double)]
+    val q = Streams.aggIngestSink(in.toDF().toDF("user_id", "event_type", "value"),
+      s"$base/state", s"$base/ckpt")
+    val b0 = Seq((1L, "view", 2.0), (1L, "click", 3.5), (2L, "view", 1.0))
+    val b1 = Seq((1L, "view", 4.0), (2L, "view", -2.5), (3L, "buy", 9.99))
+    in.addData(b0: _*); q.processAllAvailable()
+    in.addData(b1: _*); q.processAllAvailable()
+    q.stop()
+    val state = spark.read.parquet(s"$base/state")
+    val oneShot = graft.etl.JsonEtl.aggState((b0 ++ b1)
+      .toDF("user_id", "event_type", "value"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("user_id"), col("event_type")).collect().toSeq
+    assert(key(state) === key(oneShot))
+    assert(graft.etl.JsonEtl.aggFoldWatermark(spark, s"$base/state") === 1L)
+  }
+
   test("psi drift sink: in-distribution batch stable, shifted batch trips; batch ≡ stream") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -306,6 +306,42 @@ object Fsck {
     } finally { buckets.unpersist(); () }
   }
 
+  // ------------------------------------------------------------ agg state
+  /** The durable incremental-aggregate state
+    * ([[graft.etl.JsonEtl.aggUpsertAt]]) — the one artifact whose replay
+    * protection lives INSIDE it (the atomically-swapped fold watermark),
+    * so the checks are about that: a state without a watermark cannot
+    * fence replays (every re-delivered batch would double-count); a
+    * parked `.old` generation means a crash mid-swap nobody retried
+    * (self-heals at the next fold); duplicate key rows mean a corrupted
+    * merge — the state is wrong NOW. Key columns are inferred as
+    * everything that isn't one of [[graft.etl.JsonEtl.aggState]]'s four
+    * stat columns.
+    */
+  def fsckAggState(s: SparkSession, path: String): DataFrame = {
+    val state = s.read.parquet(path)
+    val statCols = Set("n_events", "sum_value", "min_value", "max_value")
+    val keyCols = state.columns.filterNot(statCols).toSeq
+    val dupKeys =
+      if (keyCols.isEmpty) 0L
+      else state.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
+    val hasWm = exists(s, s"$path/_fold_watermark")
+    toDf(s, path, "agg_state", Seq(
+      failIf("one_row_per_key", dupKeys,
+        "duplicate key rows — a corrupted merge; reads double-count NOW"),
+      if (hasWm) ok("watermark_present")
+      else Check("watermark_present", "warn", 1L,
+        "no fold watermark — replays cannot be fenced (not an " +
+          "aggUpsertAt artifact, or the stamp was deleted)"),
+      warnIf("parked_generation",
+        if (exists(s, s"$path.old")) 1L else 0L,
+        "a crashed swap's parked generation — the next fold restores it"),
+      warnIf("staging_leftovers",
+        stagingLeftovers(s, Seq(s"$path.staging", s"$path.compacting")),
+        "crashed fold staging dirs present")))
+  }
+
   // ------------------------------------------------------------ sink dirs
   def fsckSinkDir(s: SparkSession, dir: String,
       markerBase: Option[String] = None): DataFrame = {
@@ -331,7 +367,14 @@ object Fsck {
       .toDF("path", "kind", "check", "status", "observed", "detail")
   }
 
-  /** The one kind→validator dispatch both entry points share — so a fifth
+  /** Fsck validates one kind beyond [[Maintenance.Kinds]]: the durable
+    * aggregate state has no maintenance action (each fold rewrites it
+    * wholesale, so file growth is bounded by construction) but it does
+    * have invariants worth checking.
+    */
+  val Kinds: Set[String] = Maintenance.Kinds + "agg_state"
+
+  /** The one kind→validator dispatch both entry points share — so a new
     * artifact family (and its error contract) is added in exactly one
     * place.
     */
@@ -340,10 +383,11 @@ object Fsck {
     case "ann_index" => fsckAnnIndex(s, path)
     case "minhash_index" => fsckMinhashIndex(s, path)
     case "embedding_index" => fsckEmbeddingIndex(s, path)
+    case "agg_state" => fsckAggState(s, path)
     case "sink_dir" => fsckSinkDir(s, path, markerBase)
     case k => throw new IllegalArgumentException(
       s"unknown fsck kind '$k' (expected one of " +
-        s"${Maintenance.Kinds.toSeq.sorted.mkString(", ")}): $path")
+        s"${Kinds.toSeq.sorted.mkString(", ")}): $path")
   }
 
   /** Validate a set of targets ([[Maintenance.Target]]'s kinds) in one
@@ -382,9 +426,9 @@ object Fsck {
         "every target needs kind and path")
       val kind = t.get("kind").asText
       val path = t.get("path").asText
-      require(Maintenance.Kinds.contains(kind),
+      require(Kinds.contains(kind),
         s"unknown fsck kind '$kind' (expected one of " +
-          s"${Maintenance.Kinds.toSeq.sorted.mkString(", ")}): $path")
+          s"${Kinds.toSeq.sorted.mkString(", ")}): $path")
       val mb = Option(t.get("markerBase")).filterNot(_.isNull).map(_.asText)
       require(kind == "sink_dir" || mb.isEmpty,
         s"markerBase only applies to sink_dir targets: $path")
@@ -409,6 +453,7 @@ object Fsck {
       "ann_index" -> s"$base/ann",
       "minhash_index" -> s"$base/mh",
       "embedding_index" -> s"$base/emb",
+      "agg_state" -> s"$base/agg",
       "sink_dir" -> s"$base/sink"))
       .orderBy(col("path"), col("check"))
   }

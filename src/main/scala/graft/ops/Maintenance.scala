@@ -260,6 +260,12 @@ object Maintenance {
         graft.streaming.Streams.commitBatch(s, s"$base/sink", b)(
           (s"$base/sink", stg => batch.write.parquet(stg)))
       }
+      // durable aggregate state: two watermark-fenced folds
+      val ev = Tables(s, dir).events
+      graft.etl.JsonEtl.aggUpsertAt(s, s"$base/agg",
+        ev.filter(col("event_id") % 2 === 0), 0L)
+      graft.etl.JsonEtl.aggUpsertAt(s, s"$base/agg",
+        ev.filter(col("event_id") % 2 === 1), 1L)
       base
     })
   }

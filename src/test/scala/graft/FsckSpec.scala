@@ -208,9 +208,38 @@ class FsckSpec extends SparkSpec {
     }
   }
 
-  test("the gate report covers all four families of the scratch world, no failures") {
+  test("agg-state fsck: clean state ok; duplicate keys, lost watermark, parked gen flip") {
+    import graft.etl.JsonEtl
+    val path = tmp("graft_fsck_agg") + "/state"
+    val events = (0 until 100).map(i =>
+      (i.toLong % 7, if (i % 2 == 0) "view" else "click", i * 0.25))
+      .toDF("user_id", "event_type", "value")
+    JsonEtl.aggUpsertAt(spark, path, events, 0L)
+    val clean = Fsck.fsckAggState(spark, path)
+    assert(clean.filter(col("status") =!= "ok").count() === 0)
+
+    // a parked generation (crash mid-swap) → warn, self-heals next fold
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path + ".old"))
+    assert(statusOf(Fsck.fsckAggState(spark, path),
+      "parked_generation")._1 === "warn")
+    fs.delete(new org.apache.hadoop.fs.Path(path + ".old"), true)
+
+    // duplicate key rows → fail (reads double-count NOW)
+    spark.read.parquet(path).limit(1).write.mode("append").parquet(path)
+    assert(statusOf(Fsck.fsckAggState(spark, path),
+      "one_row_per_key") === ("fail", 1L))
+
+    // a deleted watermark → replays can no longer be fenced
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_fold_watermark"), false)
+    assert(statusOf(Fsck.fsckAggState(spark, path),
+      "watermark_present")._1 === "warn")
+  }
+
+  test("the gate report covers every artifact family of the scratch world, no failures") {
     val report = Fsck.opsFsckReport(spark, sf)
-    assert(report.select(col("kind")).distinct().count() === 4)
+    assert(report.select(col("kind")).distinct().count() === 5)
     assert(report.filter(col("status") === "fail").count() === 0,
       "the maintenance scratch world must hold no integrity failures")
   }

@@ -342,6 +342,51 @@ object Fsck {
         "crashed fold staging dirs present")))
   }
 
+  // ------------------------------------------------------------ shard export
+  /** The training-handoff artifact ([[graft.ops.TextAnalysis.exportShards]]
+    * / `exportShardsByTokens`) — the one a TRAINER trusts blindly: it
+    * reads the `_manifest` to plan the run and never recounts the data.
+    * So the checks are exactly that trust: the manifest must exist (the
+    * staged promote makes a missing one impossible for a completed
+    * export — its absence means a hand-rolled or truncated copy), and
+    * its per-shard doc counts must equal what the shard dirs actually
+    * hold (a mismatch means files were lost or added AFTER the promote —
+    * an rsync that dropped a part file, a manual delete — and the
+    * training run would silently see different data than it planned).
+    */
+  def fsckShardExport(s: SparkSession, path: String): DataFrame = {
+    val manifestDir = s"$path/_manifest"
+    if (!hasParquet(s, manifestDir))
+      toDf(s, path, "shard_export", Seq(
+        Check("manifest_present", "fail", 1L,
+          "no _manifest — a trainer cannot plan against this export"),
+        warnIf("staging_leftovers",
+          stagingLeftovers(s, Seq(s"$path.staging", s"$path.compacting",
+            s"$path.old")),
+          "crashed export staging dirs present")))
+    else {
+      val manifest = s.read.parquet(manifestDir)
+        .select(col("shard").cast("long").as("shard"), col("n_docs"))
+      val actual = s.read.parquet(path)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("actual_docs"))
+      val mismatched = manifest.join(actual, Seq("shard"), "full_outer")
+        .filter(coalesce(col("n_docs"), lit(-1L)) =!=
+          coalesce(col("actual_docs"), lit(-1L)))
+        .count()
+      toDf(s, path, "shard_export", Seq(
+        ok("manifest_present"),
+        failIf("manifest_counts", mismatched,
+          "shards whose manifest doc count differs from the dir contents " +
+            "— the export was modified after its promote; a training run " +
+            "would see different data than it planned"),
+        warnIf("staging_leftovers",
+          stagingLeftovers(s, Seq(s"$path.staging", s"$path.compacting",
+            s"$path.old")),
+          "crashed export staging dirs present")))
+    }
+  }
+
   // ------------------------------------------------------------ sink dirs
   def fsckSinkDir(s: SparkSession, dir: String,
       markerBase: Option[String] = None): DataFrame = {
@@ -367,12 +412,12 @@ object Fsck {
       .toDF("path", "kind", "check", "status", "observed", "detail")
   }
 
-  /** Fsck validates one kind beyond [[Maintenance.Kinds]]: the durable
-    * aggregate state has no maintenance action (each fold rewrites it
-    * wholesale, so file growth is bounded by construction) but it does
-    * have invariants worth checking.
+  /** Fsck validates two kinds beyond [[Maintenance.Kinds]]: the durable
+    * aggregate state and the shard export have no maintenance action
+    * (each fold/export rewrites wholesale, so file growth is bounded by
+    * construction) but both have invariants worth checking.
     */
-  val Kinds: Set[String] = Maintenance.Kinds + "agg_state"
+  val Kinds: Set[String] = Maintenance.Kinds + "agg_state" + "shard_export"
 
   /** The one kind→validator dispatch both entry points share — so a new
     * artifact family (and its error contract) is added in exactly one
@@ -384,6 +429,7 @@ object Fsck {
     case "minhash_index" => fsckMinhashIndex(s, path)
     case "embedding_index" => fsckEmbeddingIndex(s, path)
     case "agg_state" => fsckAggState(s, path)
+    case "shard_export" => fsckShardExport(s, path)
     case "sink_dir" => fsckSinkDir(s, path, markerBase)
     case k => throw new IllegalArgumentException(
       s"unknown fsck kind '$k' (expected one of " +

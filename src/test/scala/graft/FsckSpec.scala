@@ -237,6 +237,30 @@ class FsckSpec extends SparkSpec {
       "watermark_present")._1 === "warn")
   }
 
+  test("shard-export fsck: manifest-exact ok; lost file and missing manifest flip") {
+    val base = tmp("graft_fsck_shards")
+    val out = s"$base/exp"
+    graft.ops.TextAnalysis.exportShards(docs(64), out, numShards = 4,
+      maxRecordsPerFile = 8L)
+    val clean = Fsck.fsckShardExport(spark, out)
+    assert(clean.filter(col("status") =!= "ok").count() === 0)
+
+    // a data file lost AFTER the promote → the manifest no longer
+    // describes the export a trainer would read
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$out/shard=0"))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet")).head
+    fs.delete(part.getPath, false)
+    assert(statusOf(Fsck.fsckShardExport(spark, out),
+      "manifest_counts")._1 === "fail")
+
+    // no manifest at all → fail loudly, not a partial report
+    fs.delete(new org.apache.hadoop.fs.Path(s"$out/_manifest"), true)
+    assert(statusOf(Fsck.fsckShardExport(spark, out),
+      "manifest_present")._1 === "fail")
+  }
+
   test("the gate report covers every artifact family of the scratch world, no failures") {
     val report = Fsck.opsFsckReport(spark, sf)
     assert(report.select(col("kind")).distinct().count() === 5)

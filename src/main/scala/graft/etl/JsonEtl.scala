@@ -398,6 +398,19 @@ object JsonEtl {
     * between the swap's two renames parks the old generation at
     * `<path>.old`, which the next call restores before folding — the
     * state is never lost and never a mixed generation.
+    *
+    * THE FENCE ASSUMES ONE MONOTONE ID LINEAGE (a streaming
+    * checkpoint's batch ids, or a scheduler's increasing day ids): an
+    * id at or below the watermark is indistinguishable from a replay
+    * and is SKIPPED. Two operations therefore need care — (1) resetting
+    * a streaming checkpoint restarts ids at 0, so new batches would
+    * silently read as replays: point the restarted stream at a FRESH
+    * state path (or delete the old state with it) — the same rule
+    * [[graft.ops.Similarity.saveIndex]]'s clean-slate note states for
+    * the marker protocol; (2) out-of-order backfill must not reuse a
+    * lower id — fold the late data under a fresh id above the
+    * watermark (ids are opaque; only their order matters). The
+    * FRAME-level [[aggUpsert]] has no fence and composes in any order.
     */
   def aggUpsertAt(s: SparkSession, path: String, batch: DataFrame,
       batchId: Long,
@@ -416,16 +429,12 @@ object JsonEtl {
         s"$dir/_fold_watermark"), true)
       out.write(batchId.toString.getBytes("UTF-8")); out.close()
     }
-    if (!fs.exists(p)) {
-      val staging = new org.apache.hadoop.fs.Path(path + ".staging")
-      if (fs.exists(staging)) fs.delete(staging, true)
-      aggState(batch, keys, valueCol).write.parquet(staging.toString)
-      stamp(staging.toString)
-      require(fs.rename(staging, p),
-        s"aggUpsertAt: promote $staging -> $path failed")
-    } else graft.ops.Layout.rewriteInPlace(s, path) { staging =>
-      aggUpsert(s.read.parquet(path), batch, keys, valueCol)
-        .write.parquet(staging)
+    val fresh = !fs.exists(p)
+    graft.ops.Layout.writeStaged(s, path) { staging =>
+      val folded =
+        if (fresh) aggState(batch, keys, valueCol)
+        else aggUpsert(s.read.parquet(path), batch, keys, valueCol)
+      folded.write.parquet(staging)
       stamp(staging)
     }
   }

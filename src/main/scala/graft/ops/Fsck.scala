@@ -319,6 +319,23 @@ object Fsck {
     * stat columns.
     */
   def fsckAggState(s: SparkSession, path: String): DataFrame = {
+    // the crash-between-renames window leaves the LIVE path missing with
+    // the old generation parked — the validator must diagnose that state,
+    // not die reading a path that isn't there (the hasParquet principle)
+    if (!hasParquet(s, path)) {
+      val parked = exists(s, s"$path.old")
+      return toDf(s, path, "agg_state", Seq(
+        if (parked) Check("state_readable", "warn", 1L,
+          "live state missing with a parked .old generation — the " +
+            "crash-between-renames window; the next fold restores it")
+        else Check("state_readable", "fail", 1L,
+          "no aggregate state at this path"),
+        warnIf("parked_generation", if (parked) 1L else 0L,
+          "a crashed swap's parked generation — the next fold restores it"),
+        warnIf("staging_leftovers",
+          stagingLeftovers(s, Seq(s"$path.staging", s"$path.compacting")),
+          "crashed fold staging dirs present")))
+    }
     val state = s.read.parquet(path)
     val statCols = Set("n_events", "sum_value", "min_value", "max_value")
     val keyCols = state.columns.filterNot(statCols).toSeq
@@ -328,6 +345,7 @@ object Fsck {
         .agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
     val hasWm = exists(s, s"$path/_fold_watermark")
     toDf(s, path, "agg_state", Seq(
+      ok("state_readable"),
       failIf("one_row_per_key", dupKeys,
         "duplicate key rows — a corrupted merge; reads double-count NOW"),
       if (hasWm) ok("watermark_present")
@@ -500,6 +518,7 @@ object Fsck {
       "minhash_index" -> s"$base/mh",
       "embedding_index" -> s"$base/emb",
       "agg_state" -> s"$base/agg",
+      "shard_export" -> s"$base/export",
       "sink_dir" -> s"$base/sink"))
       .orderBy(col("path"), col("check"))
   }

@@ -208,6 +208,35 @@ object Layout {
     fs.delete(old, true)
   }
 
+  /** First-time staged promote: write into `<dir>.staging`, then one
+    * rename makes the artifact visible whole — a reader never sees a
+    * partially-written dir, and a crashed prior attempt's staging is
+    * swept. The fresh-path sibling of [[rewriteInPlace]] (which handles
+    * the dir-already-exists case); the two share the protocol the fsck
+    * validator's staging checks audit, so producers must route through
+    * here rather than hand-roll the sequence.
+    */
+  def writeFresh(spark: SparkSession, dir: String)(write: String => Unit): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(dir + ".staging")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    write(staging.toString)
+    require(fs.rename(staging, p),
+      s"writeFresh: promote $staging -> $dir failed")
+  }
+
+  /** [[writeFresh]] when the target may already exist: route to
+    * [[rewriteInPlace]] for an in-place generation swap, [[writeFresh]]
+    * otherwise. The one call every whole-artifact producer should make.
+    */
+  def writeStaged(spark: SparkSession, dir: String)(write: String => Unit): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) rewriteInPlace(spark, dir)(write)
+    else writeFresh(spark, dir)(write)
+  }
+
   /** [[compactFiles]] for an UNPARTITIONED parquet dataset rewritten in
     * place — the shape the persisted dedup/ANN index artifacts have (flat
     * dirs grown by nightly `mode("append")` folds, one small file per

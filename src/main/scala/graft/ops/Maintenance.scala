@@ -266,6 +266,9 @@ object Maintenance {
         ev.filter(col("event_id") % 2 === 0), 0L)
       graft.etl.JsonEtl.aggUpsertAt(s, s"$base/agg",
         ev.filter(col("event_id") % 2 === 1), 1L)
+      // training handoff: one staged shard export with its manifest
+      graft.ops.TextAnalysis.exportShards(docs, s"$base/export",
+        numShards = 4)
       base
     })
   }

@@ -359,16 +359,7 @@ object Profile {
       Seq((valueCol, buckets)).toDF("value_col", "buckets")
         .write.mode("overwrite").parquet(s"$dir/meta.parquet")
     }
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) graft.ops.Layout.rewriteInPlace(s, path)(writeAll)
-    else {
-      val staging = new org.apache.hadoop.fs.Path(path + ".staging")
-      if (fs.exists(staging)) fs.delete(staging, true) // crashed prior attempt
-      writeAll(staging.toString)
-      require(fs.rename(staging, p),
-        s"savePsiBaseline: promote $staging -> $path failed")
-    }
+    graft.ops.Layout.writeStaged(s, path)(writeAll)
   }
 
   /** PSI of a current snapshot against a [[savePsiBaseline]] artifact —

@@ -704,16 +704,7 @@ object TextAnalysis {
       shardManifest(docsDf, numShards)
         .write.mode("overwrite").parquet(s"$dir/_manifest")
     }
-    val p = new org.apache.hadoop.fs.Path(outDir)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) graft.ops.Layout.rewriteInPlace(s, outDir)(writeAll)
-    else {
-      val staging = new org.apache.hadoop.fs.Path(outDir + ".staging")
-      if (fs.exists(staging)) fs.delete(staging, true) // crashed prior attempt
-      writeAll(staging.toString)
-      require(fs.rename(staging, p),
-        s"exportShards: promote $staging -> $outDir failed")
-    }
+    graft.ops.Layout.writeStaged(s, outDir)(writeAll)
   }
 
   // ------------------------------------------------ token-budget shards
@@ -808,16 +799,7 @@ object TextAnalysis {
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
           .write.mode("overwrite").parquet(s"$dir/_manifest")
       }
-      val p = new org.apache.hadoop.fs.Path(outDir)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) graft.ops.Layout.rewriteInPlace(s, outDir)(writeAll)
-      else {
-        val staging = new org.apache.hadoop.fs.Path(outDir + ".staging")
-        if (fs.exists(staging)) fs.delete(staging, true)
-        writeAll(staging.toString)
-        require(fs.rename(staging, p),
-          s"exportShardsByTokens: promote $staging -> $outDir failed")
-      }
+      graft.ops.Layout.writeStaged(s, outDir)(writeAll)
     } finally { assigned.unpersist(); () }
   }
 

@@ -616,9 +616,12 @@ object Relational {
     * (1−α)·s_{t−1}) needs, which no plain window frame can express
     * (weights depend on distance from t). The in-order-fold discipline
     * makes it ORACLE-EXACT: one fold per user over the event_id-sorted
-    * value list builds ALL prefix EWMAs in O(n) (the oracle recomputes
-    * each prefix independently — O(n²) but bit-identical, same FP op
-    * sequence), then explodes back to rows. α = 0.5, an exact binary
+    * value list builds ALL prefix EWMAs in O(n) arithmetic — though the
+    * `concat`-grown accumulator copies O(n²) array cells in the worst
+    * case, acceptable only under the bounded-history caveat below (the
+    * oracle recomputes each prefix independently — O(n²) arithmetic but
+    * bit-identical, same FP op sequence) — then explodes back to rows.
+    * α = 0.5, an exact binary
     * fraction. Bounded-group caveat as q_string_agg: the per-user list
     * materializes, so this is for keys with bounded history — the
     * unbounded-stream shape is the streaming state-store sessionize

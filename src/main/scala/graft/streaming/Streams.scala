@@ -960,7 +960,10 @@ object Streams extends Serializable {
     * parked generation, and after N batches the state is EXACTLY the
     * one-shot aggregate over everything delivered (spec-pinned). Per
     * batch: one batch-sized agg + one state-sized merge — history is
-    * never rescanned.
+    * never rescanned. Checkpoint-lineage rule: resetting `checkpoint`
+    * restarts batch ids at 0, which the fence reads as replays — point
+    * a restarted stream at a fresh `statePath` too (see
+    * [[graft.etl.JsonEtl.aggUpsertAt]]'s fence note).
     */
   def aggIngestSink(events: DataFrame, statePath: String,
       checkpoint: String,

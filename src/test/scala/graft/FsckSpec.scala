@@ -263,7 +263,7 @@ class FsckSpec extends SparkSpec {
 
   test("the gate report covers every artifact family of the scratch world, no failures") {
     val report = Fsck.opsFsckReport(spark, sf)
-    assert(report.select(col("kind")).distinct().count() === 5)
+    assert(report.select(col("kind")).distinct().count() === Fsck.Kinds.size)
     assert(report.filter(col("status") === "fail").count() === 0,
       "the maintenance scratch world must hold no integrity failures")
   }

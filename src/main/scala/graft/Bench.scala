@@ -26,7 +26,7 @@ object Bench {
     "etl_json_extract", "etl_latest_by_key", "etl_sessionize",
     "etl_tumbling_window", "etl_sliding_window", "etl_redact",
     "etl_quality_audit", "etl_expectations", "etl_scd2", "etl_gap_fill",
-    "etl_merge_upsert", "etl_incremental_agg",
+    "etl_merge_upsert", "etl_incremental_agg", "etl_incremental_agg_stats",
     "etl_snapshot_diff",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
     "dedup_components", "dedup_components_incremental",
@@ -34,7 +34,8 @@ object Bench {
     "dedup_embedding_incremental", "dedup_index_audit", "dedup_index_report",
     "dedup_tune_bands", "dedup_tune_embedding", "dedup_semantic",
     "ann_bruteforce_topk", "ann_filtered_bruteforce", "ann_filtered_topk",
-    "ann_filtered_topk_indexed",
+    "ann_filtered_topk_indexed", "ann_filtered_opq_indexed",
+    "ann_filtered_residual_indexed",
     "ann_lsh_topk", "ann_ivf_topk", "ann_int8_topk",
     "ann_jl_topk", "ann_pca_topk",
     "ann_int8_ivf_topk", "ann_pq_topk", "ann_opq_topk", "ann_opq_topk_fed",
@@ -54,7 +55,8 @@ object Bench {
     "text_mixture_sample", "text_mixture_temperature",
     "text_select_budget_threshold", "text_bpe_tokens",
     "text_source_stats", "text_source_sketches", "profile_value_sketches",
-    "profile_distribution_drift", "profile_drift_fed", "text_token_shards",
+    "profile_distribution_drift", "profile_drift_fed",
+    "profile_categorical_drift", "profile_drift_multi", "text_token_shards",
     "text_vocab_coverage",
     "text_chunk_documents",
     "text_span_dedup", "text_surprisal", "text_bigram_perplexity",

@@ -124,6 +124,17 @@ object GraftExtensions {
                 s"divisor must be double, got $other")
             })
         }),
+      "ewma_fold" -> (
+        new ExpressionInfo(classOf[graft.functions.EwmaFold].getName, "ewma_fold"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2, "ewma_fold(values, alpha) takes 2 arguments")
+          require(args(1).foldable, "alpha must be a literal double")
+          graft.functions.EwmaFold(args(0), args(1).eval() match {
+            case d: Double => d
+            case other => throw new IllegalArgumentException(
+              s"alpha must be double, got $other")
+          })
+        }),
       "bpe_encode" -> (
         new ExpressionInfo(classOf[graft.functions.BpeEncode].getName, "bpe_encode"),
         (args: Seq[Expression]) => {

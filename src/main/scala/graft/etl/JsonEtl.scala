@@ -365,6 +365,70 @@ object JsonEtl {
         min(col("min_value")).as("min_value"),
         max(col("max_value")).as("max_value"))
 
+  // ------------------------------------ generic N-column additive state
+  /** [[aggState]] generalized over a DECLARED list of value columns, each
+    * carrying the full additive-statistic set (sum, sum of squares, min,
+    * max) plus the shared row count — the state a real rolling dashboard
+    * wants: variance/stddev per metric, several metrics per key, all
+    * under the same fold-≡-recompute discipline. Only ADDITIVE stats
+    * persist; everything derived (avg, variance = E[x²] − E[x]², stddev)
+    * is a read-time view ([[aggDerivedN]]), never stored — the same
+    * non-additive-stat rule [[aggState]] documents. Sums and sums of
+    * squares are DECIMAL (squares at scale 4 — the square of a 2-dp
+    * value has 4 dp exactly), pinned to fixed precision so fold
+    * generations can't widen the schema; sumsq integer headroom is 24
+    * digits — values up to ~1e12 square safely.
+    */
+  def aggStateN(events: DataFrame, keys: Seq[String],
+      valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "aggStateN needs at least one value column")
+    val stats = valueCols.flatMap { c =>
+      val d = col(c).cast(DecimalType(18, 2))
+      Seq(
+        sum(d).cast(DecimalType(28, 2)).as(s"sum_$c"),
+        sum((d * d).cast(DecimalType(28, 4)))
+          .cast(DecimalType(38, 4)).as(s"sumsq_$c"),
+        min(col(c)).as(s"min_$c"),
+        max(col(c)).as(s"max_$c"))
+    }
+    events.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_events"), stats: _*)
+  }
+
+  /** [[aggUpsert]] for the N-column state: counts, sums and sums of
+    * squares add (decimal — exact, so fold ≡ recompute bit-for-bit),
+    * mins/maxes fold. Associative and commutative like the 1-column form
+    * (spec-pinned), so late/replayed days fold in any order.
+    */
+  def aggUpsertN(state: DataFrame, batch: DataFrame, keys: Seq[String],
+      valueCols: Seq[String]): DataFrame = {
+    val stats = valueCols.flatMap { c => Seq(
+      sum(col(s"sum_$c")).cast(DecimalType(28, 2)).as(s"sum_$c"),
+      sum(col(s"sumsq_$c")).cast(DecimalType(38, 4)).as(s"sumsq_$c"),
+      min(col(s"min_$c")).as(s"min_$c"),
+      max(col(s"max_$c")).as(s"max_$c"))
+    }
+    state.unionByName(aggStateN(batch, keys, valueCols))
+      .groupBy(keys.map(col): _*)
+      .agg(coalesce(sum(col("n_events")), lit(0L)).as("n_events"), stats: _*)
+  }
+
+  /** Read-time derived views over an [[aggStateN]] table: avg, population
+    * variance (E[x²] − E[x]², clamped at 0 against float cancellation)
+    * and stddev per declared column — computed from the stored additive
+    * stats at query time, in DOUBLE (the state's decimals cast once).
+    * Derived stats live HERE and not in the state by the additivity rule.
+    */
+  def aggDerivedN(state: DataFrame, valueCols: Seq[String]): DataFrame =
+    valueCols.foldLeft(state) { (df, c) =>
+      val n = col("n_events").cast(DoubleType)
+      val mean = col(s"sum_$c").cast(DoubleType) / n
+      df.withColumn(s"avg_$c", mean)
+        .withColumn(s"var_$c", greatest(
+          col(s"sumsq_$c").cast(DoubleType) / n - mean * mean, lit(0d)))
+        .withColumn(s"stddev_$c", sqrt(col(s"var_$c")))
+    }
+
   // ------------------------------------------ durable incremental aggregate
   private def aggWatermarkPath(path: String) = s"$path/_fold_watermark"
 
@@ -415,14 +479,35 @@ object JsonEtl {
   def aggUpsertAt(s: SparkSession, path: String, batch: DataFrame,
       batchId: Long,
       keys: Seq[String] = Seq("user_id", "event_type"),
-      valueCol: String = "value"): Unit = {
+      valueCol: String = "value"): Unit =
+    durableFold(s, path, batchId)(
+      aggState(batch, keys, valueCol),
+      st => aggUpsert(st, batch, keys, valueCol))
+
+  /** [[aggUpsertAt]] for the N-column [[aggStateN]] — identical watermark
+    * fence, staged swap and crash recovery; only the state algebra
+    * differs, so the durability argument is stated once above.
+    */
+  def aggUpsertAtN(s: SparkSession, path: String, batch: DataFrame,
+      batchId: Long, keys: Seq[String], valueCols: Seq[String]): Unit =
+    durableFold(s, path, batchId)(
+      aggStateN(batch, keys, valueCols),
+      st => aggUpsertN(st, batch, keys, valueCols))
+
+  /** The shared durable-fold machinery behind [[aggUpsertAt]] and
+    * [[aggUpsertAtN]]: restore a parked generation, skip replayed ids,
+    * swap state + watermark atomically. `freshState` is by-name — a
+    * replayed batch never builds a plan.
+    */
+  private def durableFold(s: SparkSession, path: String, batchId: Long)(
+      freshState: => DataFrame, foldInto: DataFrame => DataFrame): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val old = new org.apache.hadoop.fs.Path(path + ".old")
     // crash-between-renames recovery: the previous generation is parked
     // and the live path is missing — restore it before reading anything
     if (!fs.exists(p) && fs.exists(old))
-      require(fs.rename(old, p), s"aggUpsertAt: restore $old -> $path failed")
+      require(fs.rename(old, p), s"durableFold: restore $old -> $path failed")
     if (batchId <= aggFoldWatermark(s, path)) return // replayed, already in
     def stamp(dir: String): Unit = {
       val out = fs.create(new org.apache.hadoop.fs.Path(
@@ -432,8 +517,8 @@ object JsonEtl {
     val fresh = !fs.exists(p)
     graft.ops.Layout.writeStaged(s, path) { staging =>
       val folded =
-        if (fresh) aggState(batch, keys, valueCol)
-        else aggUpsert(s.read.parquet(path), batch, keys, valueCol)
+        if (fresh) freshState
+        else foldInto(s.read.parquet(path))
       folded.write.parquet(staging)
       stamp(staging)
     }
@@ -443,13 +528,43 @@ object JsonEtl {
     * (event_id mod 4 — stand-ins for four daily loads) and the folded
     * state must equal the one-shot aggregate over everything, which is
     * exactly what the oracle recomputes. ORACLE-EXACT by the decimal
-    * argument above.
+    * argument above. The STATE stays DECIMAL(28,2) — that exactness is
+    * the operator's point — but the gate projection casts `sum_value`
+    * to DOUBLE per the repo-wide §5 output convention (the fold is
+    * already bit-exact in decimal, so one cast at the boundary loses
+    * nothing and keeps the comparison representation-independent).
     */
   def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir).events
     val slices = (0L to 3L).map(i => e.filter(col("event_id") % 4 === i))
     slices.tail.foldLeft(aggState(slices.head))((st, b) => aggUpsert(st, b))
+      .withColumn("sum_value", col("sum_value").cast("double"))
       .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** Gate form of the GENERIC state: two metrics (quantity, extended
+    * price) per (returnflag, linestatus), folded in four l_orderkey-mod
+    * slices, served through the [[aggDerivedN]] views — the folded state
+    * plus sumsq-derived avg/variance/stddev must equal the oracle's
+    * one-shot recomputation. ORACLE-EXACT: the additive stats by the
+    * decimal argument, the derived views because both engines evaluate
+    * the identical double expression tree over identical inputs.
+    * Decimals cast to DOUBLE at the boundary per the §5 convention.
+    */
+  def incrementalAggStats(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir).lineitem
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val vals = Seq("l_quantity", "l_extendedprice")
+    val slices = (0L to 3L).map(i => li.filter(col("l_orderkey") % 4 === i))
+    val folded = slices.tail.foldLeft(aggStateN(slices.head, keys, vals))(
+      (st, b) => aggUpsertN(st, b, keys, vals))
+    val out = aggDerivedN(folded, vals)
+    out.select(out.columns.toSeq.map { c =>
+        if (c.startsWith("sum_") || c.startsWith("sumsq_"))
+          col(c).cast("double").as(c)
+        else col(c)
+      }: _*)
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
   // ------------------------------------------------------------ CDC merge
@@ -592,6 +707,7 @@ object JsonEtl {
   // =================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_incremental_agg"  -> (incrementalAgg _),
+    "etl_incremental_agg_stats" -> (incrementalAggStats _),
     "etl_quality_audit"    -> (qualityAudit _),
     "etl_scd2"             -> (scd2 _),
     "etl_merge_upsert"     -> (mergeUpsertOrders _),
@@ -615,11 +731,50 @@ object JsonEtl {
     "etl_incremental_agg" ->
       """SELECT user_id, event_type,
         |  CAST(count(*) AS BIGINT) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         |  min(value) AS min_value,
         |  max(value) AS max_value
         |FROM events GROUP BY user_id, event_type
         |ORDER BY user_id, event_type""".stripMargin,
+    "etl_incremental_agg_stats" ->
+      """WITH st AS (SELECT l_returnflag, l_linestatus,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sq,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4)))
+        |      AS DECIMAL(38,4)) AS sqq,
+        |    min(l_quantity) AS min_l_quantity,
+        |    max(l_quantity) AS max_l_quantity,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS se,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4)))
+        |      AS DECIMAL(38,4)) AS see,
+        |    min(l_extendedprice) AS min_l_extendedprice,
+        |    max(l_extendedprice) AS max_l_extendedprice
+        |  FROM lineitem GROUP BY l_returnflag, l_linestatus),
+        |d AS (SELECT *,
+        |    -- decimal -> double via VARCHAR: DuckDB's direct decimal cast
+        |    -- double-rounds int128-scaled values past 2^53 (1-ulp off on
+        |    -- ~1e13 sums of squares); the string path is correctly rounded,
+        |    -- which is what Spark's BigDecimal.doubleValue produces
+        |    CAST(n_events AS DOUBLE) AS nd,
+        |    CAST(CAST(sq AS VARCHAR) AS DOUBLE) AS sqd,
+        |    CAST(CAST(sqq AS VARCHAR) AS DOUBLE) AS sqqd,
+        |    CAST(CAST(se AS VARCHAR) AS DOUBLE) AS sed,
+        |    CAST(CAST(see AS VARCHAR) AS DOUBLE) AS seed
+        |  FROM st)
+        |SELECT l_returnflag, l_linestatus, n_events,
+        |  sqd AS sum_l_quantity, sqqd AS sumsq_l_quantity,
+        |  min_l_quantity, max_l_quantity,
+        |  sed AS sum_l_extendedprice, seed AS sumsq_l_extendedprice,
+        |  min_l_extendedprice, max_l_extendedprice,
+        |  sqd / nd AS avg_l_quantity,
+        |  GREATEST(sqqd / nd - (sqd / nd) * (sqd / nd), 0.0) AS var_l_quantity,
+        |  SQRT(GREATEST(sqqd / nd - (sqd / nd) * (sqd / nd), 0.0)) AS stddev_l_quantity,
+        |  sed / nd AS avg_l_extendedprice,
+        |  GREATEST(seed / nd - (sed / nd) * (sed / nd), 0.0) AS var_l_extendedprice,
+        |  SQRT(GREATEST(seed / nd - (sed / nd) * (sed / nd), 0.0)) AS stddev_l_extendedprice
+        |FROM d ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "etl_merge_upsert" ->
       """WITH ch AS (SELECT
         |    CASE WHEN o_custkey % 7 = 0 THEN o_custkey + 1000000 ELSE o_custkey END AS c_custkey,

@@ -95,6 +95,13 @@ package object functions {
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         GraftSqlBridge.expression(bloom), GraftSqlBridge.expression(hashed)))
 
+  /** All prefix EWMAs (s_0 = x_0; s_i = α·x_i + (1−α)·s_{i−1}) of an
+    * in-order `array<double>` in one compiled O(n) pass — see
+    * [[EwmaFold]].
+    */
+  def ewma_fold(values: Column, alpha: Double): Column =
+    GraftSqlBridge.column(EwmaFold(GraftSqlBridge.expression(values), alpha))
+
   /** Count of an `array<long>` hash set's members hitting a serialized
     * Bloom filter, one compiled loop — see [[BloomCount]]. The whole-row
     * decontamination decision when composed with [[hashed_ngrams]].

@@ -129,10 +129,35 @@ object Fsck {
       fs.exists(p) && fs.listStatus(p).nonEmpty
     }.toLong
 
+  /** A missing or exists-but-empty REQUIRED artifact table: the family's
+    * report degrades to one `index_readable` fail row plus the hygiene
+    * checks that don't need the table — [[fsckAggState]]'s
+    * `state_readable` discipline applied to every family, because a
+    * validator must survive exactly the damaged states it exists to
+    * diagnose (one destroyed index must not abort the whole nightly
+    * [[runAll]] for the healthy ones).
+    */
+  private def unreadable(s: SparkSession, path: String, kind: String,
+      missing: String, stagingCandidates: Seq[String]): DataFrame =
+    toDf(s, path, kind, Seq(
+      Check("index_readable", "fail", 1L,
+        s"required artifact table missing or empty: $missing"),
+      warnIf("staging_leftovers", stagingLeftovers(s, stagingCandidates),
+        "crashed maintenance staging/parked dirs present")))
+
   // ------------------------------------------------------------ ANN index
   def fsckAnnIndex(s: SparkSession, path: String): DataFrame = {
     val codesDir = s"$path/pq_codes.parquet"
     val ts = s"$path/tombstones.parquet"
+    val centsDir = s"$path/ivf_centroids.parquet"
+    val annStaging = Seq(
+      s"${path}_retrain_staging", s"${path}_retrain_old",
+      s"${codesDir}_staging", s"$path/drift.parquet_staging",
+      s"$codesDir.compacting", s"$path/drift.parquet.compacting")
+    if (!hasParquet(s, codesDir))
+      return unreadable(s, path, "ann_index", codesDir, annStaging)
+    if (!hasParquet(s, centsDir))
+      return unreadable(s, path, "ann_index", centsDir, annStaging)
     // the codes table feeds every check below — persist the
     // tombstone-anti-joined view once so the audit pays ONE codes scan,
     // not one per count() action (the advertised audit pricing)
@@ -227,6 +252,9 @@ object Fsck {
     */
   def fsckMinhashIndex(s: SparkSession, path: String): DataFrame = {
     val ts = s"${path}_tombstones"
+    if (!hasParquet(s, path))
+      return unreadable(s, path, "minhash_index", path,
+        Seq(s"$path.compacting", s"$path.old"))
     val sigs = s.read.parquet(path)
     val live = graft.ops.Similarity.applyTombstones(s, sigs, ts, "doc_id")
       .persist()
@@ -265,6 +293,13 @@ object Fsck {
     * the honest verdict); the marker protocol is audited via fold debt.
     */
   def fsckEmbeddingIndex(s: SparkSession, path: String): DataFrame = {
+    val embStaging = Seq(
+      s"$path/vectors.compacting", s"$path/buckets.compacting",
+      s"$path/vectors.old", s"$path/buckets.old")
+    if (!hasParquet(s, s"$path/vectors"))
+      return unreadable(s, path, "embedding_index", s"$path/vectors", embStaging)
+    if (!hasParquet(s, s"$path/buckets"))
+      return unreadable(s, path, "embedding_index", s"$path/buckets", embStaging)
     val (vecs, buckets0) = graft.ops.Dedup.loadEmbeddingIndex(s, path)
     val vIds = vecs.select(col("vec_id")).distinct()
     val buckets = buckets0.persist()
@@ -454,15 +489,59 @@ object Fsck {
         s"${Kinds.toSeq.sorted.mkString(", ")}): $path")
   }
 
+  /** [[dispatch]] for the batch entry points: a target whose validator
+    * throws — damage beyond what the per-family readable gates name, a
+    * filesystem error mid-audit — degrades to ONE `fsck_ran` fail row
+    * carrying the exception, instead of aborting the whole nightly
+    * report for every other target. Kind validity is checked by the
+    * callers BEFORE this guard, so config errors stay loud.
+    */
+  private def guarded(s: SparkSession, kind: String, path: String,
+      markerBase: Option[String]): DataFrame =
+    try dispatch(s, kind, path, markerBase)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        toDf(s, path, kind, Seq(Check("fsck_ran", "fail", 1L,
+          s"validator threw ${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).take(200))))
+    }
+
   /** Validate a set of targets ([[Maintenance.Target]]'s kinds) in one
     * report — the read-only sibling of [[Maintenance.runAll]]: run fsck
     * first, maintenance second, and the warn rows should disappear.
+    * `markerBase` applies to EVERY sink_dir target; sink dirs with
+    * distinct marker bases must use [[runConfig]], whose per-target
+    * `markerBase` field expresses them.
     */
   def runAll(s: SparkSession,
       targets: Seq[(String, String)],
       markerBase: Option[String] = None): DataFrame = {
     require(targets.nonEmpty, "fsck needs at least one target")
-    targets.map { case (k, p) => dispatch(s, k, p, markerBase) }
+    targets.foreach { case (k, p) =>
+      require(Kinds.contains(k),
+        s"unknown fsck kind '$k' (expected one of " +
+          s"${Kinds.toSeq.sorted.mkString(", ")}): $p")
+    }
+    targets.map { case (k, p) => guarded(s, k, p, markerBase) }
+      .reduce(_ unionByName _)
+  }
+
+  /** Per-target-markerBase programmatic form — what [[runConfig]] resolves
+    * its JSON into, exposed so callers with heterogeneous sink bases
+    * (e.g. [[Maintenance]]'s fsck phases) don't have to detour through a
+    * JSON document.
+    */
+  def runTargets(s: SparkSession,
+      targets: Seq[(String, String, Option[String])]): DataFrame = {
+    require(targets.nonEmpty, "fsck needs at least one target")
+    targets.foreach { case (k, p, mb) =>
+      require(Kinds.contains(k),
+        s"unknown fsck kind '$k' (expected one of " +
+          s"${Kinds.toSeq.sorted.mkString(", ")}): $p")
+      require(k == "sink_dir" || mb.isEmpty,
+        s"markerBase only applies to sink_dir targets: $p")
+    }
+    targets.map { case (k, p, mb) => guarded(s, k, p, mb) }
       .reduce(_ unionByName _)
   }
 
@@ -498,9 +577,7 @@ object Fsck {
         s"markerBase only applies to sink_dir targets: $path")
       (kind, path, mb)
     }.toSeq
-    require(targets.nonEmpty, "fsck needs at least one target")
-    targets.map { case (k, p, mb) => dispatch(s, k, p, mb) }
-      .reduce(_ unionByName _)
+    runTargets(s, targets)
   }
 
   /** Gate/bench form (rows-only — artifact state is engine-internal): one

@@ -81,9 +81,25 @@ object Maintenance {
     * rebucket ([[Dedup.maybeRebuildEmbeddingIndex]]) for embedding_index
     * targets with `rebuild` set.
     */
+  /** @param fsck optional integrity phases around the pass: "pre" runs
+    *   [[Fsck]] over every target BEFORE any maintenance mutates it and
+    *   aborts loudly on `fail`-severity damage (compacting a
+    *   mixed-generation or duplicate-row artifact would bake the damage
+    *   into the rewritten files — surgery first, then maintenance);
+    *   "post" validates the pass's own output the same way; "both" does
+    *   both; "none" (default) keeps the round-9 behavior. Note the abort
+    *   is deliberate even when maintenance itself would heal the finding
+    *   (replayed-append duplicates that compaction folds): a nightly
+    *   that WANTS the heal runs with fsck = "none"/"post" — the pre
+    *   phase exists for the operator who must not mutate damaged state
+    *   unseen.
+    */
   def runAll(s: SparkSession, targets: Seq[Target],
-      maxRecordsPerFile: Long = 1L * 1024 * 1024): DataFrame = {
+      maxRecordsPerFile: Long = 1L * 1024 * 1024,
+      fsck: String = "none"): DataFrame = {
     require(targets.nonEmpty, "maintenance needs at least one target")
+    require(Set("none", "pre", "post", "both").contains(fsck),
+      s"fsck phase must be none|pre|post|both: $fsck")
     targets.foreach { t =>
       require(Kinds.contains(t.kind),
         s"unknown maintenance kind '${t.kind}' (expected one of " +
@@ -98,6 +114,7 @@ object Maintenance {
       require(t.kind == "sink_dir" || (t.orderCol.isEmpty && t.markerBase.isEmpty),
         s"orderCol/markerBase only apply to sink_dir targets: ${t.path}")
     }
+    if (fsck == "pre" || fsck == "both") assertClean(s, targets, "pre")
     val rows = targets.map { t =>
       val start = System.nanoTime()
       val (checked, fired, audit) = t.kind match {
@@ -146,8 +163,31 @@ object Maintenance {
         (System.nanoTime() - start) / 1000000L)
     }
     import s.implicits._
-    rows.toDF("path", "kind", "retrain_checked", "retrain_fired",
+    val report = rows.toDF("path", "kind", "retrain_checked", "retrain_fired",
       "files_before", "files_after", "rows_written", "wall_ms")
+    if (fsck == "post" || fsck == "both") assertClean(s, targets, "post")
+    report
+  }
+
+  /** The fsck gate behind [[runAll]]'s pre/post phases: validate every
+    * target and abort on any `fail`-severity row — named findings in the
+    * error, so the on-call starts at the damage, not at a stack trace.
+    */
+  private def assertClean(s: SparkSession, targets: Seq[Target],
+      phase: String): Unit = {
+    val fails = Fsck.runTargets(s,
+        targets.map(t => (t.kind, t.path,
+          if (t.kind == "sink_dir") t.markerBase else None)))
+      .filter(col("status") === "fail")
+      .select(col("path"), col("kind"), col("check"), col("detail"))
+      .collect()
+    if (fails.nonEmpty) throw new IllegalStateException(
+      s"$phase-maintenance fsck found ${fails.length} fail-severity " +
+        "finding(s); aborting before " +
+        (if (phase == "pre") "mutating any artifact" else "reporting") +
+        ": " + fails.take(5).map(r =>
+          s"${r.getString(0)} [${r.getString(1)}] ${r.getString(2)}: " +
+            r.getString(3)).mkString("; "))
   }
 
   /** Config-driven form — the [[graft.etl.Pipeline.runConfig]] discipline
@@ -155,6 +195,7 @@ object Maintenance {
     *
     * {{{
     * {"maxRecordsPerFile": 1048576,
+    *  "fsck": "pre",              // optional: none|pre|post|both
     *  "targets": [
     *    {"kind": "ann_index", "path": "/idx/ann",
     *     "retrain": {"corpusPath": "/corpus/vectors",
@@ -205,7 +246,8 @@ object Maintenance {
     }.toSeq
     runAll(s, targets,
       optField(root, "maxRecordsPerFile").map(_.asLong)
-        .getOrElse(1L * 1024 * 1024))
+        .getOrElse(1L * 1024 * 1024),
+      optField(root, "fsck").map(_.asText).getOrElse("none"))
   }
 
   // ------------------------------------------------------------ gate form

@@ -303,35 +303,141 @@ object Profile {
       .groupBy(col("bucket")).agg(count(lit(1)).as(as))
   }
 
-  /** The PSI math over two bucket-count frames — shared verbatim by the
-    * inline report, the persisted-baseline form ([[psiAgainstBaseline]])
-    * and the streaming sink, so the three can never diverge on the
-    * smoothing or fold order.
+  /** The PSI math over a pre-joined (groupCols..., keyCol, n_base, n_cur)
+    * frame — shared verbatim by every PSI form here (numeric inline/fed/
+    * streaming, categorical, multi-column), so none can diverge on the
+    * smoothing or fold order. Smoothing is +0.5 per key with the matching
+    * +0.5·K denominator, where K is the key count WITHIN the group (the
+    * fixed bucket count for numeric reports; the observed category count
+    * for categorical ones — 0.5·K is exact either way); `psi_total` folds
+    * contributions in key order within each group. `groupCols` empty =
+    * one global report (the window degenerates to the lit(1) partition).
     */
-  private def psiReport(s: SparkSession, baseCounts: DataFrame,
-      curCounts: DataFrame, buckets: Int): DataFrame = {
+  private def psiMath(joined: DataFrame, keyCol: String,
+      groupCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(lit(1))
+    val parts = if (groupCols.isEmpty) Seq(lit(1)) else groupCols.map(col)
+    val w = Window.partitionBy(parts: _*)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    s.range(buckets).select(col("id").as("bucket"))
-      .join(baseCounts, Seq("bucket"), "left")
-      .join(curCounts, Seq("bucket"), "left")
-      .select(col("bucket"),
-        coalesce(col("n_base"), lit(0L)).as("n_base"),
-        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val halfK = lit(0.5) * count(lit(1)).over(w).cast("double")
+    joined
       .withColumn("p_base", (col("n_base") + lit(0.5))
-        / (sum(col("n_base")).over(w) + lit(0.5 * buckets)))
+        / (sum(col("n_base")).over(w) + halfK))
       .withColumn("p_cur", (col("n_cur") + lit(0.5))
-        / (sum(col("n_cur")).over(w) + lit(0.5 * buckets)))
+        / (sum(col("n_cur")).over(w) + halfK))
       .withColumn("contrib",
         (col("p_cur") - col("p_base")) * log(col("p_cur") / col("p_base")))
       .withColumn("psi_total", aggregate(
-        array_sort(collect_list(struct(col("bucket"), col("contrib"))).over(w)),
+        array_sort(collect_list(struct(col(keyCol), col("contrib"))).over(w)),
         lit(0.0), (a, x) => a + x.getField("contrib")))
+  }
+
+  /** The numeric PSI report over two bucket-count frames ([[psiMath]] with
+    * the all-buckets grid joined in so empty buckets surface as zeros).
+    */
+  private def psiReport(s: SparkSession, baseCounts: DataFrame,
+      curCounts: DataFrame, buckets: Int): DataFrame =
+    psiMath(
+      s.range(buckets).select(col("id").as("bucket"))
+        .join(baseCounts, Seq("bucket"), "left")
+        .join(curCounts, Seq("bucket"), "left")
+        .select(col("bucket"),
+          coalesce(col("n_base"), lit(0L)).as("n_base"),
+          coalesce(col("n_cur"), lit(0L)).as("n_cur")),
+      "bucket")
       .select(col("bucket"), col("n_base"), col("n_cur"),
         col("p_base"), col("p_cur"), col("contrib"), col("psi_total"))
       .orderBy(col("bucket"))
+
+  /** CATEGORICAL PSI — distribution drift of a discrete column (event-type
+    * mix, source mix, language mix), the drift question quantile buckets
+    * can't ask. Buckets are the categories themselves: the union of
+    * categories observed in EITHER snapshot (a category that vanished or
+    * appeared is precisely the drift signal, so neither side's set can
+    * define the domain alone), Laplace-smoothed like the numeric form so
+    * an appearing/vanishing category contributes a finite term. Shares
+    * [[psiMath]] verbatim; ORACLE-EXACT (counts are exact, the smoothing
+    * and fold replay identically in DuckDB).
+    *
+    * Scale shape: two map-side-combined groupBys over the category column
+    * (pushed-down, column-pruned) + one K-row full-outer join — the
+    * report is K rows for K observed categories. A high-cardinality
+    * "category" (user ids) is a caller error the numeric form serves
+    * better; real category columns are dimension-bounded.
+    */
+  def categoricalDriftOf(docs: DataFrame, isBase: Column,
+      catCol: String): DataFrame = {
+    def counts(side: DataFrame, as: String): DataFrame =
+      side.groupBy(col(catCol).cast("string").as("category"))
+        .agg(count(lit(1)).as(as))
+    psiMath(
+      counts(docs.filter(isBase), "n_base")
+        .join(counts(docs.filter(!isBase), "n_cur"), Seq("category"), "full_outer")
+        .select(col("category"),
+          coalesce(col("n_base"), lit(0L)).as("n_base"),
+          coalesce(col("n_cur"), lit(0L)).as("n_cur")),
+      "category")
+      .select(col("category"), col("n_base"), col("n_cur"),
+        col("p_base"), col("p_cur"), col("contrib"), col("psi_total"))
+      .orderBy(col("category"))
   }
+
+  /** Gate form: source-mix drift across the doc_id-parity split. */
+  def categoricalDrift(s: SparkSession, dir: String): DataFrame =
+    categoricalDriftOf(Tables(s, dir).documents,
+      col("doc_id") % 2 === 0, "source")
+
+  /** MULTI-COLUMN PSI — monitor a declared list of numeric columns in one
+    * config, the "watch these five metrics nightly" contract: one
+    * percentile aggregate computes EVERY column's baseline boundaries in
+    * a single pass over the baseline, one scan per snapshot buckets all
+    * columns at once (each row explodes into |valueCols| (column, bucket)
+    * pairs — bytes scale with the monitored columns, never with text),
+    * and [[psiMath]] runs per column via its group partition. Output =
+    * the single-column report with a leading `value_col`, one psi_total
+    * per column. ORACLE-EXACT per column by the same argument as the
+    * single-column form.
+    */
+  def multiColumnDriftOf(s: SparkSession, docs: DataFrame, isBase: Column,
+      valueCols: Seq[String], buckets: Int = 10): DataFrame = {
+    require(valueCols.nonEmpty, "multiColumnDriftOf needs value columns")
+    import s.implicits._
+    val boundCols = valueCols.map(c => array((1 until buckets).map(i =>
+      expr(s"percentile(CAST($c AS DOUBLE), ${i.toDouble / buckets})")): _*)
+      .as(s"bs_$c"))
+    val bounds = docs.filter(isBase).agg(boundCols.head, boundCols.tail: _*)
+    def counts(side: DataFrame, as: String): DataFrame =
+      side.crossJoin(broadcast(bounds))
+        .select(explode(array(valueCols.map { c =>
+          struct(lit(c).as("value_col"),
+            aggregate(col(s"bs_$c"), lit(0L), (acc, b) =>
+              acc + when(col(c).cast("double") > b, 1L).otherwise(0L))
+              .as("bucket"))
+        }: _*)).as("e"))
+        .groupBy(col("e.value_col").as("value_col"), col("e.bucket").as("bucket"))
+        .agg(count(lit(1)).as(as))
+    val grid = valueCols.toDF("value_col")
+      .crossJoin(s.range(buckets).select(col("id").as("bucket")))
+    psiMath(
+      grid.join(counts(docs.filter(isBase), "n_base"),
+          Seq("value_col", "bucket"), "left")
+        .join(counts(docs.filter(!isBase), "n_cur"),
+          Seq("value_col", "bucket"), "left")
+        .select(col("value_col"), col("bucket"),
+          coalesce(col("n_base"), lit(0L)).as("n_base"),
+          coalesce(col("n_cur"), lit(0L)).as("n_cur")),
+      "bucket", Seq("value_col"))
+      .select(col("value_col"), col("bucket"), col("n_base"), col("n_cur"),
+        col("p_base"), col("p_cur"), col("contrib"), col("psi_total"))
+      .orderBy(col("value_col"), col("bucket"))
+  }
+
+  /** Gate form: quantity + extended price monitored in one config over
+    * the l_orderkey-parity split.
+    */
+  def multiColumnDrift(s: SparkSession, dir: String): DataFrame =
+    multiColumnDriftOf(s, Tables(s, dir).lineitem,
+      col("l_orderkey") % 2 === 0, Seq("l_extendedprice", "l_quantity"))
 
   /** Persist the PSI baseline as a self-describing artifact: boundary
     * array, baseline bucket counts, and a one-row meta table naming the
@@ -343,20 +449,30 @@ object Profile {
     * over the baseline snapshot, paid once per baseline release.
     */
   def savePsiBaseline(df: DataFrame, path: String,
-      valueCol: String = "n_chars", buckets: Int = 10): Unit = {
+      valueCol: String = "n_chars", buckets: Int = 10,
+      categorical: Boolean = false): Unit = {
     val s = df.sparkSession
     import s.implicits._
-    // all three tables land in a staging dir and promote in one rename
+    val kind = if (categorical) "categorical" else "numeric"
+    // all tables land in a staging dir and promote in one rename
     // (the exportShards discipline): a crash mid-restamp, or a monitor
     // reading mid-rewrite, must never see new-generation bounds paired
     // with old-generation counts — that mixed baseline would skew every
     // later PSI silently (false trips or masked drift)
     def writeAll(dir: String): Unit = {
-      val bounds = psiBounds(df, valueCol, buckets)
-      bounds.write.mode("overwrite").parquet(s"$dir/bounds.parquet")
-      psiBucketCounts(df, bounds, valueCol, "n_base")
-        .write.mode("overwrite").parquet(s"$dir/base_counts.parquet")
-      Seq((valueCol, buckets)).toDF("value_col", "buckets")
+      if (categorical) {
+        // the categorical baseline needs no bounds — the categories ARE
+        // the buckets; the artifact stores the baseline's category counts
+        df.groupBy(col(valueCol).cast("string").as("category"))
+          .agg(count(lit(1)).as("n_base"))
+          .write.mode("overwrite").parquet(s"$dir/base_counts.parquet")
+      } else {
+        val bounds = psiBounds(df, valueCol, buckets)
+        bounds.write.mode("overwrite").parquet(s"$dir/bounds.parquet")
+        psiBucketCounts(df, bounds, valueCol, "n_base")
+          .write.mode("overwrite").parquet(s"$dir/base_counts.parquet")
+      }
+      Seq((valueCol, buckets, kind)).toDF("value_col", "buckets", "kind")
         .write.mode("overwrite").parquet(s"$dir/meta.parquet")
     }
     graft.ops.Layout.writeStaged(s, path)(writeAll)
@@ -369,10 +485,31 @@ object Profile {
     */
   def psiAgainstBaseline(s: SparkSession, path: String,
       current: DataFrame): DataFrame = {
-    val meta = s.read.parquet(s"$path/meta.parquet").head()
+    val metaDf = s.read.parquet(s"$path/meta.parquet")
+    val meta = metaDf.head()
     val valueCol = meta.getAs[String]("value_col")
     val buckets = meta.getAs[Int]("buckets")
-    psiReport(s,
+    // pre-`kind` artifacts are numeric by construction
+    val kind = if (metaDf.columns.contains("kind"))
+      meta.getAs[String]("kind") else "numeric"
+    if (kind == "categorical") {
+      // the key domain is artifact categories ∪ current categories —
+      // exactly [[categoricalDriftOf]]'s union rule, so round-tripping a
+      // baseline through the artifact moves no bits (spec-pinned)
+      val curCounts = current
+        .groupBy(col(valueCol).cast("string").as("category"))
+        .agg(count(lit(1)).as("n_cur"))
+      psiMath(
+        s.read.parquet(s"$path/base_counts.parquet")
+          .join(curCounts, Seq("category"), "full_outer")
+          .select(col("category"),
+            coalesce(col("n_base"), lit(0L)).as("n_base"),
+            coalesce(col("n_cur"), lit(0L)).as("n_cur")),
+        "category")
+        .select(col("category"), col("n_base"), col("n_cur"),
+          col("p_base"), col("p_cur"), col("contrib"), col("psi_total"))
+        .orderBy(col("category"))
+    } else psiReport(s,
       s.read.parquet(s"$path/base_counts.parquet"),
       psiBucketCounts(current,
         s.read.parquet(s"$path/bounds.parquet"), valueCol, "n_cur"),
@@ -407,6 +544,8 @@ object Profile {
     "profile_distribution_drift" ->
       ((s: SparkSession, dir: String) => distributionDrift(s, dir)),
     "profile_drift_fed" -> (distributionDriftFed _),
+    "profile_categorical_drift" -> (categoricalDrift _),
+    "profile_drift_multi" -> (multiColumnDrift _),
     "q_profile_documents" -> (profileDocuments _),
     "text_stratified_sample" -> (sampleDocuments _),
     "text_source_sketches" ->
@@ -419,6 +558,26 @@ object Profile {
     // round-trip moves no values), so the two share one oracle string
     "profile_drift_fed" -> psiOracleSql,
     "profile_distribution_drift" -> psiOracleSql,
+    "profile_categorical_drift" ->
+      """WITH cnt AS (SELECT CAST(source AS VARCHAR) AS category,
+        |    CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+        |    CAST(SUM(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+        |  FROM documents GROUP BY 1),
+        |k AS (SELECT 0.5 * COUNT(*) AS hk,
+        |    CAST(SUM(n_base) AS BIGINT) AS sb,
+        |    CAST(SUM(n_cur) AS BIGINT) AS sc FROM cnt),
+        |sh AS (SELECT category, n_base, n_cur,
+        |    (n_base + 0.5) / (sb + hk) AS p_base,
+        |    (n_cur + 0.5) / (sc + hk) AS p_cur
+        |  FROM cnt, k),
+        |c AS (SELECT *, (p_cur - p_base) * ln(p_cur / p_base) AS contrib FROM sh),
+        |t AS (SELECT list_reduce(list(contrib ORDER BY category), (a, b) -> a + b) AS psi FROM c)
+        |SELECT category, n_base, n_cur, p_base, p_cur, contrib, psi AS psi_total
+        |FROM c, t ORDER BY category""".stripMargin,
+    "profile_drift_multi" ->
+      Seq("l_extendedprice", "l_quantity").map(psiLineitemColumnOracle)
+        .map(q => s"SELECT * FROM (\n$q\n)")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY value_col, bucket"),
     "q_profile_documents" ->
       """SELECT * FROM (
         |  SELECT 'doc_id' AS "column", COUNT(*) FILTER (doc_id IS NULL) AS n_nulls,
@@ -441,6 +600,35 @@ object Profile {
         |  CASE lang WHEN 'en' THEN 500 WHEN 'fr' THEN 200 WHEN 'es' THEN 200
         |    WHEN 'de' THEN 200 WHEN 'zh' THEN 200 ELSE -1 END
         |ORDER BY doc_id""".stripMargin)
+
+  /** One lineitem column's PSI report (l_orderkey-parity split) with a
+    * `value_col` label — the multi-column oracle unions one per column.
+    * Same math as [[psiOracleSql]], parameterized by column.
+    */
+  private def psiLineitemColumnOracle(valueCol: String): String = {
+    val qs = (1 until 10).map(i => s"quantile_cont(v, 0.$i)").mkString(", ")
+    s"""WITH d AS (SELECT l_orderkey AS rid, CAST($valueCol AS DOUBLE) AS v FROM lineitem),
+       |bounds AS MATERIALIZED (SELECT [$qs] AS bs FROM d WHERE rid % 2 = 0),
+       |bkt AS (SELECT rid % 2 = 0 AS is_base,
+       |    CAST(len(list_filter(bounds.bs, b -> v > b)) AS BIGINT) AS bucket
+       |  FROM d, bounds),
+       |cnt AS (SELECT bucket,
+       |    SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS nb,
+       |    SUM(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS nc
+       |  FROM bkt GROUP BY bucket),
+       |allb AS (SELECT CAST(r.range AS BIGINT) AS bucket,
+       |    CAST(COALESCE(nb, 0) AS BIGINT) AS n_base,
+       |    CAST(COALESCE(nc, 0) AS BIGINT) AS n_cur
+       |  FROM range(10) r LEFT JOIN cnt ON r.range = cnt.bucket),
+       |sh AS (SELECT *,
+       |    (n_base + 0.5) / ((SELECT SUM(n_base) FROM allb) + 5.0) AS p_base,
+       |    (n_cur + 0.5) / ((SELECT SUM(n_cur) FROM allb) + 5.0) AS p_cur
+       |  FROM allb),
+       |c AS (SELECT *, (p_cur - p_base) * ln(p_cur / p_base) AS contrib FROM sh),
+       |t AS (SELECT list_reduce(list(contrib ORDER BY bucket), (a, b) -> a + b) AS psi FROM c)
+       |SELECT '$valueCol' AS value_col, bucket, n_base, n_cur, p_base, p_cur, contrib, psi AS psi_total
+       |FROM c, t""".stripMargin
+  }
 
   private lazy val psiOracleSql: String = {
     val qs = (1 until 10).map(i => s"quantile_cont(v, 0.$i)").mkString(", ")

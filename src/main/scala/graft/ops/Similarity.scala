@@ -641,9 +641,7 @@ object Similarity {
       shortlist: Int = 50,
       precomputedComponents: Option[DataFrame] = None): DataFrame = {
     val e = Tables(s, dir).embeddings
-    val m = precomputedComponents.getOrElse(trainPca(s, dir))
-      .select(col("comp"), col("weights")).collect()
-      .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+    val m = rotationLiteral(precomputedComponents.getOrElse(trainPca(s, dir)))
     val k = m.length
     def reduce(df: DataFrame): DataFrame = df.select(col("vec_id"),
       graft.functions.mat_vec(col("embedding"), m.flatten, k, 64, 1.0)
@@ -1058,6 +1056,16 @@ object Similarity {
       graft.functions.mat_vec(col("embedding"), r.flatten, dim, dim, 1.0)
         .cast("array<float>"))
 
+  /** Collect a (comp, weights) model frame — an OPQ rotation or a PCA
+    * basis, both 64×64 ≈ 32 KB, driver-scale by definition — into the
+    * row-major matrix [[rotateFrame]]/mat_vec consume. The ONE place the
+    * comp-ordering convention lives; every rotation consumer calls this
+    * instead of re-spelling the collect-sort-pack.
+    */
+  private[graft] def rotationLiteral(rot: DataFrame): Array[Array[Double]] =
+    rot.select(col("comp"), col("weights")).collect()
+      .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+
   /** Optimized Product Quantization (Ge et al., CVPR 2013; the FAISS
     * `OPQMatrix` pre-transform): learn an orthogonal rotation R that
     * redistributes variance across the PQ subspaces before quantizing, so
@@ -1197,8 +1205,7 @@ object Similarity {
     opqCentsMemo.computeIfAbsent((ctx, dir), { _ =>
       val path = sessionScratchPath(s, "graft_opq_cents", dir)
       val (rot, _) = persistedOpqModel(s, dir)
-      val r = rot.select(col("comp"), col("weights")).collect()
-        .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+      val r = rotationLiteral(rot)
       centroids(rotateFrame(Tables(s, dir).embeddings, r))
         .write.mode("overwrite").parquet(path)
       s.read.parquet(path)
@@ -1234,25 +1241,53 @@ object Similarity {
     * rotated corpus is encoded ONCE per (session, corpus) by the same
     * [[buildIvfpqIndex]] pass the one-shot form runs inline.
     */
-  def opqIvfpqTopkIndexed(s: SparkSession, dir: String): DataFrame = {
+  /** The session's persisted raw-OPQ composed codes — built ONCE per
+    * (session, corpus) through the REAL composed-index artifact
+    * ([[saveOpqIndex]] — rotation + models + codes under one path with
+    * the full maintenance lifecycle), so the serving rungs serve exactly
+    * what a deployment would load, tombstone filtering included. Shared
+    * by the unfiltered and filtered indexed rungs.
+    */
+  private def persistedOpqCodes(s: SparkSession, dir: String): DataFrame = {
     val (rot, cb) = persistedOpqModel(s, dir)
     val cents = persistedOpqCents(s, dir)
     val ctx = s.sparkContext.applicationId + "/" + s.sparkContext.startTime
     opqCodesMemo.keySet.removeIf(_._1 != ctx)
-    val codes = opqCodesMemo.computeIfAbsent((ctx, dir), { _ =>
-      // persist through the REAL composed-index artifact ([[saveOpqIndex]]
-      // — rotation + models + codes under one path with the full
-      // maintenance lifecycle), so the gate/bench entry serves exactly
-      // what a deployment would load, tombstone filtering included
+    opqCodesMemo.computeIfAbsent((ctx, dir), { _ =>
       val path = sessionScratchPath(s, "graft_opq_index", dir)
-      val r = rot.select(col("comp"), col("weights")).collect()
-        .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+      val r = rotationLiteral(rot)
       saveOpqIndex(path, rot, cents, cb,
         buildIvfpqIndex(rotateFrame(Tables(s, dir).embeddings, r), cents, cb))
       loadOpqIndex(s, path)._4
     })
-    opqIvfpqTopk(s, dir, model = Some((rot, cents, cb)),
-      precomputedCodes = Some(codes))
+  }
+
+  def opqIvfpqTopkIndexed(s: SparkSession, dir: String): DataFrame = {
+    val (rot, cb) = persistedOpqModel(s, dir)
+    opqIvfpqTopk(s, dir, model = Some((rot, persistedOpqCents(s, dir), cb)),
+      precomputedCodes = Some(persistedOpqCodes(s, dir)))
+  }
+
+  /** Metadata-filtered serving from the raw-OPQ composed index — the
+    * pre-filter eligible-id semi-join of [[ivfpqFilteredTopkIndexed]]
+    * applied to the rotated-space codes of the "OPQ,IVF,PQ" (raw-code)
+    * artifact; `pred = lit(true)` ≡ [[opqIvfpqTopkIndexed]] row-for-row
+    * (spec-pinned). The flagship residual twin is
+    * [[opqIvfpqResidualFilteredTopkIndexed]], where the full rationale
+    * lives.
+    */
+  def opqIvfpqFilteredTopkIndexed(s: SparkSession, dir: String,
+      pred: Column = col("label") % 2 === 0,
+      shortlist: Int = 100,
+      nprobe: Int = NProbe): DataFrame = {
+    val e = Tables(s, dir).embeddings
+    val eligible = e.filter(pred).select(col("vec_id"))
+    val (rot, cb) = persistedOpqModel(s, dir)
+    opqIvfpqTopk(s, dir, shortlist,
+      model = Some((rot, persistedOpqCents(s, dir), cb)),
+      precomputedCodes = Some(persistedOpqCodes(s, dir)
+        .join(eligible, Seq("vec_id"), "left_semi")),
+      nprobe = nprobe)
   }
 
   /** [[pqTopk]] with the OPQ rotation in front: corpus and queries rotate
@@ -1281,8 +1316,7 @@ object Similarity {
       maxBatchQ: Int = MaxAdcBatchQ): DataFrame = {
     val e = Tables(s, dir).embeddings
     val (rotDf, cb) = model.getOrElse(trainOpq(s, dir))
-    val r = rotDf.select(col("comp"), col("weights")).collect()
-      .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+    val r = rotationLiteral(rotDf)
     val rotE = rotateFrame(e, r)
     val rotQ = rotateFrame(
         queries.select(col("query_id").as("vec_id"), col("embedding")), r)
@@ -1421,8 +1455,7 @@ object Similarity {
       nprobe: Int = NProbe): DataFrame = {
     val e = Tables(s, dir).embeddings
     val (rotDf, cents, cb) = model.getOrElse(trainOpqIvf(s, dir))
-    val r = rotDf.select(col("comp"), col("weights")).collect()
-      .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+    val r = rotationLiteral(rotDf)
     val rotQ = rotateFrame(
         queries.select(col("query_id").as("vec_id"), col("embedding")), r)
       .select(col("vec_id").as("query_id"), col("embedding"))
@@ -1441,8 +1474,7 @@ object Similarity {
     */
   def trainOpqIvf(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     val (rot, cb) = trainOpq(s, dir)
-    val r = rot.select(col("comp"), col("weights")).collect()
-      .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+    val r = rotationLiteral(rot)
     val cents = centroids(rotateFrame(Tables(s, dir).embeddings, r))
     (rot, cents, cb)
   }
@@ -1615,9 +1647,8 @@ object Similarity {
       path: String): Option[Array[Array[Double]]] = {
     val p = new org.apache.hadoop.fs.Path(s"$path/opq_rotation.parquet")
     if (!p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)) None
-    else Some(s.read.parquet(s"$path/opq_rotation.parquet")
-      .select(col("comp"), col("weights")).collect()
-      .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray))
+    else Some(rotationLiteral(
+      s.read.parquet(s"$path/opq_rotation.parquet")))
   }
 
   /** (IVF centroids, PQ codebooks, corpus codes) from [[saveIndex]] —
@@ -2281,8 +2312,7 @@ object Similarity {
     // codes, drift baseline) rebuilds in the NEW rotated space
     val maybeRot = indexRotation(s, path).map { _ =>
       val (rotDf, cbFlat) = trainOpqOn(s, train)
-      (rotDf, rotDf.select(col("comp"), col("weights")).collect()
-        .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray), cbFlat)
+      (rotDf, rotationLiteral(rotDf), cbFlat)
     }
     val trainEnc = maybeRot.map { case (_, r, _) => rotateFrame(train, r) }
       .getOrElse(train)
@@ -2651,8 +2681,7 @@ object Similarity {
       nprobe: Int = NProbe): DataFrame = {
     val e = Tables(s, dir).embeddings
     val (rotDf, cents, cb) = model.getOrElse(trainOpqIvfResidual(s, dir))
-    val r = rotDf.select(col("comp"), col("weights")).collect()
-      .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+    val r = rotationLiteral(rotDf)
     val rotQ = rotateFrame(
         queries.select(col("query_id").as("vec_id"), col("embedding")), r)
       .select(col("vec_id").as("query_id"), col("embedding"))
@@ -2674,8 +2703,7 @@ object Similarity {
   def trainOpqIvfResidual(s: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val (rot, _) = trainOpq(s, dir)
-    val r = rot.select(col("comp"), col("weights")).collect()
-      .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+    val r = rotationLiteral(rot)
     val rotE = rotateFrame(Tables(s, dir).embeddings, r)
     val cents = centroids(rotE)
     val cb = pqCodebooks(
@@ -2724,23 +2752,71 @@ object Similarity {
     * compaction, a rotation-refitting residual retrain) applies to this
     * flagship tier unchanged.
     */
-  def opqIvfpqResidualTopkIndexed(s: SparkSession, dir: String): DataFrame = {
+  /** The session's persisted residual-composed codes — built ONCE per
+    * (session, corpus) through the REAL `saveOpqIndex(residual = true)`
+    * artifact and read back after; shared by the unfiltered indexed rung
+    * and the filtered serving rung so both serve the SAME artifact.
+    */
+  private def persistedOpqResidCodes(s: SparkSession, dir: String): DataFrame = {
     val ctx = s.sparkContext.applicationId + "/" + s.sparkContext.startTime
-    val m = persistedOpqResidModel(s, dir)
     opqResidCodesMemo.keySet.removeIf(_._1 != ctx)
-    val codes = opqResidCodesMemo.computeIfAbsent((ctx, dir), { _ =>
+    opqResidCodesMemo.computeIfAbsent((ctx, dir), { _ =>
       val path = sessionScratchPath(s, "graft_opqres_index", dir)
-      val (rot, cents, cb) = m
-      val r = rot.select(col("comp"), col("weights")).collect()
-        .sortBy(_.getLong(0)).map(_.getSeq[Double](1).toArray)
+      val (rot, cents, cb) = persistedOpqResidModel(s, dir)
+      val r = rotationLiteral(rot)
       saveOpqIndex(path, rot, cents, cb,
         buildIvfpqIndex(rotateFrame(Tables(s, dir).embeddings, r), cents, cb,
           residual = true),
         residual = true)
       loadOpqIndex(s, path)._4
     })
-    opqIvfpqResidualTopk(s, dir, model = Some(m),
-      precomputedCodes = Some(codes))
+  }
+
+  def opqIvfpqResidualTopkIndexed(s: SparkSession, dir: String): DataFrame =
+    opqIvfpqResidualTopk(s, dir,
+      model = Some(persistedOpqResidModel(s, dir)),
+      precomputedCodes = Some(persistedOpqResidCodes(s, dir)))
+
+  /** Metadata-filtered serving from the FLAGSHIP composed-residual index —
+    * [[ivfpqFilteredTopkIndexed]]'s pre-filter formulation lifted to the
+    * best artifact the store has ("OPQ,IVF,PQ" residual codes), so
+    * "neighbors of q WHERE pred" is answered at flagship recall instead of
+    * raw-IVFPQ recall. Order of operations is the part that matters:
+    * (1) the predicate runs on the METADATA table — pushed-down,
+    * column-pruned scan producing eligible vec_ids (a few bytes each;
+    * broadcast at selective predicates, vec_id-shuffled at broad ones);
+    * (2) the eligible set restricts the ROTATED-SPACE codes by semi-join
+    * BEFORE cell restriction and ADC — shortlist cost stays
+    * selectivity-proportional and k fills from the eligible set (the
+    * pre-filter formulation; post-filtering would under-fill whenever
+    * selectivity < k/N); (3) queries rotate through the index's own R;
+    * (4) the exact rerank runs in ORIGINAL space over shortlisted (hence
+    * eligible) candidates only. Models stay trained on the FULL corpus —
+    * the filter is a serving-time argument, never a retrain.
+    *
+    * With `pred = lit(true)` the restriction is the identity and the
+    * output matches [[opqIvfpqResidualTopkIndexed]] row-for-row
+    * (spec-pinned), so the filtered path cannot drift from the flagship
+    * serving tier.
+    */
+  def opqIvfpqResidualFilteredTopkIndexed(s: SparkSession, dir: String,
+      pred: Column = col("label") % 2 === 0,
+      shortlist: Int = 100,
+      nprobe: Int = NProbe): DataFrame = {
+    val e = Tables(s, dir).embeddings
+    val eligible = e.filter(pred).select(col("vec_id"))
+    val restricted = persistedOpqResidCodes(s, dir)
+      .join(eligible, Seq("vec_id"), "left_semi")
+    val (rot, cents, cb) = persistedOpqResidModel(s, dir)
+    val queries = corpusQueries(e)
+    val rotQ = rotateFrame(
+        queries.select(col("query_id").as("vec_id"), col("embedding")),
+        rotationLiteral(rot))
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    rerankExactFor(e,
+      ivfpqResidualShortlist(rotQ, cents, withSub(cb, PqKsub), restricted,
+        shortlist, MaxAdcBatchQ, nprobe),
+      queries)
   }
 
   // ------------------------------------------------------------ evaluation
@@ -2933,6 +3009,10 @@ object Similarity {
       ((s: SparkSession, dir: String) => ivfFilteredTopk(s, dir)),
     "ann_filtered_topk_indexed" ->
       ((s: SparkSession, dir: String) => ivfpqFilteredTopkIndexed(s, dir)),
+    "ann_filtered_opq_indexed" ->
+      ((s: SparkSession, dir: String) => opqIvfpqFilteredTopkIndexed(s, dir)),
+    "ann_filtered_residual_indexed" ->
+      ((s: SparkSession, dir: String) => opqIvfpqResidualFilteredTopkIndexed(s, dir)),
     "ann_lsh_topk"        -> ((s: SparkSession, dir: String) => lshTopk(s, dir)),
     "ann_ivf_topk"        -> ((s: SparkSession, dir: String) => ivfTopk(s, dir)))
 

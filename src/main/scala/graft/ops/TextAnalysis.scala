@@ -716,9 +716,19 @@ object TextAnalysis {
     * computing a GLOBAL prefix sum without a global sort: the classic
     * two-phase distributed scan —
     *
-    *   1. docs bucket into `numRanges` arithmetic doc_id ranges (pure
-    *      arithmetic on max(doc_id), broadcast as a one-row bounds frame
-    *      — the gap_fill shape);
+    *   1. docs bucket into `numRanges` contiguous doc_id ranges whose
+    *      boundaries come from APPROXIMATE doc_id QUANTILES (one
+    *      percentile_approx agg, broadcast as a one-row bounds frame —
+    *      the gap_fill shape). Quantile boundaries, not max/numRanges
+    *      arithmetic, so a sparse or clustered id space (snowflake ids,
+    *      a compacted corpus) still spreads ~N/numRanges rows per range
+    *      — arithmetic ranges would concentrate rows into a few ranges
+    *      and push the within-range window toward exactly the
+    *      single-partition hotspot the two-phase scan exists to avoid.
+    *      The OUTPUT is boundary-independent: any contiguous,
+    *      doc_id-monotone bucketing yields the same global prefix sum
+    *      (range totals + within-range sums recompose identically), so
+    *      the quantile estimate only shapes the WORK, never the answer;
     *   2. one `numRanges`-row groupBy gives per-range token totals, whose
     *      exclusive prefix (a window over `numRanges` rows — param-
     *      bounded, driver-scale) is each range's global OFFSET;
@@ -742,11 +752,20 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val toks = docsDf.select(col("doc_id"),
       size(words(col("text"))).cast(LongType).as("n_tokens"))
-    val bounds = toks.agg(max(col("doc_id")).as("mx"))
-    val ranged = toks.crossJoin(broadcast(bounds))
-      .withColumn("rng", floor(col("doc_id") /
-        ceil((col("mx") + 1).cast(DoubleType) / lit(numRanges))).cast(LongType))
-      .drop("mx")
+    val ranged =
+      if (numRanges == 1) toks.withColumn("rng", lit(0L))
+      else {
+        // range id = #boundaries strictly below doc_id — monotone in
+        // doc_id by construction, so ranges stay contiguous no matter
+        // how approximate the quantile estimate is
+        val probs = (1 until numRanges).map(_.toDouble / numRanges).toArray
+        val bounds = toks.agg(percentile_approx(col("doc_id"),
+          lit(probs), lit(10000)).as("bs"))
+        toks.crossJoin(broadcast(bounds))
+          .withColumn("rng", aggregate(col("bs"), lit(0L),
+            (acc, b) => acc + when(col("doc_id") > b, lit(1L)).otherwise(lit(0L))))
+          .drop("bs")
+      }
     val offsets = ranged.groupBy(col("rng"))
       .agg(sum(col("n_tokens")).as("rt"))
       .withColumn("offset", coalesce(sum(col("rt")).over(

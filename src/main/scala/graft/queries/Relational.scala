@@ -615,38 +615,28 @@ object Relational {
     * order-SENSITIVE smoothing a recursive window (s_t = α·x_t +
     * (1−α)·s_{t−1}) needs, which no plain window frame can express
     * (weights depend on distance from t). The in-order-fold discipline
-    * makes it ORACLE-EXACT: one fold per user over the event_id-sorted
-    * value list builds ALL prefix EWMAs in O(n) arithmetic — though the
-    * `concat`-grown accumulator copies O(n²) array cells in the worst
-    * case, acceptable only under the bounded-history caveat below (the
-    * oracle recomputes each prefix independently — O(n²) arithmetic but
-    * bit-identical, same FP op sequence) — then explodes back to rows.
-    * α = 0.5, an exact binary
-    * fraction. Bounded-group caveat as q_string_agg: the per-user list
-    * materializes, so this is for keys with bounded history — the
-    * unbounded-stream shape is the streaming state-store sessionize
-    * family, not a batch fold.
+    * makes it ORACLE-EXACT: one compiled [[graft.functions.EwmaFold]]
+    * pass per user over the event_id-sorted value list emits ALL prefix
+    * EWMAs in O(n) — the interpreted `aggregate(concat(acc, ...))` form
+    * this replaces copied O(n²) accumulator cells per group (parity
+    * spec-pinned bit-for-bit in FunctionsSpec; the oracle recomputes each
+    * prefix independently — O(n²) arithmetic but the same FP op
+    * sequence). α = 0.5, an exact binary fraction. Bounded-group caveat
+    * as q_string_agg: the per-user list materializes, so this is for
+    * keys with bounded history — the unbounded-stream shape is the
+    * streaming state-store sessionize family, not a batch fold.
     */
   def ewma(s: SparkSession, dir: String): DataFrame = {
     val packed = Tables(s, dir).events
       .groupBy(col("user_id"))
       .agg(array_sort(collect_list(struct(col("event_id"), col("value"))))
         .as("xs"))
-    val folded = aggregate(
-      col("xs"),
-      expr("CAST(array() AS ARRAY<STRUCT<event_id: BIGINT, value: DOUBLE, ewma: DOUBLE>>)"),
-      (acc, x) => {
-        val prev = element_at(acc, -1).getField("ewma")
-        val e = when(size(acc) === 0, x.getField("value"))
-          .otherwise(lit(0.5) * x.getField("value") + lit(0.5) * prev)
-        concat(acc, array(struct(
-          x.getField("event_id").as("event_id"),
-          x.getField("value").as("value"),
-          e.as("ewma"))))
-      })
-    packed.select(col("user_id"), explode(folded).as("r"))
-      .select(col("user_id"), col("r.event_id").as("event_id"),
-        col("r.value").as("value"), col("r.ewma").as("ewma"))
+      .withColumn("es", graft.functions.ewma_fold(col("xs.value"), 0.5))
+    packed.select(col("user_id"), posexplode(col("xs")).as(Seq("i", "x")),
+        col("es"))
+      .select(col("user_id"), col("x.event_id").as("event_id"),
+        col("x.value").as("value"),
+        element_at(col("es"), col("i") + 1).as("ewma"))
       .orderBy(col("user_id"), col("event_id"))
   }
 

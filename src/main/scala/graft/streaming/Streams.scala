@@ -933,22 +933,6 @@ object Streams extends Serializable {
       }
       .start()
 
-  /** Continuous DATA-drift monitoring — the streaming twin of
-    * [[graft.ops.Profile.distributionDrift]] and the data-side sibling of
-    * [[annIngestSink]]'s model-drift rows: each micro-batch's value
-    * distribution is PSI-scored against a FROZEN
-    * [[graft.ops.Profile.savePsiBaseline]] artifact (which names its own
-    * value column and bucket geometry — the sink cannot bucket the wrong
-    * thing against it), and the full 10-bucket report lands batch-tagged
-    * in `auditDir` with a `drifted` verdict at the classic PSI > 0.25
-    * threshold. The audit dir is the drift TIME SERIES an ops dashboard
-    * trends (the [[expectationsSink]] discipline applied to
-    * distributions, not row contracts); verdict rows are not
-    * content-derived, so the sink commits through the exactly-once
-    * protocol. Per-batch cost: one bucketing scan of the batch plus a
-    * 10-row join against the few-KB artifact. Batch ≡ stream parity and
-    * the shifted-batch trip are spec-pinned (StreamingSpec).
-    */
   /** Streaming incremental aggregation — pyetl's rolling keyed aggregate
     * kept live by the stream itself: each micro-batch folds into the
     * persisted [[graft.etl.JsonEtl.aggState]] table via
@@ -978,6 +962,24 @@ object Streams extends Serializable {
       }
       .start()
 
+  /** Continuous DATA-drift monitoring — the streaming twin of
+    * [[graft.ops.Profile.distributionDrift]] and the data-side sibling of
+    * [[annIngestSink]]'s model-drift rows: each micro-batch's value
+    * distribution is PSI-scored against a FROZEN
+    * [[graft.ops.Profile.savePsiBaseline]] artifact (which names its own
+    * value column, bucket geometry AND kind — numeric deciles or
+    * categorical mix, so the sink can monitor an event-type share shift
+    * with the same code and cannot bucket the wrong thing against the
+    * artifact), and the full per-bucket report lands batch-tagged in
+    * `auditDir` with a `drifted` verdict at the classic PSI > 0.25
+    * threshold. The audit dir is the drift TIME SERIES an ops dashboard
+    * trends (the [[expectationsSink]] discipline applied to
+    * distributions, not row contracts); verdict rows are not
+    * content-derived, so the sink commits through the exactly-once
+    * protocol. Per-batch cost: one bucketing scan of the batch plus a
+    * few-row join against the few-KB artifact. Batch ≡ stream parity and
+    * the shifted-batch trip are spec-pinned (StreamingSpec).
+    */
   def psiDriftSink(events: DataFrame, baselinePath: String,
       auditDir: String, checkpoint: String,
       trip: Double = 0.25): org.apache.spark.sql.streaming.StreamingQuery =

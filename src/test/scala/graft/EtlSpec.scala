@@ -57,6 +57,76 @@ class EtlSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(path + ".old")))
   }
 
+  test("generic additive state: N-column fold ≡ recompute bit-exactly, any order, empty batch no-op") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val vals = Seq("l_quantity", "l_extendedprice")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(keys.map(col): _*).collect().toSeq
+    val oneShot = JsonEtl.aggStateN(li, keys, vals)
+    val slices = (0L to 3L).map(i => li.filter(col("l_orderkey") % 4 === i))
+    val folded = slices.tail.foldLeft(
+      JsonEtl.aggStateN(slices.head, keys, vals))(
+      (st, b) => JsonEtl.aggUpsertN(st, b, keys, vals))
+    // schema too: the fixed decimal pins keep fold generations from
+    // widening sum/sumsq types
+    assert(folded.schema === oneShot.schema)
+    assert(key(folded) === key(oneShot))
+    // commutativity: a permuted arrival order folds to the same state
+    val permuted = Seq(3, 1, 0, 2).map(slices(_))
+    val folded2 = permuted.tail.foldLeft(
+      JsonEtl.aggStateN(permuted.head, keys, vals))(
+      (st, b) => JsonEtl.aggUpsertN(st, b, keys, vals))
+    assert(key(folded2) === key(oneShot))
+    // an empty batch is a no-op
+    val foldedEmpty = JsonEtl.aggUpsertN(folded, li.filter(lit(false)), keys, vals)
+    assert(key(foldedEmpty) === key(oneShot))
+    // the sumsq-derived views agree with Spark's own population moments
+    // (small float tolerance — var_pop uses a different, numerically
+    // stable algorithm; l_quantity is 2dp-exact so the decimal rounding
+    // in the state loses nothing)
+    val derived = JsonEtl.aggDerivedN(oneShot, vals)
+    val direct = li.groupBy(keys.map(col): _*).agg(
+      var_pop(col("l_quantity")).as("vp"), avg(col("l_quantity")).as("ap"))
+    derived.join(direct, keys).collect().foreach { r =>
+      val vp = r.getAs[Double]("vp")
+      assert(math.abs(r.getAs[Double]("var_l_quantity") - vp)
+        <= 1e-6 * math.max(1.0, vp), "variance view diverged")
+      assert(math.abs(r.getAs[Double]("stddev_l_quantity") - math.sqrt(vp))
+        <= 1e-6 * math.max(1.0, math.sqrt(vp)), "stddev view diverged")
+      assert(math.abs(r.getAs[Double]("avg_l_quantity") - r.getAs[Double]("ap"))
+        <= 1e-9 * math.abs(r.getAs[Double]("ap")), "avg view diverged")
+    }
+  }
+
+  test("durable generic state: replay is a no-op, crash mid-swap recovers (N-column)") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val keys = Seq("l_returnflag", "l_linestatus")
+    val vals = Seq("l_quantity", "l_extendedprice")
+    val path = Files.createTempDirectory("graft_aggstate_n").toString + "/state"
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(keys.map(col): _*).collect().toSeq
+    val slices = (0L to 3L).map(i => li.filter(col("l_orderkey") % 4 === i))
+    JsonEtl.aggUpsertAtN(spark, path, slices(0), 0L, keys, vals)
+    JsonEtl.aggUpsertAtN(spark, path, slices(1), 1L, keys, vals)
+    // a replayed batch must NOT double-count
+    JsonEtl.aggUpsertAtN(spark, path, slices(1), 1L, keys, vals)
+    assert(JsonEtl.aggFoldWatermark(spark, path) === 1L)
+    val twoIn = li.filter(col("l_orderkey") % 4 <= 1)
+    assert(key(spark.read.parquet(path))
+      === key(JsonEtl.aggStateN(twoIn, keys, vals)))
+    // crash between the swap's renames: park the live generation — the
+    // next fold restores it first, then folds
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + ".old")))
+    JsonEtl.aggUpsertAtN(spark, path, slices(2), 2L, keys, vals)
+    JsonEtl.aggUpsertAtN(spark, path, slices(3), 3L, keys, vals)
+    assert(key(spark.read.parquet(path)) === key(JsonEtl.aggStateN(li, keys, vals)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + ".old")))
+  }
+
   test("latest-by-key keeps exactly one (latest) record per key") {
     val out = JsonEtl.latestByKey(spark, sf)
     val users = spark.read.parquet(s"$sf/events.parquet")

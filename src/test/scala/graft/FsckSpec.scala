@@ -208,6 +208,45 @@ class FsckSpec extends SparkSpec {
     }
   }
 
+  test("a damaged target degrades to fail rows instead of aborting the batch report") {
+    val base = tmp("graft_fsck_degrade")
+    Dedup.saveMinhashIndex(spark, docs(32), s"$base/mh")
+    // one target that was never built + one healthy one: the nightly
+    // report must carry BOTH — an index_readable fail row for the
+    // missing artifact, the full check set for the healthy sibling
+    val rep = Fsck.runAll(spark, Seq(
+      "ann_index" -> s"$base/ann_missing",
+      "minhash_index" -> s"$base/mh")).collect()
+    assert(rep.exists(r => r.getAs[String]("kind") == "ann_index" &&
+      r.getAs[String]("check") == "index_readable" &&
+      r.getAs[String]("status") == "fail"))
+    assert(rep.exists(r => r.getAs[String]("kind") == "minhash_index" &&
+      r.getAs[String]("check") == "one_row_per_doc" &&
+      r.getAs[String]("status") == "ok"))
+    // exists-but-EMPTY tables (the crash window's mkdirs-before-rename
+    // shape) degrade the same way, for every family with a root read
+    new java.io.File(s"$base/emb/vectors").mkdirs()
+    new java.io.File(s"$base/mh_empty").mkdirs()
+    val rep2 = Fsck.runAll(spark, Seq(
+      "embedding_index" -> s"$base/emb",
+      "minhash_index" -> s"$base/mh_empty")).collect()
+    assert(rep2.count(r => r.getAs[String]("check") == "index_readable" &&
+      r.getAs[String]("status") == "fail") === 2)
+    // a validator blowing up mid-audit (here: a manifest over unreadable
+    // data) becomes a named fsck_ran fail row, never an aborted report
+    val exp = s"$base/exp"
+    Seq((0L, 1L, 2L)).toDF("shard", "n_docs", "n_tokens")
+      .write.parquet(s"$exp/_manifest")
+    val rep3 = Fsck.runAll(spark, Seq(
+      "shard_export" -> exp,
+      "minhash_index" -> s"$base/mh")).collect()
+    assert(rep3.exists(r => r.getAs[String]("kind") == "shard_export" &&
+      Seq("fsck_ran", "manifest_counts").contains(r.getAs[String]("check")) &&
+      r.getAs[String]("status") == "fail"))
+    assert(rep3.exists(r => r.getAs[String]("kind") == "minhash_index" &&
+      r.getAs[String]("status") == "ok"))
+  }
+
   test("agg-state fsck: clean state ok; duplicate keys, lost watermark, parked gen flip") {
     import graft.etl.JsonEtl
     val path = tmp("graft_fsck_agg") + "/state"

@@ -70,7 +70,7 @@ class FunctionsSpec extends SparkSpec {
     assert(GraftExtensions.builders.keySet ===
       Set("cosine_sim", "minhash_sig", "simhash_chunks", "hashed_ngrams",
         "jaccard_hashed", "dot_long", "hyperplane_buckets", "mat_vec",
-        "bpe_encode", "bloom_count"))
+        "bpe_encode", "bloom_count", "ewma_fold"))
   }
 
   test("bpe_encode: SQL form, codegen/interpreted parity, merge semantics") {
@@ -296,6 +296,41 @@ class FunctionsSpec extends SparkSpec {
       assert(r.getSeq[Double](1) === r.getSeq[Double](2),
         s"vec ${r.getLong(0)}")
     }
+  }
+
+  test("ewma_fold equals the interpreted aggregate() fold bit-for-bit (the formulation it replaces)") {
+    import org.apache.spark.sql.functions._
+    // the real per-user value sequences, in the gate entry's fold order
+    val packed = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(col("event_id"), col("value"))))
+        .as("xs"))
+      .withColumn("vs", col("xs.value"))
+    val hof = aggregate(
+      col("vs"),
+      expr("CAST(array() AS ARRAY<DOUBLE>)"),
+      (acc, x) => {
+        val prev = element_at(acc, -1)
+        concat(acc, array(when(size(acc) === 0, x)
+          .otherwise(lit(0.5) * x + lit(0.5) * prev)))
+      })
+    val rows = packed
+      .select(col("user_id"),
+        graft.functions.ewma_fold(col("vs"), 0.5).as("kernel"),
+        hof.as("hof"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // === on doubles: BIT-exact, not epsilon — same FP op sequence,
+      // merely compiled (and O(n) instead of the concat-copy O(n²))
+      assert(r.getSeq[Double](1) === r.getSeq[Double](2),
+        s"user ${r.getLong(0)}")
+    }
+    // SQL registration serves the same kernel
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT ewma_fold(array(1.0D, 3.0D, 2.0D), 0.5D) AS e").head.getSeq[Double](0)
+    assert(viaSql === Seq(1.0, 0.5 * 3.0 + 0.5 * 1.0, 0.5 * 2.0 + 0.5 * 2.0))
   }
 
   test("cosine_sim agrees between SQL, Column API, and codegen/interpreted paths") {

@@ -129,6 +129,43 @@ class MaintenanceSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq === sinkBefore)
   }
 
+  test("fsck phases: fail-severity damage aborts BEFORE any mutation; a healthy world passes both") {
+    val base = buildWorld()
+    // healthy: pre+post phases both pass and the report comes back
+    val rep = Maintenance.runAll(spark, Seq(
+      Target("minhash_index", s"$base/mh"),
+      Target("sink_dir", s"$base/sink", orderCol = Some("vec_id"))),
+      fsck = "both").collect()
+    assert(rep.length === 2)
+    // corrupt one target: destroy the embedding index's buckets table —
+    // an index_readable fail
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$base/emb/buckets"), true))
+    def mhLayout() = {
+      val p = new org.apache.hadoop.fs.Path(s"$base/mh")
+      fs.listStatus(p).map(_.getPath.getName).sorted.toSeq
+    }
+    val before = mhLayout()
+    val ex = intercept[IllegalStateException] {
+      Maintenance.runAll(spark, Seq(
+        Target("embedding_index", s"$base/emb"),
+        Target("minhash_index", s"$base/mh")), fsck = "pre")
+    }
+    assert(ex.getMessage.contains("pre-maintenance"))
+    assert(ex.getMessage.contains("index_readable"))
+    // the ordering pin: the abort fired before ANY target mutated — the
+    // healthy minhash sibling's file layout is byte-for-byte the same
+    // (a run would have rewritten it under new file names)
+    assert(mhLayout() === before,
+      "pre-fsck must abort before maintenance touches any target")
+    // an unknown phase fails loudly
+    intercept[IllegalArgumentException] {
+      Maintenance.runAll(spark,
+        Seq(Target("minhash_index", s"$base/mh")), fsck = "sometimes")
+    }
+  }
+
   test("the ann retrain decision is wired through: drifted appends fire, in-band appends decline") {
     val base = tmp("graft_maint_retrain")
     val e = vectors(512)

@@ -235,4 +235,76 @@ class ProfileSpec extends SparkSpec {
       docs.filter(col("doc_id") % 2 =!= 0)).collect()
     refed.zip(inline).foreach { case (f, i) => assert(f === i) }
   }
+
+  test("categorical drift: stable mix reads stable, a shifted mix trips, new categories stay finite") {
+    // gate form: one row per observed source, contributions non-negative
+    val gate = Profile.categoricalDrift(spark, sf).collect()
+    assert(gate.nonEmpty)
+    gate.foreach { r =>
+      assert(r.getAs[Double]("contrib") >= 0.0)
+      assert(!r.getAs[Double]("psi_total").isNaN)
+    }
+    // synthetic truth: same category mix on both sides of the split →
+    // PSI ~ 0; a heavily reweighted mix → above the 0.25 reading
+    // category from id/2 so the parity split sees the same mix; the
+    // shifted probe collapses the CURRENT side onto half the categories
+    def probe(shift: Boolean) = spark.range(4000).select(
+      col("id").as("rid"),
+      concat(lit("c"),
+        when(col("id") % 2 === 0, (col("id") / 2).cast("long") % 4)
+          .otherwise((col("id") / 2).cast("long")
+            % when(lit(shift), lit(2L)).otherwise(lit(4L)))).as("cat"))
+    val stable = Profile.categoricalDriftOf(probe(shift = false),
+      col("rid") % 2 === 0, "cat").select("psi_total").head().getDouble(0)
+    val shifted = Profile.categoricalDriftOf(probe(shift = true),
+      col("rid") % 2 === 0, "cat").select("psi_total").head().getDouble(0)
+    assert(stable < 0.02, s"an identical mix must read stable: $stable")
+    assert(shifted > 0.25, s"half the categories vanishing must trip: $shifted")
+    // a category present on only ONE side gets a finite, nonzero
+    // contribution (the Laplace smoothing's whole point)
+    val oneSided = Profile.categoricalDriftOf(
+      spark.range(100).select(col("id").as("rid"),
+        when(col("id") % 2 === 0, lit("old")).otherwise(lit("new")).as("cat")),
+      col("rid") % 2 === 0, "cat").collect()
+    assert(oneSided.length === 2)
+    oneSided.foreach { r =>
+      assert(java.lang.Double.isFinite(r.getAs[Double]("contrib")))
+      assert(r.getAs[Double]("contrib") > 0.0)
+    }
+  }
+
+  test("categorical baseline artifact: fed report ≡ inline bit-for-bit; kind self-describes") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graft_psi_cat").toString
+    Profile.savePsiBaseline(docs.filter(col("doc_id") % 2 === 0), path,
+      valueCol = "source", categorical = true)
+    val fed = Profile.psiAgainstBaseline(spark, path,
+      docs.filter(col("doc_id") % 2 =!= 0)).collect()
+    val inline = Profile.categoricalDrift(spark, sf).collect()
+    fed.zip(inline).foreach { case (f, i) =>
+      assert(f === i, s"fed row $f differs from inline row $i") }
+    val meta = spark.read.parquet(s"$path/meta.parquet").head()
+    assert(meta.getAs[String]("value_col") === "source")
+    assert(meta.getAs[String]("kind") === "categorical")
+  }
+
+  test("multi-column drift: each column's slice equals the single-column report") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val multi = Profile.multiColumnDrift(spark, sf).collect()
+    assert(multi.length === 20) // 2 columns × 10 buckets
+    for (c <- Seq("l_extendedprice", "l_quantity")) {
+      val slice = multi.filter(_.getAs[String]("value_col") == c)
+        .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_base"),
+          r.getAs[Long]("n_cur"), r.getAs[Double]("p_base"),
+          r.getAs[Double]("p_cur"), r.getAs[Double]("contrib"),
+          r.getAs[Double]("psi_total"))).sortBy(_._1).toSeq
+      val single = Profile.distributionDriftOf(spark, li,
+        col("l_orderkey") % 2 === 0, c).collect()
+        .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_base"),
+          r.getAs[Long]("n_cur"), r.getAs[Double]("p_base"),
+          r.getAs[Double]("p_cur"), r.getAs[Double]("contrib"),
+          r.getAs[Double]("psi_total"))).sortBy(_._1).toSeq
+      assert(slice === single, s"column $c diverges from the single-column form")
+    }
+  }
 }

@@ -88,6 +88,41 @@ class SimilaritySpec extends SparkSpec {
       === topk(Similarity.ivfpqTopkIndexed(spark, sf)))
   }
 
+  test("filtered serving from the composed indexes (OPQ raw + flagship residual)") {
+    import org.apache.spark.sql.functions._
+    val evenIds = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("label") % 2 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val fExact = topk(Similarity.bruteforceFilteredTopk(spark, sf))
+    // both composed rungs serve predicates from THEIR persisted artifact;
+    // the same pre-filter contract as the raw-IVFPQ rung: predicate
+    // honored, k fills from the eligible set, recall at the family floor,
+    // and the trivial predicate reproduces the unfiltered serving tier
+    // row-for-row — the filtered path can never drift from the flagship
+    val rungs = Seq(
+      ("opq_raw",
+        topk(Similarity.opqIvfpqFilteredTopkIndexed(spark, sf)),
+        topk(Similarity.opqIvfpqFilteredTopkIndexed(spark, sf, lit(true))),
+        topk(Similarity.opqIvfpqTopkIndexed(spark, sf))),
+      ("residual_flagship",
+        topk(Similarity.opqIvfpqResidualFilteredTopkIndexed(spark, sf)),
+        topk(Similarity.opqIvfpqResidualFilteredTopkIndexed(spark, sf, lit(true))),
+        topk(Similarity.opqIvfpqResidualTopkIndexed(spark, sf))))
+    for ((name, filtered, trivial, unfiltered) <- rungs) {
+      filtered.values.flatten.foreach(n =>
+        assert(evenIds.contains(n), s"$name: neighbor $n fails the predicate"))
+      assert(filtered.size === 10, s"$name: all 10 queries answered")
+      filtered.values.foreach(ns =>
+        assert(ns.size === 5, s"$name: k must fill from the eligible set"))
+      val hits = fExact.map { case (q, ns) =>
+        filtered.getOrElse(q, Seq.empty).count(ns.toSet.contains) }.sum
+      val r = hits.toDouble / (fExact.size * 5)
+      assert(r >= 0.15, s"$name: filtered recall@5=$r")
+      assert(trivial === unfiltered,
+        s"$name: pred=true must equal the unfiltered indexed tier")
+    }
+  }
+
   test("LSH top-k achieves useful recall vs brute force") {
     val r = recallAt5(topk(Similarity.lshTopk(spark, sf)))
     // embeddings are near-random (max cosine ~0.5), the hardest case for

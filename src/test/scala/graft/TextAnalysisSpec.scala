@@ -150,6 +150,37 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("token shards: clustered id space keeps ranges balanced, output unchanged") {
+    import spark.implicits._
+    // a snowflake-ish id space: 300 docs crammed into two far-apart
+    // clusters — arithmetic max/numRanges ranges would put ~all rows in
+    // 2 of 8 ranges; quantile boundaries must spread them
+    val docs = (0L until 300L).map { i =>
+      val id = if (i < 150L) 7000000000L + i else 9000000000L + (i - 150L) * 3L
+      (id, Seq.fill((i % 7).toInt + 1)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+    def key(numRanges: Int) =
+      TextAnalysis.tokenShardAssign(docs, budget = 40L, numRanges = numRanges)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sortBy(_._1)
+    // bit-identical to the naive global window (numRanges = 1 IS the
+    // naive shape) — boundaries shape the work, never the answer
+    val naive = key(1)
+    assert(key(8) === naive)
+    // and the 8-range bucketing is actually BALANCED on this id space:
+    // re-derive the range of each doc the same way the operator does and
+    // pin that no range hoards the corpus (arithmetic ranges would put
+    // 150 rows in one range here)
+    val probs = (1 until 8).map(_.toDouble / 8).toArray
+    val bs = docs.agg(percentile_approx(col("doc_id"),
+      lit(probs), lit(10000))).head.getSeq[Long](0)
+    val perRange = docs.select("doc_id").collect().map(_.getLong(0))
+      .groupBy(id => bs.count(b => id > b)).view.mapValues(_.length)
+    assert(perRange.size === 8, s"all 8 ranges populated: $perRange")
+    perRange.values.foreach(n =>
+      assert(n <= 80, s"a range hoards $n of 300 rows: $perRange"))
+  }
+
   test("token-budget shard export: lossless, manifest-exact, token-bounded dirs") {
     import spark.implicits._
     val docs = (0L until 200L).map { i =>

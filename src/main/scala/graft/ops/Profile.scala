@@ -285,9 +285,13 @@ object Profile {
     */
   private def psiBounds(base: DataFrame, valueCol: String,
       buckets: Int): DataFrame =
-    base.agg(array((1 until buckets).map(i =>
-      expr(s"percentile(CAST($valueCol AS DOUBLE), ${i.toDouble / buckets})")): _*)
-      .as("bs"))
+    // ONE array-percentage percentile, not (buckets−1) scalar ones: each
+    // scalar Percentile expression buffers the whole column independently
+    // in the aggregation, so the split form pays (buckets−1)× the memory
+    // and merge work for identical output
+    base.agg(expr(s"percentile(CAST($valueCol AS DOUBLE), array(" +
+      (1 until buckets).map(i => i.toDouble / buckets).mkString(",") +
+      "))").as("bs"))
 
   /** Bucket a snapshot against the boundary frame: count boundaries
     * strictly below the value — a scan-local projection against the
@@ -402,15 +406,26 @@ object Profile {
       valueCols: Seq[String], buckets: Int = 10): DataFrame = {
     require(valueCols.nonEmpty, "multiColumnDriftOf needs value columns")
     import s.implicits._
-    val boundCols = valueCols.map(c => array((1 until buckets).map(i =>
-      expr(s"percentile(CAST($c AS DOUBLE), ${i.toDouble / buckets})")): _*)
-      .as(s"bs_$c"))
-    val bounds = docs.filter(isBase).agg(boundCols.head, boundCols.tail: _*)
+    // all columns' boundaries in ONE aggregate over the baseline (one
+    // array-percentage percentile per column — see psiBounds), collected
+    // once: (|cols|·(buckets−1)) doubles are driver-scale model state by
+    // definition (the centroids/rotation discipline), and plan-literal
+    // boundaries mean NEITHER snapshot scan re-runs the buffered
+    // percentile agg (a referenced bounds frame would recompute per
+    // consumer) — bucketing becomes a pure scan-local projection
+    val probs = (1 until buckets).map(i => i.toDouble / buckets)
+    val boundExprs = valueCols.map(c =>
+      expr(s"percentile(CAST($c AS DOUBLE), array(${probs.mkString(",")}))")
+        .as(s"bs_$c"))
+    val boundsRow = docs.filter(isBase)
+      .agg(boundExprs.head, boundExprs.tail: _*).head()
+    val boundsOf: Map[String, Column] = valueCols.zipWithIndex.map {
+      case (c, i) => c -> typedlit(boundsRow.getSeq[Double](i).toSeq)
+    }.toMap
     def counts(side: DataFrame, as: String): DataFrame =
-      side.crossJoin(broadcast(bounds))
-        .select(explode(array(valueCols.map { c =>
+      side.select(explode(array(valueCols.map { c =>
           struct(lit(c).as("value_col"),
-            aggregate(col(s"bs_$c"), lit(0L), (acc, b) =>
+            aggregate(boundsOf(c), lit(0L), (acc, b) =>
               acc + when(col(c).cast("double") > b, 1L).otherwise(0L))
               .as("bucket"))
         }: _*)).as("e"))

@@ -440,6 +440,80 @@ object Fsck {
     }
   }
 
+  // ------------------------------------------------------------ psi baseline
+  /** The PSI baseline artifact ([[Profile.savePsiBaseline]]) — a drift
+    * monitor trusts it blindly (every batch buckets against it, and a
+    * wrong baseline skews every later PSI silently), so the checks are
+    * that trust: meta present with a kind the readers know; the kind's
+    * REQUIRED tables present (numeric: a bounds array with exactly
+    * buckets−1 monotone boundaries; categorical: counts keyed by
+    * category); baseline counts inside the declared geometry with one
+    * row per key. A bounds table beside a categorical baseline is
+    * hygiene debt (warn): readers never touch it, but its presence
+    * means a hand-rolled edit nobody re-stamped.
+    */
+  def fsckPsiBaseline(s: SparkSession, path: String): DataFrame = {
+    val staging = Seq(s"$path.staging", s"$path.compacting", s"$path.old")
+    val metaDir = s"$path/meta.parquet"
+    if (!hasParquet(s, metaDir))
+      return unreadable(s, path, "psi_baseline", metaDir, staging)
+    val metaDf = s.read.parquet(metaDir)
+    val meta = metaDf.head()
+    val kind = if (metaDf.columns.contains("kind")) meta.getAs[String]("kind")
+      else "numeric" // pre-`kind` artifacts are numeric by construction
+    if (kind != "numeric" && kind != "categorical")
+      return toDf(s, path, "psi_baseline", Seq(
+        Check("kind_known", "fail", 1L,
+          s"unknown baseline kind '$kind' — no monitor can read this artifact")))
+    val countsDir = s"$path/base_counts.parquet"
+    if (!hasParquet(s, countsDir))
+      return unreadable(s, path, "psi_baseline", countsDir, staging)
+    val counts = s.read.parquet(countsDir)
+    val checks = scala.collection.mutable.ArrayBuffer[Check](ok("kind_known"))
+    if (kind == "numeric") {
+      val buckets = meta.getAs[Int]("buckets")
+      val boundsDir = s"$path/bounds.parquet"
+      if (!hasParquet(s, boundsDir))
+        checks += Check("bounds_present", "fail", 1L,
+          "numeric baseline without a bounds table — no snapshot can " +
+            "bucket against it")
+      else {
+        checks += ok("bounds_present")
+        val bs = s.read.parquet(boundsDir).head.getSeq[Double](0)
+        checks += failIf("bounds_geometry",
+          if (bs.length == buckets - 1) 0L else 1L,
+          s"bounds holds ${bs.length} boundaries for $buckets buckets — " +
+            "mixed generations; bucketing is wrong for every batch")
+        checks += failIf("bounds_monotone",
+          bs.zip(bs.drop(1)).count { case (a, b) => a > b }.toLong,
+          "non-monotone boundary array — bucket assignment is undefined")
+      }
+      checks += failIf("counts_in_geometry",
+        counts.filter(col("bucket") < 0 || col("bucket") >= buckets).count(),
+        s"baseline bucket ids outside [0, $buckets)")
+      checks += failIf("one_row_per_key",
+        counts.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1).count(),
+        "duplicate bucket rows — the baseline double-counts NOW")
+    } else {
+      checks += failIf("counts_keyed_by_category",
+        if (counts.columns.contains("category")) 0L else 1L,
+        "categorical baseline counts without a category column")
+      if (counts.columns.contains("category"))
+        checks += failIf("one_row_per_key",
+          counts.groupBy(col("category")).agg(count(lit(1)).as("n"))
+            .filter(col("n") > 1).count(),
+          "duplicate category rows — the baseline double-counts NOW")
+      checks += warnIf("stale_bounds",
+        if (hasParquet(s, s"$path/bounds.parquet")) 1L else 0L,
+        "bounds table beside a categorical baseline — dead weight from " +
+          "a hand edit nobody re-stamped")
+    }
+    checks += warnIf("staging_leftovers", stagingLeftovers(s, staging),
+      "crashed stamp staging dirs present")
+    toDf(s, path, "psi_baseline", checks.toSeq)
+  }
+
   // ------------------------------------------------------------ sink dirs
   def fsckSinkDir(s: SparkSession, dir: String,
       markerBase: Option[String] = None): DataFrame = {
@@ -465,12 +539,14 @@ object Fsck {
       .toDF("path", "kind", "check", "status", "observed", "detail")
   }
 
-  /** Fsck validates two kinds beyond [[Maintenance.Kinds]]: the durable
-    * aggregate state and the shard export have no maintenance action
-    * (each fold/export rewrites wholesale, so file growth is bounded by
-    * construction) but both have invariants worth checking.
+  /** Fsck validates three kinds beyond [[Maintenance.Kinds]]: the durable
+    * aggregate state, the shard export and the PSI baseline have no
+    * maintenance action (each fold/export/stamp rewrites wholesale, so
+    * file growth is bounded by construction) but all have invariants
+    * worth checking.
     */
-  val Kinds: Set[String] = Maintenance.Kinds + "agg_state" + "shard_export"
+  val Kinds: Set[String] =
+    Maintenance.Kinds + "agg_state" + "shard_export" + "psi_baseline"
 
   /** The one kind→validator dispatch both entry points share — so a new
     * artifact family (and its error contract) is added in exactly one
@@ -483,6 +559,7 @@ object Fsck {
     case "embedding_index" => fsckEmbeddingIndex(s, path)
     case "agg_state" => fsckAggState(s, path)
     case "shard_export" => fsckShardExport(s, path)
+    case "psi_baseline" => fsckPsiBaseline(s, path)
     case "sink_dir" => fsckSinkDir(s, path, markerBase)
     case k => throw new IllegalArgumentException(
       s"unknown fsck kind '$k' (expected one of " +
@@ -596,6 +673,7 @@ object Fsck {
       "embedding_index" -> s"$base/emb",
       "agg_state" -> s"$base/agg",
       "shard_export" -> s"$base/export",
+      "psi_baseline" -> s"$base/psi",
       "sink_dir" -> s"$base/sink"))
       .orderBy(col("path"), col("check"))
   }

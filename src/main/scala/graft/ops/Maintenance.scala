@@ -311,6 +311,10 @@ object Maintenance {
       // training handoff: one staged shard export with its manifest
       graft.ops.TextAnalysis.exportShards(docs, s"$base/export",
         numShards = 4)
+      // drift monitoring: one stamped numeric PSI baseline
+      Profile.savePsiBaseline(
+        Tables(s, dir).documents.filter(col("doc_id") % 2 === 0),
+        s"$base/psi")
       base
     })
   }

@@ -300,6 +300,53 @@ class FsckSpec extends SparkSpec {
       "manifest_present")._1 === "fail")
   }
 
+  test("psi-baseline fsck: both kinds clean; each corruption flips exactly its check") {
+    import graft.ops.Profile
+    val base = tmp("graft_fsck_psi")
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    Profile.savePsiBaseline(d.filter(col("doc_id") % 2 === 0), s"$base/num")
+    assert(Fsck.fsckPsiBaseline(spark, s"$base/num")
+      .filter(col("status") =!= "ok").count() === 0)
+    Profile.savePsiBaseline(d.filter(col("doc_id") % 2 === 0), s"$base/cat",
+      valueCol = "source", categorical = true)
+    assert(Fsck.fsckPsiBaseline(spark, s"$base/cat")
+      .filter(col("status") =!= "ok").count() === 0)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // numeric baseline without bounds → nothing can bucket against it
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/num/bounds.parquet"), true)
+    assert(statusOf(Fsck.fsckPsiBaseline(spark, s"$base/num"),
+      "bounds_present")._1 === "fail")
+
+    // truncated boundary array → geometry mismatch (mixed generations)
+    Profile.savePsiBaseline(d.filter(col("doc_id") % 2 === 0), s"$base/num")
+    val bs = spark.read.parquet(s"$base/num/bounds.parquet")
+      .head.getSeq[Double](0)
+    Seq(bs.take(5).toSeq).toDF("bs").write.mode("overwrite")
+      .parquet(s"$base/num/bounds.parquet")
+    assert(statusOf(Fsck.fsckPsiBaseline(spark, s"$base/num"),
+      "bounds_geometry")._1 === "fail")
+
+    // duplicate baseline count rows double-count every later PSI
+    Profile.savePsiBaseline(d.filter(col("doc_id") % 2 === 0), s"$base/num")
+    spark.read.parquet(s"$base/num/base_counts.parquet").limit(1)
+      .write.mode("append").parquet(s"$base/num/base_counts.parquet")
+    assert(statusOf(Fsck.fsckPsiBaseline(spark, s"$base/num"),
+      "one_row_per_key")._1 === "fail")
+
+    // a bounds table beside a categorical baseline is hygiene debt
+    Seq(Seq(1.0)).toDF("bs").write.parquet(s"$base/cat/bounds.parquet")
+    assert(statusOf(Fsck.fsckPsiBaseline(spark, s"$base/cat"),
+      "stale_bounds")._1 === "warn")
+
+    // an unknown kind means NO monitor can read the artifact
+    Seq(("source", 10, "fancy")).toDF("value_col", "buckets", "kind")
+      .write.mode("overwrite").parquet(s"$base/cat/meta.parquet")
+    assert(statusOf(Fsck.fsckPsiBaseline(spark, s"$base/cat"),
+      "kind_known")._1 === "fail")
+  }
+
   test("the gate report covers every artifact family of the scratch world, no failures") {
     val report = Fsck.opsFsckReport(spark, sf)
     assert(report.select(col("kind")).distinct().count() === Fsck.Kinds.size)

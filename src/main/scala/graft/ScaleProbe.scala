@@ -423,6 +423,19 @@ object ScaleProbe {
         codebooks = Some(rcb2), precomputedCents = Some(rc),
         precomputedCodes = Some(rcodes)).count()
       println(f"ann_ivfpq_residual_topk(indexed): ${(System.nanoTime() - t4) / 1e9}%.1f s ($n3 rows)")
+      // filtered serving from the SAME residual artifact (the round-10
+      // rung, here on the raw-space residual index — the composed form
+      // adds one query rotation): the eligible-id semi-join restricts
+      // the codes BEFORE cell restriction and ADC, so the filtered line
+      // should run at-or-under the unfiltered indexed line above (half
+      // the eligible set ⇒ less ADC work), never above it
+      val t5 = System.nanoTime()
+      val eligible = emb.filter(col("label") % 2 === 0).select(col("vec_id"))
+      val n4 = graft.ops.Similarity.ivfpqResidualTopk(spark, out,
+        codebooks = Some(rcb2), precomputedCents = Some(rc),
+        precomputedCodes = Some(
+          rcodes.join(eligible, Seq("vec_id"), "left_semi"))).count()
+      println(f"ann_filtered_residual(indexed serve): ${(System.nanoTime() - t5) / 1e9}%.1f s ($n4 rows)")
     }
     time("ann_ivfpq_residual_topk")(
       graft.ops.Similarity.ivfpqResidualTopk(spark, out).count())
@@ -456,6 +469,26 @@ object ScaleProbe {
     // this replaces would drag the whole corpus through ONE partition
     time("token_shards")(graft.ops.TextAnalysis.tokenShardAssign(
       spark.read.parquet(s"$out/documents.parquet"), budget = 500000L).count())
+    // the round-10 skew claim: a SNOWFLAKE id space (two far-apart dense
+    // clusters — the shape arithmetic max/numRanges ranging collapses
+    // into ~2 of 64 ranges, recreating the single-partition window) must
+    // cost about the dense line above, because range boundaries now come
+    // from doc_id quantiles. Output stays bit-identical by construction
+    // (spec-pinned); this line is the WALL evidence.
+    time("token_shards(clustered-ids)")(graft.ops.TextAnalysis.tokenShardAssign(
+      spark.read.parquet(s"$out/documents.parquet")
+        .withColumn("doc_id", when(col("doc_id") % 2 === 0,
+            lit(7000000000000000L) + col("doc_id"))
+          .otherwise(lit(9000000000000000L) + col("doc_id") * 5L)),
+      budget = 500000L).count())
+    // multi-column PSI at scale: boundaries are one array-percentile agg
+    // per column collected once; bucketing is scan-local — wall must
+    // track two scans of the corpus (base + current), never a rescan per
+    // column or per snapshot side
+    time("profile_drift_multi")(graft.ops.Profile.multiColumnDriftOf(spark,
+      spark.read.parquet(s"$out/documents.parquet")
+        .withColumn("n2", col("n_chars") * 2 + (col("doc_id") % 7)),
+      col("doc_id") % 2 === 0, Seq("n_chars", "n2")).count())
     // the banding tuner's contract is that its cost is bounded by the
     // probe-sample cap REGARDLESS of corpus size (the exact-truth tier it
     // runs is quadratic in the sample): the wall here should be ~flat in

@@ -429,6 +429,107 @@ object JsonEtl {
         .withColumn(s"stddev_$c", sqrt(col(s"var_$c")))
     }
 
+  // ---------------------------------------- incremental EWMA (ordered fold)
+  /** Per-key EWMA state — the ORDER-SENSITIVE counterpoint to
+    * [[aggState]]: an EWMA is NOT additive (no combine of two independent
+    * summaries exists — the very bug the additive family's doc warns
+    * against storing), but it IS sequentially foldable: s_t = α·x_t +
+    * (1−α)·s_{t−1} needs only the previous state, so a rolling smoothing
+    * stays maintainable batch-by-batch under ONE extra contract the
+    * additive family doesn't need — batches must arrive in `orderCol`
+    * order (enforced: an out-of-order fold raises at evaluation instead
+    * of silently mis-smoothing). State = (keys..., last_<orderCol>,
+    * ewma). Fold ≡ full-sequence recompute BIT-exactly: both replay the
+    * identical FP recurrence (α an exact binary fraction; the
+    * [[graft.functions.EwmaFold]] argument), which is what makes the
+    * gate entry oracle-checkable.
+    *
+    * Scale shape: one map-side-combinable groupBy per batch (per-key
+    * history within a batch is bounded — the q_ewma bounded-group
+    * caveat applies per BATCH, not per history) + one key-partitioned
+    * merge with the state; history is never rescanned.
+    */
+  def ewmaState(events: DataFrame, keys: Seq[String] = Seq("user_id"),
+      orderCol: String = "event_id", valueCol: String = "value",
+      alpha: Double = 0.5): DataFrame =
+    events.groupBy(keys.map(col): _*).agg(
+      max(col(orderCol)).as(s"last_$orderCol"),
+      element_at(graft.functions.ewma_fold(
+        array_sort(collect_list(struct(col(orderCol), col(valueCol))))
+          .getField(valueCol), alpha), -1).as("ewma"))
+
+  /** Fold a raw event batch into an existing [[ewmaState]]: the batch
+    * packs to per-key in-order value lists, keys new to the state seed
+    * from their first value (the recurrence's init), keys with carried
+    * state continue the recurrence FROM the carried smoothing — the
+    * same α·x + (1−α)·prev op sequence the one-shot fold performs, so
+    * folding N ordered batches is bit-identical to one fold over the
+    * concatenated history (spec-pinned). A batch row at or below a
+    * key's `last_<orderCol>` violates the order contract and raises.
+    */
+  def ewmaUpsert(state: DataFrame, batch: DataFrame,
+      keys: Seq[String] = Seq("user_id"),
+      orderCol: String = "event_id", valueCol: String = "value",
+      alpha: Double = 0.5): DataFrame = {
+    val lastCol = s"last_$orderCol"
+    val packed = batch.groupBy(keys.map(col): _*).agg(
+      min(col(orderCol)).as("_first"),
+      max(col(orderCol)).as("_batch_last"),
+      array_sort(collect_list(struct(col(orderCol), col(valueCol))))
+        .getField(valueCol).as("_vs"))
+    state.withColumnRenamed(lastCol, "_state_last")
+      .join(packed, keys, "full_outer")
+      .select(keys.map(col) ++ Seq(
+        coalesce(col("_batch_last"), col("_state_last")).as(lastCol),
+        when(col("_vs").isNull, col("ewma")) // key untouched by the batch
+          .when(col("ewma").isNull,          // key new to the state
+            element_at(graft.functions.ewma_fold(col("_vs"), alpha), -1))
+          .when(col("_first") <= col("_state_last"), raise_error(concat(
+            lit(s"ewmaUpsert: out-of-order batch — $orderCol "),
+            col("_first"),
+            lit(s" at or below the state's $lastCol "),
+            col("_state_last"),
+            lit(" (fold ordered batches only; replays are the durable " +
+              "form's watermark job)"))))
+          .otherwise(aggregate(col("_vs"), col("ewma"),
+            (acc, x) => lit(alpha) * x + lit(1.0 - alpha) * acc))
+          .as("ewma")): _*)
+  }
+
+  /** Durable, replay-safe [[ewmaUpsert]] — [[aggUpsertAt]]'s watermark
+    * fence and atomic swap ([[durableFold]]), applied to the ordered
+    * fold. The fence handles REPLAYS; the order contract above handles
+    * sequencing between distinct batches.
+    */
+  def ewmaUpsertAt(s: SparkSession, path: String, batch: DataFrame,
+      batchId: Long,
+      keys: Seq[String] = Seq("user_id"),
+      orderCol: String = "event_id", valueCol: String = "value",
+      alpha: Double = 0.5): Unit =
+    durableFold(s, path, batchId)(
+      ewmaState(batch, keys, orderCol, valueCol, alpha),
+      st => ewmaUpsert(st, batch, keys, orderCol, valueCol, alpha))
+
+  /** Gate form: events fold in as four CONTIGUOUS event_id ranges (the
+    * ordered "daily loads" the contract requires — the additive gate's
+    * mod-4 slices would be out-of-order here by construction); the final
+    * per-user smoothing must equal the oracle's one-shot fold over the
+    * whole ordered history. ORACLE-EXACT by the shared-recurrence
+    * argument.
+    */
+  def incrementalEwma(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).events
+    val mx = e.agg(max(col("event_id"))).head.getLong(0)
+    val cuts = (1 to 3).map(i => mx * i.toLong / 4L)
+    val slices = Seq(
+      e.filter(col("event_id") <= cuts(0)),
+      e.filter(col("event_id") > cuts(0) && col("event_id") <= cuts(1)),
+      e.filter(col("event_id") > cuts(1) && col("event_id") <= cuts(2)),
+      e.filter(col("event_id") > cuts(2)))
+    slices.tail.foldLeft(ewmaState(slices.head))((st, b) => ewmaUpsert(st, b))
+      .orderBy(col("user_id"))
+  }
+
   // ------------------------------------------ durable incremental aggregate
   private def aggWatermarkPath(path: String) = s"$path/_fold_watermark"
 
@@ -708,6 +809,7 @@ object JsonEtl {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "etl_incremental_agg"  -> (incrementalAgg _),
     "etl_incremental_agg_stats" -> (incrementalAggStats _),
+    "etl_incremental_ewma" -> (incrementalEwma _),
     "etl_quality_audit"    -> (qualityAudit _),
     "etl_scd2"             -> (scd2 _),
     "etl_merge_upsert"     -> (mergeUpsertOrders _),
@@ -775,6 +877,13 @@ object JsonEtl {
         |  GREATEST(seed / nd - (sed / nd) * (sed / nd), 0.0) AS var_l_extendedprice,
         |  SQRT(GREATEST(seed / nd - (sed / nd) * (sed / nd), 0.0)) AS stddev_l_extendedprice
         |FROM d ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "etl_incremental_ewma" ->
+      """SELECT user_id,
+        |  max(event_id) AS last_event_id,
+        |  list_reduce(list(value ORDER BY event_id),
+        |    (a, x) -> 0.5 * x + 0.5 * a) AS ewma
+        |FROM events GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     "etl_merge_upsert" ->
       """WITH ch AS (SELECT
         |    CASE WHEN o_custkey % 7 = 0 THEN o_custkey + 1000000 ELSE o_custkey END AS c_custkey,

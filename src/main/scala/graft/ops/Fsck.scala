@@ -349,9 +349,11 @@ object Fsck {
     * fence replays (every re-delivered batch would double-count); a
     * parked `.old` generation means a crash mid-swap nobody retried
     * (self-heals at the next fold); duplicate key rows mean a corrupted
-    * merge — the state is wrong NOW. Key columns are inferred as
-    * everything that isn't one of [[graft.etl.JsonEtl.aggState]]'s four
-    * stat columns.
+    * merge — the state is wrong NOW. Key columns are inferred from the
+    * state algebra's naming contract (the shared count plus
+    * sum_/sumsq_/min_/max_ per declared column), so both
+    * [[graft.etl.JsonEtl.aggState]] and the N-column
+    * [[graft.etl.JsonEtl.aggStateN]] audit correctly.
     */
   def fsckAggState(s: SparkSession, path: String): DataFrame = {
     // the crash-between-renames window leaves the LIVE path missing with
@@ -372,8 +374,15 @@ object Fsck {
           "crashed fold staging dirs present")))
     }
     val state = s.read.parquet(path)
-    val statCols = Set("n_events", "sum_value", "min_value", "max_value")
-    val keyCols = state.columns.filterNot(statCols).toSeq
+    // stat columns by the state algebra's naming contract (covers the
+    // 1-column aggState AND the N-column aggStateN — sum_/sumsq_/min_/
+    // max_ per declared column plus the shared count); everything else
+    // is key. Matching on the fixed 1-column names would fold an
+    // aggStateN table's stat columns into the key and miss exactly the
+    // duplicate-key corruption this check exists for.
+    val keyCols = state.columns.filterNot(c => c == "n_events" ||
+      c.startsWith("sum_") || c.startsWith("sumsq_") ||
+      c.startsWith("min_") || c.startsWith("max_")).toSeq
     val dupKeys =
       if (keyCols.isEmpty) 0L
       else state.groupBy(keyCols.map(col): _*)

@@ -127,6 +127,43 @@ class EtlSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(path + ".old")))
   }
 
+  test("incremental EWMA: ordered fold ≡ one-shot bit-exactly; out-of-order raises; replay no-op") {
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("user_id")).collect().toSeq
+    val oneShot = JsonEtl.ewmaState(events)
+    val mx = events.agg(max(col("event_id"))).head.getLong(0)
+    val cuts = (1 to 3).map(i => mx * i.toLong / 4L)
+    val slices = Seq(
+      events.filter(col("event_id") <= cuts(0)),
+      events.filter(col("event_id") > cuts(0) && col("event_id") <= cuts(1)),
+      events.filter(col("event_id") > cuts(1) && col("event_id") <= cuts(2)),
+      events.filter(col("event_id") > cuts(2)))
+    val folded = slices.tail.foldLeft(JsonEtl.ewmaState(slices.head))(
+      (st, b) => JsonEtl.ewmaUpsert(st, b))
+    // === on doubles: the fold replays the one-shot's exact FP recurrence
+    assert(key(folded) === key(oneShot))
+    // an empty batch is a no-op (every key carries through untouched)
+    assert(key(JsonEtl.ewmaUpsert(folded, events.filter(lit(false))))
+      === key(oneShot))
+    // the order CONTRACT: re-folding an already-seen range must raise,
+    // not silently mis-smooth (order-sensitivity is the operator's point)
+    intercept[Exception] {
+      JsonEtl.ewmaUpsert(folded, slices(1)).collect()
+    }
+    // durable form: the watermark fence turns that same replay into a
+    // NO-OP (skipped before any plan is built), and the final state is
+    // the one-shot fold
+    val path = Files.createTempDirectory("graft_ewma_state").toString + "/state"
+    JsonEtl.ewmaUpsertAt(spark, path, slices(0), 0L)
+    JsonEtl.ewmaUpsertAt(spark, path, slices(1), 1L)
+    JsonEtl.ewmaUpsertAt(spark, path, slices(1), 1L) // replay — fenced
+    JsonEtl.ewmaUpsertAt(spark, path, slices(2), 2L)
+    JsonEtl.ewmaUpsertAt(spark, path, slices(3), 3L)
+    assert(key(spark.read.parquet(path)) === key(oneShot))
+    assert(JsonEtl.aggFoldWatermark(spark, path) === 3L)
+  }
+
   test("latest-by-key keeps exactly one (latest) record per key") {
     val out = JsonEtl.latestByKey(spark, sf)
     val users = spark.read.parquet(s"$sf/events.parquet")

@@ -274,6 +274,21 @@ class FsckSpec extends SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/_fold_watermark"), false)
     assert(statusOf(Fsck.fsckAggState(spark, path),
       "watermark_present")._1 === "warn")
+
+    // the N-COLUMN state audits under the same key inference: sum_/
+    // sumsq_/min_/max_ columns read as stats, so a duplicated key row
+    // still flips one_row_per_key (the fixed 1-column stat-name set
+    // would have folded the stat columns into the key and missed it)
+    val pathN = tmp("graft_fsck_aggn") + "/state"
+    val rows = (0 until 100).map(i =>
+      (i.toLong % 5, if (i % 2 == 0) "a" else "b", i * 0.5, i * 2.0))
+      .toDF("k1", "k2", "x", "y")
+    JsonEtl.aggUpsertAtN(spark, pathN, rows, 0L, Seq("k1", "k2"), Seq("x", "y"))
+    assert(Fsck.fsckAggState(spark, pathN)
+      .filter(col("status") =!= "ok").count() === 0)
+    spark.read.parquet(pathN).limit(1).write.mode("append").parquet(pathN)
+    assert(statusOf(Fsck.fsckAggState(spark, pathN),
+      "one_row_per_key") === ("fail", 1L))
   }
 
   test("shard-export fsck: manifest-exact ok; lost file and missing manifest flip") {

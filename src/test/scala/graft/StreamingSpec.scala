@@ -579,6 +579,44 @@ class StreamingSpec extends SparkSpec {
     batchForm.zip(streamed).foreach { case (b, s) => assert(b === s) }
   }
 
+  test("psi drift sink over a CATEGORICAL baseline: stable mix stable, collapsed mix trips; batch ≡ stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_psi_cat_sink").toString
+    // frozen categorical baseline: four categories, uniform mix — the
+    // artifact's `kind` routes the sink through the categorical math
+    graft.ops.Profile.savePsiBaseline(
+      spark.range(4000).select(col("id").as("doc_id"),
+        concat(lit("c"), col("id") % 4).as("cat")),
+      s"$base/baseline", valueCol = "cat", categorical = true)
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.psiDriftSink(in.toDF().toDF("doc_id", "cat"),
+      s"$base/baseline", s"$base/audit", s"$base/ckpt")
+    val b0 = (0L until 2000L).map(i => (i, s"c${i % 4}")) // same mix
+    val b1 = (0L until 2000L).map(i => (i, s"c${i % 2}")) // collapsed onto half
+    in.addData(b0: _*); q.processAllAvailable()
+    in.addData(b1: _*); q.processAllAvailable()
+    q.stop()
+    val audit = spark.read.parquet(s"$base/audit")
+    assert(audit.count() === 8) // 4 categories × 2 batches
+    def psiOf(bid: Long): (Double, Boolean) = {
+      val r = audit.filter(col("batch_id") === bid).head()
+      (r.getAs[Double]("psi_total"), r.getAs[Boolean]("drifted"))
+    }
+    val (stablePsi, stableDrifted) = psiOf(0L)
+    val (shiftPsi, shiftDrifted) = psiOf(1L)
+    assert(stablePsi < 0.02 && !stableDrifted,
+      s"an identical category mix must read stable: $stablePsi")
+    assert(shiftPsi > 0.25 && shiftDrifted,
+      s"half the categories vanishing must trip: $shiftPsi")
+    // the streamed report IS the batch form on the same rows (shared core)
+    val batchForm = graft.ops.Profile.psiAgainstBaseline(spark,
+      s"$base/baseline", b1.toDF("doc_id", "cat")).collect()
+    val streamed = audit.filter(col("batch_id") === 1L)
+      .drop("batch_id", "drifted").orderBy(col("category")).collect()
+    batchForm.zip(streamed).foreach { case (b, s) => assert(b === s) }
+  }
+
   test("expectations sink: per-batch contract verdicts match the batch form") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

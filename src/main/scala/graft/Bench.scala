@@ -27,7 +27,8 @@ object Bench {
     "etl_tumbling_window", "etl_sliding_window", "etl_redact",
     "etl_quality_audit", "etl_expectations", "etl_scd2", "etl_gap_fill",
     "etl_merge_upsert", "etl_incremental_agg", "etl_incremental_agg_stats",
-    "etl_incremental_ewma", "etl_snapshot_diff",
+    "etl_incremental_ewma", "etl_incremental_join", "etl_incremental_distinct",
+    "etl_snapshot_diff",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
     "dedup_components", "dedup_components_incremental",
     "dedup_incremental", "dedup_minhash_incremental",
@@ -53,6 +54,7 @@ object Bench {
     "text_repetition", "text_heavy_hitters", "text_prepare_corpus",
     "text_prepare_corpus_pipelined", "text_prepare_corpus_classified",
     "text_mixture_sample", "text_mixture_temperature",
+    "text_weighted_sample", "text_group_sample", "layout_skipping_read",
     "text_select_budget_threshold", "text_bpe_tokens",
     "text_source_stats", "text_source_sketches", "profile_value_sketches",
     "profile_distribution_drift", "profile_drift_fed",

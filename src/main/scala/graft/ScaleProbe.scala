@@ -525,6 +525,57 @@ object ScaleProbe {
       println(f"dedup_components_incremental: full $tFull%.1f s ($nFull labels " +
         f"over $nPairs pairs) vs fold $tInc%.1f s ($nInc labels)")
     }
+    // the delta-join claim at scale: folding one ~3% batch into the
+    // materialized view must cost ~|batch|'s broadcast-join scan, not the
+    // full L⋈R shuffle a recompute pays — the gap IS the operator's value
+    // and should widen with N
+    if (matched("incremental_join")) locally {
+      val docsAll = graft.Tables(spark, out).documents
+      val facts = docsAll.select(col("doc_id"), col("source"), col("n_chars"))
+      val dim = docsAll.select(col("source")).distinct()
+        .withColumn("tier", length(col("source")) % 3)
+      val inBatch = (c: org.apache.spark.sql.Column) => c % 29 === 0
+      val t0 = System.nanoTime()
+      val nFull = facts.join(dim, Seq("source")).count()
+      val tFull = (System.nanoTime() - t0) / 1e9
+      val st = graft.etl.JsonEtl.joinViewInit(
+        facts.filter(!inBatch(col("doc_id"))), dim, Seq("source"))
+      st.view.count() // materialize the pre-batch state outside the timer
+      val t1 = System.nanoTime()
+      val nInc = graft.etl.JsonEtl.joinViewUpsert(st,
+        facts.filter(inBatch(col("doc_id"))), dim.limit(0), Seq("source"))
+        .view.count()
+      println(f"incremental_join: full $tFull%.1f s ($nFull rows) vs " +
+        f"fold ${(System.nanoTime() - t1) / 1e9}%.1f s ($nInc rows)")
+    }
+    // E-S weighted sampling: one scan + per-partition k-heaps — wall
+    // should track the scan (linear, cheap constant), never a global sort
+    time("text_weighted_sample")(graft.ops.Curation.weightedSample(
+      graft.Tables(spark, out).documents, k = 500).count())
+    // data skipping at scale: a one-year predicate over a
+    // shipdate-clustered table — the pruned read must open ~1/7 of the
+    // files and its wall follow the opened bytes, not the table
+    if (matched("skipping_read")) locally {
+      val dir = s"$out/_skip_probe"
+      if (!new java.io.File(s"$dir/_skip_manifest").exists()) {
+        graft.Tables(spark, out).documents
+          .withColumn("day", (col("doc_id") % 2557L).cast("long"))
+          .repartitionByRange(64, col("day"))
+          .write.mode(SaveMode.Overwrite).parquet(dir)
+        graft.ops.Layout.writeManifest(spark, dir, Seq("day"))
+      }
+      val t0 = System.nanoTime()
+      val nAll = spark.read.parquet(dir)
+        .filter(col("day") >= 1000L && col("day") <= 1365L).count()
+      val tFull = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val pruned = graft.ops.Layout.readPruned(spark, dir, "day",
+        lit(1000L), lit(1365L))
+      val nPruned = pruned.count()
+      println(f"skipping_read: full-scan filter $tFull%.1f s ($nAll rows) " +
+        f"vs pruned ${(System.nanoTime() - t1) / 1e9}%.1f s ($nPruned rows, " +
+        f"${pruned.inputFiles.length} of 64 files)")
+    }
     // the dup-dense corpus makes every doc ~repl mutual perceptual twins, so
     // mm_near_dup's TRUE pair count grows ∝ repl² (15.2M pairs at 20× — the
     // output itself, not overhead); probing past 20× times pair

@@ -668,6 +668,189 @@ object JsonEtl {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  // --------------------------------------------- incremental join view
+  /** A materialized inner equi-join maintained incrementally — the state
+    * for the third member of the incremental family: [[aggState]] folds
+    * additive aggregates, [[ewmaState]] folds an ordered recurrence, and
+    * this folds a JOIN. `view` is the materialized L ⋈ R; `left`/`right`
+    * are the accumulated inputs the NEXT delta must join against (a
+    * delta-join needs the other side's history — the one state a plain
+    * "just reprocess the batch" pipeline cannot carry).
+    */
+  final case class JoinView(view: DataFrame, left: DataFrame, right: DataFrame)
+
+  /** Initialize a [[JoinView]] from the first load of both sides. */
+  def joinViewInit(left: DataFrame, right: DataFrame,
+      keys: Seq[String]): JoinView =
+    JoinView(left.join(right, keys), left, right)
+
+  /** Fold one batch of APPEND-ONLY rows per side into a [[JoinView]] —
+    * the classic delta-join identity: for bag semantics and inner joins,
+    *   (L ∪ ΔL) ⋈ (R ∪ ΔR) = L⋈R ∪ ΔL⋈R ∪ L⋈ΔR ∪ ΔL⋈ΔR,
+    * so the new view rows are exactly the three delta terms and history
+    * L⋈R is NEVER recomputed — fold ≡ recompute holds as bag equality by
+    * ⋈ distributing over ∪ (spec-pinned both interleaved and fact-only).
+    * Append-only is the contract (updates/deletes are [[mergeUpsert]]'s
+    * job; a retracted row would need the view to subtract, which inner
+    * join + union cannot express).
+    *
+    * Scale shape: deltas are batch-sized by contract, so both cross
+    * terms broadcast the delta side (`broadcastDeltas`, default on) —
+    * the HISTORY side is scanned but never shuffled, and at 100 TB the
+    * nightly fold costs one broadcast-join scan per side instead of a
+    * full L ⋈ R shuffle (the entire point of maintaining the view). The
+    * ΔL⋈ΔR term is delta × delta — negligible. A dimension-style static
+    * side folds `emptyDelta` and skips its history scan entirely: the
+    * common fact-stream-joins-dim fold reads history ZERO times.
+    */
+  def joinViewUpsert(st: JoinView, dLeft: DataFrame, dRight: DataFrame,
+      keys: Seq[String], broadcastDeltas: Boolean = true): JoinView = {
+    def bc(d: DataFrame) = if (broadcastDeltas) broadcast(d) else d
+    val delta = bc(dLeft).join(st.right, keys)
+      .unionByName(st.left.join(bc(dRight), keys))
+      .unionByName(dLeft.join(bc(dRight), keys))
+    JoinView(st.view.unionByName(delta),
+      st.left.unionByName(dLeft), st.right.unionByName(dRight))
+  }
+
+  /** Durable, replay-safe [[joinViewUpsert]] over `root/{view,left,right}`.
+    *
+    * The state is append-only on ALL THREE tables (the delta-join adds
+    * rows, never rewrites them), so durability uses the streaming sinks'
+    * exactly-once protocol ([[graft.streaming.Streams.commitBatch]]: per
+    * dir, staged write → batch-prefixed file REPLACE → one marker for the
+    * whole multi-dir commit) instead of [[aggUpsertAt]]'s whole-state
+    * swap — folding a batch writes THE BATCH'S rows, not the history, so
+    * a year-old 100 TB view costs the same per night as a day-old one.
+    * Replayed ids are no-ops (marker check); a crash mid-write leaves
+    * un-markered files that the replay REPLACES by batch prefix. The
+    * marker lives at `root` — one lineage for the three dirs, same
+    * monotone-id contract as [[aggUpsertAt]].
+    */
+  def joinUpsertAt(s: SparkSession, root: String, dLeft: DataFrame,
+      dRight: DataFrame, batchId: Long, keys: Seq[String],
+      broadcastDeltas: Boolean = true): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (graft.streaming.Streams.isBatchCommitted(s, root, batchId)) return
+    // history = committed batches ONLY: a crashed attempt at THIS id may
+    // have left its own `b<id>-*` files in the dirs, and reading them as
+    // history would double-count the ΔL⋈ΔR rows through the history terms
+    // on the retry — exclude the current batch's prefix explicitly
+    def existing(sub: String): Option[DataFrame] = {
+      val d = new Path(s"$root/$sub")
+      if (!fs.exists(d)) None
+      else {
+        val files = fs.listStatus(d).map(_.getPath)
+          .filter(p => p.getName.endsWith(".parquet") &&
+            !p.getName.startsWith(s"b$batchId-"))
+        if (files.isEmpty) None
+        else Some(s.read.parquet(files.map(_.toString).toIndexedSeq: _*))
+      }
+    }
+    def bc(d: DataFrame) = if (broadcastDeltas) broadcast(d) else d
+    // compute the three delta terms against the PERSISTED history (absent
+    // history = first load: the lone ΔL⋈ΔR term is exactly joinViewInit)
+    val deltaView = (existing("right").map(r => bc(dLeft).join(r, keys)) ++
+        existing("left").map(l => l.join(bc(dRight), keys)) ++
+        Seq(dLeft.join(bc(dRight), keys)))
+      .reduce(_ unionByName _)
+    graft.streaming.Streams.commitBatch(s, root, batchId)(
+      s"$root/view"  -> { st => deltaView.write.parquet(st) },
+      s"$root/left"  -> { st => dLeft.write.parquet(st) },
+      s"$root/right" -> { st => dRight.write.parquet(st) })
+  }
+
+  /** Gate form: orders ⋈ customer maintained incrementally — customer
+    * loads in two halves (custkey mod 2), orders in four interleaved
+    * slices (orderkey mod 4), so every delta term (ΔL⋈R, L⋈ΔR, ΔL⋈ΔR)
+    * carries rows. The folded view must equal the one-shot inner join,
+    * which is what the oracle recomputes. ORACLE-EXACT: the fold moves
+    * rows, never values — bag equality by the distributivity argument.
+    */
+  def incrementalJoin(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables(s, dir)
+    val o = t.orders.select(col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice").cast(DoubleType).as("o_totalprice"))
+      .withColumnRenamed("o_custkey", "c_custkey")
+    val c = t.customer.select(col("c_custkey"), col("c_name"),
+      col("c_acctbal").cast(DoubleType).as("c_acctbal"))
+    val oSlices = (0L to 3L).map(i => o.filter(col("o_orderkey") % 4 === i))
+    val cSlices = (0L to 1L).map(i => c.filter(col("c_custkey") % 2 === i))
+    val emptyC = c.limit(0)
+    val st0 = joinViewInit(oSlices(0), cSlices(0), Seq("c_custkey"))
+    val st = Seq((oSlices(1), cSlices(1)), (oSlices(2), emptyC),
+        (oSlices(3), emptyC))
+      .foldLeft(st0) { case (acc, (dl, dr)) =>
+        joinViewUpsert(acc, dl, dr, Seq("c_custkey"))
+      }
+    st.view.orderBy(col("o_orderkey"))
+  }
+
+  // ---------------------------------------- incremental distinct sketch
+  /** Per-key DISTINCT-COUNT state — the fourth incremental algebra:
+    * count-distinct is not additive (overlapping batches double-count)
+    * and not sequentially foldable from a scalar, but it IS mergeable as
+    * a SKETCH: Spark 4 ships the DataSketches HLL aggregate
+    * (`hll_sketch_agg` / `hll_union_agg`), whose union is the exact
+    * set-union in sketch space — fold(state, batch) =
+    * sketch(history ∪ batch) with NO rescan and no per-key exact set.
+    * State = (keys..., sketch BINARY); the estimate is a READ-TIME view
+    * ([[distinctEstimate]]) per the same never-store-derived rule as
+    * [[aggDerivedN]]. lgK = 12 → ~2% standard error at a few KB per key,
+    * the classic dashboard trade.
+    */
+  def distinctState(events: DataFrame, keys: Seq[String] = Seq("event_type"),
+      valueCol: String = "user_id", lgK: Int = 12): DataFrame =
+    events.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"))
+
+  /** Fold a raw batch into a [[distinctState]]: sketch the batch alone
+    * (map-side combined), then union sketches per key — one batch-sized
+    * shuffle + one key-partitioned state merge, history never rescanned.
+    * Sketch union is associative and commutative (it represents set
+    * union), so batches fold in any order; duplicate ROWS are absorbed
+    * by construction — only a duplicate BATCH id inflates nothing, which
+    * is why this is the one incremental state whose durable form could
+    * even tolerate replays (it still fences them, one discipline repo-wide).
+    */
+  def distinctUpsert(state: DataFrame, batch: DataFrame,
+      keys: Seq[String] = Seq("event_type"), valueCol: String = "user_id",
+      lgK: Int = 12): DataFrame =
+    state.unionByName(distinctState(batch, keys, valueCol, lgK))
+      .groupBy(keys.map(col): _*)
+      .agg(hll_union_agg(col("sketch"), lit(false)).as("sketch"))
+
+  /** Read-time estimate view over a [[distinctState]]. */
+  def distinctEstimate(state: DataFrame): DataFrame =
+    state.withColumn("distinct_est", hll_sketch_estimate(col("sketch")))
+      .drop("sketch")
+
+  /** Durable, replay-safe [[distinctUpsert]] — [[aggUpsertAt]]'s watermark
+    * fence and atomic swap, applied to the sketch merge.
+    */
+  def distinctUpsertAt(s: SparkSession, path: String, batch: DataFrame,
+      batchId: Long, keys: Seq[String] = Seq("event_type"),
+      valueCol: String = "user_id", lgK: Int = 12): Unit =
+    durableFold(s, path, batchId)(
+      distinctState(batch, keys, valueCol, lgK),
+      st => distinctUpsert(st, batch, keys, valueCol, lgK))
+
+  /** Gate form: distinct users per event_type, folded in four event_id-mod
+    * slices, served through the estimate view. Rows-only by nature (the
+    * estimate is approximate and DuckDB's HLL is a different sketch);
+    * the spec pins fold ≡ one-shot-union estimate equality and <2%
+    * error vs exact distinct at two lgK geometries.
+    */
+  def incrementalDistinct(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).events
+    val slices = (0L to 3L).map(i => e.filter(col("event_id") % 4 === i))
+    distinctEstimate(
+      slices.tail.foldLeft(distinctState(slices.head))(
+        (st, b) => distinctUpsert(st, b)))
+      .orderBy(col("event_type"))
+  }
+
   // ------------------------------------------------------------ CDC merge
   /** Generic CDC MERGE: fold a change batch into a base table with
     * upsert-or-delete semantics — the apply step downstream of every
@@ -810,6 +993,8 @@ object JsonEtl {
     "etl_incremental_agg"  -> (incrementalAgg _),
     "etl_incremental_agg_stats" -> (incrementalAggStats _),
     "etl_incremental_ewma" -> (incrementalEwma _),
+    "etl_incremental_join" -> (incrementalJoin _),
+    "etl_incremental_distinct" -> (incrementalDistinct _),
     "etl_quality_audit"    -> (qualityAudit _),
     "etl_scd2"             -> (scd2 _),
     "etl_merge_upsert"     -> (mergeUpsertOrders _),
@@ -830,6 +1015,12 @@ object JsonEtl {
     * the nanos long.
     */
   val oracles: Map[String, String] = Map(
+    "etl_incremental_join" ->
+      """SELECT c.c_custkey, o.o_orderkey,
+        |  CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+        |  c.c_name, CAST(c.c_acctbal AS DOUBLE) AS c_acctbal
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_orderkey""".stripMargin,
     "etl_incremental_agg" ->
       """SELECT user_id, event_type,
         |  CAST(count(*) AS BIGINT) AS n_events,

@@ -256,6 +256,68 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Weighted sampling WITHOUT replacement, Efraimidis–Spirakis: each doc
+    * draws a deterministic uniform u from the seeded hash and competes on
+    * key = u^(1/w); the k largest keys are EXACTLY a weight-proportional
+    * without-replacement sample (E–S 2006, the one-pass distributed
+    * scheme) — unlike [[mixtureSample]]'s per-row Bernoulli rates, the
+    * output size is exactly k and heavy docs win proportionally to
+    * weight, the "sample 10k docs proportional to length" ask a corpus
+    * audit makes. Deterministic: u is dyadic ((hex32 + 0.5)/2^32 — exact
+    * in double in both engines), so the same seed reproduces the same
+    * sample and the gate is ORACLE-EXACT (pow is the lone libm call;
+    * selection flips only on a sub-ulp boundary tie, absent at gate SF
+    * and tie-broken by doc_id regardless).
+    *
+    * Scale shape: one scan computing keys + one TopK (Spark's
+    * TakeOrderedAndProject — per-partition heaps of k, merged on the
+    * driver; no global sort, no shuffle of the corpus). k rows of
+    * driver memory is the entire coordination cost at 100 TB.
+    */
+  def weightedSample(docs: DataFrame, k: Int, seed: String = "wsample0",
+      weightCol: String = "n_chars"): DataFrame = {
+    val u = (conv(substring(seededHash(seed), 1, 8), 16, 10)
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    docs.filter(col(weightCol) > 0)
+      .select(col("doc_id"), col(weightCol).cast("long").as("weight"),
+        pow(u, lit(1.0) / col(weightCol).cast("double")).as("es_key"))
+      .orderBy(col("es_key").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  def weightedSampleDocs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    weightedSample(Tables(s, dir).documents, k = 500)
+      .withColumn("sample_rank", row_number()
+        .over(Window.orderBy(col("es_key").desc, col("doc_id"))).cast("long"))
+      .select(col("sample_rank"), col("doc_id"), col("weight"))
+      .orderBy(col("sample_rank"))
+  }
+
+  /** Deterministic fixed-size-per-group sample: the n docs per group with
+    * the smallest seeded hash — "exactly 200 eval docs per source",
+    * balanced by construction where [[mixtureSample]]'s rates only hold
+    * in expectation. Re-runs reproduce the same rows; a fresh seed
+    * redraws. One hash-partitioned window on the group key (map-side
+    * nothing to combine, but rank-truncation keeps only n rows per group
+    * out of the sort) — at 100 TB this is the standard per-key TopK
+    * shuffle, skew-safe because groups are sources (bounded cardinality,
+    * each group's heap is n).
+    */
+  def groupSample(docs: DataFrame, n: Int, by: String = "source",
+      seed: String = "gsample0"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(by))
+      .orderBy(seededHash(seed), col("doc_id"))
+    docs.select(col("doc_id"), col(by),
+        row_number().over(w).cast("long").as("draw"))
+      .filter(col("draw") <= n)
+  }
+
+  def groupSampleDocs(s: SparkSession, dir: String): DataFrame =
+    groupSample(Tables(s, dir).documents, n = 100)
+      .orderBy(col("source"), col("draw"))
+
   /** The classifier-gated funnel as a runnable entry: the production
     * shape, where the model filter (not just the heuristic gate) decides
     * what trains. Default fed weights — the same model artifact the
@@ -364,6 +426,8 @@ object Curation {
     "text_prepare_corpus_pipelined" -> (prepareCorpusPipelined _),
     "text_prepare_corpus_classified" -> (prepareCorpusClassified _),
     "text_mixture_sample" -> (mixtureSampleDocs _),
+    "text_weighted_sample" -> (weightedSampleDocs _),
+    "text_group_sample" -> (groupSampleDocs _),
     "text_shuffle_order" -> ((s: SparkSession, dir: String) => shuffleOrder(s, dir)),
     "text_split_assign" -> ((s: SparkSession, dir: String) => splitAssign(s, dir)))
 
@@ -391,6 +455,22 @@ object Curation {
         |  CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 7500
         |    WHEN 'src2' THEN 5000 WHEN 'src3' THEN 2500 ELSE 1000 END
         |ORDER BY doc_id""".stripMargin,
+    "text_weighted_sample" ->
+      """WITH keyed AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+        |    pow((CAST(('0x' || substr(md5('wsample0:' || CAST(doc_id AS VARCHAR)),
+        |          1, 8)) AS BIGINT) + 0.5) / 4294967296.0,
+        |      1.0 / CAST(n_chars AS DOUBLE)) AS es_key
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT CAST(row_number() OVER (ORDER BY es_key DESC, doc_id) AS BIGINT)
+        |    AS sample_rank, doc_id, weight
+        |FROM keyed ORDER BY es_key DESC, doc_id LIMIT 500""".stripMargin,
+    "text_group_sample" ->
+      """SELECT doc_id, source, draw FROM (
+        |  SELECT doc_id, source, CAST(row_number() OVER (
+        |      PARTITION BY source
+        |      ORDER BY md5('gsample0:' || CAST(doc_id AS VARCHAR)), doc_id)
+        |    AS BIGINT) AS draw
+        |  FROM documents) WHERE draw <= 100 ORDER BY source, draw""".stripMargin,
     "text_shuffle_order" ->
       """SELECT row_number() OVER (
         |    ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id)

@@ -548,14 +548,73 @@ object Fsck {
       .toDF("path", "kind", "check", "status", "observed", "detail")
   }
 
-  /** Fsck validates three kinds beyond [[Maintenance.Kinds]]: the durable
-    * aggregate state, the shard export and the PSI baseline have no
-    * maintenance action (each fold/export/stamp rewrites wholesale, so
-    * file growth is bounded by construction) but all have invariants
-    * worth checking.
+  // --------------------------------------------------- skipping manifest
+  /** A [[Layout.writeManifest]] data-skipping manifest — pruned reads
+    * trust its min/max bounds to DROP whole files, so wrong bounds are
+    * silent row loss. The trust decomposes: uncovered data files are
+    * SAFE by design ([[Layout.readPruned]] keeps them unconditionally —
+    * stale coverage is a performance warn, the refreshManifest nudge);
+    * phantom manifest rows prune nothing (inert — warn); but a covered
+    * file whose ACTUAL stats disagree with its manifest row means the
+    * file changed under a manifest nobody re-stamped — that one is the
+    * silent-row-loss hazard and fails. Verifying every file would rescan
+    * the corpus column, so the check is SAMPLED at audit price: one
+    * deterministic file (lexicographically first covered, stable for
+    * re-audits and specs) is rescanned and compared exactly.
+    */
+  def fsckSkipManifest(s: SparkSession, path: String): DataFrame = {
+    val mDir = s"$path/${Layout.ManifestDir}"
+    val staging = Seq(s"$mDir.compacting", s"$mDir.old")
+    if (!hasParquet(s, mDir))
+      return toDf(s, path, "skip_manifest", Seq(
+        Check("manifest_present", "fail", 1L,
+          s"no ${Layout.ManifestDir} — pruned reads degrade to full scans"),
+        warnIf("staging_leftovers", stagingLeftovers(s, staging),
+          "crashed manifest staging dirs present")))
+    val m = s.read.parquet(mDir)
+    val covered = m.select(col("file")).collect().map(_.getString(0)).toSet
+    val dataFiles = fsOf(s, path).listStatus(new Path(path))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet")).toIndexedSeq
+    val uncovered = dataFiles.filterNot(covered).length.toLong
+    val phantoms = (covered -- dataFiles).size.toLong
+    val cols = m.schema.fieldNames.toSeq
+      .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+    val sampleBad = dataFiles.filter(covered).sorted.headOption.map { f =>
+      val actual = s.read.parquet(s"$path/$f")
+        .agg(count(lit(1)).as("n_rows"),
+          cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+            max(col(c)).as(s"max_$c"))): _*)
+      val claimed = m.filter(col("file") === f).drop("file")
+      // exact row equality both directions — any drifted stat or count
+      // (nulls compare as values via the except set algebra)
+      actual.exceptAll(claimed.select(actual.columns.map(col).toSeq: _*))
+        .count()
+    }.getOrElse(0L)
+    toDf(s, path, "skip_manifest", Seq(
+      ok("manifest_present"),
+      failIf("stats_sample", sampleBad,
+        "the sampled covered file's actual (n_rows, min, max) disagree " +
+          "with its manifest row — the data changed under the manifest; " +
+          "pruned reads may silently drop rows until refreshManifest"),
+      warnIf("coverage", uncovered,
+        "data files the manifest does not cover — kept unpruned (safe) " +
+          "but unskippable until refreshManifest"),
+      warnIf("phantoms", phantoms,
+        "manifest rows for files no longer present — inert, hygiene debt"),
+      warnIf("staging_leftovers", stagingLeftovers(s, staging),
+        "crashed manifest staging dirs present")))
+  }
+
+  /** Fsck validates four kinds beyond [[Maintenance.Kinds]]: the durable
+    * aggregate state, the shard export, the PSI baseline and the
+    * data-skipping manifest have no standing maintenance action (each
+    * fold/export/stamp rewrites wholesale, so file growth is bounded by
+    * construction; the manifest refreshes with its dir's compaction) but
+    * all have invariants worth checking.
     */
   val Kinds: Set[String] =
-    Maintenance.Kinds + "agg_state" + "shard_export" + "psi_baseline"
+    Maintenance.Kinds + "agg_state" + "shard_export" + "psi_baseline" +
+      "skip_manifest"
 
   /** The one kind→validator dispatch both entry points share — so a new
     * artifact family (and its error contract) is added in exactly one
@@ -569,6 +628,7 @@ object Fsck {
     case "agg_state" => fsckAggState(s, path)
     case "shard_export" => fsckShardExport(s, path)
     case "psi_baseline" => fsckPsiBaseline(s, path)
+    case "skip_manifest" => fsckSkipManifest(s, path)
     case "sink_dir" => fsckSinkDir(s, path, markerBase)
     case k => throw new IllegalArgumentException(
       s"unknown fsck kind '$k' (expected one of " +
@@ -683,6 +743,7 @@ object Fsck {
       "agg_state" -> s"$base/agg",
       "shard_export" -> s"$base/export",
       "psi_baseline" -> s"$base/psi",
+      "skip_manifest" -> s"$base/skip",
       "sink_dir" -> s"$base/sink"))
       .orderBy(col("path"), col("check"))
   }

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampType}
 import graft.Tables
 
 /** Z-order (Morton-curve) data layout — the multi-dimensional clustering
@@ -258,6 +258,10 @@ object Layout {
       fs.listStatus(p).count(f => f.isFile && f.getPath.getName.endsWith(".parquet")).toLong
     }
     val before = parquetFiles(dir)
+    // a skipping manifest inside the dir is swapped away WITH the old
+    // generation — note its columns now, rebuild over the new layout after
+    // (compaction is exactly when stats get tighter, not when they may rot)
+    val manifest = manifestCols(spark, dir)
     val df = source.getOrElse(spark.read.parquet(dir))
     val total = df.count()
     val nTasks = math.max(1L, (total + maxRecordsPerFile - 1) / maxRecordsPerFile).toInt
@@ -265,11 +269,126 @@ object Layout {
       df.repartitionByRange(nTasks, orderCol)
         .write.option("maxRecordsPerFile", maxRecordsPerFile).parquet(staging)
     }
+    if (manifest.nonEmpty) writeManifest(spark, dir, manifest)
     (before, parquetFiles(dir), total)
   }
 
+  // ---------------------------------------------- data-skipping manifest
+  /** Per-file min/max statistics for DECLARED columns over a flat parquet
+    * dir — the Delta/Iceberg data-skipping idea from bare Spark: a scan
+    * with a range predicate consults the manifest and opens only the
+    * files whose [min, max] intersects it. On a [[compactFlat]]/
+    * [[zorderWrite]]-clustered table that is the difference between
+    * reading 100 TB and reading the two files that hold the queried day.
+    * One scan builds it (groupBy file — map-side combined, one row per
+    * file); files are identified by BASENAME so the manifest survives
+    * path requalification and dir moves.
+    */
+  def statsManifest(s: SparkSession, dir: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "statsManifest needs at least one column")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    s.read.parquet(dir)
+      .groupBy(substring_index(input_file_name(), "/", -1).as("file"))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
+  private[graft] val ManifestDir = "_skip_manifest"
+
+  /** Persist the manifest INSIDE the data dir under a `_`-prefixed name
+    * (invisible to parquet readers, travels with the data it describes —
+    * the shard-manifest convention). Staged write; self-describing (the
+    * covered columns are recoverable from the schema, which is how
+    * [[refreshManifest]] can rebuild it without being told them).
+    */
+  def writeManifest(s: SparkSession, dir: String, cols: Seq[String]): Unit = {
+    val m = statsManifest(s, dir, cols)
+    writeStaged(s, s"$dir/$ManifestDir")(st => m.coalesce(1).write.parquet(st))
+  }
+
+  /** The columns a persisted manifest covers (from its min_/max_ schema),
+    * empty when no manifest exists.
+    */
+  def manifestCols(s: SparkSession, dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$ManifestDir")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else s.read.parquet(p.toString).schema.fieldNames.toSeq
+      .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+  }
+
+  /** Rebuild a dir's manifest over the columns it already declares — the
+    * maintenance hook appends and compactions call so stats never go
+    * stale-SILENT. No-op when no manifest exists.
+    */
+  def refreshManifest(s: SparkSession, dir: String): Unit = {
+    val cols = manifestCols(s, dir)
+    if (cols.nonEmpty) writeManifest(s, dir, cols)
+  }
+
+  /** Manifest-pruned scan: `c BETWEEN lo AND hi`, opening only the files
+    * whose stats interval intersects — plus, CRUCIALLY, every file the
+    * manifest does not cover (rows appended after the last
+    * [[refreshManifest]] prune NOTHING rather than silently vanish: a
+    * stale manifest degrades performance, never correctness — the same
+    * safe-degradation rule Delta applies). Files whose stats are
+    * all-null carry only null values of `c`, which no BETWEEN matches —
+    * pruned. The row-level filter still applies inside kept files.
+    * Driver cost is the manifest (one row per file — the same file list
+    * every Spark scan already materializes on the driver).
+    */
+  def readPruned(s: SparkSession, dir: String, c: String,
+      lo: Column, hi: Column): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).toIndexedSeq
+    val full = () => s.read.parquet(dir)
+    val mPath = new org.apache.hadoop.fs.Path(s"$dir/$ManifestDir")
+    val pruned =
+      if (!fs.exists(mPath)) dataFiles
+      else {
+        val m = s.read.parquet(mPath.toString)
+        val covered = m.select(col("file")).collect().map(_.getString(0)).toSet
+        val keep = m.filter(col(s"max_$c") >= lo && col(s"min_$c") <= hi)
+          .select(col("file")).collect().map(_.getString(0)).toSet
+        dataFiles.filter(f => !covered(f) || keep(f))
+      }
+    val base =
+      if (pruned.isEmpty) full().filter(lit(false))
+      else s.read.parquet(pruned.map(f => s"$dir/$f"): _*)
+    base.filter(col(c) >= lo && col(c) <= hi)
+  }
+
+  /** Gate entry: lineitem range-clustered on l_shipdate + a manifest, then
+    * a two-year revenue summary served through [[readPruned]] — the
+    * result must equal the oracle's plain filtered aggregate over the
+    * whole table (ORACLE-EXACT: pruning moves file-open work, never
+    * rows; the kept-files < total assertion lives in LayoutSpec).
+    */
+  def skippingRead(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_skip")
+      .toString + "/lineitem"
+    Tables(s, dir).lineitem
+      .repartitionByRange(8, col("l_shipdate"))
+      .write.option("maxRecordsPerFile", 12000).parquet(tmp)
+    writeManifest(s, tmp, Seq("l_shipdate"))
+    readPruned(s, tmp, "l_shipdate",
+        lit("1995-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))
+            * (lit(BigDecimal(1)).cast(DecimalType(18, 2))
+               - col("l_discount").cast(DecimalType(18, 2))))
+          .cast("double").as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "layout_zorder" -> (zorderKeys _)
+    "layout_zorder" -> (zorderKeys _),
+    "layout_skipping_read" -> (skippingRead _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -277,6 +396,16 @@ object Layout {
       s"""SELECT o_orderkey,
          |  ${zvalueSql("o_custkey", "epoch_ms(o_orderdate)//1000//86400")} AS zval
          |FROM orders
-         |ORDER BY o_orderkey""".stripMargin
+         |ORDER BY o_orderkey""".stripMargin,
+    "layout_skipping_read" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate <= TIMESTAMP '1996-12-31'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

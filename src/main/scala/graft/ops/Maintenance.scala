@@ -66,7 +66,8 @@ object Maintenance {
       rebuild: Boolean = false)
 
   val Kinds: Set[String] =
-    Set("ann_index", "minhash_index", "embedding_index", "sink_dir")
+    Set("ann_index", "minhash_index", "embedding_index", "sink_dir",
+      "skip_manifest")
 
   /** Run maintenance over every target, in order, and report. Retrain (when
     * enabled) is decided BEFORE the compaction so a firing rebuild is not
@@ -111,8 +112,11 @@ object Maintenance {
           s"check: ${t.path}")
       require(t.kind == "embedding_index" || !t.rebuild,
         s"rebuild only applies to embedding_index targets: ${t.path}")
-      require(t.kind == "sink_dir" || (t.orderCol.isEmpty && t.markerBase.isEmpty),
-        s"orderCol/markerBase only apply to sink_dir targets: ${t.path}")
+      require(Set("sink_dir", "skip_manifest").contains(t.kind) ||
+          t.orderCol.isEmpty,
+        s"orderCol only applies to sink_dir/skip_manifest targets: ${t.path}")
+      require(t.kind == "sink_dir" || t.markerBase.isEmpty,
+        s"markerBase only applies to sink_dir targets: ${t.path}")
     }
     if (fsck == "pre" || fsck == "both") assertClean(s, targets, "pre")
     val rows = targets.map { t =>
@@ -157,6 +161,23 @@ object Maintenance {
               s"sink_dir target needs orderCol: ${t.path}"))
           (false, false, graft.streaming.Streams.compactSinkDir(s, t.path,
             col(order), maxRecordsPerFile, t.markerBase))
+        case "skip_manifest" =>
+          // with an orderCol: compact the data dir (compactFlat rebuilds
+          // the manifest it swaps away — stats get TIGHTER with the
+          // re-clustering); without: refresh stats in place, healing the
+          // fsck coverage warn appends leave
+          t.orderCol match {
+            case Some(o) =>
+              (false, false, Layout.compactFlat(s, t.path, col(o),
+                maxRecordsPerFile))
+            case None =>
+              Layout.refreshManifest(s, t.path)
+              val p = new org.apache.hadoop.fs.Path(t.path)
+              val n = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+                .listStatus(p).count(f => f.isFile &&
+                  f.getPath.getName.endsWith(".parquet")).toLong
+              (false, false, (n, n, 0L))
+          }
       }
       val (before, after, written) = audit
       (t.path, t.kind, checked, fired, before, after, written,
@@ -315,6 +336,11 @@ object Maintenance {
       Profile.savePsiBaseline(
         Tables(s, dir).documents.filter(col("doc_id") % 2 === 0),
         s"$base/psi")
+      // data skipping: a shipdate-clustered lineitem slice + its manifest
+      Tables(s, dir).lineitem.filter(col("l_orderkey") % 4 === 0)
+        .repartitionByRange(4, col("l_shipdate"))
+        .write.parquet(s"$base/skip")
+      Layout.writeManifest(s, s"$base/skip", Seq("l_shipdate"))
       base
     })
   }
@@ -323,7 +349,7 @@ object Maintenance {
     * nightly maintenance pass over a scratch world holding one artifact of
     * every family, with the ann retrain decision enabled (in-distribution
     * appends — it declines; the firing path is SimilaritySpec territory).
-    * Four rows, one per target.
+    * One row per target.
     */
   def opsMaintenanceReport(s: SparkSession, dir: String): DataFrame = {
     val base = buildWorld(s, dir)
@@ -341,7 +367,8 @@ object Maintenance {
       Target("ann_index", s"$base/ann", retrainCorpus = Some(corpus)),
       Target("minhash_index", s"$base/mh"),
       Target("embedding_index", s"$base/emb"),
-      Target("sink_dir", s"$base/sink", orderCol = Some("vec_id"))))
+      Target("sink_dir", s"$base/sink", orderCol = Some("vec_id")),
+      Target("skip_manifest", s"$base/skip", orderCol = Some("l_shipdate"))))
       .orderBy(col("path"))
   }
 

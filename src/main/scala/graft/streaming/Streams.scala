@@ -962,6 +962,58 @@ object Streams extends Serializable {
       }
       .start()
 
+  /** Seed the dimension side of a streaming join view — the one-time
+    * load before [[joinIngestSink]] starts (the star-schema shape: facts
+    * stream, the dim is a frozen snapshot; a dim refresh is a REBUILD —
+    * new root, new checkpoint — per the one-lineage fence rule).
+    */
+  def seedJoinDim(dim: DataFrame, root: String): Unit =
+    dim.write.parquet(s"$root/right")
+
+  /** Streaming twin of [[graft.etl.JsonEtl.joinUpsertAt]]: each
+    * micro-batch of facts folds into the materialized join view at
+    * `root` against the [[seedJoinDim]]-loaded dim — per batch, ONE
+    * broadcast-join scan of the batch against the dim (the dim is never
+    * shuffled, history never recomputed), committed exactly-once through
+    * the multi-dir marker protocol. After N batches
+    * `root/view` ≡ facts-so-far ⋈ dim (spec-pinned). The right side
+    * stays static by contract; [[graft.etl.JsonEtl.joinUpsertAt]] is the
+    * batch form for feeds where BOTH sides grow.
+    */
+  def joinIngestSink(facts: DataFrame, root: String, checkpoint: String,
+      keys: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+    facts.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the empty right delta must carry the RIGHT side's schema (the
+        // L⋈ΔR term would otherwise collide the fact columns with
+        // themselves) — one footer read of the seeded dim per batch
+        val emptyDim = batch.sparkSession.read.parquet(s"$root/right").limit(0)
+        graft.etl.JsonEtl.joinUpsertAt(batch.sparkSession, root, batch,
+          emptyDim, batchId, keys)
+      }
+      .start()
+
+  /** Streaming twin of [[graft.etl.JsonEtl.distinctUpsertAt]]: per-key
+    * HLL distinct-count state folded per micro-batch under the durable
+    * watermark fence — the live "distinct users per segment" dashboard
+    * state, maintained without ever rescanning history or keeping
+    * per-key exact sets. Same checkpoint-lineage rule as
+    * [[aggIngestSink]].
+    */
+  def distinctIngestSink(events: DataFrame, statePath: String,
+      checkpoint: String, keys: Seq[String] = Seq("event_type"),
+      valueCol: String = "user_id"): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.etl.JsonEtl.distinctUpsertAt(batch.sparkSession, statePath,
+          batch, batchId, keys, valueCol)
+      }
+      .start()
+
   /** Continuous DATA-drift monitoring — the streaming twin of
     * [[graft.ops.Profile.distributionDrift]] and the data-side sibling of
     * [[annIngestSink]]'s model-drift rows: each micro-batch's value

@@ -277,6 +277,47 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("weighted sample: exactly k, deterministic per seed, weight-proportional, TopK plan") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val s1 = Curation.weightedSample(docs, k = 300)
+    val rows = s1.collect()
+    assert(rows.length === 300, "E-S sampling returns exactly k rows")
+    // deterministic: the same seed draws the same sample; a fresh seed redraws
+    assert(Curation.weightedSample(docs, 300).collect().map(_.getLong(0)).toSeq
+      === rows.map(_.getLong(0)).toSeq)
+    val other = Curation.weightedSample(docs, 300, seed = "wsample1")
+      .collect().map(_.getLong(0)).toSet
+    assert(other != rows.map(_.getLong(0)).toSet, "seed changes the draw")
+    // weight-proportionality: P(doc in sample) ∝ weight, so the sample's
+    // mean weight must exceed the corpus mean (clearly, not marginally)
+    val sampleMean = rows.map(_.getAs[Long]("weight")).sum.toDouble / rows.length
+    val corpusMean = docs.filter(col("n_chars") > 0)
+      .agg(avg(col("n_chars"))).head.getDouble(0)
+    assert(sampleMean > 1.05 * corpusMean,
+      s"size-weighted draw must favor long docs: $sampleMean vs $corpusMean")
+    // the scale contract: sort+limit compiles to TakeOrderedAndProject
+    // (per-partition k-heaps, no global sort, no corpus shuffle)
+    assert(s1.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
+  test("group sample: exactly n per group (or the whole group), deterministic") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val n = 100
+    val sizes = Curation.groupSample(docs, n).groupBy(col("source"))
+      .agg(count(lit(1)).as("c"), max(col("draw")).as("mx")).collect()
+    val groupTotals = docs.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes.nonEmpty && sizes.length === groupTotals.size,
+      "every source is represented")
+    sizes.foreach { r =>
+      val expect = math.min(n.toLong, groupTotals(r.getAs[String]("source")))
+      assert(r.getAs[Long]("c") === expect)
+      assert(r.getAs[Long]("mx") === expect, "draws are 1..n, gapless")
+    }
+    val a = Curation.groupSample(docs, n).collect().map(_.getLong(0)).toSet
+    assert(Curation.groupSample(docs, n).collect().map(_.getLong(0)).toSet === a)
+  }
+
   test("propagateMinLabels' returned frame really unpersists (sameResult contract)") {
     val cm = spark.sharedState.cacheManager
     cm.clearCache()

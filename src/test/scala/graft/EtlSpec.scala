@@ -567,4 +567,95 @@ class EtlSpec extends SparkSpec {
       .filter(col("event_type") === "signup").count()
     assert(rows.length.toLong === n)
   }
+
+  test("incremental join: fold ≡ one-shot join, empty delta no-op, deltas broadcast") {
+    val t = Tables(spark, sf)
+    val o = t.orders.select(col("o_orderkey"),
+      col("o_custkey").as("c_custkey"), col("o_totalprice"))
+    val c = t.customer.select(col("c_custkey"), col("c_name"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(df.columns.map(col).toSeq: _*).collect().toSeq
+    val oneShot = o.join(c, Seq("c_custkey"))
+    // interleaved deltas: every term of the delta-join identity carries rows
+    val os = (0L to 3L).map(i => o.filter(col("o_orderkey") % 4 === i))
+    val cs = (0L to 1L).map(i => c.filter(col("c_custkey") % 2 === i))
+    val st0 = JsonEtl.joinViewInit(os(0), cs(0), Seq("c_custkey"))
+    val st = Seq((os(1), cs(1)), (os(2), c.limit(0)), (os(3), c.limit(0)))
+      .foldLeft(st0) { case (acc, (dl, dr)) =>
+        JsonEtl.joinViewUpsert(acc, dl, dr, Seq("c_custkey")) }
+    assert(key(st.view) === key(oneShot))
+    // empty deltas on BOTH sides are a no-op
+    val noop = JsonEtl.joinViewUpsert(st, o.limit(0), c.limit(0), Seq("c_custkey"))
+    assert(key(noop.view) === key(oneShot))
+    // the scale contract: delta terms broadcast the delta side, so the
+    // history side is scanned, never shuffled
+    val plan = JsonEtl.joinViewUpsert(st0, os(1), cs(1), Seq("c_custkey"))
+      .view.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "delta-join terms must broadcast the batch side")
+  }
+
+  test("durable incremental join: per-batch appends, replay no-op, crash window replaces") {
+    val t = Tables(spark, sf)
+    val o = t.orders.select(col("o_orderkey"),
+      col("o_custkey").as("c_custkey"), col("o_totalprice"))
+    val c = t.customer.select(col("c_custkey"), col("c_name"))
+    val root = Files.createTempDirectory("graft_joinview").toString + "/jv"
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(df.columns.map(col).toSeq: _*).collect().toSeq
+    val os = (0L to 2L).map(i => o.filter(col("o_orderkey") % 3 === i))
+    val cs = (0L to 1L).map(i => c.filter(col("c_custkey") % 2 === i))
+    JsonEtl.joinUpsertAt(spark, root, os(0), cs(0), 0L, Seq("c_custkey"))
+    // crash window at the tail, BOTH deltas non-empty: batch 1's files
+    // land in all three dirs but the marker never does. The retry must
+    // (a) REPLACE the b1- file sets, not append beside them, and (b) read
+    // history EXCLUDING the crashed b1- files — otherwise the ΔL⋈ΔR rows
+    // re-enter through the history terms and the view double-counts
+    Seq("view" -> cs(1).limit(0), "left" -> os(1), "right" -> cs(1))
+      .foreach { case (sub, df) =>
+        graft.streaming.Streams.replaceBatchFiles(spark, s"$root/$sub", 1L)(
+          st => (if (sub == "view") os(1).join(cs(1), Seq("c_custkey"))
+                 else df).write.parquet(st)) }
+    JsonEtl.joinUpsertAt(spark, root, os(1), cs(1), 1L, Seq("c_custkey"))
+    JsonEtl.joinUpsertAt(spark, root, os(2), c.limit(0), 2L, Seq("c_custkey"))
+    assert(key(spark.read.parquet(s"$root/view")) === key(o.join(c, Seq("c_custkey"))))
+    // replayed id: marker answers, nothing re-folds (the view would
+    // otherwise duplicate every batch-1 delta row)
+    JsonEtl.joinUpsertAt(spark, root, os(1), cs(1), 1L, Seq("c_custkey"))
+    assert(key(spark.read.parquet(s"$root/view")) === key(o.join(c, Seq("c_custkey"))))
+    // the state carries both sides in full — the next delta has its history
+    assert(key(spark.read.parquet(s"$root/left")) === key(o))
+    assert(key(spark.read.parquet(s"$root/right")) === key(c))
+  }
+
+  test("incremental distinct: fold order-invariant, close to exact, durable replay no-op") {
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val slices = (0L to 3L).map(i => events.filter(col("event_id") % 4 === i))
+    def est(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      JsonEtl.distinctEstimate(df).collect()
+        .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("distinct_est"))
+        .toMap
+    val folded = est(slices.tail.foldLeft(JsonEtl.distinctState(slices.head))(
+      (st, b) => JsonEtl.distinctUpsert(st, b)))
+    // commutativity: sketch union represents SET union — arrival order
+    // cannot change the state
+    val permuted = Seq(3, 1, 0, 2).map(slices(_))
+    val folded2 = est(permuted.tail.foldLeft(JsonEtl.distinctState(permuted.head))(
+      (st, b) => JsonEtl.distinctUpsert(st, b)))
+    assert(folded === folded2)
+    // accuracy vs exact distinct at the default geometry (lgK=12 → ~2%
+    // relative standard error; assert 3σ)
+    val exact = events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("d")).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("d")).toMap
+    exact.foreach { case (k, d) =>
+      assert(math.abs(folded(k) - d) <= math.max(2.0, 0.06 * d),
+        s"$k: est ${folded(k)} vs exact $d") }
+    // durable form: replay fences, final state equals the in-memory fold
+    val path = Files.createTempDirectory("graft_dstate").toString + "/state"
+    slices.zipWithIndex.foreach { case (b, i) =>
+      JsonEtl.distinctUpsertAt(spark, path, b, i.toLong) }
+    JsonEtl.distinctUpsertAt(spark, path, slices(1), 1L) // replay
+    assert(est(spark.read.parquet(path)) === folded)
+  }
 }

@@ -362,6 +362,58 @@ class FsckSpec extends SparkSpec {
       "kind_known")._1 === "fail")
   }
 
+  test("skip-manifest fsck: clean ok; stale coverage, phantoms, drifted stats flip") {
+    import graft.ops.Layout
+    val dir = tmp("graft_fsck_skip") + "/data"
+    (0 until 4000).map(i => (i.toLong, i.toLong % 97))
+      .toDF("id", "v").repartitionByRange(4, col("id"))
+      .write.parquet(dir)
+    Layout.writeManifest(spark, dir, Seq("id"))
+    val clean = Fsck.fsckSkipManifest(spark, dir)
+    Seq("manifest_present", "stats_sample", "coverage", "phantoms",
+      "staging_leftovers").foreach { c =>
+      assert(statusOf(clean, c)._1 === "ok", c) }
+    // missing manifest → present fail (and nothing else reported)
+    val bare = tmp("graft_fsck_skip2") + "/data"
+    (0 until 10).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+      .write.parquet(bare)
+    assert(statusOf(Fsck.fsckSkipManifest(spark, bare),
+      "manifest_present")._1 === "fail")
+    // appended-after-manifest file → coverage warn ONLY (safe degradation)
+    (4000 until 4100).map(i => (i.toLong, i.toLong % 97)).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val stale = Fsck.fsckSkipManifest(spark, dir)
+    assert(statusOf(stale, "coverage") === ("warn", 1L))
+    assert(statusOf(stale, "stats_sample")._1 === "ok")
+    Layout.refreshManifest(spark, dir)
+    assert(statusOf(Fsck.fsckSkipManifest(spark, dir), "coverage")._1 === "ok")
+    // a removed data file → phantom warn only
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val victim = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.getName).last
+    fs.delete(victim, false)
+    val ghost = Fsck.fsckSkipManifest(spark, dir)
+    assert(statusOf(ghost, "phantoms") === ("warn", 1L))
+    assert(statusOf(ghost, "stats_sample")._1 === "ok")
+    // the silent-row-loss hazard: rewrite the SAMPLED file's content in
+    // place so its real stats disagree with the manifest row → fail
+    Layout.refreshManifest(spark, dir)
+    val sampled = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.getName).head
+    val stagingF = tmp("graft_fsck_skip3")
+    (90000 until 90010).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(stagingF)
+    val newFile = fs.listStatus(new org.apache.hadoop.fs.Path(stagingF))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    fs.delete(sampled, false)
+    assert(fs.rename(newFile, sampled))
+    val drifted = Fsck.fsckSkipManifest(spark, dir)
+    assert(statusOf(drifted, "stats_sample")._1 === "fail")
+  }
+
   test("the gate report covers every artifact family of the scratch world, no failures") {
     val report = Fsck.opsFsckReport(spark, sf)
     assert(report.select(col("kind")).distinct().count() === Fsck.Kinds.size)

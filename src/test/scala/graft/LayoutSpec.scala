@@ -79,6 +79,55 @@ class LayoutSpec extends SparkSpec {
   }
 
 
+  test("skipping manifest: pruned read ≡ full filter, opens fewer files, stale is safe") {
+    val dir = Files.createTempDirectory("graft_skiptest").toString + "/li"
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    li.repartitionByRange(8, col("l_shipdate"))
+      .write.option("maxRecordsPerFile", 12000).parquet(dir)
+    Layout.writeManifest(spark, dir, Seq("l_shipdate"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).count(_.endsWith(".parquet"))
+    // the manifest accounts for every file and every row
+    val m = spark.read.parquet(s"$dir/${Layout.ManifestDir}")
+    assert(m.count() === dataFiles.toLong)
+    assert(m.agg(sum(col("n_rows"))).head.getLong(0) === li.count())
+    val (lo, hi) = (lit("1995-01-01").cast("timestamp"),
+      lit("1995-12-31").cast("timestamp"))
+    def key(df: DataFrame) = df.orderBy(col("l_orderkey"), col("l_linenumber"))
+      .select(col("l_orderkey"), col("l_linenumber")).collect().toSeq
+    val full = li.filter(col("l_shipdate") >= lo && col("l_shipdate") <= hi)
+    val pruned = Layout.readPruned(spark, dir, "l_shipdate", lo, hi)
+    assert(key(pruned) === key(full), "pruning moves file opens, never rows")
+    // fewer files actually opened (range-clustered ⇒ one year ≪ all files)
+    assert(pruned.inputFiles.length < dataFiles,
+      s"pruned scan must open fewer files: ${pruned.inputFiles.length} of $dataFiles")
+    // out-of-range predicate prunes everything and returns empty
+    assert(Layout.readPruned(spark, dir, "l_shipdate",
+      lit("2050-01-01").cast("timestamp"),
+      lit("2050-12-31").cast("timestamp")).count() === 0L)
+    // STALE manifest is safe: files appended after the manifest are not
+    // covered, so they are kept unconditionally — rows degrade to
+    // unpruned, never to silently-missing
+    li.filter(col("l_shipdate") >= lo && col("l_shipdate") <= hi).limit(500)
+      .write.mode("append").parquet(dir)
+    val afterAppend = Layout.readPruned(spark, dir, "l_shipdate", lo, hi)
+    assert(afterAppend.count() === full.count() + 500)
+    // refresh re-covers the appended files; results unchanged
+    Layout.refreshManifest(spark, dir)
+    assert(Layout.readPruned(spark, dir, "l_shipdate", lo, hi).count()
+      === full.count() + 500)
+    assert(spark.read.parquet(s"$dir/${Layout.ManifestDir}").count()
+      === dataFiles.toLong)
+    // compaction rebuilds the manifest over the new file layout
+    Layout.compactFlat(spark, dir, col("l_shipdate"), 20000L)
+    assert(spark.read.parquet(s"$dir/${Layout.ManifestDir}").count()
+      === dataFiles.toLong, "compactFlat must refresh the manifest it swapped away")
+    assert(Layout.readPruned(spark, dir, "l_shipdate", lo, hi).count()
+      === full.count() + 500)
+  }
+
   test("z-ordered layout prunes files on BOTH keys; single-sort prunes only its own") {
     val sf01 = "/root/testdata/sf0.01"
     val orders = Tables(spark, sf01).orders

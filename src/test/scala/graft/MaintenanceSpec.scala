@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Maintenance, Similarity}
+import graft.ops.{Dedup, Fsck, Maintenance, Similarity}
 import graft.ops.Maintenance.Target
 
 class MaintenanceSpec extends SparkSpec {
@@ -302,21 +302,55 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
-  test("gate entry: four rows, the ann decision checked and declined, stable across calls") {
+  test("gate entry: five rows, the ann decision checked and declined, stable across calls") {
     val rep = Maintenance.opsMaintenanceReport(spark, sf).collect()
-    assert(rep.length === 4)
+    assert(rep.length === 5)
     assert(rep.map(_.getAs[String]("kind")).toSet ===
-      Set("ann_index", "minhash_index", "embedding_index", "sink_dir"))
+      Set("ann_index", "minhash_index", "embedding_index", "sink_dir",
+        "skip_manifest"))
     val ann = rep.find(_.getAs[String]("kind") == "ann_index").get
     assert(ann.getAs[Boolean]("retrain_checked"))
     assert(!ann.getAs[Boolean]("retrain_fired"),
       "the gate world's appends are in-distribution")
     rep.foreach(r => assert(r.getAs[Long]("rows_written") > 0L))
     // bench best-of-N shape: the world is memoized, later calls just
-    // re-maintain — same four rows, files stay bounded
+    // re-maintain — same five rows, files stay bounded
     val rep2 = Maintenance.opsMaintenanceReport(spark, sf).collect()
-    assert(rep2.length === 4)
+    assert(rep2.length === 5)
     rep2.foreach(r => assert(
       r.getAs[Long]("files_after") <= math.max(r.getAs[Long]("files_before"), 2L)))
+  }
+
+  test("skip-manifest maintenance: refresh heals the coverage warn; compact keeps pruning exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_maint_skip")
+      .toString + "/data"
+    (0 until 5000).map(i => (i.toLong, i.toLong % 7)).toDF("id", "v")
+      .repartitionByRange(4, col("id")).write.parquet(dir)
+    graft.ops.Layout.writeManifest(spark, dir, Seq("id"))
+    (5000 until 5200).map(i => (i.toLong, i.toLong % 7)).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    assert(Fsck.fsckSkipManifest(spark, dir)
+      .filter(col("check") === "coverage").head.getAs[String]("status")
+      === "warn")
+    // refresh-only target (no orderCol): stats re-cover the appends
+    val rep = Maintenance.runAll(spark,
+      Seq(Target("skip_manifest", dir))).collect()
+    assert(rep.length === 1 && rep.head.getAs[Long]("rows_written") === 0L)
+    assert(Fsck.fsckSkipManifest(spark, dir)
+      .filter(col("status") =!= "ok").count() === 0L)
+    // compacting target (orderCol): files collapse, manifest follows,
+    // pruned reads stay exact
+    val rep2 = Maintenance.runAll(spark,
+      Seq(Target("skip_manifest", dir, orderCol = Some("id"))),
+      maxRecordsPerFile = 2000L).collect()
+    assert(rep2.head.getAs[Long]("rows_written") === 5200L)
+    assert(Fsck.fsckSkipManifest(spark, dir)
+      .filter(col("status") =!= "ok").count() === 0L)
+    val pruned = graft.ops.Layout.readPruned(spark, dir, "id",
+      lit(100L), lit(299L))
+    assert(pruned.count() === 200L)
+    assert(pruned.inputFiles.length < rep2.head.getAs[Long]("files_after"),
+      "the clustered rewrite must make the range prunable")
   }
 }

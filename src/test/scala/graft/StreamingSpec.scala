@@ -543,6 +543,57 @@ class StreamingSpec extends SparkSpec {
     assert(graft.etl.JsonEtl.aggFoldWatermark(spark, s"$base/state") === 1L)
   }
 
+  test("join ingest sink: streamed facts ⋈ seeded dim equals the one-shot join") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_join_sink").toString
+    val dim = Seq((1L, "gold"), (2L, "silver"), (3L, "bronze"))
+      .toDF("cust_id", "tier")
+    Streams.seedJoinDim(dim, s"$base/jv")
+    val in = MemoryStream[(Long, Long, Double)]
+    val q = Streams.joinIngestSink(
+      in.toDF().toDF("order_id", "cust_id", "total"),
+      s"$base/jv", s"$base/ckpt", Seq("cust_id"))
+    val b0 = Seq((10L, 1L, 5.0), (11L, 2L, 7.5), (12L, 9L, 1.0)) // 9: no dim
+    val b1 = Seq((13L, 1L, 2.0), (14L, 3L, 4.0))
+    in.addData(b0: _*); q.processAllAvailable()
+    in.addData(b1: _*); q.processAllAvailable()
+    q.stop()
+    val facts = (b0 ++ b1).toDF("order_id", "cust_id", "total")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(df.columns.map(col).toSeq: _*).collect().toSeq
+    assert(key(spark.read.parquet(s"$base/jv/view"))
+      === key(facts.join(dim, Seq("cust_id"))))
+    // the accumulated left side is exactly the delivered facts — the
+    // state a later two-sided batch fold would need
+    assert(key(spark.read.parquet(s"$base/jv/left")) === key(facts))
+  }
+
+  test("distinct ingest sink: N micro-batches fold to the one-shot sketch, exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_distinct_sink").toString
+    val in = MemoryStream[(Long, String, Double)]
+    val q = Streams.distinctIngestSink(
+      in.toDF().toDF("user_id", "event_type", "value"),
+      s"$base/state", s"$base/ckpt")
+    val b0 = (0L until 500L).map(i => (i % 37, if (i % 2 == 0) "view" else "click", 1.0))
+    val b1 = (0L until 500L).map(i => (i % 61, if (i % 3 == 0) "view" else "buy", 1.0))
+    in.addData(b0: _*); q.processAllAvailable()
+    in.addData(b1: _*); q.processAllAvailable()
+    q.stop()
+    val est = graft.etl.JsonEtl.distinctEstimate(
+      spark.read.parquet(s"$base/state")).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("distinct_est")).toMap
+    val exact = (b0 ++ b1).toDF("user_id", "event_type", "value")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("d")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // tiny cardinalities sit in the sketch's exact (list/set) range
+    assert(est === exact)
+    assert(graft.etl.JsonEtl.aggFoldWatermark(spark, s"$base/state") === 1L)
+  }
+
   test("psi drift sink: in-distribution batch stable, shifted batch trips; batch ≡ stream") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

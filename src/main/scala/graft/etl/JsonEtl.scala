@@ -851,6 +851,102 @@ object JsonEtl {
       .orderBy(col("event_type"))
   }
 
+  // ---------------------------------------- incremental quantile sketch
+  /** Per-key QUANTILE state — the fifth incremental algebra: quantiles
+    * are not additive, not order-foldable, and (unlike distinct-count)
+    * not exactly mergeable — but the KLL sketch merges with a BOUNDED
+    * rank-error guarantee, which is the strongest maintainable form a
+    * rolling "p99 latency per segment" dashboard can have without
+    * keeping every value. State = (key, sketch BINARY, n_rows), built by
+    * [[graft.ops.Profile.valueSketches]] (the same artifact the
+    * profiling family saves — one sketch format repo-wide); quantile
+    * estimates are a read-time view ([[quantileEstimates]]), never
+    * stored, per the aggState non-additive rule.
+    */
+  def quantileState(events: DataFrame, key: String = "event_type",
+      valueCol: String = "value", k: Int = 200): DataFrame =
+    graft.ops.Profile.valueSketches(events, key, valueCol, k)
+
+  /** Fold a raw batch into a [[quantileState]]: sketch the batch alone
+    * (one mapPartitions scan + one few-KB-per-key partial shuffle), then
+    * merge sketches per key — history never rescanned. KLL merge is
+    * associative/commutative UP TO its randomized-compaction error
+    * bound: unlike the additive/join/distinct folds there is no
+    * bit-equality to pin, so the spec pins the rank-error envelope vs
+    * exact order statistics instead (the [[graft.ops.Profile]]
+    * discipline), and the gate entry is declared rows-only.
+    */
+  def quantileUpsert(state: DataFrame, batch: DataFrame,
+      key: String = "event_type", valueCol: String = "value",
+      k: Int = 200): DataFrame = {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    val s2 = state.sparkSession
+    import s2.implicits._
+    state.unionByName(quantileState(batch, key, valueCol, k))
+      .select(col(key).cast("string").as("g"), col("sketch"), col("n_rows"))
+      .as[(String, Array[Byte], Long)]
+      .groupByKey(_._1)
+      .mapGroups { (g, parts) =>
+        val merged = KllDoublesSketch.newHeapInstance(k)
+        var n = 0L
+        parts.foreach { p =>
+          merged.merge(KllDoublesSketch.heapify(Memory.wrap(p._2)))
+          n += p._3
+        }
+        (g, merged.toByteArray, n)
+      }
+      .toDF(key, "sketch", "n_rows")
+  }
+
+  /** Read-time quantile view over a [[quantileState]] — estimates for the
+    * requested ranks per key, computed from sketch bytes distributed
+    * (never a driver fold, so high-cardinality keys are safe).
+    */
+  def quantileEstimates(state: DataFrame,
+      qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    val s2 = state.sparkSession
+    import s2.implicits._
+    val key = state.columns.head
+    state.select(col(key).cast("string").as("g"), col("sketch"), col("n_rows"))
+      .as[(String, Array[Byte], Long)]
+      .map { case (g, bytes, n) =>
+        val sk = KllDoublesSketch.heapify(Memory.wrap(bytes))
+        (g, n, qs.map(q => sk.getQuantile(q)))
+      }
+      .toDF(key, "n_rows", "quantiles")
+      .select(col(key) +: col("n_rows") +:
+        qs.zipWithIndex.map { case (q, i) =>
+          col("quantiles").getItem(i).as(s"p${(q * 100).round}") }: _*)
+  }
+
+  /** Durable, replay-safe [[quantileUpsert]] — [[aggUpsertAt]]'s watermark
+    * fence and atomic swap, applied to the sketch merge.
+    */
+  def quantileUpsertAt(s: SparkSession, path: String, batch: DataFrame,
+      batchId: Long, key: String = "event_type",
+      valueCol: String = "value", k: Int = 200): Unit =
+    durableFold(s, path, batchId)(
+      quantileState(batch, key, valueCol, k),
+      st => quantileUpsert(st, batch, key, valueCol, k))
+
+  /** Gate form: per-event-type value quantiles, folded in four event_id-mod
+    * slices, served through the estimate view. Rows-only (KLL compaction
+    * is randomized); the spec pins the folded estimates inside the
+    * sketch's rank-error envelope vs exact order statistics and the
+    * durable replay discipline.
+    */
+  def incrementalQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).events
+    val slices = (0L to 3L).map(i => e.filter(col("event_id") % 4 === i))
+    quantileEstimates(
+      slices.tail.foldLeft(quantileState(slices.head))(
+        (st, b) => quantileUpsert(st, b)))
+      .orderBy(col("event_type"))
+  }
+
   // ------------------------------------------------------------ CDC merge
   /** Generic CDC MERGE: fold a change batch into a base table with
     * upsert-or-delete semantics — the apply step downstream of every
@@ -995,6 +1091,7 @@ object JsonEtl {
     "etl_incremental_ewma" -> (incrementalEwma _),
     "etl_incremental_join" -> (incrementalJoin _),
     "etl_incremental_distinct" -> (incrementalDistinct _),
+    "etl_incremental_quantiles" -> (incrementalQuantiles _),
     "etl_quality_audit"    -> (qualityAudit _),
     "etl_scd2"             -> (scd2 _),
     "etl_merge_upsert"     -> (mergeUpsertOrders _),

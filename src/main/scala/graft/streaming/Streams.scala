@@ -995,6 +995,23 @@ object Streams extends Serializable {
       }
       .start()
 
+  /** Streaming twin of [[graft.etl.JsonEtl.quantileUpsertAt]]: per-key
+    * KLL quantile state folded per micro-batch under the durable fold
+    * watermark — the live "p99 per segment" dashboard state. Same
+    * checkpoint-lineage rule as [[aggIngestSink]].
+    */
+  def quantileIngestSink(events: DataFrame, statePath: String,
+      checkpoint: String, key: String = "event_type",
+      valueCol: String = "value"): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.etl.JsonEtl.quantileUpsertAt(batch.sparkSession, statePath,
+          batch, batchId, key, valueCol)
+      }
+      .start()
+
   /** Streaming twin of [[graft.etl.JsonEtl.distinctUpsertAt]]: per-key
     * HLL distinct-count state folded per micro-batch under the durable
     * watermark fence — the live "distinct users per segment" dashboard

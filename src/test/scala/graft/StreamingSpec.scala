@@ -594,6 +594,28 @@ class StreamingSpec extends SparkSpec {
     assert(graft.etl.JsonEtl.aggFoldWatermark(spark, s"$base/state") === 1L)
   }
 
+  test("quantile ingest sink: micro-batches fold to in-envelope estimates, exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_quant_sink").toString
+    val in = MemoryStream[(Long, String, Double)]
+    val q = Streams.quantileIngestSink(
+      in.toDF().toDF("user_id", "event_type", "value"),
+      s"$base/state", s"$base/ckpt")
+    val b0 = (0 until 1000).map(i => (i.toLong, "view", i.toDouble))
+    val b1 = (1000 until 2000).map(i => (i.toLong, "view", i.toDouble))
+    in.addData(b0: _*); q.processAllAvailable()
+    in.addData(b1: _*); q.processAllAvailable()
+    q.stop()
+    val st = spark.read.parquet(s"$base/state")
+    assert(st.agg(sum(col("n_rows"))).head.getLong(0) === 2000L)
+    val r = graft.etl.JsonEtl.quantileEstimates(st).head()
+    // values are 0..1999 uniform — p50 ≈ 1000, p99 ≈ 1980 (4% rank slack)
+    assert(math.abs(r.getAs[Double]("p50") - 1000.0) <= 80.0)
+    assert(math.abs(r.getAs[Double]("p99") - 1980.0) <= 80.0)
+    assert(graft.etl.JsonEtl.aggFoldWatermark(spark, s"$base/state") === 1L)
+  }
+
   test("psi drift sink: in-distribution batch stable, shifted batch trips; batch ≡ stream") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -761,6 +761,27 @@ object JsonEtl {
       s"$root/right" -> { st => dRight.write.parquet(st) })
   }
 
+  /** [[joinUpsertAt]] specialized to a LEFT-only delta against a static
+    * right side (the [[graft.streaming.Streams.joinIngestSink]] shape:
+    * facts stream, dim frozen at seed time): only the ΔL⋈R term exists,
+    * and only `view` and `left` are written — no empty right-delta file
+    * per batch (a day of one-minute batches would otherwise grow
+    * `root/right` by ~1400 schema-only files that every later fold
+    * re-lists), and no per-batch footer read to conjure an empty frame
+    * of the right schema.
+    */
+  def joinUpsertLeftAt(s: SparkSession, root: String, dLeft: DataFrame,
+      batchId: Long, keys: Seq[String],
+      broadcastDeltas: Boolean = true): Unit = {
+    if (graft.streaming.Streams.isBatchCommitted(s, root, batchId)) return
+    val right = s.read.parquet(s"$root/right")
+    val deltaView =
+      (if (broadcastDeltas) broadcast(dLeft) else dLeft).join(right, keys)
+    graft.streaming.Streams.commitBatch(s, root, batchId)(
+      s"$root/view" -> { st => deltaView.write.parquet(st) },
+      s"$root/left" -> { st => dLeft.write.parquet(st) })
+  }
+
   /** Gate form: orders ⋈ customer maintained incrementally — customer
     * loads in two halves (custkey mod 2), orders in four interleaved
     * slices (orderkey mod 4), so every delta term (ΔL⋈R, L⋈ΔR, ΔL⋈ΔR)

@@ -564,7 +564,7 @@ object Fsck {
     */
   def fsckSkipManifest(s: SparkSession, path: String): DataFrame = {
     val mDir = s"$path/${Layout.ManifestDir}"
-    val staging = Seq(s"$mDir.compacting", s"$mDir.old")
+    val staging = Seq(s"$mDir.staging", s"$mDir.compacting", s"$mDir.old")
     if (!hasParquet(s, mDir))
       return toDf(s, path, "skip_manifest", Seq(
         Check("manifest_present", "fail", 1L,
@@ -580,15 +580,20 @@ object Fsck {
     val cols = m.schema.fieldNames.toSeq
       .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
     val sampleBad = dataFiles.filter(covered).sorted.headOption.map { f =>
-      val actual = s.read.parquet(s"$path/$f")
-        .agg(count(lit(1)).as("n_rows"),
-          cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
-            max(col(c)).as(s"max_$c"))): _*)
-      val claimed = m.filter(col("file") === f).drop("file")
-      // exact row equality both directions — any drifted stat or count
-      // (nulls compare as values via the except set algebra)
-      actual.exceptAll(claimed.select(actual.columns.map(col).toSeq: _*))
-        .count()
+      // a file whose schema no longer carries a covered column is the
+      // same changed-under-the-manifest hazard — the analysis error must
+      // become THIS check's fail row, not abort the report
+      try {
+        val actual = s.read.parquet(s"$path/$f")
+          .agg(count(lit(1)).as("n_rows"),
+            cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+              max(col(c)).as(s"max_$c"))): _*)
+        val claimed = m.filter(col("file") === f).drop("file")
+        // exact row equality both directions — any drifted stat or count
+        // (nulls compare as values via the except set algebra)
+        actual.exceptAll(claimed.select(actual.columns.map(col).toSeq: _*))
+          .count()
+      } catch { case scala.util.control.NonFatal(_) => 1L }
     }.getOrElse(0L)
     toDf(s, path, "skip_manifest", Seq(
       ok("manifest_present"),
@@ -605,16 +610,15 @@ object Fsck {
         "crashed manifest staging dirs present")))
   }
 
-  /** Fsck validates four kinds beyond [[Maintenance.Kinds]]: the durable
-    * aggregate state, the shard export, the PSI baseline and the
-    * data-skipping manifest have no standing maintenance action (each
-    * fold/export/stamp rewrites wholesale, so file growth is bounded by
-    * construction; the manifest refreshes with its dir's compaction) but
-    * all have invariants worth checking.
+  /** Fsck validates three kinds beyond [[Maintenance.Kinds]]: the durable
+    * aggregate state, the shard export and the PSI baseline have no
+    * standing maintenance action (each fold/export/stamp rewrites
+    * wholesale, so file growth is bounded by construction) but all have
+    * invariants worth checking. `skip_manifest` arrives via
+    * [[Maintenance.Kinds]] — it DOES have an action (refresh/compact).
     */
   val Kinds: Set[String] =
-    Maintenance.Kinds + "agg_state" + "shard_export" + "psi_baseline" +
-      "skip_manifest"
+    Maintenance.Kinds + "agg_state" + "shard_export" + "psi_baseline"
 
   /** The one kind→validator dispatch both entry points share — so a new
     * artifact family (and its error contract) is added in exactly one

@@ -259,8 +259,13 @@ object Layout {
     }
     val before = parquetFiles(dir)
     // a skipping manifest inside the dir is swapped away WITH the old
-    // generation — note its columns now, rebuild over the new layout after
-    // (compaction is exactly when stats get tighter, not when they may rot)
+    // generation — rebuild it over the new layout INSIDE the staging dir,
+    // so data + manifest promote in the same rename (a post-swap rebuild
+    // would leave a crash window where the live generation has no
+    // manifest AND no recorded column list for refreshManifest to heal
+    // from). File basenames survive the rename, so staging-built stats
+    // describe the promoted files exactly. Compaction is when stats get
+    // TIGHTER (contiguous orderCol ranges per file), not when they rot.
     val manifest = manifestCols(spark, dir)
     val df = source.getOrElse(spark.read.parquet(dir))
     val total = df.count()
@@ -268,8 +273,8 @@ object Layout {
     rewriteInPlace(spark, dir) { staging =>
       df.repartitionByRange(nTasks, orderCol)
         .write.option("maxRecordsPerFile", maxRecordsPerFile).parquet(staging)
+      if (manifest.nonEmpty) writeManifest(spark, staging, manifest)
     }
-    if (manifest.nonEmpty) writeManifest(spark, dir, manifest)
     (before, parquetFiles(dir), total)
   }
 
@@ -364,15 +369,21 @@ object Layout {
     * a two-year revenue summary served through [[readPruned]] — the
     * result must equal the oracle's plain filtered aggregate over the
     * whole table (ORACLE-EXACT: pruning moves file-open work, never
-    * rows; the kept-files < total assertion lives in LayoutSpec).
+    * rows; the kept-files < total assertion lives in LayoutSpec). The
+    * clustered copy + manifest build once per (session, corpus) — the
+    * indexMemo discipline — so the bench's best-of-N times the PRUNED
+    * READ, not the one-time layout job, and repeat runs don't leak a
+    * temp dir each.
     */
   def skippingRead(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_skip")
-      .toString + "/lineitem"
-    Tables(s, dir).lineitem
-      .repartitionByRange(8, col("l_shipdate"))
-      .write.option("maxRecordsPerFile", 12000).parquet(tmp)
-    writeManifest(s, tmp, Seq("l_shipdate"))
+    val tmp = graft.ops.Similarity.sessionScratchPath(
+      s, "graft_skip", dir) + "/lineitem"
+    if (!new java.io.File(s"$tmp/$ManifestDir").exists()) {
+      Tables(s, dir).lineitem
+        .repartitionByRange(8, col("l_shipdate"))
+        .write.mode("overwrite").option("maxRecordsPerFile", 12000).parquet(tmp)
+      writeManifest(s, tmp, Seq("l_shipdate"))
+    }
     readPruned(s, tmp, "l_shipdate",
         lit("1995-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp"))
       .groupBy(col("l_returnflag"))

@@ -965,10 +965,15 @@ object Streams extends Serializable {
   /** Seed the dimension side of a streaming join view — the one-time
     * load before [[joinIngestSink]] starts (the star-schema shape: facts
     * stream, the dim is a frozen snapshot; a dim refresh is a REBUILD —
-    * new root, new checkpoint — per the one-lineage fence rule).
+    * new root, new checkpoint — per the one-lineage fence rule). Staged
+    * ([[graft.ops.Layout.writeStaged]]): a crash mid-seed must not leave
+    * a PARTIAL dim that the first fact batch silently joins against —
+    * with an append-only view, keys missing from a half-seeded dim would
+    * never join and no later batch repairs them.
     */
   def seedJoinDim(dim: DataFrame, root: String): Unit =
-    dim.write.parquet(s"$root/right")
+    graft.ops.Layout.writeStaged(dim.sparkSession, s"$root/right")(
+      st => dim.write.parquet(st))
 
   /** Streaming twin of [[graft.etl.JsonEtl.joinUpsertAt]]: each
     * micro-batch of facts folds into the materialized join view at
@@ -986,12 +991,8 @@ object Streams extends Serializable {
       .outputMode(OutputMode.Append())
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // the empty right delta must carry the RIGHT side's schema (the
-        // L⋈ΔR term would otherwise collide the fact columns with
-        // themselves) — one footer read of the seeded dim per batch
-        val emptyDim = batch.sparkSession.read.parquet(s"$root/right").limit(0)
-        graft.etl.JsonEtl.joinUpsertAt(batch.sparkSession, root, batch,
-          emptyDim, batchId, keys)
+        graft.etl.JsonEtl.joinUpsertLeftAt(batch.sparkSession, root, batch,
+          batchId, keys)
       }
       .start()
 

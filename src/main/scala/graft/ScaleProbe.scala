@@ -535,9 +535,14 @@ object ScaleProbe {
       val dim = docsAll.select(col("source")).distinct()
         .withColumn("tier", length(col("source")) % 3)
       val inBatch = (c: org.apache.spark.sql.Column) => c % 29 === 0
+      // the nightly alternative to the fold is recompute-AND-REWRITE the
+      // materialized view (a count alone would hand the recompute a free
+      // pass on the write that dominates at scale)
       val t0 = System.nanoTime()
-      val nFull = facts.join(dim, Seq("source")).count()
+      facts.join(dim, Seq("source")).write
+        .mode(SaveMode.Overwrite).parquet(s"$out/_joinview_full")
       val tFull = (System.nanoTime() - t0) / 1e9
+      val nFull = spark.read.parquet(s"$out/_joinview_full").count()
       // the pre-batch state lives ON DISK in production (joinUpsertAt's
       // root dirs), and the fold WRITES ONLY THE BATCH'S DELTA rows —
       // timing a lazy in-memory JoinView's .view.count() would re-run

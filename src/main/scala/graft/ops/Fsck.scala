@@ -610,15 +610,73 @@ object Fsck {
         "crashed manifest staging dirs present")))
   }
 
-  /** Fsck validates three kinds beyond [[Maintenance.Kinds]]: the durable
-    * aggregate state, the shard export and the PSI baseline have no
-    * standing maintenance action (each fold/export/stamp rewrites
-    * wholesale, so file growth is bounded by construction) but all have
-    * invariants worth checking. `skip_manifest` arrives via
-    * [[Maintenance.Kinds]] — it DOES have an action (refresh/compact).
+  // ------------------------------------------------------------ join view
+  /** A [[graft.etl.JsonEtl.joinUpsertAt]] materialized-join state
+    * (`root/{view,left,right}` under one marker lineage at `root`) — the
+    * view is trusted to BE left ⋈ right, and the protocol guarantees it
+    * batch-by-batch, so the checks are the protocol's invariants read
+    * from the files alone (recomputing the join to compare would cost
+    * the full L⋈R the operator exists to avoid — explicitly NOT
+    * audit-priced, and a torn state is visible structurally anyway):
+    * all three tables present; no batch files without a commit marker
+    * (crash-window partials — the retry or a compaction sweep clears
+    * them); COMMITTED batch ids present in `left` but absent from
+    * `view` or vice versa (a torn multi-dir commit is impossible under
+    * `commitBatch` — one marker covers all dirs — so parity damage
+    * means manual surgery or a foreign writer, and the view no longer
+    * equals the join: fail); plus the usual staging/marker hygiene.
+    */
+  def fsckJoinView(s: SparkSession, root: String): DataFrame = {
+    val subs = Seq("view", "left", "right").map(d => s"$root/$d")
+    val missing = subs.filterNot(hasParquet(s, _))
+    if (missing.nonEmpty)
+      return toDf(s, root, "join_view", Seq(
+        Check("index_readable", "fail", missing.length.toLong,
+          s"required state table(s) missing or empty: " +
+            missing.mkString(", "))))
+    def committedIds(dir: String): Set[Long] = {
+      val pat = "^b(\\d+)-.*".r
+      fsOf(s, dir).listStatus(new Path(dir)).toSeq
+        .collect { case st if st.isFile => st.getPath.getName match {
+          case pat(id) => Some(id.toLong)
+          case _ => None
+        } }
+        .flatten.distinct
+        .filter(graft.streaming.Streams.isBatchCommitted(s, root, _)).toSet
+    }
+    val uncommitted = subs.map(d =>
+      uncommittedBatchIds(s, d, root).size.toLong).sum
+    val (vIds, lIds) = (committedIds(subs.head), committedIds(subs(1)))
+    val torn = ((vIds diff lIds) ++ (lIds diff vIds)).size.toLong
+    toDf(s, root, "join_view", Seq(
+      ok("index_readable"),
+      failIf("batches_committed", uncommitted,
+        "batch files without a commit marker — a crashed fold's partial " +
+          "rows; the replay or compaction sweep clears them"),
+      failIf("batch_parity", torn,
+        "committed batch ids present in view but not left (or vice " +
+          "versa) — impossible under the one-marker commit, so the view " +
+          "no longer equals left ⋈ right; rebuild from the inputs"),
+      warnIf("staging_leftovers", stagingLeftovers(s,
+        subs.flatMap(d => Seq(s"${d}_staging", s"$d.staging",
+          s"$d.compacting", s"$d.old"))),
+        "crashed commit staging dirs present"),
+      warnIf("markers_folded", redundantMarkers(s, root),
+        "marker files at or below the watermark — fold debt")))
+  }
+
+  /** Fsck validates four kinds beyond [[Maintenance.Kinds]]: the durable
+    * aggregate state, the shard export, the PSI baseline and the join
+    * view have no standing maintenance action of their own (each
+    * fold/export/stamp rewrites wholesale or appends under the marker
+    * protocol — a join view's dirs compact as three `sink_dir` targets
+    * with `markerBase = root`) but all have invariants worth checking.
+    * `skip_manifest` arrives via [[Maintenance.Kinds]] — it DOES have
+    * an action (refresh/compact).
     */
   val Kinds: Set[String] =
-    Maintenance.Kinds + "agg_state" + "shard_export" + "psi_baseline"
+    Maintenance.Kinds + "agg_state" + "shard_export" + "psi_baseline" +
+      "join_view"
 
   /** The one kind→validator dispatch both entry points share — so a new
     * artifact family (and its error contract) is added in exactly one
@@ -633,6 +691,7 @@ object Fsck {
     case "shard_export" => fsckShardExport(s, path)
     case "psi_baseline" => fsckPsiBaseline(s, path)
     case "skip_manifest" => fsckSkipManifest(s, path)
+    case "join_view" => fsckJoinView(s, path)
     case "sink_dir" => fsckSinkDir(s, path, markerBase)
     case k => throw new IllegalArgumentException(
       s"unknown fsck kind '$k' (expected one of " +
@@ -748,6 +807,7 @@ object Fsck {
       "shard_export" -> s"$base/export",
       "psi_baseline" -> s"$base/psi",
       "skip_manifest" -> s"$base/skip",
+      "join_view" -> s"$base/jv",
       "sink_dir" -> s"$base/sink"))
       .orderBy(col("path"), col("check"))
   }

@@ -341,6 +341,17 @@ object Maintenance {
         .repartitionByRange(4, col("l_shipdate"))
         .write.parquet(s"$base/skip")
       Layout.writeManifest(s, s"$base/skip", Seq("l_shipdate"))
+      // join view: dim seeded, two marker-committed fact folds
+      val orders = Tables(s, dir).orders
+        .select(col("o_orderkey"), col("o_custkey").as("c_custkey"),
+          col("o_totalprice"))
+      graft.streaming.Streams.seedJoinDim(
+        Tables(s, dir).customer.select(col("c_custkey"), col("c_name")),
+        s"$base/jv")
+      graft.etl.JsonEtl.joinUpsertLeftAt(s, s"$base/jv",
+        orders.filter(col("o_orderkey") % 2 === 0), 0L, Seq("c_custkey"))
+      graft.etl.JsonEtl.joinUpsertLeftAt(s, s"$base/jv",
+        orders.filter(col("o_orderkey") % 2 === 1), 1L, Seq("c_custkey"))
       base
     })
   }

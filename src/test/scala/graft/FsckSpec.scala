@@ -414,6 +414,43 @@ class FsckSpec extends SparkSpec {
     assert(statusOf(drifted, "stats_sample")._1 === "fail")
   }
 
+  test("join-view fsck: clean state ok; unmarked batch, torn parity, missing table flip") {
+    import graft.etl.JsonEtl
+    val root = tmp("graft_fsck_jv") + "/jv"
+    val facts = (0 until 400).map(i => (i.toLong, (i % 7).toLong, i * 1.5))
+      .toDF("order_id", "cust_id", "total")
+    val dim = (0 until 7).map(i => (i.toLong, s"tier$i")).toDF("cust_id", "tier")
+    graft.streaming.Streams.seedJoinDim(dim, root)
+    JsonEtl.joinUpsertLeftAt(spark, root, facts.filter(col("order_id") % 2 === 0),
+      0L, Seq("cust_id"))
+    JsonEtl.joinUpsertLeftAt(spark, root, facts.filter(col("order_id") % 2 === 1),
+      1L, Seq("cust_id"))
+    val clean = Fsck.fsckJoinView(spark, root)
+    Seq("index_readable", "batches_committed", "batch_parity",
+      "staging_leftovers", "markers_folded").foreach { c =>
+      assert(statusOf(clean, c)._1 === "ok", c) }
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash window: a batch-prefixed file with no marker → fail, own check
+    val stray = new org.apache.hadoop.fs.Path(s"$root/left/b7-stray.parquet")
+    fs.create(stray, true).close()
+    val crashed = Fsck.fsckJoinView(spark, root)
+    assert(statusOf(crashed, "batches_committed") === ("fail", 1L))
+    assert(statusOf(crashed, "batch_parity")._1 === "ok",
+      "an UNcommitted stray is the crash window, not torn parity")
+    fs.delete(stray, false)
+    // torn parity: a committed batch's files vanish from ONE dir → fail
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/left"))
+      .map(_.getPath).filter(_.getName.startsWith("b1-"))
+      .foreach(p => fs.delete(p, false))
+    assert(statusOf(Fsck.fsckJoinView(spark, root), "batch_parity")._1
+      === "fail")
+    // a missing state table degrades to index_readable, never a throw
+    val gone = tmp("graft_fsck_jv2") + "/jv"
+    assert(statusOf(Fsck.fsckJoinView(spark, gone), "index_readable")._1
+      === "fail")
+  }
+
   test("the gate report covers every artifact family of the scratch world, no failures") {
     val report = Fsck.opsFsckReport(spark, sf)
     assert(report.select(col("kind")).distinct().count() === Fsck.Kinds.size)

@@ -225,7 +225,10 @@ object Maintenance {
     *    {"kind": "minhash_index", "path": "/idx/mh"},
     *    {"kind": "embedding_index", "path": "/idx/emb", "rebuild": true},
     *    {"kind": "sink_dir", "path": "/sinks/audit",
-    *     "orderCol": "batch_id", "markerBase": "/sinks/base"}]}
+    *     "orderCol": "batch_id", "markerBase": "/sinks/base"},
+    *    {"kind": "skip_manifest", "path": "/lake/events"},          // refresh stats
+    *    {"kind": "skip_manifest", "path": "/lake/days",
+    *     "orderCol": "day"}]}                                       // compact + re-manifest
     * }}}
     *
     * retrain corpus/trainOn paths are parquet with the index's

@@ -968,6 +968,138 @@ object JsonEtl {
       .orderBy(col("event_type"))
   }
 
+  // --------------------------------------- incremental set-sketch (Theta)
+  /** Per-key SET state — the sixth incremental algebra, and the one the
+    * HLL family structurally cannot provide: DataSketches THETA sketches
+    * support set INTERSECTION and DIFFERENCE, not just union, so the
+    * classic audience questions ("users who did A and also B", "users
+    * who viewed but never bought") answer from few-KB mergeable state
+    * instead of a corpus-scale distinct-pair shuffle. State =
+    * (key, sketch BINARY); the fold is sketch union per key (batch-sized
+    * scan + state-sized merge — [[distinctState]]'s shape); the set
+    * algebra is a READ-TIME view ([[audienceOverlap]]), never stored.
+    * Built by one mapPartitions scan (the KLL seam — DataSketches theta
+    * has no Spark SQL aggregate) with partials merged DISTRIBUTED.
+    */
+  def audienceState(events: DataFrame, key: String = "event_type",
+      valueCol: String = "user_id", lgK: Int = 12): DataFrame = {
+    import org.apache.datasketches.theta.{Sketches, SetOperation}
+    val s2 = events.sparkSession
+    import s2.implicits._
+    events
+      .select(col(key).cast("string").as("g"),
+        col(valueCol).cast("string").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val sk = scala.collection.mutable.Map[
+          String, org.apache.datasketches.theta.UpdateSketch]()
+        it.foreach { case (g, v) =>
+          sk.getOrElseUpdate(g,
+            Sketches.updateSketchBuilder().setLogNominalEntries(lgK).build())
+            .update(v)
+        }
+        sk.iterator.map { case (g, s) =>
+          (g, s.compact().toByteArray)
+        }
+      }
+      .groupByKey(_._1)
+      .mapGroups { (g, parts) =>
+        val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+        parts.foreach(p => u.union(
+          org.apache.datasketches.theta.Sketches.wrapSketch(
+            org.apache.datasketches.memory.Memory.wrap(p._2))))
+        (g, u.getResult.toByteArray)
+      }
+      .toDF(key, "sketch")
+  }
+
+  /** Fold a raw batch into an [[audienceState]] — per-key sketch union
+    * (set union: associative, commutative, duplicate-absorbing), same
+    * shape as [[distinctUpsert]].
+    */
+  def audienceUpsert(state: DataFrame, batch: DataFrame,
+      key: String = "event_type", valueCol: String = "user_id",
+      lgK: Int = 12): DataFrame = {
+    import org.apache.datasketches.theta.SetOperation
+    val s2 = state.sparkSession
+    import s2.implicits._
+    state.unionByName(audienceState(batch, key, valueCol, lgK))
+      .select(col(key).cast("string").as("g"), col("sketch"))
+      .as[(String, Array[Byte])]
+      .groupByKey(_._1)
+      .mapGroups { (g, parts) =>
+        val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+        parts.foreach(p => u.union(
+          org.apache.datasketches.theta.Sketches.wrapSketch(
+            org.apache.datasketches.memory.Memory.wrap(p._2))))
+        (g, u.getResult.toByteArray)
+      }
+      .toDF(key, "sketch")
+  }
+
+  /** The read-time SET-ALGEBRA view over an [[audienceState]]: for every
+    * ordered key pair, estimated |A|, |B|, |A ∪ B|, |A ∩ B|, |A \ B| and
+    * the Jaccard overlap — the audience-overlap matrix. The state is
+    * key-count-sized (not corpus-sized), so the pair frame is a tiny
+    * self-join computed distributed; every estimate reads sketch bytes,
+    * never the corpus.
+    */
+  def audienceOverlap(state: DataFrame): DataFrame = {
+    import org.apache.datasketches.theta.{Sketches, SetOperation}
+    import org.apache.datasketches.memory.Memory
+    val s2 = state.sparkSession
+    import s2.implicits._
+    val key = state.columns.head
+    val pairs = state.select(col(key).cast("string").as("a"),
+        col("sketch").as("ska"))
+      .crossJoin(state.select(col(key).cast("string").as("b"),
+        col("sketch").as("skb")))
+      .filter(col("a") < col("b"))
+    pairs.as[(String, Array[Byte], String, Array[Byte])]
+      .map { case (a, ba, b, bb) =>
+        val ska = Sketches.wrapSketch(Memory.wrap(ba))
+        val skb = Sketches.wrapSketch(Memory.wrap(bb))
+        val u = SetOperation.builder().buildUnion()
+        u.union(ska); u.union(skb)
+        val union = u.getResult
+        val inter = SetOperation.builder().buildIntersection()
+        inter.intersect(ska); inter.intersect(skb)
+        val aNotB = SetOperation.builder().buildANotB()
+          .aNotB(ska, skb)
+        (a, b, ska.getEstimate, skb.getEstimate, union.getEstimate,
+          inter.getResult.getEstimate, aNotB.getEstimate,
+          if (union.getEstimate == 0d) 0d
+          else inter.getResult.getEstimate / union.getEstimate)
+      }
+      .toDF("a", "b", "est_a", "est_b", "est_union", "est_intersection",
+        "est_a_only", "jaccard")
+  }
+
+  /** Durable, replay-safe [[audienceUpsert]] — the shared watermark fence. */
+  def audienceUpsertAt(s: SparkSession, path: String, batch: DataFrame,
+      batchId: Long, key: String = "event_type",
+      valueCol: String = "user_id", lgK: Int = 12): Unit =
+    durableFold(s, path, batchId)(
+      audienceState(batch, key, valueCol, lgK),
+      st => audienceUpsert(st, batch, key, valueCol, lgK))
+
+  /** Gate form: the event-type audience-overlap matrix, state folded in
+    * four event_id-mod slices. Rows-only (theta estimates are
+    * approximate); the spec pins every pair's estimates against exact
+    * distinct-set algebra within the sketch's error envelope and the
+    * fold ≡ one-shot state (theta union is exact set union in sketch
+    * space below nominal capacity).
+    */
+  def audienceOverlapQ(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).events
+    val slices = (0L to 3L).map(i => e.filter(col("event_id") % 4 === i))
+    audienceOverlap(
+      slices.tail.foldLeft(audienceState(slices.head))(
+        (st, b) => audienceUpsert(st, b)))
+      .orderBy(col("a"), col("b"))
+  }
+
   // ------------------------------------------------------------ CDC merge
   /** Generic CDC MERGE: fold a change batch into a base table with
     * upsert-or-delete semantics — the apply step downstream of every
@@ -1113,6 +1245,7 @@ object JsonEtl {
     "etl_incremental_join" -> (incrementalJoin _),
     "etl_incremental_distinct" -> (incrementalDistinct _),
     "etl_incremental_quantiles" -> (incrementalQuantiles _),
+    "etl_audience_overlap" -> (audienceOverlapQ _),
     "etl_quality_audit"    -> (qualityAudit _),
     "etl_scd2"             -> (scd2 _),
     "etl_merge_upsert"     -> (mergeUpsertOrders _),

@@ -1013,6 +1013,24 @@ object Streams extends Serializable {
       }
       .start()
 
+  /** Streaming twin of [[graft.etl.JsonEtl.audienceUpsertAt]]: per-key
+    * Theta set-sketch state folded per micro-batch under the durable
+    * fold watermark — the live audience-overlap matrix (intersections
+    * and differences, the algebra HLL cannot serve). Same
+    * checkpoint-lineage rule as [[aggIngestSink]].
+    */
+  def audienceIngestSink(events: DataFrame, statePath: String,
+      checkpoint: String, key: String = "event_type",
+      valueCol: String = "user_id"): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.etl.JsonEtl.audienceUpsertAt(batch.sparkSession, statePath,
+          batch, batchId, key, valueCol)
+      }
+      .start()
+
   /** Streaming twin of [[graft.etl.JsonEtl.distinctUpsertAt]]: per-key
     * HLL distinct-count state folded per micro-batch under the durable
     * watermark fence — the live "distinct users per segment" dashboard

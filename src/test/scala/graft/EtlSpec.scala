@@ -659,6 +659,45 @@ class EtlSpec extends SparkSpec {
     assert(est(spark.read.parquet(path)) === folded)
   }
 
+  test("audience overlap: folded theta estimates match exact set algebra; replay no-op") {
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val slices = (0L to 3L).map(i => events.filter(col("event_id") % 4 === i))
+    val folded = slices.tail.foldLeft(JsonEtl.audienceState(slices.head))(
+      (st, b) => JsonEtl.audienceUpsert(st, b))
+    val overlap = JsonEtl.audienceOverlap(folded).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(overlap.nonEmpty)
+    // exact set algebra from the raw events
+    val sets = events.select(col("event_type"), col("user_id"))
+      .collect().groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+    val types = sets.keys.toSeq.sorted
+    for (a <- types; b <- types if a < b) {
+      val r = overlap((a, b))
+      val (sa, sb) = (sets(a), sets(b))
+      val exact = Map(
+        "est_a" -> sa.size, "est_b" -> sb.size,
+        "est_union" -> (sa ++ sb).size,
+        "est_intersection" -> (sa & sb).size,
+        "est_a_only" -> (sa -- sb).size)
+      exact.foreach { case (c, x) =>
+        assert(math.abs(r.getAs[Double](c) - x) <= math.max(2.0, 0.05 * x),
+          s"($a,$b).$c: est ${r.getAs[Double](c)} vs exact $x") }
+      val jExact = (sa & sb).size.toDouble / (sa ++ sb).size
+      assert(math.abs(r.getAs[Double]("jaccard") - jExact) <= 0.05)
+    }
+    // durable form: replay is a no-op
+    val path = Files.createTempDirectory("graft_astate").toString + "/state"
+    slices.zipWithIndex.foreach { case (b, i) =>
+      JsonEtl.audienceUpsertAt(spark, path, b, i.toLong) }
+    JsonEtl.audienceUpsertAt(spark, path, slices(0), 0L) // replay
+    val replayed = JsonEtl.audienceOverlap(spark.read.parquet(path))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Double]("est_union")).toMap
+    overlap.foreach { case (k, r) =>
+      assert(replayed(k) === r.getAs[Double]("est_union")) }
+  }
+
   test("incremental quantiles: folded estimates inside the rank-error envelope; replay no-op") {
     val events = spark.read.parquet(s"$sf/events.parquet")
     val slices = (0L to 3L).map(i => events.filter(col("event_id") % 4 === i))

@@ -1085,11 +1085,16 @@ object JsonEtl {
       st => audienceUpsert(st, batch, key, valueCol, lgK))
 
   /** Gate form: the event-type audience-overlap matrix, state folded in
-    * four event_id-mod slices. Rows-only (theta estimates are
-    * approximate); the spec pins every pair's estimates against exact
-    * distinct-set algebra within the sketch's error envelope and the
-    * fold ≡ one-shot state (theta union is exact set union in sketch
-    * space below nominal capacity).
+    * four event_id-mod slices. ORACLE-EXACT at the gate SF: below the
+    * sketch's nominal capacity (lgK=12 → 4096 entries; the gate corpus
+    * has 150 distinct users per type) a theta sketch retains EVERY hash
+    * — theta stays 1.0, estimates are exact counts, and union/
+    * intersection/difference of exact sketches are exact set algebra —
+    * so the oracle recomputes the same integers from DISTINCT sets and
+    * the Jaccard division is the same two exact doubles in both
+    * engines. Above capacity the operator degrades to the bounded-error
+    * estimates the SPEC envelope pins (the production regime; the gate
+    * pins the algebra, the spec pins the estimator).
     */
   def audienceOverlapQ(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir).events
@@ -1266,6 +1271,21 @@ object JsonEtl {
     * the nanos long.
     */
   val oracles: Map[String, String] = Map(
+    "etl_audience_overlap" ->
+      """WITH s AS (SELECT DISTINCT event_type AS t, user_id AS u FROM events),
+        |sizes AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY t),
+        |inter AS (SELECT sa.t AS a, sb.t AS b, CAST(COUNT(*) AS BIGINT) AS ci
+        |  FROM s sa JOIN s sb ON sa.u = sb.u AND sa.t < sb.t GROUP BY 1, 2)
+        |SELECT xa.t AS a, xb.t AS b,
+        |  CAST(xa.c AS DOUBLE) AS est_a, CAST(xb.c AS DOUBLE) AS est_b,
+        |  CAST(xa.c + xb.c - COALESCE(ci, 0) AS DOUBLE) AS est_union,
+        |  CAST(COALESCE(ci, 0) AS DOUBLE) AS est_intersection,
+        |  CAST(xa.c - COALESCE(ci, 0) AS DOUBLE) AS est_a_only,
+        |  CAST(COALESCE(ci, 0) AS DOUBLE)
+        |    / CAST(xa.c + xb.c - COALESCE(ci, 0) AS DOUBLE) AS jaccard
+        |FROM sizes xa JOIN sizes xb ON xa.t < xb.t
+        |LEFT JOIN inter ON inter.a = xa.t AND inter.b = xb.t
+        |ORDER BY a, b""".stripMargin,
     "etl_incremental_join" ->
       """SELECT c.c_custkey, o.o_orderkey,
         |  CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,

@@ -1105,6 +1105,130 @@ object JsonEtl {
       .orderBy(col("a"), col("b"))
   }
 
+  // ------------------------------------ incremental frequent-items sketch
+  /** Per-key FREQUENT-ITEMS state — the seventh incremental algebra,
+    * completing the classic mergeable-summary quartet (HLL distinct,
+    * KLL quantile, Theta set, frequency): "top items per segment,
+    * maintained nightly" from bounded state. DataSketches ItemsSketch
+    * (Misra–Gries) tracks at most `maxMapSize` counters per key with a
+    * guaranteed error bound of N/maxMapSize on every estimate; below
+    * capacity the counts are EXACT. Merge is the counter-wise fold the
+    * algorithm defines, so fold(state, batch) ≡ sketch(history ∪ batch)
+    * within the bound — and exactly, below capacity. State =
+    * (key, sketch BINARY); top-k is a read-time view ([[freqTopItems]]).
+    */
+  def freqState(events: DataFrame, key: String = "event_type",
+      itemCol: String = "user_id", maxMapSize: Int = 1024): DataFrame = {
+    import org.apache.datasketches.frequencies.ItemsSketch
+    import org.apache.datasketches.common.ArrayOfStringsSerDe
+    val s2 = events.sparkSession
+    import s2.implicits._
+    events
+      .select(col(key).cast("string").as("g"),
+        col(itemCol).cast("string").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val sk = scala.collection.mutable.Map[String, ItemsSketch[String]]()
+        it.foreach { case (g, v) =>
+          sk.getOrElseUpdate(g, new ItemsSketch[String](maxMapSize)).update(v)
+        }
+        val serde = new ArrayOfStringsSerDe()
+        sk.iterator.map { case (g, s) => (g, s.toByteArray(serde)) }
+      }
+      .groupByKey(_._1)
+      .mapGroups { (g, parts) =>
+        val serde = new ArrayOfStringsSerDe()
+        val merged = new ItemsSketch[String](maxMapSize)
+        parts.foreach { p =>
+          merged.merge(ItemsSketch.getInstance(
+            org.apache.datasketches.memory.Memory.wrap(p._2), serde))
+        }
+        (g, merged.toByteArray(serde))
+      }
+      .toDF(key, "sketch")
+  }
+
+  /** Fold a raw batch into a [[freqState]] — per-key Misra–Gries merge,
+    * same shape as the other sketch folds (batch-sized scan +
+    * state-sized merge, history never rescanned).
+    */
+  def freqUpsert(state: DataFrame, batch: DataFrame,
+      key: String = "event_type", itemCol: String = "user_id",
+      maxMapSize: Int = 1024): DataFrame = {
+    import org.apache.datasketches.frequencies.ItemsSketch
+    import org.apache.datasketches.common.ArrayOfStringsSerDe
+    val s2 = state.sparkSession
+    import s2.implicits._
+    state.unionByName(freqState(batch, key, itemCol, maxMapSize))
+      .select(col(key).cast("string").as("g"), col("sketch"))
+      .as[(String, Array[Byte])]
+      .groupByKey(_._1)
+      .mapGroups { (g, parts) =>
+        val serde = new ArrayOfStringsSerDe()
+        val merged = new ItemsSketch[String](maxMapSize)
+        parts.foreach { p =>
+          merged.merge(ItemsSketch.getInstance(
+            org.apache.datasketches.memory.Memory.wrap(p._2), serde))
+        }
+        (g, merged.toByteArray(serde))
+      }
+      .toDF(key, "sketch")
+  }
+
+  /** Read-time top-k view over a [[freqState]]: per key, the k most
+    * frequent items with estimate and lower/upper bounds (Misra–Gries
+    * NO_FALSE_NEGATIVES — every true heavy hitter appears), ranked by
+    * estimate with item-string tie-break so the view is deterministic.
+    */
+  def freqTopItems(state: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
+    import org.apache.datasketches.common.ArrayOfStringsSerDe
+    val s2 = state.sparkSession
+    import s2.implicits._
+    val key = state.columns.head
+    state.select(col(key).cast("string").as("g"), col("sketch"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (g, bytes) =>
+        val sk = ItemsSketch.getInstance(
+          org.apache.datasketches.memory.Memory.wrap(bytes),
+          new ArrayOfStringsSerDe())
+        sk.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
+          .sortBy(r => (-r.getEstimate, r.getItem))
+          .take(k).zipWithIndex.map { case (r, i) =>
+            (g, (i + 1).toLong, r.getItem, r.getEstimate,
+              r.getLowerBound, r.getUpperBound)
+          }
+      }
+      .toDF(key, "rank", "item", "est", "lb", "ub")
+  }
+
+  /** Durable, replay-safe [[freqUpsert]] — the shared watermark fence. */
+  def freqUpsertAt(s: SparkSession, path: String, batch: DataFrame,
+      batchId: Long, key: String = "event_type",
+      itemCol: String = "user_id", maxMapSize: Int = 1024): Unit =
+    durableFold(s, path, batchId)(
+      freqState(batch, key, itemCol, maxMapSize),
+      st => freqUpsert(st, batch, key, itemCol, maxMapSize))
+
+  /** Gate form: top-5 users per event type, state folded in four
+    * event_id-mod slices. ORACLE-EXACT at the gate SF: below
+    * `maxMapSize` (1024 ≫ the gate's 150 distinct users/type)
+    * Misra–Gries never evicts, so every estimate is the exact count
+    * and the ranked view equals the oracle's count-then-rank over the
+    * raw events (ties broken by item string in both engines). Above
+    * capacity the operator degrades to the N/maxMapSize-bounded
+    * estimates the spec pins.
+    */
+  def trendingItems(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).events
+    val slices = (0L to 3L).map(i => e.filter(col("event_id") % 4 === i))
+    freqTopItems(
+      slices.tail.foldLeft(freqState(slices.head))(
+        (st, b) => freqUpsert(st, b)))
+      .orderBy(col("event_type"), col("rank"))
+  }
+
   // ------------------------------------------------------------ CDC merge
   /** Generic CDC MERGE: fold a change batch into a base table with
     * upsert-or-delete semantics — the apply step downstream of every
@@ -1251,6 +1375,7 @@ object JsonEtl {
     "etl_incremental_distinct" -> (incrementalDistinct _),
     "etl_incremental_quantiles" -> (incrementalQuantiles _),
     "etl_audience_overlap" -> (audienceOverlapQ _),
+    "etl_trending_items" -> (trendingItems _),
     "etl_quality_audit"    -> (qualityAudit _),
     "etl_scd2"             -> (scd2 _),
     "etl_merge_upsert"     -> (mergeUpsertOrders _),
@@ -1271,6 +1396,13 @@ object JsonEtl {
     * the nanos long.
     */
   val oracles: Map[String, String] = Map(
+    "etl_trending_items" ->
+      """WITH c AS (SELECT event_type, CAST(user_id AS VARCHAR) AS item,
+        |    CAST(COUNT(*) AS BIGINT) AS est FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+        |    ORDER BY est DESC, item) AS BIGINT) AS rank FROM c)
+        |SELECT event_type, rank, item, est, est AS lb, est AS ub
+        |FROM r WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin,
     "etl_audience_overlap" ->
       """WITH s AS (SELECT DISTINCT event_type AS t, user_id AS u FROM events),
         |sizes AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY t),

@@ -1031,6 +1031,24 @@ object Streams extends Serializable {
       }
       .start()
 
+  /** Streaming twin of [[graft.etl.JsonEtl.freqUpsertAt]]: per-key
+    * Misra–Gries frequent-items state folded per micro-batch under the
+    * durable fold watermark — the live "trending items per segment"
+    * dashboard from bounded state. Same checkpoint-lineage rule as
+    * [[aggIngestSink]].
+    */
+  def freqIngestSink(events: DataFrame, statePath: String,
+      checkpoint: String, key: String = "event_type",
+      itemCol: String = "user_id"): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.etl.JsonEtl.freqUpsertAt(batch.sparkSession, statePath,
+          batch, batchId, key, itemCol)
+      }
+      .start()
+
   /** Streaming twin of [[graft.etl.JsonEtl.distinctUpsertAt]]: per-key
     * HLL distinct-count state folded per micro-batch under the durable
     * watermark fence — the live "distinct users per segment" dashboard

@@ -698,6 +698,49 @@ class EtlSpec extends SparkSpec {
       assert(replayed(k) === r.getAs[Double]("est_union")) }
   }
 
+  test("trending items: exact below capacity, bounded above it, replay no-op") {
+    import spark.implicits._
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val slices = (0L to 3L).map(i => events.filter(col("event_id") % 4 === i))
+    val folded = slices.tail.foldLeft(JsonEtl.freqState(slices.head))(
+      (st, b) => JsonEtl.freqUpsert(st, b))
+    val top = JsonEtl.freqTopItems(folded).collect()
+    // below capacity (150 users ≪ 1024 counters): exact counts, lb = ub
+    val exact = events.groupBy(col("event_type"),
+        col("user_id").cast("string").as("item"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(top.nonEmpty)
+    top.foreach { r =>
+      val x = exact((r.getString(0), r.getAs[String]("item")))
+      assert(r.getAs[Long]("est") === x)
+      assert(r.getAs[Long]("lb") === x && r.getAs[Long]("ub") === x)
+    }
+    // ABOVE capacity (maxMapSize 8, zipf-ish stream): the true heavy
+    // hitter survives with its estimate inside the Misra-Gries bound
+    // est ∈ [true - N/maxMapSize, true] and NO_FALSE_NEGATIVES keeps it
+    val skew = ((0 until 4000).map(_ => ("seg", "hot")) ++
+        (0 until 4000).map(i => ("seg", s"cold${i % 400}")))
+      .toDF("event_type", "user_id")
+    val st8 = JsonEtl.freqState(skew, maxMapSize = 8)
+    val hot = JsonEtl.freqTopItems(st8, k = 1).head()
+    assert(hot.getAs[String]("item") === "hot")
+    assert(hot.getAs[Long]("ub") >= 4000L &&
+      hot.getAs[Long]("est") >= 4000L - 8000L / 8)
+    // durable form: replay is a no-op
+    val path = Files.createTempDirectory("graft_fstate").toString + "/state"
+    slices.zipWithIndex.foreach { case (b, i) =>
+      JsonEtl.freqUpsertAt(spark, path, b, i.toLong) }
+    JsonEtl.freqUpsertAt(spark, path, slices(3), 3L) // replay
+    val replayed = JsonEtl.freqTopItems(spark.read.parquet(path)).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("rank"),
+        r.getAs[String]("item"), r.getAs[Long]("est")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(replayed === top.map(r => (r.getString(0), r.getAs[Long]("rank"),
+      r.getAs[String]("item"), r.getAs[Long]("est")))
+      .sortBy(t => (t._1, t._2)).toSeq)
+  }
+
   test("incremental quantiles: folded estimates inside the rank-error envelope; replay no-op") {
     val events = spark.read.parquet(s"$sf/events.parquet")
     val slices = (0L to 3L).map(i => events.filter(col("event_id") % 4 === i))

@@ -968,6 +968,25 @@ object JsonEtl {
       .orderBy(col("event_type"))
   }
 
+  /** The one shuffle every byte-sketch algebra's fold pays: union a
+    * (key, sketch) frame by key with the family's byte-level merge. The
+    * exchange carries few-KB partials, never raw rows; the merge runs
+    * distributed, one group per key. Shared by the Theta and
+    * Misra–Gries folds (the KLL fold carries an extra exact n_rows
+    * column and keeps its own shape; the HLL fold merges through
+    * Spark's native `hll_union_agg`).
+    */
+  private def mergeSketchFrames(frames: DataFrame, key: String,
+      mergeBytes: Iterator[Array[Byte]] => Array[Byte]): DataFrame = {
+    val s2 = frames.sparkSession
+    import s2.implicits._
+    frames.select(col(key).cast("string").as("g"), col("sketch"))
+      .as[(String, Array[Byte])]
+      .groupByKey(_._1)
+      .mapGroups((g, parts) => (g, mergeBytes(parts.map(_._2))))
+      .toDF(key, "sketch")
+  }
+
   // --------------------------------------- incremental set-sketch (Theta)
   /** Per-key SET state — the sixth incremental algebra, and the one the
     * HLL family structurally cannot provide: DataSketches THETA sketches
@@ -983,10 +1002,10 @@ object JsonEtl {
     */
   def audienceState(events: DataFrame, key: String = "event_type",
       valueCol: String = "user_id", lgK: Int = 12): DataFrame = {
-    import org.apache.datasketches.theta.{Sketches, SetOperation}
+    import org.apache.datasketches.theta.Sketches
     val s2 = events.sparkSession
     import s2.implicits._
-    events
+    val partials = events
       .select(col(key).cast("string").as("g"),
         col(valueCol).cast("string").as("v"))
       .filter(col("g").isNotNull && col("v").isNotNull)
@@ -1003,15 +1022,8 @@ object JsonEtl {
           (g, s.compact().toByteArray)
         }
       }
-      .groupByKey(_._1)
-      .mapGroups { (g, parts) =>
-        val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
-        parts.foreach(p => u.union(
-          org.apache.datasketches.theta.Sketches.wrapSketch(
-            org.apache.datasketches.memory.Memory.wrap(p._2))))
-        (g, u.getResult.toByteArray)
-      }
       .toDF(key, "sketch")
+    mergeSketchFrames(partials, key, SketchMerges.theta(lgK))
   }
 
   /** Fold a raw batch into an [[audienceState]] — per-key sketch union
@@ -1020,23 +1032,10 @@ object JsonEtl {
     */
   def audienceUpsert(state: DataFrame, batch: DataFrame,
       key: String = "event_type", valueCol: String = "user_id",
-      lgK: Int = 12): DataFrame = {
-    import org.apache.datasketches.theta.SetOperation
-    val s2 = state.sparkSession
-    import s2.implicits._
-    state.unionByName(audienceState(batch, key, valueCol, lgK))
-      .select(col(key).cast("string").as("g"), col("sketch"))
-      .as[(String, Array[Byte])]
-      .groupByKey(_._1)
-      .mapGroups { (g, parts) =>
-        val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
-        parts.foreach(p => u.union(
-          org.apache.datasketches.theta.Sketches.wrapSketch(
-            org.apache.datasketches.memory.Memory.wrap(p._2))))
-        (g, u.getResult.toByteArray)
-      }
-      .toDF(key, "sketch")
-  }
+      lgK: Int = 12): DataFrame =
+    mergeSketchFrames(
+      state.unionByName(audienceState(batch, key, valueCol, lgK)),
+      key, SketchMerges.theta(lgK))
 
   /** The read-time SET-ALGEBRA view over an [[audienceState]]: for every
     * ordered key pair, estimated |A|, |B|, |A ∪ B|, |A ∩ B|, |A \ B| and
@@ -1123,7 +1122,7 @@ object JsonEtl {
     import org.apache.datasketches.common.ArrayOfStringsSerDe
     val s2 = events.sparkSession
     import s2.implicits._
-    events
+    val partials = events
       .select(col(key).cast("string").as("g"),
         col(itemCol).cast("string").as("v"))
       .filter(col("g").isNotNull && col("v").isNotNull)
@@ -1136,17 +1135,8 @@ object JsonEtl {
         val serde = new ArrayOfStringsSerDe()
         sk.iterator.map { case (g, s) => (g, s.toByteArray(serde)) }
       }
-      .groupByKey(_._1)
-      .mapGroups { (g, parts) =>
-        val serde = new ArrayOfStringsSerDe()
-        val merged = new ItemsSketch[String](maxMapSize)
-        parts.foreach { p =>
-          merged.merge(ItemsSketch.getInstance(
-            org.apache.datasketches.memory.Memory.wrap(p._2), serde))
-        }
-        (g, merged.toByteArray(serde))
-      }
       .toDF(key, "sketch")
+    mergeSketchFrames(partials, key, SketchMerges.freq(maxMapSize))
   }
 
   /** Fold a raw batch into a [[freqState]] — per-key Misra–Gries merge,
@@ -1155,26 +1145,10 @@ object JsonEtl {
     */
   def freqUpsert(state: DataFrame, batch: DataFrame,
       key: String = "event_type", itemCol: String = "user_id",
-      maxMapSize: Int = 1024): DataFrame = {
-    import org.apache.datasketches.frequencies.ItemsSketch
-    import org.apache.datasketches.common.ArrayOfStringsSerDe
-    val s2 = state.sparkSession
-    import s2.implicits._
-    state.unionByName(freqState(batch, key, itemCol, maxMapSize))
-      .select(col(key).cast("string").as("g"), col("sketch"))
-      .as[(String, Array[Byte])]
-      .groupByKey(_._1)
-      .mapGroups { (g, parts) =>
-        val serde = new ArrayOfStringsSerDe()
-        val merged = new ItemsSketch[String](maxMapSize)
-        parts.foreach { p =>
-          merged.merge(ItemsSketch.getInstance(
-            org.apache.datasketches.memory.Memory.wrap(p._2), serde))
-        }
-        (g, merged.toByteArray(serde))
-      }
-      .toDF(key, "sketch")
-  }
+      maxMapSize: Int = 1024): DataFrame =
+    mergeSketchFrames(
+      state.unionByName(freqState(batch, key, itemCol, maxMapSize)),
+      key, SketchMerges.freq(maxMapSize))
 
   /** Read-time top-k view over a [[freqState]]: per key, the k most
     * frequent items with estimate and lower/upper bounds (Misra–Gries
@@ -1622,4 +1596,29 @@ object JsonEtl {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY window_start, event_type
         |ORDER BY window_start, event_type""".stripMargin)
+}
+
+/** The byte-level sketch merges behind [[JsonEtl.audienceUpsert]] and
+  * [[JsonEtl.freqUpsert]] — a separate Serializable holder because the
+  * merge lambdas ship inside Spark task closures (capturing the JsonEtl
+  * module itself would make every fold's task serialization fail).
+  */
+private[etl] object SketchMerges extends Serializable {
+  def theta(lgK: Int): Iterator[Array[Byte]] => Array[Byte] = { parts =>
+    import org.apache.datasketches.theta.{SetOperation, Sketches}
+    val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+    parts.foreach(p => u.union(Sketches.wrapSketch(
+      org.apache.datasketches.memory.Memory.wrap(p))))
+    u.getResult.toByteArray
+  }
+
+  def freq(maxMapSize: Int): Iterator[Array[Byte]] => Array[Byte] = { parts =>
+    import org.apache.datasketches.frequencies.ItemsSketch
+    import org.apache.datasketches.common.ArrayOfStringsSerDe
+    val serde = new ArrayOfStringsSerDe()
+    val merged = new ItemsSketch[String](maxMapSize)
+    parts.foreach(p => merged.merge(ItemsSketch.getInstance(
+      org.apache.datasketches.memory.Memory.wrap(p), serde)))
+    merged.toByteArray(serde)
+  }
 }

@@ -1000,12 +1000,16 @@ object JsonEtl {
     * Built by one mapPartitions scan (the KLL seam — DataSketches theta
     * has no Spark SQL aggregate) with partials merged DISTRIBUTED.
     */
-  def audienceState(events: DataFrame, key: String = "event_type",
-      valueCol: String = "user_id", lgK: Int = 12): DataFrame = {
+  /** Per-partition theta partials for a raw frame — unmerged (key,
+    * sketch) rows. Both the state build and the fold merge these
+    * directly, so neither pays a second merge shuffle.
+    */
+  private def audiencePartials(events: DataFrame, key: String,
+      valueCol: String, lgK: Int): DataFrame = {
     import org.apache.datasketches.theta.Sketches
     val s2 = events.sparkSession
     import s2.implicits._
-    val partials = events
+    events
       .select(col(key).cast("string").as("g"),
         col(valueCol).cast("string").as("v"))
       .filter(col("g").isNotNull && col("v").isNotNull)
@@ -1023,28 +1027,42 @@ object JsonEtl {
         }
       }
       .toDF(key, "sketch")
-    mergeSketchFrames(partials, key, SketchMerges.theta(lgK))
   }
+
+  def audienceState(events: DataFrame, key: String = "event_type",
+      valueCol: String = "user_id", lgK: Int = 12): DataFrame =
+    mergeSketchFrames(audiencePartials(events, key, valueCol, lgK),
+      key, SketchMerges.theta(lgK))
 
   /** Fold a raw batch into an [[audienceState]] — per-key sketch union
     * (set union: associative, commutative, duplicate-absorbing), same
-    * shape as [[distinctUpsert]].
+    * shape as [[distinctUpsert]]. Merges the batch's raw PARTIALS with
+    * the state in ONE shuffle (pre-merging the batch alone would pay
+    * the per-key exchange twice per fold).
     */
   def audienceUpsert(state: DataFrame, batch: DataFrame,
       key: String = "event_type", valueCol: String = "user_id",
       lgK: Int = 12): DataFrame =
     mergeSketchFrames(
-      state.unionByName(audienceState(batch, key, valueCol, lgK)),
+      state.unionByName(audiencePartials(batch, key, valueCol, lgK)),
       key, SketchMerges.theta(lgK))
 
   /** The read-time SET-ALGEBRA view over an [[audienceState]]: for every
-    * ordered key pair, estimated |A|, |B|, |A ∪ B|, |A ∩ B|, |A \ B| and
-    * the Jaccard overlap — the audience-overlap matrix. The state is
-    * key-count-sized (not corpus-sized), so the pair frame is a tiny
-    * self-join computed distributed; every estimate reads sketch bytes,
-    * never the corpus.
+    * UNORDERED key pair (one row per {A, B}, keyed a < b), estimated
+    * |A|, |B|, |A ∪ B|, |A ∩ B|, |A \ B|, |B \ A| and the Jaccard
+    * overlap — the audience-overlap matrix with BOTH difference
+    * directions, so "viewed but never bought" answers from the one row
+    * whichever way the pair sorts. `lgK` must match the state's build
+    * geometry: the union operator downsamples to ITS OWN nominal (the
+    * library default is 4096) regardless of how exact its inputs are,
+    * so an unmatched default would silently put est_union in estimate
+    * mode while the sizes stay exact — breaking est_union = |A| + |B|
+    * − |A∩B| and the Jaccard's numerator/denominator consistency. The
+    * state is key-count-sized (not corpus-sized), so the pair frame is
+    * a tiny self-join computed distributed; every estimate reads sketch
+    * bytes, never the corpus.
     */
-  def audienceOverlap(state: DataFrame): DataFrame = {
+  def audienceOverlap(state: DataFrame, lgK: Int = 12): DataFrame = {
     import org.apache.datasketches.theta.{Sketches, SetOperation}
     import org.apache.datasketches.memory.Memory
     val s2 = state.sparkSession
@@ -1059,20 +1077,19 @@ object JsonEtl {
       .map { case (a, ba, b, bb) =>
         val ska = Sketches.wrapSketch(Memory.wrap(ba))
         val skb = Sketches.wrapSketch(Memory.wrap(bb))
-        val u = SetOperation.builder().buildUnion()
+        val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
         u.union(ska); u.union(skb)
-        val union = u.getResult
+        val unionEst = u.getResult.getEstimate
         val inter = SetOperation.builder().buildIntersection()
         inter.intersect(ska); inter.intersect(skb)
-        val aNotB = SetOperation.builder().buildANotB()
-          .aNotB(ska, skb)
-        (a, b, ska.getEstimate, skb.getEstimate, union.getEstimate,
-          inter.getResult.getEstimate, aNotB.getEstimate,
-          if (union.getEstimate == 0d) 0d
-          else inter.getResult.getEstimate / union.getEstimate)
+        val interEst = inter.getResult.getEstimate
+        val ab = SetOperation.builder().buildANotB()
+        (a, b, ska.getEstimate, skb.getEstimate, unionEst, interEst,
+          ab.aNotB(ska, skb).getEstimate, ab.aNotB(skb, ska).getEstimate,
+          if (unionEst == 0d) 0d else interEst / unionEst)
       }
       .toDF("a", "b", "est_a", "est_b", "est_union", "est_intersection",
-        "est_a_only", "jaccard")
+        "est_a_only", "est_b_only", "jaccard")
   }
 
   /** Durable, replay-safe [[audienceUpsert]] — the shared watermark fence. */
@@ -1109,20 +1126,27 @@ object JsonEtl {
     * completing the classic mergeable-summary quartet (HLL distinct,
     * KLL quantile, Theta set, frequency): "top items per segment,
     * maintained nightly" from bounded state. DataSketches ItemsSketch
-    * (Misra–Gries) tracks at most `maxMapSize` counters per key with a
-    * guaranteed error bound of N/maxMapSize on every estimate; below
-    * capacity the counts are EXACT. Merge is the counter-wise fold the
-    * algorithm defines, so fold(state, batch) ≡ sketch(history ∪ batch)
-    * within the bound — and exactly, below capacity. State =
-    * (key, sketch BINARY); top-k is a read-time view ([[freqTopItems]]).
+    * (Misra–Gries) tracks up to 0.75·maxMapSize counters per key (the
+    * map purges at its 0.75 load factor) with a guaranteed error bound
+    * of 3.5·N/maxMapSize on every estimate (the library's getEpsilon);
+    * below the purge threshold the counts are EXACT. Merge is the
+    * counter-wise fold the algorithm defines, so fold(state, batch) ≡
+    * sketch(history ∪ batch) within the bound — and exactly, below
+    * capacity. State = (key, sketch BINARY); top-k is a read-time view
+    * ([[freqTopItems]]). `maxMapSize` must be a power of 2 (validated
+    * at the API boundary, not inside a task).
     */
-  def freqState(events: DataFrame, key: String = "event_type",
-      itemCol: String = "user_id", maxMapSize: Int = 1024): DataFrame = {
+  /** Per-partition Misra–Gries partials — [[audiencePartials]]' shape. */
+  private def freqPartials(events: DataFrame, key: String,
+      itemCol: String, maxMapSize: Int): DataFrame = {
     import org.apache.datasketches.frequencies.ItemsSketch
     import org.apache.datasketches.common.ArrayOfStringsSerDe
+    require(maxMapSize >= 8 && Integer.bitCount(maxMapSize) == 1,
+      s"maxMapSize must be a power of 2 >= 8 (ItemsSketch's contract), " +
+        s"got $maxMapSize — fail here on the driver, not inside a task")
     val s2 = events.sparkSession
     import s2.implicits._
-    val partials = events
+    events
       .select(col(key).cast("string").as("g"),
         col(itemCol).cast("string").as("v"))
       .filter(col("g").isNotNull && col("v").isNotNull)
@@ -1136,18 +1160,22 @@ object JsonEtl {
         sk.iterator.map { case (g, s) => (g, s.toByteArray(serde)) }
       }
       .toDF(key, "sketch")
-    mergeSketchFrames(partials, key, SketchMerges.freq(maxMapSize))
   }
+
+  def freqState(events: DataFrame, key: String = "event_type",
+      itemCol: String = "user_id", maxMapSize: Int = 1024): DataFrame =
+    mergeSketchFrames(freqPartials(events, key, itemCol, maxMapSize),
+      key, SketchMerges.freq(maxMapSize))
 
   /** Fold a raw batch into a [[freqState]] — per-key Misra–Gries merge,
     * same shape as the other sketch folds (batch-sized scan +
-    * state-sized merge, history never rescanned).
+    * state-sized merge in ONE shuffle, history never rescanned).
     */
   def freqUpsert(state: DataFrame, batch: DataFrame,
       key: String = "event_type", itemCol: String = "user_id",
       maxMapSize: Int = 1024): DataFrame =
     mergeSketchFrames(
-      state.unionByName(freqState(batch, key, itemCol, maxMapSize)),
+      state.unionByName(freqPartials(batch, key, itemCol, maxMapSize)),
       key, SketchMerges.freq(maxMapSize))
 
   /** Read-time top-k view over a [[freqState]]: per key, the k most
@@ -1186,13 +1214,13 @@ object JsonEtl {
       st => freqUpsert(st, batch, key, itemCol, maxMapSize))
 
   /** Gate form: top-5 users per event type, state folded in four
-    * event_id-mod slices. ORACLE-EXACT at the gate SF: below
-    * `maxMapSize` (1024 ≫ the gate's 150 distinct users/type)
-    * Misra–Gries never evicts, so every estimate is the exact count
-    * and the ranked view equals the oracle's count-then-rank over the
-    * raw events (ties broken by item string in both engines). Above
-    * capacity the operator degrades to the N/maxMapSize-bounded
-    * estimates the spec pins.
+    * event_id-mod slices. ORACLE-EXACT at the gate SF: below the purge
+    * threshold (0.75·1024 = 768 counters ≫ the gate's 150 distinct
+    * users/type) Misra–Gries never evicts, so every estimate is the
+    * exact count and the ranked view equals the oracle's
+    * count-then-rank over the raw events (ties broken by item string
+    * in both engines). Above capacity the operator degrades to the
+    * 3.5·N/maxMapSize-bounded estimates the spec pins.
     */
   def trendingItems(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir).events
@@ -1387,6 +1415,7 @@ object JsonEtl {
         |  CAST(xa.c + xb.c - COALESCE(ci, 0) AS DOUBLE) AS est_union,
         |  CAST(COALESCE(ci, 0) AS DOUBLE) AS est_intersection,
         |  CAST(xa.c - COALESCE(ci, 0) AS DOUBLE) AS est_a_only,
+        |  CAST(xb.c - COALESCE(ci, 0) AS DOUBLE) AS est_b_only,
         |  CAST(COALESCE(ci, 0) AS DOUBLE)
         |    / CAST(xa.c + xb.c - COALESCE(ci, 0) AS DOUBLE) AS jaccard
         |FROM sizes xa JOIN sizes xb ON xa.t < xb.t

@@ -595,6 +595,34 @@ object ScaleProbe {
         f"vs pruned ${(System.nanoTime() - t1) / 1e9}%.1f s ($nPruned rows, " +
         f"${pruned.inputFiles.length} of 64 files)")
     }
+    // the sketch-state folds' cost claim: one batch-sized scan + a
+    // state-sized merge, independent of history. Fold a 1/29 batch of
+    // the replicated corpus into a pre-built state for each mergeable
+    // family (theta sets, Misra-Gries frequencies) and time the fold
+    // alone — wall should track the batch scan
+    if (matched("sketch_states")) locally {
+      val docsAll = graft.Tables(spark, out).documents
+        .select(col("source").as("event_type"),
+          col("doc_id").as("user_id"))
+      val inBatch = col("user_id") % 29 === 0
+      val (hist, batch) = (docsAll.filter(!inBatch), docsAll.filter(inBatch))
+      val t0 = System.nanoTime()
+      val aState = graft.etl.JsonEtl.audienceState(hist)
+      aState.persist().count()
+      println(f"audience_state_build(hist): ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val t1 = System.nanoTime()
+      graft.etl.JsonEtl.audienceUpsert(aState, batch).count()
+      println(f"audience_fold(batch=1/29): ${(System.nanoTime() - t1) / 1e9}%.1f s")
+      aState.unpersist()
+      val t2 = System.nanoTime()
+      val fState = graft.etl.JsonEtl.freqState(hist)
+      fState.persist().count()
+      println(f"freq_state_build(hist): ${(System.nanoTime() - t2) / 1e9}%.1f s")
+      val t3 = System.nanoTime()
+      graft.etl.JsonEtl.freqUpsert(fState, batch).count()
+      println(f"freq_fold(batch=1/29): ${(System.nanoTime() - t3) / 1e9}%.1f s")
+      fState.unpersist()
+    }
     // the dup-dense corpus makes every doc ~repl mutual perceptual twins, so
     // mm_near_dup's TRUE pair count grows ∝ repl² (15.2M pairs at 20× — the
     // output itself, not overhead); probing past 20× times pair

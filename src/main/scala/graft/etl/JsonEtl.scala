@@ -858,10 +858,15 @@ object JsonEtl {
       st => distinctUpsert(st, batch, keys, valueCol, lgK))
 
   /** Gate form: distinct users per event_type, folded in four event_id-mod
-    * slices, served through the estimate view. Rows-only by nature (the
-    * estimate is approximate and DuckDB's HLL is a different sketch);
-    * the spec pins fold ≡ one-shot-union estimate equality and <2%
-    * error vs exact distinct at two lgK geometries.
+    * slices, served through the estimate view. ORACLE-EXACT at the gate
+    * SF: below ~512 uniques a lgK=12 DataSketches HLL stays in its
+    * coupon (list/set) mode, where it stores every distinct hash and
+    * the estimate IS the exact count — 150 users/type at the gate, so
+    * the view equals DuckDB's COUNT(DISTINCT). At production
+    * cardinalities the sketch promotes to HLL mode and degrades to the
+    * ~2% estimates the spec envelope pins (the same
+    * exact-regime-at-the-gate / bounded-regime-in-the-spec split as
+    * the theta and Misra–Gries gates).
     */
   def incrementalDistinct(s: SparkSession, dir: String): DataFrame = {
     val e = Tables(s, dir).events
@@ -1398,6 +1403,10 @@ object JsonEtl {
     * the nanos long.
     */
   val oracles: Map[String, String] = Map(
+    "etl_incremental_distinct" ->
+      """SELECT event_type,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_est
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "etl_trending_items" ->
       """WITH c AS (SELECT event_type, CAST(user_id AS VARCHAR) AS item,
         |    CAST(COUNT(*) AS BIGINT) AS est FROM events GROUP BY 1, 2),

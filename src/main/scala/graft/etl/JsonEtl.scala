@@ -401,6 +401,16 @@ object JsonEtl {
     * (spec-pinned), so late/replayed days fold in any order.
     */
   def aggUpsertN(state: DataFrame, batch: DataFrame, keys: Seq[String],
+      valueCols: Seq[String]): DataFrame =
+    combineStatesN(state.unionByName(aggStateN(batch, keys, valueCols)),
+      keys, valueCols)
+
+  /** The N-column state COMBINE: re-aggregate state rows by `keys` with
+    * the additive fold (counts/sums/sumsqs add, mins/maxes fold) —
+    * [[aggUpsertN]]'s merge step, also reused by [[aggWindowView]] to
+    * collapse the day dimension at read time.
+    */
+  private def combineStatesN(states: DataFrame, keys: Seq[String],
       valueCols: Seq[String]): DataFrame = {
     val stats = valueCols.flatMap { c => Seq(
       sum(col(s"sum_$c")).cast(DecimalType(28, 2)).as(s"sum_$c"),
@@ -408,8 +418,7 @@ object JsonEtl {
       min(col(s"min_$c")).as(s"min_$c"),
       max(col(s"max_$c")).as(s"max_$c"))
     }
-    state.unionByName(aggStateN(batch, keys, valueCols))
-      .groupBy(keys.map(col): _*)
+    states.groupBy(keys.map(col): _*)
       .agg(coalesce(sum(col("n_events")), lit(0L)).as("n_events"), stats: _*)
   }
 
@@ -428,6 +437,98 @@ object JsonEtl {
           col(s"sumsq_$c").cast(DoubleType) / n - mean * mean, lit(0d)))
         .withColumn(s"stddev_$c", sqrt(col(s"var_$c")))
     }
+
+  // ------------------------------------- windowed (expiring) additive state
+  /** Day-windowed additive state — [[aggStateN]] keyed by
+    * (keys..., dayCol) with RETENTION: the grow-only states answer
+    * all-of-history questions, but a rolling dashboard wants "the last
+    * 30 days" with state that does not grow past retention × keys ×
+    * days. Retention is EVENT-TIME, derived from the state's own max
+    * day (never the wall clock — re-running yesterday's fold
+    * reproduces yesterday's state bit for bit).
+    *
+    * Correctness of expiry under cascaded folds: horizons only ADVANCE
+    * (the max day is monotone under append-only feeds), so a day
+    * dropped at fold k satisfies day ≤ horizonₖ ≤ horizonₙ for every
+    * later fold n — late data for an already-expired day may create a
+    * partial row mid-fold, but the fold's own expiry filter drops it
+    * again, and fold ≡ recompute-over-the-retained-window holds EXACTLY
+    * (spec-pinned, including a batch entirely older than the horizon
+    * folding as a no-op). Late data INSIDE the horizon folds correctly
+    * — its (key, day) state row is still present.
+    */
+  def aggStateWindowed(events: DataFrame, keys: Seq[String],
+      valueCols: Seq[String], dayCol: String = "day",
+      retainDays: Int = 30): DataFrame =
+    expireDays(aggStateN(events, keys :+ dayCol, valueCols),
+      dayCol, retainDays)
+
+  /** Drop state rows older than (max day − retainDays). The horizon
+    * scalar comes off the KEY-COUNT-sized state (driver-scale), not the
+    * corpus.
+    */
+  private def expireDays(state: DataFrame, dayCol: String,
+      retainDays: Int): DataFrame = {
+    val mx = state.agg(max(col(dayCol))).head()
+    if (mx.isNullAt(0)) state
+    else state.filter(col(dayCol) > lit(mx.getLong(0) - retainDays))
+  }
+
+  /** Fold a raw batch into an [[aggStateWindowed]]: the [[aggUpsertN]]
+    * combine on (keys..., day) followed by the expiry filter — one
+    * batch-sized shuffle + a state-sized merge, history never
+    * rescanned, state size bounded by keys × retainDays forever.
+    */
+  def aggUpsertWindowed(state: DataFrame, batch: DataFrame,
+      keys: Seq[String], valueCols: Seq[String], dayCol: String = "day",
+      retainDays: Int = 30): DataFrame =
+    expireDays(aggUpsertN(state, batch, keys :+ dayCol, valueCols),
+      dayCol, retainDays)
+
+  /** Rolling read-time view: collapse the day dimension over the last
+    * `lastNDays` (≤ retention) and serve the derived stats — "7-day avg
+    * and stddev per segment" from a state the folds keep bounded. The
+    * window end is the state's own max day (event time).
+    */
+  def aggWindowView(state: DataFrame, keys: Seq[String],
+      valueCols: Seq[String], dayCol: String = "day",
+      lastNDays: Int = 7): DataFrame =
+    aggDerivedN(
+      combineStatesN(expireDays(state, dayCol, lastNDays), keys, valueCols),
+      valueCols)
+
+  /** Durable, replay-safe [[aggUpsertWindowed]] — the shared fence. */
+  def aggUpsertWindowedAt(s: SparkSession, path: String, batch: DataFrame,
+      batchId: Long, keys: Seq[String], valueCols: Seq[String],
+      dayCol: String = "day", retainDays: Int = 30): Unit =
+    durableFold(s, path, batchId)(
+      aggStateWindowed(batch, keys, valueCols, dayCol, retainDays),
+      st => aggUpsertWindowed(st, batch, keys, valueCols, dayCol, retainDays))
+
+  /** Gate form: per-event-type rolling 7-day value summary served from a
+    * 14-day-retention state folded in four event_id-mod slices (the
+    * slices interleave days, so expiry and late-data paths both
+    * exercise). ORACLE-EXACT: the additive stats by the decimal
+    * argument; the window bounds are integer day arithmetic identical
+    * in both engines; decimals cast to DOUBLE at the boundary.
+    */
+  def rollingAggregate(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).events
+      .withColumn("day", floor(tsSec(col("ts")) / lit(86400L)).cast(LongType))
+    val keys = Seq("event_type")
+    val vals = Seq("value")
+    val slices = (0L to 3L).map(i => e.filter(col("event_id") % 4 === i))
+    val folded = slices.tail.foldLeft(
+      aggStateWindowed(slices.head, keys, vals, retainDays = 14))(
+      (st, b) => aggUpsertWindowed(st, b, keys, vals, retainDays = 14))
+    val out = aggWindowView(folded, keys, vals, lastNDays = 7)
+    out.select(out.columns.toSeq.map { c =>
+        if (c.startsWith("sum_") || c.startsWith("sumsq_"))
+          col(c).cast("double").as(c)
+        else col(c)
+      }: _*)
+      .orderBy(col("event_type"))
+  }
 
   // ---------------------------------------- incremental EWMA (ordered fold)
   /** Per-key EWMA state — the ORDER-SENSITIVE counterpoint to
@@ -1383,6 +1484,7 @@ object JsonEtl {
     "etl_incremental_quantiles" -> (incrementalQuantiles _),
     "etl_audience_overlap" -> (audienceOverlapQ _),
     "etl_trending_items" -> (trendingItems _),
+    "etl_rolling_aggregate" -> (rollingAggregate _),
     "etl_quality_audit"    -> (qualityAudit _),
     "etl_scd2"             -> (scd2 _),
     "etl_merge_upsert"     -> (mergeUpsertOrders _),
@@ -1403,6 +1505,29 @@ object JsonEtl {
     * the nanos long.
     */
   val oracles: Map[String, String] = Map(
+    "etl_rolling_aggregate" ->
+      """WITH e AS (SELECT event_type, value,
+        |    CAST(value AS DECIMAL(18,2)) AS v,
+        |    epoch_ms(ts)//1000//86400 AS day FROM events),
+        |m AS (SELECT MAX(day) AS mx FROM e),
+        |st AS (SELECT event_type,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(v) AS DECIMAL(28,2)) AS sv,
+        |    CAST(sum(CAST(v * v AS DECIMAL(28,4))) AS DECIMAL(38,4)) AS svv,
+        |    min(value) AS min_value, max(value) AS max_value
+        |  FROM e, m WHERE day > mx - 7 GROUP BY event_type),
+        |d AS (SELECT *,
+        |    CAST(n_events AS DOUBLE) AS nd,
+        |    CAST(CAST(sv AS VARCHAR) AS DOUBLE) AS svd,
+        |    CAST(CAST(svv AS VARCHAR) AS DOUBLE) AS svvd
+        |  FROM st)
+        |SELECT event_type, n_events, svd AS sum_value, svvd AS sumsq_value,
+        |  min_value, max_value,
+        |  svd / nd AS avg_value,
+        |  GREATEST(svvd / nd - (svd / nd) * (svd / nd), 0.0) AS var_value,
+        |  SQRT(GREATEST(svvd / nd - (svd / nd) * (svd / nd), 0.0))
+        |    AS stddev_value
+        |FROM d ORDER BY event_type""".stripMargin,
     "etl_incremental_distinct" ->
       """SELECT event_type,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_est

@@ -996,6 +996,26 @@ object Streams extends Serializable {
       }
       .start()
 
+  /** Streaming twin of [[graft.etl.JsonEtl.aggUpsertWindowedAt]]: the
+    * day-windowed additive state folded per micro-batch under the
+    * durable fold watermark — the rolling-dashboard state whose size
+    * stays bounded by keys × retention FOREVER (the grow-only
+    * [[aggIngestSink]]'s retention-disciplined sibling). Same
+    * checkpoint-lineage rule.
+    */
+  def windowedAggIngestSink(events: DataFrame, statePath: String,
+      checkpoint: String, keys: Seq[String], valueCols: Seq[String],
+      dayCol: String = "day",
+      retainDays: Int = 30): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.etl.JsonEtl.aggUpsertWindowedAt(batch.sparkSession, statePath,
+          batch, batchId, keys, valueCols, dayCol, retainDays)
+      }
+      .start()
+
   /** Streaming twin of [[graft.etl.JsonEtl.quantileUpsertAt]]: per-key
     * KLL quantile state folded per micro-batch under the durable fold
     * watermark — the live "p99 per segment" dashboard state. Same

@@ -127,6 +127,50 @@ class EtlSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(path + ".old")))
   }
 
+  test("windowed state: fold ≡ recompute on the retained window; state bounded; late-beyond-horizon no-op") {
+    // Tables normalizes ts to nanos-epoch long across parquet generations
+    val events = Tables(spark, sf).events
+      .withColumn("day", floor(col("ts") / 1000000000L / 86400L))
+    val keys = Seq("event_type")
+    val vals = Seq("value")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("event_type"), col("day")).collect().toSeq
+    val slices = (0L to 3L).map(i => events.filter(col("event_id") % 4 === i))
+    val folded = slices.tail.foldLeft(
+      JsonEtl.aggStateWindowed(slices.head, keys, vals, retainDays = 14))(
+      (st, b) => JsonEtl.aggUpsertWindowed(st, b, keys, vals, retainDays = 14))
+    // fold ≡ one-shot recompute over the retained window, schema included
+    val oneShot = JsonEtl.aggStateWindowed(events, keys, vals, retainDays = 14)
+    assert(folded.schema === oneShot.schema)
+    assert(key(folded) === key(oneShot))
+    // the whole point: state bounded by retention (the corpus spans 30 days)
+    assert(events.select(col("day")).distinct().count() > 14L)
+    assert(folded.select(col("day")).distinct().count() <= 14L)
+    // a batch entirely OLDER than the horizon folds as a no-op: the
+    // partial rows it creates are beyond every later horizon by the
+    // monotone-horizon argument and the fold's own expiry drops them
+    val horizon = events.agg(max(col("day"))).head.getLong(0) - 14
+    val stale = events.filter(col("day") <= horizon - 2)
+    assert(stale.count() > 0, "the corpus must have data beyond the horizon")
+    assert(key(JsonEtl.aggUpsertWindowed(folded, stale, keys, vals,
+      retainDays = 14)) === key(oneShot))
+    // rolling view ≡ direct recomputation over the last 7 days
+    val view = JsonEtl.aggWindowView(folded, keys, vals, lastNDays = 7)
+    val direct = JsonEtl.aggDerivedN(
+      JsonEtl.aggStateN(events.filter(col("day") > horizon + 7), keys, vals),
+      vals)
+    assert(view.orderBy(col("event_type")).collect().toSeq
+      === direct.orderBy(col("event_type")).collect().toSeq)
+    // durable form: replay is a no-op
+    val path = Files.createTempDirectory("graft_wstate").toString + "/state"
+    slices.zipWithIndex.foreach { case (b, i) =>
+      JsonEtl.aggUpsertWindowedAt(spark, path, b, i.toLong, keys, vals,
+        retainDays = 14) }
+    JsonEtl.aggUpsertWindowedAt(spark, path, slices(1), 1L, keys, vals,
+      retainDays = 14)
+    assert(key(spark.read.parquet(path)) === key(oneShot))
+  }
+
   test("incremental EWMA: ordered fold ≡ one-shot bit-exactly; out-of-order raises; replay no-op") {
     val events = spark.read.parquet(s"$sf/events.parquet")
     def key(df: org.apache.spark.sql.DataFrame) =

@@ -576,7 +576,8 @@ object ScaleProbe {
     // files and its wall follow the opened bytes, not the table
     if (matched("skipping_read")) locally {
       val dir = s"$out/_skip_probe"
-      if (!new java.io.File(s"$dir/_skip_manifest").exists()) {
+      val mp = new org.apache.hadoop.fs.Path(s"$dir/_skip_manifest")
+      if (!mp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(mp)) {
         graft.Tables(spark, out).documents
           .withColumn("day", (col("doc_id") % 2557L).cast("long"))
           .repartitionByRange(64, col("day"))

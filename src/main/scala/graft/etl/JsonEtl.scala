@@ -460,12 +460,14 @@ object JsonEtl {
   def aggStateWindowed(events: DataFrame, keys: Seq[String],
       valueCols: Seq[String], dayCol: String = "day",
       retainDays: Int = 30): DataFrame =
-    expireDays(aggStateN(events, keys :+ dayCol, valueCols),
+    expireFold(aggStateN(events, keys :+ dayCol, valueCols),
       dayCol, retainDays)
 
-  /** Drop state rows older than (max day − retainDays). The horizon
-    * scalar comes off the KEY-COUNT-sized state (driver-scale), not the
-    * corpus.
+  /** Drop state rows older than (max day − retainDays) from an ALREADY
+    * MATERIALIZED state (a parquet read, a checkpointed fold output) —
+    * the read-time form: the horizon agg and the filter each rescan the
+    * state, which is fine exactly because a materialized state is
+    * key-count-sized blocks, not a pending computation.
     */
   private def expireDays(state: DataFrame, dayCol: String,
       retainDays: Int): DataFrame = {
@@ -474,15 +476,32 @@ object JsonEtl {
     else state.filter(col(dayCol) > lit(mx.getLong(0) - retainDays))
   }
 
+  /** [[expireDays]] for a FOLD result whose plan is still pending (the
+    * batch aggregation + state merge): materialize the merged state ONCE
+    * via localCheckpoint, then derive the horizon and the expiry filter
+    * from the blocks. Without this, the horizon's eager `agg.head()`
+    * executes the pending merge a first time and the returned filter a
+    * second — and an in-memory fold CHAIN re-executes the whole
+    * accumulated DAG per fold (O(n²) work) — breaking the documented
+    * "one batch-sized shuffle + a state-sized merge" cost contract. The
+    * checkpoint is key×day-sized (bounded by retention), so it is also
+    * the natural lineage seam that keeps cascaded folds O(n), the same
+    * discipline as the incremental-components fold.
+    */
+  private[graft] def expireFold(merged: DataFrame, dayCol: String,
+      retainDays: Int): DataFrame =
+    expireDays(merged.localCheckpoint(), dayCol, retainDays)
+
   /** Fold a raw batch into an [[aggStateWindowed]]: the [[aggUpsertN]]
     * combine on (keys..., day) followed by the expiry filter — one
-    * batch-sized shuffle + a state-sized merge, history never
-    * rescanned, state size bounded by keys × retainDays forever.
+    * batch-sized shuffle + a state-sized merge (materialized once, see
+    * [[expireFold]]), history never rescanned, state size bounded by
+    * keys × retainDays forever.
     */
   def aggUpsertWindowed(state: DataFrame, batch: DataFrame,
       keys: Seq[String], valueCols: Seq[String], dayCol: String = "day",
       retainDays: Int = 30): DataFrame =
-    expireDays(aggUpsertN(state, batch, keys :+ dayCol, valueCols),
+    expireFold(aggUpsertN(state, batch, keys :+ dayCol, valueCols),
       dayCol, retainDays)
 
   /** Rolling read-time view: collapse the day dimension over the last

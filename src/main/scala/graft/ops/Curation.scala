@@ -264,10 +264,14 @@ object Curation {
     * output size is exactly k and heavy docs win proportionally to
     * weight, the "sample 10k docs proportional to length" ask a corpus
     * audit makes. Deterministic: u is dyadic ((hex32 + 0.5)/2^32 — exact
-    * in double in both engines), so the same seed reproduces the same
-    * sample and the gate is ORACLE-EXACT (pow is the lone libm call;
-    * selection flips only on a sub-ulp boundary tie, absent at gate SF
-    * and tie-broken by doc_id regardless).
+    * in double), so the same seed reproduces the same sample. The gate
+    * entry is declared ROWS-ONLY (the KLL discipline): pow is the lone
+    * libm call and libm pow is ~1-ulp, not correctly rounded, so a
+    * JVM/libm/platform change could flip the doc at the rank-k boundary
+    * across engines without any code change — exactness claims belong to
+    * folds that move rows, not libm values. The selection itself is
+    * pinned exactly in CurationSpec against an in-JVM recompute (same
+    * Math.pow on both sides, so the pin is platform-stable).
     *
     * Scale shape: one scan computing keys + one TopK (Spark's
     * TakeOrderedAndProject — per-partition heaps of k, merged on the
@@ -433,7 +437,9 @@ object Curation {
 
   /** prepare_corpus is rows-only: its near-dup stage depends on
     * engine-internal hashes. The mixture sample is pure integer
-    * arithmetic, hence exact.
+    * arithmetic, hence exact. The weighted sample is rows-only by the
+    * libm-pow boundary argument on its own scaladoc (exactness pinned
+    * in CurationSpec instead).
     */
   val oracles: Map[String, String] = Map(
     "text_mixture_temperature" ->
@@ -455,15 +461,6 @@ object Curation {
         |  CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 7500
         |    WHEN 'src2' THEN 5000 WHEN 'src3' THEN 2500 ELSE 1000 END
         |ORDER BY doc_id""".stripMargin,
-    "text_weighted_sample" ->
-      """WITH keyed AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
-        |    pow((CAST(('0x' || substr(md5('wsample0:' || CAST(doc_id AS VARCHAR)),
-        |          1, 8)) AS BIGINT) + 0.5) / 4294967296.0,
-        |      1.0 / CAST(n_chars AS DOUBLE)) AS es_key
-        |  FROM documents WHERE n_chars > 0)
-        |SELECT CAST(row_number() OVER (ORDER BY es_key DESC, doc_id) AS BIGINT)
-        |    AS sample_rank, doc_id, weight
-        |FROM keyed ORDER BY es_key DESC, doc_id LIMIT 500""".stripMargin,
     "text_group_sample" ->
       """SELECT doc_id, source, draw FROM (
         |  SELECT doc_id, source, CAST(row_number() OVER (

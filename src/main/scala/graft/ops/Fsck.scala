@@ -621,10 +621,14 @@ object Fsck {
     * all three tables present; no batch files without a commit marker
     * (crash-window partials — the retry or a compaction sweep clears
     * them); COMMITTED batch ids present in `left` but absent from
-    * `view` or vice versa (a torn multi-dir commit is impossible under
-    * `commitBatch` — one marker covers all dirs — so parity damage
-    * means manual surgery or a foreign writer, and the view no longer
-    * equals the join: fail); plus the usual staging/marker hygiene.
+    * `view` or vice versa — and, for two-sided `joinUpsertAt` states
+    * (recognized by `right` holding batch-prefixed files), the same
+    * symmetric difference against `right`'s committed ids, since every
+    * committed batch writes all three dirs there and right-only removal
+    * is the same view ≠ L ⋈ R hazard (a torn multi-dir commit is
+    * impossible under `commitBatch` — one marker covers all dirs — so
+    * parity damage means manual surgery or a foreign writer: fail);
+    * plus the usual staging/marker hygiene.
     */
   def fsckJoinView(s: SparkSession, root: String): DataFrame = {
     val subs = Seq("view", "left", "right").map(d => s"$root/$d")
@@ -634,29 +638,38 @@ object Fsck {
         Check("index_readable", "fail", missing.length.toLong,
           s"required state table(s) missing or empty: " +
             missing.mkString(", "))))
-    def committedIds(dir: String): Set[Long] = {
+    def batchIds(dir: String): Set[Long] = {
       val pat = "^b(\\d+)-.*".r
       fsOf(s, dir).listStatus(new Path(dir)).toSeq
         .collect { case st if st.isFile => st.getPath.getName match {
           case pat(id) => Some(id.toLong)
           case _ => None
         } }
-        .flatten.distinct
-        .filter(graft.streaming.Streams.isBatchCommitted(s, root, _)).toSet
+        .flatten.toSet
     }
+    def committedIds(dir: String): Set[Long] =
+      batchIds(dir).filter(graft.streaming.Streams.isBatchCommitted(s, root, _))
     val uncommitted = subs.map(d =>
       uncommittedBatchIds(s, d, root).size.toLong).sum
     val (vIds, lIds) = (committedIds(subs.head), committedIds(subs(1)))
-    val torn = ((vIds diff lIds) ++ (lIds diff vIds)).size.toLong
+    // two-sided states (joinUpsertAt) write right per committed batch too,
+    // so right-only damage to a committed batch is the same "view no
+    // longer equals L ⋈ R" hazard and must fail parity; the seeded-dim
+    // protocol (joinUpsertLeftAt) never writes batch files into right, so
+    // its right side stays vacuously out of the symmetric difference
+    val rIds =
+      if (batchIds(subs(2)).nonEmpty) committedIds(subs(2)) else lIds
+    val torn = ((vIds diff lIds) ++ (lIds diff vIds) ++
+      (vIds diff rIds) ++ (rIds diff vIds)).size.toLong
     toDf(s, root, "join_view", Seq(
       ok("index_readable"),
       failIf("batches_committed", uncommitted,
         "batch files without a commit marker — a crashed fold's partial " +
           "rows; the replay or compaction sweep clears them"),
       failIf("batch_parity", torn,
-        "committed batch ids present in view but not left (or vice " +
-          "versa) — impossible under the one-marker commit, so the view " +
-          "no longer equals left ⋈ right; rebuild from the inputs"),
+        "committed batch ids present in view but not left/right (or " +
+          "vice versa) — impossible under the one-marker commit, so the " +
+          "view no longer equals left ⋈ right; rebuild from the inputs"),
       warnIf("staging_leftovers", stagingLeftovers(s,
         subs.flatMap(d => Seq(s"${d}_staging", s"$d.staging",
           s"$d.compacting", s"$d.old"))),

@@ -378,7 +378,12 @@ object Layout {
   def skippingRead(s: SparkSession, dir: String): DataFrame = {
     val tmp = graft.ops.Similarity.sessionScratchPath(
       s, "graft_skip", dir) + "/lineitem"
-    if (!new java.io.File(s"$tmp/$ManifestDir").exists()) {
+    // memoize through the same FS abstraction the writes use — a
+    // java.io.File probe always misses on any non-local default FS, and
+    // the silent rebuild-every-call would put the layout job inside the
+    // bench interval this memo exists to keep it out of
+    val mp = new org.apache.hadoop.fs.Path(s"$tmp/$ManifestDir")
+    if (!mp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(mp)) {
       Tables(s, dir).lineitem
         .repartitionByRange(8, col("l_shipdate"))
         .write.mode("overwrite").option("maxRecordsPerFile", 12000).parquet(tmp)

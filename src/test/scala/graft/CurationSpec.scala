@@ -300,6 +300,32 @@ class CurationSpec extends SparkSpec {
     assert(s1.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
   }
 
+  test("weighted sample: gate output equals the in-JVM E-S recompute exactly") {
+    // the gate entry is declared rows-only (libm pow is ~1-ulp, so a
+    // cross-engine rank-k boundary could flip without a code change);
+    // THIS pin carries the exactness claim instead — both sides run the
+    // same Math.pow on the same dyadic uniforms, so it is platform-stable
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("n_chars")).collect()
+      .filter(_.getAs[Long]("n_chars") > 0)
+      .map { r =>
+        val id = r.getAs[Long]("doc_id")
+        val w = r.getAs[Long]("n_chars")
+        val hex = md.digest(s"wsample0:$id".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(8)
+        val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 4294967296.0
+        (id, w, math.pow(u, 1.0 / w))
+      }
+      .sortBy { case (id, _, key) => (-key, id) }
+      .take(500)
+    val got = Curation.weightedSampleDocs(spark, sf).collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq
+      === expected.map(_._1).toSeq, "selection and order must match")
+    assert(got.map(_.getAs[Long]("weight")).toSeq
+      === expected.map(_._2).toSeq)
+  }
+
   test("group sample: exactly n per group (or the whole group), deterministic") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val n = 100

@@ -451,6 +451,29 @@ class FsckSpec extends SparkSpec {
       === "fail")
   }
 
+  test("join-view fsck: right-side removal of a committed batch fails parity on two-sided states") {
+    import graft.etl.JsonEtl
+    // two-sided joinUpsertAt writes view/left/right per committed batch,
+    // so right-only surgery is the same view ≠ L ⋈ R hazard as left-only
+    // — the round-10 parity check missed exactly this side
+    val root = tmp("graft_fsck_jv4") + "/jv"
+    val facts = (0 until 200).map(i => (i.toLong, (i % 5).toLong, i * 2.0))
+      .toDF("order_id", "cust_id", "total")
+    val dims = (0 until 10).map(i => (i.toLong, s"tier$i")).toDF("cust_id", "tier")
+    JsonEtl.joinUpsertAt(spark, root, facts.filter(col("order_id") % 2 === 0),
+      dims.filter(col("cust_id") < 5), 0L, Seq("cust_id"))
+    JsonEtl.joinUpsertAt(spark, root, facts.filter(col("order_id") % 2 === 1),
+      dims.filter(col("cust_id") >= 5), 1L, Seq("cust_id"))
+    assert(statusOf(Fsck.fsckJoinView(spark, root), "batch_parity")._1 === "ok")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/right"))
+      .map(_.getPath).filter(_.getName.startsWith("b1-"))
+      .foreach(p => fs.delete(p, false))
+    assert(statusOf(Fsck.fsckJoinView(spark, root), "batch_parity")._1
+      === "fail", "a committed batch missing from right alone must fail")
+  }
+
   test("the gate report covers every artifact family of the scratch world, no failures") {
     val report = Fsck.opsFsckReport(spark, sf)
     assert(report.select(col("kind")).distinct().count() === Fsck.Kinds.size)

@@ -520,7 +520,9 @@ object JsonEtl {
   def aggUpsertWindowedAt(s: SparkSession, path: String, batch: DataFrame,
       batchId: Long, keys: Seq[String], valueCols: Seq[String],
       dayCol: String = "day", retainDays: Int = 30): Unit =
-    durableFold(s, path, batchId)(
+    durableFold(s, path, batchId, Seq("kind" -> "agg_windowed",
+      "keys" -> keys.mkString(","), "value_cols" -> valueCols.mkString(","),
+      "day_col" -> dayCol, "retain_days" -> retainDays.toString))(
       aggStateWindowed(batch, keys, valueCols, dayCol, retainDays),
       st => aggUpsertWindowed(st, batch, keys, valueCols, dayCol, retainDays))
 
@@ -626,7 +628,9 @@ object JsonEtl {
       keys: Seq[String] = Seq("user_id"),
       orderCol: String = "event_id", valueCol: String = "value",
       alpha: Double = 0.5): Unit =
-    durableFold(s, path, batchId)(
+    durableFold(s, path, batchId, Seq("kind" -> "ewma",
+      "keys" -> keys.mkString(","), "order_col" -> orderCol,
+      "value_col" -> valueCol, "alpha" -> alpha.toString))(
       ewmaState(batch, keys, orderCol, valueCol, alpha),
       st => ewmaUpsert(st, batch, keys, orderCol, valueCol, alpha))
 
@@ -652,6 +656,37 @@ object JsonEtl {
 
   // ------------------------------------------ durable incremental aggregate
   private def aggWatermarkPath(path: String) = s"$path/_fold_watermark"
+  private def stateMetaPath(path: String) = s"$path/_state_meta"
+
+  /** The stamped fold parameters of a durable state — `_state_meta`, a
+    * `_`-prefixed sorted `key=value` file INSIDE the state dir (invisible
+    * to parquet readers, swaps atomically WITH the state it describes,
+    * like the watermark). Empty when the state predates the protocol or
+    * doesn't exist. The protocol exists because a durable state is only
+    * as good as the parameters every fold agrees on: a fold that passes
+    * lgK=10 into a lgK=12 theta state, or α=0.3 into an α=0.5 EWMA,
+    * produces NO error — just silently degraded estimates no later read
+    * can detect. So [[durableFold]] stamps (kind + every
+    * estimate-shaping parameter) on the first fold and REQUIRES a match
+    * on every later fold; read-time views that need a geometry parameter
+    * ([[audienceOverlapAt]]) read it from the stamp instead of trusting
+    * a caller. The same failure class the embedding index's `_geometry`
+    * file closed, applied to the durable-state family.
+    */
+  def stateMeta(s: SparkSession, path: String): Map[String, String] = {
+    val p = new org.apache.hadoop.fs.Path(stateMetaPath(path))
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      txt.linesIterator.filter(_.contains("=")).map { l =>
+        val i = l.indexOf('=')
+        l.substring(0, i) -> l.substring(i + 1)
+      }.toMap
+    }
+  }
 
   /** The state table's own fold watermark: the highest batch id already
     * folded in, read from a `_`-prefixed file INSIDE the state dir (so
@@ -701,7 +736,8 @@ object JsonEtl {
       batchId: Long,
       keys: Seq[String] = Seq("user_id", "event_type"),
       valueCol: String = "value"): Unit =
-    durableFold(s, path, batchId)(
+    durableFold(s, path, batchId, Seq("kind" -> "agg",
+      "keys" -> keys.mkString(","), "value_col" -> valueCol))(
       aggState(batch, keys, valueCol),
       st => aggUpsert(st, batch, keys, valueCol))
 
@@ -711,7 +747,8 @@ object JsonEtl {
     */
   def aggUpsertAtN(s: SparkSession, path: String, batch: DataFrame,
       batchId: Long, keys: Seq[String], valueCols: Seq[String]): Unit =
-    durableFold(s, path, batchId)(
+    durableFold(s, path, batchId, Seq("kind" -> "agg_n",
+      "keys" -> keys.mkString(","), "value_cols" -> valueCols.mkString(",")))(
       aggStateN(batch, keys, valueCols),
       st => aggUpsertN(st, batch, keys, valueCols))
 
@@ -720,7 +757,8 @@ object JsonEtl {
     * swap state + watermark atomically. `freshState` is by-name — a
     * replayed batch never builds a plan.
     */
-  private def durableFold(s: SparkSession, path: String, batchId: Long)(
+  private def durableFold(s: SparkSession, path: String, batchId: Long,
+      meta: Seq[(String, String)] = Nil)(
       freshState: => DataFrame, foldInto: DataFrame => DataFrame): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -730,12 +768,41 @@ object JsonEtl {
     if (!fs.exists(p) && fs.exists(old))
       require(fs.rename(old, p), s"durableFold: restore $old -> $path failed")
     if (batchId <= aggFoldWatermark(s, path)) return // replayed, already in
+    val fresh = !fs.exists(p)
+    // the self-describing-state fence ([[stateMeta]]): an existing stamp
+    // must match this fold's declared parameters EXACTLY — a mismatch is
+    // the silent-degradation bug, raised here on the driver before any
+    // plan is built. A stamped state folded by a pre-meta caller (empty
+    // `meta`) passes — the caller declares nothing to check; a pre-meta
+    // STATE adopts this fold's stamp (the upgrade path).
+    if (!fresh && meta.nonEmpty) {
+      val stamped = stateMeta(s, path)
+      if (stamped.nonEmpty) {
+        val declared = meta.toMap
+        val diffs = (stamped.keySet ++ declared.keySet).toSeq.sorted
+          .filter(k => stamped.get(k) != declared.get(k))
+        require(diffs.isEmpty,
+          s"durableFold: state at $path was built with different " +
+            "parameters — " + diffs.map(k =>
+              s"$k: stamped=${stamped.getOrElse(k, "<absent>")} " +
+                s"declared=${declared.getOrElse(k, "<absent>")}")
+              .mkString("; ") +
+            " (a mismatched fold parameter silently degrades the state; " +
+            "fold with the stamped parameters or rebuild at a fresh path)")
+      }
+    }
     def stamp(dir: String): Unit = {
       val out = fs.create(new org.apache.hadoop.fs.Path(
         s"$dir/_fold_watermark"), true)
       out.write(batchId.toString.getBytes("UTF-8")); out.close()
+      if (meta.nonEmpty) {
+        val m = fs.create(new org.apache.hadoop.fs.Path(
+          s"$dir/_state_meta"), true)
+        m.write(meta.toMap.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"$k=$v" }.mkString("\n").getBytes("UTF-8"))
+        m.close()
+      }
     }
-    val fresh = !fs.exists(p)
     graft.ops.Layout.writeStaged(s, path) { staging =>
       val folded =
         if (fresh) freshState
@@ -973,7 +1040,9 @@ object JsonEtl {
   def distinctUpsertAt(s: SparkSession, path: String, batch: DataFrame,
       batchId: Long, keys: Seq[String] = Seq("event_type"),
       valueCol: String = "user_id", lgK: Int = 12): Unit =
-    durableFold(s, path, batchId)(
+    durableFold(s, path, batchId, Seq("kind" -> "distinct",
+      "keys" -> keys.mkString(","), "value_col" -> valueCol,
+      "lgk" -> lgK.toString))(
       distinctState(batch, keys, valueCol, lgK),
       st => distinctUpsert(st, batch, keys, valueCol, lgK))
 
@@ -1074,7 +1143,8 @@ object JsonEtl {
   def quantileUpsertAt(s: SparkSession, path: String, batch: DataFrame,
       batchId: Long, key: String = "event_type",
       valueCol: String = "value", k: Int = 200): Unit =
-    durableFold(s, path, batchId)(
+    durableFold(s, path, batchId, Seq("kind" -> "quantile",
+      "key" -> key, "value_col" -> valueCol, "k" -> k.toString))(
       quantileState(batch, key, valueCol, k),
       st => quantileUpsert(st, batch, key, valueCol, k))
 
@@ -1217,11 +1287,29 @@ object JsonEtl {
         "est_a_only", "est_b_only", "jaccard")
   }
 
+  /** [[audienceOverlap]] over a DURABLE audience state: the union
+    * geometry (lgK) comes from the state's own [[stateMeta]] stamp, not
+    * a caller parameter — the one read-time view where a mistyped
+    * geometry silently breaks estimate consistency (the union operator
+    * downsamples to ITS nominal; see [[audienceOverlap]]'s lgK warning),
+    * so the artifact answers for itself. Pre-meta states (no stamp) fall
+    * back to the build default; a stamp of the wrong kind raises.
+    */
+  def audienceOverlapAt(s: SparkSession, path: String): DataFrame = {
+    val meta = stateMeta(s, path)
+    meta.get("kind").foreach(k => require(k == "audience",
+      s"audienceOverlapAt: state at $path is stamped kind=$k, not an " +
+        "audience (theta) state"))
+    audienceOverlap(s.read.parquet(path),
+      meta.get("lgk").map(_.toInt).getOrElse(12))
+  }
+
   /** Durable, replay-safe [[audienceUpsert]] — the shared watermark fence. */
   def audienceUpsertAt(s: SparkSession, path: String, batch: DataFrame,
       batchId: Long, key: String = "event_type",
       valueCol: String = "user_id", lgK: Int = 12): Unit =
-    durableFold(s, path, batchId)(
+    durableFold(s, path, batchId, Seq("kind" -> "audience",
+      "key" -> key, "value_col" -> valueCol, "lgk" -> lgK.toString))(
       audienceState(batch, key, valueCol, lgK),
       st => audienceUpsert(st, batch, key, valueCol, lgK))
 
@@ -1334,7 +1422,9 @@ object JsonEtl {
   def freqUpsertAt(s: SparkSession, path: String, batch: DataFrame,
       batchId: Long, key: String = "event_type",
       itemCol: String = "user_id", maxMapSize: Int = 1024): Unit =
-    durableFold(s, path, batchId)(
+    durableFold(s, path, batchId, Seq("kind" -> "freq",
+      "key" -> key, "item_col" -> itemCol,
+      "max_map_size" -> maxMapSize.toString))(
       freqState(batch, key, itemCol, maxMapSize),
       st => freqUpsert(st, batch, key, itemCol, maxMapSize))
 

@@ -404,6 +404,102 @@ object Fsck {
         "crashed fold staging dirs present")))
   }
 
+  // ------------------------------------------------------------ state dir
+  /** The durable-fold state kinds [[graft.etl.JsonEtl]] stamps — the
+    * dispatch table for [[fsckStateDir]]'s kind check (an unknown kind
+    * means a version skew or a hand edit: no fold can safely touch the
+    * state).
+    */
+  private val StateKinds = Set("agg", "agg_n", "agg_windowed", "ewma",
+    "distinct", "distinct_windowed", "quantile", "audience",
+    "audience_windowed", "freq")
+
+  /** The generalized durable-state validator — [[fsckAggState]]'s
+    * discipline extended to EVERY `durableFold` family (additive,
+    * windowed, ewma, and the four sketch algebras), now that states are
+    * self-describing (`_state_meta`): watermark present AND parsable (an
+    * unparsable watermark reads as "no fence" and every replay would
+    * double-fold), meta present with a kind the fold dispatch knows, no
+    * parked `.old` generation, one row per key — key columns inferred
+    * from the shared state-algebra naming contract (everything except
+    * the declared stat/sketch columns: `n_events`/`n_rows`/`sketch`/
+    * `ewma` and the sum_/sumsq_/min_/max_/last_ prefixes), which covers
+    * all ten kinds because day columns and composite keys are key
+    * components by construction. Cost: one key-count-sized aggregation
+    * over the state plus driver-side file probes — audit tier.
+    */
+  def fsckStateDir(s: SparkSession, path: String): DataFrame = {
+    if (!hasParquet(s, path)) {
+      val parked = exists(s, s"$path.old")
+      return toDf(s, path, "state_dir", Seq(
+        if (parked) Check("state_readable", "warn", 1L,
+          "live state missing with a parked .old generation — the " +
+            "crash-between-renames window; the next fold restores it")
+        else Check("state_readable", "fail", 1L,
+          "no durable state at this path"),
+        warnIf("parked_generation", if (parked) 1L else 0L,
+          "a crashed swap's parked generation — the next fold restores it"),
+        warnIf("staging_leftovers",
+          stagingLeftovers(s, Seq(s"$path.staging", s"$path.compacting")),
+          "crashed fold staging dirs present")))
+    }
+    val checks = scala.collection.mutable.ArrayBuffer[Check](
+      ok("state_readable"))
+    // watermark: present AND parsable — aggFoldWatermark throws on
+    // garbage, which here must become the check's own fail row
+    if (!exists(s, s"$path/_fold_watermark"))
+      checks += Check("watermark_present", "warn", 1L,
+        "no fold watermark — replays cannot be fenced (not a durableFold " +
+          "artifact, or the stamp was deleted)")
+    else {
+      checks += ok("watermark_present")
+      checks += (try {
+        graft.etl.JsonEtl.aggFoldWatermark(s, path); ok("watermark_parsable")
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          Check("watermark_parsable", "fail", 1L,
+            "unparsable fold watermark — every fold now throws (and a " +
+              "hand 'fix' risks re-folding committed batches)")
+      })
+    }
+    val meta = try Right(graft.etl.JsonEtl.stateMeta(s, path))
+    catch { case scala.util.control.NonFatal(_) => Left(()) }
+    meta match {
+      case Left(_) =>
+        checks += Check("meta_readable", "fail", 1L,
+          "unreadable _state_meta — parameter fences cannot run")
+      case Right(m) if m.isEmpty =>
+        checks += Check("meta_readable", "warn", 1L,
+          "no _state_meta stamp — a mistyped fold parameter would " +
+            "silently degrade estimates (pre-meta artifact; the next " +
+            "stamping fold adopts it)")
+      case Right(m) =>
+        checks += ok("meta_readable")
+        checks += failIf("meta_kind_known",
+          if (m.get("kind").exists(StateKinds)) 0L else 1L,
+          s"stamped kind '${m.getOrElse("kind", "<absent>")}' is not a " +
+            "durable-fold family — version skew or hand edit")
+    }
+    val state = s.read.parquet(path)
+    val keyCols = state.columns.filterNot(c =>
+      Set("n_events", "n_rows", "sketch", "ewma").contains(c) ||
+        c.startsWith("sum_") || c.startsWith("sumsq_") ||
+        c.startsWith("min_") || c.startsWith("max_") ||
+        c.startsWith("last_")).toSeq
+    checks += failIf("one_row_per_key",
+      if (keyCols.isEmpty) 0L
+      else state.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1).count(),
+      "duplicate key rows — a corrupted merge; reads double-count NOW")
+    checks += warnIf("parked_generation",
+      if (exists(s, s"$path.old")) 1L else 0L,
+      "a crashed swap's parked generation — the next fold restores it")
+    checks += warnIf("staging_leftovers",
+      stagingLeftovers(s, Seq(s"$path.staging", s"$path.compacting")),
+      "crashed fold staging dirs present")
+    toDf(s, path, "state_dir", checks.toSeq)
+  }
+
   // ------------------------------------------------------------ shard export
   /** The training-handoff artifact ([[graft.ops.TextAnalysis.exportShards]]
     * / `exportShardsByTokens`) — the one a TRAINER trusts blindly: it
@@ -678,18 +774,19 @@ object Fsck {
         "marker files at or below the watermark — fold debt")))
   }
 
-  /** Fsck validates four kinds beyond [[Maintenance.Kinds]]: the durable
-    * aggregate state, the shard export, the PSI baseline and the join
-    * view have no standing maintenance action of their own (each
-    * fold/export/stamp rewrites wholesale or appends under the marker
-    * protocol — a join view's dirs compact as three `sink_dir` targets
-    * with `markerBase = root`) but all have invariants worth checking.
-    * `skip_manifest` arrives via [[Maintenance.Kinds]] — it DOES have
-    * an action (refresh/compact).
+  /** Fsck validates five kinds beyond [[Maintenance.Kinds]]: the durable
+    * aggregate state (and its generalized `state_dir` sibling covering
+    * every durableFold family), the shard export, the PSI baseline and
+    * the join view have no standing maintenance action of their own
+    * (each fold/export/stamp rewrites wholesale or appends under the
+    * marker protocol — a join view's dirs compact as three `sink_dir`
+    * targets with `markerBase = root`) but all have invariants worth
+    * checking. `skip_manifest` arrives via [[Maintenance.Kinds]] — it
+    * DOES have an action (refresh/compact).
     */
   val Kinds: Set[String] =
-    Maintenance.Kinds + "agg_state" + "shard_export" + "psi_baseline" +
-      "join_view"
+    Maintenance.Kinds + "agg_state" + "state_dir" + "shard_export" +
+      "psi_baseline" + "join_view"
 
   /** The one kind→validator dispatch both entry points share — so a new
     * artifact family (and its error contract) is added in exactly one
@@ -701,6 +798,7 @@ object Fsck {
     case "minhash_index" => fsckMinhashIndex(s, path)
     case "embedding_index" => fsckEmbeddingIndex(s, path)
     case "agg_state" => fsckAggState(s, path)
+    case "state_dir" => fsckStateDir(s, path)
     case "shard_export" => fsckShardExport(s, path)
     case "psi_baseline" => fsckPsiBaseline(s, path)
     case "skip_manifest" => fsckSkipManifest(s, path)
@@ -817,6 +915,8 @@ object Fsck {
       "minhash_index" -> s"$base/mh",
       "embedding_index" -> s"$base/emb",
       "agg_state" -> s"$base/agg",
+      "state_dir" -> s"$base/qstate",
+      "state_dir" -> s"$base/astate",
       "shard_export" -> s"$base/export",
       "psi_baseline" -> s"$base/psi",
       "skip_manifest" -> s"$base/skip",

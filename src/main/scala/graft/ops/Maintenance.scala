@@ -332,6 +332,16 @@ object Maintenance {
         ev.filter(col("event_id") % 2 === 0), 0L)
       graft.etl.JsonEtl.aggUpsertAt(s, s"$base/agg",
         ev.filter(col("event_id") % 2 === 1), 1L)
+      // durable sketch states (meta-stamped): one per mergeable algebra
+      // the generalized state_dir fsck audits — quantile and audience
+      graft.etl.JsonEtl.quantileUpsertAt(s, s"$base/qstate",
+        ev.filter(col("event_id") % 2 === 0), 0L)
+      graft.etl.JsonEtl.quantileUpsertAt(s, s"$base/qstate",
+        ev.filter(col("event_id") % 2 === 1), 1L)
+      graft.etl.JsonEtl.audienceUpsertAt(s, s"$base/astate",
+        ev.filter(col("event_id") % 2 === 0), 0L)
+      graft.etl.JsonEtl.audienceUpsertAt(s, s"$base/astate",
+        ev.filter(col("event_id") % 2 === 1), 1L)
       // training handoff: one staged shard export with its manifest
       graft.ops.TextAnalysis.exportShards(docs, s"$base/export",
         numShards = 4)

@@ -57,6 +57,80 @@ class EtlSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(path + ".old")))
   }
 
+  test("state meta: stamped on first fold, mismatched params raise per family, views read the stamp") {
+    val events = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("day", floor(col("ts").cast("timestamp").cast("long")
+        / lit(86400L)).cast("long"))
+    // contiguous event_id halves — the ewma family's order contract
+    // requires batch 1 strictly above batch 0; fine for every family
+    val mid = events.agg(max(col("event_id"))).head.getLong(0) / 2
+    val b = Seq(events.filter(col("event_id") <= mid),
+      events.filter(col("event_id") > mid))
+    val base = Files.createTempDirectory("graft_meta").toString
+    // one (first-fold, mismatched-second-fold, matched-second-fold) probe
+    // per durable family: the mismatch must raise BEFORE any fold work,
+    // the match must fold, and the stamp must round-trip
+    val families: Seq[(String, Map[String, String],
+        (String, org.apache.spark.sql.DataFrame, Long) => Unit,  // good
+        (String, org.apache.spark.sql.DataFrame, Long) => Unit)] = Seq(
+      ("agg", Map("kind" -> "agg", "keys" -> "user_id,event_type",
+        "value_col" -> "value"),
+        (p, d, i) => JsonEtl.aggUpsertAt(spark, p, d, i),
+        (p, d, i) => JsonEtl.aggUpsertAt(spark, p, d, i, valueCol = "event_id")),
+      ("agg_windowed", Map("kind" -> "agg_windowed", "keys" -> "event_type",
+        "value_cols" -> "value", "day_col" -> "day", "retain_days" -> "14"),
+        (p, d, i) => JsonEtl.aggUpsertWindowedAt(spark, p, d, i,
+          Seq("event_type"), Seq("value"), retainDays = 14),
+        (p, d, i) => JsonEtl.aggUpsertWindowedAt(spark, p, d, i,
+          Seq("event_type"), Seq("value"), retainDays = 30)),
+      ("ewma", Map("kind" -> "ewma", "keys" -> "user_id",
+        "order_col" -> "event_id", "value_col" -> "value", "alpha" -> "0.5"),
+        (p, d, i) => JsonEtl.ewmaUpsertAt(spark, p, d, i),
+        (p, d, i) => JsonEtl.ewmaUpsertAt(spark, p, d, i, alpha = 0.25)),
+      ("distinct", Map("kind" -> "distinct", "keys" -> "event_type",
+        "value_col" -> "user_id", "lgk" -> "12"),
+        (p, d, i) => JsonEtl.distinctUpsertAt(spark, p, d, i),
+        (p, d, i) => JsonEtl.distinctUpsertAt(spark, p, d, i, lgK = 10)),
+      ("quantile", Map("kind" -> "quantile", "key" -> "event_type",
+        "value_col" -> "value", "k" -> "200"),
+        (p, d, i) => JsonEtl.quantileUpsertAt(spark, p, d, i),
+        (p, d, i) => JsonEtl.quantileUpsertAt(spark, p, d, i, k = 100)),
+      ("audience", Map("kind" -> "audience", "key" -> "event_type",
+        "value_col" -> "user_id", "lgk" -> "12"),
+        (p, d, i) => JsonEtl.audienceUpsertAt(spark, p, d, i),
+        (p, d, i) => JsonEtl.audienceUpsertAt(spark, p, d, i, lgK = 10)),
+      ("freq", Map("kind" -> "freq", "key" -> "event_type",
+        "item_col" -> "user_id", "max_map_size" -> "1024"),
+        (p, d, i) => JsonEtl.freqUpsertAt(spark, p, d, i),
+        (p, d, i) => JsonEtl.freqUpsertAt(spark, p, d, i, maxMapSize = 64)))
+    families.foreach { case (name, expectMeta, good, bad) =>
+      val p = s"$base/$name"
+      good(p, b(0), 0L)
+      assert(JsonEtl.stateMeta(spark, p) === expectMeta, name)
+      val e = intercept[IllegalArgumentException](bad(p, b(1), 1L))
+      assert(e.getMessage.contains("different parameters"), name)
+      // the mismatch raised before any fold landed: watermark unmoved
+      assert(JsonEtl.aggFoldWatermark(spark, p) === 0L, name)
+      good(p, b(1), 1L) // matched params fold through
+      assert(JsonEtl.aggFoldWatermark(spark, p) === 1L, name)
+      assert(JsonEtl.stateMeta(spark, p) === expectMeta, name)
+    }
+    // a REPLAYED mismatched fold is fenced before the meta check (replay
+    // protection stays the outermost guard)
+    JsonEtl.audienceUpsertAt(spark, s"$base/audience", b(1), 1L, lgK = 10)
+    // the geometry-sensitive read view answers from the stamp
+    val viaStamp = JsonEtl.audienceOverlapAt(spark, s"$base/audience")
+      .orderBy(col("a"), col("b")).collect().toSeq
+    val direct = JsonEtl.audienceOverlap(
+        spark.read.parquet(s"$base/audience"), lgK = 12)
+      .orderBy(col("a"), col("b")).collect().toSeq
+    assert(viaStamp === direct)
+    // ...and refuses a stamp of the wrong kind
+    val wrong = intercept[IllegalArgumentException](
+      JsonEtl.audienceOverlapAt(spark, s"$base/freq"))
+    assert(wrong.getMessage.contains("kind=freq"))
+  }
+
   test("generic additive state: N-column fold ≡ recompute bit-exactly, any order, empty batch no-op") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val keys = Seq("l_returnflag", "l_linestatus")

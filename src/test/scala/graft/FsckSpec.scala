@@ -474,6 +474,70 @@ class FsckSpec extends SparkSpec {
       === "fail", "a committed batch missing from right alone must fail")
   }
 
+  test("state-dir fsck: clean durable sketch states ok; each corruption flips exactly its own check") {
+    import graft.etl.JsonEtl
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val b = (0L to 1L).map(i => events.filter(col("event_id") % 2 === i))
+    val base = tmp("graft_fsck_state")
+    JsonEtl.audienceUpsertAt(spark, s"$base/aud", b(0), 0L)
+    JsonEtl.audienceUpsertAt(spark, s"$base/aud", b(1), 1L)
+    JsonEtl.quantileUpsertAt(spark, s"$base/q", b(0), 0L)
+    JsonEtl.quantileUpsertAt(spark, s"$base/q", b(1), 1L)
+    val allChecks = Seq("state_readable", "watermark_present",
+      "watermark_parsable", "meta_readable", "meta_kind_known",
+      "one_row_per_key", "parked_generation", "staging_leftovers")
+    Seq(s"$base/aud", s"$base/q").foreach { p =>
+      val clean = Fsck.fsckStateDir(spark, p)
+      allChecks.foreach(c => assert(statusOf(clean, c)._1 === "ok", s"$p $c"))
+    }
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def write(p: String, txt: String): Unit = {
+      val o = fs.create(new org.apache.hadoop.fs.Path(p), true)
+      o.write(txt.getBytes("UTF-8")); o.close()
+    }
+    // garbage watermark → watermark_parsable fail, presence still ok
+    write(s"$base/aud/_fold_watermark", "not-a-number")
+    val badWm = Fsck.fsckStateDir(spark, s"$base/aud")
+    assert(statusOf(badWm, "watermark_present")._1 === "ok")
+    assert(statusOf(badWm, "watermark_parsable")._1 === "fail")
+    write(s"$base/aud/_fold_watermark", "1")
+    // deleted watermark → warn, own check only
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/q/_fold_watermark"), false)
+    assert(statusOf(Fsck.fsckStateDir(spark, s"$base/q"),
+      "watermark_present")._1 === "warn")
+    write(s"$base/q/_fold_watermark", "1")
+    // tampered meta kind → meta_kind_known fail
+    write(s"$base/aud/_state_meta", "kind=mystery\nlgk=12")
+    assert(statusOf(Fsck.fsckStateDir(spark, s"$base/aud"),
+      "meta_kind_known")._1 === "fail")
+    // deleted meta → pre-meta warn (self-heals at the next stamping fold)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/aud/_state_meta"), false)
+    assert(statusOf(Fsck.fsckStateDir(spark, s"$base/aud"),
+      "meta_readable")._1 === "warn")
+    JsonEtl.audienceUpsertAt(spark, s"$base/aud", b(1), 2L) // re-adopts
+    assert(statusOf(Fsck.fsckStateDir(spark, s"$base/aud"),
+      "meta_readable")._1 === "ok")
+    // duplicate key rows → one_row_per_key fail (copy a data file in)
+    // largest part file — small shuffle partitions leave empty parts, and
+    // duplicating an empty file would duplicate no key
+    val dataFile = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/q"))
+      .filter(_.getPath.getName.endsWith(".parquet")).maxBy(_.getLen).getPath
+    org.apache.hadoop.fs.FileUtil.copy(fs, dataFile, fs,
+      new org.apache.hadoop.fs.Path(s"$base/q/dup-${dataFile.getName}"),
+      false, spark.sparkContext.hadoopConfiguration)
+    assert(statusOf(Fsck.fsckStateDir(spark, s"$base/q"),
+      "one_row_per_key")._1 === "fail")
+    // parked generation → warn; missing live + parked → readable warn
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/q"), true)
+    JsonEtl.quantileUpsertAt(spark, s"$base/q", b(0), 0L)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$base/q"),
+      new org.apache.hadoop.fs.Path(s"$base/q.old")))
+    val parked = Fsck.fsckStateDir(spark, s"$base/q")
+    assert(statusOf(parked, "state_readable")._1 === "warn")
+    assert(statusOf(parked, "parked_generation")._1 === "warn")
+  }
+
   test("the gate report covers every artifact family of the scratch world, no failures") {
     val report = Fsck.opsFsckReport(spark, sf)
     assert(report.select(col("kind")).distinct().count() === Fsck.Kinds.size)

@@ -1066,6 +1066,185 @@ object JsonEtl {
       .orderBy(col("event_type"))
   }
 
+  // ------------------------------ day-windowed (expiring) sketch states
+  /** Day-windowed distinct-count state — [[distinctState]] keyed by
+    * (keys..., dayCol) with [[aggStateWindowed]]'s monotone event-time
+    * expiry: "trailing-30-day distinct users per segment" becomes
+    * maintainable from state bounded by keys × retainDays few-KB
+    * sketches, where the grow-only [[distinctState]] can only answer
+    * all-of-history. Expiry correctness is the windowed-additive
+    * argument verbatim (horizons only advance under append-only feeds;
+    * a late batch for an expired day re-expires inside the fold; late
+    * data INSIDE the horizon folds into its (key, day) sketch — sketch
+    * union absorbs any arrival order), so fold ≡
+    * recompute-over-the-retained-window, spec-pinned. The day-dimension
+    * union happens at READ time ([[distinctWindowView]]) per the
+    * never-store-derived rule — the state keeps per-day sketches so ANY
+    * trailing window ≤ retention can be served.
+    */
+  def distinctStateWindowed(events: DataFrame,
+      keys: Seq[String] = Seq("event_type"), valueCol: String = "user_id",
+      lgK: Int = 12, dayCol: String = "day",
+      retainDays: Int = 30): DataFrame =
+    expireFold(distinctState(events, keys :+ dayCol, valueCol, lgK),
+      dayCol, retainDays)
+
+  /** Fold a raw batch into a [[distinctStateWindowed]] — per-(key, day)
+    * sketch union + the expiry filter: one batch-sized shuffle + a
+    * state-sized merge (materialized once, [[expireFold]]), history
+    * never rescanned, state bounded forever.
+    */
+  def distinctUpsertWindowed(state: DataFrame, batch: DataFrame,
+      keys: Seq[String] = Seq("event_type"), valueCol: String = "user_id",
+      lgK: Int = 12, dayCol: String = "day",
+      retainDays: Int = 30): DataFrame =
+    expireFold(distinctUpsert(state, batch, keys :+ dayCol, valueCol, lgK),
+      dayCol, retainDays)
+
+  /** Rolling read-time view: union the day sketches over the last
+    * `lastNDays` (≤ retention, measured from the state's own max day —
+    * event time) and serve the estimate per key. Sketch-union exactness
+    * is the coupon-regime argument: below capacity the union IS the
+    * exact distinct count of the window.
+    */
+  def distinctWindowView(state: DataFrame,
+      keys: Seq[String] = Seq("event_type"), dayCol: String = "day",
+      lastNDays: Int = 7): DataFrame =
+    distinctEstimate(expireDays(state, dayCol, lastNDays)
+      .groupBy(keys.map(col): _*)
+      .agg(hll_union_agg(col("sketch"), lit(false)).as("sketch")))
+
+  /** Durable, replay-safe [[distinctUpsertWindowed]] — the shared fence,
+    * meta-stamped.
+    */
+  def distinctUpsertWindowedAt(s: SparkSession, path: String,
+      batch: DataFrame, batchId: Long,
+      keys: Seq[String] = Seq("event_type"), valueCol: String = "user_id",
+      lgK: Int = 12, dayCol: String = "day", retainDays: Int = 30): Unit =
+    durableFold(s, path, batchId, Seq("kind" -> "distinct_windowed",
+      "keys" -> keys.mkString(","), "value_col" -> valueCol,
+      "lgk" -> lgK.toString, "day_col" -> dayCol,
+      "retain_days" -> retainDays.toString))(
+      distinctStateWindowed(batch, keys, valueCol, lgK, dayCol, retainDays),
+      st => distinctUpsertWindowed(st, batch, keys, valueCol, lgK, dayCol,
+        retainDays))
+
+  /** Gate form: trailing-7-day distinct users per event type served from
+    * a 14-day-retention windowed state folded in four event_id-mod
+    * slices (interleaved days — expiry and in-horizon late data both
+    * exercise). ORACLE-EXACT at the gate SF by the coupon-regime
+    * argument ([[incrementalDistinct]]): every (type, day) sketch and
+    * their 7-day union stay below promotion, so the estimate equals
+    * DuckDB's windowed COUNT(DISTINCT).
+    */
+  def incrementalDistinctWindowed(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).events
+      .withColumn("day", floor(tsSec(col("ts")) / lit(86400L)).cast(LongType))
+    val slices = (0L to 3L).map(i => e.filter(col("event_id") % 4 === i))
+    distinctWindowView(
+      slices.tail.foldLeft(distinctStateWindowed(slices.head, retainDays = 14))(
+        (st, b) => distinctUpsertWindowed(st, b, retainDays = 14)))
+      .orderBy(col("event_type"))
+  }
+
+  /** The composite (key, day) column the windowed THETA state threads
+    * through the single-key [[audiencePartials]]/[[mergeSketchFrames]]
+    * kernels: key and day joined on U+0001 (a control char no event-type
+    * or segment name carries — the contract is documented, not filtered,
+    * because filtering would silently drop rows). Day round-trips
+    * exactly (a long printed and re-cast).
+    */
+  private val WinSep = "\u0001"
+  private val WinKeyCol = "_win_key"
+  private def withWinKey(events: DataFrame, key: String,
+      dayCol: String): DataFrame =
+    events.withColumn(WinKeyCol, concat_ws(WinSep,
+      col(key).cast("string"), col(dayCol).cast("string")))
+  private def splitWinKey(state: DataFrame, key: String,
+      dayCol: String): DataFrame =
+    state.select(
+      substring_index(col(WinKeyCol), WinSep, 1).as(key),
+      substring_index(col(WinKeyCol), WinSep, -1).cast(LongType).as(dayCol),
+      col("sketch"))
+
+  /** Day-windowed AUDIENCE (theta set) state — [[audienceState]] keyed
+    * by (key, day) with the same monotone event-time expiry: the
+    * trailing-window audience questions ("users who did A and also B
+    * in the last 7 days") from bounded per-day set sketches. Same fold
+    * shape (batch partials + state merged in ONE exchange of few-KB
+    * sketches); the set algebra stays a READ-TIME view
+    * ([[audienceWindowView]]: union the day sketches per key, then the
+    * pair matrix).
+    */
+  def audienceStateWindowed(events: DataFrame, key: String = "event_type",
+      valueCol: String = "user_id", lgK: Int = 12, dayCol: String = "day",
+      retainDays: Int = 30): DataFrame =
+    expireFold(splitWinKey(
+      mergeSketchFrames(audiencePartials(withWinKey(events, key, dayCol),
+        WinKeyCol, valueCol, lgK), WinKeyCol, SketchMerges.theta(lgK)),
+      key, dayCol), dayCol, retainDays)
+
+  /** Fold a raw batch into an [[audienceStateWindowed]] — per-(key, day)
+    * theta union, batch partials merged with the state in one shuffle.
+    */
+  def audienceUpsertWindowed(state: DataFrame, batch: DataFrame,
+      key: String = "event_type", valueCol: String = "user_id",
+      lgK: Int = 12, dayCol: String = "day",
+      retainDays: Int = 30): DataFrame = {
+    val stateKeyed = state
+      .withColumn(WinKeyCol, concat_ws(WinSep,
+        col(key).cast("string"), col(dayCol).cast("string")))
+      .select(col(WinKeyCol), col("sketch"))
+    expireFold(splitWinKey(
+      mergeSketchFrames(stateKeyed.unionByName(
+        audiencePartials(withWinKey(batch, key, dayCol), WinKeyCol,
+          valueCol, lgK)), WinKeyCol, SketchMerges.theta(lgK)),
+      key, dayCol), dayCol, retainDays)
+  }
+
+  /** Rolling read-time set-algebra view: union each key's day sketches
+    * over the last `lastNDays`, then serve [[audienceOverlap]]'s pair
+    * matrix. `lgK` must match the build geometry (the union-downsample
+    * warning there) — the durable path reads it from the stamp.
+    */
+  def audienceWindowView(state: DataFrame, key: String = "event_type",
+      dayCol: String = "day", lastNDays: Int = 7,
+      lgK: Int = 12): DataFrame =
+    audienceOverlap(
+      mergeSketchFrames(expireDays(state, dayCol, lastNDays)
+        .select(col(key), col("sketch")), key, SketchMerges.theta(lgK)),
+      lgK)
+
+  /** Durable, replay-safe [[audienceUpsertWindowed]] — the shared fence,
+    * meta-stamped.
+    */
+  def audienceUpsertWindowedAt(s: SparkSession, path: String,
+      batch: DataFrame, batchId: Long, key: String = "event_type",
+      valueCol: String = "user_id", lgK: Int = 12, dayCol: String = "day",
+      retainDays: Int = 30): Unit =
+    durableFold(s, path, batchId, Seq("kind" -> "audience_windowed",
+      "key" -> key, "value_col" -> valueCol, "lgk" -> lgK.toString,
+      "day_col" -> dayCol, "retain_days" -> retainDays.toString))(
+      audienceStateWindowed(batch, key, valueCol, lgK, dayCol, retainDays),
+      st => audienceUpsertWindowed(st, batch, key, valueCol, lgK, dayCol,
+        retainDays))
+
+  /** Gate form: the trailing-7-day audience-overlap matrix from a
+    * 14-day-retention windowed state folded in four event_id-mod
+    * slices. ORACLE-EXACT at the gate SF by [[audienceOverlapQ]]'s
+    * below-capacity argument, applied per (type, day) sketch and their
+    * day unions.
+    */
+  def audienceOverlapWindowed(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).events
+      .withColumn("day", floor(tsSec(col("ts")) / lit(86400L)).cast(LongType))
+    val slices = (0L to 3L).map(i => e.filter(col("event_id") % 4 === i))
+    audienceWindowView(
+      slices.tail.foldLeft(audienceStateWindowed(slices.head, retainDays = 14))(
+        (st, b) => audienceUpsertWindowed(st, b, retainDays = 14)))
+      .orderBy(col("a"), col("b"))
+  }
+
   // ---------------------------------------- incremental quantile sketch
   /** Per-key QUANTILE state — the fifth incremental algebra: quantiles
     * are not additive, not order-foldable, and (unlike distinct-count)
@@ -1590,8 +1769,10 @@ object JsonEtl {
     "etl_incremental_ewma" -> (incrementalEwma _),
     "etl_incremental_join" -> (incrementalJoin _),
     "etl_incremental_distinct" -> (incrementalDistinct _),
+    "etl_incremental_distinct_windowed" -> (incrementalDistinctWindowed _),
     "etl_incremental_quantiles" -> (incrementalQuantiles _),
     "etl_audience_overlap" -> (audienceOverlapQ _),
+    "etl_audience_overlap_windowed" -> (audienceOverlapWindowed _),
     "etl_trending_items" -> (trendingItems _),
     "etl_rolling_aggregate" -> (rollingAggregate _),
     "etl_quality_audit"    -> (qualityAudit _),
@@ -1641,6 +1822,34 @@ object JsonEtl {
       """SELECT event_type,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_est
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "etl_incremental_distinct_windowed" ->
+      """WITH e AS (SELECT event_type, user_id,
+        |    epoch_ms(ts)//1000//86400 AS day FROM events),
+        |m AS (SELECT MAX(day) AS mx FROM e)
+        |SELECT event_type,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_est
+        |FROM e, m WHERE day > mx - 7
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "etl_audience_overlap_windowed" ->
+      """WITH e AS (SELECT event_type, user_id,
+        |    epoch_ms(ts)//1000//86400 AS day FROM events),
+        |m AS (SELECT MAX(day) AS mx FROM e),
+        |s AS (SELECT DISTINCT event_type AS t, user_id AS u
+        |  FROM e, m WHERE day > mx - 7),
+        |sizes AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY t),
+        |inter AS (SELECT sa.t AS a, sb.t AS b, CAST(COUNT(*) AS BIGINT) AS ci
+        |  FROM s sa JOIN s sb ON sa.u = sb.u AND sa.t < sb.t GROUP BY 1, 2)
+        |SELECT xa.t AS a, xb.t AS b,
+        |  CAST(xa.c AS DOUBLE) AS est_a, CAST(xb.c AS DOUBLE) AS est_b,
+        |  CAST(xa.c + xb.c - COALESCE(ci, 0) AS DOUBLE) AS est_union,
+        |  CAST(COALESCE(ci, 0) AS DOUBLE) AS est_intersection,
+        |  CAST(xa.c - COALESCE(ci, 0) AS DOUBLE) AS est_a_only,
+        |  CAST(xb.c - COALESCE(ci, 0) AS DOUBLE) AS est_b_only,
+        |  CAST(COALESCE(ci, 0) AS DOUBLE)
+        |    / CAST(xa.c + xb.c - COALESCE(ci, 0) AS DOUBLE) AS jaccard
+        |FROM sizes xa JOIN sizes xb ON xa.t < xb.t
+        |LEFT JOIN inter ON inter.a = xa.t AND inter.b = xb.t
+        |ORDER BY a, b""".stripMargin,
     "etl_trending_items" ->
       """WITH c AS (SELECT event_type, CAST(user_id AS VARCHAR) AS item,
         |    CAST(COUNT(*) AS BIGINT) AS est FROM events GROUP BY 1, 2),

@@ -245,6 +245,83 @@ class EtlSpec extends SparkSpec {
     assert(key(spark.read.parquet(path)) === key(oneShot))
   }
 
+  test("windowed sketch states: fold ≡ recompute on the retained window, late-data safety, durable replay") {
+    val events = Tables(spark, sf).events
+      .withColumn("day", floor(col("ts") / 1000000000L / 86400L))
+    val slices = (0L to 3L).map(i => events.filter(col("event_id") % 4 === i))
+    val horizon = events.agg(max(col("day"))).head.getLong(0) - 14
+    val stale = events.filter(col("day") <= horizon - 2)
+    assert(stale.count() > 0, "the corpus must have data beyond the horizon")
+    val inWindow = events.filter(col("day") > horizon)
+
+    // ---- distinct (HLL): estimates compare exactly in the coupon regime
+    def dKey(df: org.apache.spark.sql.DataFrame) =
+      JsonEtl.distinctEstimate(df)
+        .orderBy(col("event_type"), col("day")).collect().toSeq
+    val dFold = slices.tail.foldLeft(
+      JsonEtl.distinctStateWindowed(slices.head, retainDays = 14))(
+      (st, b) => JsonEtl.distinctUpsertWindowed(st, b, retainDays = 14))
+    val dOneShot = JsonEtl.distinctStateWindowed(events, retainDays = 14)
+    assert(dKey(dFold) === dKey(dOneShot))
+    assert(dFold.select(col("day")).distinct().count() <= 14L)
+    // stale-beyond-horizon batch is a no-op; in-horizon late data folds
+    assert(dKey(JsonEtl.distinctUpsertWindowed(dFold, stale,
+      retainDays = 14)) === dKey(dOneShot))
+    val dHalf = JsonEtl.distinctStateWindowed(
+      inWindow.filter(col("user_id") % 2 === 0), retainDays = 14)
+    val dLate = JsonEtl.distinctUpsertWindowed(dHalf,
+      inWindow.filter(col("user_id") % 2 === 1), retainDays = 14)
+    assert(dKey(dLate) === dKey(JsonEtl.distinctStateWindowed(inWindow,
+      retainDays = 14)), "late rows for a still-retained day must fold in")
+    // view ≡ windowed exact recompute (coupon regime)
+    val dView = JsonEtl.distinctWindowView(dFold, lastNDays = 7)
+      .orderBy(col("event_type")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exact = events.filter(col("day") > horizon + 7)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .orderBy(col("event_type")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(dView === exact)
+
+    // ---- audience (theta): same contract, sketch bytes compared via view
+    def aKey(df: org.apache.spark.sql.DataFrame) =
+      JsonEtl.audienceWindowView(df, lastNDays = 14)
+        .orderBy(col("a"), col("b")).collect().toSeq
+    val aFold = slices.tail.foldLeft(
+      JsonEtl.audienceStateWindowed(slices.head, retainDays = 14))(
+      (st, b) => JsonEtl.audienceUpsertWindowed(st, b, retainDays = 14))
+    val aOneShot = JsonEtl.audienceStateWindowed(events, retainDays = 14)
+    assert(aFold.select(col("day")).distinct().count() <= 14L)
+    assert(aKey(aFold) === aKey(aOneShot))
+    assert(aKey(JsonEtl.audienceUpsertWindowed(aFold, stale,
+      retainDays = 14)) === aKey(aOneShot), "stale batch must be a no-op")
+    // the (key, day) composite round-trips: schema and exact day values
+    assert(aFold.columns.toSeq === Seq("event_type", "day", "sketch"))
+    assert(aFold.select(col("day")).distinct().collect().map(_.getLong(0))
+      .toSet.subsetOf(events.select(col("day")).distinct().collect()
+        .map(_.getLong(0)).toSet))
+
+    // ---- durable forms: replay fenced, meta stamped, mismatch raises
+    val base = Files.createTempDirectory("graft_wsketch").toString
+    slices.zipWithIndex.foreach { case (b, i) =>
+      JsonEtl.distinctUpsertWindowedAt(spark, s"$base/d", b, i.toLong,
+        retainDays = 14)
+      JsonEtl.audienceUpsertWindowedAt(spark, s"$base/a", b, i.toLong,
+        retainDays = 14)
+    }
+    JsonEtl.distinctUpsertWindowedAt(spark, s"$base/d", slices(1), 1L,
+      retainDays = 14) // replay — fenced
+    assert(dKey(spark.read.parquet(s"$base/d")) === dKey(dOneShot))
+    assert(aKey(spark.read.parquet(s"$base/a")) === aKey(aOneShot))
+    assert(JsonEtl.stateMeta(spark, s"$base/d")("kind") === "distinct_windowed")
+    assert(JsonEtl.stateMeta(spark, s"$base/a")("retain_days") === "14")
+    val e = intercept[IllegalArgumentException](
+      JsonEtl.audienceUpsertWindowedAt(spark, s"$base/a", slices(0), 9L,
+        retainDays = 30))
+    assert(e.getMessage.contains("different parameters"))
+  }
+
   test("incremental EWMA: ordered fold ≡ one-shot bit-exactly; out-of-order raises; replay no-op") {
     val events = spark.read.parquet(s"$sf/events.parquet")
     def key(df: org.apache.spark.sql.DataFrame) =

@@ -57,6 +57,7 @@ object Bench {
     "text_prepare_corpus_pipelined", "text_prepare_corpus_classified",
     "text_mixture_sample", "text_mixture_temperature",
     "text_weighted_sample", "text_group_sample", "layout_skipping_read",
+    "layout_skipping_read_multi",
     "text_select_budget_threshold", "text_bpe_tokens",
     "text_source_stats", "text_source_sketches", "profile_value_sketches",
     "profile_distribution_drift", "profile_drift_fed",

@@ -343,7 +343,27 @@ object Layout {
     * every Spark scan already materializes on the driver).
     */
   def readPruned(s: SparkSession, dir: String, c: String,
-      lo: Column, hi: Column): DataFrame = {
+      lo: Column, hi: Column): DataFrame =
+    readPrunedMulti(s, dir, Seq((c, lo, hi)))
+
+  /** [[readPruned]] for a CONJUNCTION of per-column ranges: a file is
+    * opened only if EVERY requested column's manifest interval
+    * intersects its range — the read-side closing of the loop with
+    * [[zorderWrite]], whose whole point is that each file's min/max
+    * rectangle is bounded in BOTH interleaved dimensions, so a z-ordered
+    * table + a two-column manifest prunes on either key alone AND
+    * tighter on both together (LayoutSpec proves fewer-files per key
+    * through the manifest, result ≡ unpruned). Safety rules compose
+    * per column: uncovered FILES are always kept; a requested column
+    * the manifest doesn't COVER contributes no pruning (its condition
+    * drops — stale or narrower manifests degrade to fewer skips, never
+    * missing rows); all-null stats prune by the BETWEEN-matches-nothing
+    * argument. The row-level conjunction still applies inside kept
+    * files.
+    */
+  def readPrunedMulti(s: SparkSession, dir: String,
+      ranges: Seq[(String, Column, Column)]): DataFrame = {
+    require(ranges.nonEmpty, "readPrunedMulti needs at least one range")
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val dataFiles = fs.listStatus(p).map(_.getPath.getName)
@@ -354,15 +374,23 @@ object Layout {
       if (!fs.exists(mPath)) dataFiles
       else {
         val m = s.read.parquet(mPath.toString)
+        val coveredCols = m.schema.fieldNames
+          .filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSet
         val covered = m.select(col("file")).collect().map(_.getString(0)).toSet
-        val keep = m.filter(col(s"max_$c") >= lo && col(s"min_$c") <= hi)
-          .select(col("file")).collect().map(_.getString(0)).toSet
+        val conds = ranges.collect { case (c, lo, hi) if coveredCols(c) =>
+          col(s"max_$c") >= lo && col(s"min_$c") <= hi
+        }
+        val keep =
+          if (conds.isEmpty) covered // no requested column covered: keep all
+          else m.filter(conds.reduce(_ && _))
+            .select(col("file")).collect().map(_.getString(0)).toSet
         dataFiles.filter(f => !covered(f) || keep(f))
       }
     val base =
       if (pruned.isEmpty) full().filter(lit(false))
       else s.read.parquet(pruned.map(f => s"$dir/$f"): _*)
-    base.filter(col(c) >= lo && col(c) <= hi)
+    base.filter(ranges.map { case (c, lo, hi) =>
+      col(c) >= lo && col(c) <= hi }.reduce(_ && _))
   }
 
   /** Gate entry: lineitem range-clustered on l_shipdate + a manifest, then
@@ -402,9 +430,46 @@ object Layout {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Gate entry: orders z-ordered on (o_custkey, order epoch-day) with a
+    * TWO-column manifest, served through [[readPrunedMulti]] on a
+    * conjunction of both ranges — the multi-dimensional skipping loop
+    * closed end-to-end (z-layout → per-file rectangles → intersected
+    * manifest pruning). ORACLE-EXACT: pruning moves file opens, never
+    * rows; the per-key fewer-files assertions live in LayoutSpec. The
+    * clustered copy builds once per (session, corpus) like
+    * [[skippingRead]]. Keys are [[scaleTo]]-normalized onto the 10-bit
+    * grid (unequal raw widths — the scaladoc's measured pruning loss).
+    */
+  def skippingReadMulti(s: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.ops.Similarity.sessionScratchPath(
+      s, "graft_skipz", dir) + "/orders"
+    val mp = new org.apache.hadoop.fs.Path(s"$tmp/$ManifestDir")
+    if (!mp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(mp)) {
+      val o = Tables(s, dir).orders
+        .withColumn("o_day", epochDay(col("o_orderdate")))
+      val b = o.agg(min(col("o_custkey")), max(col("o_custkey")),
+        min(col("o_day")), max(col("o_day"))).head()
+      zorderWrite(o,
+        zvalue(scaleTo(col("o_custkey"), b.getLong(0), b.getLong(1), 10),
+          scaleTo(col("o_day"), b.getLong(2), b.getLong(3), 10), 10),
+        tmp, 16)
+      writeManifest(s, tmp, Seq("o_custkey", "o_day"))
+    }
+    // 1994-01-01 .. 1995-12-31 as epoch days, mid-range custkeys
+    readPrunedMulti(s, tmp, Seq(
+        ("o_custkey", lit(100L), lit(500L)),
+        ("o_day", lit(8766L), lit(9495L))))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+          .as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder" -> (zorderKeys _),
-    "layout_skipping_read" -> (skippingRead _)
+    "layout_skipping_read" -> (skippingRead _),
+    "layout_skipping_read_multi" -> (skippingReadMulti _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -422,6 +487,16 @@ object Layout {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
         |  AND l_shipdate <= TIMESTAMP '1996-12-31'
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "layout_skipping_read_multi" ->
+      """WITH o AS (SELECT *, epoch_ms(o_orderdate)//1000//86400 AS o_day
+        |  FROM orders)
+        |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM o
+        |WHERE o_custkey BETWEEN 100 AND 500
+        |  AND o_day BETWEEN 8766 AND 9495
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }

@@ -175,5 +175,36 @@ class LayoutSpec extends SparkSpec {
     // bound is looser than the in-quadrant custkey band's.
     assert(zCust <= n / 2, s"zorder touched $zCust/$n files for a 10% custkey band")
     assert(zDay <= n * 5 / 8, s"zorder touched $zDay/$n files for a 10% day band")
+
+    // ---- the MANIFEST route over the same z-layout (readPrunedMulti):
+    // each key alone prunes through the intersected manifest, the
+    // conjunction prunes at least as hard, and results move no rows
+    Layout.writeManifest(spark, zDir, Seq("o_custkey", "o_day"))
+    def opened(ranges: Seq[(String, org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column)]): (Int, DataFrame) = {
+      val df = Layout.readPrunedMulti(spark, zDir, ranges)
+      (df.inputFiles.length, df)
+    }
+    val custR = ("o_custkey", lit(cLo), lit(cHi))
+    val dayR = ("o_day", lit(dLo), lit(dHi))
+    val (nCust, _) = opened(Seq(custR))
+    val (nDay, _) = opened(Seq(dayR))
+    val (nBoth, both) = opened(Seq(custR, dayR))
+    assert(nCust < n, s"manifest must prune on custkey alone: $nCust/$n")
+    assert(nDay < n, s"manifest must prune on day alone: $nDay/$n")
+    assert(nBoth <= math.min(nCust, nDay),
+      s"conjunction must prune at least as hard: $nBoth vs ($nCust, $nDay)")
+    val expect = orders.filter(col("o_custkey").between(cLo, cHi)
+      && col("o_day").between(dLo, dHi))
+      .orderBy(col("o_orderkey")).select(col("o_orderkey")).collect().toSeq
+    assert(both.orderBy(col("o_orderkey")).select(col("o_orderkey"))
+      .collect().toSeq === expect, "pruning moves file opens, never rows")
+    // a requested column the manifest does not cover contributes no
+    // pruning but keeps the row filter — degrade, don't drop
+    val (nUncov, uncov) = opened(Seq(custR,
+      ("o_orderkey", lit(0L), lit(Long.MaxValue))))
+    assert(nUncov === nCust, "uncovered column must not change file set")
+    assert(uncov.count()
+      === orders.filter(col("o_custkey").between(cLo, cHi)).count())
   }
 }

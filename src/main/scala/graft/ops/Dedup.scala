@@ -814,6 +814,16 @@ object Dedup {
     * convergence needs only the rounds the NEW bridges demand (≤3 for
     * typical batch bridging — spec-pinned on a worst-case chain that the
     * full recompute needs 8 rounds for), not the old graph's diameter.
+    *
+    * DELETION CONTRACT — this fold is ADDITION-ONLY: min-label
+    * propagation can only merge components, never retract connectivity,
+    * so a tombstoned doc's label edges keep bridging its component after
+    * a takedown (docs connected only THROUGH the deleted doc stay
+    * labeled together). The maintenance path owns the fix:
+    * [[maybeRebuildComponents]] rebuilds the persisted labeling from the
+    * live index whenever tombstoned ids still appear in it, and
+    * [[graft.ops.Fsck.fsckMinhashIndex]] warns (`tombstoned_labels`)
+    * until it runs.
     */
   def nearDupGroupsIncremental(labels0: DataFrame, newPairs: DataFrame,
       maxIter: Int = 10): DataFrame = {
@@ -833,6 +843,71 @@ object Dedup {
       .unionByName(newPairs.select(col("d1"), col("d2")))
       .localCheckpoint()
     nearDupGroups(input, maxIter)
+  }
+
+  /** The persisted component-labels table for a signature index — a
+    * SIBLING path like the tombstones (the index dir must stay a pure
+    * parquet dataset the plain appends can keep writing into).
+    */
+  def componentLabelsPath(indexPath: String): String =
+    s"${indexPath}_components"
+
+  /** Rebuild and persist the component labeling over the LIVE signature
+    * index (tombstones applied): pairs come from the stored (doc_id, hs)
+    * rows — corpus text is never re-read — with the signature width read
+    * from the index itself (self-describing geometry), then min-label
+    * propagation, staged write. This is the full-recompute tier the
+    * addition-only fold's deletion contract needs; the incremental tier
+    * is [[nearDupGroupsIncremental]] over each batch's new pairs.
+    */
+  def saveComponentLabels(s: SparkSession, indexPath: String,
+      bands: Int = DefaultBands, tau: Double = 0.7,
+      maxIter: Int = 10): Unit = {
+    val live = loadMinhashIndex(s, indexPath)
+    val numHashes = live.select(size(col("sig"))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(DefaultNumHashes)
+    val labels = nearDupGroups(
+      minhashPairsFromHs(s, live.select(col("doc_id"), col("hs")),
+        numHashes, bands, tau), maxIter)
+    graft.ops.Layout.writeStaged(s, componentLabelsPath(indexPath))(
+      st => labels.write.parquet(st))
+    labels.unpersist()
+    ()
+  }
+
+  /** The deletion-contract maintenance decision: rebuild the persisted
+    * labeling IFF any tombstoned id still appears in it (as member or
+    * canonical) — the exact state where the addition-only fold may claim
+    * connectivity through a deleted bridge. Returns (rebuilt, affected
+    * label rows). Declines with (false, 0) when there is no labeling to
+    * maintain, no tombstones, or no overlap — a rebuild scans the index,
+    * so it must not fire on every takedown of an unlabeled doc. Must run
+    * BEFORE [[compactMinhashIndex]] folds the tombstone file away (the
+    * decision reads it); the maintenance orchestrator sequences this.
+    */
+  def maybeRebuildComponents(s: SparkSession, indexPath: String,
+      bands: Int = DefaultBands, tau: Double = 0.7,
+      maxIter: Int = 10): (Boolean, Long) = {
+    val labelsDir = componentLabelsPath(indexPath)
+    val ts = minhashTombstonePath(indexPath)
+    val conf = s.sparkContext.hadoopConfiguration
+    def readable(d: String) = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(conf).exists(p)
+    }
+    if (!readable(labelsDir) || !readable(ts)) return (false, 0L)
+    val labels = s.read.parquet(labelsDir)
+    val tomb = s.read.parquet(ts).select(col("doc_id").as("tid")).distinct()
+    val affected = labels
+      .join(tomb, col("doc_id") === col("tid"), "left_semi")
+      .unionByName(
+        labels.join(tomb, col("canonical_id") === col("tid"), "left_semi"))
+      .distinct().count()
+    if (affected == 0L) (false, 0L)
+    else {
+      saveComponentLabels(s, indexPath, bands, tau, maxIter)
+      (true, affected)
+    }
   }
 
   /** Gate/bench form (rows-only — labelings are engine-internal): the

@@ -269,7 +269,27 @@ object Fsck {
         .join(sigs.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
         .count()
 
+    // the deletion contract's visibility: a persisted component labeling
+    // referencing tombstoned ids may claim connectivity through deleted
+    // bridges (nearDupGroupsIncremental is addition-only) until
+    // maybeRebuildComponents runs
+    val labelsDir = graft.ops.Dedup.componentLabelsPath(path)
+    val tombLabels =
+      if (!hasParquet(s, labelsDir) || !hasParquet(s, ts)) 0L
+      else {
+        val lab = s.read.parquet(labelsDir)
+        val t = s.read.parquet(ts).select(col("doc_id").as("tid")).distinct()
+        lab.join(t, col("doc_id") === col("tid"), "left_semi")
+          .unionByName(
+            lab.join(t, col("canonical_id") === col("tid"), "left_semi"))
+          .distinct().count()
+      }
+
     toDf(s, path, "minhash_index", Seq(
+      warnIf("tombstoned_labels", tombLabels,
+        "component labels referencing tombstoned docs — connectivity " +
+          "through deleted bridges may be stale; run " +
+          "maybeRebuildComponents (or the minhash maintenance action)"),
       failIf("one_row_per_doc", dupDocs,
         "docs with multiple signature rows — replayed appends awaiting " +
           "compaction, or candidates double-generate"),

@@ -142,7 +142,21 @@ object Maintenance {
           (fired.isDefined, fired.getOrElse(false),
             Similarity.compactIndex(s, t.path, maxRecordsPerFile))
         case "minhash_index" =>
-          (false, false, Dedup.compactMinhashIndex(s, t.path, maxRecordsPerFile))
+          // the deletion-contract decision FIRST (the addition-only
+          // components fold may claim connectivity through deleted
+          // bridges): it reads the tombstone file, which the compaction
+          // below folds away. checked = a persisted labeling exists;
+          // fired = tombstoned ids appeared in it and the labels rebuilt.
+          val labelled = {
+            val p = new org.apache.hadoop.fs.Path(
+              Dedup.componentLabelsPath(t.path))
+            p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+          }
+          val (rebuilt, _) =
+            if (labelled) Dedup.maybeRebuildComponents(s, t.path)
+            else (false, 0L)
+          (labelled, rebuilt,
+            Dedup.compactMinhashIndex(s, t.path, maxRecordsPerFile))
         case "embedding_index" =>
           // the family's monitor→action decision first, like ann_index:
           // a regeometry rewrites both tables anyway, so a firing rebuild

@@ -510,6 +510,59 @@ class DedupSpec extends SparkSpec {
     assert(sigs(Dedup.loadMinhashIndex(spark, path)) == tombstonedSigs)
   }
 
+  test("deletion contract: a removed bridge doc splits its component after the maintenance rebuild") {
+    val spark2 = spark
+    import spark2.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_mh_bridge")
+      .toString + "/idx"
+    val toks = (1 to 40).map(i => f"tok$i%02d")
+    def doc(lo: Int, hi: Int) = toks.slice(lo - 1, hi).mkString(" ")
+    // bigram jaccard: (1,2) and (2,3) ≈ 0.81 ≥ 0.7; (1,3) ≈ 0.66 < 0.7 —
+    // doc 2 is the only bridge between 1 and 3
+    val docs = Seq(
+      (1L, doc(1, 30)), (2L, doc(4, 33)), (3L, doc(7, 36)),
+      (10L, (50 to 80).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    Dedup.saveMinhashIndex(spark, docs, path)
+    Dedup.saveComponentLabels(spark, path)
+    def labels() = spark.read.parquet(Dedup.componentLabelsPath(path))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels() === Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+      "the bridge doc connects 1-2-3 into one component")
+    // nothing tombstoned → the rebuild declines (it scans the index)
+    assert(Dedup.maybeRebuildComponents(spark, path) === ((false, 0L)))
+    // takedown of the bridge: the addition-only labeling is now stale —
+    // fsck surfaces exactly that, nothing else flips
+    Dedup.removeFromMinhashIndex(spark, path, Seq(2L).toDF("doc_id"))
+    val fscked = graft.ops.Fsck.fsckMinhashIndex(spark, path).collect()
+      .map(r => r.getAs[String]("check") -> r.getAs[String]("status")).toMap
+    assert(fscked("tombstoned_labels") === "warn")
+    assert(fscked("one_row_per_doc") === "ok")
+    // the decision fires on the one label row naming the tombstoned doc,
+    // and the rebuilt labeling no longer claims 1~3 (the only path ran
+    // through the deleted bridge)
+    val (rebuilt, affected) = Dedup.maybeRebuildComponents(spark, path)
+    assert(rebuilt && affected === 1L)
+    assert(labels() === Map.empty,
+      "no near-dup claim may survive the bridge removal")
+    assert(Dedup.maybeRebuildComponents(spark, path) === ((false, 0L)),
+      "a second pass has nothing left to fix")
+
+    // the orchestrated path sequences the decision BEFORE compaction
+    // folds the tombstone file away
+    val path2 = java.nio.file.Files.createTempDirectory("graft_mh_bridge2")
+      .toString + "/idx"
+    Dedup.saveMinhashIndex(spark, docs, path2)
+    Dedup.saveComponentLabels(spark, path2)
+    Dedup.removeFromMinhashIndex(spark, path2, Seq(2L).toDF("doc_id"))
+    val report = graft.ops.Maintenance.runAll(spark,
+      Seq(graft.ops.Maintenance.Target("minhash_index", path2))).head
+    assert(report.getAs[Boolean]("retrain_checked")
+      && report.getAs[Boolean]("retrain_fired"))
+    assert(spark.read.parquet(Dedup.componentLabelsPath(path2)).count() === 0L)
+    assert(!new java.io.File(path2 + "_tombstones").exists(),
+      "compaction still folded the tombstone after the decision")
+  }
+
   test("re-adding a tombstoned doc via append resurfaces it (takedown is reversible)") {
     val spark2 = spark
     import spark2.implicits._

@@ -1350,7 +1350,7 @@ object JsonEtl {
     * column and keeps its own shape; the HLL fold merges through
     * Spark's native `hll_union_agg`).
     */
-  private def mergeSketchFrames(frames: DataFrame, key: String,
+  private[graft] def mergeSketchFrames(frames: DataFrame, key: String,
       mergeBytes: Iterator[Array[Byte]] => Array[Byte]): DataFrame = {
     val s2 = frames.sparkSession
     import s2.implicits._
@@ -1374,12 +1374,29 @@ object JsonEtl {
     * Built by one mapPartitions scan (the KLL seam — DataSketches theta
     * has no Spark SQL aggregate) with partials merged DISTRIBUTED.
     */
-  /** Per-partition theta partials for a raw frame — unmerged (key,
-    * sketch) rows. Both the state build and the fold merge these
-    * directly, so neither pays a second merge shuffle.
+  /** The per-partition sketch maps' spill guard: when a partition sees
+    * more DISTINCT keys than this, the map is flushed (its partials
+    * emitted, the map cleared) before the next key is admitted — so task
+    * memory is bounded by flush-threshold × max-sketch-bytes (~128 MB at
+    * the theta worst case) no matter the key cardinality, instead of
+    * distinct-keys-in-partition × sketch bytes with no bound. Multiple
+    * partials per (partition, key) are BY DESIGN absorbed by the merge
+    * shuffle every consumer already pays ([[mergeSketchFrames]] — sketch
+    * merge is associative/commutative), so the guard costs nothing when
+    * it never fires and degrades gracefully (slightly more exchange rows)
+    * when it does.
     */
-  private def audiencePartials(events: DataFrame, key: String,
-      valueCol: String, lgK: Int): DataFrame = {
+  private[graft] val SketchPartialFlushKeys = 4096
+
+  /** Per-partition theta partials for a raw frame — unmerged (key,
+    * sketch) rows, possibly several per key when the
+    * [[SketchPartialFlushKeys]] spill guard fires. Both the state build
+    * and the fold merge these directly, so neither pays a second merge
+    * shuffle.
+    */
+  private[graft] def audiencePartials(events: DataFrame, key: String,
+      valueCol: String, lgK: Int,
+      flushKeys: Int = SketchPartialFlushKeys): DataFrame = {
     import org.apache.datasketches.theta.Sketches
     val s2 = events.sparkSession
     import s2.implicits._
@@ -1391,14 +1408,21 @@ object JsonEtl {
       .mapPartitions { it =>
         val sk = scala.collection.mutable.Map[
           String, org.apache.datasketches.theta.UpdateSketch]()
-        it.foreach { case (g, v) =>
+        def drain(): Iterator[(String, Array[Byte])] = {
+          val out = sk.iterator
+            .map { case (g, s) => (g, s.compact().toByteArray) }.toVector
+          sk.clear()
+          out.iterator
+        }
+        it.flatMap { case (g, v) =>
+          val flushed =
+            if (sk.size >= flushKeys && !sk.contains(g)) drain()
+            else Iterator.empty
           sk.getOrElseUpdate(g,
             Sketches.updateSketchBuilder().setLogNominalEntries(lgK).build())
             .update(v)
-        }
-        sk.iterator.map { case (g, s) =>
-          (g, s.compact().toByteArray)
-        }
+          flushed
+        } ++ drain()
       }
       .toDF(key, "sketch")
   }
@@ -1528,9 +1552,12 @@ object JsonEtl {
     * ([[freqTopItems]]). `maxMapSize` must be a power of 2 (validated
     * at the API boundary, not inside a task).
     */
-  /** Per-partition Misra–Gries partials — [[audiencePartials]]' shape. */
-  private def freqPartials(events: DataFrame, key: String,
-      itemCol: String, maxMapSize: Int): DataFrame = {
+  /** Per-partition Misra–Gries partials — [[audiencePartials]]' shape,
+    * including its [[SketchPartialFlushKeys]] spill guard.
+    */
+  private[graft] def freqPartials(events: DataFrame, key: String,
+      itemCol: String, maxMapSize: Int,
+      flushKeys: Int = SketchPartialFlushKeys): DataFrame = {
     import org.apache.datasketches.frequencies.ItemsSketch
     import org.apache.datasketches.common.ArrayOfStringsSerDe
     require(maxMapSize >= 8 && Integer.bitCount(maxMapSize) == 1,
@@ -1544,12 +1571,21 @@ object JsonEtl {
       .filter(col("g").isNotNull && col("v").isNotNull)
       .as[(String, String)]
       .mapPartitions { it =>
-        val sk = scala.collection.mutable.Map[String, ItemsSketch[String]]()
-        it.foreach { case (g, v) =>
-          sk.getOrElseUpdate(g, new ItemsSketch[String](maxMapSize)).update(v)
-        }
         val serde = new ArrayOfStringsSerDe()
-        sk.iterator.map { case (g, s) => (g, s.toByteArray(serde)) }
+        val sk = scala.collection.mutable.Map[String, ItemsSketch[String]]()
+        def drain(): Iterator[(String, Array[Byte])] = {
+          val out = sk.iterator
+            .map { case (g, s) => (g, s.toByteArray(serde)) }.toVector
+          sk.clear()
+          out.iterator
+        }
+        it.flatMap { case (g, v) =>
+          val flushed =
+            if (sk.size >= flushKeys && !sk.contains(g)) drain()
+            else Iterator.empty
+          sk.getOrElseUpdate(g, new ItemsSketch[String](maxMapSize)).update(v)
+          flushed
+        } ++ drain()
       }
       .toDF(key, "sketch")
   }
@@ -2084,7 +2120,7 @@ object JsonEtl {
   * merge lambdas ship inside Spark task closures (capturing the JsonEtl
   * module itself would make every fold's task serialization fail).
   */
-private[etl] object SketchMerges extends Serializable {
+private[graft] object SketchMerges extends Serializable {
   def theta(lgK: Int): Iterator[Array[Byte]] => Array[Byte] = { parts =>
     import org.apache.datasketches.theta.{SetOperation, Sketches}
     val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()

@@ -57,6 +57,35 @@ class EtlSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(path + ".old")))
   }
 
+  test("sketch partials spill guard: a firing flush changes nothing but partial count") {
+    // the per-partition sketch maps flush when they exceed the key
+    // threshold — multiple partials per (partition, key) are absorbed by
+    // the merge shuffle, so a threshold small enough to fire constantly
+    // must produce bit-identical state to one that never fires
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    def thetaState(flushKeys: Int) =
+      JsonEtl.mergeSketchFrames(
+        JsonEtl.audiencePartials(events, "event_type", "user_id", 12,
+          flushKeys), "event_type", graft.etl.SketchMerges.theta(12))
+    val never = thetaState(JsonEtl.SketchPartialFlushKeys)
+    val always = thetaState(2) // 5 event types per partition >> 2
+    // the guard actually fired: more partial rows than keys
+    assert(JsonEtl.audiencePartials(events, "event_type", "user_id", 12, 2)
+      .count() > JsonEtl.audiencePartials(events, "event_type", "user_id", 12)
+      .count())
+    def estimates(df: org.apache.spark.sql.DataFrame) =
+      JsonEtl.audienceOverlap(df).orderBy(col("a"), col("b"))
+        .collect().toSeq
+    assert(estimates(always) === estimates(never))
+    // Misra-Gries: same guard, same invariance (exact regime — counts add)
+    def freqTop(flushKeys: Int) =
+      JsonEtl.freqTopItems(JsonEtl.mergeSketchFrames(
+        JsonEtl.freqPartials(events, "event_type", "user_id", 1024,
+          flushKeys), "event_type", graft.etl.SketchMerges.freq(1024)))
+        .orderBy(col("event_type"), col("rank")).collect().toSeq
+    assert(freqTop(2) === freqTop(JsonEtl.SketchPartialFlushKeys))
+  }
+
   test("state meta: stamped on first fold, mismatched params raise per family, views read the stamp") {
     val events = spark.read.parquet(s"$sf/events.parquet")
       .withColumn("day", floor(col("ts").cast("timestamp").cast("long")

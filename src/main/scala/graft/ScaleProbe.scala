@@ -624,6 +624,71 @@ object ScaleProbe {
       println(f"freq_fold(batch=1/29): ${(System.nanoTime() - t3) / 1e9}%.1f s")
       fState.unpersist()
     }
+    // the WINDOWED sketch folds' cost claim: same batch-scan + state-merge
+    // shape as the grow-only folds, plus a retention-bounded checkpoint
+    // (expireFold) — wall should track the batch scan, state stays at
+    // keys × retention sketches no matter the corpus
+    if (matched("windowed_sketch_states")) locally {
+      val docsAll = graft.Tables(spark, out).documents
+        .select(col("source").as("event_type"),
+          col("doc_id").as("user_id"),
+          (col("doc_id") % 30L).as("day"))
+      val inBatch = col("user_id") % 29 === 0
+      val (hist, batch) = (docsAll.filter(!inBatch), docsAll.filter(inBatch))
+      val t0 = System.nanoTime()
+      val dState = graft.etl.JsonEtl
+        .distinctStateWindowed(hist, retainDays = 14)
+      val dRows = dState.count()
+      println(f"windowed_distinct_build(hist): " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s ($dRows state rows)")
+      val t1 = System.nanoTime()
+      graft.etl.JsonEtl.distinctUpsertWindowed(dState, batch,
+        retainDays = 14).count()
+      println(f"windowed_distinct_fold(batch=1/29): " +
+        f"${(System.nanoTime() - t1) / 1e9}%.1f s")
+      val t2 = System.nanoTime()
+      val aState = graft.etl.JsonEtl
+        .audienceStateWindowed(hist, retainDays = 14)
+      val aRows = aState.count()
+      println(f"windowed_audience_build(hist): " +
+        f"${(System.nanoTime() - t2) / 1e9}%.1f s ($aRows state rows)")
+      val t3b = System.nanoTime()
+      graft.etl.JsonEtl.audienceUpsertWindowed(aState, batch,
+        retainDays = 14).count()
+      println(f"windowed_audience_fold(batch=1/29): " +
+        f"${(System.nanoTime() - t3b) / 1e9}%.1f s")
+    }
+    // multi-column skipping at scale: a two-range predicate over a
+    // z-ordered table — the intersected manifest prune must open a small
+    // fraction of the files and its wall follow the opened bytes
+    if (matched("skipping_read_multi")) locally {
+      val dir = s"$out/_skipz_probe"
+      val mp = new org.apache.hadoop.fs.Path(s"$dir/_skip_manifest")
+      if (!mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(mp)) {
+        val d = graft.Tables(spark, out).documents
+          .withColumn("day", (col("doc_id") % 2557L).cast("long"))
+          .withColumn("uid", (col("doc_id") % 1021L).cast("long"))
+        graft.ops.Layout.zorderWrite(d,
+          graft.ops.Layout.zvalue(
+            graft.ops.Layout.scaleTo(col("uid"), 0L, 1020L, 10),
+            graft.ops.Layout.scaleTo(col("day"), 0L, 2556L, 10), 10),
+          dir, 64)
+        graft.ops.Layout.writeManifest(spark, dir, Seq("uid", "day"))
+      }
+      val t0 = System.nanoTime()
+      val nAll = spark.read.parquet(dir)
+        .filter(col("uid").between(100L, 200L)
+          && col("day").between(1000L, 1365L)).count()
+      val tFull = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val pruned = graft.ops.Layout.readPrunedMulti(spark, dir, Seq(
+        ("uid", lit(100L), lit(200L)), ("day", lit(1000L), lit(1365L))))
+      val nPruned = pruned.count()
+      println(f"skipping_read_multi: full-scan filter $tFull%.1f s " +
+        f"($nAll rows) vs pruned ${(System.nanoTime() - t1) / 1e9}%.1f s " +
+        f"($nPruned rows, ${pruned.inputFiles.length} of 64 files)")
+    }
     // the dup-dense corpus makes every doc ~repl mutual perceptual twins, so
     // mm_near_dup's TRUE pair count grows ∝ repl² (15.2M pairs at 20× — the
     // output itself, not overhead); probing past 20× times pair

@@ -1088,6 +1088,46 @@ object Streams extends Serializable {
       }
       .start()
 
+  /** Streaming twin of [[graft.etl.JsonEtl.distinctUpsertWindowedAt]]:
+    * the day-windowed distinct state folded per micro-batch — the live
+    * "trailing-30-day distinct users" dashboard from retention-bounded
+    * state ([[windowedAggIngestSink]]'s sketch sibling). Same
+    * checkpoint-lineage rule as [[aggIngestSink]].
+    */
+  def windowedDistinctIngestSink(events: DataFrame, statePath: String,
+      checkpoint: String, keys: Seq[String] = Seq("event_type"),
+      valueCol: String = "user_id", dayCol: String = "day",
+      retainDays: Int = 30): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.etl.JsonEtl.distinctUpsertWindowedAt(batch.sparkSession,
+          statePath, batch, batchId, keys, valueCol, dayCol = dayCol,
+          retainDays = retainDays)
+      }
+      .start()
+
+  /** Streaming twin of [[graft.etl.JsonEtl.audienceUpsertWindowedAt]]:
+    * the day-windowed theta set state folded per micro-batch — the live
+    * trailing-window audience-overlap matrix from retention-bounded
+    * per-day sketches. Same checkpoint-lineage rule as
+    * [[aggIngestSink]].
+    */
+  def windowedAudienceIngestSink(events: DataFrame, statePath: String,
+      checkpoint: String, key: String = "event_type",
+      valueCol: String = "user_id", dayCol: String = "day",
+      retainDays: Int = 30): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.etl.JsonEtl.audienceUpsertWindowedAt(batch.sparkSession,
+          statePath, batch, batchId, key, valueCol, dayCol = dayCol,
+          retainDays = retainDays)
+      }
+      .start()
+
   /** Continuous DATA-drift monitoring — the streaming twin of
     * [[graft.ops.Profile.distributionDrift]] and the data-side sibling of
     * [[annIngestSink]]'s model-drift rows: each micro-batch's value

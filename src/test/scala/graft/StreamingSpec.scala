@@ -594,6 +594,59 @@ class StreamingSpec extends SparkSpec {
     assert(graft.etl.JsonEtl.aggFoldWatermark(spark, s"$base/state") === 1L)
   }
 
+  test("windowed sketch ingest sinks: micro-batches fold to the one-shot windowed views, exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_wsk_sink").toString
+    // days span 30 with retention 14 — expiry fires inside the stream
+    val b0 = (0L until 600L).map(i =>
+      (i % 37, if (i % 2 == 0) "view" else "click", i % 30))
+    val b1 = (0L until 600L).map(i =>
+      (i % 61, if (i % 3 == 0) "view" else "buy", (i * 7) % 30))
+    val all = (b0 ++ b1).toDF("user_id", "event_type", "day")
+
+    val in = MemoryStream[(Long, String, Long)]
+    val q = Streams.windowedDistinctIngestSink(
+      in.toDF().toDF("user_id", "event_type", "day"),
+      s"$base/d", s"$base/ckptd", retainDays = 14)
+    in.addData(b0: _*); q.processAllAvailable()
+    in.addData(b1: _*); q.processAllAvailable()
+    q.stop()
+    val st = spark.read.parquet(s"$base/d")
+    assert(st.select(col("day")).distinct().count() <= 14L,
+      "retention must bound the streamed state")
+    val got = graft.etl.JsonEtl.distinctWindowView(st, lastNDays = 7)
+      .orderBy(col("event_type")).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("distinct_est"))).toSeq
+    val exact = all.filter(col("day") > lit(29L - 7L))
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("d"))
+      .orderBy(col("event_type")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === exact, "trailing-7-day view ≡ exact windowed distinct")
+    assert(graft.etl.JsonEtl.aggFoldWatermark(spark, s"$base/d") === 1L)
+    assert(graft.etl.JsonEtl.stateMeta(spark, s"$base/d")("kind")
+      === "distinct_windowed")
+
+    val in2 = MemoryStream[(Long, String, Long)]
+    val q2 = Streams.windowedAudienceIngestSink(
+      in2.toDF().toDF("user_id", "event_type", "day"),
+      s"$base/a", s"$base/ckpta", retainDays = 14)
+    in2.addData(b0: _*); q2.processAllAvailable()
+    in2.addData(b1: _*); q2.processAllAvailable()
+    q2.stop()
+    val ast = spark.read.parquet(s"$base/a")
+    assert(ast.select(col("day")).distinct().count() <= 14L)
+    def overlap(df: org.apache.spark.sql.DataFrame) =
+      graft.etl.JsonEtl.audienceWindowView(df, lastNDays = 7)
+        .orderBy(col("a"), col("b")).collect().toSeq
+    assert(overlap(ast) === overlap(
+      graft.etl.JsonEtl.audienceStateWindowed(all, retainDays = 14)),
+      "stream ≡ batch windowed overlap (both exact below capacity)")
+    assert(graft.etl.JsonEtl.stateMeta(spark, s"$base/a")("kind")
+      === "audience_windowed")
+  }
+
   test("quantile ingest sink: micro-batches fold to in-envelope estimates, exactly once") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

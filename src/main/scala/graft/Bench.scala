@@ -56,8 +56,9 @@ object Bench {
     "text_repetition", "text_heavy_hitters", "text_prepare_corpus",
     "text_prepare_corpus_pipelined", "text_prepare_corpus_classified",
     "text_mixture_sample", "text_mixture_temperature",
-    "text_weighted_sample", "text_group_sample", "layout_skipping_read",
-    "layout_skipping_read_multi",
+    "text_weighted_sample", "text_group_sample", "text_split_leakage_safe",
+    "layout_skipping_read",
+    "layout_skipping_read_multi", "layout_bloom_lookup",
     "text_select_budget_threshold", "text_bpe_tokens",
     "text_source_stats", "text_source_sketches", "profile_value_sketches",
     "profile_distribution_drift", "profile_drift_fed",

@@ -210,12 +210,16 @@ object Curation {
   def mixtureSampleDocs(s: SparkSession, dir: String): DataFrame =
     mixtureSample(Tables(s, dir).documents, DemoMix, defaultBps = 1000)
 
-  /** Seeded hash over (seed, doc_id) — the one deterministic randomness
+  /** Seeded hash over (seed, key) — the one deterministic randomness
     * primitive both engines share bit-for-bit (md5 of the same UTF-8
     * bytes; Spark auto-casts string→binary, DuckDB hashes the varchar).
     */
+  private def seededHashOf(seed: String,
+      key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5(concat_ws(":", lit(seed), key.cast("string")))
+
   private def seededHash(seed: String): org.apache.spark.sql.Column =
-    md5(concat_ws(":", lit(seed), col("doc_id").cast("string")))
+    seededHashOf(seed, col("doc_id"))
 
   /** Deterministic global training-order shuffle: every epoch's read
     * order is ORDER BY md5(seed:doc_id) — reshuffled per seed, stable
@@ -254,6 +258,54 @@ object Curation {
         when(b < "0d", "test").when(b < "1a", "val")
           .otherwise("train").as("split"))
       .orderBy(col("doc_id"))
+  }
+
+  /** [[splitAssign]] with the eval-contamination hole closed: a plain
+    * hash split puts a doc in train and its near-duplicate in test —
+    * the classic leakage that inflates every eval on a dup-dense corpus
+    * (the published dedup-analysis literature's core finding). Here the
+    * split key is each doc's near-dup COMPONENT CANONICAL (the doc
+    * itself when it has no near-dup), so a near-dup cluster lands WHOLE
+    * in one split by construction — no post-hoc decontamination pass,
+    * and membership is still decidable per row given the component
+    * table. Docs outside any component get exactly [[splitAssign]]'s
+    * assignment (same hash of their own id), so adopting the safe form
+    * only ever MOVES near-dup cluster members (spec-pinned, with the
+    * no-straddle property over the full LSH pair set).
+    *
+    * Scale shape: one equi join of the corpus ids against the
+    * components table (labeled docs only — dup-cluster-sized, not
+    * corpus-sized) + the same pure map-stage bucketing; composes with
+    * the persisted component table a living corpus already maintains
+    * ([[graft.ops.Dedup.saveComponentLabels]]).
+    */
+  def splitAssignLeakageSafe(docs: DataFrame, groups: DataFrame,
+      seed: String = "split0"): DataFrame = {
+    val canon = docs.select(col("doc_id"))
+      .join(groups.select(col("doc_id"),
+        col("canonical_id")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical_id"), col("doc_id")).as("canon"))
+    val b = substring(seededHashOf(seed, col("canon")), 1, 2)
+    canon.select(col("doc_id"),
+        when(b < "0d", "test").when(b < "1a", "val")
+          .otherwise("train").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gate form (rows-only — canonicals come from MinHash, engine-internal;
+    * the no-straddle and unlabeled-docs-match-splitAssign properties are
+    * spec-pinned).
+    */
+  def splitAssignLeakageSafeDocs(s: SparkSession, dir: String): DataFrame = {
+    val groups = Dedup.nearDupGroups(s, dir)
+    // materialize (localCheckpoint — GC-owned blocks, not a cache-registry
+    // entry repeated gate runs would leak) BEFORE dropping the propagation
+    // cache the groups frame carries (the caller-owns-unpersist contract)
+    val out = splitAssignLeakageSafe(Tables(s, dir).documents, groups)
+      .localCheckpoint()
+    groups.unpersist()
+    out
   }
 
   /** Weighted sampling WITHOUT replacement, Efraimidis–Spirakis: each doc
@@ -433,7 +485,8 @@ object Curation {
     "text_weighted_sample" -> (weightedSampleDocs _),
     "text_group_sample" -> (groupSampleDocs _),
     "text_shuffle_order" -> ((s: SparkSession, dir: String) => shuffleOrder(s, dir)),
-    "text_split_assign" -> ((s: SparkSession, dir: String) => splitAssign(s, dir)))
+    "text_split_assign" -> ((s: SparkSession, dir: String) => splitAssign(s, dir)),
+    "text_split_leakage_safe" -> (splitAssignLeakageSafeDocs _))
 
   /** prepare_corpus is rows-only: its near-dup stage depends on
     * engine-internal hashes. The mixture sample is pure integer

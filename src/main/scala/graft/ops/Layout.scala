@@ -267,6 +267,7 @@ object Layout {
     // describe the promoted files exactly. Compaction is when stats get
     // TIGHTER (contiguous orderCol ranges per file), not when they rot.
     val manifest = manifestCols(spark, dir)
+    val bloomCol = bloomManifestCol(spark, dir)
     val df = source.getOrElse(spark.read.parquet(dir))
     val total = df.count()
     val nTasks = math.max(1L, (total + maxRecordsPerFile - 1) / maxRecordsPerFile).toInt
@@ -274,6 +275,7 @@ object Layout {
       df.repartitionByRange(nTasks, orderCol)
         .write.option("maxRecordsPerFile", maxRecordsPerFile).parquet(staging)
       if (manifest.nonEmpty) writeManifest(spark, staging, manifest)
+      bloomCol.foreach(writeBloomManifest(spark, staging, _))
     }
     (before, parquetFiles(dir), total)
   }
@@ -393,6 +395,125 @@ object Layout {
       col(c) >= lo && col(c) <= hi }.reduce(_ && _))
   }
 
+  // ------------------------------------------- bloom (point-lookup) manifest
+  private[graft] val BloomManifestDir = "_bloom_manifest"
+
+  /** Per-file BLOOM membership manifest over a declared column — the
+    * point-lookup sibling of [[writeManifest]]: min/max stats prune RANGE
+    * predicates on keys the layout clusters, but on a hash-scattered key
+    * every file's [min, max] covers the whole domain and range stats
+    * prune nothing — while "fetch these k ids from a 100k-file table"
+    * (training-example lookup, takedown audits, eval-set joins) is a
+    * POINT query. One scan builds a ~KB Bloom per file over
+    * `xxhash64(c)` (Spark's own BloomFilterAggregate — no false
+    * negatives, so pruning can lose opens, never rows); staged write into
+    * `_bloom_manifest` inside the data dir, self-describing (the covered
+    * column is recoverable from the `bloom_<c>` schema). Sizing: the
+    * default 2^16 bits ≈ 8 KB/file holds ~4.7k items at 1% fp — pass the
+    * real per-file row count at bigger files; fp only costs extra opens.
+    */
+  def writeBloomManifest(s: SparkSession, dir: String, c: String,
+      expectedPerFile: Long = 4096L, numBits: Long = 1L << 16): Unit = {
+    val m = s.read.parquet(dir)
+      .groupBy(substring_index(input_file_name(), "/", -1).as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        graft.functions.bloom_agg(xxhash64(col(c)), expectedPerFile, numBits)
+          .as(s"bloom_$c"))
+    writeStaged(s, s"$dir/$BloomManifestDir")(st =>
+      m.coalesce(1).write.parquet(st))
+  }
+
+  /** The column a persisted Bloom manifest covers (from its `bloom_<c>`
+    * schema), None when no manifest exists.
+    */
+  def bloomManifestCol(s: SparkSession, dir: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$BloomManifestDir")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else s.read.parquet(p.toString).schema.fieldNames
+      .find(_.startsWith("bloom_")).map(_.stripPrefix("bloom_"))
+  }
+
+  /** Rebuild a dir's Bloom manifest over the column it already declares —
+    * the [[refreshManifest]] discipline. No-op when none exists.
+    */
+  def refreshBloomManifest(s: SparkSession, dir: String): Unit =
+    bloomManifestCol(s, dir).foreach(writeBloomManifest(s, dir, _))
+
+  /** Bloom-pruned point lookup: `c IN (values)`, opening only the files
+    * whose Bloom MIGHT contain at least one probed value — plus, as
+    * always, every file the manifest does not cover, and everything when
+    * the manifest covers a different column (stale or narrower manifests
+    * degrade to fewer skips, never missing rows). No false negatives by
+    * the Bloom contract, so pruning moves file opens only; false
+    * positives cost extra opens at the design rate. Probe hashes are
+    * computed THROUGH the engine (one literal projection) so they can
+    * never diverge from the manifest's `xxhash64(c)`; driver cost is one
+    * Bloom deserialization per file — the same per-file driver scale as
+    * [[readPruned]]'s stats pass.
+    */
+  def readPrunedPoint(s: SparkSession, dir: String, c: String,
+      values: Seq[Any]): DataFrame = {
+    require(values.nonEmpty, "readPrunedPoint needs at least one value")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).toIndexedSeq
+    val full = () => s.read.parquet(dir)
+    val mPath = new org.apache.hadoop.fs.Path(s"$dir/$BloomManifestDir")
+    val pruned =
+      if (!fs.exists(mPath)) dataFiles
+      else {
+        val m = s.read.parquet(mPath.toString)
+        if (!m.schema.fieldNames.contains(s"bloom_$c")) dataFiles
+        else {
+          val colType = full().schema(c).dataType
+          val hashes = s.range(1)
+            .select(values.map(v => xxhash64(lit(v).cast(colType))): _*)
+            .head().toSeq.map(_.asInstanceOf[Long])
+          val rows = m.select(col("file"), col(s"bloom_$c")).collect()
+          val covered = rows.map(_.getString(0)).toSet
+          val keep = rows.filter { r =>
+            val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            hashes.exists(bf.mightContainLong)
+          }.map(_.getString(0)).toSet
+          dataFiles.filter(f => !covered(f) || keep(f))
+        }
+      }
+    val base =
+      if (pruned.isEmpty) full().filter(lit(false))
+      else s.read.parquet(pruned.map(f => s"$dir/$f"): _*)
+    base.filter(col(c).isin(values: _*))
+  }
+
+  /** Gate entry: documents hash-scattered into 16 files (every file's
+    * doc_id [min, max] spans the whole domain — range stats prune
+    * NOTHING here, which is the point) + a Bloom manifest, then a
+    * six-id point lookup served through [[readPrunedPoint]] —
+    * ORACLE-EXACT against DuckDB's plain IN-filtered aggregate (pruning
+    * moves opens, never rows; the fewer-files and no-false-negative
+    * assertions live in LayoutSpec). Build memoized per (session,
+    * corpus) like the other skipping gates.
+    */
+  def bloomLookup(s: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.ops.Similarity.sessionScratchPath(
+      s, "graft_bloomm", dir) + "/documents"
+    val mp = new org.apache.hadoop.fs.Path(s"$tmp/$BloomManifestDir")
+    if (!mp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(mp)) {
+      Tables(s, dir).documents
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .repartition(16, col("doc_id"))
+        .write.mode("overwrite").parquet(tmp)
+      writeBloomManifest(s, tmp, "doc_id")
+    }
+    readPrunedPoint(s, tmp, "doc_id",
+        Seq(3L, 57L, 111L, 222L, 333L, 444L))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source"))
+  }
+
   /** Gate entry: lineitem range-clustered on l_shipdate + a manifest, then
     * a two-year revenue summary served through [[readPruned]] — the
     * result must equal the oracle's plain filtered aggregate over the
@@ -469,7 +590,8 @@ object Layout {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder" -> (zorderKeys _),
     "layout_skipping_read" -> (skippingRead _),
-    "layout_skipping_read_multi" -> (skippingReadMulti _)
+    "layout_skipping_read_multi" -> (skippingReadMulti _),
+    "layout_bloom_lookup" -> (bloomLookup _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -497,6 +619,11 @@ object Layout {
         |FROM o
         |WHERE o_custkey BETWEEN 100 AND 500
         |  AND o_day BETWEEN 8766 AND 9495
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "layout_bloom_lookup" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id IN (3, 57, 111, 222, 333, 444)
+        |GROUP BY source ORDER BY source""".stripMargin
   )
 }

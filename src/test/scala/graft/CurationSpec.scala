@@ -326,6 +326,36 @@ class CurationSpec extends SparkSpec {
       === expected.map(_._2).toSeq)
   }
 
+  test("leakage-safe split: near-dup pairs never straddle splits; unlabeled docs match splitAssign") {
+    val safe = Curation.splitAssignLeakageSafeDocs(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val plain = Curation.splitAssign(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(safe.keySet === plain.keySet, "one assignment per doc")
+    // THE property: no near-dup pair straddles a split boundary — the
+    // eval-contamination hole the plain hash split leaves open
+    val pairs = Dedup.minhashLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "the corpus must carry near-dup pairs")
+    val straddlersPlain = pairs.count { case (a, b) => plain(a) != plain(b) }
+    pairs.foreach { case (a, b) =>
+      assert(safe(a) === safe(b), s"near-dup pair ($a,$b) straddles splits") }
+    // the plain split DOES leak on this corpus (otherwise the test is
+    // vacuous and the operator pointless here)
+    assert(straddlersPlain > 0,
+      "the plain hash split must actually leak on the dup-dense corpus")
+    // docs outside any component keep exactly the plain assignment —
+    // adopting the safe form only ever moves near-dup cluster members
+    val labeled = Dedup.nearDupGroups(spark, sf)
+    val inGroup = labeled.collect().map(_.getLong(0)).toSet
+    labeled.unpersist()
+    safe.filterNot(kv => inGroup(kv._1)).foreach { case (id, sp) =>
+      assert(sp === plain(id), s"unlabeled doc $id moved") }
+    // deterministic: a second run reproduces the assignment
+    assert(Curation.splitAssignLeakageSafeDocs(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap === safe)
+  }
+
   test("group sample: exactly n per group (or the whole group), deterministic") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val n = 100

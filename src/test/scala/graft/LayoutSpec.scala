@@ -207,4 +207,52 @@ class LayoutSpec extends SparkSpec {
     assert(uncov.count()
       === orders.filter(col("o_custkey").between(cLo, cHi)).count())
   }
+
+  test("bloom manifest: point lookups prune where min/max cannot, never lose rows, survive compaction") {
+    val dir = Files.createTempDirectory("graft_bloomtest").toString + "/docs"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val n = 16
+    // hash-scattered layout: every file's doc_id [min, max] spans the
+    // whole domain — the shape where range stats prune NOTHING
+    docs.repartition(n, col("doc_id")).write.parquet(dir)
+    Layout.writeManifest(spark, dir, Seq("doc_id"))
+    Layout.writeBloomManifest(spark, dir, "doc_id")
+    // mid-domain ids: an edge-of-domain point IS range-prunable (few
+    // files have min ≤ 3), so the useless-range-stats premise needs
+    // probes every file's [min, max] straddles
+    val probes: Seq[Any] = Seq(211L, 257L, 311L)
+    // the min/max route opens (nearly) everything for a point set...
+    val ranged = Layout.readPrunedMulti(spark, dir,
+      probes.map(v => ("doc_id", lit(v), lit(v))).take(1))
+    assert(ranged.inputFiles.length >= n - 1,
+      s"range stats must be useless on a scattered key: ${ranged.inputFiles.length}")
+    // ...the bloom route opens at most the files that can hold the probes
+    val bloomed = Layout.readPrunedPoint(spark, dir, "doc_id", probes)
+    assert(bloomed.inputFiles.length <= probes.size + 2,
+      s"bloom must prune a scattered point lookup: ${bloomed.inputFiles.length} of $n")
+    // no false negatives: exactly the full filter's rows come back
+    def key(df: DataFrame) = df.orderBy(col("doc_id"))
+      .select(col("doc_id"), col("n_chars")).collect().toSeq
+    val expect = key(docs.filter(col("doc_id").isin(probes: _*)))
+    assert(expect.size === probes.size, "all probes must exist in the corpus")
+    assert(key(bloomed) === expect)
+    // absent ids cost opens (maybe), never rows
+    assert(Layout.readPrunedPoint(spark, dir, "doc_id",
+      Seq(99999991L, 99999992L)).count() === 0L)
+    // a requested column the manifest does not cover degrades to full
+    val other = Layout.readPrunedPoint(spark, dir, "source", Seq("src1"))
+    assert(other.count() === docs.filter(col("source") === "src1").count())
+    // appended files are uncovered → kept unconditionally (safe-degrade)
+    docs.filter(col("doc_id").isin(probes: _*)).limit(3)
+      .write.mode("append").parquet(dir)
+    assert(Layout.readPrunedPoint(spark, dir, "doc_id", probes).count()
+      === expect.size + 3)
+    // compaction rebuilds BOTH manifests it swaps away; reads unchanged
+    Layout.compactFlat(spark, dir, col("doc_id"), 20000L)
+    assert(Layout.bloomManifestCol(spark, dir) === Some("doc_id"))
+    assert(Layout.manifestCols(spark, dir) === Seq("doc_id"))
+    assert(Layout.readPrunedPoint(spark, dir, "doc_id", probes).count()
+      === expect.size + 3)
+  }
 }

@@ -711,6 +711,43 @@ object Fsck {
           .count()
       } catch { case scala.util.control.NonFatal(_) => 1L }
     }.getOrElse(0L)
+    // the Bloom sibling, when present: the sampled covered file's ACTUAL
+    // hashed values must all hit its stored Bloom — a false negative is
+    // impossible for an unchanged file (the Bloom contract), so any miss
+    // means the file changed under the manifest, and point-pruned reads
+    // silently drop its rows
+    val bloomDir = s"$path/${Layout.BloomManifestDir}"
+    val bloomChecks =
+      if (!hasParquet(s, bloomDir)) Seq.empty[Check]
+      else Layout.bloomManifestCol(s, path) match {
+        case None => Seq(Check("bloom_readable", "fail", 1L,
+          "bloom manifest dir without a bloom_<col> column"))
+        case Some(c) =>
+          val bm = s.read.parquet(bloomDir)
+          val bCovered = bm.select(col("file")).collect()
+            .map(_.getString(0)).toSet
+          val bUncovered = dataFiles.filterNot(bCovered).length.toLong
+          val bSampleBad = dataFiles.filter(bCovered).sorted.headOption
+            .map { f =>
+              try {
+                val bytes = bm.filter(col("file") === f)
+                  .select(col(s"bloom_$c")).head.getAs[Array[Byte]](0)
+                s.read.parquet(s"$path/$f")
+                  .filter(!graft.functions.bloom_might_contain(
+                    lit(bytes), xxhash64(col(c))))
+                  .count()
+              } catch { case scala.util.control.NonFatal(_) => 1L }
+            }.getOrElse(0L)
+          Seq(
+            failIf("bloom_sample", bSampleBad,
+              "rows of the sampled covered file miss its stored Bloom — " +
+                "impossible for an unchanged file, so the data changed " +
+                "under the manifest; point-pruned reads silently drop " +
+                "these rows until refreshBloomManifest"),
+            warnIf("bloom_coverage", bUncovered,
+              "data files the bloom manifest does not cover — kept " +
+                "unpruned (safe) but unskippable until refreshBloomManifest"))
+      }
     toDf(s, path, "skip_manifest", Seq(
       ok("manifest_present"),
       failIf("stats_sample", sampleBad,
@@ -723,7 +760,7 @@ object Fsck {
       warnIf("phantoms", phantoms,
         "manifest rows for files no longer present — inert, hygiene debt"),
       warnIf("staging_leftovers", stagingLeftovers(s, staging),
-        "crashed manifest staging dirs present")))
+        "crashed manifest staging dirs present")) ++ bloomChecks)
   }
 
   // ------------------------------------------------------------ join view

@@ -333,6 +333,51 @@ object Layout {
     if (cols.nonEmpty) writeManifest(s, dir, cols)
   }
 
+  /** INCREMENTAL manifest refresh — the nightly-append path: stats are
+    * computed for UNCOVERED files only, covered files' rows carried
+    * unchanged, phantom rows (files no longer present) dropped. A full
+    * [[refreshManifest]] rescans the declared columns of the whole
+    * table; at 100 TB a nightly append must pay refresh cost ∝ the
+    * APPEND, not the corpus — and per-file min/max never changes for an
+    * immutable parquet file, so carrying covered rows is exact (result
+    * bit-equals the full rebuild, spec-pinned). The one thing this
+    * deliberately does NOT heal is a file REWRITTEN in place under its
+    * old name (the fsck `stats_sample` drift hazard) — that damage needs
+    * the full [[refreshManifest]], which is why the maintenance action
+    * keeps the full rebuild as its default. Returns (carried, added,
+    * dropped_phantoms). No-op without a manifest.
+    */
+  def refreshManifestIncremental(s: SparkSession,
+      dir: String): (Long, Long, Long) = {
+    val cols = manifestCols(s, dir)
+    if (cols.isEmpty) return (0L, 0L, 0L)
+    val mDir = s"$dir/$ManifestDir"
+    val m = s.read.parquet(mDir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.endsWith(".parquet")).toIndexedSeq
+    val covered = m.select(col("file")).collect().map(_.getString(0)).toSet
+    val newFiles = dataFiles.filterNot(covered)
+    val phantoms = (covered -- dataFiles).size.toLong
+    if (newFiles.isEmpty && phantoms == 0L)
+      return (covered.size.toLong, 0L, 0L)
+    // carried rows materialize BEFORE the staged swap replaces their
+    // source; the added rows scan ONLY the new files
+    val kept = m.filter(col("file").isInCollection(dataFiles))
+      .localCheckpoint()
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val added =
+      if (newFiles.isEmpty) kept.limit(0)
+      else s.read.parquet(newFiles.map(f => s"$dir/$f"): _*)
+        .groupBy(substring_index(input_file_name(), "/", -1).as("file"))
+        .agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val out = kept.unionByName(added.select(kept.columns.map(col).toSeq: _*))
+    writeStaged(s, mDir)(st => out.coalesce(1).write.parquet(st))
+    (covered.size.toLong - phantoms, newFiles.size.toLong, phantoms)
+  }
+
   /** Manifest-pruned scan: `c BETWEEN lo AND hi`, opening only the files
     * whose stats interval intersects — plus, CRUCIALLY, every file the
     * manifest does not cover (rows appended after the last

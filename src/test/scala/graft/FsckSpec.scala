@@ -474,6 +474,43 @@ class FsckSpec extends SparkSpec {
       === "fail", "a committed batch missing from right alone must fail")
   }
 
+  test("skip-manifest fsck bloom checks: clean ok, append warns coverage, changed file fails the sample") {
+    import graft.ops.Layout
+    val dir = tmp("graft_fsck_bloom") + "/docs"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+    docs.repartition(8, col("doc_id")).write.parquet(dir)
+    Layout.writeManifest(spark, dir, Seq("doc_id"))
+    Layout.writeBloomManifest(spark, dir, "doc_id")
+    val clean = Fsck.fsckSkipManifest(spark, dir)
+    Seq("stats_sample", "bloom_sample", "bloom_coverage", "coverage")
+      .foreach(c => assert(statusOf(clean, c)._1 === "ok", c))
+    // an append is uncovered by BOTH manifests — warns, never fails
+    docs.limit(5).write.mode("append").parquet(dir)
+    val appended = Fsck.fsckSkipManifest(spark, dir)
+    assert(statusOf(appended, "bloom_coverage")._1 === "warn")
+    assert(statusOf(appended, "bloom_sample")._1 === "ok")
+    Layout.refreshManifest(spark, dir)
+    Layout.refreshBloomManifest(spark, dir)
+    // rewrite the SAMPLED file's content in place: its rows now miss the
+    // stored Bloom — the silent-row-loss hazard for point-pruned reads
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sampled = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.getName).head
+    val stagingF = tmp("graft_fsck_bloom_stage")
+    (800000 until 800050).map(i => (i.toLong, i.toLong))
+      .toDF("doc_id", "n_chars").coalesce(1)
+      .write.mode("overwrite").parquet(stagingF)
+    val newFile = fs.listStatus(new org.apache.hadoop.fs.Path(stagingF))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    fs.delete(sampled, false)
+    assert(fs.rename(newFile, sampled))
+    assert(statusOf(Fsck.fsckSkipManifest(spark, dir), "bloom_sample")._1
+      === "fail")
+  }
+
   test("state-dir fsck: clean durable sketch states ok; each corruption flips exactly its own check") {
     import graft.etl.JsonEtl
     val events = spark.read.parquet(s"$sf/events.parquet")

@@ -208,6 +208,43 @@ class LayoutSpec extends SparkSpec {
       === orders.filter(col("o_custkey").between(cLo, cHi)).count())
   }
 
+  test("incremental manifest refresh: append-cost, bit-equal to the full rebuild, drops phantoms") {
+    val dir = Files.createTempDirectory("graft_increfresh").toString + "/li"
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    li.repartitionByRange(8, col("l_shipdate"))
+      .write.option("maxRecordsPerFile", 12000).parquet(dir)
+    Layout.writeManifest(spark, dir, Seq("l_shipdate"))
+    def manifest() = spark.read.parquet(s"$dir/${Layout.ManifestDir}")
+      .orderBy(col("file")).collect().toSeq
+    // a no-op refresh short-circuits (nothing new, nothing phantom)
+    assert(Layout.refreshManifestIncremental(spark, dir)._2 === 0L)
+    // append → the incremental refresh scans ONLY the new files and the
+    // resulting manifest bit-equals the full rebuild
+    li.limit(700).write.mode("append").parquet(dir)
+    val (carried, added, dropped) =
+      Layout.refreshManifestIncremental(spark, dir)
+    assert(carried === 8L && added >= 1L && dropped === 0L)
+    val incremental = manifest()
+    Layout.refreshManifest(spark, dir)
+    assert(incremental === manifest(),
+      "incremental refresh must bit-equal the full rebuild")
+    // a removed data file's row is a phantom — dropped, nothing rescanned
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val victim = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet")).head
+    fs.delete(victim, false)
+    val (_, a2, d2) = Layout.refreshManifestIncremental(spark, dir)
+    assert(a2 === 0L && d2 === 1L)
+    assert(!manifest().exists(_.getString(0) == victim.getName))
+    // pruned reads stay exact over the incrementally-maintained manifest
+    val (lo, hi) = (lit("1995-01-01").cast("timestamp"),
+      lit("1995-12-31").cast("timestamp"))
+    assert(Layout.readPruned(spark, dir, "l_shipdate", lo, hi).count()
+      === spark.read.parquet(dir)
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") <= hi).count())
+  }
+
   test("bloom manifest: point lookups prune where min/max cannot, never lose rows, survive compaction") {
     val dir = Files.createTempDirectory("graft_bloomtest").toString + "/docs"
     val docs = spark.read.parquet(s"$sf/documents.parquet")

@@ -33,6 +33,7 @@ object Bench {
     "etl_trending_items", "etl_rolling_aggregate", "etl_snapshot_diff",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
     "dedup_components", "dedup_components_incremental",
+    "dedup_survivors_weighted",
     "dedup_incremental", "dedup_minhash_incremental",
     "dedup_embedding_incremental", "dedup_index_audit", "dedup_index_report",
     "dedup_tune_bands", "dedup_tune_embedding", "dedup_semantic",

@@ -1027,6 +1027,51 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Survivors WITH multiplicity — the "keep one copy, upweight it"
+    * knob the dedup-analysis literature recommends over hard dropping
+    * (removing 99 near-twins shouldn't silently down-represent their
+    * content 100×; a trainer multiplies `n_copies` — or a dampened
+    * f(n_copies) — into its sampling weight). Each canonical survivor
+    * carries its cluster's member count and absorbed character mass;
+    * docs outside any cluster survive with n_copies = 1. Composes with
+    * the E-S sampler (weight ∝ n_copies × length) and the leakage-safe
+    * split. Anti-join shape of [[nearDupSurvivors]] plus one
+    * cluster-count-sized aggregate joined back on the canonical — the
+    * join's right side is cluster-count-sized, broadcastable at 100 TB.
+    */
+  def nearDupSurvivorsWeighted(docs: DataFrame,
+      groups: DataFrame): DataFrame = {
+    val clusterStats = groups
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("n_copies"),
+        sum(col("n_chars")).as("cluster_chars"))
+    docs
+      .join(groups.filter(col("canonical_id") =!= col("doc_id"))
+        .select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .join(clusterStats.withColumnRenamed("canonical_id", "doc_id"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_copies"), lit(1L)).as("n_copies"),
+        coalesce(col("cluster_chars"), col("n_chars")).as("cluster_chars"),
+        col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gate form (rows-only — clusters are MinHash-derived): survivors
+    * with multiplicity over the full-corpus components. The
+    * mass-conservation properties (Σ n_copies = |corpus|, Σ
+    * cluster_chars = corpus chars, survivors ≡ [[nearDupSurvivors]])
+    * are spec-pinned.
+    */
+  def nearDupSurvivorsWeightedQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir).documents
+    val groups = nearDupGroups(s, dir)
+    val out = nearDupSurvivorsWeighted(docs, groups).localCheckpoint()
+    groups.unpersist()
+    out
+  }
+
   // ------------------------------------------------------------ incremental
   /** Incremental-ingest dedup — the daily-batch shape of a living corpus:
     * an arriving batch (here: `source == batchSource`) is deduplicated
@@ -1726,6 +1771,7 @@ object Dedup {
     "dedup_simhash"       -> (simhash _),
     "dedup_embedding"     -> (embedding _),
     "dedup_components"    -> ((s: SparkSession, dir: String) => nearDupGroups(s, dir)),
+    "dedup_survivors_weighted" -> (nearDupSurvivorsWeightedQ _),
     "dedup_embedding_lsh" -> ((s: SparkSession, dir: String) => embeddingLsh(s, dir)),
     "dedup_semantic"      -> ((s: SparkSession, dir: String) => semantic(s, dir)),
     "dedup_survivors"     -> ((s: SparkSession, dir: String) => nearDupSurvivors(s, dir)),

@@ -510,6 +510,28 @@ class DedupSpec extends SparkSpec {
     assert(sigs(Dedup.loadMinhashIndex(spark, path)) == tombstonedSigs)
   }
 
+  test("weighted survivors: mass conserved, survivor set matches, unlabeled docs carry 1") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = Dedup.nearDupSurvivorsWeightedQ(spark, sf).collect()
+    // every dropped near-twin's mass lands on its canonical: copies and
+    // characters both sum back to the whole corpus
+    assert(out.map(_.getAs[Long]("n_copies")).sum === docs.count())
+    assert(out.map(_.getAs[Long]("cluster_chars")).sum
+      === docs.agg(sum(col("n_chars"))).head.getLong(0))
+    assert(out.map(_.getLong(0)).toSet
+      === Dedup.nearDupSurvivors(spark, sf).collect().map(_.getLong(0)).toSet,
+      "weighting must not change WHO survives")
+    assert(out.exists(_.getAs[Long]("n_copies") > 1L),
+      "the dup-dense corpus must produce real multiplicities")
+    val groups = Dedup.nearDupGroups(spark, sf)
+    val labeled = groups.collect().map(_.getLong(0)).toSet
+    groups.unpersist()
+    out.filterNot(r => labeled(r.getLong(0))).foreach { r =>
+      assert(r.getAs[Long]("n_copies") === 1L)
+      assert(r.getAs[Long]("cluster_chars") === r.getAs[Long]("n_chars"))
+    }
+  }
+
   test("deletion contract: a removed bridge doc splits its component after the maintenance rebuild") {
     val spark2 = spark
     import spark2.implicits._

@@ -1661,6 +1661,115 @@ object JsonEtl {
       .orderBy(col("event_type"), col("rank"))
   }
 
+  // ------------------------------- incremental bottom-k (KMV) sample state
+  /** Per-key DETERMINISTIC BOUNDED SAMPLE state — the EIGHTH incremental
+    * algebra, and the only sampling form that is EXACTLY mergeable:
+    * bottom-k (KMV) keeps each key's k smallest seeded-hash values, and
+    * bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪ bottom-k(B)) is a set
+    * identity — no sketch library, no randomized compaction, no RNG
+    * state. The hash order is a uniform permutation of the value domain,
+    * so the retained values ARE a uniform without-replacement sample of
+    * each key's distinct values ("keep 64 example users per segment,
+    * maintained nightly"), reproducible across re-runs, replicas and
+    * engines (md5 — the [[graft.ops.Curation]] sampling primitive). Fold
+    * ≡ recompute BIT-exactly (spec-pinned), which also makes the gate
+    * oracle-checkable — the one bounded-sample maintenance form with an
+    * exactness story. A KMV distinct estimate rides free at read time
+    * ([[sampleDistinctEstimate]]). State = (keys..., h, value), ≤ k rows
+    * per key.
+    *
+    * Scale shape: one map-side-combinable DISTINCT exchange of the
+    * batch's (key, value) pairs + one per-key rank truncation (TopK
+    * window — each group's heap is k); the fold unions k-bounded state
+    * rows with the batch's candidates and re-truncates, history never
+    * rescanned. Seed and k are estimate-shaping — the durable form
+    * stamps both ([[stateMeta]]).
+    */
+  def sampleState(events: DataFrame, keys: Seq[String] = Seq("event_type"),
+      valueCol: String = "user_id", k: Int = 64,
+      seed: String = "bk0"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"bottom-k needs k >= 1, got $k")
+    val cand = events
+      .select(keys.map(col) :+ col(valueCol).cast("string").as("value"): _*)
+      .filter(col("value").isNotNull)
+      .distinct()
+      .withColumn("h", md5(concat_ws(":", lit(seed), col("value"))))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("h"), col("value"))
+    cand.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(keys.map(col) ++ Seq(col("rank"), col("h"), col("value")): _*)
+  }
+
+  /** Fold a raw batch into a [[sampleState]]: union the k-bounded state
+    * with the batch's own bottom-k candidates, dedup (the same value
+    * arriving again carries the identical hash — absorbed), re-truncate
+    * per key. Associative, commutative, duplicate-absorbing, and EXACT
+    * by the bottom-k set identity, so late/replayed/permuted batches
+    * fold to the identical state (spec-pinned bit-exactly).
+    */
+  def sampleUpsert(state: DataFrame, batch: DataFrame,
+      keys: Seq[String] = Seq("event_type"), valueCol: String = "user_id",
+      k: Int = 64, seed: String = "bk0"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val merged = state.select(keys.map(col) ++ Seq(col("h"), col("value")): _*)
+      .unionByName(sampleState(batch, keys, valueCol, k, seed)
+        .select(keys.map(col) ++ Seq(col("h"), col("value")): _*))
+      .distinct()
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("h"), col("value"))
+    merged.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(keys.map(col) ++ Seq(col("rank"), col("h"), col("value")): _*)
+  }
+
+  /** Read-time KMV distinct estimate over a [[sampleState]]: a key
+    * holding fewer than k values is EXACT (the sample is the whole set);
+    * a full key estimates (k−1)/u_k from its k-th smallest hash's
+    * uniform position (the classic KMV estimator; first 8 hex chars →
+    * a dyadic uniform, the [[graft.ops.Curation.weightedSample]]
+    * primitive). Never stored, per the derived-stats rule.
+    */
+  def sampleDistinctEstimate(state: DataFrame,
+      keys: Seq[String] = Seq("event_type"), k: Int = 64): DataFrame =
+    state.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_kept"),
+        max(when(col("rank") === k,
+          (conv(substring(col("h"), 1, 8), 16, 10).cast("double")
+            + lit(0.5)) / lit(4294967296.0))).as("_uk"))
+      .withColumn("distinct_est",
+        when(col("_uk").isNull, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) / col("_uk")))
+      .drop("_uk")
+
+  /** Durable, replay-safe [[sampleUpsert]] — the shared fence,
+    * meta-stamped (k and seed shape every later fold).
+    */
+  def sampleUpsertAt(s: SparkSession, path: String, batch: DataFrame,
+      batchId: Long, keys: Seq[String] = Seq("event_type"),
+      valueCol: String = "user_id", k: Int = 64,
+      seed: String = "bk0"): Unit =
+    durableFold(s, path, batchId, Seq("kind" -> "sample",
+      "keys" -> keys.mkString(","), "value_col" -> valueCol,
+      "k" -> k.toString, "seed" -> seed))(
+      sampleState(batch, keys, valueCol, k, seed),
+      st => sampleUpsert(st, batch, keys, valueCol, k, seed))
+
+  /** Gate form: a deterministic 8-user bottom-k sample per event type,
+    * folded in four event_id-mod slices. ORACLE-EXACT by the set
+    * identity + determinism: DuckDB recomputes the identical k smallest
+    * md5 hashes over each key's distinct users — no estimator, no
+    * regime argument, the fold IS the recompute.
+    */
+  def incrementalSample(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).events
+    val slices = (0L to 3L).map(i => e.filter(col("event_id") % 4 === i))
+    slices.tail.foldLeft(sampleState(slices.head, k = 8))(
+        (st, b) => sampleUpsert(st, b, k = 8))
+      .orderBy(col("event_type"), col("rank"))
+  }
+
   // ------------------------------------------------------------ CDC merge
   /** Generic CDC MERGE: fold a change batch into a base table with
     * upsert-or-delete semantics — the apply step downstream of every
@@ -1809,6 +1918,7 @@ object JsonEtl {
     "etl_incremental_quantiles" -> (incrementalQuantiles _),
     "etl_audience_overlap" -> (audienceOverlapQ _),
     "etl_audience_overlap_windowed" -> (audienceOverlapWindowed _),
+    "etl_incremental_sample" -> (incrementalSample _),
     "etl_trending_items" -> (trendingItems _),
     "etl_rolling_aggregate" -> (rollingAggregate _),
     "etl_quality_audit"    -> (qualityAudit _),
@@ -1858,6 +1968,16 @@ object JsonEtl {
       """SELECT event_type,
         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_est
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "etl_incremental_sample" ->
+      """WITH d AS (SELECT DISTINCT event_type,
+        |    CAST(user_id AS VARCHAR) AS value
+        |  FROM events WHERE user_id IS NOT NULL),
+        |h AS (SELECT event_type, value, md5('bk0:' || value) AS h FROM d),
+        |r AS (SELECT event_type,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY h, value) AS BIGINT) AS rank, h, value FROM h)
+        |SELECT event_type, rank, h, value FROM r WHERE rank <= 8
+        |ORDER BY event_type, rank""".stripMargin,
     "etl_incremental_distinct_windowed" ->
       """WITH e AS (SELECT event_type, user_id,
         |    epoch_ms(ts)//1000//86400 AS day FROM events),

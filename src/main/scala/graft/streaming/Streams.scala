@@ -1088,6 +1088,26 @@ object Streams extends Serializable {
       }
       .start()
 
+  /** Streaming twin of [[graft.etl.JsonEtl.sampleUpsertAt]]: per-key
+    * deterministic bottom-k sample folded per micro-batch under the
+    * durable watermark fence — live "k example values per segment"
+    * from k-bounded state, reproducible across restarts (the hash
+    * order, not RNG state, decides membership). Same checkpoint-lineage
+    * rule as [[aggIngestSink]].
+    */
+  def sampleIngestSink(events: DataFrame, statePath: String,
+      checkpoint: String, keys: Seq[String] = Seq("event_type"),
+      valueCol: String = "user_id", k: Int = 64,
+      seed: String = "bk0"): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.etl.JsonEtl.sampleUpsertAt(batch.sparkSession, statePath,
+          batch, batchId, keys, valueCol, k, seed)
+      }
+      .start()
+
   /** Streaming twin of [[graft.etl.JsonEtl.distinctUpsertWindowedAt]]:
     * the day-windowed distinct state folded per micro-batch — the live
     * "trailing-30-day distinct users" dashboard from retention-bounded

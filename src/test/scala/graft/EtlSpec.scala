@@ -57,6 +57,63 @@ class EtlSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(path + ".old")))
   }
 
+  test("bottom-k sample state: fold ≡ recompute bit-exactly in any order, estimate view, durable + meta") {
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("event_type"), col("rank")).collect().toSeq
+    val oneShot = JsonEtl.sampleState(events, k = 8)
+    val slices = (0L to 3L).map(i => events.filter(col("event_id") % 4 === i))
+    val folded = slices.tail.foldLeft(JsonEtl.sampleState(slices.head, k = 8))(
+      (st, b) => JsonEtl.sampleUpsert(st, b, k = 8))
+    // EXACT mergeability (the bottom-k set identity): fold equals
+    // recompute bit-for-bit, ranks and hashes included, in any order
+    assert(key(folded) === key(oneShot))
+    val permuted = Seq(2, 0, 3, 1).map(slices(_))
+    assert(key(permuted.tail.foldLeft(
+      JsonEtl.sampleState(permuted.head, k = 8))(
+      (st, b) => JsonEtl.sampleUpsert(st, b, k = 8))) === key(oneShot))
+    // a replayed slice is absorbed (same values, same hashes)
+    assert(key(JsonEtl.sampleUpsert(folded, slices(1), k = 8))
+      === key(oneShot))
+    // k-bounded state; a key with fewer than k distinct values keeps all
+    assert(folded.groupBy(col("event_type")).count()
+      .agg(max(col("count"))).head.getLong(0) <= 8L)
+    val tiny = JsonEtl.sampleState(events.filter(col("user_id") < 3), k = 8)
+    val tinyExact = events.filter(col("user_id") < 3)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("d")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    tiny.groupBy(col("event_type")).count().collect().foreach(r =>
+      assert(r.getLong(1) === tinyExact(r.getString(0)),
+        "below-k keys must keep every distinct value"))
+    // the KMV estimate view: exact below k, within a loose envelope at k
+    // (k=8 → ~35% relative sd; the corpus has 150 users/type)
+    val est = JsonEtl.sampleDistinctEstimate(folded, k = 8).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("distinct_est")).toMap
+    val exact = events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("d")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, d) =>
+      assert(math.abs(est(t) - d) <= d.toDouble,
+        s"KMV estimate for $t wildly off: ${est(t)} vs $d") }
+    val tinyEst = JsonEtl.sampleDistinctEstimate(tiny, k = 8).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("distinct_est")).toMap
+    tinyExact.foreach { case (t, d) =>
+      assert(tinyEst(t) === d.toDouble, "below-k estimate must be exact") }
+    // durable: replay fenced, meta stamped, mismatched seed raises
+    val path = Files.createTempDirectory("graft_bk").toString + "/state"
+    slices.zipWithIndex.foreach { case (b, i) =>
+      JsonEtl.sampleUpsertAt(spark, path, b, i.toLong, k = 8) }
+    JsonEtl.sampleUpsertAt(spark, path, slices(2), 2L, k = 8) // replay
+    assert(key(spark.read.parquet(path)) === key(oneShot))
+    assert(JsonEtl.stateMeta(spark, path)("kind") === "sample")
+    assert(JsonEtl.stateMeta(spark, path)("k") === "8")
+    val e = intercept[IllegalArgumentException](
+      JsonEtl.sampleUpsertAt(spark, path, slices(0), 9L, k = 8,
+        seed = "bk1"))
+    assert(e.getMessage.contains("different parameters"))
+  }
+
   test("sketch partials spill guard: a firing flush changes nothing but partial count") {
     // the per-partition sketch maps flush when they exceed the key
     // threshold — multiple partials per (partition, key) are absorbed by

@@ -594,6 +594,31 @@ class StreamingSpec extends SparkSpec {
     assert(graft.etl.JsonEtl.aggFoldWatermark(spark, s"$base/state") === 1L)
   }
 
+  test("sample ingest sink: micro-batches fold to the one-shot bottom-k sample, exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_sample_sink").toString
+    val in = MemoryStream[(Long, String, Double)]
+    val q = Streams.sampleIngestSink(
+      in.toDF().toDF("user_id", "event_type", "value"),
+      s"$base/state", s"$base/ckpt", k = 8)
+    val b0 = (0L until 500L).map(i => (i % 37, if (i % 2 == 0) "view" else "click", 1.0))
+    val b1 = (0L until 500L).map(i => (i % 61, if (i % 3 == 0) "view" else "buy", 1.0))
+    in.addData(b0: _*); q.processAllAvailable()
+    in.addData(b1: _*); q.processAllAvailable()
+    q.stop()
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("event_type"), col("rank")).collect().toSeq
+    // streamed state ≡ one-shot over everything delivered, bit-for-bit
+    // (the set identity + hash determinism — no RNG state to diverge)
+    assert(key(spark.read.parquet(s"$base/state"))
+      === key(graft.etl.JsonEtl.sampleState(
+        (b0 ++ b1).toDF("user_id", "event_type", "value"), k = 8)))
+    assert(graft.etl.JsonEtl.aggFoldWatermark(spark, s"$base/state") === 1L)
+    assert(graft.etl.JsonEtl.stateMeta(spark, s"$base/state")("kind")
+      === "sample")
+  }
+
   test("windowed sketch ingest sinks: micro-batches fold to the one-shot windowed views, exactly once") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

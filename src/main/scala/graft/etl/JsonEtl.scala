@@ -1770,6 +1770,85 @@ object JsonEtl {
       .orderBy(col("event_type"), col("rank"))
   }
 
+  /** Day-windowed EXPIRING bottom-k sample — the fourth member of the
+    * windowed family (additive, distinct, audience, sample): per-(key,
+    * day) bottom-k under the monotone event-time retention, so
+    * "trailing-30-day example users per segment" stays maintainable
+    * from k × keys × retention rows. The day union stays EXACT: a value
+    * in the window's bottom-k has fewer than k smaller hashes in the
+    * whole window, hence fewer than k on each day it appeared — so it
+    * IS in that day's stored bottom-k, and the read-time re-truncation
+    * over the retained days ([[sampleWindowView]]) reconstructs the
+    * window's exact bottom-k. Same expiry-correctness argument as
+    * [[aggStateWindowed]]; same fold cost shape as [[sampleUpsert]].
+    */
+  def sampleStateWindowed(events: DataFrame,
+      keys: Seq[String] = Seq("event_type"), valueCol: String = "user_id",
+      k: Int = 64, seed: String = "bk0", dayCol: String = "day",
+      retainDays: Int = 30): DataFrame =
+    expireFold(sampleState(events, keys :+ dayCol, valueCol, k, seed),
+      dayCol, retainDays)
+
+  /** Fold a raw batch into a [[sampleStateWindowed]]. */
+  def sampleUpsertWindowed(state: DataFrame, batch: DataFrame,
+      keys: Seq[String] = Seq("event_type"), valueCol: String = "user_id",
+      k: Int = 64, seed: String = "bk0", dayCol: String = "day",
+      retainDays: Int = 30): DataFrame =
+    expireFold(sampleUpsert(state, batch, keys :+ dayCol, valueCol, k, seed),
+      dayCol, retainDays)
+
+  /** Rolling read-time view: the EXACT bottom-k sample of the trailing
+    * `lastNDays` — distinct the retained day-samples' (key, h, value)
+    * rows and re-truncate per key (exactness by the windowed-member
+    * argument on [[sampleStateWindowed]]).
+    */
+  def sampleWindowView(state: DataFrame,
+      keys: Seq[String] = Seq("event_type"), dayCol: String = "day",
+      lastNDays: Int = 7, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = expireDays(state, dayCol, lastNDays)
+      .select(keys.map(col) ++ Seq(col("h"), col("value")): _*)
+      .distinct()
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("h"), col("value"))
+    win.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(keys.map(col) ++ Seq(col("rank"), col("h"), col("value")): _*)
+  }
+
+  /** Durable, replay-safe [[sampleUpsertWindowed]] — the shared fence,
+    * meta-stamped.
+    */
+  def sampleUpsertWindowedAt(s: SparkSession, path: String,
+      batch: DataFrame, batchId: Long,
+      keys: Seq[String] = Seq("event_type"), valueCol: String = "user_id",
+      k: Int = 64, seed: String = "bk0", dayCol: String = "day",
+      retainDays: Int = 30): Unit =
+    durableFold(s, path, batchId, Seq("kind" -> "sample_windowed",
+      "keys" -> keys.mkString(","), "value_col" -> valueCol,
+      "k" -> k.toString, "seed" -> seed, "day_col" -> dayCol,
+      "retain_days" -> retainDays.toString))(
+      sampleStateWindowed(batch, keys, valueCol, k, seed, dayCol, retainDays),
+      st => sampleUpsertWindowed(st, batch, keys, valueCol, k, seed, dayCol,
+        retainDays))
+
+  /** Gate form: the trailing-7-day 8-user sample per event type from a
+    * 14-day-retention windowed state folded in four event_id-mod
+    * slices. ORACLE-EXACT: the view's re-truncation reconstructs the
+    * window's exact bottom-k, which DuckDB recomputes directly.
+    */
+  def incrementalSampleWindowed(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).events
+      .withColumn("day", floor(tsSec(col("ts")) / lit(86400L)).cast(LongType))
+    val slices = (0L to 3L).map(i => e.filter(col("event_id") % 4 === i))
+    sampleWindowView(
+      slices.tail.foldLeft(
+        sampleStateWindowed(slices.head, k = 8, retainDays = 14))(
+        (st, b) => sampleUpsertWindowed(st, b, k = 8, retainDays = 14)),
+      lastNDays = 7, k = 8)
+      .orderBy(col("event_type"), col("rank"))
+  }
+
   // ------------------------------------------------------------ CDC merge
   /** Generic CDC MERGE: fold a change batch into a base table with
     * upsert-or-delete semantics — the apply step downstream of every
@@ -1919,6 +1998,7 @@ object JsonEtl {
     "etl_audience_overlap" -> (audienceOverlapQ _),
     "etl_audience_overlap_windowed" -> (audienceOverlapWindowed _),
     "etl_incremental_sample" -> (incrementalSample _),
+    "etl_incremental_sample_windowed" -> (incrementalSampleWindowed _),
     "etl_trending_items" -> (trendingItems _),
     "etl_rolling_aggregate" -> (rollingAggregate _),
     "etl_quality_audit"    -> (qualityAudit _),
@@ -1972,6 +2052,19 @@ object JsonEtl {
       """WITH d AS (SELECT DISTINCT event_type,
         |    CAST(user_id AS VARCHAR) AS value
         |  FROM events WHERE user_id IS NOT NULL),
+        |h AS (SELECT event_type, value, md5('bk0:' || value) AS h FROM d),
+        |r AS (SELECT event_type,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY h, value) AS BIGINT) AS rank, h, value FROM h)
+        |SELECT event_type, rank, h, value FROM r WHERE rank <= 8
+        |ORDER BY event_type, rank""".stripMargin,
+    "etl_incremental_sample_windowed" ->
+      """WITH e AS (SELECT event_type, user_id,
+        |    epoch_ms(ts)//1000//86400 AS day FROM events
+        |  WHERE user_id IS NOT NULL),
+        |m AS (SELECT MAX(day) AS mx FROM e),
+        |d AS (SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS value
+        |  FROM e, m WHERE day > mx - 7),
         |h AS (SELECT event_type, value, md5('bk0:' || value) AS h FROM d),
         |r AS (SELECT event_type,
         |    CAST(row_number() OVER (PARTITION BY event_type

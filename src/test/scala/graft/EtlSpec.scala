@@ -114,6 +114,45 @@ class EtlSpec extends SparkSpec {
     assert(e.getMessage.contains("different parameters"))
   }
 
+  test("windowed sample state: fold ≡ recompute bit-exactly, view reconstructs the exact window bottom-k") {
+    val events = Tables(spark, sf).events
+      .withColumn("day", floor(col("ts") / 1000000000L / 86400L))
+    val slices = (0L to 3L).map(i => events.filter(col("event_id") % 4 === i))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("event_type"), col("day"), col("rank")).collect().toSeq
+    val folded = slices.tail.foldLeft(
+      JsonEtl.sampleStateWindowed(slices.head, k = 8, retainDays = 14))(
+      (st, b) => JsonEtl.sampleUpsertWindowed(st, b, k = 8, retainDays = 14))
+    val oneShot = JsonEtl.sampleStateWindowed(events, k = 8, retainDays = 14)
+    assert(key(folded) === key(oneShot))
+    assert(folded.select(col("day")).distinct().count() <= 14L)
+    // stale-beyond-horizon batch is a no-op
+    val horizon = events.agg(max(col("day"))).head.getLong(0) - 14
+    val stale = events.filter(col("day") <= horizon - 2)
+    assert(stale.count() > 0)
+    assert(key(JsonEtl.sampleUpsertWindowed(folded, stale, k = 8,
+      retainDays = 14)) === key(oneShot))
+    // the view's re-truncation IS the window's exact bottom-k (the
+    // windowed-member argument): compare against a direct one-shot
+    // bottom-k over only the trailing 7 days
+    def vkey(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("event_type"), col("rank")).collect().toSeq
+    assert(vkey(JsonEtl.sampleWindowView(folded, lastNDays = 7, k = 8))
+      === vkey(JsonEtl.sampleState(
+        events.filter(col("day") > horizon + 7), k = 8)))
+    // durable: meta stamped, mismatched retention raises
+    val path = Files.createTempDirectory("graft_wbk").toString + "/state"
+    slices.zipWithIndex.foreach { case (b, i) =>
+      JsonEtl.sampleUpsertWindowedAt(spark, path, b, i.toLong, k = 8,
+        retainDays = 14) }
+    assert(key(spark.read.parquet(path)) === key(oneShot))
+    assert(JsonEtl.stateMeta(spark, path)("kind") === "sample_windowed")
+    val e2 = intercept[IllegalArgumentException](
+      JsonEtl.sampleUpsertWindowedAt(spark, path, slices(0), 9L, k = 8,
+        retainDays = 30))
+    assert(e2.getMessage.contains("different parameters"))
+  }
+
   test("sketch partials spill guard: a firing flush changes nothing but partial count") {
     // the per-partition sketch maps flush when they exceed the key
     // threshold — multiple partials per (partition, key) are absorbed by

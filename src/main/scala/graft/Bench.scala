@@ -28,7 +28,8 @@ object Bench {
     "etl_quality_audit", "etl_expectations", "etl_scd2", "etl_gap_fill",
     "etl_merge_upsert", "etl_incremental_agg", "etl_incremental_agg_stats",
     "etl_incremental_ewma", "etl_incremental_join", "etl_incremental_distinct",
-    "etl_incremental_quantiles", "etl_audience_overlap",
+    "etl_incremental_quantiles", "etl_incremental_quantiles_windowed",
+    "etl_audience_overlap",
     "etl_incremental_distinct_windowed", "etl_audience_overlap_windowed",
     "etl_incremental_sample", "etl_incremental_sample_windowed",
     "etl_trending_items", "etl_rolling_aggregate", "etl_snapshot_diff",

@@ -1272,12 +1272,22 @@ object JsonEtl {
     */
   def quantileUpsert(state: DataFrame, batch: DataFrame,
       key: String = "event_type", valueCol: String = "value",
-      k: Int = 200): DataFrame = {
+      k: Int = 200): DataFrame =
+    mergeKllFrames(state.unionByName(quantileState(batch, key, valueCol, k)),
+      key, k)
+
+  /** The per-key KLL merge both the fold and the windowed read view pay:
+    * group (key, sketch, n_rows) rows by key, merge sketch bytes, add
+    * the exact row counts — the [[mergeSketchFrames]] shape with the
+    * KLL family's extra additive column.
+    */
+  private def mergeKllFrames(frames: DataFrame, key: String,
+      k: Int): DataFrame = {
     import org.apache.datasketches.kll.KllDoublesSketch
     import org.apache.datasketches.memory.Memory
-    val s2 = state.sparkSession
+    val s2 = frames.sparkSession
     import s2.implicits._
-    state.unionByName(quantileState(batch, key, valueCol, k))
+    frames
       .select(col(key).cast("string").as("g"), col("sketch"), col("n_rows"))
       .as[(String, Array[Byte], Long)]
       .groupByKey(_._1)
@@ -1339,6 +1349,85 @@ object JsonEtl {
     quantileEstimates(
       slices.tail.foldLeft(quantileState(slices.head))(
         (st, b) => quantileUpsert(st, b)))
+      .orderBy(col("event_type"))
+  }
+
+  /** Day-windowed EXPIRING quantile state — the fifth windowed member:
+    * per-(key, day) KLL sketches under the monotone event-time
+    * retention, day sketches KLL-merged per key at read time — the
+    * "trailing-7-day p99 latency per segment" ops dashboard from
+    * bounded state. Composite (key, day) threads the single-key KLL
+    * kernels via the [[WinSep]] contract; n_rows stays EXACT (additive
+    * longs) while the quantile estimates carry the KLL merge's bounded
+    * rank error (the spec envelope), so the family is rows-only like
+    * its grow-only parent.
+    */
+  def quantileStateWindowed(events: DataFrame, key: String = "event_type",
+      valueCol: String = "value", k: Int = 200, dayCol: String = "day",
+      retainDays: Int = 30): DataFrame =
+    expireFold(splitWinKeyKll(
+      quantileState(withWinKey(events, key, dayCol), WinKeyCol, valueCol, k),
+      key, dayCol), dayCol, retainDays)
+
+  private def splitWinKeyKll(state: DataFrame, key: String,
+      dayCol: String): DataFrame =
+    state.select(
+      substring_index(col(WinKeyCol), WinSep, 1).as(key),
+      substring_index(col(WinKeyCol), WinSep, -1).cast(LongType).as(dayCol),
+      col("sketch"), col("n_rows"))
+
+  /** Fold a raw batch into a [[quantileStateWindowed]]. */
+  def quantileUpsertWindowed(state: DataFrame, batch: DataFrame,
+      key: String = "event_type", valueCol: String = "value",
+      k: Int = 200, dayCol: String = "day",
+      retainDays: Int = 30): DataFrame = {
+    val stateKeyed = state
+      .withColumn(WinKeyCol, concat_ws(WinSep,
+        col(key).cast("string"), col(dayCol).cast("string")))
+      .select(col(WinKeyCol), col("sketch"), col("n_rows"))
+    expireFold(splitWinKeyKll(
+      quantileUpsert(stateKeyed, withWinKey(batch, key, dayCol),
+        WinKeyCol, valueCol, k),
+      key, dayCol), dayCol, retainDays)
+  }
+
+  /** Rolling read-time quantile view: KLL-merge each key's day sketches
+    * over the last `lastNDays` and serve the requested ranks.
+    */
+  def quantileWindowView(state: DataFrame, key: String = "event_type",
+      dayCol: String = "day", lastNDays: Int = 7, k: Int = 200,
+      qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame =
+    quantileEstimates(mergeKllFrames(
+      expireDays(state, dayCol, lastNDays)
+        .select(col(key), col("sketch"), col("n_rows")), key, k), qs)
+
+  /** Durable, replay-safe [[quantileUpsertWindowed]] — the shared fence,
+    * meta-stamped.
+    */
+  def quantileUpsertWindowedAt(s: SparkSession, path: String,
+      batch: DataFrame, batchId: Long, key: String = "event_type",
+      valueCol: String = "value", k: Int = 200, dayCol: String = "day",
+      retainDays: Int = 30): Unit =
+    durableFold(s, path, batchId, Seq("kind" -> "quantile_windowed",
+      "key" -> key, "value_col" -> valueCol, "k" -> k.toString,
+      "day_col" -> dayCol, "retain_days" -> retainDays.toString))(
+      quantileStateWindowed(batch, key, valueCol, k, dayCol, retainDays),
+      st => quantileUpsertWindowed(st, batch, key, valueCol, k, dayCol,
+        retainDays))
+
+  /** Gate form: trailing-7-day per-event-type quantiles from a
+    * 14-day-retention windowed state folded in four event_id-mod
+    * slices. Rows-only (randomized KLL compaction); the spec pins exact
+    * n_rows vs the windowed recompute and the estimates inside the
+    * rank-error envelope of the window's exact order statistics.
+    */
+  def incrementalQuantilesWindowed(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).events
+      .withColumn("day", floor(tsSec(col("ts")) / lit(86400L)).cast(LongType))
+    val slices = (0L to 3L).map(i => e.filter(col("event_id") % 4 === i))
+    quantileWindowView(
+      slices.tail.foldLeft(quantileStateWindowed(slices.head, retainDays = 14))(
+        (st, b) => quantileUpsertWindowed(st, b, retainDays = 14)))
       .orderBy(col("event_type"))
   }
 
@@ -1770,8 +1859,8 @@ object JsonEtl {
       .orderBy(col("event_type"), col("rank"))
   }
 
-  /** Day-windowed EXPIRING bottom-k sample — the fourth member of the
-    * windowed family (additive, distinct, audience, sample): per-(key,
+  /** Day-windowed EXPIRING bottom-k sample — a member of the windowed
+    * family (additive, distinct, audience, quantile, sample): per-(key,
     * day) bottom-k under the monotone event-time retention, so
     * "trailing-30-day example users per segment" stays maintainable
     * from k × keys × retention rows. The day union stays EXACT: a value
@@ -1995,6 +2084,7 @@ object JsonEtl {
     "etl_incremental_distinct" -> (incrementalDistinct _),
     "etl_incremental_distinct_windowed" -> (incrementalDistinctWindowed _),
     "etl_incremental_quantiles" -> (incrementalQuantiles _),
+    "etl_incremental_quantiles_windowed" -> (incrementalQuantilesWindowed _),
     "etl_audience_overlap" -> (audienceOverlapQ _),
     "etl_audience_overlap_windowed" -> (audienceOverlapWindowed _),
     "etl_incremental_sample" -> (incrementalSample _),

@@ -431,8 +431,8 @@ object Fsck {
     * state).
     */
   private val StateKinds = Set("agg", "agg_n", "agg_windowed", "ewma",
-    "distinct", "distinct_windowed", "quantile", "audience",
-    "audience_windowed", "freq", "sample", "sample_windowed")
+    "distinct", "distinct_windowed", "quantile", "quantile_windowed",
+    "audience", "audience_windowed", "freq", "sample", "sample_windowed")
 
   /** The generalized durable-state validator — [[fsckAggState]]'s
     * discipline extended to EVERY `durableFold` family (additive,

@@ -153,6 +153,61 @@ class EtlSpec extends SparkSpec {
     assert(e2.getMessage.contains("different parameters"))
   }
 
+  test("windowed quantile state: exact n_rows, in-envelope window estimates, stale no-op, durable meta") {
+    val events = Tables(spark, sf).events
+      .withColumn("day", floor(col("ts") / 1000000000L / 86400L))
+    val slices = (0L to 3L).map(i => events.filter(col("event_id") % 4 === i))
+    val folded = slices.tail.foldLeft(
+      JsonEtl.quantileStateWindowed(slices.head, retainDays = 14))(
+      (st, b) => JsonEtl.quantileUpsertWindowed(st, b, retainDays = 14))
+    assert(folded.select(col("day")).distinct().count() <= 14L)
+    val horizon = events.agg(max(col("day"))).head.getLong(0) - 14
+    // n_rows is additive-exact: the folded counts equal the windowed
+    // recompute per (key, day) — the deterministic half of the family
+    val nFold = folded.select(col("event_type"), col("day"), col("n_rows"))
+      .orderBy(col("event_type"), col("day")).collect().toSeq
+    val nExact = events.filter(col("day") > horizon)
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("event_type"), col("day")).collect().toSeq
+    assert(nFold === nExact)
+    // stale-beyond-horizon no-op on the deterministic half
+    val stale = events.filter(col("day") <= horizon - 2)
+    assert(stale.count() > 0)
+    assert(JsonEtl.quantileUpsertWindowed(folded, stale, retainDays = 14)
+      .select(col("event_type"), col("day"), col("n_rows"))
+      .orderBy(col("event_type"), col("day")).collect().toSeq === nExact)
+    // view: trailing-7-day estimates inside the KLL rank-error envelope
+    // of the window's exact order statistics (4% true-rank slack)
+    val win = events.filter(col("day") > horizon + 7)
+    val view = JsonEtl.quantileWindowView(folded, lastNDays = 7).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("n_rows"), r.getAs[Double]("p50"),
+          r.getAs[Double]("p99"))).toMap
+    win.select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).foreach { case (t, rows) =>
+        val sorted = rows.map(_.getDouble(1)).sorted
+        val (n, p50, p99) = view(t)
+        assert(n === sorted.length.toLong)
+        def rankOf(v: Double) = sorted.count(_ <= v).toDouble / sorted.length
+        assert(math.abs(rankOf(p50) - 0.5) <= 0.04, s"$t p50 rank off")
+        assert(math.abs(rankOf(p99) - 0.99) <= 0.04, s"$t p99 rank off")
+      }
+    // durable: meta stamped, mismatched k raises
+    val path = Files.createTempDirectory("graft_wq").toString + "/state"
+    slices.zipWithIndex.foreach { case (b, i) =>
+      JsonEtl.quantileUpsertWindowedAt(spark, path, b, i.toLong,
+        retainDays = 14) }
+    assert(JsonEtl.stateMeta(spark, path)("kind") === "quantile_windowed")
+    assert(spark.read.parquet(path)
+      .select(col("event_type"), col("day"), col("n_rows"))
+      .orderBy(col("event_type"), col("day")).collect().toSeq === nExact)
+    val e2 = intercept[IllegalArgumentException](
+      JsonEtl.quantileUpsertWindowedAt(spark, path, slices(0), 9L, k = 100,
+        retainDays = 14))
+    assert(e2.getMessage.contains("different parameters"))
+  }
+
   test("sketch partials spill guard: a firing flush changes nothing but partial count") {
     // the per-partition sketch maps flush when they exceed the key
     // threshold — multiple partials per (partition, key) are absorbed by

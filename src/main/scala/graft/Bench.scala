@@ -32,7 +32,7 @@ object Bench {
     "etl_audience_overlap",
     "etl_incremental_distinct_windowed", "etl_audience_overlap_windowed",
     "etl_incremental_sample", "etl_incremental_sample_windowed",
-    "etl_trending_items", "etl_rolling_aggregate", "etl_snapshot_diff",
+    "etl_trending_items", "etl_trending_items_windowed", "etl_rolling_aggregate", "etl_snapshot_diff",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
     "dedup_components", "dedup_components_incremental",
     "dedup_survivors_weighted",

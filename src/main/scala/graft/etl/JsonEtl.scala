@@ -1938,6 +1938,87 @@ object JsonEtl {
       .orderBy(col("event_type"), col("rank"))
   }
 
+  /** Day-windowed EXPIRING frequent-items state — the windowed matrix's
+    * last member: per-(key, day) Misra–Gries sketches under the
+    * monotone event-time retention, day sketches counter-merged per key
+    * at read time — "trending items over the trailing 7 days" from
+    * bounded state, where the grow-only [[freqState]] can only answer
+    * all-of-history. Below the purge threshold every per-day count is
+    * exact and the merge adds exact counters, so the gate stays
+    * ORACLE-EXACT by [[trendingItems]]'s argument applied per (key,
+    * day); above capacity each day's error bound is 3.5·N_day/maxMapSize
+    * and the merged bound adds across retained days (still NO false
+    * negatives — spec pins the exact regime, the grow-only spec pins
+    * the above-capacity behavior the merge inherits).
+    */
+  def freqStateWindowed(events: DataFrame, key: String = "event_type",
+      itemCol: String = "user_id", maxMapSize: Int = 1024,
+      dayCol: String = "day", retainDays: Int = 30): DataFrame =
+    expireFold(splitWinKey(
+      mergeSketchFrames(freqPartials(withWinKey(events, key, dayCol),
+        WinKeyCol, itemCol, maxMapSize), WinKeyCol,
+        SketchMerges.freq(maxMapSize)),
+      key, dayCol), dayCol, retainDays)
+
+  /** Fold a raw batch into a [[freqStateWindowed]]. */
+  def freqUpsertWindowed(state: DataFrame, batch: DataFrame,
+      key: String = "event_type", itemCol: String = "user_id",
+      maxMapSize: Int = 1024, dayCol: String = "day",
+      retainDays: Int = 30): DataFrame = {
+    val stateKeyed = state
+      .withColumn(WinKeyCol, concat_ws(WinSep,
+        col(key).cast("string"), col(dayCol).cast("string")))
+      .select(col(WinKeyCol), col("sketch"))
+    expireFold(splitWinKey(
+      mergeSketchFrames(stateKeyed.unionByName(
+        freqPartials(withWinKey(batch, key, dayCol), WinKeyCol, itemCol,
+          maxMapSize)), WinKeyCol, SketchMerges.freq(maxMapSize)),
+      key, dayCol), dayCol, retainDays)
+  }
+
+  /** Rolling read-time top-k view: counter-merge each key's day sketches
+    * over the last `lastNDays`, then [[freqTopItems]]'s deterministic
+    * ranking.
+    */
+  def freqWindowView(state: DataFrame, key: String = "event_type",
+      dayCol: String = "day", lastNDays: Int = 7, maxMapSize: Int = 1024,
+      k: Int = 5): DataFrame =
+    freqTopItems(mergeSketchFrames(
+      expireDays(state, dayCol, lastNDays).select(col(key), col("sketch")),
+      key, SketchMerges.freq(maxMapSize)), k)
+
+  /** Durable, replay-safe [[freqUpsertWindowed]] — the shared fence,
+    * meta-stamped.
+    */
+  def freqUpsertWindowedAt(s: SparkSession, path: String, batch: DataFrame,
+      batchId: Long, key: String = "event_type",
+      itemCol: String = "user_id", maxMapSize: Int = 1024,
+      dayCol: String = "day", retainDays: Int = 30): Unit =
+    durableFold(s, path, batchId, Seq("kind" -> "freq_windowed",
+      "key" -> key, "item_col" -> itemCol,
+      "max_map_size" -> maxMapSize.toString, "day_col" -> dayCol,
+      "retain_days" -> retainDays.toString))(
+      freqStateWindowed(batch, key, itemCol, maxMapSize, dayCol, retainDays),
+      st => freqUpsertWindowed(st, batch, key, itemCol, maxMapSize, dayCol,
+        retainDays))
+
+  /** Gate form: trailing-7-day top-5 users per event type from a
+    * 14-day-retention windowed state folded in four event_id-mod
+    * slices. ORACLE-EXACT at the gate SF: below the purge threshold
+    * every (type, day) counter is exact and the day merge adds exact
+    * counters, so the ranked view equals the oracle's windowed
+    * count-then-rank (ties broken by item string in both engines).
+    */
+  def trendingItemsWindowed(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir).events
+      .withColumn("day", floor(tsSec(col("ts")) / lit(86400L)).cast(LongType))
+    val slices = (0L to 3L).map(i => e.filter(col("event_id") % 4 === i))
+    freqWindowView(
+      slices.tail.foldLeft(freqStateWindowed(slices.head, retainDays = 14))(
+        (st, b) => freqUpsertWindowed(st, b, retainDays = 14)))
+      .orderBy(col("event_type"), col("rank"))
+  }
+
   // ------------------------------------------------------------ CDC merge
   /** Generic CDC MERGE: fold a change batch into a base table with
     * upsert-or-delete semantics — the apply step downstream of every
@@ -2090,6 +2171,7 @@ object JsonEtl {
     "etl_incremental_sample" -> (incrementalSample _),
     "etl_incremental_sample_windowed" -> (incrementalSampleWindowed _),
     "etl_trending_items" -> (trendingItems _),
+    "etl_trending_items_windowed" -> (trendingItemsWindowed _),
     "etl_rolling_aggregate" -> (rollingAggregate _),
     "etl_quality_audit"    -> (qualityAudit _),
     "etl_scd2"             -> (scd2 _),
@@ -2192,6 +2274,17 @@ object JsonEtl {
     "etl_trending_items" ->
       """WITH c AS (SELECT event_type, CAST(user_id AS VARCHAR) AS item,
         |    CAST(COUNT(*) AS BIGINT) AS est FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+        |    ORDER BY est DESC, item) AS BIGINT) AS rank FROM c)
+        |SELECT event_type, rank, item, est, est AS lb, est AS ub
+        |FROM r WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin,
+    "etl_trending_items_windowed" ->
+      """WITH e AS (SELECT event_type, user_id,
+        |    epoch_ms(ts)//1000//86400 AS day FROM events),
+        |m AS (SELECT MAX(day) AS mx FROM e),
+        |c AS (SELECT event_type, CAST(user_id AS VARCHAR) AS item,
+        |    CAST(COUNT(*) AS BIGINT) AS est
+        |  FROM e, m WHERE day > mx - 7 GROUP BY 1, 2),
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type
         |    ORDER BY est DESC, item) AS BIGINT) AS rank FROM c)
         |SELECT event_type, rank, item, est, est AS lb, est AS ub

@@ -432,7 +432,8 @@ object Fsck {
     */
   private val StateKinds = Set("agg", "agg_n", "agg_windowed", "ewma",
     "distinct", "distinct_windowed", "quantile", "quantile_windowed",
-    "audience", "audience_windowed", "freq", "sample", "sample_windowed")
+    "audience", "audience_windowed", "freq", "freq_windowed", "sample",
+    "sample_windowed")
 
   /** The generalized durable-state validator — [[fsckAggState]]'s
     * discipline extended to EVERY `durableFold` family (additive,

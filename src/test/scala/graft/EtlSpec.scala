@@ -208,6 +208,56 @@ class EtlSpec extends SparkSpec {
     assert(e2.getMessage.contains("different parameters"))
   }
 
+  test("windowed frequent-items state: fold ≡ recompute (exact regime), stale no-op, view ranks the window, durable meta") {
+    val events = Tables(spark, sf).events
+      .withColumn("day", floor(col("ts") / 1000000000L / 86400L))
+    val slices = (0L to 3L).map(i => events.filter(col("event_id") % 4 === i))
+    def vkey(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("event_type"), col("rank")).collect().toSeq
+    val folded = slices.tail.foldLeft(
+      JsonEtl.freqStateWindowed(slices.head, retainDays = 14))(
+      (st, b) => JsonEtl.freqUpsertWindowed(st, b, retainDays = 14))
+    assert(folded.select(col("day")).distinct().count() <= 14L)
+    // fold ≡ one-shot windowed recompute through the ranked view (exact
+    // regime: counters never purge at this cardinality)
+    val oneShot = JsonEtl.freqStateWindowed(events, retainDays = 14)
+    assert(vkey(JsonEtl.freqWindowView(folded))
+      === vkey(JsonEtl.freqWindowView(oneShot)))
+    // stale-beyond-horizon no-op
+    val horizon = events.agg(max(col("day"))).head.getLong(0) - 14
+    val stale = events.filter(col("day") <= horizon - 2)
+    assert(stale.count() > 0)
+    assert(vkey(JsonEtl.freqWindowView(
+      JsonEtl.freqUpsertWindowed(folded, stale, retainDays = 14)))
+      === vkey(JsonEtl.freqWindowView(oneShot)))
+    // the view equals the exact windowed count-then-rank
+    val exact = events.filter(col("day") > horizon + 7)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("est"))
+      .collect().groupBy(_.getString(0)).toSeq.flatMap { case (t, rows) =>
+        rows.map(r => (t, r.getLong(1).toString, r.getLong(2)))
+          .sortBy { case (_, item, est) => (-est, item) }
+          .take(5).zipWithIndex
+          .map { case ((tt, item, est), i) => (tt, (i + 1).toLong, item, est) }
+          .toSeq
+      }.sortBy(x => (x._1, x._2))
+    assert(vkey(JsonEtl.freqWindowView(folded))
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getAs[Long]("est"))) === exact)
+    // durable: meta stamped, mismatched map size raises
+    val path = Files.createTempDirectory("graft_wf").toString + "/state"
+    slices.zipWithIndex.foreach { case (b, i) =>
+      JsonEtl.freqUpsertWindowedAt(spark, path, b, i.toLong,
+        retainDays = 14) }
+    assert(JsonEtl.stateMeta(spark, path)("kind") === "freq_windowed")
+    assert(vkey(JsonEtl.freqWindowView(spark.read.parquet(path)))
+      === vkey(JsonEtl.freqWindowView(oneShot)))
+    val e2 = intercept[IllegalArgumentException](
+      JsonEtl.freqUpsertWindowedAt(spark, path, slices(0), 9L,
+        maxMapSize = 64, retainDays = 14))
+    assert(e2.getMessage.contains("different parameters"))
+  }
+
   test("sketch partials spill guard: a firing flush changes nothing but partial count") {
     // the per-partition sketch maps flush when they exceed the key
     // threshold — multiple partials per (partition, key) are absorbed by

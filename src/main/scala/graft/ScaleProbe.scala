@@ -658,6 +658,46 @@ object ScaleProbe {
       println(f"windowed_audience_fold(batch=1/29): " +
         f"${(System.nanoTime() - t3b) / 1e9}%.1f s")
     }
+    // the bottom-k sample fold's cost claim: one DISTINCT exchange of the
+    // batch + a TopK truncation over k-bounded state — wall tracks the
+    // batch scan, state stays at k × keys rows at any corpus size
+    if (matched("sample_state")) locally {
+      val docsAll = graft.Tables(spark, out).documents
+        .select(col("source").as("event_type"),
+          col("doc_id").as("user_id"),
+          (col("doc_id") % 30L).as("day"))
+      val inBatch = col("user_id") % 29 === 0
+      val (hist, batch) = (docsAll.filter(!inBatch), docsAll.filter(inBatch))
+      val t0 = System.nanoTime()
+      val sState = graft.etl.JsonEtl.sampleState(hist, k = 64)
+        .localCheckpoint()
+      println(f"sample_state_build(hist): ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+        f"(${sState.count()} state rows)")
+      val t1 = System.nanoTime()
+      graft.etl.JsonEtl.sampleUpsert(sState, batch, k = 64).count()
+      println(f"sample_fold(batch=1/29): ${(System.nanoTime() - t1) / 1e9}%.1f s")
+      val t2 = System.nanoTime()
+      val qState = graft.etl.JsonEtl.quantileStateWindowed(
+        hist.withColumn("value", col("user_id").cast("double")),
+        valueCol = "value", retainDays = 14)
+      println(f"windowed_quantile_build(hist): " +
+        f"${(System.nanoTime() - t2) / 1e9}%.1f s (${qState.count()} rows)")
+      val t3 = System.nanoTime()
+      graft.etl.JsonEtl.quantileUpsertWindowed(qState,
+        batch.withColumn("value", col("user_id").cast("double")),
+        valueCol = "value", retainDays = 14).count()
+      println(f"windowed_quantile_fold(batch=1/29): " +
+        f"${(System.nanoTime() - t3) / 1e9}%.1f s")
+      val t4 = System.nanoTime()
+      val fState = graft.etl.JsonEtl.freqStateWindowed(hist, retainDays = 14)
+      println(f"windowed_freq_build(hist): " +
+        f"${(System.nanoTime() - t4) / 1e9}%.1f s (${fState.count()} rows)")
+      val t5 = System.nanoTime()
+      graft.etl.JsonEtl.freqUpsertWindowed(fState, batch,
+        retainDays = 14).count()
+      println(f"windowed_freq_fold(batch=1/29): " +
+        f"${(System.nanoTime() - t5) / 1e9}%.1f s")
+    }
     // multi-column skipping at scale: a two-range predicate over a
     // z-ordered table — the intersected manifest prune must open a small
     // fraction of the files and its wall follow the opened bytes

@@ -1108,6 +1108,58 @@ object Streams extends Serializable {
       }
       .start()
 
+  /** Streaming twin of [[graft.etl.JsonEtl.sampleUpsertWindowedAt]] —
+    * the windowed sample under the same fence and retention.
+    */
+  def windowedSampleIngestSink(events: DataFrame, statePath: String,
+      checkpoint: String, keys: Seq[String] = Seq("event_type"),
+      valueCol: String = "user_id", k: Int = 64, seed: String = "bk0",
+      dayCol: String = "day",
+      retainDays: Int = 30): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.etl.JsonEtl.sampleUpsertWindowedAt(batch.sparkSession,
+          statePath, batch, batchId, keys, valueCol, k, seed, dayCol,
+          retainDays)
+      }
+      .start()
+
+  /** Streaming twin of [[graft.etl.JsonEtl.quantileUpsertWindowedAt]] —
+    * the live trailing-window percentile dashboard state.
+    */
+  def windowedQuantileIngestSink(events: DataFrame, statePath: String,
+      checkpoint: String, key: String = "event_type",
+      valueCol: String = "value", k: Int = 200, dayCol: String = "day",
+      retainDays: Int = 30): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.etl.JsonEtl.quantileUpsertWindowedAt(batch.sparkSession,
+          statePath, batch, batchId, key, valueCol, k, dayCol, retainDays)
+      }
+      .start()
+
+  /** Streaming twin of [[graft.etl.JsonEtl.freqUpsertWindowedAt]] — the
+    * live trailing-window trending-items state.
+    */
+  def windowedFreqIngestSink(events: DataFrame, statePath: String,
+      checkpoint: String, key: String = "event_type",
+      itemCol: String = "user_id", maxMapSize: Int = 1024,
+      dayCol: String = "day",
+      retainDays: Int = 30): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.etl.JsonEtl.freqUpsertWindowedAt(batch.sparkSession,
+          statePath, batch, batchId, key, itemCol, maxMapSize, dayCol,
+          retainDays)
+      }
+      .start()
+
   /** Streaming twin of [[graft.etl.JsonEtl.distinctUpsertWindowedAt]]:
     * the day-windowed distinct state folded per micro-batch — the live
     * "trailing-30-day distinct users" dashboard from retention-bounded

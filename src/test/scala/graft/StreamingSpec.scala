@@ -672,6 +672,55 @@ class StreamingSpec extends SparkSpec {
       === "audience_windowed")
   }
 
+  test("remaining windowed ingest sinks: sample/quantile/freq streams equal their batch folds") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_wsink3").toString
+    val b0 = (0L until 600L).map(i =>
+      (i % 37, if (i % 2 == 0) "view" else "click", (i % 97).toDouble, i % 30))
+    val b1 = (0L until 600L).map(i =>
+      (i % 61, if (i % 3 == 0) "view" else "buy", (i % 89).toDouble, (i * 7) % 30))
+    val all = (b0 ++ b1).toDF("user_id", "event_type", "value", "day")
+    def stream(name: String,
+        mk: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      val in = MemoryStream[(Long, String, Double, Long)]
+      val q = mk(in.toDF().toDF("user_id", "event_type", "value", "day"))
+      in.addData(b0: _*); q.processAllAvailable()
+      in.addData(b1: _*); q.processAllAvailable()
+      q.stop()
+    }
+    stream("s", df => Streams.windowedSampleIngestSink(df, s"$base/s",
+      s"$base/cs", k = 8, retainDays = 14))
+    stream("q", df => Streams.windowedQuantileIngestSink(df, s"$base/q",
+      s"$base/cq", retainDays = 14))
+    stream("f", df => Streams.windowedFreqIngestSink(df, s"$base/f",
+      s"$base/cf", retainDays = 14))
+    // sample: bit-exact vs the batch fold (deterministic algebra)
+    def skey(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("event_type"), col("day"), col("rank")).collect().toSeq
+    assert(skey(spark.read.parquet(s"$base/s"))
+      === skey(graft.etl.JsonEtl.sampleStateWindowed(all, k = 8,
+        retainDays = 14)))
+    // quantile: exact n_rows per (key, day); estimates by its own family
+    val qn = spark.read.parquet(s"$base/q")
+      .select(col("event_type"), col("day"), col("n_rows"))
+      .orderBy(col("event_type"), col("day")).collect().toSeq
+    assert(qn === graft.etl.JsonEtl.quantileStateWindowed(all,
+        retainDays = 14)
+      .select(col("event_type"), col("day"), col("n_rows"))
+      .orderBy(col("event_type"), col("day")).collect().toSeq)
+    // freq: ranked window view equals the batch fold's (exact regime)
+    def fkey(df: org.apache.spark.sql.DataFrame) =
+      graft.etl.JsonEtl.freqWindowView(df, lastNDays = 7)
+        .orderBy(col("event_type"), col("rank")).collect().toSeq
+    assert(fkey(spark.read.parquet(s"$base/f"))
+      === fkey(graft.etl.JsonEtl.freqStateWindowed(all, retainDays = 14)))
+    Seq(s"$base/s" -> "sample_windowed", s"$base/q" -> "quantile_windowed",
+      s"$base/f" -> "freq_windowed").foreach { case (p, kind) =>
+      assert(graft.etl.JsonEtl.stateMeta(spark, p)("kind") === kind) }
+  }
+
   test("quantile ingest sink: micro-batches fold to in-envelope estimates, exactly once") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

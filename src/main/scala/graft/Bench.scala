@@ -33,6 +33,7 @@ object Bench {
     "etl_incremental_distinct_windowed", "etl_audience_overlap_windowed",
     "etl_incremental_sample", "etl_incremental_sample_windowed",
     "etl_trending_items", "etl_trending_items_windowed", "etl_rolling_aggregate", "etl_snapshot_diff",
+    "etl_state_fold_config",
     "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
     "dedup_components", "dedup_components_incremental",
     "dedup_survivors_weighted",
@@ -61,7 +62,8 @@ object Bench {
     "text_mixture_sample", "text_mixture_temperature",
     "text_weighted_sample", "text_group_sample", "text_split_leakage_safe",
     "layout_skipping_read",
-    "layout_skipping_read_multi", "layout_bloom_lookup",
+    "layout_skipping_read_multi", "layout_skipping_read_partitioned",
+    "layout_bloom_lookup",
     "text_select_budget_threshold", "text_bpe_tokens",
     "text_source_stats", "text_source_sketches", "profile_value_sketches",
     "profile_distribution_drift", "profile_drift_fed",

@@ -900,6 +900,47 @@ object JsonEtl {
       st.left.unionByName(dLeft), st.right.unionByName(dRight))
   }
 
+  /** The join state's durable protocol marker — `_join_protocol` at the
+    * root, `two_sided` ([[joinUpsertAt]]: every committed batch writes all
+    * three dirs) or `left_only` ([[joinUpsertLeftAt]]: right is seeded
+    * once, never batch-written). Fsck needs this to be a FILE, not an
+    * inference from surviving right-side batch files: under inference,
+    * total loss of the right side — the most damaging torn state — looks
+    * exactly like a seeded-dim protocol and batch parity passes
+    * vacuously. Written on the first fold; a later fold under the OTHER
+    * protocol raises (mixing them makes batch parity undefined).
+    */
+  private def joinProtocolPath(root: String) = s"$root/_join_protocol"
+
+  /** The stamped protocol, None for a pre-protocol state. */
+  def joinProtocol(s: SparkSession, root: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(joinProtocolPath(root))
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      Some(txt.trim)
+    }
+  }
+
+  private def stampJoinProtocol(s: SparkSession, root: String,
+      protocol: String): Unit = joinProtocol(s, root) match {
+    case Some(existing) =>
+      require(existing == protocol,
+        s"join state at $root was built under the '$existing' protocol " +
+          s"but this fold declares '$protocol' — mixing joinUpsertAt and " +
+          "joinUpsertLeftAt on one state makes batch parity undefined; " +
+          "use the original entry point or rebuild at a fresh path")
+    case None =>
+      val p = new org.apache.hadoop.fs.Path(joinProtocolPath(root))
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val out = fs.create(p, true)
+      out.write(protocol.getBytes("UTF-8"))
+      out.close()
+  }
+
   /** Durable, replay-safe [[joinViewUpsert]] over `root/{view,left,right}`.
     *
     * The state is append-only on ALL THREE tables (the delta-join adds
@@ -919,6 +960,7 @@ object JsonEtl {
       broadcastDeltas: Boolean = true): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+    stampJoinProtocol(s, root, "two_sided")
     if (graft.streaming.Streams.isBatchCommitted(s, root, batchId)) return
     // history = committed batches ONLY: a crashed attempt at THIS id may
     // have left its own `b<id>-*` files in the dirs, and reading them as
@@ -960,6 +1002,7 @@ object JsonEtl {
   def joinUpsertLeftAt(s: SparkSession, root: String, dLeft: DataFrame,
       batchId: Long, keys: Seq[String],
       broadcastDeltas: Boolean = true): Unit = {
+    stampJoinProtocol(s, root, "left_only")
     if (graft.streaming.Streams.isBatchCommitted(s, root, batchId)) return
     val right = s.read.parquet(s"$root/right")
     val deltaView =
@@ -1158,8 +1201,14 @@ object JsonEtl {
   private val WinKeyCol = "_win_key"
   private def withWinKey(events: DataFrame, key: String,
       dayCol: String): DataFrame =
-    events.withColumn(WinKeyCol, concat_ws(WinSep,
-      col(key).cast("string"), col(dayCol).cast("string")))
+    // NULL key or day rows are DROPPED, matching the grow-only parents'
+    // isNotNull discipline -- without this, concat_ws silently skips the
+    // NULL side and the composite collapses to just the day string, which
+    // splitWinKey then re-reads as a bogus key equal to the day value
+    // (windowed and non-windowed states would diverge on NULL-key input)
+    events.filter(col(key).isNotNull && col(dayCol).isNotNull)
+      .withColumn(WinKeyCol, concat_ws(WinSep,
+        col(key).cast("string"), col(dayCol).cast("string")))
   private def splitWinKey(state: DataFrame, key: String,
       dayCol: String): DataFrame =
     state.select(
@@ -2156,8 +2205,187 @@ object JsonEtl {
       .orderBy(col("rule"))
   }
 
+  // ------------------------------------------- config-first state folds
+  /** The durable-state kinds [[foldConfig]] dispatches — exactly the
+    * `_state_meta` kind vocabulary (the join-view family is excluded: its
+    * input is TWO deltas under the marker protocol, a different document
+    * shape).
+    */
+  private[graft] val FoldKinds: Set[String] = Set("agg", "agg_n",
+    "agg_windowed", "ewma", "distinct", "distinct_windowed", "quantile",
+    "quantile_windowed", "audience", "audience_windowed", "freq",
+    "freq_windowed", "sample", "sample_windowed")
+
+  /** Config-driven nightly fold — the [[graft.etl.Pipeline.runConfig]] /
+    * [[graft.ops.Maintenance.runConfig]] discipline for the durable state
+    * family, so the nightly job is a JSON document, not code:
+    *
+    * {{{
+    * {"batchId": 17,
+    *  "input": {"path": "/landing/2024-07-01", "format": "parquet"},
+    *  "derive": {"day": "CAST(ts DIV 1000000000 DIV 86400 AS BIGINT)"},
+    *  "states": [
+    *    {"name": "daily_totals", "kind": "agg", "path": "/states/agg",
+    *     "keys": "user_id,event_type", "value_col": "value"},
+    *    {"name": "uniques", "kind": "distinct_windowed",
+    *     "path": "/states/uniq", "keys": "event_type",
+    *     "value_col": "user_id", "lgk": 12, "retain_days": 30},
+    *    {"name": "latency_q", "kind": "quantile", "path": "/states/q",
+    *     "key": "event_type", "value_col": "value", "k": 200}]}
+    * }}}
+    *
+    * One batch read feeds EVERY state (the `derive` block adds computed
+    * columns — e.g. the day bucket — as Spark SQL expressions, the
+    * Pipeline rule: no private mini-language). Parameter NAMES are the
+    * `_state_meta` stamp names, so a config document reads as the stamp
+    * it produces — and the stamp FENCE comes free: every fold routes
+    * through the `*At` entry points, so a document whose parameters (or
+    * kind) disagree with an existing state's stamp raises durableFold's
+    * named mismatch error before any plan is built. All state blocks are
+    * validated BEFORE any fold runs (a config typo must not leave the
+    * state set half-folded under one batch id); replayed ids are
+    * per-state no-ops by the watermark fence, reported as
+    * `folded = false`. Returns (state, kind, batch_id, folded).
+    */
+  def foldConfig(s: SparkSession, configJson: String): DataFrame = {
+    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+    import scala.jdk.CollectionConverters._
+    val root = new ObjectMapper().readTree(configJson)
+    def optField(n: JsonNode, name: String): Option[JsonNode] =
+      Option(n.get(name)).filterNot(_.isNull)
+    require(root.hasNonNull("batchId"), "config needs batchId")
+    require(root.hasNonNull("input") && root.get("input").hasNonNull("path"),
+      "config needs input.path")
+    require(root.hasNonNull("states"), "config needs states")
+    val batchId = root.get("batchId").asLong
+    // validate EVERY state block before any IO (a config typo must fail
+    // with the named require, before any read and before any fold —
+    // nothing may be left half-folded under one batch id)
+    val states = root.get("states").elements().asScala.toSeq.map { st =>
+      require(st.hasNonNull("kind") && st.hasNonNull("path"),
+        "every state needs kind and path")
+      val kind = st.get("kind").asText
+      require(FoldKinds.contains(kind),
+        s"unknown state kind '$kind' (expected one of " +
+          s"${FoldKinds.toSeq.sorted.mkString(", ")}): " +
+          st.get("path").asText)
+      st
+    }
+    val input = root.get("input")
+    val format = optField(input, "format").map(_.asText).getOrElse("parquet")
+    val batch0 = s.read.format(format).load(input.get("path").asText)
+    val batch = optField(root, "derive").map { d =>
+      d.properties().asScala.foldLeft(batch0)((b, e) =>
+        b.withColumn(e.getKey, expr(e.getValue.asText)))
+    }.getOrElse(batch0)
+    val rows = states.map { st =>
+      val kind = st.get("kind").asText
+      val path = st.get("path").asText
+      val name = optField(st, "name").map(_.asText).getOrElse(path)
+      def str(k: String, dflt: String) =
+        optField(st, k).map(_.asText).getOrElse(dflt)
+      def keysOf(k: String, dflt: Seq[String]) =
+        optField(st, k).map(_.asText.split(",").toSeq).getOrElse(dflt)
+      def keysReq(k: String) = {
+        require(st.hasNonNull(k), s"$kind state '$name' needs $k")
+        st.get(k).asText.split(",").toSeq
+      }
+      def num(k: String, dflt: Int) =
+        optField(st, k).map(_.asInt).getOrElse(dflt)
+      val before = aggFoldWatermark(s, path)
+      kind match {
+        case "agg" => aggUpsertAt(s, path, batch, batchId,
+          keysOf("keys", Seq("user_id", "event_type")),
+          str("value_col", "value"))
+        case "agg_n" => aggUpsertAtN(s, path, batch, batchId,
+          keysReq("keys"), keysReq("value_cols"))
+        case "agg_windowed" => aggUpsertWindowedAt(s, path, batch, batchId,
+          keysReq("keys"), keysReq("value_cols"),
+          str("day_col", "day"), num("retain_days", 30))
+        case "ewma" => ewmaUpsertAt(s, path, batch, batchId,
+          keysOf("keys", Seq("user_id")), str("order_col", "event_id"),
+          str("value_col", "value"),
+          optField(st, "alpha").map(_.asDouble).getOrElse(0.5))
+        case "distinct" => distinctUpsertAt(s, path, batch, batchId,
+          keysOf("keys", Seq("event_type")), str("value_col", "user_id"),
+          num("lgk", 12))
+        case "distinct_windowed" => distinctUpsertWindowedAt(s, path, batch,
+          batchId, keysOf("keys", Seq("event_type")),
+          str("value_col", "user_id"), num("lgk", 12),
+          str("day_col", "day"), num("retain_days", 30))
+        case "quantile" => quantileUpsertAt(s, path, batch, batchId,
+          str("key", "event_type"), str("value_col", "value"), num("k", 200))
+        case "quantile_windowed" => quantileUpsertWindowedAt(s, path, batch,
+          batchId, str("key", "event_type"), str("value_col", "value"),
+          num("k", 200), str("day_col", "day"), num("retain_days", 30))
+        case "audience" => audienceUpsertAt(s, path, batch, batchId,
+          str("key", "event_type"), str("value_col", "user_id"),
+          num("lgk", 12))
+        case "audience_windowed" => audienceUpsertWindowedAt(s, path, batch,
+          batchId, str("key", "event_type"), str("value_col", "user_id"),
+          num("lgk", 12), str("day_col", "day"), num("retain_days", 30))
+        case "freq" => freqUpsertAt(s, path, batch, batchId,
+          str("key", "event_type"), str("item_col", "user_id"),
+          num("max_map_size", 1024))
+        case "freq_windowed" => freqUpsertWindowedAt(s, path, batch, batchId,
+          str("key", "event_type"), str("item_col", "user_id"),
+          num("max_map_size", 1024), str("day_col", "day"),
+          num("retain_days", 30))
+        case "sample" => sampleUpsertAt(s, path, batch, batchId,
+          keysOf("keys", Seq("event_type")), str("value_col", "user_id"),
+          num("k", 64), str("seed", "bk0"))
+        case "sample_windowed" => sampleUpsertWindowedAt(s, path, batch,
+          batchId, keysOf("keys", Seq("event_type")),
+          str("value_col", "user_id"), num("k", 64), str("seed", "bk0"),
+          str("day_col", "day"), num("retain_days", 30))
+      }
+      (name, kind, batchId, before < batchId)
+    }
+    import s.implicits._
+    rows.toDF("state", "kind", "batch_id", "folded")
+  }
+
+  /** Gate form (rows-only — the report is operational metadata): a
+    * nightly-fold DOCUMENT run end-to-end at gate scale. The events table
+    * lands as two batch dirs (event_id mod 2 — the scratch build is
+    * memoized per session+corpus like the skipping gates), then the SAME
+    * four-state document folds each batch under its id: an additive
+    * aggregate, an HLL distinct, a KLL quantile and a day-windowed KMV
+    * sample — one document exercising four algebras, the day bucket
+    * derived IN the document. Re-runs replay-fence (folded=false), which
+    * is exactly what the report should say.
+    */
+  def stateFoldConfig(s: SparkSession, dir: String): DataFrame = {
+    val base = graft.ops.Similarity.sessionScratchPath(s, "graft_statecfg", dir)
+    val done = new org.apache.hadoop.fs.Path(s"$base/batch1/_SUCCESS")
+    if (!done.getFileSystem(s.sparkContext.hadoopConfiguration).exists(done)) {
+      val e = Tables(s, dir).events
+      e.filter(col("event_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$base/batch0")
+      e.filter(col("event_id") % 2 === 1)
+        .write.mode("overwrite").parquet(s"$base/batch1")
+    }
+    def doc(id: Long): String =
+      s"""{"batchId": $id,
+         | "input": {"path": "$base/batch$id"},
+         | "derive": {"day": "CAST(ts DIV 1000000000 DIV 86400 AS BIGINT)"},
+         | "states": [
+         |  {"name": "daily_totals", "kind": "agg", "path": "$base/st_agg",
+         |   "keys": "event_type", "value_col": "value"},
+         |  {"name": "uniques", "kind": "distinct", "path": "$base/st_dst",
+         |   "keys": "event_type", "value_col": "user_id"},
+         |  {"name": "latency_q", "kind": "quantile", "path": "$base/st_q",
+         |   "key": "event_type", "value_col": "value"},
+         |  {"name": "recent_sample", "kind": "sample_windowed",
+         |   "path": "$base/st_smp", "keys": "event_type",
+         |   "value_col": "user_id", "k": 8, "retain_days": 14}]}""".stripMargin
+    foldConfig(s, doc(0)).unionByName(foldConfig(s, doc(1)))
+      .orderBy(col("batch_id"), col("state"))
+  }
+
   // =================================================================
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_state_fold_config" -> (stateFoldConfig _),
     "etl_incremental_agg"  -> (incrementalAgg _),
     "etl_incremental_agg_stats" -> (incrementalAggStats _),
     "etl_incremental_ewma" -> (incrementalEwma _),

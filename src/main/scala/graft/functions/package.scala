@@ -109,4 +109,13 @@ package object functions {
   def bloom_count(hashed: Column, bloomBytes: Array[Byte]): Column =
     GraftSqlBridge.column(
       BloomCount(GraftSqlBridge.expression(hashed), bloomBytes))
+
+  /** Does ANY constant probe hash hit the row's serialized Bloom column —
+    * the transposed [[bloom_might_contain]] (per-ROW bloom, constant
+    * values) the point-lookup manifest probe needs; see
+    * [[BloomMightContainAny]].
+    */
+  def bloom_any_of(bloom: Column, hashes: Array[Long]): Column =
+    GraftSqlBridge.column(
+      BloomMightContainAny(GraftSqlBridge.expression(bloom), hashes))
 }

@@ -852,6 +852,33 @@ object Dedup {
   def componentLabelsPath(indexPath: String): String =
     s"${indexPath}_components"
 
+  /** The stamped LSH parameters of a persisted labeling — `_labels_meta`,
+    * a `_`-prefixed sorted `key=value` file INSIDE the `_components` dir
+    * (invisible to parquet readers, swaps atomically WITH the labeling it
+    * describes). Same failure class as the durable states' `_state_meta`:
+    * a labeling built at non-default (bands, tau) that a later
+    * maintenance rebuild silently re-derives under DIFFERENT parameters
+    * changes the candidate-pair set — and therefore the component
+    * structure — with no error anywhere. Empty when the labeling predates
+    * the protocol or doesn't exist.
+    */
+  def componentLabelsMeta(s: SparkSession,
+      indexPath: String): Map[String, String] = {
+    val p = new org.apache.hadoop.fs.Path(
+      s"${componentLabelsPath(indexPath)}/_labels_meta")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      txt.linesIterator.filter(_.contains("=")).map { l =>
+        val i = l.indexOf('=')
+        l.substring(0, i) -> l.substring(i + 1)
+      }.toMap
+    }
+  }
+
   /** Rebuild and persist the component labeling over the LIVE signature
     * index (tombstones applied): pairs come from the stored (doc_id, hs)
     * rows — corpus text is never re-read — with the signature width read
@@ -869,8 +896,18 @@ object Dedup {
     val labels = nearDupGroups(
       minhashPairsFromHs(s, live.select(col("doc_id"), col("hs")),
         numHashes, bands, tau), maxIter)
-    graft.ops.Layout.writeStaged(s, componentLabelsPath(indexPath))(
-      st => labels.write.parquet(st))
+    val conf = s.sparkContext.hadoopConfiguration
+    graft.ops.Layout.writeStaged(s, componentLabelsPath(indexPath)) { st =>
+      labels.write.parquet(st)
+      // stamp the pair-generating geometry IN the staged dir, so labeling
+      // + stamp promote in one rename and a rebuild can never read a stamp
+      // describing the previous generation
+      val m = new org.apache.hadoop.fs.Path(s"$st/_labels_meta")
+      val out = m.getFileSystem(conf).create(m, true)
+      out.write(Seq(s"bands=$bands", s"max_iter=$maxIter", s"tau=$tau")
+        .mkString("\n").getBytes("UTF-8"))
+      out.close()
+    }
     labels.unpersist()
     ()
   }
@@ -884,9 +921,21 @@ object Dedup {
     * so it must not fire on every takedown of an unlabeled doc. Must run
     * BEFORE [[compactMinhashIndex]] folds the tombstone file away (the
     * decision reads it); the maintenance orchestrator sequences this.
+    *
+    * LSH parameters come from the labeling's OWN `_labels_meta` stamp —
+    * a labeling built by [[saveComponentLabels]] at non-default
+    * (bands, tau) must be rebuilt under the SAME geometry, or the
+    * maintenance pass silently swaps in a labeling over a DIFFERENT
+    * candidate-pair set (the `_state_meta` failure class, on the
+    * `_components` artifact). Callers pass `None` (the maintenance
+    * default) to inherit the stamp; an explicit `Some(x)` that
+    * contradicts an existing stamp raises like `durableFold` does —
+    * never silently wins. Pre-stamp labelings fall back to the
+    * declared-or-default values (the upgrade path: the rebuild then
+    * writes the first stamp).
     */
   def maybeRebuildComponents(s: SparkSession, indexPath: String,
-      bands: Int = DefaultBands, tau: Double = 0.7,
+      bands: Option[Int] = None, tau: Option[Double] = None,
       maxIter: Int = 10): (Boolean, Long) = {
     val labelsDir = componentLabelsPath(indexPath)
     val ts = minhashTombstonePath(indexPath)
@@ -905,7 +954,26 @@ object Dedup {
       .distinct().count()
     if (affected == 0L) (false, 0L)
     else {
-      saveComponentLabels(s, indexPath, bands, tau, maxIter)
+      val stamped = componentLabelsMeta(s, indexPath)
+      def resolve[T](key: String, declared: Option[T], default: T,
+          parse: String => T): T = stamped.get(key) match {
+        case Some(v) =>
+          val st = parse(v)
+          declared.foreach(d => require(d == st,
+            s"maybeRebuildComponents: labeling at $labelsDir is stamped " +
+              s"$key=$st but the caller declared $key=$d — rebuilding " +
+              "under different LSH parameters silently changes the " +
+              "pair set; pass None to inherit the stamp, or rebuild " +
+              "explicitly via saveComponentLabels"))
+          st
+        case None => declared.getOrElse(default)
+      }
+      // max_iter is a convergence CAP, not pair-set geometry — inherit the
+      // stamp when present, no mismatch fence needed
+      saveComponentLabels(s, indexPath,
+        resolve("bands", bands, DefaultBands, _.toInt),
+        resolve("tau", tau, 0.7, _.toDouble),
+        resolve("max_iter", None, maxIter, _.toInt))
       (true, affected)
     }
   }

@@ -502,8 +502,16 @@ object Fsck {
             "durable-fold family — version skew or hand edit")
     }
     val state = s.read.parquet(path)
+    // the sample family's schema is keys ++ (rank, h, value): its unit of
+    // uniqueness is (keys..., rank) — one reservoir slot per rank. Naive
+    // inference would treat h/value as key components too, and a corrupted
+    // merge producing two rows with the same (key, rank) but different
+    // values would pass. The stamped kind is already in hand — use it.
+    val sampleKind = meta.toOption.flatMap(_.get("kind"))
+      .exists(k => k == "sample" || k == "sample_windowed")
     val keyCols = state.columns.filterNot(c =>
       Set("n_events", "n_rows", "sketch", "ewma").contains(c) ||
+        (sampleKind && (c == "h" || c == "value")) ||
         c.startsWith("sum_") || c.startsWith("sumsq_") ||
         c.startsWith("min_") || c.startsWith("max_") ||
         c.startsWith("last_")).toSeq
@@ -675,11 +683,18 @@ object Fsck {
     * file whose ACTUAL stats disagree with its manifest row means the
     * file changed under a manifest nobody re-stamped — that one is the
     * silent-row-loss hazard and fails. Verifying every file would rescan
-    * the corpus column, so the check is SAMPLED at audit price: one
-    * deterministic file (lexicographically first covered, stable for
-    * re-audits and specs) is rescanned and compared exactly.
+    * the corpus column, so the check is SAMPLED at audit price:
+    * `sampleFiles` deterministic files (lexicographically first covered,
+    * stable for re-audits and specs; default 1) are rescanned and
+    * compared exactly — the knob an operator dials UP after an incident
+    * to deepen verification without changing the report shape.
+    * Partitioned layouts are covered: the file listing recurses like the
+    * pruned readers', and sample rescans read through basePath so
+    * manifests covering partition columns verify too.
     */
-  def fsckSkipManifest(s: SparkSession, path: String): DataFrame = {
+  def fsckSkipManifest(s: SparkSession, path: String,
+      sampleFiles: Int = 1): DataFrame = {
+    require(sampleFiles >= 1, s"sampleFiles must be >= 1: $sampleFiles")
     val mDir = s"$path/${Layout.ManifestDir}"
     val staging = Seq(s"$mDir.staging", s"$mDir.compacting", s"$mDir.old")
     if (!hasParquet(s, mDir))
@@ -690,28 +705,29 @@ object Fsck {
           "crashed manifest staging dirs present")))
     val m = s.read.parquet(mDir)
     val covered = m.select(col("file")).collect().map(_.getString(0)).toSet
-    val dataFiles = fsOf(s, path).listStatus(new Path(path))
-      .map(_.getPath.getName).filter(_.endsWith(".parquet")).toIndexedSeq
+    val dataFiles = Layout.listDataFiles(s, path)
     val uncovered = dataFiles.filterNot(covered).length.toLong
     val phantoms = (covered -- dataFiles).size.toLong
     val cols = m.schema.fieldNames.toSeq
       .filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
-    val sampleBad = dataFiles.filter(covered).sorted.headOption.map { f =>
-      // a file whose schema no longer carries a covered column is the
-      // same changed-under-the-manifest hazard — the analysis error must
-      // become THIS check's fail row, not abort the report
-      try {
-        val actual = s.read.parquet(s"$path/$f")
-          .agg(count(lit(1)).as("n_rows"),
-            cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
-              max(col(c)).as(s"max_$c"))): _*)
-        val claimed = m.filter(col("file") === f).drop("file")
-        // exact row equality both directions — any drifted stat or count
-        // (nulls compare as values via the except set algebra)
-        actual.exceptAll(claimed.select(actual.columns.map(col).toSeq: _*))
-          .count()
-      } catch { case scala.util.control.NonFatal(_) => 1L }
-    }.getOrElse(0L)
+    val sampleBad = dataFiles.filter(covered).sorted.take(sampleFiles)
+      .map { f =>
+        // a file whose schema no longer carries a covered column is the
+        // same changed-under-the-manifest hazard — the analysis error must
+        // become THIS check's fail row, not abort the report
+        try {
+          val actual = s.read.option("basePath", path)
+            .parquet(Layout.absDataPath(path, f))
+            .agg(count(lit(1)).as("n_rows"),
+              cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+                max(col(c)).as(s"max_$c"))): _*)
+          val claimed = m.filter(col("file") === f).drop("file")
+          // exact row equality both directions — any drifted stat or count
+          // (nulls compare as values via the except set algebra)
+          actual.exceptAll(claimed.select(actual.columns.map(col).toSeq: _*))
+            .count()
+        } catch { case scala.util.control.NonFatal(_) => 1L }
+      }.sum
     // the Bloom sibling, when present: the sampled covered file's ACTUAL
     // hashed values must all hit its stored Bloom — a false negative is
     // impossible for an unchanged file (the Bloom contract), so any miss
@@ -728,17 +744,18 @@ object Fsck {
           val bCovered = bm.select(col("file")).collect()
             .map(_.getString(0)).toSet
           val bUncovered = dataFiles.filterNot(bCovered).length.toLong
-          val bSampleBad = dataFiles.filter(bCovered).sorted.headOption
+          val bSampleBad = dataFiles.filter(bCovered).sorted.take(sampleFiles)
             .map { f =>
               try {
                 val bytes = bm.filter(col("file") === f)
                   .select(col(s"bloom_$c")).head.getAs[Array[Byte]](0)
-                s.read.parquet(s"$path/$f")
+                s.read.option("basePath", path)
+                  .parquet(Layout.absDataPath(path, f))
                   .filter(!graft.functions.bloom_might_contain(
                     lit(bytes), xxhash64(col(c))))
                   .count()
               } catch { case scala.util.control.NonFatal(_) => 1L }
-            }.getOrElse(0L)
+            }.sum
           Seq(
             failIf("bloom_sample", bSampleBad,
               "rows of the sampled covered file miss its stored Bloom — " +
@@ -809,14 +826,26 @@ object Fsck {
     // two-sided states (joinUpsertAt) write right per committed batch too,
     // so right-only damage to a committed batch is the same "view no
     // longer equals L ⋈ R" hazard and must fail parity; the seeded-dim
-    // protocol (joinUpsertLeftAt) never writes batch files into right, so
-    // its right side stays vacuously out of the symmetric difference
-    val rIds =
-      if (batchIds(subs(2)).nonEmpty) committedIds(subs(2)) else lIds
+    // protocol (joinUpsertLeftAt) never writes batch files into right.
+    // WHICH protocol applies comes from the durable `_join_protocol`
+    // stamp, not from surviving right-side batch files: under inference,
+    // TOTAL loss of the right side — the most damaging torn state — is
+    // indistinguishable from a seeded dim and parity passes vacuously.
+    // Pre-stamp states keep the inference (and warn below).
+    val protocol = graft.etl.JsonEtl.joinProtocol(s, root)
+    val rIds = protocol match {
+      case Some("two_sided") => committedIds(subs(2))
+      case Some("left_only") => lIds
+      case _ => if (batchIds(subs(2)).nonEmpty) committedIds(subs(2)) else lIds
+    }
     val torn = ((vIds diff lIds) ++ (lIds diff vIds) ++
       (vIds diff rIds) ++ (rIds diff vIds)).size.toLong
     toDf(s, root, "join_view", Seq(
       ok("index_readable"),
+      warnIf("protocol_stamped", if (protocol.isEmpty) 1L else 0L,
+        "no _join_protocol stamp — right-side parity is inferred from " +
+          "surviving batch files, so a TOTAL right-side loss would pass " +
+          "vacuously (pre-protocol artifact; the next fold stamps it)"),
       failIf("batches_committed", uncommitted,
         "batch files without a commit marker — a crashed fold's partial " +
           "rows; the replay or compaction sweep clears them"),

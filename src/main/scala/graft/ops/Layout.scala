@@ -146,20 +146,6 @@ object Layout {
       .agg(count(lit(1)).as("rows"))
       .localCheckpoint()
     import spark.implicits._
-    // partition dir names carry Spark's %XX path escaping (a value like
-    // "a b" lands as "a%20b"); decode before joining against the CAST
-    // partition column or escaped values silently audit as missing
-    def unescape(s: String): String = {
-      val sb = new StringBuilder
-      var i = 0
-      while (i < s.length) {
-        if (s.charAt(i) == '%' && i + 3 <= s.length) {
-          try { sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3 }
-          catch { case _: NumberFormatException => sb.append(s.charAt(i)); i += 1 }
-        } else { sb.append(s.charAt(i)); i += 1 }
-      }
-      sb.toString
-    }
     def filesPerPartition(dir: String): DataFrame = {
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(conf)
@@ -275,28 +261,180 @@ object Layout {
       df.repartitionByRange(nTasks, orderCol)
         .write.option("maxRecordsPerFile", maxRecordsPerFile).parquet(staging)
       if (manifest.nonEmpty) writeManifest(spark, staging, manifest)
-      bloomCol.foreach(writeBloomManifest(spark, staging, _))
+      // size the rebuilt Blooms for the files compaction actually writes:
+      // the write packs ~maxRecordsPerFile rows per file, typically far
+      // above writeBloomManifest's 4096-item default — a default-sized
+      // Bloom would saturate and silently degrade the false-positive rate
+      // (point pruning stops skipping; extra opens, never lost rows).
+      // Keep the default's 16 bits/item ratio, rounded up to a power of 2.
+      bloomCol.foreach { c =>
+        val bits = java.lang.Long.highestOneBit(
+          math.max(1L, 16L * maxRecordsPerFile - 1)) << 1
+        writeBloomManifest(spark, staging, c,
+          expectedPerFile = maxRecordsPerFile, numBits = bits)
+      }
     }
     (before, parquetFiles(dir), total)
   }
 
   // ---------------------------------------------- data-skipping manifest
-  /** Per-file min/max statistics for DECLARED columns over a flat parquet
-    * dir — the Delta/Iceberg data-skipping idea from bare Spark: a scan
-    * with a range predicate consults the manifest and opens only the
-    * files whose [min, max] intersects it. On a [[compactFlat]]/
-    * [[zorderWrite]]-clustered table that is the difference between
-    * reading 100 TB and reading the two files that hold the queried day.
-    * One scan builds it (groupBy file — map-side combined, one row per
-    * file); files are identified by BASENAME so the manifest survives
-    * path requalification and dir moves.
+  /** Single-pass `%XX` unescape — decodes one layer of percent-encoding
+    * (both the URI rendering and Spark's partition-dir escaping use the
+    * same syntax, so two applications unwrap a URI-rendered escaped
+    * partition value back to the raw value).
+    */
+  private[graft] def unescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '%' && i + 3 <= s.length) {
+        try { sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3 }
+        catch { case _: NumberFormatException => sb.append(s.charAt(i)); i += 1 }
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** The dir's qualified prefix in the ENGINE's rendering (with trailing
+    * slash): `input_file_name()` reports `fileStatus.getPath.toUri
+    * .toString`, so relative manifest keys built by stripping THIS prefix
+    * from `input_file_name()` are byte-identical to keys built by
+    * stripping it from a driver-side `listStatus` walk — the property
+    * that lets the manifest's `file` column name nested
+    * (hive-partitioned) files consistently on both paths. LayoutSpec pins
+    * the round trip, escaped partition values included.
+    */
+  private def enginePrefix(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toUri.toString.stripSuffix("/") + "/"
+  }
+
+  /** `input_file_name()` rendered dir-RELATIVE — the manifest key. For a
+    * flat dir this is the basename (so pre-existing flat manifests stay
+    * valid); for a partitioned dir it is `day=.../part-....parquet`.
+    */
+  private def relFileCol(s: SparkSession, dir: String): Column =
+    substring(input_file_name(), enginePrefix(s, dir).length + 1, Int.MaxValue)
+
+  /** RECURSIVE data-file listing as dir-relative engine-rendered paths —
+    * the listing every pruned reader and refresher consults. Descends
+    * into hive partition dirs (any non-`_`/`.` subdir), skips manifest
+    * dirs, staging trees and markers at every level. Driver cost is the
+    * same file enumeration any Spark scan of the dir already performs.
+    */
+  private[graft] def listDataFiles(s: SparkSession,
+      dir: String): IndexedSeq[String] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    val pre = enginePrefix(s, dir)
+    val buf = scala.collection.mutable.ArrayBuffer[String]()
+    def walk(p: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) {
+          if (st.isDirectory) walk(st.getPath)
+          else if (n.endsWith(".parquet"))
+            buf += st.getPath.toUri.toString.stripPrefix(pre)
+        }
+      }
+    walk(root)
+    buf.toIndexedSeq
+  }
+
+  /** A relative manifest key turned back into a readable absolute path:
+    * the key is URI-rendered (the [[listDataFiles]]/`input_file_name`
+    * contract), while the filesystem holds the RAW names — one unescape
+    * layer undoes exactly the URI rendering (a partition dir whose
+    * on-disk name itself carries `%` from Spark's value escaping
+    * round-trips: the URI layer re-encoded that `%`, and one decode
+    * restores it). Every pruned read and sample rescan must route here —
+    * handing the encoded form to `spark.read` looks up a literal `%20`
+    * on disk and misses.
+    */
+  private[graft] def absDataPath(dir: String, rel: String): String =
+    s"$dir/${unescape(rel)}"
+
+  /** A relative path's hive partition value for `key`, None when the path
+    * carries no such segment (a flat file, or a different layout level).
+    * Values are double-unescaped: once for the URI rendering the relative
+    * keys use, once for Spark's partition-dir escaping — yielding the raw
+    * value the discovered partition COLUMN holds.
+    */
+  private def partitionValueOf(rel: String, key: String): Option[String] =
+    rel.split('/').dropRight(1).iterator
+      .map(_.split("=", 2))
+      .collectFirst { case Array(k, v) if unescape(k) == key =>
+        unescape(unescape(v)) }
+
+  /** Fold PARTITION-COLUMN predicates into a prune over the listed files —
+    * the piece stats intervals can't give uncovered files: a file whose
+    * partition dir says `day=2024-07-01` is excludable from a
+    * `day BETWEEN …` read even before any manifest covers it (dir names
+    * are exact, not statistics, so this prune is safe for files of ANY
+    * coverage state — including rows appended after the last refresh).
+    * Predicates are evaluated THROUGH the engine (one files-sized local
+    * frame, values cast to the discovered column type) so string-vs-type
+    * comparison semantics can never diverge from the row-level filter;
+    * a file lacking the key, or whose value doesn't cast, is KEPT (prune
+    * less, never wrong). `pred` receives the typed column and returns
+    * the keep condition.
+    */
+  private def partitionPrune(s: SparkSession, files: IndexedSeq[String],
+      schema: => org.apache.spark.sql.types.StructType,
+      wanted: Seq[(String, Column => Column)]): IndexedSeq[String] = {
+    // cheap path check FIRST: a flat dir never forces the schema (which
+    // costs a footer read + partition discovery)
+    val applicable = wanted.filter { case (c, _) =>
+      files.exists(partitionValueOf(_, c).isDefined) &&
+        schema.fieldNames.contains(c)
+    }
+    if (applicable.isEmpty || files.isEmpty) return files
+    val rows = files.map { f =>
+      org.apache.spark.sql.Row.fromSeq(
+        f +: applicable.map { case (c, _) => partitionValueOf(f, c).orNull })
+    }
+    val schemaLocal = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("file",
+        org.apache.spark.sql.types.StringType) +:
+        applicable.zipWithIndex.map { case (_, i) =>
+          org.apache.spark.sql.types.StructField(s"_v$i",
+            org.apache.spark.sql.types.StringType) })
+    val local = s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      schemaLocal)
+    val keep = applicable.zipWithIndex.map { case ((c, pred), i) =>
+      val typed = col(s"_v$i").cast(schema(c).dataType)
+      // unevaluable (null segment, failed cast) → keep: prune less, never wrong
+      col(s"_v$i").isNull || coalesce(pred(typed), lit(true))
+    }.reduce(_ && _)
+    val kept = local.filter(keep).select(col("file"))
+      .collect().map(_.getString(0)).toSet
+    files.filter(kept)
+  }
+  /** Per-file min/max statistics for DECLARED columns over a parquet dir,
+    * flat OR hive-partitioned — the Delta/Iceberg data-skipping idea from
+    * bare Spark: a scan with a range predicate consults the manifest and
+    * opens only the files whose [min, max] intersects it. On a
+    * [[compactFlat]]/[[zorderWrite]]-clustered table that is the
+    * difference between reading 100 TB and reading the two files that
+    * hold the queried day. One scan builds it (groupBy file — map-side
+    * combined, one row per file); files are identified by dir-RELATIVE
+    * path (basename for a flat dir — pre-existing flat manifests stay
+    * valid — `day=…/part-….parquet` under partitioning), so the manifest
+    * survives path requalification and dir moves. Partition columns are
+    * first-class: discovery surfaces them on the scan, so a declared
+    * partition column gets (constant) per-file intervals like any other —
+    * and partitioned layouts prune through the SAME read path.
     */
   def statsManifest(s: SparkSession, dir: String, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "statsManifest needs at least one column")
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
     s.read.parquet(dir)
-      .groupBy(substring_index(input_file_name(), "/", -1).as("file"))
+      .groupBy(relFileCol(s, dir).as("file"))
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
   }
 
@@ -353,25 +491,24 @@ object Layout {
     if (cols.isEmpty) return (0L, 0L, 0L)
     val mDir = s"$dir/$ManifestDir"
     val m = s.read.parquet(mDir)
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val dataFiles = fs.listStatus(p).map(_.getPath.getName)
-      .filter(_.endsWith(".parquet")).toIndexedSeq
+    val dataFiles = listDataFiles(s, dir)
     val covered = m.select(col("file")).collect().map(_.getString(0)).toSet
     val newFiles = dataFiles.filterNot(covered)
     val phantoms = (covered -- dataFiles).size.toLong
     if (newFiles.isEmpty && phantoms == 0L)
       return (covered.size.toLong, 0L, 0L)
     // carried rows materialize BEFORE the staged swap replaces their
-    // source; the added rows scan ONLY the new files
+    // source; the added rows scan ONLY the new files (basePath keeps the
+    // discovered partition columns of a partitioned layout in scope)
     val kept = m.filter(col("file").isInCollection(dataFiles))
       .localCheckpoint()
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
     val added =
       if (newFiles.isEmpty) kept.limit(0)
-      else s.read.parquet(newFiles.map(f => s"$dir/$f"): _*)
-        .groupBy(substring_index(input_file_name(), "/", -1).as("file"))
+      else s.read.option("basePath", dir)
+        .parquet(newFiles.map(absDataPath(dir, _)): _*)
+        .groupBy(relFileCol(s, dir).as("file"))
         .agg(count(lit(1)).as("n_rows"), aggs: _*)
     val out = kept.unionByName(added.select(kept.columns.map(col).toSeq: _*))
     writeStaged(s, mDir)(st => out.coalesce(1).write.parquet(st))
@@ -411,11 +548,16 @@ object Layout {
   def readPrunedMulti(s: SparkSession, dir: String,
       ranges: Seq[(String, Column, Column)]): DataFrame = {
     require(ranges.nonEmpty, "readPrunedMulti needs at least one range")
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val dataFiles = fs.listStatus(p).map(_.getPath.getName)
-      .filter(_.endsWith(".parquet")).toIndexedSeq
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
     val full = () => s.read.parquet(dir)
+    // PARTITION-dir pruning first: dir names are exact (not statistics),
+    // so a requested column that is a partition key excludes files of ANY
+    // manifest-coverage state — including rows appended after the last
+    // refresh, which stats pruning must keep
+    lazy val fullSchema = full().schema
+    val dataFiles = partitionPrune(s, listDataFiles(s, dir), fullSchema,
+      ranges.map { case (c, lo, hi) => (c, (v: Column) => v >= lo && v <= hi) })
     val mPath = new org.apache.hadoop.fs.Path(s"$dir/$ManifestDir")
     val pruned =
       if (!fs.exists(mPath)) dataFiles
@@ -433,9 +575,13 @@ object Layout {
             .select(col("file")).collect().map(_.getString(0)).toSet
         dataFiles.filter(f => !covered(f) || keep(f))
       }
+    // basePath keeps a partitioned layout's discovered partition columns
+    // in the pruned read's schema (a leaf-file read without it would drop
+    // them); for a flat dir it is a no-op
     val base =
       if (pruned.isEmpty) full().filter(lit(false))
-      else s.read.parquet(pruned.map(f => s"$dir/$f"): _*)
+      else s.read.option("basePath", dir)
+        .parquet(pruned.map(absDataPath(dir, _)): _*)
     base.filter(ranges.map { case (c, lo, hi) =>
       col(c) >= lo && col(c) <= hi }.reduce(_ && _))
   }
@@ -460,7 +606,7 @@ object Layout {
   def writeBloomManifest(s: SparkSession, dir: String, c: String,
       expectedPerFile: Long = 4096L, numBits: Long = 1L << 16): Unit = {
     val m = s.read.parquet(dir)
-      .groupBy(substring_index(input_file_name(), "/", -1).as("file"))
+      .groupBy(relFileCol(s, dir).as("file"))
       .agg(count(lit(1)).as("n_rows"),
         graft.functions.bloom_agg(xxhash64(col(c)), expectedPerFile, numBits)
           .as(s"bloom_$c"))
@@ -493,18 +639,27 @@ object Layout {
     * the Bloom contract, so pruning moves file opens only; false
     * positives cost extra opens at the design rate. Probe hashes are
     * computed THROUGH the engine (one literal projection) so they can
-    * never diverge from the manifest's `xxhash64(c)`; driver cost is one
-    * Bloom deserialization per file — the same per-file driver scale as
-    * [[readPruned]]'s stats pass.
+    * never diverge from the manifest's `xxhash64(c)`; and the probe
+    * itself runs DISTRIBUTED — the ≤k hashes ride into a
+    * [[graft.functions.bloom_any_of]] filter over the manifest frame, so
+    * each file's Bloom is deserialized and tested where its manifest row
+    * lives and only surviving file NAMES reach the driver. (The collect-
+    * every-Bloom-to-the-driver alternative is O(files × bloomBytes)
+    * driver memory per lookup — ~800 MB at the 100k-file table this
+    * operator targets.) Partitioned layouts compose: partition-dir
+    * equality pruning applies to every file first, and the pruned read
+    * keeps partition columns via basePath.
     */
   def readPrunedPoint(s: SparkSession, dir: String, c: String,
       values: Seq[Any]): DataFrame = {
     require(values.nonEmpty, "readPrunedPoint needs at least one value")
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val dataFiles = fs.listStatus(p).map(_.getPath.getName)
-      .filter(_.endsWith(".parquet")).toIndexedSeq
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
     val full = () => s.read.parquet(dir)
+    lazy val fullSchema = full().schema
+    // partition-dir pruning first — exact, applies to ANY coverage state
+    val dataFiles = partitionPrune(s, listDataFiles(s, dir), fullSchema,
+      Seq((c, (v: Column) => v.isin(values: _*))))
     val mPath = new org.apache.hadoop.fs.Path(s"$dir/$BloomManifestDir")
     val pruned =
       if (!fs.exists(mPath)) dataFiles
@@ -512,23 +667,22 @@ object Layout {
         val m = s.read.parquet(mPath.toString)
         if (!m.schema.fieldNames.contains(s"bloom_$c")) dataFiles
         else {
-          val colType = full().schema(c).dataType
+          val colType = fullSchema(c).dataType
           val hashes = s.range(1)
             .select(values.map(v => xxhash64(lit(v).cast(colType))): _*)
-            .head().toSeq.map(_.asInstanceOf[Long])
-          val rows = m.select(col("file"), col(s"bloom_$c")).collect()
-          val covered = rows.map(_.getString(0)).toSet
-          val keep = rows.filter { r =>
-            val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
-              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-            hashes.exists(bf.mightContainLong)
-          }.map(_.getString(0)).toSet
+            .head().toSeq.map(_.asInstanceOf[Long]).toArray
+          val covered = m.select(col("file")).collect()
+            .map(_.getString(0)).toSet
+          val keep = m
+            .filter(graft.functions.bloom_any_of(col(s"bloom_$c"), hashes))
+            .select(col("file")).collect().map(_.getString(0)).toSet
           dataFiles.filter(f => !covered(f) || keep(f))
         }
       }
     val base =
       if (pruned.isEmpty) full().filter(lit(false))
-      else s.read.parquet(pruned.map(f => s"$dir/$f"): _*)
+      else s.read.option("basePath", dir)
+        .parquet(pruned.map(absDataPath(dir, _)): _*)
     base.filter(col(c).isin(values: _*))
   }
 
@@ -632,10 +786,50 @@ object Layout {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Gate entry: events written `partitionBy(day)` — the layout
+    * [[graft.etl.Sinks]]' partitioned write recommends — clustered by
+    * user_id inside each partition, with a TWO-column manifest
+    * (user_id + the partition column itself), served through
+    * [[readPrunedMulti]] on a conjunction of both ranges. This is the
+    * composition the flat-only readers silently missed: partition-DIR
+    * pruning (exact, applies to any coverage state) excludes out-of-range
+    * days, and the manifest's user_id intervals prune inside kept days.
+    * ORACLE-EXACT: pruning moves file opens, never rows (DuckDB
+    * recomputes the plain filtered aggregate over the whole table); the
+    * fewer-files and partitioned-manifest-key assertions live in
+    * LayoutSpec. Built once per (session, corpus) like the other
+    * skipping gates.
+    */
+  def skippingReadPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.ops.Similarity.sessionScratchPath(
+      s, "graft_skipp", dir) + "/events"
+    val mp = new org.apache.hadoop.fs.Path(s"$tmp/$ManifestDir")
+    if (!mp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(mp)) {
+      Tables(s, dir).events
+        .withColumn("day",
+          floor(graft.etl.JsonEtl.tsSec(col("ts")) / lit(86400L))
+            .cast(LongType))
+        .select(col("day"), col("user_id"), col("event_type"), col("value"))
+        .repartitionByRange(8, col("day"), col("user_id"))
+        .sortWithinPartitions(col("day"), col("user_id"))
+        .write.mode("overwrite").partitionBy("day").parquet(tmp)
+      writeManifest(s, tmp, Seq("user_id", "day"))
+    }
+    readPrunedMulti(s, tmp, Seq(
+        ("day", lit(19733L), lit(19742L)),
+        ("user_id", lit(3L), lit(9L))))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder" -> (zorderKeys _),
     "layout_skipping_read" -> (skippingRead _),
     "layout_skipping_read_multi" -> (skippingReadMulti _),
+    "layout_skipping_read_partitioned" -> (skippingReadPartitioned _),
     "layout_bloom_lookup" -> (bloomLookup _)
   )
 
@@ -665,6 +859,13 @@ object Layout {
         |WHERE o_custkey BETWEEN 100 AND 500
         |  AND o_day BETWEEN 8766 AND 9495
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "layout_skipping_read_partitioned" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE epoch_ms(ts)//1000//86400 BETWEEN 19733 AND 19742
+        |  AND user_id BETWEEN 3 AND 9
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "layout_bloom_lookup" ->
       """SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars

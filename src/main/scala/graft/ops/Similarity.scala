@@ -2464,7 +2464,7 @@ object Similarity {
     * in [[graft.ops.Dedup]]; fix path hygiene (cleanup, isolation,
     * collision policy) HERE, not at six call sites.
     */
-  private[ops] def sessionScratchPath(s: SparkSession, prefix: String,
+  private[graft] def sessionScratchPath(s: SparkSession, prefix: String,
       dir: String): String = {
     val ctx = s.sparkContext.applicationId + "/" + s.sparkContext.startTime
     System.getProperty("java.io.tmpdir") + "/" + prefix + "_" +

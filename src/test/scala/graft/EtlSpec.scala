@@ -30,6 +30,75 @@ class EtlSpec extends SparkSpec {
     assert(key(foldedEmpty) === key(oneShot))
   }
 
+  test("foldConfig: one document folds every named state ≡ direct calls, replay no-op, bad kind and stamp mismatch raise") {
+    val base = Files.createTempDirectory("graft_foldcfg").toString
+    // the Tables read boundary (nanos-long ts) — the shape a landed batch
+    // dir has, and what the document's DIV-based day derivation expects
+    val events = Tables(spark, sf).events
+    val slices = (0L to 1L).map(i => events.filter(col("event_id") % 2 === i))
+    slices.zipWithIndex.foreach { case (b, i) =>
+      b.write.parquet(s"$base/batch$i") }
+    def doc(id: Long) =
+      s"""{"batchId": $id, "input": {"path": "$base/batch$id"},
+         | "derive": {"day": "CAST(ts DIV 1000000000 DIV 86400 AS BIGINT)"},
+         | "states": [
+         |  {"name": "totals", "kind": "agg", "path": "$base/agg",
+         |   "keys": "event_type", "value_col": "value"},
+         |  {"name": "uniq", "kind": "distinct", "path": "$base/dst",
+         |   "keys": "event_type", "value_col": "user_id", "lgk": 11},
+         |  {"name": "smp", "kind": "sample_windowed", "path": "$base/smp",
+         |   "keys": "event_type", "value_col": "user_id", "k": 8,
+         |   "retain_days": 14}]}""".stripMargin
+    val r0 = JsonEtl.foldConfig(spark, doc(0)).collect()
+    assert(r0.length === 3 && r0.forall(_.getBoolean(3)),
+      "first fold of each state must report folded=true")
+    JsonEtl.foldConfig(spark, doc(1))
+    // round-trip: the document-built states bit-equal direct *At calls
+    // over the same slices (same params, same ids)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(df.columns.map(col).toSeq: _*).collect().toSeq
+    val direct = s"$base/direct"
+    JsonEtl.aggUpsertAt(spark, s"$direct/agg", slices(0), 0L,
+      Seq("event_type"), "value")
+    JsonEtl.aggUpsertAt(spark, s"$direct/agg", slices(1), 1L,
+      Seq("event_type"), "value")
+    assert(key(spark.read.parquet(s"$base/agg"))
+      === key(spark.read.parquet(s"$direct/agg")))
+    val withDay = (b: org.apache.spark.sql.DataFrame) => b.withColumn("day",
+      expr("CAST(ts DIV 1000000000 DIV 86400 AS BIGINT)"))
+    JsonEtl.sampleUpsertWindowedAt(spark, s"$direct/smp", withDay(slices(0)),
+      0L, Seq("event_type"), "user_id", k = 8, retainDays = 14)
+    JsonEtl.sampleUpsertWindowedAt(spark, s"$direct/smp", withDay(slices(1)),
+      1L, Seq("event_type"), "user_id", k = 8, retainDays = 14)
+    assert(key(spark.read.parquet(s"$base/smp"))
+      === key(spark.read.parquet(s"$direct/smp")))
+    // a replayed document is a per-state no-op, reported as folded=false
+    val replay = JsonEtl.foldConfig(spark, doc(1)).collect()
+    assert(replay.forall(!_.getBoolean(3)), "replay must report folded=false")
+    assert(key(spark.read.parquet(s"$base/agg"))
+      === key(spark.read.parquet(s"$direct/agg")), "replay must not re-fold")
+    // an unknown kind raises BEFORE any state folds (all blocks validate
+    // first — a config typo must not leave the set half-folded): batchId 2
+    // is above every watermark, so a fold WOULD run if validation leaked
+    val bad = doc(1).replace("\"batchId\": 1", "\"batchId\": 2")
+      .replace("\"kind\": \"distinct\"", "\"kind\": \"nope\"")
+    assertThrows[IllegalArgumentException](JsonEtl.foldConfig(spark, bad))
+    assert(JsonEtl.aggFoldWatermark(spark, s"$base/agg") === 1L,
+      "a config with any bad block must fold nothing")
+    // a document whose parameters contradict the state's stamp raises the
+    // durableFold fence (the config surface IS the _state_meta vocabulary)
+    val mismatched =
+      s"""{"batchId": 2, "input": {"path": "$base/batch1"},
+         | "states": [{"name": "uniq", "kind": "distinct",
+         |  "path": "$base/dst", "keys": "event_type",
+         |  "value_col": "user_id", "lgk": 12}]}""".stripMargin
+    val e = intercept[IllegalArgumentException](
+      JsonEtl.foldConfig(spark, mismatched))
+    assert(e.getMessage.contains("different parameters"))
+    assert(JsonEtl.aggFoldWatermark(spark, s"$base/dst") === 1L,
+      "a stamp-fenced fold must leave the state untouched")
+  }
+
   test("durable incremental aggregate: replay is a no-op, crash mid-swap recovers") {
     val events = spark.read.parquet(s"$sf/events.parquet")
     val path = Files.createTempDirectory("graft_aggstate").toString + "/state"

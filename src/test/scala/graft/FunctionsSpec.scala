@@ -127,6 +127,48 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("bloom_any_of: per-row bloom column probed by constant hashes, codegen and interpreted, no false negatives") {
+    import org.apache.spark.sql.functions._
+    // per-GROUP blooms (one row per bloom — the manifest shape): group
+    // doc ids by mod 4, bloom each group over xxhash64(doc_id), then ask
+    // "might any of {3, 57, absent} be in this group" — a group holding a
+    // probed id must ALWAYS say yes (no false negatives); others may
+    // false-positive at the design rate but here are sized far below it
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), (col("doc_id") % 4).as("g")).limit(400)
+    val m = docs.groupBy(col("g"))
+      .agg(graft.functions.bloom_agg(xxhash64(col("doc_id")), 4096L, 1L << 16)
+        .as("bloom"))
+    val probes = Seq(3L, 57L)
+    val hashes = spark.range(1)
+      .select(probes.map(v => xxhash64(lit(v))): _*)
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    def run(): Map[Long, Boolean] = m
+      .select(col("g"),
+        graft.functions.bloom_any_of(col("bloom"), hashes).as("hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val factoryMode = "spark.sql.codegen.factoryMode"
+    val prior = spark.conf.getOption(factoryMode)
+    try {
+      spark.conf.set(factoryMode, "CODEGEN_ONLY")
+      val gen = run()
+      spark.conf.set(factoryMode, "NO_CODEGEN")
+      val interp = run()
+      assert(gen === interp, "codegen and interpreted paths must agree")
+      // groups that actually HOLD a probed id must hit (3 % 4 = 3, 57 % 4 = 1)
+      assert(gen(3L) && gen(1L), "no false negatives by the Bloom contract")
+      // an absent-everywhere probe set may only false-positive, never throw
+      val absent = spark.range(1)
+        .select(xxhash64(lit(987654321L))).head().getLong(0)
+      val misses = m.filter(
+        !graft.functions.bloom_any_of(col("bloom"), Array(absent))).count()
+      assert(misses >= 1L, "a far-absent probe should miss most groups")
+    } finally prior match {
+      case Some(v) => spark.conf.set(factoryMode, v)
+      case None => spark.conf.unset(factoryMode)
+    }
+  }
+
   test("bloom_count equals the HOF might_contain formulation, codegen and interpreted") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(200)

@@ -245,6 +245,112 @@ class LayoutSpec extends SparkSpec {
         .filter(col("l_shipdate") >= lo && col("l_shipdate") <= hi).count())
   }
 
+  test("partitioned layouts compose with skipping manifests: dir + stats pruning, both routes, stale-safe") {
+    val dir = Files.createTempDirectory("graft_partskip").toString + "/ev"
+    val ev = Tables(spark, sf).events
+      .withColumn("day",
+        floor((col("ts") / 1000000000L).cast("long") / 86400L).cast("long"))
+      .select(col("day"), col("user_id"), col("event_type"), col("value"),
+        col("event_id"))
+    ev.repartitionByRange(4, col("day"), col("user_id"))
+      .sortWithinPartitions(col("day"), col("user_id"))
+      .write.partitionBy("day").option("maxRecordsPerFile", 60).parquet(dir)
+    Layout.writeManifest(spark, dir, Seq("user_id", "day"))
+    // manifest keys are dir-RELATIVE paths naming the partition dirs, and
+    // the manifest accounts for every nested file and every row — the
+    // round-10 gap: the flat-only build covered NOTHING here
+    val m = spark.read.parquet(s"$dir/${Layout.ManifestDir}")
+    assert(m.filter(col("file").startsWith("day=")).count() === m.count(),
+      "manifest keys must be partition-relative paths")
+    assert(m.agg(sum(col("n_rows"))).head.getLong(0) === ev.count())
+    val nFiles = m.count()
+    assert(nFiles > 4L, "partitionBy must have produced nested files")
+    val Array(dMin, dMax) = ev.agg(min(col("day")), max(col("day")))
+      .collect().flatMap(r => Array(r.getLong(0), r.getLong(1)))
+    val (dLo, dHi) = (dMin + (dMax - dMin) / 3, dMin + (dMax - dMin) / 2)
+    val (uLo, uHi) = (2L, 6L)
+    def expect = ev.filter(col("day").between(dLo, dHi)
+        && col("user_id").between(uLo, uHi))
+      .orderBy(col("event_id")).select(col("event_id")).collect().toSeq
+    val pruned = Layout.readPrunedMulti(spark, dir, Seq(
+      ("day", lit(dLo), lit(dHi)), ("user_id", lit(uLo), lit(uHi))))
+    assert(pruned.orderBy(col("event_id")).select(col("event_id"))
+      .collect().toSeq === expect, "pruning moves file opens, never rows")
+    assert(pruned.inputFiles.length < nFiles,
+      s"partitioned read must prune: ${pruned.inputFiles.length} of $nFiles")
+    // partition-DIR pruning works for UNCOVERED files too (dir names are
+    // exact, not statistics): append an out-of-range day — stats can't
+    // vouch for it yet, but its dir name excludes it from the read's
+    // file set entirely, and an in-range append is kept (stale-safe)
+    ev.filter(col("day").between(dLo, dHi) && col("user_id").between(uLo, uHi))
+      .limit(5).withColumn("day", lit(dMax + 100L))
+      .write.mode("append").partitionBy("day").parquet(dir)
+    val afterOut = Layout.readPrunedMulti(spark, dir, Seq(
+      ("day", lit(dLo), lit(dHi)), ("user_id", lit(uLo), lit(uHi))))
+    assert(afterOut.count() === expect.size.toLong,
+      "out-of-range appended partition must be dir-pruned, not scanned in")
+    assert(!afterOut.inputFiles.exists(_.contains(s"day=${dMax + 100}")),
+      "the appended partition's files must not be opened at all")
+    ev.filter(col("day").between(dLo, dHi) && col("user_id").between(uLo, uHi))
+      .limit(5).write.mode("append").partitionBy("day").parquet(dir)
+    assert(Layout.readPrunedMulti(spark, dir, Seq(
+        ("day", lit(dLo), lit(dHi)), ("user_id", lit(uLo), lit(uHi))))
+      .count() === expect.size.toLong + 5,
+      "in-range uncovered appends must be kept — stale degrades, never drops")
+    // incremental refresh re-covers the appends (relative keys)
+    val (_, added, _) = Layout.refreshManifestIncremental(spark, dir)
+    assert(added >= 2L)
+    assert(Layout.readPrunedMulti(spark, dir, Seq(
+        ("day", lit(dLo), lit(dHi)), ("user_id", lit(uLo), lit(uHi))))
+      .count() === expect.size.toLong + 5)
+    // the POINT route composes too: a bloom manifest over the scattered
+    // event_id, plus partition-dir equality pruning on day itself
+    Layout.writeBloomManifest(spark, dir, "event_id")
+    val ids: Seq[Any] = ev.filter(col("day").between(dLo, dHi))
+      .select(col("event_id")).limit(3).collect().map(_.getLong(0)).toSeq
+    val point = Layout.readPrunedPoint(spark, dir, "event_id", ids)
+    assert(point.select(col("event_id")).orderBy(col("event_id"))
+      .collect().map(_.getLong(0)).toSeq === ids.map(_.asInstanceOf[Long]).sorted)
+    assert(point.inputFiles.length < nFiles,
+      s"bloom point route must prune nested files: ${point.inputFiles.length}")
+    // a partition-column point lookup prunes by dir name alone (no bloom
+    // over day exists — the partition value IS exact membership)
+    val dayPoint = Layout.readPrunedPoint(spark, dir, "day", Seq(dLo))
+    // the dir now also holds the in-range appended duplicates — compare
+    // against what the dir actually contains, not the original frame
+    assert(dayPoint.count()
+      === spark.read.parquet(dir).filter(col("day") === dLo).count())
+    assert(dayPoint.inputFiles.forall(_.contains(s"day=$dLo")),
+      "a partition-key point lookup must open only that partition's files")
+  }
+
+  test("manifest keys round-trip escaped partition values (space, percent)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_escpart").toString + "/t"
+    val df = Seq(("a b", 1L), ("a b", 2L), ("x%y", 10L), ("x%y", 11L),
+      ("plain", 20L)).toDF("s", "v")
+    df.repartition(1).write.partitionBy("s").parquet(dir)
+    Layout.writeManifest(spark, dir, Seq("v", "s"))
+    // every nested file is covered under its (escaped) relative key, and
+    // the stats pass saw every row — the listing and the engine agree on
+    // the key rendering even through the double escaping
+    val m = spark.read.parquet(s"$dir/${Layout.ManifestDir}")
+    assert(m.count() === 3L)
+    assert(m.agg(sum(col("n_rows"))).head.getLong(0) === 5L)
+    // pruning on the escaped partition VALUE: dir-name pruning + stats
+    // both recover the raw value
+    val one = Layout.readPrunedMulti(spark, dir,
+      Seq(("s", lit("a b"), lit("a b"))))
+    assert(one.select(col("v")).orderBy(col("v")).collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(one.inputFiles.length === 1,
+      s"escaped-value partition must dir-prune: ${one.inputFiles.length}")
+    val pct = Layout.readPrunedMulti(spark, dir,
+      Seq(("v", lit(10L), lit(11L))))
+    assert(pct.select(col("s")).distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("x%y"))
+  }
+
   test("bloom manifest: point lookups prune where min/max cannot, never lose rows, survive compaction") {
     val dir = Files.createTempDirectory("graft_bloomtest").toString + "/docs"
     val docs = spark.read.parquet(s"$sf/documents.parquet")

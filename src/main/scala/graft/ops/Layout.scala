@@ -553,11 +553,34 @@ object Layout {
     * argument. The row-level conjunction still applies inside kept
     * files.
     */
+  /** The stats-interval tier shared by [[readPrunedMulti]] and
+    * [[pruneReport]]: keep a file iff it is uncovered, or every covered
+    * requested column's [min, max] intersects its range. No-op without a
+    * manifest.
+    */
+  private def statsPruneRanges(s: SparkSession, dir: String,
+      files: IndexedSeq[String],
+      ranges: Seq[(String, Column, Column)]): IndexedSeq[String] = {
+    val mPath = new org.apache.hadoop.fs.Path(s"$dir/$ManifestDir")
+    val fs = mPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(mPath)) return files
+    val m = s.read.parquet(mPath.toString)
+    val coveredCols = m.schema.fieldNames
+      .filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSet
+    val covered = m.select(col("file")).collect().map(_.getString(0)).toSet
+    val conds = ranges.collect { case (c, lo, hi) if coveredCols(c) =>
+      col(s"max_$c") >= lo && col(s"min_$c") <= hi
+    }
+    val keep =
+      if (conds.isEmpty) covered // no requested column covered: keep all
+      else m.filter(conds.reduce(_ && _))
+        .select(col("file")).collect().map(_.getString(0)).toSet
+    files.filter(f => !covered(f) || keep(f))
+  }
+
   def readPrunedMulti(s: SparkSession, dir: String,
       ranges: Seq[(String, Column, Column)]): DataFrame = {
     require(ranges.nonEmpty, "readPrunedMulti needs at least one range")
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
     val full = () => s.read.parquet(dir)
     // PARTITION-dir pruning first: dir names are exact (not statistics),
     // so a requested column that is a partition key excludes files of ANY
@@ -566,23 +589,7 @@ object Layout {
     lazy val fullSchema = full().schema
     val dataFiles = partitionPrune(s, listDataFiles(s, dir), fullSchema,
       ranges.map { case (c, lo, hi) => (c, (v: Column) => v >= lo && v <= hi) })
-    val mPath = new org.apache.hadoop.fs.Path(s"$dir/$ManifestDir")
-    val pruned =
-      if (!fs.exists(mPath)) dataFiles
-      else {
-        val m = s.read.parquet(mPath.toString)
-        val coveredCols = m.schema.fieldNames
-          .filter(_.startsWith("min_")).map(_.stripPrefix("min_")).toSet
-        val covered = m.select(col("file")).collect().map(_.getString(0)).toSet
-        val conds = ranges.collect { case (c, lo, hi) if coveredCols(c) =>
-          col(s"max_$c") >= lo && col(s"min_$c") <= hi
-        }
-        val keep =
-          if (conds.isEmpty) covered // no requested column covered: keep all
-          else m.filter(conds.reduce(_ && _))
-            .select(col("file")).collect().map(_.getString(0)).toSet
-        dataFiles.filter(f => !covered(f) || keep(f))
-      }
+    val pruned = statsPruneRanges(s, dir, dataFiles, ranges)
     // basePath keeps a partitioned layout's discovered partition columns
     // in the pruned read's schema (a leaf-file read without it would drop
     // them); for a flat dir it is a no-op
@@ -592,6 +599,31 @@ object Layout {
         .parquet(pruned.map(absDataPath(dir, _)): _*)
     base.filter(ranges.map { case (c, lo, hi) =>
       col(c) >= lo && col(c) <= hi }.reduce(_ && _))
+  }
+
+  /** Pruning AUDIT for a range read — the measure-don't-guess report an
+    * operator consults before trusting a layout: which tier drops how
+    * many files for THIS predicate set ("is my manifest actually
+    * pruning? did the append leave everything uncovered?"). One row per
+    * tier in the evaluation order the pruned readers use (partition dirs
+    * → stats intervals), files_in → files_kept, plus a `total` header
+    * row. Audit-priced: the same manifest scans the read itself pays,
+    * no data files opened.
+    */
+  def pruneReport(s: SparkSession, dir: String,
+      ranges: Seq[(String, Column, Column)]): DataFrame = {
+    require(ranges.nonEmpty, "pruneReport needs at least one range")
+    lazy val fullSchema = s.read.parquet(dir).schema
+    val all = listDataFiles(s, dir)
+    val afterPart = partitionPrune(s, all, fullSchema,
+      ranges.map { case (c, lo, hi) => (c, (v: Column) => v >= lo && v <= hi) })
+    val afterStats = statsPruneRanges(s, dir, afterPart, ranges)
+    import s.implicits._
+    Seq(
+      ("total", all.size.toLong, all.size.toLong),
+      ("partition_dirs", all.size.toLong, afterPart.size.toLong),
+      ("stats_intervals", afterPart.size.toLong, afterStats.size.toLong))
+      .toDF("tier", "files_in", "files_kept")
   }
 
   // ------------------------------------------- bloom (point-lookup) manifest
@@ -711,61 +743,93 @@ object Layout {
     * uncovered files, and the pruned read keeps partition columns via
     * basePath.
     */
+  /** Tier 2 of the point route ([[readPrunedPoint]]/[[pruneReportPoint]]):
+    * stats intervals — a point IS a degenerate range, so a covered
+    * clustered key prunes here even when no Bloom manifest exists; typed
+    * literals go through the engine like the row filter.
+    */
+  private def statsPrunePoint(s: SparkSession, dir: String,
+      files: IndexedSeq[String], c: String,
+      colType: => org.apache.spark.sql.types.DataType,
+      values: Seq[Any]): IndexedSeq[String] = {
+    val sPath = new org.apache.hadoop.fs.Path(s"$dir/$ManifestDir")
+    val fs = sPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(sPath)) return files
+    val m = s.read.parquet(sPath.toString)
+    if (!m.schema.fieldNames.contains(s"min_$c")) return files
+    val covered = m.select(col("file")).collect().map(_.getString(0)).toSet
+    val anyIn = values.map(v => col(s"min_$c") <= lit(v).cast(colType)
+      && col(s"max_$c") >= lit(v).cast(colType)).reduce(_ || _)
+    val keep = m.filter(anyIn)
+      .select(col("file")).collect().map(_.getString(0)).toSet
+    files.filter(f => !covered(f) || keep(f))
+  }
+
+  /** Tier 3 of the point route: the distributed Bloom probe. */
+  private def bloomPrunePoint(s: SparkSession, dir: String,
+      files: IndexedSeq[String], c: String,
+      colType: => org.apache.spark.sql.types.DataType,
+      values: Seq[Any]): IndexedSeq[String] = {
+    val mPath = new org.apache.hadoop.fs.Path(s"$dir/$BloomManifestDir")
+    val fs = mPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(mPath)) return files
+    val m = s.read.parquet(mPath.toString)
+    if (!m.schema.fieldNames.contains(s"bloom_$c")) return files
+    val hashes = s.range(1)
+      .select(values.map(v => xxhash64(lit(v).cast(colType))): _*)
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val covered = m.select(col("file")).collect().map(_.getString(0)).toSet
+    val keep = m
+      .filter(graft.functions.bloom_any_of(col(s"bloom_$c"), hashes))
+      .select(col("file")).collect().map(_.getString(0)).toSet
+    files.filter(f => !covered(f) || keep(f))
+  }
+
   def readPrunedPoint(s: SparkSession, dir: String, c: String,
       values: Seq[Any]): DataFrame = {
     require(values.nonEmpty, "readPrunedPoint needs at least one value")
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
     val full = () => s.read.parquet(dir)
     lazy val fullSchema = full().schema
     // tier 1: partition-dir pruning — exact, applies to ANY coverage state
     val dataFiles = partitionPrune(s, listDataFiles(s, dir), fullSchema,
       Seq((c, (v: Column) => v.isin(values: _*))))
-    // tier 2: stats intervals — a point IS a degenerate range, so a
-    // covered clustered key prunes here even when no Bloom manifest
-    // exists; typed literals go through the engine like the row filter
-    val sPath = new org.apache.hadoop.fs.Path(s"$dir/$ManifestDir")
-    val statsPruned =
-      if (!fs.exists(sPath)) dataFiles
-      else {
-        val m = s.read.parquet(sPath.toString)
-        if (!m.schema.fieldNames.contains(s"min_$c")) dataFiles
-        else {
-          val colType = fullSchema(c).dataType
-          val covered = m.select(col("file")).collect()
-            .map(_.getString(0)).toSet
-          val anyIn = values.map(v => col(s"min_$c") <= lit(v).cast(colType)
-            && col(s"max_$c") >= lit(v).cast(colType)).reduce(_ || _)
-          val keep = m.filter(anyIn)
-            .select(col("file")).collect().map(_.getString(0)).toSet
-          dataFiles.filter(f => !covered(f) || keep(f))
-        }
-      }
-    // tier 3: the Bloom probe, executor-side
-    val mPath = new org.apache.hadoop.fs.Path(s"$dir/$BloomManifestDir")
-    val pruned =
-      if (!fs.exists(mPath)) statsPruned
-      else {
-        val m = s.read.parquet(mPath.toString)
-        if (!m.schema.fieldNames.contains(s"bloom_$c")) statsPruned
-        else {
-          val colType = fullSchema(c).dataType
-          val hashes = s.range(1)
-            .select(values.map(v => xxhash64(lit(v).cast(colType))): _*)
-            .head().toSeq.map(_.asInstanceOf[Long]).toArray
-          val covered = m.select(col("file")).collect()
-            .map(_.getString(0)).toSet
-          val keep = m
-            .filter(graft.functions.bloom_any_of(col(s"bloom_$c"), hashes))
-            .select(col("file")).collect().map(_.getString(0)).toSet
-          statsPruned.filter(f => !covered(f) || keep(f))
-        }
-      }
+    val statsPruned = statsPrunePoint(s, dir, dataFiles, c,
+      fullSchema(c).dataType, values)
+    val pruned = bloomPrunePoint(s, dir, statsPruned, c,
+      fullSchema(c).dataType, values)
     val base =
       if (pruned.isEmpty) full().filter(lit(false))
       else s.read.option("basePath", dir)
         .parquet(pruned.map(absDataPath(dir, _)): _*)
     base.filter(col(c).isin(values: _*))
+  }
+
+  /** [[pruneReport]] for the point route — the same three tiers
+    * [[readPrunedPoint]] evaluates (partition dirs → stats intervals →
+    * Bloom probe), files_in → files_kept per tier. The row an operator
+    * reads off it: a Bloom tier that stops dropping files on a lookup
+    * that used to prune is the saturated-filter signature
+    * (writeBloomManifest's sizing note) — rebuild with the real per-file
+    * row count.
+    */
+  def pruneReportPoint(s: SparkSession, dir: String, c: String,
+      values: Seq[Any]): DataFrame = {
+    require(values.nonEmpty, "pruneReportPoint needs at least one value")
+    lazy val fullSchema = s.read.parquet(dir).schema
+    val all = listDataFiles(s, dir)
+    val afterPart = partitionPrune(s, all, fullSchema,
+      Seq((c, (v: Column) => v.isin(values: _*))))
+    val afterStats = statsPrunePoint(s, dir, afterPart, c,
+      fullSchema(c).dataType, values)
+    val afterBloom = bloomPrunePoint(s, dir, afterStats, c,
+      fullSchema(c).dataType, values)
+    import s.implicits._
+    Seq(
+      ("total", all.size.toLong, all.size.toLong),
+      ("partition_dirs", all.size.toLong, afterPart.size.toLong),
+      ("stats_intervals", afterPart.size.toLong, afterStats.size.toLong),
+      ("bloom_probe", afterStats.size.toLong, afterBloom.size.toLong))
+      .toDF("tier", "files_in", "files_kept")
   }
 
   /** Gate entry: documents hash-scattered into 16 files (every file's
@@ -882,7 +946,11 @@ object Layout {
     * LayoutSpec. Built once per (session, corpus) like the other
     * skipping gates.
     */
-  def skippingReadPartitioned(s: SparkSession, dir: String): DataFrame = {
+  /** The memoized partitionBy(day) events copy + two-column manifest the
+    * partitioned-skipping gates share (one build per session + corpus —
+    * the indexMemo discipline).
+    */
+  private def partitionedEventsDir(s: SparkSession, dir: String): String = {
     val tmp = graft.ops.Similarity.sessionScratchPath(
       s, "graft_skipp", dir) + "/events"
     val mp = new org.apache.hadoop.fs.Path(s"$tmp/$ManifestDir")
@@ -897,7 +965,11 @@ object Layout {
         .write.mode("overwrite").partitionBy("day").parquet(tmp)
       writeManifest(s, tmp, Seq("user_id", "day"))
     }
-    readPrunedMulti(s, tmp, Seq(
+    tmp
+  }
+
+  def skippingReadPartitioned(s: SparkSession, dir: String): DataFrame =
+    readPrunedMulti(s, partitionedEventsDir(s, dir), Seq(
         ("day", lit(19733L), lit(19742L)),
         ("user_id", lit(3L), lit(9L))))
       .groupBy(col("event_type"))
@@ -905,13 +977,26 @@ object Layout {
         sum(col("value").cast(DecimalType(18, 2))).cast("double")
           .as("sum_value"))
       .orderBy(col("event_type"))
-  }
+
+  /** Gate entry (rows-only — file counts are layout metadata no SQL
+    * oracle computes): the [[pruneReport]] audit over the partitioned
+    * events copy for the same band [[skippingReadPartitioned]] reads —
+    * the operator-facing answer to "is my layout actually pruning this
+    * query, and which tier does the work". Tier monotonicity and
+    * fewer-files are spec-pinned in LayoutSpec.
+    */
+  def pruneReportQ(s: SparkSession, dir: String): DataFrame =
+    pruneReport(s, partitionedEventsDir(s, dir), Seq(
+        ("day", lit(19733L), lit(19742L)),
+        ("user_id", lit(3L), lit(9L))))
+      .orderBy(col("tier"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder" -> (zorderKeys _),
     "layout_skipping_read" -> (skippingRead _),
     "layout_skipping_read_multi" -> (skippingReadMulti _),
     "layout_skipping_read_partitioned" -> (skippingReadPartitioned _),
+    "layout_prune_report" -> (pruneReportQ _),
     "layout_bloom_lookup" -> (bloomLookup _)
   )
 

@@ -650,6 +650,46 @@ object Streams extends Serializable {
     audit
   }
 
+  /** Streaming lake-ingest sink that keeps the data-skipping tier FRESH:
+    * each micro-batch lands under the exactly-once marker protocol
+    * ([[commitBatch]] — replays replace their own `b<id>-*` file set),
+    * then BOTH skipping manifests refresh INCREMENTALLY (first batch
+    * creates them; later batches pay stats/Bloom cost ∝ the batch —
+    * [[graft.ops.Layout.refreshManifestIncremental]]'s immutable-file
+    * argument). This closes the loop the batch world already has: without
+    * it, a streamed table's manifests go stale one batch at a time and
+    * every pruned read degrades toward a full scan (safely — uncovered
+    * files are always kept — but the whole point of the tier erodes).
+    *
+    * Crash contract: the manifest refresh runs AFTER the batch's marker
+    * commits, so a crash between the two leaves the new files merely
+    * UNCOVERED (the safe degrade the pruned readers are built on), and
+    * the NEXT batch's incremental refresh covers them — the refresher
+    * scans every uncovered file, not just its own batch's, so staleness
+    * self-heals without any repair step. Periodic [[compactSinkDir]]
+    * rebuilds both manifests over the compacted layout as always.
+    */
+  def skippingIngestSink(events: DataFrame, dir: String, checkpoint: String,
+      statsCols: Seq[String], bloomCol: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        commitBatch(s, dir, batchId)(
+          dir -> { st => batch.write.parquet(st) })
+        if (graft.ops.Layout.manifestCols(s, dir).isEmpty)
+          graft.ops.Layout.writeManifest(s, dir, statsCols)
+        else { graft.ops.Layout.refreshManifestIncremental(s, dir); () }
+        bloomCol.foreach { c =>
+          if (graft.ops.Layout.bloomManifestCol(s, dir).isEmpty)
+            graft.ops.Layout.writeBloomManifest(s, dir, c)
+          else { graft.ops.Layout.refreshBloomManifestIncremental(s, dir); () }
+        }
+      }
+      .start()
+
   /** The living-corpus ingest loop end to end: each arriving micro-batch
     * of documents is near-dup-checked against the PERSISTED MinHash
     * signature index ([[graft.ops.Dedup.minhashIncremental]] — detected

@@ -294,6 +294,17 @@ class LayoutSpec extends SparkSpec {
       .collect().toSeq === expect, "pruning moves file opens, never rows")
     assert(pruned.inputFiles.length < nFiles,
       s"partitioned read must prune: ${pruned.inputFiles.length} of $nFiles")
+    // the audit report attributes the pruning to its tiers and agrees
+    // with what the read actually opened
+    val rep = Layout.pruneReport(spark, dir, Seq(
+        ("day", lit(dLo), lit(dHi)), ("user_id", lit(uLo), lit(uHi))))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rep("total")._1 === nFiles)
+    assert(rep("partition_dirs")._2 < nFiles, "partition tier must drop files")
+    assert(rep("stats_intervals")._1 === rep("partition_dirs")._2,
+      "tiers chain: stats starts from the partition tier's survivors")
+    assert(rep("stats_intervals")._2 === pruned.inputFiles.length.toLong,
+      "the report's final kept set must equal what the read opens")
     // partition-DIR pruning works for UNCOVERED files too (dir names are
     // exact, not statistics): append an out-of-range day — stats can't
     // vouch for it yet, but its dir name excludes it from the read's
@@ -401,6 +412,14 @@ class LayoutSpec extends SparkSpec {
     val expect = key(docs.filter(col("doc_id").isin(probes: _*)))
     assert(expect.size === probes.size, "all probes must exist in the corpus")
     assert(key(bloomed) === expect)
+    // the point-route audit: stats are useless on the scattered key, the
+    // Bloom tier does the dropping, and the final kept set is the read's
+    val prep = Layout.pruneReportPoint(spark, dir, "doc_id", probes)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(prep("stats_intervals")._2 >= (n - 1).toLong,
+      "range stats must stay useless on a hash-scattered key")
+    assert(prep("bloom_probe")._2 === bloomed.inputFiles.length.toLong,
+      "the report's bloom tier must equal what the point read opens")
     // absent ids cost opens (maybe), never rows
     assert(Layout.readPrunedPoint(spark, dir, "doc_id",
       Seq(99999991L, 99999992L)).count() === 0L)

@@ -1219,4 +1219,41 @@ class StreamingSpec extends SparkSpec {
     q2.processAllAvailable(); q2.stop()
     assert(vecsOf(s"$base/index").size === before)
   }
+
+  test("skipping ingest sink: manifests stay fresh per batch, pruned reads exact and skip files") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_skip_sink").toString
+    val dir = s"$base/t"
+    val in = MemoryStream[(Long, Long, Double)]
+    val q = Streams.skippingIngestSink(
+      in.toDF().toDF("event_id", "user_id", "value"),
+      dir, s"$base/ckpt", statsCols = Seq("event_id"),
+      bloomCol = Some("event_id"))
+    val b0 = (0L until 40L).map(i => (i, i % 10, i * 1.5))
+    val b1 = (40L until 80L).map(i => (i, i % 10, i * 0.5))
+    in.addData(b0: _*); q.processAllAvailable()
+    // the FIRST batch creates both manifests
+    assert(graft.ops.Layout.manifestCols(spark, dir) === Seq("event_id"))
+    assert(graft.ops.Layout.bloomManifestCol(spark, dir) === Some("event_id"))
+    in.addData(b1: _*); q.processAllAvailable()
+    q.stop()
+    // every landed file is covered — the incremental refresh ran per batch
+    val m = spark.read.parquet(s"$dir/${graft.ops.Layout.ManifestDir}")
+    val nFiles = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(new org.apache.hadoop.fs.Path(dir))
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    assert(m.count() === nFiles.toLong, "manifest must cover every batch's files")
+    assert(m.agg(sum(col("n_rows"))).head.getLong(0) === 80L)
+    // pruned reads stay exact over the streamed table, and the per-batch
+    // event_id clustering actually skips the other batch's files
+    val r = graft.ops.Layout.readPruned(spark, dir, "event_id",
+      lit(0L), lit(39L))
+    assert(r.count() === 40L)
+    assert(r.inputFiles.length < nFiles,
+      s"batch-clustered range must skip files: ${r.inputFiles.length} of $nFiles")
+    assert(graft.ops.Layout.readPrunedPoint(spark, dir, "event_id",
+      Seq(5L, 77L)).count() === 2L)
+  }
 }

@@ -2269,6 +2269,14 @@ object JsonEtl {
         s"unknown state kind '$kind' (expected one of " +
           s"${FoldKinds.toSeq.sorted.mkString(", ")}): " +
           st.get("path").asText)
+      // REQUIRED fields (the kinds whose entry points have no defaults)
+      // fail here too — mid-loop would leave earlier states folded
+      val required = kind match {
+        case "agg_n" | "agg_windowed" => Seq("keys", "value_cols")
+        case _ => Nil
+      }
+      required.foreach(k => require(st.hasNonNull(k),
+        s"$kind state at ${st.get("path").asText} needs $k"))
       st
     }
     val input = root.get("input")

@@ -41,6 +41,38 @@ object Layout {
     }
   }
 
+  /** [[zvalue]] for ANY number of keys: bit b of key j lands at position
+    * b·k + j (round-robin interleave — for two keys this IS [[zvalue]]'s
+    * even/odd layout). k·bits must fit a non-negative long (≤ 63), which
+    * is also the real design constraint: more keys means fewer effective
+    * bits per key on the curve, so cluster on the FEW columns queries
+    * actually band on (Delta's ZORDER guidance). Same masking degrade and
+    * same [[scaleTo]] normalization requirement per key.
+    */
+  def zvalueN(keys: Seq[Column], bits: Int): Column = {
+    require(keys.size >= 2, "zvalueN needs at least two keys")
+    require(keys.size * bits <= 63,
+      s"${keys.size} keys x $bits bits exceeds a long's 63 usable bits")
+    val mask = (1L << bits) - 1
+    val k = keys.size
+    keys.zipWithIndex.foldLeft(lit(0L)) { case (acc, (key, j)) =>
+      val m = key.cast(LongType).bitwiseAND(lit(mask))
+      (0 until bits).foldLeft(acc) { (a, b) =>
+        a.bitwiseOR(shiftleft(shiftright(m, b).bitwiseAND(lit(1L)), b * k + j))
+      }
+    }
+  }
+
+  /** The matching DuckDB expression for [[zvalueN]]. */
+  private[graft] def zvalueSqlN(keys: Seq[String], bits: Int): String = {
+    val mask = (1L << bits) - 1
+    val k = keys.size
+    keys.zipWithIndex.flatMap { case (key, j) =>
+      (0 until bits).map(b =>
+        s"((($key & $mask) >> $b & 1) << ${b * k + j})")
+    }.mkString(" | ")
+  }
+
   /** Linear rescale of a key with known [lo, hi] bounds onto the full
     * `bits`-wide grid — REQUIRED before [[zvalue]] when the interleaved
     * keys have unequal effective bit widths: raw interleave lets the wider
@@ -162,6 +194,20 @@ object Layout {
     df.repartitionByRange(nTasks, col(partitionCol), orderCol)
       .write.mode("overwrite").partitionBy(partitionCol)
       .option("maxRecordsPerFile", maxRecordsPerFile).parquet(outDir)
+    // skipping manifests FOLLOW the data to the compacted copy — the
+    // composition [[compactFlat]] already has for in-place rewrites: a
+    // compacted table whose manifests stayed behind on the input would
+    // read unpruned until someone remembers writeManifest. Stats get
+    // TIGHTER here (contiguous orderCol ranges per file); the Bloom
+    // rebuild adopts the compaction's file size, not the default.
+    val inCols = manifestCols(spark, inDir)
+    if (inCols.nonEmpty) writeManifest(spark, outDir, inCols)
+    bloomManifestCol(spark, inDir).foreach { c =>
+      val bits = java.lang.Long.highestOneBit(
+        math.max(1L, 16L * maxRecordsPerFile - 1)) << 1
+      writeBloomManifest(spark, outDir, c,
+        expectedPerFile = maxRecordsPerFile, numBits = bits)
+    }
     rows
       .join(before, Seq("partition"), "left")
       .join(filesPerPartition(outDir)
@@ -991,8 +1037,48 @@ object Layout {
         ("user_id", lit(3L), lit(9L))))
       .orderBy(col("tier"))
 
+  /** Gate entry: lineitem z-ordered on THREE normalized keys
+    * (supplier, part, ship epoch-day — 7 bits each on the round-robin
+    * [[zvalueN]] curve) with a three-column manifest, served through
+    * [[readPrunedMulti]] on the triple conjunction — the multi-
+    * dimensional skipping loop at the arity real layouts use (Delta's
+    * ZORDER guidance caps useful keys at ~3-4; this is the shape's
+    * existence proof end-to-end). ORACLE-EXACT: pruning moves file
+    * opens, never rows; the per-key fewer-files assertions live in
+    * LayoutSpec. Built once per (session, corpus).
+    */
+  def skippingReadZ3(s: SparkSession, dir: String): DataFrame = {
+    val tmp = graft.ops.Similarity.sessionScratchPath(
+      s, "graft_skipz3", dir) + "/lineitem"
+    val mp = new org.apache.hadoop.fs.Path(s"$tmp/$ManifestDir")
+    if (!mp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(mp)) {
+      val li = Tables(s, dir).lineitem
+        .withColumn("l_day", epochDay(col("l_shipdate")))
+      val b = li.agg(
+        min(col("l_suppkey")), max(col("l_suppkey")),
+        min(col("l_partkey")), max(col("l_partkey")),
+        min(col("l_day")), max(col("l_day"))).head()
+      zorderWrite(li, zvalueN(Seq(
+          scaleTo(col("l_suppkey"), b.getLong(0), b.getLong(1), 7),
+          scaleTo(col("l_partkey"), b.getLong(2), b.getLong(3), 7),
+          scaleTo(col("l_day"), b.getLong(4), b.getLong(5), 7)), 7),
+        tmp, 16)
+      writeManifest(s, tmp, Seq("l_suppkey", "l_partkey", "l_day"))
+    }
+    readPrunedMulti(s, tmp, Seq(
+        ("l_suppkey", lit(2L), lit(30L)),
+        ("l_partkey", lit(10L), lit(600L)),
+        ("l_day", lit(9131L), lit(9861L))))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_zorder" -> (zorderKeys _),
+    "layout_skipping_read_z3" -> (skippingReadZ3 _),
     "layout_skipping_read" -> (skippingRead _),
     "layout_skipping_read_multi" -> (skippingReadMulti _),
     "layout_skipping_read_partitioned" -> (skippingReadPartitioned _),
@@ -1026,6 +1112,14 @@ object Layout {
         |WHERE o_custkey BETWEEN 100 AND 500
         |  AND o_day BETWEEN 8766 AND 9495
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "layout_skipping_read_z3" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_suppkey BETWEEN 2 AND 30
+        |  AND l_partkey BETWEEN 10 AND 600
+        |  AND epoch_ms(l_shipdate)//1000//86400 BETWEEN 9131 AND 9861
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "layout_skipping_read_partitioned" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -25,6 +25,36 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("zvalueN: round-robin interleave round-trips for 3 keys, k=2 equals zvalue") {
+    import spark.implicits._
+    val keys = Seq((0L, 0L, 0L), (1L, 2L, 3L), (127L, 127L, 127L),
+      (99L, 5L, 64L), (200L, 1L, 1L)) // 200 > 2^7: masked, aliases
+    val df = keys.toDF("x", "y", "z")
+      .select(col("x"), col("y"), col("z"),
+        Layout.zvalueN(Seq(col("x"), col("y"), col("z")), 7).as("zv"),
+        Layout.zvalueN(Seq(col("x"), col("y")), 16).as("zv2"),
+        Layout.zvalue(col("x"), col("y")).as("zv2ref"))
+    df.collect().foreach { r =>
+      val (x, y, z, zv) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      var Seq(rx, ry, rz) = Seq(0L, 0L, 0L)
+      (0 until 7).foreach { b =>
+        rx |= ((zv >> (3 * b)) & 1L) << b
+        ry |= ((zv >> (3 * b + 1)) & 1L) << b
+        rz |= ((zv >> (3 * b + 2)) & 1L) << b
+      }
+      assert((rx, ry, rz) === ((x & 127L, y & 127L, z & 127L)),
+        s"3-key interleave lost a key for ($x, $y, $z)")
+      assert(r.getLong(4) === r.getLong(5), "zvalueN(k=2) must BE zvalue")
+    }
+    // the SQL twin computes the identical scalar
+    val sqlv = spark.sql(
+      s"SELECT ${Layout.zvalueSqlN(Seq("99", "5", "64"), 7)}")
+      .head.get(0).asInstanceOf[Number].longValue
+    assert(sqlv === df.filter(col("x") === 99L).head.getLong(3))
+    assertThrows[IllegalArgumentException](
+      Layout.zvalueN(Seq(col("x"), col("y"), col("z")), 22)) // 66 bits
+  }
+
   /** Files a range predicate must touch, judged by each file's own min/max
     * of the predicate column — exactly the stats file-level skipping (and
     * parquet row-group skipping) consults.
@@ -76,6 +106,59 @@ class LayoutSpec extends SparkSpec {
     val one = back.select("day").distinct().head.get(0).toString
     val plan = back.filter(col("day") === one).queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("day"))
+    // skipping manifests FOLLOW the data: an input with stats + Bloom
+    // manifests compacts into an output carrying rebuilt ones, and the
+    // pruned reads stay exact over the compacted copy
+    Layout.writeManifest(spark, s"$base/in", Seq("user_id"))
+    Layout.writeBloomManifest(spark, s"$base/in", "event_id")
+    Layout.compactFiles(spark, s"$base/in", s"$base/out2",
+      "day", col("user_id"), maxRecordsPerFile = 100000)
+    assert(Layout.manifestCols(spark, s"$base/out2") === Seq("user_id"))
+    assert(Layout.bloomManifestCol(spark, s"$base/out2") === Some("event_id"))
+    assert(Layout.readPruned(spark, s"$base/out2", "user_id",
+        lit(0L), lit(3L)).count()
+      === ev.filter(col("user_id").between(0L, 3L)).count())
+    val anId = ev.select(col("event_id")).head.getLong(0)
+    assert(Layout.readPrunedPoint(spark, s"$base/out2", "event_id",
+      Seq(anId)).count() === 1L)
+  }
+
+  test("three-key z-order + manifest: every key prunes alone, the triple conjunction is exact") {
+    val sf01 = "/root/testdata/sf0.01"
+    val dir = "/tmp/graft_layout_z3"
+    val li = Tables(spark, sf01).lineitem
+      .withColumn("l_day",
+        floor(col("l_shipdate").cast("timestamp").cast("long") / 86400L)
+          .cast("long"))
+    val b = li.agg(min(col("l_suppkey")), max(col("l_suppkey")),
+      min(col("l_partkey")), max(col("l_partkey")),
+      min(col("l_day")), max(col("l_day"))).head()
+    val n = 16
+    Layout.zorderWrite(li, Layout.zvalueN(Seq(
+        Layout.scaleTo(col("l_suppkey"), b.getLong(0), b.getLong(1), 7),
+        Layout.scaleTo(col("l_partkey"), b.getLong(2), b.getLong(3), 7),
+        Layout.scaleTo(col("l_day"), b.getLong(4), b.getLong(5), 7)), 7),
+      dir, n)
+    Layout.writeManifest(spark, dir, Seq("l_suppkey", "l_partkey", "l_day"))
+    // a ~20-30% band on each key, alone, prunes through the manifest —
+    // the 3-key curve bounds every file's rectangle in all three dims
+    val bands = Seq(
+      ("l_suppkey", lit(2L), lit(30L)),
+      ("l_partkey", lit(10L), lit(600L)),
+      ("l_day", lit(9131L), lit(9861L)))
+    bands.foreach { band =>
+      val opened = Layout.readPrunedMulti(spark, dir, Seq(band))
+        .inputFiles.length
+      assert(opened < n, s"${band._1} alone must prune: $opened/$n")
+    }
+    // the triple conjunction prunes at least as hard and moves no rows
+    val all3 = Layout.readPrunedMulti(spark, dir, bands)
+    val expect = li.filter(col("l_suppkey").between(2L, 30L)
+      && col("l_partkey").between(10L, 600L)
+      && col("l_day").between(9131L, 9861L))
+    assert(all3.count() === expect.count())
+    assert(all3.inputFiles.length <= bands.map(band =>
+      Layout.readPrunedMulti(spark, dir, Seq(band)).inputFiles.length).min)
   }
 
 

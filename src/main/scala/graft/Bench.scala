@@ -156,7 +156,24 @@ object Bench {
     // at ≥2 significant digits, no run arrays — sized to survive a
     // 2000-char tail intact, so the captured artifact is always complete,
     // parseable JSON (see compactJson below for the overflow policy).
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
+    // BENCH_local.json is the COMMITTED quiet-host artifact that cross-round
+    // perf adjudication diffs — three rounds running, a contended driver run
+    // silently overwrote it and the quiet numbers had to be rescued via
+    // `git checkout`. Structural fix: per-run detail lands in the gitignored
+    // BENCH_detail.json by default; the committed artifact is only written
+    // when explicitly requested (SPARK_GRAFT_BENCH_OUT=BENCH_local.json) AND
+    // the host is actually quiet — a loaded start (1-min loadavg above
+    // SPARK_GRAFT_BENCH_MAX_LOAD, default 1.5) redirects to the detail file
+    // so a contended run can never displace a quiet one.
+    val requested = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_detail.json")
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "1.5").toDouble
+    val load1 = try loadStart.split("\\s+").head.toDouble catch { case _: Throwable => 0.0 }
+    val outPath =
+      if (requested.endsWith("BENCH_local.json") && load1 > maxLoad) {
+        System.err.println(f"[bench] host contended at start (load $load1%.2f > " +
+          f"$maxLoad%.1f): refusing to overwrite $requested; writing BENCH_detail.json")
+        "BENCH_detail.json"
+      } else requested
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -907,8 +907,10 @@ object JsonEtl {
     * inference from surviving right-side batch files: under inference,
     * total loss of the right side — the most damaging torn state — looks
     * exactly like a seeded-dim protocol and batch parity passes
-    * vacuously. Written on the first fold; a later fold under the OTHER
-    * protocol raises (mixing them makes batch parity undefined).
+    * vacuously. Written just before the first successful fold's commit
+    * (after the replay fence and the fold's preconditions, so a replayed
+    * no-op or failed attempt never brands the state); a later fold under
+    * the OTHER protocol raises (mixing them makes batch parity undefined).
     */
   private def joinProtocolPath(root: String) = s"$root/_join_protocol"
 
@@ -960,7 +962,12 @@ object JsonEtl {
       broadcastDeltas: Boolean = true): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
-    stampJoinProtocol(s, root, "two_sided")
+    // replay fence FIRST: a replayed id through the wrong entry point
+    // must stay the harmless no-op it always was — stamping before the
+    // fence let one such call (or a fold that failed analysis) brand a
+    // virgin state's protocol permanently, making every later CORRECT
+    // fold raise until the marker was hand-deleted. The stamp moves to
+    // just before the commit, once the delta terms have analyzed.
     if (graft.streaming.Streams.isBatchCommitted(s, root, batchId)) return
     // history = committed batches ONLY: a crashed attempt at THIS id may
     // have left its own `b<id>-*` files in the dirs, and reading them as
@@ -984,6 +991,10 @@ object JsonEtl {
         existing("left").map(l => l.join(bc(dRight), keys)) ++
         Seq(dLeft.join(bc(dRight), keys)))
       .reduce(_ unionByName _)
+    // preconditions held (history listed, every delta term analyzed):
+    // stamp, then commit — a mismatched stamp still raises before any
+    // file is written
+    stampJoinProtocol(s, root, "two_sided")
     graft.streaming.Streams.commitBatch(s, root, batchId)(
       s"$root/view"  -> { st => deltaView.write.parquet(st) },
       s"$root/left"  -> { st => dLeft.write.parquet(st) },
@@ -1002,11 +1013,15 @@ object JsonEtl {
   def joinUpsertLeftAt(s: SparkSession, root: String, dLeft: DataFrame,
       batchId: Long, keys: Seq[String],
       broadcastDeltas: Boolean = true): Unit = {
-    stampJoinProtocol(s, root, "left_only")
+    // same ordering as joinUpsertAt: replay fence → preconditions (the
+    // seeded right side must exist and the delta join must analyze) →
+    // stamp → commit, so a failed or replayed call can never brand the
+    // state's protocol
     if (graft.streaming.Streams.isBatchCommitted(s, root, batchId)) return
     val right = s.read.parquet(s"$root/right")
     val deltaView =
       (if (broadcastDeltas) broadcast(dLeft) else dLeft).join(right, keys)
+    stampJoinProtocol(s, root, "left_only")
     graft.streaming.Streams.commitBatch(s, root, batchId)(
       s"$root/view" -> { st => deltaView.write.parquet(st) },
       s"$root/left" -> { st => dLeft.write.parquet(st) })

@@ -26,8 +26,15 @@ import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType}
   * paths call the same instance method, so codegen/interpreted parity is
   * structural.
   */
-case class BloomMightContainAny(child: Expression, hashes: Array[Long])
+case class BloomMightContainAny(child: Expression, hashes: Seq[Long])
     extends UnaryExpression {
+
+  // Probe hashes as Seq, not Array: case-class equality over an Array is
+  // reference-based, which made two identical probe expressions never
+  // compare equal — semanticEquals / canonicalization / subexpression
+  // elimination silently skipped deduping them. The hot loop iterates a
+  // pre-materialized array so the per-row cost is unchanged.
+  private val hashArr: Array[Long] = hashes.toArray
 
   override def dataType: DataType = BooleanType
 
@@ -42,8 +49,8 @@ case class BloomMightContainAny(child: Expression, hashes: Array[Long])
     val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
       new java.io.ByteArrayInputStream(bytes))
     var i = 0
-    while (i < hashes.length) {
-      if (bf.mightContainLong(hashes(i))) return true
+    while (i < hashArr.length) {
+      if (bf.mightContainLong(hashArr(i))) return true
       i += 1
     }
     false

@@ -117,5 +117,6 @@ package object functions {
     */
   def bloom_any_of(bloom: Column, hashes: Array[Long]): Column =
     GraftSqlBridge.column(
-      BloomMightContainAny(GraftSqlBridge.expression(bloom), hashes))
+      BloomMightContainAny(GraftSqlBridge.expression(bloom),
+        hashes.toIndexedSeq))
 }

@@ -535,8 +535,8 @@ object Layout {
     * bit-equals the full rebuild, spec-pinned). The one thing this
     * deliberately does NOT heal is a file REWRITTEN in place under its
     * old name (the fsck `stats_sample` drift hazard) — that damage needs
-    * the full [[refreshManifest]], which is why the maintenance action
-    * keeps the full rebuild as its default. Returns (carried, added,
+    * the full [[refreshManifest]], which the maintenance action triggers
+    * only when the sampled fsck check fails. Returns (carried, added,
     * dropped_phantoms). No-op without a manifest.
     */
   def refreshManifestIncremental(s: SparkSession,
@@ -696,6 +696,14 @@ object Layout {
       .agg(count(lit(1)).as("n_rows"),
         graft.functions.bloom_agg(xxhash64(col(c)), expectedPerFile, numBits)
           .as(s"bloom_$c"))
+      // the build geometry rides WITH the manifest: a serialized filter
+      // carries its own bit size but not the expected-items count it was
+      // sized for, so an incremental refresh that only sees the stored
+      // bytes would have to assume the default 16 bits/item ratio — wrong
+      // for a manifest deliberately built denser or sparser, silently
+      // drifting new files' hash-function count (and so their fp rate)
+      // from the designed one
+      .withColumn("expected_per_file", lit(expectedPerFile))
     writeStaged(s, s"$dir/$BloomManifestDir")(st =>
       m.coalesce(1).write.parquet(st))
   }
@@ -724,8 +732,10 @@ object Layout {
     * nightly append pays refresh ∝ the append, not the corpus (the full
     * [[refreshBloomManifest]] re-hashes every row of every file). New
     * files' filters adopt the MANIFEST's own geometry (numBits read from
-    * one stored filter, expected items at the build ratio) so one
-    * manifest never mixes deliberate sizings with defaults. Same
+    * one stored filter; expected items from the persisted
+    * `expected_per_file` build column, default-ratio fallback only for
+    * pre-geometry manifests) so one manifest never mixes deliberate
+    * sizings with defaults. Same
     * rewritten-in-place caveat (fsck `bloom_sample` catches it; heal
     * with the full rebuild). Returns (carried, added, dropped_phantoms);
     * no-op without a manifest.
@@ -745,13 +755,21 @@ object Layout {
       return (covered.size.toLong, 0L, 0L)
     val kept = m.filter(col("file").isInCollection(dataFiles))
       .localCheckpoint()
-    val numBits = m.limit(1).select(col(s"bloom_$c")).collect().headOption
-      .map { r =>
+    val hasGeom = m.schema.fieldNames.contains("expected_per_file")
+    val geomRow = m.limit(1)
+      .select((col(s"bloom_$c") +:
+        (if (hasGeom) Seq(col("expected_per_file")) else Nil)): _*)
+      .collect().headOption
+    val numBits = geomRow.map { r =>
         org.apache.spark.util.sketch.BloomFilter.readFrom(
           new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0)))
           .bitSize()
       }.getOrElse(1L << 16)
-    val expected = math.max(1L, numBits / 16) // the default 16 bits/item
+    // preferred: the geometry the manifest was BUILT with (persisted by
+    // writeBloomManifest); fallback for pre-geometry manifests: the
+    // default 16 bits/item ratio
+    val expected = geomRow.filter(_ => hasGeom).map(_.getLong(1))
+      .getOrElse(math.max(1L, numBits / 16))
     val added =
       if (newFiles.isEmpty) kept.limit(0)
       else s.read.option("basePath", dir)
@@ -760,6 +778,7 @@ object Layout {
         .agg(count(lit(1)).as("n_rows"),
           graft.functions.bloom_agg(xxhash64(col(c)), expected, numBits)
             .as(s"bloom_$c"))
+        .withColumn("expected_per_file", lit(expected))
     val out = kept.unionByName(added.select(kept.columns.map(col).toSeq: _*))
     writeStaged(s, mDir)(st => out.coalesce(1).write.parquet(st))
     (covered.size.toLong - phantoms, newFiles.size.toLong, phantoms)

@@ -185,15 +185,30 @@ object Maintenance {
               (false, false, Layout.compactFlat(s, t.path, col(o),
                 maxRecordsPerFile))
             case None =>
-              Layout.refreshManifest(s, t.path)
-              // the Bloom tier heals with the same action (full rebuild —
-              // it repairs rewritten-in-place files that the incremental
-              // refreshers deliberately don't); no-op when absent
-              Layout.refreshBloomManifest(s, t.path)
+              // INCREMENTAL refreshes by default: a nightly append pays
+              // refresh ∝ the append, not the corpus — the prior full
+              // rebuild re-hashed every row of every file on every pass
+              // (a large recurring cost at the 100k-file tables this
+              // targets) to heal a RARE hazard. The one damage the
+              // incrementals deliberately can't see — a file rewritten
+              // in place under its old name — is exactly what fsck's
+              // sampled stats/Bloom checks detect, so the full re-scan
+              // heal runs only when a sample check fails (the
+              // monitor→action shape, reported as checked/fired below).
+              Layout.refreshManifestIncremental(s, t.path)
+              Layout.refreshBloomManifestIncremental(s, t.path)
+              val damaged = Fsck.fsckSkipManifest(s, t.path)
+                .filter(col("status") === "fail" &&
+                  col("check").isin("stats_sample", "bloom_sample"))
+                .limit(1).count() > 0
+              if (damaged) {
+                Layout.refreshManifest(s, t.path)
+                Layout.refreshBloomManifest(s, t.path)
+              }
               // recursive, like the manifest itself — a partitioned
               // table's audit must count its nested files, not report 0
               val n = Layout.listDataFiles(s, t.path).size.toLong
-              (false, false, (n, n, 0L))
+              (true, damaged, (n, n, 0L))
           }
       }
       val (before, after, written) = audit

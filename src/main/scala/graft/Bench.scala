@@ -63,7 +63,7 @@ object Bench {
     "text_weighted_sample", "text_group_sample", "text_split_leakage_safe",
     "layout_skipping_read",
     "layout_skipping_read_multi", "layout_skipping_read_z3",
-    "layout_skipping_read_partitioned",
+    "layout_skipping_read_partitioned", "layout_pruned_where",
     "layout_prune_report", "layout_bloom_lookup",
     "text_select_budget_threshold", "text_bpe_tokens",
     "text_source_stats", "text_source_sketches", "profile_value_sketches",

@@ -897,6 +897,108 @@ object Layout {
       .toDF("tier", "files_in", "files_kept")
   }
 
+  // ------------------------------------------------- unified pruned read
+  /** One per-column pruning predicate for [[readPrunedWhere]]: a closed
+    * RANGE (`c BETWEEN lo AND hi`) or a value SET (`c IN (values)`). The
+    * first real lookup on a partitioned, bloom-indexed table is the
+    * conjunction `day BETWEEN a AND b AND user_id IN (…)` — before this
+    * type the caller had to pick [[readPrunedMulti]] (ranges only) or
+    * [[readPrunedPoint]] (one value set) and forfeit the other route's
+    * pruning entirely.
+    */
+  sealed trait ColPred { def c: String }
+  object ColPred {
+    final case class Range(c: String, lo: Column, hi: Column) extends ColPred
+    final case class In(c: String, values: Seq[Any]) extends ColPred
+  }
+
+  /** The three pruning tiers evaluated for a [[ColPred]] conjunction, in
+    * the readers' order — the shared spine of [[readPrunedWhere]] and
+    * [[pruneReportWhere]]. Every tier applies to EVERY predicate it can
+    * serve: partition dirs take both forms (dir names are exact), stats
+    * intervals take ranges by interval intersection and value sets by
+    * any-value-in-interval (a point is a degenerate range), and the
+    * Bloom probe takes value sets on the covered column. Per-column
+    * degrade is unchanged from the single-route readers: an uncovered
+    * column contributes no pruning at that tier, uncovered FILES are
+    * always kept — prune less, never wrong.
+    */
+  private def pruneWhereTiers(s: SparkSession, dir: String,
+      schema: => org.apache.spark.sql.types.StructType,
+      all: IndexedSeq[String], preds: Seq[ColPred])
+      : (IndexedSeq[String], IndexedSeq[String], IndexedSeq[String]) = {
+    val afterPart = partitionPrune(s, all, schema, preds.map {
+      case ColPred.Range(c, lo, hi) => (c, (v: Column) => v >= lo && v <= hi)
+      case ColPred.In(c, vs) => (c, (v: Column) => v.isin(vs: _*))
+    })
+    val ranges = preds.collect { case ColPred.Range(c, lo, hi) => (c, lo, hi) }
+    val points = preds.collect { case p: ColPred.In => p }
+    val afterStats = points.foldLeft(
+        if (ranges.isEmpty) afterPart
+        else statsPruneRanges(s, dir, afterPart, ranges)) { (files, p) =>
+      statsPrunePoint(s, dir, files, p.c, schema(p.c).dataType, p.values)
+    }
+    val afterBloom = points.foldLeft(afterStats) { (files, p) =>
+      bloomPrunePoint(s, dir, files, p.c, schema(p.c).dataType, p.values)
+    }
+    (afterPart, afterStats, afterBloom)
+  }
+
+  /** Pruned read for a CONJUNCTION of ranges AND value sets — the
+    * composed entry point over [[readPrunedMulti]]'s and
+    * [[readPrunedPoint]]'s tiers, so `day BETWEEN a AND b AND
+    * user_id IN (…)` prunes through partition dirs (both predicate
+    * forms), stats intervals (both forms) AND the Bloom manifest (value
+    * sets) in one read instead of forfeiting whichever route the caller
+    * didn't pick. Kept files ≤ either single route's on the same
+    * predicates (each tier only removes); result ≡ the unpruned filtered
+    * read (every tier keeps uncovered files, no tier has false
+    * negatives); the row-level conjunction still applies inside kept
+    * files, and basePath keeps discovered partition columns in scope.
+    */
+  def readPrunedWhere(s: SparkSession, dir: String,
+      preds: Seq[ColPred]): DataFrame = {
+    require(preds.nonEmpty, "readPrunedWhere needs at least one predicate")
+    preds.foreach {
+      case ColPred.In(c, vs) => require(vs.nonEmpty,
+        s"readPrunedWhere: IN predicate on '$c' needs at least one value")
+      case _ => ()
+    }
+    val full = () => s.read.parquet(dir)
+    lazy val fullSchema = full().schema
+    val (_, _, pruned) = pruneWhereTiers(s, dir, fullSchema,
+      listDataFiles(s, dir), preds)
+    val base =
+      if (pruned.isEmpty) full().filter(lit(false))
+      else s.read.option("basePath", dir)
+        .parquet(pruned.map(absDataPath(dir, _)): _*)
+    base.filter(preds.map {
+      case ColPred.Range(c, lo, hi) => col(c) >= lo && col(c) <= hi
+      case ColPred.In(c, vs) => col(c).isin(vs: _*)
+    }.reduce(_ && _))
+  }
+
+  /** [[pruneReport]] for the combined route — files_in → files_kept per
+    * tier for exactly the tiers [[readPrunedWhere]] evaluates on the
+    * same predicate conjunction. Audit-priced (manifest scans only, no
+    * data files opened).
+    */
+  def pruneReportWhere(s: SparkSession, dir: String,
+      preds: Seq[ColPred]): DataFrame = {
+    require(preds.nonEmpty, "pruneReportWhere needs at least one predicate")
+    lazy val fullSchema = s.read.parquet(dir).schema
+    val all = listDataFiles(s, dir)
+    val (afterPart, afterStats, afterBloom) =
+      pruneWhereTiers(s, dir, fullSchema, all, preds)
+    import s.implicits._
+    Seq(
+      ("total", all.size.toLong, all.size.toLong),
+      ("partition_dirs", all.size.toLong, afterPart.size.toLong),
+      ("stats_intervals", afterPart.size.toLong, afterStats.size.toLong),
+      ("bloom_probe", afterStats.size.toLong, afterBloom.size.toLong))
+      .toDF("tier", "files_in", "files_kept")
+  }
+
   /** Gate entry: documents hash-scattered into 16 files (every file's
     * doc_id [min, max] spans the whole domain — range stats prune
     * NOTHING here, which is the point) + a Bloom manifest, then a
@@ -1043,17 +1145,51 @@ object Layout {
           .as("sum_value"))
       .orderBy(col("event_type"))
 
+  /** The partitioned events copy WITH the point tier: the same dir as
+    * [[partitionedEventsDir]] plus a Bloom manifest over user_id — the
+    * canonical "partitioned, bloom-indexed table" the combined route
+    * serves. Memoized like the dir itself.
+    */
+  private def bloomedEventsDir(s: SparkSession, dir: String): String = {
+    val tmp = partitionedEventsDir(s, dir)
+    val bp = new org.apache.hadoop.fs.Path(s"$tmp/$BloomManifestDir")
+    if (!bp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(bp))
+      writeBloomManifest(s, tmp, "user_id")
+    tmp
+  }
+
+  /** Gate entry: `day BETWEEN a AND b AND user_id IN (…)` over the
+    * partitioned, bloom-indexed events copy, served through
+    * [[readPrunedWhere]] — the first real lookup shape on such a table,
+    * pruning through ALL THREE tiers in one read (partition dirs on the
+    * day band, stats intervals on both predicates, Bloom probe on the id
+    * set) where the single-route readers each forfeit a tier.
+    * ORACLE-EXACT against DuckDB's plain filtered aggregate: pruning
+    * moves file opens, never rows. The conjunction ≤ min(per-route) and
+    * result ≡ unpruned assertions live in LayoutSpec.
+    */
+  def prunedWhereQ(s: SparkSession, dir: String): DataFrame =
+    readPrunedWhere(s, bloomedEventsDir(s, dir), Seq(
+        ColPred.Range("day", lit(19733L), lit(19742L)),
+        ColPred.In("user_id", Seq(3L, 5L, 7L, 9L))))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_value"))
+      .orderBy(col("event_type"))
+
   /** Gate entry (rows-only — file counts are layout metadata no SQL
-    * oracle computes): the [[pruneReport]] audit over the partitioned
-    * events copy for the same band [[skippingReadPartitioned]] reads —
-    * the operator-facing answer to "is my layout actually pruning this
-    * query, and which tier does the work". Tier monotonicity and
+    * oracle computes): the [[pruneReportWhere]] audit over the
+    * partitioned, bloom-indexed events copy for the same combined
+    * predicate [[prunedWhereQ]] reads — the operator-facing answer to
+    * "is my layout actually pruning this query, and which tier does the
+    * work", now spanning all three tiers. Tier monotonicity and
     * fewer-files are spec-pinned in LayoutSpec.
     */
   def pruneReportQ(s: SparkSession, dir: String): DataFrame =
-    pruneReport(s, partitionedEventsDir(s, dir), Seq(
-        ("day", lit(19733L), lit(19742L)),
-        ("user_id", lit(3L), lit(9L))))
+    pruneReportWhere(s, bloomedEventsDir(s, dir), Seq(
+        ColPred.Range("day", lit(19733L), lit(19742L)),
+        ColPred.In("user_id", Seq(3L, 5L, 7L, 9L))))
       .orderBy(col("tier"))
 
   /** Gate entry: lineitem z-ordered on THREE normalized keys
@@ -1101,6 +1237,7 @@ object Layout {
     "layout_skipping_read" -> (skippingRead _),
     "layout_skipping_read_multi" -> (skippingReadMulti _),
     "layout_skipping_read_partitioned" -> (skippingReadPartitioned _),
+    "layout_pruned_where" -> (prunedWhereQ _),
     "layout_prune_report" -> (pruneReportQ _),
     "layout_bloom_lookup" -> (bloomLookup _)
   )
@@ -1145,6 +1282,13 @@ object Layout {
         |FROM events
         |WHERE epoch_ms(ts)//1000//86400 BETWEEN 19733 AND 19742
         |  AND user_id BETWEEN 3 AND 9
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "layout_pruned_where" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE epoch_ms(ts)//1000//86400 BETWEEN 19733 AND 19742
+        |  AND user_id IN (3, 5, 7, 9)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "layout_bloom_lookup" ->
       """SELECT source, CAST(COUNT(*) AS BIGINT) AS n,

@@ -543,4 +543,70 @@ class LayoutSpec extends SparkSpec {
     assert(Layout.readPrunedPoint(spark, dir, "doc_id", probes).count()
       === expect.size + 5, "incrementally-refreshed bloom pruning stays exact")
   }
+
+  test("readPrunedWhere: range × IN composes all three tiers, beats either single route, degrades per column") {
+    import spark.implicits._
+    import Layout.ColPred
+    val dir = Files.createTempDirectory("graft_where").toString + "/t"
+    // partitioned on day, user_id HASH-scattered within each day: the
+    // shape where the day band needs the partition/stats tiers and the
+    // id set needs the Bloom tier — neither single route serves both
+    val rows = (0 until 6000).map { i =>
+      (i.toLong, (i % 6).toLong, (i.toLong * 37L) % 1000L, i.toDouble)
+    }
+    val df = rows.toDF("event_id", "day", "user_id", "v")
+    df.repartition(4, col("user_id"))
+      .write.partitionBy("day").parquet(dir)
+    Layout.writeManifest(spark, dir, Seq("user_id", "day"))
+    Layout.writeBloomManifest(spark, dir, "user_id")
+    val nFiles = Layout.pruneReport(spark, dir,
+      Seq(("day", lit(0L), lit(5L)))).filter(col("tier") === "total")
+      .head.getLong(2)
+    val ids: Seq[Any] = Seq(37L, 74L, 111L)
+    val preds = Seq(
+      ColPred.Range("day", lit(1L), lit(2L)),
+      ColPred.In("user_id", ids))
+    val combined = Layout.readPrunedWhere(spark, dir, preds)
+    // result ≡ the unpruned filtered read
+    def key(d: DataFrame) = d.orderBy(col("event_id"))
+      .select(col("event_id")).collect().map(_.getLong(0)).toSeq
+    val expect = key(spark.read.parquet(dir)
+      .filter(col("day").between(1L, 2L) && col("user_id").isin(ids: _*)))
+    assert(expect.nonEmpty && key(combined) === expect,
+      "combined pruning moves file opens, never rows")
+    // conjunction ≤ min(per-route): the range route forfeits the Bloom
+    // tier, the point route forfeits the day band — the composed read
+    // must open no more files than EITHER
+    val rangeRoute = Layout.readPrunedMulti(spark, dir, Seq(
+      ("day", lit(1L), lit(2L)), ("user_id", lit(37L), lit(111L))))
+    val pointRoute = Layout.readPrunedPoint(spark, dir, "user_id", ids)
+    assert(combined.inputFiles.length <= rangeRoute.inputFiles.length)
+    assert(combined.inputFiles.length <= pointRoute.inputFiles.length)
+    assert(combined.inputFiles.length < nFiles, "must actually prune")
+    // every opened file sits inside the day band's partitions
+    assert(combined.inputFiles.forall(f =>
+      f.contains("day=1") || f.contains("day=2")))
+    // the audit agrees with the read and shows each tier contributing
+    val rep = Layout.pruneReportWhere(spark, dir, preds)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rep("total")._1 === nFiles)
+    assert(rep("partition_dirs")._2 < nFiles,
+      "the day band must drop whole partitions")
+    assert(rep("stats_intervals")._1 === rep("partition_dirs")._2 &&
+      rep("bloom_probe")._1 === rep("stats_intervals")._2,
+      "tiers chain in evaluation order")
+    assert(rep("bloom_probe")._2 < rep("bloom_probe")._1,
+      "the Bloom tier must drop files stats cannot (hash-scattered ids)")
+    assert(rep("bloom_probe")._2 === combined.inputFiles.length.toLong,
+      "the report's final kept set must equal what the read opens")
+    // an uncovered column degrades ONLY its own pruning: the extra
+    // predicate on v (no manifest, not a partition key) drops no tier's
+    // correctness and the result stays exact
+    val withUncovered = Layout.readPrunedWhere(spark, dir,
+      preds :+ ColPred.Range("v", lit(0.0), lit(1e9)))
+    assert(key(withUncovered) === expect)
+    // empty IN is a caller bug, not a silent full scan
+    intercept[IllegalArgumentException](
+      Layout.readPrunedWhere(spark, dir, Seq(ColPred.In("user_id", Nil))))
+  }
 }

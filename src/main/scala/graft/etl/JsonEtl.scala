@@ -2221,15 +2221,20 @@ object JsonEtl {
   }
 
   // ------------------------------------------- config-first state folds
-  /** The durable-state kinds [[foldConfig]] dispatches — exactly the
-    * `_state_meta` kind vocabulary (the join-view family is excluded: its
-    * input is TWO deltas under the marker protocol, a different document
-    * shape).
+  /** The durable-state kinds [[foldConfig]] dispatches — the
+    * `_state_meta` kind vocabulary plus the materialized-join family
+    * (round 13): `join` routes [[joinUpsertAt]] (the document's input is
+    * the LEFT delta, the state block names the RIGHT delta via
+    * `right_input`), `join_left` routes [[joinUpsertLeftAt]] (right side
+    * seeded once at `path/right`). The join states have the trickiest
+    * crash-recovery protocol in the family — exactly where the
+    * stamp-fenced, all-blocks-prevalidated document discipline matters
+    * most.
     */
   private[graft] val FoldKinds: Set[String] = Set("agg", "agg_n",
     "agg_windowed", "ewma", "distinct", "distinct_windowed", "quantile",
     "quantile_windowed", "audience", "audience_windowed", "freq",
-    "freq_windowed", "sample", "sample_windowed")
+    "freq_windowed", "sample", "sample_windowed", "join", "join_left")
 
   /** Config-driven nightly fold — the [[graft.etl.Pipeline.runConfig]] /
     * [[graft.ops.Maintenance.runConfig]] discipline for the durable state
@@ -2246,7 +2251,12 @@ object JsonEtl {
     *     "path": "/states/uniq", "keys": "event_type",
     *     "value_col": "user_id", "lgk": 12, "retain_days": 30},
     *    {"name": "latency_q", "kind": "quantile", "path": "/states/q",
-    *     "key": "event_type", "value_col": "value", "k": 200}]}
+    *     "key": "event_type", "value_col": "value", "k": 200},
+    *    {"name": "facts_x_dims", "kind": "join", "path": "/states/jv",
+    *     "keys": "dim_id",
+    *     "right_input": {"path": "/landing/dims/2024-07-01"}},
+    *    {"name": "facts_enriched", "kind": "join_left",
+    *     "path": "/states/jvl", "keys": "dim_id"}]}
     * }}}
     *
     * One batch read feeds EVERY state (the `derive` block adds computed
@@ -2260,7 +2270,13 @@ object JsonEtl {
     * validated BEFORE any fold runs (a config typo must not leave the
     * state set half-folded under one batch id); replayed ids are
     * per-state no-ops by the watermark fence, reported as
-    * `folded = false`. Returns (state, kind, batch_id, folded).
+    * `folded = false`. The join kinds follow the same discipline under
+    * THEIR protocol: the document's input is the left delta (`join`
+    * reads the right delta from the block's `right_input`; `join_left`
+    * joins the right side seeded at `path/right`), replay is fenced by
+    * the multi-dir batch marker, and the `_join_protocol` stamp raises
+    * on a document that routes an existing state through the other join
+    * form. Returns (state, kind, batch_id, folded).
     */
   def foldConfig(s: SparkSession, configJson: String): DataFrame = {
     import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
@@ -2288,10 +2304,14 @@ object JsonEtl {
       // fail here too — mid-loop would leave earlier states folded
       val required = kind match {
         case "agg_n" | "agg_windowed" => Seq("keys", "value_cols")
+        case "join" => Seq("keys", "right_input")
+        case "join_left" => Seq("keys")
         case _ => Nil
       }
       required.foreach(k => require(st.hasNonNull(k),
         s"$kind state at ${st.get("path").asText} needs $k"))
+      if (kind == "join") require(st.get("right_input").hasNonNull("path"),
+        s"join state at ${st.get("path").asText} needs right_input.path")
       st
     }
     val input = root.get("input")
@@ -2315,7 +2335,15 @@ object JsonEtl {
       }
       def num(k: String, dflt: Int) =
         optField(st, k).map(_.asInt).getOrElse(dflt)
-      val before = aggFoldWatermark(s, path)
+      // replay detection per protocol family: the sketch/agg states fence
+      // on the durable-fold watermark, the join states on the multi-dir
+      // batch marker — read BEFORE the fold so the report can say whether
+      // this call did work or replayed
+      val alreadyFolded = kind match {
+        case "join" | "join_left" =>
+          graft.streaming.Streams.isBatchCommitted(s, path, batchId)
+        case _ => aggFoldWatermark(s, path) >= batchId
+      }
       kind match {
         case "agg" => aggUpsertAt(s, path, batch, batchId,
           keysOf("keys", Seq("user_id", "event_type")),
@@ -2361,8 +2389,20 @@ object JsonEtl {
           batchId, keysOf("keys", Seq("event_type")),
           str("value_col", "user_id"), num("k", 64), str("seed", "bk0"),
           str("day_col", "day"), num("retain_days", 30))
+        case "join" =>
+          // the document's input is the LEFT delta; the right delta is
+          // the block's own input ref — the two-delta shape that kept
+          // this family out of the document until round 13
+          val ri = st.get("right_input")
+          val rFmt = optField(ri, "format").map(_.asText).getOrElse("parquet")
+          val dRight = s.read.format(rFmt).load(ri.get("path").asText)
+          joinUpsertAt(s, path, batch, dRight, batchId, keysReq("keys"),
+            optField(st, "broadcast_deltas").forall(_.asBoolean))
+        case "join_left" =>
+          joinUpsertLeftAt(s, path, batch, batchId, keysReq("keys"),
+            optField(st, "broadcast_deltas").forall(_.asBoolean))
       }
-      (name, kind, batchId, before < batchId)
+      (name, kind, batchId, !alreadyFolded)
     }
     import s.implicits._
     rows.toDF("state", "kind", "batch_id", "folded")
@@ -2372,11 +2412,14 @@ object JsonEtl {
     * nightly-fold DOCUMENT run end-to-end at gate scale. The events table
     * lands as two batch dirs (event_id mod 2 — the scratch build is
     * memoized per session+corpus like the skipping gates), then the SAME
-    * four-state document folds each batch under its id: an additive
-    * aggregate, an HLL distinct, a KLL quantile and a day-windowed KMV
-    * sample — one document exercising four algebras, the day bucket
-    * derived IN the document. Re-runs replay-fence (folded=false), which
-    * is exactly what the report should say.
+    * five-state document folds each batch under its id: an additive
+    * aggregate, an HLL distinct, a KLL quantile, a day-windowed KMV
+    * sample, and a seeded-dim materialized join (`join_left` against a
+    * per-event-type dim written once at seed time) — one document
+    * exercising five algebras across BOTH durability protocols
+    * (watermark fence + multi-dir batch marker), the day bucket derived
+    * IN the document. Re-runs replay-fence (folded=false), which is
+    * exactly what the report should say.
     */
   def stateFoldConfig(s: SparkSession, dir: String): DataFrame = {
     val base = graft.ops.Similarity.sessionScratchPath(s, "graft_statecfg", dir)
@@ -2387,6 +2430,12 @@ object JsonEtl {
         .write.mode("overwrite").parquet(s"$base/batch0")
       e.filter(col("event_id") % 2 === 1)
         .write.mode("overwrite").parquet(s"$base/batch1")
+      // the join_left state's right side is seeded ONCE, never
+      // batch-written — the streaming joinIngestSink shape
+      Tables(s, dir).events.select(col("event_type")).distinct()
+        .withColumn("type_tag", concat(lit("t_"), col("event_type")))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$base/st_join/right")
     }
     def doc(id: Long): String =
       s"""{"batchId": $id,
@@ -2401,7 +2450,9 @@ object JsonEtl {
          |   "key": "event_type", "value_col": "value"},
          |  {"name": "recent_sample", "kind": "sample_windowed",
          |   "path": "$base/st_smp", "keys": "event_type",
-         |   "value_col": "user_id", "k": 8, "retain_days": 14}]}""".stripMargin
+         |   "value_col": "user_id", "k": 8, "retain_days": 14},
+         |  {"name": "facts_enriched", "kind": "join_left",
+         |   "path": "$base/st_join", "keys": "event_type"}]}""".stripMargin
     foldConfig(s, doc(0)).unionByName(foldConfig(s, doc(1)))
       .orderBy(col("batch_id"), col("state"))
   }

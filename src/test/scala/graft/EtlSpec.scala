@@ -99,6 +99,75 @@ class EtlSpec extends SparkSpec {
       "a stamp-fenced fold must leave the state untouched")
   }
 
+  test("foldConfig join kinds: document ≡ direct two-side fold, replay no-op, protocol mismatch raises") {
+    val base = Files.createTempDirectory("graft_foldcfg_join").toString
+    val t = Tables(spark, sf)
+    val o = t.orders.select(col("o_orderkey"),
+      col("o_custkey").as("c_custkey"), col("o_totalprice"))
+    val c = t.customer.select(col("c_custkey"), col("c_name"))
+    val os = (0L to 1L).map(i => o.filter(col("o_orderkey") % 2 === i))
+    val cs = (0L to 1L).map(i => c.filter(col("c_custkey") % 2 === i))
+    os.zipWithIndex.foreach { case (b, i) => b.write.parquet(s"$base/left$i") }
+    cs.zipWithIndex.foreach { case (b, i) => b.write.parquet(s"$base/right$i") }
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(df.columns.map(col).toSeq: _*).collect().toSeq
+    // two-sided: the document's input is the LEFT delta, the block names
+    // the RIGHT delta — both sides interleave across the two batches
+    def doc(id: Long) =
+      s"""{"batchId": $id, "input": {"path": "$base/left$id"},
+         | "states": [{"name": "jv", "kind": "join", "path": "$base/jv",
+         |  "keys": "c_custkey",
+         |  "right_input": {"path": "$base/right$id"}}]}""".stripMargin
+    val r0 = JsonEtl.foldConfig(spark, doc(0)).collect()
+    assert(r0.length === 1 && r0.head.getBoolean(3))
+    JsonEtl.foldConfig(spark, doc(1))
+    val direct = s"$base/direct"
+    JsonEtl.joinUpsertAt(spark, direct, os(0), cs(0), 0L, Seq("c_custkey"))
+    JsonEtl.joinUpsertAt(spark, direct, os(1), cs(1), 1L, Seq("c_custkey"))
+    assert(key(spark.read.parquet(s"$base/jv/view"))
+      === key(spark.read.parquet(s"$direct/view")),
+      "document-built join state must bit-equal the direct calls")
+    assert(key(spark.read.parquet(s"$base/jv/view"))
+      === key(o.join(c, Seq("c_custkey"))),
+      "the folded view must equal the one-shot join")
+    // a replayed document is a marker-fenced no-op, reported folded=false
+    val replay = JsonEtl.foldConfig(spark, doc(1)).collect()
+    assert(replay.forall(!_.getBoolean(3)), "replay must report folded=false")
+    assert(key(spark.read.parquet(s"$base/jv/view"))
+      === key(o.join(c, Seq("c_custkey"))), "replay must not re-fold")
+    // a document routing the two_sided state through join_left hits the
+    // _join_protocol stamp — raised, state untouched
+    val wrong =
+      s"""{"batchId": 2, "input": {"path": "$base/left0"},
+         | "states": [{"name": "jv", "kind": "join_left",
+         |  "path": "$base/jv", "keys": "c_custkey"}]}""".stripMargin
+    val e = intercept[IllegalArgumentException](
+      JsonEtl.foldConfig(spark, wrong))
+    assert(e.getMessage.contains("protocol"))
+    assert(key(spark.read.parquet(s"$base/jv/view"))
+      === key(o.join(c, Seq("c_custkey"))),
+      "a protocol-fenced fold must leave the state untouched")
+    // join_left: right seeded once at path/right, never batch-written
+    c.coalesce(1).write.parquet(s"$base/jvl/right")
+    def ldoc(id: Long) =
+      s"""{"batchId": $id, "input": {"path": "$base/left$id"},
+         | "states": [{"name": "jvl", "kind": "join_left",
+         |  "path": "$base/jvl", "keys": "c_custkey"}]}""".stripMargin
+    JsonEtl.foldConfig(spark, ldoc(0))
+    JsonEtl.foldConfig(spark, ldoc(1))
+    assert(key(spark.read.parquet(s"$base/jvl/view"))
+      === key(o.join(c, Seq("c_custkey"))),
+      "left-only document folds must equal the one-shot join")
+    // a join block missing its right input fails prevalidation (nothing
+    // half-folds under batch 2)
+    val incomplete =
+      s"""{"batchId": 3, "input": {"path": "$base/left0"},
+         | "states": [{"name": "jv", "kind": "join", "path": "$base/jv",
+         |  "keys": "c_custkey"}]}""".stripMargin
+    assertThrows[IllegalArgumentException](
+      JsonEtl.foldConfig(spark, incomplete))
+  }
+
   test("durable incremental aggregate: replay is a no-op, crash mid-swap recovers") {
     val events = spark.read.parquet(s"$sf/events.parquet")
     val path = Files.createTempDirectory("graft_aggstate").toString + "/state"

@@ -744,24 +744,41 @@ object Fsck {
           val bCovered = bm.select(col("file")).collect()
             .map(_.getString(0)).toSet
           val bUncovered = dataFiles.filterNot(bCovered).length.toLong
-          val bSampleBad = dataFiles.filter(bCovered).sorted.take(sampleFiles)
+          // one pass over the sampled files computes BOTH bloom checks:
+          // rows missing their stored filter (changed-under-manifest
+          // damage) and the filter's own self-reported fp rate
+          // (expectedFpp from the set-bit count — an overloaded filter
+          // reads 30%+ where the design rate is ~1%, the signature that
+          // the tier has silently stopped pruning)
+          val (bSampleBad, bSaturated) =
+            dataFiles.filter(bCovered).sorted.take(sampleFiles)
             .map { f =>
               try {
                 val bytes = bm.filter(col("file") === f)
                   .select(col(s"bloom_$c")).head.getAs[Array[Byte]](0)
-                s.read.option("basePath", path)
+                val missed = s.read.option("basePath", path)
                   .parquet(Layout.absDataPath(path, f))
                   .filter(!graft.functions.bloom_might_contain(
                     lit(bytes), xxhash64(col(c))))
                   .count()
-              } catch { case scala.util.control.NonFatal(_) => 1L }
-            }.sum
+                val fpp = org.apache.spark.util.sketch.BloomFilter.readFrom(
+                  new java.io.ByteArrayInputStream(bytes)).expectedFpp()
+                (missed, if (fpp > 0.25) 1L else 0L)
+              } catch { case scala.util.control.NonFatal(_) => (1L, 0L) }
+            }.foldLeft((0L, 0L)) { case ((a1, a2), (b1, b2)) =>
+              (a1 + b1, a2 + b2) }
           Seq(
             failIf("bloom_sample", bSampleBad,
               "rows of the sampled covered file miss its stored Bloom — " +
                 "impossible for an unchanged file, so the data changed " +
                 "under the manifest; point-pruned reads silently drop " +
                 "these rows until refreshBloomManifest"),
+            warnIf("bloom_saturated", bSaturated,
+              "sampled stored filters report an expected fp rate far " +
+                "above the ~1% design rate — the filter was built for " +
+                "fewer rows than its file holds and the tier has " +
+                "silently stopped pruning; heal with maybeRebloom " +
+                "(sizes to measured per-file counts)"),
             warnIf("bloom_coverage", bUncovered,
               "data files the bloom manifest does not cover — kept " +
                 "unpruned (safe) but unskippable until refreshBloomManifest"))

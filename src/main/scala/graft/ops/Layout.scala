@@ -720,10 +720,82 @@ object Layout {
   }
 
   /** Rebuild a dir's Bloom manifest over the column it already declares —
-    * the [[refreshManifest]] discipline. No-op when none exists.
+    * the [[refreshManifest]] discipline, PRESERVING the manifest's own
+    * build geometry (a heal must repair content, not silently reset a
+    * deliberate sizing to the defaults). No-op when none exists.
     */
   def refreshBloomManifest(s: SparkSession, dir: String): Unit =
-    bloomManifestCol(s, dir).foreach(writeBloomManifest(s, dir, _))
+    bloomManifestCol(s, dir).foreach { c =>
+      val (expected, numBits) = bloomGeometry(s, dir, c)
+      writeBloomManifest(s, dir, c, expected, numBits)
+    }
+
+  /** The stored manifest's build geometry (expected items per file, bit
+    * size): numBits from one stored filter, expected from the persisted
+    * `expected_per_file` column — default-ratio fallback only for
+    * pre-geometry manifests.
+    */
+  private def bloomGeometry(s: SparkSession, dir: String,
+      c: String): (Long, Long) = {
+    val m = s.read.parquet(s"$dir/$BloomManifestDir")
+    val hasGeom = m.schema.fieldNames.contains("expected_per_file")
+    val row = m.limit(1)
+      .select((col(s"bloom_$c") +:
+        (if (hasGeom) Seq(col("expected_per_file")) else Nil)): _*)
+      .collect().headOption
+    val numBits = row.map { r =>
+        org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0)))
+          .bitSize()
+      }.getOrElse(1L << 16)
+    val expected = row.filter(_ => hasGeom).map(_.getLong(1))
+      .getOrElse(math.max(1L, numBits / 16))
+    (expected, numBits)
+  }
+
+  /** Saturated-Bloom monitor→action — the [[graft.ops.Similarity]]
+    * `maybeRetrain` shape applied to the point-lookup manifest: a Bloom
+    * built for 4k rows/file over files that grew to 40k answers "might
+    * contain" almost always, so the tier silently stops pruning (no
+    * wrong rows — the contract only loses SKIPS — but every lookup
+    * degrades toward a full scan). The operator's docs used to say
+    * "read the prune report for the saturated signature and rebuild by
+    * hand"; this closes the loop. The DECISION is audit-priced with no
+    * probe traffic at all: a stored filter self-reports its load —
+    * `expectedFpp()` is computed from its set-bit count — so sampling a
+    * few deterministic covered files gives the worst observed fp rate
+    * directly. Fires when that exceeds `fppThreshold` (a right-sized
+    * filter sits near its ~1% design rate; an overloaded one reads
+    * 30%+), rebuilding sized to the MEASURED per-file row counts (the
+    * manifest's own n_rows column — no data scan for the decision, one
+    * corpus scan for the rebuild, same as any manifest build). Returns
+    * (fired, newExpectedPerFile).
+    */
+  def maybeRebloom(s: SparkSession, dir: String,
+      fppThreshold: Double = 0.25, sampleFiles: Int = 5): (Boolean, Long) = {
+    require(fppThreshold > 0 && fppThreshold < 1,
+      s"fppThreshold must be in (0, 1): $fppThreshold")
+    val cOpt = bloomManifestCol(s, dir)
+    if (cOpt.isEmpty) return (false, 0L)
+    val c = cOpt.get
+    val m = s.read.parquet(s"$dir/$BloomManifestDir")
+    val sampled = m.orderBy(col("file")).limit(sampleFiles)
+      .select(col(s"bloom_$c")).collect()
+    if (sampled.isEmpty) return (false, 0L)
+    val worstFpp = sampled.map { r =>
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0)))
+        .expectedFpp()
+    }.max
+    if (worstFpp <= fppThreshold) return (false, 0L)
+    val maxN = m.agg(max(col("n_rows"))).head.getLong(0)
+    val expected = math.max(4096L, maxN)
+    // 16 bits/item (the ~1% design rate), next power of two for tidy sizes
+    var bits = 1L << 16
+    while (bits < expected * 16) bits <<= 1
+    writeBloomManifest(s, dir, c, expected, bits)
+    (true, expected)
+  }
 
   /** INCREMENTAL Bloom-manifest refresh — the
     * [[refreshManifestIncremental]] argument applied to the point-lookup
@@ -755,21 +827,10 @@ object Layout {
       return (covered.size.toLong, 0L, 0L)
     val kept = m.filter(col("file").isInCollection(dataFiles))
       .localCheckpoint()
-    val hasGeom = m.schema.fieldNames.contains("expected_per_file")
-    val geomRow = m.limit(1)
-      .select((col(s"bloom_$c") +:
-        (if (hasGeom) Seq(col("expected_per_file")) else Nil)): _*)
-      .collect().headOption
-    val numBits = geomRow.map { r =>
-        org.apache.spark.util.sketch.BloomFilter.readFrom(
-          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0)))
-          .bitSize()
-      }.getOrElse(1L << 16)
-    // preferred: the geometry the manifest was BUILT with (persisted by
-    // writeBloomManifest); fallback for pre-geometry manifests: the
-    // default 16 bits/item ratio
-    val expected = geomRow.filter(_ => hasGeom).map(_.getLong(1))
-      .getOrElse(math.max(1L, numBits / 16))
+    // the geometry the manifest was BUILT with (persisted by
+    // writeBloomManifest; default-ratio fallback for pre-geometry
+    // manifests), so new files can never drift from the designed fp rate
+    val (expected, numBits) = bloomGeometry(s, dir, c)
     val added =
       if (newFiles.isEmpty) kept.limit(0)
       else s.read.option("basePath", dir)

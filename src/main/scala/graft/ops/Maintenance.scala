@@ -205,10 +205,17 @@ object Maintenance {
                 Layout.refreshManifest(s, t.path)
                 Layout.refreshBloomManifest(s, t.path)
               }
+              // the second monitor→action of this target: a Bloom built
+              // for fewer rows than its files now hold self-reports
+              // saturation (expectedFpp) — rebuild sized to measured
+              // per-file counts; right-sized manifests decline. Runs
+              // AFTER the heal so a heal's geometry-preserving rebuild
+              // can't mask an undersized design.
+              val (rebloomed, _) = Layout.maybeRebloom(s, t.path)
               // recursive, like the manifest itself — a partitioned
               // table's audit must count its nested files, not report 0
               val n = Layout.listDataFiles(s, t.path).size.toLong
-              (true, damaged, (n, n, 0L))
+              (true, damaged || rebloomed, (n, n, 0L))
           }
       }
       val (before, after, written) = audit

@@ -321,6 +321,58 @@ class MaintenanceSpec extends SparkSpec {
       r.getAs[Long]("files_after") <= math.max(r.getAs[Long]("files_before"), 2L)))
   }
 
+  test("maybeRebloom: saturated manifest fires and re-sizes, right-sized declines, fsck warn + heal loop close") {
+    import graft.ops.Layout
+    val dir = java.nio.file.Files.createTempDirectory("graft_rebloom")
+      .toString + "/t"
+    val n = 20000
+    (0 until n).map(i => (i.toLong, (i % 7).toLong)).toDF("id", "v")
+      .repartition(8, col("id")).write.parquet(dir)
+    Layout.writeManifest(spark, dir, Seq("id"))
+    // a filter sized for 256 rows under files holding ~2500: the stored
+    // filters self-report saturation (expectedFpp ~ 1) and the tier
+    // stops pruning
+    Layout.writeBloomManifest(spark, dir, "id",
+      expectedPerFile = 256L, numBits = 1L << 12)
+    def statusOf(check: String): String =
+      Fsck.fsckSkipManifest(spark, dir).filter(col("check") === check)
+        .head.getAs[String]("status")
+    assert(statusOf("bloom_saturated") === "warn",
+      "fsck must surface the saturated-filter signature")
+    val probes: Seq[Any] = Seq(3L, 5011L, 17777L)
+    val before = Layout.readPrunedPoint(spark, dir, "id", probes)
+      .inputFiles.length
+    val (fired, newExpected) = Layout.maybeRebloom(spark, dir)
+    assert(fired, "a saturated manifest must fire the rebuild")
+    assert(newExpected >= n / 8L,
+      s"rebuild must size to measured per-file counts, got $newExpected")
+    assert(statusOf("bloom_saturated") === "ok", "the warn must clear")
+    val after = Layout.readPrunedPoint(spark, dir, "id", probes)
+    assert(after.inputFiles.length < before,
+      s"right-sized blooms must prune again: ${after.inputFiles.length} vs $before")
+    assert(after.count() === probes.size.toLong,
+      "re-sizing moves file opens, never rows")
+    // right-sized: the decision declines (idempotent monitor→action)
+    assert(!Layout.maybeRebloom(spark, dir)._1,
+      "a right-sized manifest must decline")
+    // maintenance wiring: the skip_manifest target reports the action
+    // through checked/fired — a fresh saturated manifest fires via runAll
+    Layout.writeBloomManifest(spark, dir, "id",
+      expectedPerFile = 256L, numBits = 1L << 12)
+    val rep = Maintenance.runAll(spark,
+      Seq(Target("skip_manifest", dir))).collect()
+    assert(rep.head.getAs[Boolean]("retrain_checked"))
+    assert(rep.head.getAs[Boolean]("retrain_fired"),
+      "maintenance must fire the rebloom on a saturated manifest")
+    assert(statusOf("bloom_saturated") === "ok")
+    // and a clean pass declines: checked, not fired
+    val rep2 = Maintenance.runAll(spark,
+      Seq(Target("skip_manifest", dir))).collect()
+    assert(rep2.head.getAs[Boolean]("retrain_checked") &&
+      !rep2.head.getAs[Boolean]("retrain_fired"),
+      "a healthy manifest must decline both heal and rebloom")
+  }
+
   test("skip-manifest maintenance: refresh heals the coverage warn; compact keeps pruning exact") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_maint_skip")

@@ -772,6 +772,69 @@ object ScaleProbe {
         f"${(System.nanoTime() - t0) / 1e9}%.1f s " +
         f"($kept surviving files; ~80 MB of blooms never left the executors)")
     }
+    // the partitioned-manifest path at the file count the Bloom probe
+    // targets: 1k partition dirs × 100 files = 100k files, built as hard
+    // links of one seed parquet file (names are the workload — the walk
+    // and the partition prune never open data). Measures the two
+    // driver-side pieces the pruned readers pay before any engine work:
+    // listDataFiles' recursive walk and partitionPrune's files-sized
+    // local frame (via pruneReportWhere on the partition key), plus the
+    // driver heap delta — the claim being probed is "names only, flat in
+    // file count".
+    if (matched("partitioned_manifest")) locally {
+      val base = "/tmp/graft_pm_probe/t"
+      val marker = new java.io.File("/tmp/graft_pm_probe/_built")
+      if (!marker.exists()) {
+        val tB = System.nanoTime()
+        val seedDir = "/tmp/graft_pm_probe/seed"
+        spark.range(1).selectExpr("id AS user_id", "CAST(id AS DOUBLE) AS v")
+          .coalesce(1).write.mode(SaveMode.Overwrite).parquet(seedDir)
+        val seed = new java.io.File(seedDir).listFiles()
+          .find(_.getName.endsWith(".parquet")).get.toPath
+        // ext4 caps hard links per inode at ~65k — rotate to a fresh
+        // seed copy every 500 dirs (50k links each)
+        var cur = seed
+        (0 until 1000).foreach { d =>
+          if (d % 500 == 0) {
+            val c = java.nio.file.Paths.get(s"$seedDir/seed_$d.parquet.bak")
+            java.nio.file.Files.deleteIfExists(c)
+            cur = java.nio.file.Files.copy(seed, c)
+          }
+          val pd = java.nio.file.Paths.get(s"$base/day=$d")
+          java.nio.file.Files.createDirectories(pd)
+          (0 until 100).foreach { f =>
+            val p = pd.resolve(f"part-$f%05d.parquet")
+            // a crashed prior build leaves partial trees (no marker):
+            // replace, don't fail
+            java.nio.file.Files.deleteIfExists(p)
+            try java.nio.file.Files.createLink(p, cur)
+            catch { case _: UnsupportedOperationException =>
+              java.nio.file.Files.copy(cur, p) }
+          }
+        }
+        marker.createNewFile()
+        println(f"partitioned_manifest build: " +
+          f"${(System.nanoTime() - tB) / 1e9}%.1f s (100k files, 1k dirs)")
+      }
+      def usedMb(): Long = {
+        System.gc()
+        (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) >>> 20
+      }
+      val m0 = usedMb()
+      val tW = System.nanoTime()
+      val files = graft.ops.Layout.listDataFiles(spark, base)
+      val walkSec = (System.nanoTime() - tW) / 1e9
+      val tP = System.nanoTime()
+      val rep = graft.ops.Layout.pruneReportWhere(spark, base, Seq(
+          graft.ops.Layout.ColPred.Range("day", lit(100L), lit(199L))))
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      val pruneSec = (System.nanoTime() - tP) / 1e9
+      val m1 = usedMb()
+      println(f"partitioned_manifest(100k files/1k parts): walk $walkSec%.1f s " +
+        f"(${files.size} files), prune $pruneSec%.1f s " +
+        f"(kept ${rep("partition_dirs")} of ${rep("total")}), " +
+        f"driver heap $m0%d → $m1%d MB")
+    }
     if (probesMatched == 0)
       println(s"WARNING: filter '$only' matched no probe labels — nothing ran")
     spark.stop()

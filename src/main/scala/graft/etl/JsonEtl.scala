@@ -1611,7 +1611,10 @@ object JsonEtl {
     * − |A∩B| and the Jaccard's numerator/denominator consistency. The
     * state is key-count-sized (not corpus-sized), so the pair frame is
     * a tiny self-join computed distributed; every estimate reads sketch
-    * bytes, never the corpus.
+    * bytes, never the corpus. The self-cross plans a
+    * BroadcastNestedLoopJoin BY DESIGN (PlanSweepSpec whitelist): the
+    * output IS every unordered pair, so no equi key exists — and both
+    * sides are the k-row state, never data-proportional.
     */
   def audienceOverlap(state: DataFrame, lgK: Int = 12): DataFrame = {
     import org.apache.datasketches.theta.{Sketches, SetOperation}

@@ -431,8 +431,12 @@ object Profile {
         }: _*)).as("e"))
         .groupBy(col("e.value_col").as("value_col"), col("e.bucket").as("bucket"))
         .agg(count(lit(1)).as(as))
-    val grid = valueCols.toDF("value_col")
-      .crossJoin(s.range(buckets).select(col("id").as("bucket")))
+    // the (value_col × bucket) grid is a PARAMETER product — both sides
+    // are known on the driver, so build it as a local frame instead of a
+    // crossJoin (the former BNLJ site the round-13 whitelist tightening
+    // removed; the later joins are all equi)
+    val grid = valueCols.flatMap(c => (0L until buckets.toLong).map(b =>
+      (c, b))).toDF("value_col", "bucket")
     psiMath(
       grid.join(counts(docs.filter(isBase), "n_base"),
           Seq("value_col", "bucket"), "left")

@@ -87,9 +87,14 @@ object PlanSweepSpec {
     // embedding dedup verification: candidate × hyperplane-bucket crosses
     // bounded by the bucket geometry
     "dedup_embedding", "dedup_semantic",
-    // few-row sketch-state / breakpoint / grid crosses
+    // few-row sketch-state / breakpoint crosses. Audited round 13 for
+    // addable equi keys: the audience overlaps are GENUINE all-pairs of a
+    // k-row sketch state (the output is every pair — no equi key exists);
+    // the drift reports cross a ONE-row broadcast bounds frame (the
+    // gap_fill shape — nothing to key on). profile_drift_multi's
+    // parameter grid moved to a driver-local frame and left the list.
     "etl_audience_overlap", "etl_audience_overlap_windowed",
-    "profile_distribution_drift", "profile_drift_fed", "profile_drift_multi",
+    "profile_distribution_drift", "profile_drift_fed",
     "text_cluster_mixture",
     // dense per-key grids and banded candidate windows
     "etl_gap_fill", "etl_snapshot_diff",

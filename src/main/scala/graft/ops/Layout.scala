@@ -627,24 +627,12 @@ object Layout {
   def readPrunedMulti(s: SparkSession, dir: String,
       ranges: Seq[(String, Column, Column)]): DataFrame = {
     require(ranges.nonEmpty, "readPrunedMulti needs at least one range")
-    val full = () => s.read.parquet(dir)
-    // PARTITION-dir pruning first: dir names are exact (not statistics),
-    // so a requested column that is a partition key excludes files of ANY
-    // manifest-coverage state — including rows appended after the last
-    // refresh, which stats pruning must keep
-    lazy val fullSchema = full().schema
-    val dataFiles = partitionPrune(s, listDataFiles(s, dir), fullSchema,
-      ranges.map { case (c, lo, hi) => (c, (v: Column) => v >= lo && v <= hi) })
-    val pruned = statsPruneRanges(s, dir, dataFiles, ranges)
-    // basePath keeps a partitioned layout's discovered partition columns
-    // in the pruned read's schema (a leaf-file read without it would drop
-    // them); for a flat dir it is a no-op
-    val base =
-      if (pruned.isEmpty) full().filter(lit(false))
-      else s.read.option("basePath", dir)
-        .parquet(pruned.map(absDataPath(dir, _)): _*)
-    base.filter(ranges.map { case (c, lo, hi) =>
-      col(c) >= lo && col(c) <= hi }.reduce(_ && _))
+    // one spine for every pruned read (round 13): ranges route through
+    // the same ColPred tiers as the combined entry point — the Bloom
+    // tier is a structural no-op without value sets, so semantics are
+    // unchanged and the three readers can never drift apart
+    readPrunedWhere(s, dir,
+      ranges.map { case (c, lo, hi) => ColPred.Range(c, lo, hi) })
   }
 
   /** Pruning AUDIT for a range read — the measure-don't-guess report an
@@ -661,9 +649,8 @@ object Layout {
     require(ranges.nonEmpty, "pruneReport needs at least one range")
     lazy val fullSchema = s.read.parquet(dir).schema
     val all = listDataFiles(s, dir)
-    val afterPart = partitionPrune(s, all, fullSchema,
-      ranges.map { case (c, lo, hi) => (c, (v: Column) => v >= lo && v <= hi) })
-    val afterStats = statsPruneRanges(s, dir, afterPart, ranges)
+    val (afterPart, afterStats, _) = pruneWhereTiers(s, dir, fullSchema,
+      all, ranges.map { case (c, lo, hi) => ColPred.Range(c, lo, hi) })
     import s.implicits._
     Seq(
       ("total", all.size.toLong, all.size.toLong),
@@ -912,23 +899,10 @@ object Layout {
   }
 
   def readPrunedPoint(s: SparkSession, dir: String, c: String,
-      values: Seq[Any]): DataFrame = {
-    require(values.nonEmpty, "readPrunedPoint needs at least one value")
-    val full = () => s.read.parquet(dir)
-    lazy val fullSchema = full().schema
-    // tier 1: partition-dir pruning — exact, applies to ANY coverage state
-    val dataFiles = partitionPrune(s, listDataFiles(s, dir), fullSchema,
-      Seq((c, (v: Column) => v.isin(values: _*))))
-    val statsPruned = statsPrunePoint(s, dir, dataFiles, c,
-      fullSchema(c).dataType, values)
-    val pruned = bloomPrunePoint(s, dir, statsPruned, c,
-      fullSchema(c).dataType, values)
-    val base =
-      if (pruned.isEmpty) full().filter(lit(false))
-      else s.read.option("basePath", dir)
-        .parquet(pruned.map(absDataPath(dir, _)): _*)
-    base.filter(col(c).isin(values: _*))
-  }
+      values: Seq[Any]): DataFrame =
+    // the one-spine rule: a point lookup is the single-In special case
+    // of the combined entry point (all three tiers, same degrade rules)
+    readPrunedWhere(s, dir, Seq(ColPred.In(c, values)))
 
   /** [[pruneReport]] for the point route — the same three tiers
     * [[readPrunedPoint]] evaluates (partition dirs → stats intervals →
@@ -939,24 +913,8 @@ object Layout {
     * row count.
     */
   def pruneReportPoint(s: SparkSession, dir: String, c: String,
-      values: Seq[Any]): DataFrame = {
-    require(values.nonEmpty, "pruneReportPoint needs at least one value")
-    lazy val fullSchema = s.read.parquet(dir).schema
-    val all = listDataFiles(s, dir)
-    val afterPart = partitionPrune(s, all, fullSchema,
-      Seq((c, (v: Column) => v.isin(values: _*))))
-    val afterStats = statsPrunePoint(s, dir, afterPart, c,
-      fullSchema(c).dataType, values)
-    val afterBloom = bloomPrunePoint(s, dir, afterStats, c,
-      fullSchema(c).dataType, values)
-    import s.implicits._
-    Seq(
-      ("total", all.size.toLong, all.size.toLong),
-      ("partition_dirs", all.size.toLong, afterPart.size.toLong),
-      ("stats_intervals", afterPart.size.toLong, afterStats.size.toLong),
-      ("bloom_probe", afterStats.size.toLong, afterBloom.size.toLong))
-      .toDF("tier", "files_in", "files_kept")
-  }
+      values: Seq[Any]): DataFrame =
+    pruneReportWhere(s, dir, Seq(ColPred.In(c, values)))
 
   // ------------------------------------------------- unified pruned read
   /** One per-column pruning predicate for [[readPrunedWhere]]: a closed
@@ -1047,6 +1005,11 @@ object Layout {
   def pruneReportWhere(s: SparkSession, dir: String,
       preds: Seq[ColPred]): DataFrame = {
     require(preds.nonEmpty, "pruneReportWhere needs at least one predicate")
+    preds.foreach {
+      case ColPred.In(c, vs) => require(vs.nonEmpty,
+        s"pruneReportWhere: IN predicate on '$c' needs at least one value")
+      case _ => ()
+    }
     lazy val fullSchema = s.read.parquet(dir).schema
     val all = listDataFiles(s, dir)
     val (afterPart, afterStats, afterBloom) =

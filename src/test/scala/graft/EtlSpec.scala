@@ -147,6 +147,16 @@ class EtlSpec extends SparkSpec {
     assert(key(spark.read.parquet(s"$base/jv/view"))
       === key(o.join(c, Seq("c_custkey"))),
       "a protocol-fenced fold must leave the state untouched")
+    // a REPLAYED id through the wrong entry point stays the harmless
+    // no-op it always was: the replay fence answers before the protocol
+    // stamp, so nothing raises and nothing is branded (the stamp itself
+    // is written only after a live fold's preconditions hold)
+    JsonEtl.joinUpsertLeftAt(spark, s"$base/jv", os(0), 1L, Seq("c_custkey"))
+    assert(key(spark.read.parquet(s"$base/jv/view"))
+      === key(o.join(c, Seq("c_custkey"))),
+      "a replayed wrong-entry-point call must be a no-op, not a raise")
+    assert(JsonEtl.joinProtocol(spark, s"$base/jv") === Some("two_sided"),
+      "the replay must not restamp the protocol")
     // join_left: right seeded once at path/right, never batch-written
     c.coalesce(1).write.parquet(s"$base/jvl/right")
     def ldoc(id: Long) =

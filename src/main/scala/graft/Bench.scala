@@ -168,11 +168,18 @@ object Bench {
     val requested = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_detail.json")
     val maxLoad = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_LOAD", "1.5").toDouble
     val load1 = try loadStart.split("\\s+").head.toDouble catch { case _: Throwable => 0.0 }
+    val reqPath = java.nio.file.Paths.get(requested)
     val outPath =
-      if (requested.endsWith("BENCH_local.json") && load1 > maxLoad) {
+      if (reqPath.getFileName.toString == "BENCH_local.json" && load1 > maxLoad) {
+        // redirect to the SIBLING detail file so an absolute target keeps
+        // its directory (a bare-name fallback would land in whatever CWD
+        // the contended run happened to use)
+        val sibling = Option(reqPath.getParent)
+          .map(_.resolve("BENCH_detail.json").toString)
+          .getOrElse("BENCH_detail.json")
         System.err.println(f"[bench] host contended at start (load $load1%.2f > " +
-          f"$maxLoad%.1f): refusing to overwrite $requested; writing BENCH_detail.json")
-        "BENCH_detail.json"
+          f"$maxLoad%.1f): refusing to overwrite $requested; writing $sibling")
+        sibling
       } else requested
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),

@@ -2317,6 +2317,30 @@ object JsonEtl {
         s"join state at ${st.get("path").asText} needs right_input.path")
       st
     }
+    // the join kinds' SECOND inputs validate with the blocks, before any
+    // fold — a typo'd right_input path or an unseeded join_left right
+    // side must fail the whole document up front, not after earlier
+    // states already folded under this batch id (the same
+    // nothing-half-folded contract the require loop above enforces).
+    // Loading eagerly resolves the schema, so an unreadable path throws
+    // HERE; the frames are reused by the dispatch below.
+    val rightInputs: Map[String, DataFrame] = states.collect {
+      case st if st.get("kind").asText == "join" =>
+        val ri = st.get("right_input")
+        val rFmt = optField(ri, "format").map(_.asText).getOrElse("parquet")
+        st.get("path").asText -> s.read.format(rFmt)
+          .load(ri.get("path").asText)
+    }.toMap
+    states.foreach { st =>
+      if (st.get("kind").asText == "join_left") {
+        val r = new org.apache.hadoop.fs.Path(
+          s"${st.get("path").asText}/right")
+        require(r.getFileSystem(s.sparkContext.hadoopConfiguration)
+            .exists(r),
+          s"join_left state at ${st.get("path").asText} needs its right " +
+            "side seeded at <path>/right before the first fold")
+      }
+    }
     val input = root.get("input")
     val format = optField(input, "format").map(_.asText).getOrElse("parquet")
     val batch0 = s.read.format(format).load(input.get("path").asText)
@@ -2394,12 +2418,10 @@ object JsonEtl {
           str("day_col", "day"), num("retain_days", 30))
         case "join" =>
           // the document's input is the LEFT delta; the right delta is
-          // the block's own input ref — the two-delta shape that kept
-          // this family out of the document until round 13
-          val ri = st.get("right_input")
-          val rFmt = optField(ri, "format").map(_.asText).getOrElse("parquet")
-          val dRight = s.read.format(rFmt).load(ri.get("path").asText)
-          joinUpsertAt(s, path, batch, dRight, batchId, keysReq("keys"),
+          // the block's own input ref — loaded (and so validated) with
+          // the blocks above, before any state folded
+          joinUpsertAt(s, path, batch, rightInputs(path), batchId,
+            keysReq("keys"),
             optField(st, "broadcast_deltas").forall(_.asBoolean))
         case "join_left" =>
           joinUpsertLeftAt(s, path, batch, batchId, keysReq("keys"),
@@ -2431,14 +2453,18 @@ object JsonEtl {
       val e = Tables(s, dir).events
       e.filter(col("event_id") % 2 === 0)
         .write.mode("overwrite").parquet(s"$base/batch0")
-      e.filter(col("event_id") % 2 === 1)
-        .write.mode("overwrite").parquet(s"$base/batch1")
       // the join_left state's right side is seeded ONCE, never
-      // batch-written — the streaming joinIngestSink shape
+      // batch-written — the streaming joinIngestSink shape. Written
+      // BEFORE batch1: batch1's _SUCCESS is the memo sentinel for this
+      // whole block, so it must be the LAST artifact written or an
+      // interrupted first build leaves a guard-passing scratch with no
+      // seeded right side
       Tables(s, dir).events.select(col("event_type")).distinct()
         .withColumn("type_tag", concat(lit("t_"), col("event_type")))
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$base/st_join/right")
+      e.filter(col("event_id") % 2 === 1)
+        .write.mode("overwrite").parquet(s"$base/batch1")
     }
     def doc(id: Long): String =
       s"""{"batchId": $id,

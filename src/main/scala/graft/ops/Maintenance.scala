@@ -197,21 +197,37 @@ object Maintenance {
               // monitor→action shape, reported as checked/fired below).
               Layout.refreshManifestIncremental(s, t.path)
               Layout.refreshBloomManifestIncremental(s, t.path)
-              val damaged = Fsck.fsckSkipManifest(s, t.path)
+              // the rewritten-in-place detector: a WIDE sample (16 files,
+              // not fsck's 1-file report default — the heal decision
+              // deserves more evidence than the nightly report row), and
+              // a failing sample must fail TWICE before triggering
+              // corpus-scale work: fsck deliberately counts a throwing
+              // sample read as damage (conservative for a report), but
+              // flaky IO or a concurrent compaction swapping the sampled
+              // file must not buy two full re-scans of a 100k-file
+              // table. Detection stays SAMPLED — an operator who knows a
+              // specific file was rewritten heals explicitly with
+              // refreshManifest/refreshBloomManifest.
+              def sampleDamaged(): Boolean = Fsck.fsckSkipManifest(
+                  s, t.path, sampleFiles = 16)
                 .filter(col("status") === "fail" &&
                   col("check").isin("stats_sample", "bloom_sample"))
                 .limit(1).count() > 0
-              if (damaged) {
-                Layout.refreshManifest(s, t.path)
-                Layout.refreshBloomManifest(s, t.path)
-              }
+              val damaged = sampleDamaged() && sampleDamaged()
               // the second monitor→action of this target: a Bloom built
               // for fewer rows than its files now hold self-reports
               // saturation (expectedFpp) — rebuild sized to measured
               // per-file counts; right-sized manifests decline. Runs
-              // AFTER the heal so a heal's geometry-preserving rebuild
-              // can't mask an undersized design.
+              // BEFORE the heal because its rebuild IS a full
+              // corpus-scan writeBloomManifest: when the manifest is
+              // both damaged and undersized, one right-sized rebuild
+              // serves both needs instead of healing at the old
+              // geometry and immediately rebuilding again.
               val (rebloomed, _) = Layout.maybeRebloom(s, t.path)
+              if (damaged) {
+                Layout.refreshManifest(s, t.path)
+                if (!rebloomed) Layout.refreshBloomManifest(s, t.path)
+              }
               // recursive, like the manifest itself — a partitioned
               // table's audit must count its nested files, not report 0
               val n = Layout.listDataFiles(s, t.path).size.toLong

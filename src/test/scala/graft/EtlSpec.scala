@@ -176,6 +176,32 @@ class EtlSpec extends SparkSpec {
          |  "keys": "c_custkey"}]}""".stripMargin
     assertThrows[IllegalArgumentException](
       JsonEtl.foldConfig(spark, incomplete))
+    // the contract is LOADABLE, not merely present: a typo'd right_input
+    // path fails the whole document before ANY state folds — an earlier
+    // agg block must not be left folded under the batch id
+    val typo =
+      s"""{"batchId": 3, "input": {"path": "$base/left0"},
+         | "states": [
+         |  {"name": "agg3", "kind": "agg", "path": "$base/agg3",
+         |   "keys": "c_custkey", "value_col": "o_totalprice"},
+         |  {"name": "jv2", "kind": "join", "path": "$base/jv2",
+         |   "keys": "c_custkey",
+         |   "right_input": {"path": "$base/does_not_exist"}}]}""".stripMargin
+    assertThrows[Exception](JsonEtl.foldConfig(spark, typo))
+    assert(!new java.io.File(s"$base/agg3").exists,
+      "an unreadable join input must fail the document before any fold")
+    // same for an unseeded join_left right side
+    val unseeded =
+      s"""{"batchId": 3, "input": {"path": "$base/left0"},
+         | "states": [
+         |  {"name": "agg3", "kind": "agg", "path": "$base/agg3",
+         |   "keys": "c_custkey", "value_col": "o_totalprice"},
+         |  {"name": "jvl2", "kind": "join_left", "path": "$base/jvl2",
+         |   "keys": "c_custkey"}]}""".stripMargin
+    val e2 = intercept[IllegalArgumentException](
+      JsonEtl.foldConfig(spark, unseeded))
+    assert(e2.getMessage.contains("seeded"))
+    assert(!new java.io.File(s"$base/agg3").exists)
   }
 
   test("durable incremental aggregate: replay is a no-op, crash mid-swap recovers") {

@@ -66,7 +66,11 @@ object Streams extends Serializable {
       // with a placeholder (monotonically_increasing_id is rejected under
       // readStream, and inventing offset semantics here would be a lie)
       lit(-1L).as("offset"),
-      current_timestamp().as("timestamp"))
+      current_timestamp().as("timestamp"),
+      // the connector's 7th column — 0 = CreateTime; without it the
+      // emulator's frame is not schema-identical to the real source and
+      // the deploy-time swap-in fails any strict schema check or union
+      lit(0).as("timestampType"))
 
   /** The pyetl "parse the consumed message" step against the bus contract:
     * decode the binary `value`, tolerant-parse the JSON into `schema`
@@ -159,7 +163,16 @@ object Streams extends Serializable {
       val sec = e.ts.getTime / 1000
       cur match {
         case Some(s) if sec - s.endSec <= gapSec =>
-          cur = Some(s.copy(endSec = sec, n = s.n + 1, sum = s.sum + e.value))
+          // min/max, not assignment: a LATE event (admitted by the
+          // watermark in a later batch) can precede the carried state's
+          // bounds — overwriting endSec with an earlier second shrank
+          // the session backwards (end < start in the emitted row) and
+          // re-armed the close timer early, splitting one real session
+          // in two. Bounds only ever widen; the late event's count and
+          // sum fold in order-independently.
+          cur = Some(s.copy(startSec = math.min(s.startSec, sec),
+            endSec = math.max(s.endSec, sec),
+            n = s.n + 1, sum = s.sum + e.value))
         case Some(s) =>
           closed ::= Session(userId, s.startSec, s.endSec, s.n, s.sum)
           cur = Some(SessState(sec, sec, 1L, e.value))
@@ -261,9 +274,16 @@ object Streams extends Serializable {
   }
 
   /** Stream-static enrichment: join the live stream against a (slowly
-    * changing) dimension table — pyetl's per-message lookup enrichment. The
-    * static side re-resolves per micro-batch, so dim updates between
-    * batches are picked up; Spark broadcasts it when small.
+    * changing) dimension table — pyetl's per-message lookup enrichment;
+    * Spark broadcasts the static side when small. Freshness contract:
+    * the static PLAN re-executes per micro-batch, but a plain parquet
+    * frame caches its FILE LISTING at creation — files appended after
+    * the frame was built are invisible, and a compaction that rewrites
+    * the dim in place fails the next batch with a stale-listing read
+    * error. A dim that changes while the query runs must come through a
+    * source that re-resolves (a table format with a transaction log) or
+    * be re-read inside a foreachBatch body; the batch-refresh sinks in
+    * this file take the second route.
     */
   def enrich(events: DataFrame, dim: DataFrame, key: String,
       joinType: String = "left_outer"): DataFrame =
@@ -291,8 +311,10 @@ object Streams extends Serializable {
   /** Streaming incremental-ingest dedup — the continuous twin of
     * graft.ops.Dedup.incremental: arriving documents are dropped when their
     * normalized hash already exists in the static corpus (stream-static
-    * LEFT ANTI join, re-resolved per micro-batch so corpus compactions are
-    * picked up) or was already seen in the stream within the watermark
+    * LEFT ANTI join against the digest frame AS RESOLVED AT QUERY START —
+    * see [[enrich]]'s freshness contract: a plain parquet digest frozen
+    * mid-query needs a foreachBatch re-read or a log-backed table to see
+    * later corpus appends) or was already seen in the stream within the watermark
     * horizon (`dropDuplicatesWithinWatermark`, so dedup state is reaped
     * instead of growing with the stream). Only hashes cross the join — at
     * 100 TB/day the anti-join is hash-equi against a corpus digest table,
@@ -669,13 +691,25 @@ object Streams extends Serializable {
     * self-heals without any repair step. Periodic [[compactSinkDir]]
     * rebuilds both manifests over the compacted layout as always.
     */
+  /** The one foreachBatch scaffold every `*IngestSink` wraps: Append
+    * mode, the caller's checkpoint, start. Shared so a future scaffold
+    * change (queryName, trigger config, an error hook) lands in ONE
+    * place instead of being hand-applied across ~20 sinks and silently
+    * missing one.
+    */
+  private def batchSink(input: DataFrame, checkpoint: String)(
+      body: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    input.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(body)
+      .start()
+
   def skippingIngestSink(events: DataFrame, dir: String, checkpoint: String,
       statsCols: Seq[String], bloomCol: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    events.writeStream
-      .outputMode(OutputMode.Append())
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+    batchSink(events, checkpoint) { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         commitBatch(s, dir, batchId)(
           dir -> { st => batch.write.parquet(st) })
@@ -687,8 +721,7 @@ object Streams extends Serializable {
             graft.ops.Layout.writeBloomManifest(s, dir, c)
           else { graft.ops.Layout.refreshBloomManifestIncremental(s, dir); () }
         }
-      }
-      .start()
+    }
 
   /** The living-corpus ingest loop end to end: each arriving micro-batch
     * of documents is near-dup-checked against the PERSISTED MinHash
@@ -717,13 +750,9 @@ object Streams extends Serializable {
     */
   def dedupIngestSink(docs: DataFrame, indexPath: String, pairsDir: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .outputMode(OutputMode.Append())
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+    batchSink(docs, checkpoint) { (batch: DataFrame, batchId: Long) =>
         ingestDocBatch(batch, batchId, indexPath, pairsDir, labelsDir = None)
-      }
-      .start()
+    }
 
   /** One micro-batch of the doc-ingest loop — shared verbatim by
     * [[dedupIngestSink]] and [[componentsIngestSink]] so the two can never
@@ -764,9 +793,12 @@ object Streams extends Serializable {
                 col("id").as("canonical_id"))
             val folded = graft.ops.Dedup.nearDupGroupsIncremental(
               labels0, pairs.select(col("d1"), col("d2")))
-            if (fs.exists(ldp))
-              graft.ops.Layout.rewriteInPlace(s, ld)(folded.write.parquet(_))
-            else folded.write.parquet(ld)
+            // writeStaged dispatches fresh vs rewrite-in-place AND stages
+            // the very first write: a plain bootstrap write crashed
+            // mid-flight leaves a footer-less dir that every replay then
+            // trips over (exists → read → AnalysisException) — the one
+            // window the surrounding protocol didn't cover
+            graft.ops.Layout.writeStaged(s, ld)(folded.write.parquet(_))
             folded.unpersist()
           }
         } finally { pairs.unpersist(); () }
@@ -793,13 +825,9 @@ object Streams extends Serializable {
   def componentsIngestSink(docs: DataFrame, indexPath: String,
       pairsDir: String, labelsDir: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    docs.writeStream
-      .outputMode(OutputMode.Append())
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+    batchSink(docs, checkpoint) { (batch: DataFrame, batchId: Long) =>
         ingestDocBatch(batch, batchId, indexPath, pairsDir, Some(labelsDir))
-      }
-      .start()
+    }
 
   /** [[dedupIngestSink]]'s EMBEDDING twin — the other half of the
     * living-corpus loop: each micro-batch of (vec_id, embedding) rows is
@@ -820,10 +848,7 @@ object Streams extends Serializable {
   def embeddingIngestSink(vectors: DataFrame, indexPath: String,
       pairsDir: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    vectors.writeStream
-      .outputMode(OutputMode.Append())
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+    batchSink(vectors, checkpoint) { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         val fs = new org.apache.hadoop.fs.Path(indexPath)
           .getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -844,8 +869,7 @@ object Streams extends Serializable {
               s"${indexPath}_batches/$batchId"), true).close()
           } finally { cached.unpersist(); () }
         }
-      }
-      .start()
+    }
 
   /** The ANN-index member of the living-corpus loop — nightly
     * [[graft.ops.Similarity.appendToIndex]] as a streaming sink, with
@@ -871,18 +895,14 @@ object Streams extends Serializable {
     */
   def annIngestSink(vectors: DataFrame, indexPath: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    vectors.writeStream
-      .outputMode(OutputMode.Append())
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+    batchSink(vectors, checkpoint) { (batch: DataFrame, batchId: Long) =>
         // the encoding (raw/residual) and kind (raw/OPQ) are the INDEX's
         // properties, read from the artifact by the append — one sink
         // body serves every index flavor
         graft.ops.Similarity.appendToIndexAt(batch.sparkSession, indexPath,
           batch, batchId)
         ()
-      }
-      .start()
+    }
 
   /** Continuous data-contract monitoring — [[graft.etl.Expectations]] per
     * micro-batch: each batch's one-pass verdict report (check,
@@ -899,10 +919,7 @@ object Streams extends Serializable {
       uniqueKeys: Seq[(String, org.apache.spark.sql.Column, Long)],
       auditDir: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    events.writeStream
-      .outputMode(OutputMode.Append())
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+    batchSink(events, checkpoint) { (batch: DataFrame, batchId: Long) =>
         // verdict rows are NOT content-derived (no identity to dedup on
         // later), so this sink commits through the exactly-once protocol:
         // staged write → batch-prefixed file replace → marker
@@ -912,8 +929,7 @@ object Streams extends Serializable {
               .withColumn("batch_id", lit(batchId))
               .write.parquet(staging)
           })
-      }
-      .start()
+    }
 
   /** Streaming dead-letter routing — [[expectationsSink]]'s remediation
     * twin: each micro-batch splits through
@@ -932,10 +948,7 @@ object Streams extends Serializable {
       checks: Seq[(String, org.apache.spark.sql.Column, Long)],
       cleanDir: String, quarantineDir: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
-    events.writeStream
-      .outputMode(OutputMode.Append())
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+    batchSink(events, checkpoint) { (batch: DataFrame, batchId: Long) =>
         val cached = batch.persist()
         try {
           val (clean, bad) = graft.etl.Expectations.quarantine(cached, checks)
@@ -945,8 +958,7 @@ object Streams extends Serializable {
               bad.withColumn("batch_id", lit(batchId)).write.parquet(staging)
             })
         } finally { cached.unpersist(); () }
-      }
-      .start()
+    }
 
   /** pyetl's multi-destination writer loop: one micro-batch, N sinks, via
     * foreachBatch. The batch is persisted once so each route filters the
@@ -959,10 +971,7 @@ object Streams extends Serializable {
   def multiSink(events: DataFrame, baseDir: String,
       routes: Map[String, org.apache.spark.sql.Column],
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
-    events.writeStream
-      .outputMode(OutputMode.Append())
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+    batchSink(events, checkpoint) { (batch: DataFrame, batchId: Long) =>
         val cached = batch.persist()
         try commitBatch(batch.sparkSession, baseDir, batchId)(
           routes.toSeq.map { case (name, pred) =>
@@ -970,8 +979,7 @@ object Streams extends Serializable {
               (staging: String) => cached.filter(pred).write.parquet(staging))
           }: _*)
         finally { cached.unpersist(); () }
-      }
-      .start()
+    }
 
   /** Streaming incremental aggregation — pyetl's rolling keyed aggregate
     * kept live by the stream itself: each micro-batch folds into the
@@ -993,14 +1001,10 @@ object Streams extends Serializable {
       checkpoint: String,
       keys: Seq[String] = Seq("user_id", "event_type"),
       valueCol: String = "value"): org.apache.spark.sql.streaming.StreamingQuery =
-    events.writeStream
-      .outputMode(OutputMode.Append())
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+    batchSink(events, checkpoint) { (batch: DataFrame, batchId: Long) =>
         graft.etl.JsonEtl.aggUpsertAt(batch.sparkSession, statePath, batch,
           batchId, keys, valueCol)
-      }
-      .start()
+    }
 
   /** Seed the dimension side of a streaming join view — the one-time
     * load before [[joinIngestSink]] starts (the star-schema shape: facts
@@ -1027,14 +1031,10 @@ object Streams extends Serializable {
     */
   def joinIngestSink(facts: DataFrame, root: String, checkpoint: String,
       keys: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
-    facts.writeStream
-      .outputMode(OutputMode.Append())
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+    batchSink(facts, checkpoint) { (batch: DataFrame, batchId: Long) =>
         graft.etl.JsonEtl.joinUpsertLeftAt(batch.sparkSession, root, batch,
           batchId, keys)
-      }
-      .start()
+    }
 
   /** Streaming twin of [[graft.etl.JsonEtl.aggUpsertWindowedAt]]: the
     * day-windowed additive state folded per micro-batch under the
@@ -1047,14 +1047,10 @@ object Streams extends Serializable {
       checkpoint: String, keys: Seq[String], valueCols: Seq[String],
       dayCol: String = "day",
       retainDays: Int = 30): org.apache.spark.sql.streaming.StreamingQuery =
-    events.writeStream
-      .outputMode(OutputMode.Append())
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+    batchSink(events, checkpoint) { (batch: DataFrame, batchId: Long) =>
         graft.etl.JsonEtl.aggUpsertWindowedAt(batch.sparkSession, statePath,
           batch, batchId, keys, valueCols, dayCol, retainDays)
-      }
-      .start()
+    }
 
   /** Streaming twin of [[graft.etl.JsonEtl.quantileUpsertAt]]: per-key
     * KLL quantile state folded per micro-batch under the durable fold
@@ -1064,14 +1060,10 @@ object Streams extends Serializable {
   def quantileIngestSink(events: DataFrame, statePath: String,
       checkpoint: String, key: String = "event_type",
       valueCol: String = "value"): org.apache.spark.sql.streaming.StreamingQuery =
-    events.writeStream
-      .outputMode(OutputMode.Append())
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+    batchSink(events, checkpoint) { (batch: DataFrame, batchId: Long) =>
         graft.etl.JsonEtl.quantileUpsertAt(batch.sparkSession, statePath,
           batch, batchId, key, valueCol)
-      }
-      .start()
+    }
 
   /** Streaming twin of [[graft.etl.JsonEtl.audienceUpsertAt]]: per-key
     * Theta set-sketch state folded per micro-batch under the durable
@@ -1082,14 +1074,10 @@ object Streams extends Serializable {
   def audienceIngestSink(events: DataFrame, statePath: String,
       checkpoint: String, key: String = "event_type",
       valueCol: String = "user_id"): org.apache.spark.sql.streaming.StreamingQuery =
-    events.writeStream
-      .outputMode(OutputMode.Append())
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+    batchSink(events, checkpoint) { (batch: DataFrame, batchId: Long) =>
         graft.etl.JsonEtl.audienceUpsertAt(batch.sparkSession, statePath,
           batch, batchId, key, valueCol)
-      }
-      .start()
+    }
 
   /** Streaming twin of [[graft.etl.JsonEtl.freqUpsertAt]]: per-key
     * Misra–Gries frequent-items state folded per micro-batch under the
@@ -1100,14 +1088,10 @@ object Streams extends Serializable {
   def freqIngestSink(events: DataFrame, statePath: String,
       checkpoint: String, key: String = "event_type",
       itemCol: String = "user_id"): org.apache.spark.sql.streaming.StreamingQuery =
-    events.writeStream
-      .outputMode(OutputMode.Append())
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+    batchSink(events, checkpoint) { (batch: DataFrame, batchId: Long) =>
         graft.etl.JsonEtl.freqUpsertAt(batch.sparkSession, statePath,
           batch, batchId, key, itemCol)
-      }
-      .start()
+    }
 
   /** Streaming twin of [[graft.etl.JsonEtl.distinctUpsertAt]]: per-key
     * HLL distinct-count state folded per micro-batch under the durable
@@ -1119,14 +1103,10 @@ object Streams extends Serializable {
   def distinctIngestSink(events: DataFrame, statePath: String,
       checkpoint: String, keys: Seq[String] = Seq("event_type"),
       valueCol: String = "user_id"): org.apache.spark.sql.streaming.StreamingQuery =
-    events.writeStream
-      .outputMode(OutputMode.Append())
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+    batchSink(events, checkpoint) { (batch: DataFrame, batchId: Long) =>
         graft.etl.JsonEtl.distinctUpsertAt(batch.sparkSession, statePath,
           batch, batchId, keys, valueCol)
-      }
-      .start()
+    }
 
   /** Streaming twin of [[graft.etl.JsonEtl.sampleUpsertAt]]: per-key
     * deterministic bottom-k sample folded per micro-batch under the
@@ -1139,14 +1119,10 @@ object Streams extends Serializable {
       checkpoint: String, keys: Seq[String] = Seq("event_type"),
       valueCol: String = "user_id", k: Int = 64,
       seed: String = "bk0"): org.apache.spark.sql.streaming.StreamingQuery =
-    events.writeStream
-      .outputMode(OutputMode.Append())
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+    batchSink(events, checkpoint) { (batch: DataFrame, batchId: Long) =>
         graft.etl.JsonEtl.sampleUpsertAt(batch.sparkSession, statePath,
           batch, batchId, keys, valueCol, k, seed)
-      }
-      .start()
+    }
 
   /** Streaming twin of [[graft.etl.JsonEtl.sampleUpsertWindowedAt]] —
     * the windowed sample under the same fence and retention.
@@ -1156,15 +1132,11 @@ object Streams extends Serializable {
       valueCol: String = "user_id", k: Int = 64, seed: String = "bk0",
       dayCol: String = "day",
       retainDays: Int = 30): org.apache.spark.sql.streaming.StreamingQuery =
-    events.writeStream
-      .outputMode(OutputMode.Append())
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+    batchSink(events, checkpoint) { (batch: DataFrame, batchId: Long) =>
         graft.etl.JsonEtl.sampleUpsertWindowedAt(batch.sparkSession,
           statePath, batch, batchId, keys, valueCol, k, seed, dayCol,
           retainDays)
-      }
-      .start()
+    }
 
   /** Streaming twin of [[graft.etl.JsonEtl.quantileUpsertWindowedAt]] —
     * the live trailing-window percentile dashboard state.
@@ -1173,14 +1145,10 @@ object Streams extends Serializable {
       checkpoint: String, key: String = "event_type",
       valueCol: String = "value", k: Int = 200, dayCol: String = "day",
       retainDays: Int = 30): org.apache.spark.sql.streaming.StreamingQuery =
-    events.writeStream
-      .outputMode(OutputMode.Append())
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+    batchSink(events, checkpoint) { (batch: DataFrame, batchId: Long) =>
         graft.etl.JsonEtl.quantileUpsertWindowedAt(batch.sparkSession,
           statePath, batch, batchId, key, valueCol, k, dayCol, retainDays)
-      }
-      .start()
+    }
 
   /** Streaming twin of [[graft.etl.JsonEtl.freqUpsertWindowedAt]] — the
     * live trailing-window trending-items state.
@@ -1190,15 +1158,11 @@ object Streams extends Serializable {
       itemCol: String = "user_id", maxMapSize: Int = 1024,
       dayCol: String = "day",
       retainDays: Int = 30): org.apache.spark.sql.streaming.StreamingQuery =
-    events.writeStream
-      .outputMode(OutputMode.Append())
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+    batchSink(events, checkpoint) { (batch: DataFrame, batchId: Long) =>
         graft.etl.JsonEtl.freqUpsertWindowedAt(batch.sparkSession,
           statePath, batch, batchId, key, itemCol, maxMapSize, dayCol,
           retainDays)
-      }
-      .start()
+    }
 
   /** Streaming twin of [[graft.etl.JsonEtl.distinctUpsertWindowedAt]]:
     * the day-windowed distinct state folded per micro-batch — the live
@@ -1210,15 +1174,11 @@ object Streams extends Serializable {
       checkpoint: String, keys: Seq[String] = Seq("event_type"),
       valueCol: String = "user_id", dayCol: String = "day",
       retainDays: Int = 30): org.apache.spark.sql.streaming.StreamingQuery =
-    events.writeStream
-      .outputMode(OutputMode.Append())
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+    batchSink(events, checkpoint) { (batch: DataFrame, batchId: Long) =>
         graft.etl.JsonEtl.distinctUpsertWindowedAt(batch.sparkSession,
           statePath, batch, batchId, keys, valueCol, dayCol = dayCol,
           retainDays = retainDays)
-      }
-      .start()
+    }
 
   /** Streaming twin of [[graft.etl.JsonEtl.audienceUpsertWindowedAt]]:
     * the day-windowed theta set state folded per micro-batch — the live
@@ -1230,15 +1190,11 @@ object Streams extends Serializable {
       checkpoint: String, key: String = "event_type",
       valueCol: String = "user_id", dayCol: String = "day",
       retainDays: Int = 30): org.apache.spark.sql.streaming.StreamingQuery =
-    events.writeStream
-      .outputMode(OutputMode.Append())
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+    batchSink(events, checkpoint) { (batch: DataFrame, batchId: Long) =>
         graft.etl.JsonEtl.audienceUpsertWindowedAt(batch.sparkSession,
           statePath, batch, batchId, key, valueCol, dayCol = dayCol,
           retainDays = retainDays)
-      }
-      .start()
+    }
 
   /** Continuous DATA-drift monitoring — the streaming twin of
     * [[graft.ops.Profile.distributionDrift]] and the data-side sibling of
@@ -1261,10 +1217,7 @@ object Streams extends Serializable {
   def psiDriftSink(events: DataFrame, baselinePath: String,
       auditDir: String, checkpoint: String,
       trip: Double = 0.25): org.apache.spark.sql.streaming.StreamingQuery =
-    events.writeStream
-      .outputMode(OutputMode.Append())
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+    batchSink(events, checkpoint) { (batch: DataFrame, batchId: Long) =>
         commitBatch(batch.sparkSession, auditDir, batchId)(
           auditDir -> { staging =>
             graft.ops.Profile.psiAgainstBaseline(
@@ -1273,6 +1226,5 @@ object Streams extends Serializable {
               .withColumn("drifted", col("psi_total") > lit(trip))
               .write.parquet(staging)
           })
-      }
-      .start()
+    }
 }

@@ -98,6 +98,33 @@ class StreamingSpec extends SparkSpec {
       s.userId == 1 && s.nEvents == 2 && s.endSec - s.startSec == 600))
   }
 
+  test("sessionize: a late-but-admitted event widens the session bounds, never shrinks them") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[Event]
+    // batch 1: session spans 0→10 min; the watermark after it sits at
+    // 0 min (10 min delay), so batch 2's 5-min event is ADMITTED late
+    // data that precedes the carried endSec — the regression overwrote
+    // endSec with 300 s (end < start impossible here, but the close
+    // timer re-armed 5 min early and a backwards endSec was emitted)
+    in.addData(Event(ts(0), 1, "click", 1.0), Event(ts(10), 1, "view", 2.0))
+    in.addData(Event(ts(5), 1, "mid", 4.0))
+    in.addData(Event(ts(50), 1, "click", 8.0)) // closes session 1
+    val q = Streams.sessionize(in.toDS()).writeStream
+      .format("memory").queryName("sess_late").outputMode("append")
+      .trigger(availableNow).start()
+    assert(q.awaitTermination(120000), "sessionize stream did not finish")
+    q.stop()
+    val closed = spark.table("sess_late").as[Streams.Session].collect()
+    closed.foreach(s => assert(s.endSec >= s.startSec,
+      s"session bounds must never run backwards: $s"))
+    val base = ts(0).getTime / 1000
+    assert(closed.exists(s => s.userId == 1 && s.nEvents == 3 &&
+      s.startSec == base && s.endSec == base + 600 && s.sumValue == 7.0),
+      s"late event must fold into the session without shrinking it: " +
+        closed.mkString(", "))
+  }
+
   private val rocksdb =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
@@ -357,7 +384,8 @@ class StreamingSpec extends SparkSpec {
     // the bus frame carries the connector's exact schema
     assert(bus.schema.map(f => (f.name, f.dataType.typeName)) === Seq(
       ("key", "binary"), ("value", "binary"), ("topic", "string"),
-      ("partition", "integer"), ("offset", "long"), ("timestamp", "timestamp")))
+      ("partition", "integer"), ("offset", "long"),
+      ("timestamp", "timestamp"), ("timestampType", "integer")))
     runToMemory(Streams.parseBus(bus, schema), "bus")
     val rows = spark.table("bus").collect()
     assert(rows.length === 4)

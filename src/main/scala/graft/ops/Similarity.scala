@@ -208,14 +208,219 @@ object Similarity {
     * O(N)-per-iteration cost would actually bite. The count is one
     * column-pruned pass, paid once per TRAINING (not per query batch).
     */
-  private[graft] def trainSample(e: DataFrame, cap: Long): DataFrame = {
-    val n = e.count()
+  private[graft] def trainSample(e: DataFrame, cap: Long): DataFrame =
+    boundedSample(e, e.count(), cap)
+
+  /** [[trainSample]] body with the count hoisted out — the trainers need n
+    * for the local-fit gate anyway, so they pay the column-pruned count
+    * once and share it between the sample filter and the gate.
+    */
+  private def boundedSample(e: DataFrame, n: Long, cap: Long): DataFrame =
     if (n <= cap) e
     else {
       val ring = 1L << 20
       val keep = math.max(1L, math.ceil(cap.toDouble / n * ring).toLong)
       e.filter(pmod(xxhash64(col("vec_id")), lit(ring)) < lit(keep))
     }
+
+  // ------------------------------------------------------------ local fits
+  /** Driver-local Lloyd / PQ / OPQ fits for bounded training samples.
+    *
+    * Every trainer in this module already routes its model state through
+    * the driver — centroids collect between Lloyd rounds BY DESIGN (that is
+    * what makes them broadcastable) — so at sample scale the distributed
+    * alternation buys no parallel win and costs 2·iters+1 scheduled jobs
+    * per fit plus their planning gaps. Measured on the bench host (guide
+    * §1): one OPQ training was ~20 jobs of 30-700 ms over a 16k-row cached
+    * sample, ~9 s of the 13.8 s query wall, all scheduling latency and
+    * interpreted-HOF per-row cost. The local path collects the SAME
+    * deterministic [[trainSample]] rows once (≤ ~70 MB at the 256k cap —
+    * constant in corpus size because the cap is) and runs the identical
+    * alternation in-process: same seeding, same packed-ordinal tie-breaks
+    * (quantized score, ties → lowest cell), same double-accumulate /
+    * float-cast arithmetic, so the recall pins and the inline ≡ fed ≡
+    * saved-model determinism pins hold unchanged. Corpus-sized passes
+    * (encode, cell assignment, retrieval) stay distributed — only the
+    * O(cap) model fit moves, which is exactly the FAISS train/serve split.
+    * Fits whose sample or cell count exceeds these bounds (e.g.
+    * [[graft.ops.Dedup.semantic]]'s k ∝ N ladder at large N) keep the
+    * distributed loops, which remain in place below.
+    */
+  private[graft] val LocalFitMaxRows = 262144L
+  /** Mult-add bound per local fit (~8.6e9 ≈ a few hundred ms parallel). */
+  private[graft] val LocalFitMaxWork = 8L << 30
+
+  private def collectVecs(df: DataFrame): Array[(Long, Array[Float])] =
+    df.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+  /** [[graft.functions.CosineSim]]'s exact arithmetic, local. */
+  private def cosLocal(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** [[graft.functions.MatVec]].compute + the array<float> cast, local. */
+  private def rotLocal(v: Array[Float], r: Array[Array[Double]]): Array[Float] = {
+    val out = new Array[Float](r.length)
+    var j = 0
+    while (j < r.length) {
+      val row = r(j); val n = math.min(row.length, v.length)
+      var acc = 0.0; var i = 0
+      while (i < n) { acc += v(i).toDouble * row(i); i += 1 }
+      out(j) = acc.toFloat
+      j += 1
+    }
+    out
+  }
+
+  /** [[assignCells]]' packed ordinal, local: floor(ccos·2^40)·2^20 − cell,
+    * NaN floored to −1 — strict max is unique because the low bits carry
+    * −cell, so ties resolve to the lowest cell exactly like the engine.
+    */
+  private def bestCellByCosine(v: Array[Float], cells: Array[Int],
+      cents: Array[Array[Float]]): Int = {
+    var best = Long.MinValue; var bc = 0; var ci = 0
+    while (ci < cells.length) {
+      var c = cosLocal(v, cents(ci))
+      if (c.isNaN) c = -1.0
+      val ord = math.floor(c * (1L << 40).toDouble).toLong * (1L << 20) - cells(ci)
+      if (ord > best) { best = ord; bc = cells(ci) }
+      ci += 1
+    }
+    bc
+  }
+
+  /** Local Lloyd with [[assignCells]] assignment semantics — the in-process
+    * body behind [[kmeans]]' local gate. Means accumulate float→double in
+    * row order and cast back to float per component (the engine's
+    * avg-then-cast); cells that lose every member DROP, as in the
+    * distributed loop.
+    */
+  private def localKmeans(rows: Array[(Int, Array[Float])],
+      refineIters: Int): Seq[(Int, Array[Float])] = {
+    if (rows.isEmpty) return Seq.empty
+    val dim = rows(0)._2.length
+    final class Acc { var n = 0L; val s = new Array[Double](dim) }
+    def meansBy(assign: Int => Int): Seq[(Int, Array[Float])] = {
+      val sums = scala.collection.mutable.HashMap[Int, Acc]()
+      var i = 0
+      while (i < rows.length) {
+        val acc = sums.getOrElseUpdate(assign(i), new Acc)
+        val v = rows(i)._2
+        acc.n += 1
+        var d = 0
+        while (d < dim) { acc.s(d) += v(d).toDouble; d += 1 }
+        i += 1
+      }
+      sums.toSeq.map { case (c, a) =>
+        (c, Array.tabulate(dim)(d => (a.s(d) / a.n).toFloat))
+      }.sortBy(_._1)
+    }
+    var cents = meansBy(i => rows(i)._1)
+    var it = 0
+    while (it < refineIters) {
+      val cells = cents.map(_._1).toArray
+      val cvecs = cents.map(_._2).toArray
+      val assigned = new Array[Int](rows.length)
+      if (rows.length.toLong * cells.length * dim > (1L << 24))
+        java.util.Arrays.parallelSetAll(assigned,
+          (i: Int) => bestCellByCosine(rows(i)._2, cells, cvecs))
+      else {
+        var i = 0
+        while (i < rows.length) {
+          assigned(i) = bestCellByCosine(rows(i)._2, cells, cvecs); i += 1
+        }
+      }
+      cents = meansBy(assigned)
+      it += 1
+    }
+    cents
+  }
+
+  /** [[assignCodes]]' packed ordinal, local: the (vec, sub) subvector joins
+    * only cells of its OWN subspace (cell/ksub == sub), L2² in doubles,
+    * clamped at 8191 before quantizing — byte-for-byte the distributed
+    * kernel's ordering. Returns one code per (row-major ri·m + sub) slot.
+    */
+  private def pqAssignLocal(rows: Array[(Long, Array[Float])],
+      cb: Seq[(Int, Array[Float])], m: Int, ksub: Int, dim: Int): Array[Int] = {
+    val dsub = dim / m
+    val bySubCells = Array.tabulate(m)(s => cb.filter(_._1 / ksub == s).map(_._1).toArray)
+    val bySubCents = Array.tabulate(m)(s => cb.filter(_._1 / ksub == s).map(_._2).toArray)
+    val out = new Array[Int](rows.length * m)
+    def one(flat: Int): Int = {
+      val ri = flat / m; val sub = flat % m
+      val v = rows(ri)._2; val base = sub * dsub
+      val cells = bySubCells(sub); val cents = bySubCents(sub)
+      var best = Long.MinValue; var bc = 0; var ci = 0
+      while (ci < cells.length) {
+        val c = cents(ci)
+        var dist = 0.0; var d = 0
+        val n = math.min(dsub, c.length)
+        while (d < n) {
+          val diff = v(base + d).toDouble - c(d).toDouble
+          dist += diff * diff; d += 1
+        }
+        val ord = math.floor(math.min(dist, 8191.0) * -(1L << 30).toDouble).toLong *
+          (1L << 20) - cells(ci)
+        if (ord > best) { best = ord; bc = cells(ci) }
+        ci += 1
+      }
+      bc
+    }
+    if (out.length.toLong * ksub * dsub > (1L << 24))
+      java.util.Arrays.parallelSetAll(out, (i: Int) => one(i))
+    else { var i = 0; while (i < out.length) { out(i) = one(i); i += 1 } }
+    out
+  }
+
+  /** Local PQ codebook fit — [[pqCodebooks]]' in-process body: same
+    * vec_id-mod-ksub seeding, same shared assignment kernel semantics
+    * ([[pqAssignLocal]]), same empty-cell guard (a cell whose members all
+    * defect keeps its previous centroid, appended after the live ones in
+    * the engine's next ++ stale order).
+    */
+  private def localPq(rows: Array[(Long, Array[Float])], m: Int, ksub: Int,
+      dim: Int, iters: Int): Seq[(Int, Array[Float])] = {
+    if (rows.isEmpty) return Seq.empty
+    val dsub = dim / m
+    final class Acc { var n = 0L; val s = new Array[Double](dsub) }
+    def meansBy(assign: Int => Int): Seq[(Int, Array[Float])] = {
+      val sums = scala.collection.mutable.HashMap[Int, Acc]()
+      var flat = 0
+      val total = rows.length * m
+      while (flat < total) {
+        val ri = flat / m; val sub = flat % m
+        val acc = sums.getOrElseUpdate(assign(flat), new Acc)
+        val v = rows(ri)._2; val base = sub * dsub
+        acc.n += 1
+        var d = 0
+        while (d < dsub) { acc.s(d) += v(base + d).toDouble; d += 1 }
+        flat += 1
+      }
+      sums.toSeq.map { case (c, a) =>
+        (c, Array.tabulate(dsub)(d => (a.s(d) / a.n).toFloat))
+      }.sortBy(_._1)
+    }
+    var cb = meansBy { flat =>
+      val ri = flat / m; val sub = flat % m
+      sub * ksub + java.lang.Math.floorMod(rows(ri)._1, ksub.toLong).toInt
+    }
+    var it = 0
+    while (it < iters) {
+      val codes = pqAssignLocal(rows, cb, m, ksub, dim)
+      val next = meansBy(flat => codes(flat))
+      val live = next.map(_._1).toSet
+      cb = next ++ cb.filter(c => !live(c._1))
+      it += 1
+    }
+    cb
   }
 
   /** Lloyd's algorithm from an arbitrary deterministic seed assignment —
@@ -238,7 +443,20 @@ object Similarity {
       trainCap: Long = TrainSampleMin): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    val train = trainSample(e, trainCap)
+    val n = e.count()
+    val train = boundedSample(e, n, trainCap)
+    // local-fit gate (see LocalFitMaxRows): the sample is bounded, so
+    // collect it once and run the identical Lloyd in-process — unless the
+    // cell count makes assignment work exceed the local budget (k ∝ N
+    // ladders), in which case the distributed loop below still applies
+    if (math.min(n, trainCap) <= LocalFitMaxRows) {
+      val rows = train.select(seed.cast("int").as("cell"), col("embedding"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      val dim = rows.headOption.map(_._2.length).getOrElse(0)
+      val k = rows.iterator.map(_._1).toSet.size
+      if (rows.length.toLong * k * dim * math.max(1, refineIters) <= LocalFitMaxWork)
+        return localKmeans(rows, refineIters).toDF("cell", "centroid")
+    }
     def centroidOf(assigned: DataFrame): DataFrame =
       assigned.select(col("cell"), posexplode(col("embedding")).as(Seq("d", "x")))
         .groupBy(col("cell"), col("d"))
@@ -883,7 +1101,14 @@ object Similarity {
       trainCap: Long = TrainSampleMin): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    val subs = subvectors(trainSample(e, trainCap), m, dim)
+    val n = e.count()
+    val train = boundedSample(e, n, trainCap)
+    // local-fit gate: the PQ fit is O(sample·ksub·dim) — always inside the
+    // local budget once the row bound holds, so no work check needed here
+    if (math.min(n, trainCap) <= LocalFitMaxRows)
+      return localPq(collectVecs(train), m, ksub, dim, iters)
+        .toDF("cell", "centroid")
+    val subs = subvectors(train, m, dim)
     def centroidOf(assigned: DataFrame): DataFrame =
       assigned.select(col("cell"), posexplode(col("sv")).as(Seq("d", "x")))
         .groupBy(col("cell"), col("d"))
@@ -1105,7 +1330,59 @@ object Similarity {
     import s.implicits._
     val dim = 64
     val dsub = dim / PqM
-    val train = trainSample(corpus, trainCap)
+    val n = corpus.count()
+    // local-fit gate: the whole alternation (rotate → PQ fit → Procrustes)
+    // is O(sample) per iteration and the SVD was always on the driver, so
+    // at bounded sample sizes run every step in-process — one collect
+    // replaces ~20 scheduled jobs (see LocalFitMaxRows)
+    if (math.min(n, trainCap) <= LocalFitMaxRows) {
+      val rows = collectVecs(
+        boundedSample(corpus.select(col("vec_id"), col("embedding")), n, trainCap))
+      var r: Array[Array[Double]] =
+        Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+      var it = 0
+      while (it < iters) {
+        val rot = rows.map { case (id, v) => (id, rotLocal(v, r)) }
+        val cb = localPq(rot, PqM, PqKsub, dim, 2)
+        val cbLocal: Map[Int, Array[Float]] = cb.toMap
+        // S[code][j] = Σ_{n assigned to code in its subspace} x_n[j] over
+        // the ORIGINAL vectors — the M-step cross-covariance, local
+        val codes = pqAssignLocal(rot, cb, PqM, PqKsub, dim)
+        val sums = scala.collection.mutable.HashMap[Int, Array[Double]]()
+        var flat = 0
+        while (flat < codes.length) {
+          val x = rows(flat / PqM)._2
+          val sx = sums.getOrElseUpdate(codes(flat), new Array[Double](dim))
+          var j = 0
+          while (j < dim) { sx(j) += x(j).toDouble; j += 1 }
+          flat += 1
+        }
+        val m = Array.ofDim[Double](dim, dim)
+        sums.toSeq.sortBy(_._1).foreach { case (code, sx) =>
+          val c = cbLocal(code)
+          val off = (code / PqKsub) * dsub
+          var a = 0
+          while (a < dsub) {
+            var j = 0
+            while (j < dim) { m(off + a)(j) += c(a) * sx(j); j += 1 }
+            a += 1
+          }
+        }
+        val mm = new breeze.linalg.DenseMatrix(dim, dim,
+          Array.tabulate(dim * dim)(x => m(x % dim)(x / dim))) // column-major
+        val s3 = breeze.linalg.svd(mm)
+        val ru = s3.U * s3.Vt
+        r = Array.tabulate(dim, dim)((i, j) => ru(i, j))
+        it += 1
+      }
+      val cbF = localPq(rows.map { case (id, v) => (id, rotLocal(v, r)) },
+        PqM, PqKsub, dim, 2)
+      val rotDf = r.zipWithIndex
+        .map { case (row, i) => (i.toLong, row.toSeq) }.toSeq
+        .toDF("comp", "weights")
+      return (rotDf, cbF.toDF("cell", "centroid"))
+    }
+    val train = boundedSample(corpus, n, trainCap)
       .select(col("vec_id"), col("embedding"))
     train.persist()
     var r: Array[Array[Double]] =

@@ -31,6 +31,17 @@ object GraftSession {
       // representation generation-independent).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+      // openCostInBytes exists to stop many SMALL files packing into one
+      // split; its 4 MB default also FLOORS the split size of a single
+      // small file (maxSplitBytes = max(openCost, bytes/minPartitionNum)),
+      // which capped the 11 MB test-scale lineitem scan at 3 tasks on 32
+      // cores — the percentile/PSI and decimal-sum aggregates ran 10x
+      // under-parallel (guide §6.1). 256 KB keeps tiny dimension tables in
+      // one task while letting a single mid-size file split to the core
+      // count; at production file sizes (128 MB-1 GB) maxPartitionBytes
+      // governs and this knob is inert. Values are unchanged by split
+      // count: the money aggregates are decimal, percentile is exact.
+      .config("spark.sql.files.openCostInBytes", (256L * 1024).toString)
       .config("spark.ui.enabled", "false")
 
   /** Shuffle-partition count for a real cluster: 2-3× total cores keeps

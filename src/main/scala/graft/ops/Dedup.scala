@@ -577,6 +577,128 @@ object Dedup {
     require(sampleCap > 0, s"sampleCap must be positive: $sampleCap")
     val n = vectors0.count()
     val sample = hashCutSample(vectors0, col("vec_id"), sampleCap, n)
+    // Local-fit gate (the Similarity.LocalFitMaxRows discipline): the probe
+    // sample is CAP-BOUNDED regardless of corpus size, and each ladder rung
+    // was ~5 scheduled jobs over ≤2k cached rows — collect the sample once
+    // and evaluate truth + every rung in-process with the IDENTICAL kernels
+    // (Similarity.hyperplane planes, HyperplaneBuckets' sign-bit packing,
+    // CosineSim's double fold), so counts, recall and the escalation trace
+    // are the ones the engine would produce. The distributed ladder below
+    // remains for callers that raise the cap past the local all-pairs
+    // budget (truth is O(sample²·dim)).
+    if (math.min(n, sampleCap) <= 8192) {
+      // sort by vec_id so dense index order == id order: the engine's
+      // (v1 < v2) pair normalization becomes (i < j), and pair sets live
+      // in flat BitSets (i·ns + j) instead of boxed tuple hashes
+      val rowsE = hashCutSample(vectors0, col("vec_id"), sampleCap, n)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val ns = rowsE.length
+      val vecs = rowsE.map(_._2)
+      val nSample = ns.toLong
+      val truthBits = new java.util.BitSet(ns * ns)
+      var nTruth = 0L
+      var i = 0
+      while (i < ns) {
+        var j = i + 1
+        while (j < ns) {
+          if (rowsE(i)._1 != rowsE(j)._1 &&
+              Similarity.cosLocal(vecs(i), vecs(j)) >= tau) {
+            truthBits.set(i * ns + j); nTruth += 1
+          }
+          j += 1
+        }
+        i += 1
+      }
+      val ladder = candidates.sortBy { case (t, b) => t.toDouble / (1L << b) }
+      val rows = scala.collection.mutable.ListBuffer
+        .empty[(Int, Int, Double, Long, Long, Double, Boolean)]
+      val it = ladder.iterator
+      var done = false
+      while (it.hasNext && !done) {
+        val (t, b) = it.next()
+        val found: Long =
+          if (nTruth == 0) 0L
+          else {
+            // lshBuckets' plane tensor layout: planes[(t·bits+j)·dim + d]
+            val planes = Array.tabulate(t * b * 64) { idx =>
+              val d = idx % 64
+              val j = (idx / 64) % b
+              val tb = idx / (64 * b)
+              Similarity.hyperplane(tb, j, 64)(d)
+            }
+            // per-vector bucket per table (HyperplaneBuckets' sign packing)
+            val buckets = Array.ofDim[Int](ns, t)
+            var ri = 0
+            while (ri < ns) {
+              val v = vecs(ri)
+              val nn = math.min(64, v.length)
+              var tb = 0
+              while (tb < t) {
+                var bucket = 0
+                var j = 0
+                while (j < b) {
+                  val base = (tb * b + j) * 64
+                  var dot = 0.0
+                  var d = 0
+                  while (d < nn) { dot += v(d).toDouble * planes(base + d); d += 1 }
+                  if (dot > 0) bucket |= 1 << j
+                  j += 1
+                }
+                buckets(ri)(tb) = bucket
+                tb += 1
+              }
+              ri += 1
+            }
+            val seen = new java.util.BitSet(ns * ns)
+            var f = 0L
+            var tb = 0
+            while (tb < t) {
+              val group = scala.collection.mutable.HashMap
+                .empty[Int, scala.collection.mutable.ArrayBuffer[Int]]
+              var ri2 = 0
+              while (ri2 < ns) {
+                group.getOrElseUpdate(buckets(ri2)(tb),
+                  scala.collection.mutable.ArrayBuffer.empty[Int]) += ri2
+                ri2 += 1
+              }
+              group.valuesIterator.foreach { members =>
+                var a = 0
+                while (a < members.length) {
+                  var c = a + 1
+                  while (c < members.length) {
+                    val ia = members(a); val ic = members(c)
+                    val key = ia * ns + ic
+                    if (rowsE(ia)._1 != rowsE(ic)._1 && !seen.get(key)) {
+                      seen.set(key)
+                      if (truthBits.get(key) &&
+                          Similarity.cosLocal(vecs(ia), vecs(ic)) >= tau) f += 1
+                    }
+                    c += 1
+                  }
+                  a += 1
+                }
+              }
+              tb += 1
+            }
+            f
+          }
+        val recall = if (nTruth == 0) 1.0 else found.toDouble / nTruth
+        val met = recall >= targetRecall
+        val pBit = 1.0 - math.acos(math.max(-1.0, math.min(1.0, tau))) / math.Pi
+        val collide = 1.0 - math.pow(1.0 - math.pow(pBit, b), t)
+        rows += ((t, b, collide, nTruth, found, recall, met))
+        if (met) done = true
+      }
+      import s.implicits._
+      return rows.toSeq
+        .toDF("tables", "bits", "collision_at_tau", "truth_pairs",
+          "found_pairs", "measured_recall", "target_met")
+        .withColumn("target", lit(targetRecall))
+        .withColumn("sample_vecs", lit(nSample))
+        .orderBy(col("tables") / pow(lit(2.0), col("bits")))
+    }
     val e = sample.select(col("vec_id"), col("embedding")).persist()
     val truth = e.select(col("vec_id").as("v1"), col("embedding").as("e1"))
       .join(e.select(col("vec_id").as("v2"), col("embedding").as("e2")),
@@ -1016,15 +1138,33 @@ object Dedup {
   def propagateMinLabels(pairs0: DataFrame, maxIter: Int = 10): (DataFrame, Int) = {
     val pairs = pairs0.select(col("d1"), col("d2")).cache()
     try {
-      // symmetric edge list incl. self-loops so isolated endpoints keep labels
-      val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
-        .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-        .union(pairs.select(col("d1").as("src"), col("d1").as("dst")))
-        .union(pairs.select(col("d2").as("src"), col("d2").as("dst")))
+      // symmetric edge list incl. self-loops so isolated endpoints keep
+      // labels — ONE generator pass over the cached pairs instead of the
+      // former 4-way union (4 cache scans feeding the same distinct; the
+      // edge SET is identical, so every downstream min-agg is too)
+      val edges = pairs.select(explode(array(
+          struct(col("d1").as("src"), col("d2").as("dst")),
+          struct(col("d2").as("src"), col("d1").as("dst")),
+          struct(col("d1").as("src"), col("d1").as("dst")),
+          struct(col("d2").as("src"), col("d2").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .distinct().cache()
       var labels = edges.groupBy(col("src").as("doc_id"))
-        .agg(min(col("dst")).as("label")) // round 1: min neighbor
+        .agg(min(col("dst")).as("label"))  // round 1: min neighbor
         .cache()
+      // convergence via the label-mass invariant: min-propagation is
+      // monotone non-increasing per doc (the self-loop keeps each doc's own
+      // label in every min), and `next` covers exactly the same doc set, so
+      // Σlabel strictly decreases iff ANY label changed. One map-side
+      // decimal aggregate over the frame being cached anyway replaces the
+      // former next⋈labels inequality join per round (decimal: exact and
+      // overflow-free at any id·corpus product, unlike a Long sum).
+      def labelMass(df: DataFrame): java.math.BigDecimal = {
+        val d = df.agg(sum(col("label").cast("decimal(38,0)"))).head()
+          .getDecimal(0)
+        if (d == null) java.math.BigDecimal.ZERO else d // empty edge list
+      }
+      var mass = labelMass(labels)
       var it = 1
       var converged = false
       while (it < maxIter && !converged) {
@@ -1047,12 +1187,12 @@ object Dedup {
             Seq("label"))
           .select(col("doc_id"), least(col("label"), col("jl")).as("label"))
           .cache()
-        // the convergence join materializes `next` into its cache, so the
-        // superseded frame can drop immediately — without this, a long-lived
-        // session leaks one cached DF per iteration
-        converged = next.as("n").join(labels.as("p"),
-          col("n.doc_id") === col("p.doc_id")
-            && col("n.label") =!= col("p.label")).isEmpty
+        // the convergence aggregate materializes `next` into its cache, so
+        // the superseded frame can drop immediately — without this, a
+        // long-lived session leaks one cached DF per iteration
+        val nextMass = labelMass(next)
+        converged = nextMass.compareTo(mass) == 0
+        mass = nextMass
         labels.unpersist()
         labels = next
         it += 1

@@ -254,8 +254,11 @@ object Similarity {
     df.select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
 
-  /** [[graft.functions.CosineSim]]'s exact arithmetic, local. */
-  private def cosLocal(a: Array[Float], b: Array[Float]): Double = {
+  /** [[graft.functions.CosineSim]]'s exact arithmetic, local — shared with
+    * [[graft.ops.Dedup]]'s probe-sample tuner, which must verify at the
+    * same double cosine the detector compiles.
+    */
+  private[ops] def cosLocal(a: Array[Float], b: Array[Float]): Double = {
     val n = math.min(a.length, b.length)
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {

@@ -122,7 +122,13 @@ object Bench {
     // invocation.
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     require(nRuns >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $nRuns")
-    val results = headline.map { name =>
+    // measurement-iteration filter (comma-separated names): lets an A/B
+    // experiment re-time a subset without paying the full headline sweep.
+    // The driver never sets it, so the contract run always measures all.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val measured = only.fold(headline)(f => headline.filter(f))
+    val results = measured.map { name =>
       val runs = (1 to nRuns).map { _ =>
         val t0 = System.nanoTime()
         try SparkEntry.queries(name)(spark, sfDir)

@@ -27,9 +27,14 @@ object BenchProfile {
 
     override def onJobStart(e: SparkListenerJobStart): Unit = synchronized {
       if (!enabled) return
+      // fall back to the result stage's callsite so unlabelled jobs are
+      // still attributable to an operator line in the profile table
+      val site = e.stageInfos.sortBy(-_.stageId).headOption
+        .map(_.name).getOrElse("")
       val j = Job(e.jobId, Option(e.properties)
           .flatMap(p => Option(p.getProperty("spark.job.description")))
-          .getOrElse(""), e.time, 0L, 0, 0L, 0L, 0L, e.stageIds.size)
+          .filter(_.nonEmpty).getOrElse(site), e.time, 0L, 0, 0L, 0L, 0L,
+        e.stageIds.size)
       jobs(e.jobId) = j
       e.stageIds.foreach(sid => stageToJob(sid) = e.jobId)
     }

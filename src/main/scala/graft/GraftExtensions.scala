@@ -65,6 +65,16 @@ object GraftExtensions {
           HashedNgrams(args(0), intArg(args(1), "n"), longArg(args(2), "prime"),
             args(3).eval().asInstanceOf[Boolean])
         }),
+      "string_ngrams" -> (
+        new ExpressionInfo(classOf[graft.functions.StringNgrams].getName,
+          "string_ngrams"),
+        (args: Seq[Expression]) => {
+          require(args.length == 3,
+            "string_ngrams(tokens, n, distinct) takes 3 arguments")
+          require(args(2).foldable, "distinct must be a literal")
+          graft.functions.StringNgrams(args(0), intArg(args(1), "n"),
+            args(2).eval().asInstanceOf[Boolean])
+        }),
       "jaccard_hashed" -> (
         new ExpressionInfo(classOf[JaccardHashed].getName, "jaccard_hashed"),
         (args: Seq[Expression]) => {

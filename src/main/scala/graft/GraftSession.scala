@@ -31,17 +31,19 @@ object GraftSession {
       // representation generation-independent).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
-      // openCostInBytes exists to stop many SMALL files packing into one
-      // split; its 4 MB default also FLOORS the split size of a single
-      // small file (maxSplitBytes = max(openCost, bytes/minPartitionNum)),
-      // which capped the 11 MB test-scale lineitem scan at 3 tasks on 32
-      // cores — the percentile/PSI and decimal-sum aggregates ran 10x
-      // under-parallel (guide §6.1). 256 KB keeps tiny dimension tables in
-      // one task while letting a single mid-size file split to the core
-      // count; at production file sizes (128 MB-1 GB) maxPartitionBytes
-      // governs and this knob is inert. Values are unchanged by split
-      // count: the money aggregates are decimal, percentile is exact.
-      .config("spark.sql.files.openCostInBytes", (256L * 1024).toString)
+      // openCostInBytes stays at the 4 MB DEFAULT. An r13 experiment
+      // lowered it to 256 KB so a single mid-size file would split to the
+      // core count (the 11 MB lineitem scan runs 3 tasks at 4 MB) — but a
+      // 20-query best-of-5 A/B at sf0.1 measured the 256 KB setting a NET
+      // REGRESSION (subset total 40.6 s vs 34.3 s): per-task parquet
+      // reader setup (footer read, codec init) on ~300 KB splits costs
+      // more than the parallelism buys, and the few scans where split
+      // parallelism DOES pay (percentile/PSI aggregates over one file)
+      // are better served by an explicit repartition inside those
+      // operators. At production file sizes maxPartitionBytes governs
+      // split sizing and this knob only guards small-file packing, which
+      // is exactly what its default is tuned for.
+      .config("spark.sql.files.openCostInBytes", (4L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
 
   /** Shuffle-partition count for a real cluster: 2-3× total cores keeps

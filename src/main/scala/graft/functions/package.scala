@@ -33,6 +33,13 @@ package object functions {
     GraftSqlBridge.column(
       HashedNgrams(GraftSqlBridge.expression(tokens), n, prime, distinct))
 
+  /** String word n-grams (array<string> tokens → array<string> of
+    * space-joined grams) in one compiled loop — see [[StringNgrams]].
+    */
+  def string_ngrams(tokens: Column, n: Int, distinct: Boolean = false): Column =
+    GraftSqlBridge.column(
+      StringNgrams(GraftSqlBridge.expression(tokens), n, distinct))
+
   /** Merge-based Jaccard of two sorted distinct array<long> sets — see
     * [[JaccardHashed]].
     */

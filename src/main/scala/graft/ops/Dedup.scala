@@ -183,11 +183,13 @@ object Dedup {
     * the raw rows first so it runs across all cores. At 100 TB the scan
     * arrives pre-split, but declaring the doc_id partitioning up front is
     * still what lets every later stage reuse it.
-    * First exchange spreads the interpreted shingle pipeline across cores
-    * (a small parquet arrives as one partition); the second sits ABOVE the
-    * shingle-hash projection so all three consumers downstream (signature +
-    * the two verify-join sides) hit one ReusedExchange instead of
-    * re-shingling.
+    * The one exchange here spreads the interpreted shingle pipeline across
+    * cores (a small parquet arrives as one partition). Shingle-once across
+    * the downstream consumers is [[minhashPairsFromHs]]'s localCheckpoint —
+    * the former second repartition ("barrier above the projection") never
+    * provided it: CollapseRepartition folds same-key back-to-back
+    * repartitions and the broadcast join sides each re-derived the chain
+    * (r13 plan audit: four scan→shingle subtrees, zero ReusedExchange).
     * Docs carry only hashed shingles (hs ∈ [0, P)) from here on: the
     * exact-verify intersects long arrays instead of strings (~5× cheaper
     * per candidate, and the dominant cost IS verification when real
@@ -212,7 +214,6 @@ object Dedup {
       .repartition(spread(s), col("doc_id"))
       .select(col("doc_id"),
         hashed_ngrams(words(col("text")), 2, P, distinct = true).as("hs"))
-      .repartition(spread(s), col("doc_id"))
 
   /** [[minhashPairsOf]] from an already-prepared (doc_id, hs) frame —
     * [[tuneBands]] persists ONE prepared probe sample and drives every
@@ -222,15 +223,26 @@ object Dedup {
   private def minhashPairsFromHs(s: SparkSession, docs: DataFrame,
       numHashes: Int, bands: Int, tau: Double): DataFrame = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
-    // Signature via the codegen'd MinHashSig (the HOF formulation — 64
-    // array_min lambdas — evaluates interpreted and measured ~1000×
-    // slower). The repartition before `banded` is a projection barrier:
-    // `banded` slices sig 16×, and CollapseProject would otherwise inline
-    // (recompute) the signature per band.
-    val sig = docs.withColumn("sig", minhash_sig(col("hs"), numHashes, P))
-      .select(col("doc_id"), col("sig"))
-      .repartition(spread(s), col("doc_id"))
-    val banded = bandBuckets(sig, numHashes, bands)
+    // ONE eager materialization of the prepared frame (hs + signature).
+    // The repartition-barrier formulation this replaces assumed the three
+    // downstream consumers (banding + the two verify-join sides) would hit
+    // one ReusedExchange — but CollapseRepartition folds the back-to-back
+    // same-key repartitions and the planner broadcasts the small join
+    // sides, so the r13 plan audit found FOUR independent
+    // scan→shingle→signature subtrees and no ReusedExchange: the
+    // interpreted-adjacent HashedNgrams/MinHashSig kernels (the operator's
+    // dominant CPU) ran once per subtree at EVERY scale. localCheckpoint
+    // is the barrier the optimizer can't fold: shingles and signatures
+    // compute exactly once, every consumer reads blocks, and the blocks
+    // are ContextCleaner-reaped when the frame is GC'd. The stored bytes
+    // are the same bytes the intended shared exchange held. (Signature
+    // via the codegen'd MinHashSig — the HOF formulation, 64 array_min
+    // lambdas, evaluates interpreted and measured ~1000× slower.)
+    val prepared = docs
+      .withColumn("sig", minhash_sig(col("hs"), numHashes, P))
+      .localCheckpoint()
+    val banded = bandBuckets(
+      prepared.select(col("doc_id"), col("sig")), numHashes, bands)
     // Candidate copies (a near-identical pair matches in ~all bands) are
     // collapsed by an id-only distinct(): 16 bytes/row through the
     // exchange. The first-shared-band trick that won for simhash (4
@@ -249,8 +261,8 @@ object Dedup {
     // to take sizes; verification is the dominant stage when duplication
     // is dense, so this is where the operator's wall actually goes.
     cand
-      .join(docs.select(col("doc_id").as("d1"), col("hs").as("s1")), "d1")
-      .join(docs.select(col("doc_id").as("d2"), col("hs").as("s2")), "d2")
+      .join(prepared.select(col("doc_id").as("d1"), col("hs").as("s1")), "d1")
+      .join(prepared.select(col("doc_id").as("d2"), col("hs").as("s2")), "d2")
       .select(col("d1"), col("d2"),
         graft.functions.jaccard_hashed(col("s1"), col("s2")).as("jaccard"))
       .filter(col("jaccard") >= tau)

@@ -946,7 +946,11 @@ object Fsck {
         s"unknown fsck kind '$k' (expected one of " +
           s"${Kinds.toSeq.sorted.mkString(", ")}): $p")
     }
-    targets.map { case (k, p) => guarded(s, k, p, markerBase) }
+    // independent read-only audits of distinct dirs: overlap them (guide
+    // §2.6) — each target is many tiny sequential jobs, and the sequential
+    // loop spent ~45% of the report's wall in inter-job driver gaps (r13
+    // profile). Result order is input order, so the report is identical.
+    Par.mapOrdered(targets) { case (k, p) => guarded(s, k, p, markerBase) }
       .reduce(_ unionByName _)
   }
 
@@ -965,7 +969,7 @@ object Fsck {
       require(k == "sink_dir" || mb.isEmpty,
         s"markerBase only applies to sink_dir targets: $p")
     }
-    targets.map { case (k, p, mb) => guarded(s, k, p, mb) }
+    Par.mapOrdered(targets) { case (k, p, mb) => guarded(s, k, p, mb) }
       .reduce(_ unionByName _)
   }
 

@@ -119,7 +119,13 @@ object Maintenance {
         s"markerBase only applies to sink_dir targets: ${t.path}")
     }
     if (fsck == "pre" || fsck == "both") assertClean(s, targets, "pre")
-    val rows = targets.map { t =>
+    // independent per-directory passes: overlap them (guide §2.6 — the
+    // same discipline as Fsck.runAll; targets are distinct dirs by
+    // contract, each pass is a chain of small jobs whose inter-job driver
+    // gaps dominate at nightly-table sizes). Row order is input order, so
+    // the report is identical to the sequential loop's; wall_ms times each
+    // target's own pass as before (overlapped passes time overlapped wall).
+    val rows = Par.mapOrdered(targets) { t =>
       val start = System.nanoTime()
       val (checked, fired, audit) = t.kind match {
         case "ann_index" =>

@@ -270,11 +270,41 @@ object Profile {
     */
   def distributionDriftOf(s: SparkSession, docs: DataFrame, isBase: Column,
       valueCol: String = "n_chars", buckets: Int = 10): DataFrame = {
-    val bounds = psiBounds(docs.filter(isBase), valueCol, buckets)
-    psiReport(s,
-      psiBucketCounts(docs.filter(isBase), bounds, valueCol, "n_base"),
-      psiBucketCounts(docs.filter(!isBase), bounds, valueCol, "n_cur"),
-      buckets)
+    // boundaries collected once ((buckets−1) doubles — driver-scale model
+    // state, the multi-column form's discipline): a referenced bounds
+    // FRAME recomputed the buffered percentile aggregate per consumer,
+    // and the per-side `psiBucketCounts` scanned the table twice for
+    // counts one flagged pass produces together (guide §2.3). The
+    // bucketing is the same strictly-below count, as a when-chain over
+    // plan literals (codegen) instead of the interpreted HOF fold.
+    // A null percentile result (empty baseline) reproduces the former
+    // null-bucket behavior: rows bucket to null, the grid join drops
+    // them, the report is the all-zeros one.
+    val bs = Option(
+      psiBounds(docs.filter(isBase), valueCol, buckets).head().getSeq[Double](0))
+      .map(_.toSeq)
+    val v = col(valueCol).cast("double")
+    val bucket = bs match {
+      case None => lit(null).cast("long")
+      case Some(Nil) => lit(0L)
+      case Some(b) =>
+        b.map(x => when(v > lit(x), 1L).otherwise(0L)).reduce(_ + _)
+    }
+    val cnt = docs.filter(isBase.isNotNull)
+      .select(isBase.as("is_base"), bucket.as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(!col("is_base"), 1L).otherwise(0L)).as("n_cur"))
+    psiMath(
+      s.range(buckets).select(col("id").as("bucket"))
+        .join(cnt, Seq("bucket"), "left")
+        .select(col("bucket"),
+          coalesce(col("n_base"), lit(0L)).as("n_base"),
+          coalesce(col("n_cur"), lit(0L)).as("n_cur")),
+      "bucket")
+      .select(col("bucket"), col("n_base"), col("n_cur"),
+        col("p_base"), col("p_cur"), col("contrib"), col("psi_total"))
+      .orderBy(col("bucket"))
   }
 
   /** The baseline's (buckets − 1) quantile boundaries as a one-row array
@@ -371,15 +401,19 @@ object Profile {
     */
   def categoricalDriftOf(docs: DataFrame, isBase: Column,
       catCol: String): DataFrame = {
-    def counts(side: DataFrame, as: String): DataFrame =
-      side.groupBy(col(catCol).cast("string").as("category"))
-        .agg(count(lit(1)).as(as))
+    // ONE scan counts both sides (the former per-side groupBys scanned the
+    // table twice and met in a full-outer join; the flag split produces
+    // the same counts map-side — guide §2.3). The isNotNull guard keeps
+    // the category DOMAIN identical to the two-filter form: a row where
+    // isBase evaluates null belonged to NEITHER side, so it must not
+    // surface its category as an all-zeros report row.
     psiMath(
-      counts(docs.filter(isBase), "n_base")
-        .join(counts(docs.filter(!isBase), "n_cur"), Seq("category"), "full_outer")
-        .select(col("category"),
-          coalesce(col("n_base"), lit(0L)).as("n_base"),
-          coalesce(col("n_cur"), lit(0L)).as("n_cur")),
+      docs.filter(isBase.isNotNull)
+        .select(isBase.as("is_base"),
+          col(catCol).cast("string").as("category"))
+        .groupBy(col("category"))
+        .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
+          sum(when(!col("is_base"), 1L).otherwise(0L)).as("n_cur")),
       "category")
       .select(col("category"), col("n_base"), col("n_cur"),
         col("p_base"), col("p_cur"), col("contrib"), col("psi_total"))
@@ -419,18 +453,32 @@ object Profile {
         .as(s"bs_$c"))
     val boundsRow = docs.filter(isBase)
       .agg(boundExprs.head, boundExprs.tail: _*).head()
-    val boundsOf: Map[String, Column] = valueCols.zipWithIndex.map {
-      case (c, i) => c -> typedlit(boundsRow.getSeq[Double](i).toSeq)
+    val boundsOf: Map[String, Seq[Double]] = valueCols.zipWithIndex.map {
+      case (c, i) => c -> boundsRow.getSeq[Double](i).toSeq
     }.toMap
-    def counts(side: DataFrame, as: String): DataFrame =
-      side.select(explode(array(valueCols.map { c =>
-          struct(lit(c).as("value_col"),
-            aggregate(boundsOf(c), lit(0L), (acc, b) =>
-              acc + when(col(c).cast("double") > b, 1L).otherwise(0L))
-              .as("bucket"))
-        }: _*)).as("e"))
-        .groupBy(col("e.value_col").as("value_col"), col("e.bucket").as("bucket"))
-        .agg(count(lit(1)).as(as))
+    // bucket = count of boundaries strictly below the value, as a chain of
+    // when-sums over the (buckets−1) PLAN-LITERAL boundaries — the exact
+    // arithmetic of the `aggregate(bounds, acc + when(v > b, ...))` HOF
+    // fold it replaces, but fully inside whole-stage codegen (HOF lambdas
+    // evaluate as per-element interpreted expression walks; at 10 buckets
+    // × 2 columns that was ~18 tree walks per row of the r13 profile's two
+    // bucketing scans). BOTH snapshots bucket in ONE scan: rows carry an
+    // is_base flag and the aggregate splits the counts conditionally —
+    // the former per-side `counts()` scanned the table twice for counts
+    // the one pass produces together (guide §2.3: aggregate before you
+    // shuffle; one pass, map-side combined).
+    def bucketOf(c: String): Column =
+      if (boundsOf(c).isEmpty) lit(0L) // buckets = 1: everything bucket 0
+      else boundsOf(c)
+        .map(b => when(col(c).cast("double") > lit(b), 1L).otherwise(0L))
+        .reduce(_ + _)
+    val cnt = docs
+      .select(isBase.as("is_base"), explode(array(valueCols.map { c =>
+        struct(lit(c).as("value_col"), bucketOf(c).as("bucket"))
+      }: _*)).as("e"))
+      .groupBy(col("e.value_col").as("value_col"), col("e.bucket").as("bucket"))
+      .agg(sum(when(col("is_base") === true, 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("is_base") === false, 1L).otherwise(0L)).as("n_cur"))
     // the (value_col × bucket) grid is a PARAMETER product — both sides
     // are known on the driver, so build it as a local frame instead of a
     // crossJoin (the former BNLJ site the round-13 whitelist tightening
@@ -438,10 +486,7 @@ object Profile {
     val grid = valueCols.flatMap(c => (0L until buckets.toLong).map(b =>
       (c, b))).toDF("value_col", "bucket")
     psiMath(
-      grid.join(counts(docs.filter(isBase), "n_base"),
-          Seq("value_col", "bucket"), "left")
-        .join(counts(docs.filter(!isBase), "n_cur"),
-          Seq("value_col", "bucket"), "left")
+      grid.join(cnt, Seq("value_col", "bucket"), "left")
         .select(col("value_col"), col("bucket"),
           coalesce(col("n_base"), lit(0L)).as("n_base"),
           coalesce(col("n_cur"), lit(0L)).as("n_cur")),

@@ -447,18 +447,14 @@ object TextAnalysis {
   }
 
   // ------------------------------------------------------------ decontamination
-  /** Distinct word k-grams as nested zip_with over k shifted slices (the
-    * linear-walk formulation — variable-index element_at inside a lambda is
-    * the interpreted allocation trap shingles() documents).
+  /** Distinct word k-grams via the compiled [[graft.functions.StringNgrams]]
+    * kernel — value-identical (space-joined grams, array_distinct keep-first
+    * order) to the nested zip_with-over-k-shifted-slices HOF formulation it
+    * replaces, whose per-element lambda walks cost ~44 s CPU per corpus
+    * pass at k = 8 in the r13 profile (FunctionsSpec pins the equality).
     */
-  private def ngramsK(c: Column, k: Int): Column = {
-    val w = words(c)
-    val cnt = size(w) - (k - 1)
-    val grams = (1 to k).map(i => slice(w, lit(i), cnt))
-      .reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
-    when(size(w) >= k, array_distinct(grams))
-      .otherwise(array().cast("array<string>"))
-  }
+  private def ngramsK(c: Column, k: Int): Column =
+    graft.functions.string_ngrams(words(c), k, distinct = true)
 
   /** Benchmark decontamination — the step every training-data pipeline runs
     * before a model ships: flag corpus documents sharing ≥1 distinct word
@@ -585,21 +581,32 @@ object TextAnalysis {
     * document, plus the shared share — the signal a pipeline thresholds to
     * drop boilerplate-heavy docs that whole-doc hashing misses.
     *
-    * Scale shape: one shingle pass produces the distinct (doc, gram) pairs
-    * aggregate; the gram-frequency table, the per-doc shared counts and the
-    * per-doc totals all derive from that one frame (its exchange is reused
-    * at runtime, same pattern as tfIdf), so the corpus is shingled exactly
-    * once. Both wide exchanges carry (doc_id, gram); at 100 TB you'd swap
+    * Scale shape: one shingle pass produces the (doc, gram) pairs frame,
+    * materialized once (localCheckpoint — the robust form of the exchange
+    * reuse this relied on before r13); the gram-frequency table, the
+    * per-doc shared counts and the per-doc totals all read that one
+    * materialization, so the corpus is shingled exactly once. The wide
+    * exchanges carry (doc_id, gram); at 100 TB you'd swap
     * the gram string for xxhash64(gram) to make them fixed-width — kept as
     * the string here because the oracle compares gram sets exactly.
     */
   def spanDedup(docsDf: DataFrame, n: Int = 8): DataFrame = {
     val p = docsDf.sparkSession.sparkContext.defaultParallelism
+    // localCheckpoint, not an exchange pin: the three consumers below were
+    // MEANT to share one shuffled (doc_id, gram) frame, but the r13 plan
+    // audit found the explode chain re-evaluated per consumer (the
+    // broadcast/aggregate branches don't reuse the exchange) — three full
+    // shingle passes. The checkpoint materializes the pairs once; the
+    // stored bytes are the bytes the shared exchange held. The former
+    // `.distinct()` here is gone with the pin it implemented: grams are
+    // per-doc distinct already (ngramsK) and explode_outer's one null row
+    // per gramless doc is unique per doc, so it collapsed nothing — it
+    // only forced the shared exchange the checkpoint now provides, minus
+    // distinct's own extra shuffle.
     val pairs = docsDf
       .repartition(p, col("doc_id"))
       .select(col("doc_id"), explode_outer(ngramsK(col("text"), n)).as("gram"))
-      .distinct() // grams are per-doc distinct already; this aggregate pins
-                  // the exchange every consumer below reuses
+      .localCheckpoint()
     val shared = pairs.filter(col("gram").isNotNull)
       .groupBy(col("gram")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2)

@@ -69,8 +69,8 @@ class FunctionsSpec extends SparkSpec {
     new GraftExtensions().apply(e) // must not throw; builders are injected
     assert(GraftExtensions.builders.keySet ===
       Set("cosine_sim", "minhash_sig", "simhash_chunks", "hashed_ngrams",
-        "jaccard_hashed", "dot_long", "hyperplane_buckets", "mat_vec",
-        "bpe_encode", "bloom_count", "ewma_fold"))
+        "string_ngrams", "jaccard_hashed", "dot_long", "hyperplane_buckets",
+        "mat_vec", "bpe_encode", "bloom_count", "ewma_fold"))
   }
 
   test("bpe_encode: SQL form, codegen/interpreted parity, merge semantics") {
@@ -230,6 +230,48 @@ class FunctionsSpec extends SparkSpec {
     def one(): Seq[Long] = docs.orderBy("doc_id")
       .select(array_sort(graft.functions.hashed_ngrams(w, 2, P, distinct = true)))
       .head.getSeq[Long](0)
+    try {
+      spark.conf.set(factoryMode, "CODEGEN_ONLY")
+      val gen = one()
+      spark.conf.set(factoryMode, "NO_CODEGEN")
+      assert(gen === one())
+    } finally prior match {
+      case Some(v) => spark.conf.set(factoryMode, v)
+      case None => spark.conf.unset(factoryMode)
+    }
+  }
+
+  test("string_ngrams reproduces the HOF k-gram chain value-for-value") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(100)
+    val w = split(trim(col("text")), "\\s+")
+    // the exact zip_with-over-shifted-slices formulation ngramsK used
+    // before the kernel existed (k = 8 and k = 5 — the two gate shapes)
+    def hofK(k: Int) = {
+      val cnt = size(w) - (k - 1)
+      val grams = (1 to k).map(i => slice(w, lit(i), cnt))
+        .reduce((a, b) => zip_with(a, b, (x, y) => concat(x, lit(" "), y)))
+      when(size(w) >= k, array_distinct(grams))
+        .otherwise(array().cast("array<string>"))
+    }
+    val rows = docs.select(col("doc_id"),
+      hofK(8).as("hof8"),
+      graft.functions.string_ngrams(w, 8, distinct = true).as("ker8"),
+      hofK(5).as("hof5"),
+      graft.functions.string_ngrams(w, 5, distinct = true).as("ker5"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) === r.getSeq[String](2),
+        s"doc ${r.getLong(0)}: 8-gram arrays differ (order included)")
+      assert(r.getSeq[String](3) === r.getSeq[String](4),
+        s"doc ${r.getLong(0)}: 5-gram arrays differ (order included)")
+    }
+    // codegen vs interpreted parity
+    val factoryMode = "spark.sql.codegen.factoryMode"
+    val prior = spark.conf.getOption(factoryMode)
+    def one(): Seq[String] = docs.orderBy("doc_id")
+      .select(graft.functions.string_ngrams(w, 8, distinct = true))
+      .head.getSeq[String](0)
     try {
       spark.conf.set(factoryMode, "CODEGEN_ONLY")
       val gen = one()

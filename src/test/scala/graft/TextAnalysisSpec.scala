@@ -412,9 +412,16 @@ class TextAnalysisSpec extends SparkSpec {
       assert(gn === n && gsh === sh, s"doc $id: expected ($n,$sh) got ($gn,$gsh)")
       if (n > 0) assert(ratio === sh.toDouble / n.toDouble)
     }
+    // shingle-once pin, r13 form: the pairs frame is materialized once
+    // (localCheckpoint) and every consumer reads its blocks — so the
+    // consuming plan must read ExistingRDD and contain NO gram-producing
+    // expression at all (the pre-r13 ReusedExchange pin was weaker AND
+    // false: the exchange was in fact re-derived per consumer branch)
     val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("ReusedExchange"),
-      s"all three consumers must derive from one shingle pass:\n${plan.take(2000)}")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"consumers must read the materialized pairs:\n${plan.take(2000)}")
+    assert(!plan.toLowerCase.contains("ngrams"),
+      s"no consumer may re-shingle:\n${plan.take(2000)}")
   }
 
   test("radius edit join equals the unpruned brute force (q-gram filter is lossless)") {

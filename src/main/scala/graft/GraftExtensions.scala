@@ -75,6 +75,21 @@ object GraftExtensions {
           graft.functions.StringNgrams(args(0), intArg(args(1), "n"),
             args(2).eval().asInstanceOf[Boolean])
         }),
+      "count_in" -> (
+        new ExpressionInfo(classOf[graft.functions.CountIn].getName,
+          "count_in"),
+        (args: Seq[Expression]) => {
+          require(args.length == 2,
+            "count_in(tokens, words) takes 2 arguments")
+          require(args(1).foldable, "words must be a literal array<string>")
+          val words = args(1).eval() match {
+            case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+              (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+            case other => throw new IllegalArgumentException(
+              s"words must be array<string>, got $other")
+          }
+          graft.functions.CountIn(args(0), words)
+        }),
       "jaccard_hashed" -> (
         new ExpressionInfo(classOf[JaccardHashed].getName, "jaccard_hashed"),
         (args: Seq[Expression]) => {

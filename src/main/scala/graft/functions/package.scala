@@ -40,6 +40,12 @@ package object functions {
     GraftSqlBridge.column(
       StringNgrams(GraftSqlBridge.expression(tokens), n, distinct))
 
+  /** Count of array<string> elements in a literal word set, compiled —
+    * see [[CountIn]].
+    */
+  def count_in(tokens: Column, words: Seq[String]): Column =
+    GraftSqlBridge.column(CountIn(GraftSqlBridge.expression(tokens), words))
+
   /** Merge-based Jaccard of two sorted distinct array<long> sets — see
     * [[JaccardHashed]].
     */

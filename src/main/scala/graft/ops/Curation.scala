@@ -69,7 +69,7 @@ object Curation {
     // once via eager localCheckpoint and reaped by the ContextCleaner when
     // the frame is GC'd) and release the full labels cache immediately.
     val (labels, _) = Dedup.propagateMinLabels(
-      pairs.getOrElse(Dedup.minhashLsh(s, dir)))
+      pairs.getOrElse(Dedup.minhashPairs(s, dir)))
     val dropped = labels
       .filter(col("canonical_id") =!= col("doc_id")).select(col("doc_id"))
       .localCheckpoint()
@@ -111,7 +111,7 @@ object Curation {
     val ctx = s.sparkContext.applicationId + "/" + s.sparkContext.startTime
     pairsMemo.keySet.removeIf(_._1 != ctx) // reap frames of dead contexts
     pairsMemo.computeIfAbsent((ctx, dir),
-      _ => Dedup.minhashLsh(s, dir).localCheckpoint())
+      _ => Dedup.minhashPairs(s, dir).localCheckpoint())
   }
 
   // ------------------------------------------------------------ resumable
@@ -148,7 +148,7 @@ object Curation {
     // write that drains it (same ownership contract as prepareCorpus)
     if (!fs.exists(donePath("dropped_ids"))) {
       val (labels, _) = Dedup.propagateMinLabels(
-        pairs.getOrElse(Dedup.minhashLsh(s, dir)))
+        pairs.getOrElse(Dedup.minhashPairs(s, dir)))
       labels.filter(col("canonical_id") =!= col("doc_id")).select(col("doc_id"))
         .write.mode("overwrite").parquet(new Path(workDir, "dropped_ids").toString)
       labels.unpersist()

@@ -161,6 +161,20 @@ object Dedup {
     */
   def minhashLsh(s: SparkSession, dir: String,
       numHashes: Int = DefaultNumHashes, bands: Int = DefaultBands): DataFrame =
+    // the (d1, d2) sort is the GATE's output contract; internal consumers
+    // (components, survivors, the curation funnel) take the unsorted pair
+    // set — a global range-sort of the pair set ahead of an aggregate
+    // that re-shuffles it anyway is pure waste at any scale
+    minhashPairsOf(s, Tables(s, dir).documents, numHashes, bands, tau = 0.7)
+      .orderBy(col("d1"), col("d2"))
+
+  /** [[minhashLsh]] without the gate's (d1, d2) output sort — the form
+    * every composing consumer (components, the curation funnel's pairs
+    * memo) reads: they aggregate the pair set immediately, so the sort
+    * would be discarded work.
+    */
+  private[graft] def minhashPairs(s: SparkSession, dir: String,
+      numHashes: Int = DefaultNumHashes, bands: Int = DefaultBands): DataFrame =
     minhashPairsOf(s, Tables(s, dir).documents, numHashes, bands, tau = 0.7)
 
   /** [[minhashLsh]]'s body over an arbitrary (doc_id, text) frame with the
@@ -266,7 +280,6 @@ object Dedup {
       .select(col("d1"), col("d2"),
         graft.functions.jaccard_hashed(col("s1"), col("s2")).as("jaccard"))
       .filter(col("jaccard") >= tau)
-      .orderBy(col("d1"), col("d2"))
   }
 
   /** (doc_id, band, bucket) from a (doc_id, sig) frame — the LSH bucket
@@ -914,7 +927,9 @@ object Dedup {
     * at least one near-dup; the curation step keeps canonical_id == doc_id.
     */
   def nearDupGroups(s: SparkSession, dir: String, maxIter: Int = 10): DataFrame =
-    nearDupGroups(minhashLsh(s, dir), maxIter)
+    nearDupGroups(
+      minhashPairsOf(s, Tables(s, dir).documents, DefaultNumHashes,
+        DefaultBands, tau = 0.7), maxIter)
 
   /** Components over a PRECOMPUTED pair frame (any (d1, d2) edge list —
     * minhash, simhash, or embedding pairs). This is the form a real

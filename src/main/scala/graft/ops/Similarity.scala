@@ -2119,6 +2119,34 @@ object Similarity {
     (row.getLong(0), row.getDouble(1))
   }
 
+  /** [[quantStats]] grouped: per-batch (n_vecs, summed error) in one
+    * encode pass, for callers measuring several batches at once
+    * ([[annDriftReport]]'s three synthetic shifts). `by` must be a pure
+    * function of `vec_id` — the encode kernels key on vec_id alone.
+    */
+  private def quantStatsBy(e: DataFrame, cb: DataFrame,
+      by: Column): DataFrame = {
+    val cbSub = withSub(cb, PqKsub)
+    val subs = subvectors(e.select(col("vec_id"), col("embedding")), PqM, 64)
+    assignCodes(subs, cbSub).withColumnRenamed("code", "cell")
+      .join(subs, Seq("vec_id", "sub"))
+      .join(broadcast(cbSub), Seq("sub", "cell"))
+      .groupBy(by.as("batch_id"))
+      .agg(count_distinct(col("vec_id")).as("n_vecs"),
+        coalesce(sum(l2sq(col("sv"), col("centroid"))), lit(0.0)).as("err"))
+  }
+
+  /** [[topCellShare]] grouped per batch — same two-level aggregate with
+    * the batch key carried through.
+    */
+  private def topCellShareBy(e: DataFrame, cents: DataFrame,
+      by: Column): DataFrame =
+    assignCells(e.select(col("vec_id"), col("embedding")), cents)
+      .groupBy(by.as("batch_id"), col("cell")).agg(count(lit(1)).as("n"))
+      .groupBy(col("batch_id"))
+      .agg((max(col("n")).cast(DoubleType) / sum(col("n")).cast(DoubleType))
+        .as("top_cell_share"))
+
   /** The (error-input, occupancy-input) views of a RAW batch under the
     * index artifact's properties — the single place the drift statistics
     * learn what space they measure in, so the baseline and every later
@@ -2511,14 +2539,41 @@ object Similarity {
     graft.ops.Layout.rewriteInPlace(s, driftTablePath(path)) { staging =>
       keepBase.write.parquet(staging)
     }
+    // the three synthetic batches' statistics in ONE encode pass + ONE
+    // append (was three sequential recordDrift evaluations — ~50 tiny
+    // jobs whose inter-job driver gaps were half the entry's wall in the
+    // r13 profile). Batch membership rides on a re-id offset (vec_id div
+    // OFF — ids are append-convention-sized, far below OFF) because the
+    // shared encode kernels key on vec_id alone; the per-batch mean_err /
+    // top_cell_share are the same aggregates recordDrift computes, just
+    // grouped. recordDrift itself is unchanged — it is the real
+    // per-nightly-append API; only this gate's three-batches-at-once
+    // composition batches them.
     val day = e.filter(col("vec_id") % 4 === 0)
-    recordDrift(s, path, day, cb, 0L, Some(cents))
-    recordDrift(s, path,
-      day.withColumn("embedding", transform(col("embedding"), x => x * lit(3.0f))),
-      cb, 1L, Some(cents))
-    recordDrift(s, path,
-      day.withColumn("embedding", transform(col("embedding"), x => x + lit(0.5f))),
-      cb, 2L, Some(cents))
+      .select(col("vec_id"), col("embedding"))
+    val OFF = 1L << 40
+    val tagged = day
+      .unionByName(day.select((col("vec_id") + OFF).as("vec_id"),
+        transform(col("embedding"), x => x * lit(3.0f)).as("embedding")))
+      .unionByName(day.select((col("vec_id") + 2 * OFF).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.5f)).as("embedding")))
+    val (errInput, occInput) = driftViews(s, path, tagged, Some(cents))
+    val batchOf = floor(col("vec_id").cast("double") / lit(OFF.toDouble))
+      .cast("long")
+    val stats = quantStatsBy(errInput, cb, batchOf)
+    val occ = topCellShareBy(occInput, cents, batchOf)
+    val rows = stats.join(occ, Seq("batch_id"))
+      .select(col("batch_id"), col("n_vecs"),
+        (col("err") / col("n_vecs").cast(DoubleType)).as("mean_err"),
+        col("top_cell_share"))
+      .collect()
+    require(rows.length == 3 && rows.forall(_.getLong(1) > 0),
+      "drift batches must all be non-empty")
+    import s.implicits._
+    rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq.sortBy(_._1)
+      .toDF("batch_id", "n_vecs", "mean_err", "top_cell_share")
+      .write.mode("append").parquet(driftTablePath(path))
     driftReport(s, path)
   }
 

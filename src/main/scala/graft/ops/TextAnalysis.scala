@@ -40,7 +40,11 @@ object TextAnalysis {
   private val stopDe = Seq("der", "die", "das", "und", "ein", "ist", "zu")
 
   private[graft] def hits(c: Column, stop: Seq[String]): Column =
-    size(filter(words(c), w => w.isInCollection(stop))).cast(LongType)
+    // compiled token-in-set count ([[graft.functions.CountIn]]) — value-
+    // identical to the former size(filter(words, isInCollection)) HOF,
+    // which walked an interpreted predicate tree per token (language id
+    // pays this four times per row; FunctionsSpec pins the equality)
+    graft.functions.count_in(words(c), stop)
 
   // ------------------------------------------------------------ token count
   /** Whitespace token count + a BPE-ish subword proxy: letter runs, single
@@ -215,13 +219,18 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val d = docs(s, dir)
     val terms = d.select(col("doc_id"), explode(words(col("text"))).as("term"))
-    val tf = terms.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
     // document frequency DERIVES from tf — its rows already are the
     // distinct (doc, term) pairs — instead of re-exploding the corpus
-    // into a second distinct+count branch: one explode feeds both tables
-    // (the exchange is reused at runtime), which halves the corpus-scan
-    // work at 100 TB
+    // into a second distinct+count branch. tf is MATERIALIZED once
+    // (localCheckpoint): the "exchange is reused at runtime" this relied
+    // on does not hold — the r13 plan audit found each consumer branch
+    // (df derivation + the scoring join) re-deriving the explode+count
+    // chain, so the corpus was shingled per branch; the checkpoint stores
+    // the (doc, term, tf) bytes the shared exchange held and every
+    // consumer reads blocks.
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = d.count() // corpus size: one number, computed once
     val w = Window.partitionBy(col("doc_id"))
@@ -253,10 +262,18 @@ object TextAnalysis {
     * values against an exact driver-side recomputation at 1e-9.
     */
   def surprisal(s: SparkSession, dir: String): DataFrame = {
+    // tf materialized once (tfIdf's r13 discipline): the scalar
+    // totalTokens aggregate, the word-count derivation and the scoring
+    // join each re-derived the corpus explode before — three passes for
+    // one page of counts
     val tf = docs(s, dir)
       .select(col("doc_id"), explode(words(col("text"))).as("word"))
       .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    // vocab-sized; materialized because BOTH the totalTokens scalar below
+    // and the scoring join read it
     val wc = tf.groupBy(col("word")).agg(sum(col("tf")).as("cnt"))
+      .localCheckpoint()
     // corpus token total: one scalar off the word-count frame (vocab-sized,
     // not corpus-sized), computed once on the driver. coalesce: sum over
     // zero rows is NULL, and getLong on a null primitive NPEs — an empty
@@ -295,21 +312,36 @@ object TextAnalysis {
     */
   def bigramPerplexity(s: SparkSession, dir: String,
       smoothK: Double = 0.1): DataFrame = {
-    val pairs = docs(s, dir)
-      .select(col("doc_id"), words(col("text")).as("ws"))
-      .select(col("doc_id"), posexplode(
-        zip_with(col("ws"), slice(col("ws"), lit(2), size(col("ws"))),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as(Seq("i", "bg")))
-      .filter(col("bg.w2").isNotNull)
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val tf = pairs.groupBy(col("doc_id"), col("w1"), col("w2"))
+    // bigram extraction through the compiled StringNgrams kernel (n = 2,
+    // duplicates kept — the model needs every occurrence): the former
+    // zip_with-into-struct posexplode evaluated its lambda interpreted
+    // per position. The "w1 w2" gram string is a bijective encoding of
+    // the pair (words contain no whitespace by construction — words() IS
+    // the whitespace split), so grouping by the gram is grouping by the
+    // pair; w1 recovers exactly via substring_index at the one place the
+    // mixed key is needed. tf and c12 are materialized once
+    // (localCheckpoint — tfIdf's r13 discipline): the eager V count, the
+    // c1 derivation and the scoring join each re-derived the whole
+    // explode chain before.
+    val tf = docs(s, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.string_ngrams(words(col("text")), 2))
+          .as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
       .agg(count(lit(1)).as("tf"))
-    val c12 = tf.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c12"))
+      .localCheckpoint()
+    val c12 = tf.groupBy(col("bg")).agg(sum(col("tf")).as("c12"))
+      .select(col("bg"),
+        substring_index(col("bg"), " ", 1).as("w1"), col("c12"))
+      .localCheckpoint()
     val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     // V = continuation vocabulary (distinct second words) — one scalar
-    // off the bigram-vocab-sized frame
-    val v = c12.select(col("w2")).distinct().count().toDouble
-    tf.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+    // off the bigram-vocab-sized frame. A gram is "w1 w2" with exactly
+    // one space (both are single whitespace-split words), so the last
+    // space-separated segment IS w2.
+    val v = c12.select(substring_index(col("bg"), " ", -1))
+      .distinct().count().toDouble
+    tf.join(c12, Seq("bg")).join(c1, Seq("w1"))
       .groupBy(col("doc_id"))
       .agg(
         sum(col("tf").cast(DoubleType)

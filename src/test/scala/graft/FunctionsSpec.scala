@@ -69,8 +69,9 @@ class FunctionsSpec extends SparkSpec {
     new GraftExtensions().apply(e) // must not throw; builders are injected
     assert(GraftExtensions.builders.keySet ===
       Set("cosine_sim", "minhash_sig", "simhash_chunks", "hashed_ngrams",
-        "string_ngrams", "jaccard_hashed", "dot_long", "hyperplane_buckets",
-        "mat_vec", "bpe_encode", "bloom_count", "ewma_fold"))
+        "string_ngrams", "count_in", "jaccard_hashed", "dot_long",
+        "hyperplane_buckets", "mat_vec", "bpe_encode", "bloom_count",
+        "ewma_fold"))
   }
 
   test("bpe_encode: SQL form, codegen/interpreted parity, merge semantics") {
@@ -272,6 +273,33 @@ class FunctionsSpec extends SparkSpec {
     def one(): Seq[String] = docs.orderBy("doc_id")
       .select(graft.functions.string_ngrams(w, 8, distinct = true))
       .head.getSeq[String](0)
+    try {
+      spark.conf.set(factoryMode, "CODEGEN_ONLY")
+      val gen = one()
+      spark.conf.set(factoryMode, "NO_CODEGEN")
+      assert(gen === one())
+    } finally prior match {
+      case Some(v) => spark.conf.set(factoryMode, v)
+      case None => spark.conf.unset(factoryMode)
+    }
+  }
+
+  test("count_in equals the filter+isInCollection HOF on real text") {
+    import org.apache.spark.sql.functions._
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(200)
+    val w = split(trim(col("text")), "\\s+")
+    val rows = docs.select(col("doc_id"),
+      size(filter(w, x => x.isInCollection(stop))).cast("long").as("hof"),
+      graft.functions.count_in(w, stop).as("ker"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(1) === r.getLong(2),
+      s"doc ${r.getLong(0)}: stopword counts differ"))
+    // codegen vs interpreted parity
+    val factoryMode = "spark.sql.codegen.factoryMode"
+    val prior = spark.conf.getOption(factoryMode)
+    def one(): Long = docs.orderBy("doc_id")
+      .select(graft.functions.count_in(w, stop)).head.getLong(0)
     try {
       spark.conf.set(factoryMode, "CODEGEN_ONLY")
       val gen = one()

@@ -90,11 +90,13 @@ object PlanSweepSpec {
     // few-row sketch-state / breakpoint crosses. Audited round 13 for
     // addable equi keys: the audience overlaps are GENUINE all-pairs of a
     // k-row sketch state (the output is every pair — no equi key exists);
-    // the drift reports cross a ONE-row broadcast bounds frame (the
+    // profile_drift_fed crosses a ONE-row broadcast bounds frame (the
     // gap_fill shape — nothing to key on). profile_drift_multi's
-    // parameter grid moved to a driver-local frame and left the list.
+    // parameter grid moved to a driver-local frame and left the list;
+    // profile_distribution_drift's bounds frame became plan literals
+    // (collected once, r13 drift rework) and left it too.
     "etl_audience_overlap", "etl_audience_overlap_windowed",
-    "profile_distribution_drift", "profile_drift_fed",
+    "profile_drift_fed",
     "text_cluster_mixture",
     // dense per-key grids and banded candidate windows
     "etl_gap_fill", "etl_snapshot_diff",

@@ -305,12 +305,19 @@ class TextAnalysisSpec extends SparkSpec {
       "gram chain must not be inlined into a pushed filter")
   }
 
-  test("tf-idf explodes the corpus once: df derives from tf via exchange reuse") {
+  test("tf-idf explodes the corpus once: consumers read the materialized tf") {
     val df = TextAnalysis.tfIdf(spark, sf)
     df.collect()
+    // r13 form of the explode-once pin: tf is materialized
+    // (localCheckpoint), so the consuming plan reads ExistingRDD and
+    // contains no explode/generate at all (the pre-r13 ReusedExchange pin
+    // was weaker and in fact did not hold — each branch re-derived the
+    // explode chain)
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("ReusedExchange"),
-      s"tf and df must share one explode+aggregate:\n${plan.take(2000)}")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"df and the scoring join must read the materialized tf:\n${plan.take(2000)}")
+    assert(!plan.contains("Generate"),
+      s"no consumer may re-explode the corpus:\n${plan.take(2000)}")
   }
 
   test("heavy hitters (sketch + recount) equal the exact full-vocabulary top-k") {

@@ -45,39 +45,58 @@ object Curation {
       pairs: Option[DataFrame] = None,
       fuzzyDecontaminate: Boolean = false,
       classifierWeights: Option[TextAnalysis.QualityWeights] = None): DataFrame = {
-    val curated0 = TextAnalysis.curateCorpus(s, dir).select(col("doc_id"))
-    val curated = classifierWeights.fold(curated0)(w =>
-      curated0.join(
-        TextAnalysis.qualityClassifier(s, dir, w)
-          .filter(col("keep") === 1L).select(col("doc_id")),
-        Seq("doc_id"), "left_semi"))
-    val clean0 = TextAnalysis.decontaminate(Tables(s, dir).documents, isBenchmark)
-      .filter(col("contaminated") === 0L).select(col("doc_id"))
+    // The three gate stages (quality/language, decontamination, near-dup
+    // components) are INDEPENDENT corpus passes that each reduce to a tiny
+    // id list — evaluate them eagerly on a small pool (guide §2.6) so the
+    // LSH+propagation stage's many small sequential jobs are back-filled
+    // by the other stages' scans, instead of the funnel paying the three
+    // stages end to end. localCheckpoint keeps each list's pre-checkpoint
+    // size estimate, so the assembly's semi/anti joins still broadcast.
+    def curatedIds(): DataFrame = {
+      val curated0 = TextAnalysis.curateCorpus(s, dir).select(col("doc_id"))
+      classifierWeights.fold(curated0)(w =>
+        curated0.join(
+          TextAnalysis.qualityClassifier(s, dir, w)
+            .filter(col("keep") === 1L).select(col("doc_id")),
+          Seq("doc_id"), "left_semi"))
+        .localCheckpoint()
+    }
     // fuzzy decon COMPLEMENTS the exact gate (paraphrased contamination
     // shares few exact 5-grams but keeps high shingle Jaccard) — so it
     // subtracts from, never replaces, the exact-clean set. An anti-join
     // against the flagged ids (a small frame: contaminated docs only)
     // composes with the funnel's other id-list joins for free.
-    val clean = if (!fuzzyDecontaminate) clean0
-      else clean0.join(
-        Dedup.decontaminateFuzzy(s, Tables(s, dir).documents, isBenchmark)
-          .select(col("train_id").as("doc_id")),
-        Seq("doc_id"), "left_anti")
+    def cleanIds(): DataFrame = {
+      val clean0 = TextAnalysis.decontaminate(Tables(s, dir).documents, isBenchmark)
+        .filter(col("contaminated") === 0L).select(col("doc_id"))
+      (if (!fuzzyDecontaminate) clean0
+       else clean0.join(
+         Dedup.decontaminateFuzzy(s, Tables(s, dir).documents, isBenchmark)
+           .select(col("train_id").as("doc_id")),
+         Seq("doc_id"), "left_anti"))
+        .localCheckpoint()
+    }
     // propagateMinLabels returns its labels CACHED and assigns unpersist
     // ownership to the caller (Dedup.scala contract) — so pin only the
     // tiny dropped-id list (non-canonical members of dup clusters, stored
     // once via eager localCheckpoint and reaped by the ContextCleaner when
     // the frame is GC'd) and release the full labels cache immediately.
-    val (labels, _) = Dedup.propagateMinLabels(
-      pairs.getOrElse(Dedup.minhashPairs(s, dir)))
-    val dropped = labels
-      .filter(col("canonical_id") =!= col("doc_id")).select(col("doc_id"))
-      .localCheckpoint()
-    labels.unpersist()
+    // Labels stay UNSORTED — the only consumer is this filter.
+    def droppedIds(): DataFrame = {
+      val (labels, _) = Dedup.propagateMinLabels(
+        pairs.getOrElse(Dedup.minhashPairs(s, dir)), sorted = false)
+      val dropped = labels
+        .filter(col("canonical_id") =!= col("doc_id")).select(col("doc_id"))
+        .localCheckpoint()
+      labels.unpersist()
+      dropped
+    }
+    val stages = Par.mapOrdered[() => DataFrame, DataFrame](
+      Seq(curatedIds _, cleanIds _, droppedIds _), inFlight = 3)(_())
     val kept = Tables(s, dir).documents
-      .join(curated, Seq("doc_id"), "left_semi")
-      .join(clean, Seq("doc_id"), "left_semi")
-      .join(dropped, Seq("doc_id"), "left_anti")
+      .join(stages(0), Seq("doc_id"), "left_semi")
+      .join(stages(1), Seq("doc_id"), "left_semi")
+      .join(stages(2), Seq("doc_id"), "left_anti")
     TextAnalysis.packSequences(kept, numBuckets, budget)
   }
 
@@ -148,7 +167,7 @@ object Curation {
     // write that drains it (same ownership contract as prepareCorpus)
     if (!fs.exists(donePath("dropped_ids"))) {
       val (labels, _) = Dedup.propagateMinLabels(
-        pairs.getOrElse(Dedup.minhashPairs(s, dir)))
+        pairs.getOrElse(Dedup.minhashPairs(s, dir)), sorted = false)
       labels.filter(col("canonical_id") =!= col("doc_id")).select(col("doc_id"))
         .write.mode("overwrite").parquet(new Path(workDir, "dropped_ids").toString)
       labels.unpersist()

@@ -1138,14 +1138,28 @@ object Dedup {
     */
   def dedupComponentsIncremental(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir).documents
-    val base = nearDupGroups(
-      minhashPairsOf(s, docs.filter(col("doc_id") % 4 =!= 0),
-        DefaultNumHashes, DefaultBands, tau = 0.7), 10)
-    // returned AS the cached frame (already orderBy(doc_id) inside
-    // propagateMinLabels) — wrapping it in another projection would make
-    // the caller's unpersist a silent no-op, the exact anti-pattern the
+    // the pre-batch labeling and the batch's index-found pairs are
+    // INDEPENDENT until the fold (guide §2.6: actions are sequential only
+    // because driver code calls them sequentially) — evaluate both eagerly
+    // on a 2-thread pool so the propagation rounds' scheduler gaps are
+    // back-filled by the incremental candidate/verify join. The base
+    // labeling skips the gate's orderBy (it is consumed as label EDGES —
+    // the fold re-sorts its own output); the batch pairs come from the
+    // unsorted body and are materialized once (localCheckpoint) as the
+    // fold input.
+    val parts = Par.mapOrdered[() => DataFrame, DataFrame](Seq(
+      () => propagateMinLabels(
+        minhashPairsOf(s, docs.filter(col("doc_id") % 4 =!= 0),
+          DefaultNumHashes, DefaultBands, tau = 0.7), 10, sorted = false)._1,
+      () => minhashIncrementalPairs(s,
+        docs.filter(col("doc_id") % 4 === 0),
+        persistedMinhashIndex(s, dir)).localCheckpoint()), inFlight = 2)(_())
+    val (base, incPairs) = (parts(0), parts(1))
+    // returned AS the cached frame (orderBy(doc_id) inside the fold's
+    // propagation) — wrapping it in another projection would make the
+    // caller's unpersist a silent no-op, the exact anti-pattern the
     // propagateMinLabels scaladoc warns about
-    val out = nearDupGroupsIncremental(base, minhashIncremental(s, dir))
+    val out = nearDupGroupsIncremental(base, incPairs)
     base.unpersist()
     out
   }
@@ -1162,7 +1176,17 @@ object Dedup {
     * projection of it would make the caller's unpersist a silent no-op
     * (the round-4 lingering-cache warnings were exactly that).
     */
-  def propagateMinLabels(pairs0: DataFrame, maxIter: Int = 10): (DataFrame, Int) = {
+  /** @param sorted whether the returned labels carry the gate entries'
+    *   orderBy(doc_id) output contract. Internal consumers (survivors'
+    *   cluster aggregate, the curation funnel's dropped-id filter, the
+    *   incremental fold's label edges) aggregate or filter the labels
+    *   immediately, so the global range-sort is discarded work for them —
+    *   at 100 TB a full sort of the label table per consumer (guide §2.4:
+    *   an orderBy used only to make output deterministic is an Exchange
+    *   you can remove when no one reads the order).
+    */
+  def propagateMinLabels(pairs0: DataFrame, maxIter: Int = 10,
+      sorted: Boolean = true): (DataFrame, Int) = {
     val pairs = pairs0.select(col("d1"), col("d2")).cache()
     try {
       // symmetric edge list incl. self-loops so isolated endpoints keep
@@ -1227,8 +1251,8 @@ object Dedup {
       // re-cache under the RETURNED plan (see scaladoc) so the caller's
       // unpersist really clears it; count() fills it from the still-warm
       // labels cache, then both internal caches drop.
-      val out = labels.select(col("doc_id"), col("label").as("canonical_id"))
-        .orderBy(col("doc_id"))
+      val renamed = labels.select(col("doc_id"), col("label").as("canonical_id"))
+      val out = (if (sorted) renamed.orderBy(col("doc_id")) else renamed)
         .cache()
       out.count()
       labels.unpersist()
@@ -1301,6 +1325,14 @@ object Dedup {
     */
   def nearDupSurvivorsWeightedQ(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir).documents
+    // labels stay SORTED here although the aggregate re-shuffles them: an
+    // r13 A/B (7-run best-of, quiet host, one-line flip) measured the
+    // unsorted labels ~1 s SLOWER for this entry (min 4.76 vs 3.74) — the
+    // sorted cache's coalesced range layout evidently feeds the assembly
+    // consumers better at this SF than the propagation join's raw
+    // partitioning; removing a sort only wins when the cache layout it
+    // leaves behind is at least as good (guide §1.1: the "ideal" plan
+    // lost to the measured one).
     val groups = nearDupGroups(s, dir)
     val out = nearDupSurvivorsWeighted(docs, groups).localCheckpoint()
     groups.unpersist()
@@ -1467,28 +1499,39 @@ object Dedup {
     * to pairs touching the batch (DedupSpec pins the equality).
     */
   def minhashIncremental(s: SparkSession, batch: DataFrame, index: DataFrame,
-      numHashes: Int = DefaultNumHashes, bands: Int = DefaultBands): DataFrame = {
+      numHashes: Int = DefaultNumHashes, bands: Int = DefaultBands): DataFrame =
+    // the (d1, d2) sort is this PUBLIC form's output contract (the gate
+    // entry); composing consumers (the component fold, the ingest sinks'
+    // pair parquet) read the unsorted body — they aggregate or bulk-write
+    // the pair set, so the global range-sort is discarded work (the
+    // minhashLsh/minhashPairs split, applied to the incremental tier)
+    minhashIncrementalPairs(s, batch, index, numHashes, bands)
+      .orderBy(col("d1"), col("d2"))
+
+  /** [[minhashIncremental]] without the output sort — the form composing
+    * consumers read.
+    */
+  private[graft] def minhashIncrementalPairs(s: SparkSession, batch: DataFrame,
+      index: DataFrame, numHashes: Int = DefaultNumHashes,
+      bands: Int = DefaultBands): DataFrame = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
-    // ONE exchange of the batch's hashed shingles feeds all three consumers
-    // (the signature chain and both verify-join sides) — the minhashLsh
-    // staging, which ReuseExchange collapses to a single shingling pass.
-    // Reusing the combined [[signatures]] frame here instead would defeat
-    // it: column pruning specializes the plan under each consumer (the
-    // verify sides drop sig) and the exchanges stop matching.
-    val batchHs = batch
+    // ONE materialization of the batch's prepared (doc_id, hs, sig) frame
+    // feeds all three consumers (banding and both verify-join sides) — the
+    // [[minhashPairsFromHs]] discipline. The repartition-barrier
+    // formulation this replaces assumed the consumers would collapse onto
+    // one ReusedExchange; the r13 profile showed the batch re-shingled per
+    // consumer instead (the broadcast build sides re-derive the chain
+    // independently), 18.8 s task-CPU in the candidate/verify join job of
+    // dedup_components_incremental for work whose single pass costs ~3 s.
+    val prepared = batch
       .filter(size(words(col("text"))) >= 2)
       .repartition(spread(s), col("doc_id"))
       .select(col("doc_id"),
         hashed_ngrams(words(col("text")), 2, P, distinct = true).as("hs"))
-      .repartition(spread(s), col("doc_id"))
-    val newSigned = batchHs
       .withColumn("sig", minhash_sig(col("hs"), numHashes, P))
-      .select(col("doc_id"), col("sig"))
-      // projection barrier: bandBuckets slices sig `bands` times, and
-      // CollapseProject would otherwise inline (recompute) the signature
-      // per band — same discipline as minhashLsh's sig frame
-      .repartition(spread(s), col("doc_id"))
-    val newBand = bandBuckets(newSigned, numHashes, bands)
+      .localCheckpoint()
+    val newBand = bandBuckets(
+      prepared.select(col("doc_id"), col("sig")), numHashes, bands)
     // batch ⋈ (index ∪ batch): every candidate pair touches ≥1 batch doc by
     // construction; least/greatest + distinct collapses the double-counted
     // batch-batch matches and the per-band candidate copies in one exchange
@@ -1500,14 +1543,13 @@ object Dedup {
         greatest(col("a.doc_id"), col("b.doc_id")).as("d2"))
       .distinct()
     val hs = index.select(col("doc_id"), col("hs"))
-      .unionByName(batchHs)
+      .unionByName(prepared.select(col("doc_id"), col("hs")))
     cand
       .join(hs.select(col("doc_id").as("d1"), col("hs").as("s1")), "d1")
       .join(hs.select(col("doc_id").as("d2"), col("hs").as("s2")), "d2")
       .select(col("d1"), col("d2"),
         graft.functions.jaccard_hashed(col("s1"), col("s2")).as("jaccard"))
       .filter(col("jaccard") >= 0.7)
-      .orderBy(col("d1"), col("d2"))
   }
 
   /** Fold a processed batch into the signature index — the step that keeps

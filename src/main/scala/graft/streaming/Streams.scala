@@ -771,7 +771,10 @@ object Streams extends Serializable {
           if (fs.exists(new org.apache.hadoop.fs.Path(indexPath)))
             graft.ops.Dedup.loadMinhashIndex(s, indexPath)
           else graft.ops.Dedup.emptyMinhashIndex(s)
-        val pairs = graft.ops.Dedup.minhashIncremental(s, cached, idx)
+        // unsorted pair body: the batch's pairs are bulk-written and folded
+        // (set semantics) — the public form's (d1, d2) sort would be a
+        // per-micro-batch range shuffle no reader depends on
+        val pairs = graft.ops.Dedup.minhashIncrementalPairs(s, cached, idx)
           .withColumn("batch_id", lit(batchId))
           .persist()
         try {

@@ -90,6 +90,13 @@ object GraftExtensions {
           }
           graft.functions.CountIn(args(0), words)
         }),
+      "adjacent_repeats" -> (
+        new ExpressionInfo(classOf[graft.functions.AdjacentRepeats].getName,
+          "adjacent_repeats"),
+        (args: Seq[Expression]) => {
+          require(args.length == 1, "adjacent_repeats(tokens) takes 1 argument")
+          graft.functions.AdjacentRepeats(args(0))
+        }),
       "jaccard_hashed" -> (
         new ExpressionInfo(classOf[JaccardHashed].getName, "jaccard_hashed"),
         (args: Seq[Expression]) => {

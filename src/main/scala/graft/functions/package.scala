@@ -46,6 +46,12 @@ package object functions {
   def count_in(tokens: Column, words: Seq[String]): Column =
     GraftSqlBridge.column(CountIn(GraftSqlBridge.expression(tokens), words))
 
+  /** Count of adjacent equal pairs in an array<string>, compiled — see
+    * [[AdjacentRepeats]].
+    */
+  def adjacent_repeats(tokens: Column): Column =
+    GraftSqlBridge.column(AdjacentRepeats(GraftSqlBridge.expression(tokens)))
+
   /** Merge-based Jaccard of two sorted distinct array<long> sets — see
     * [[JaccardHashed]].
     */

@@ -91,8 +91,14 @@ object Curation {
       labels.unpersist()
       dropped
     }
+    // overlap gated on the session's cores (Par.gate): the fixed 3-way
+    // overlap was tuned on the 32-core rig and THRASHED small hosts — the
+    // r13 8-core scaling run measured this funnel at 86.2 s vs 9.5 s at
+    // 32 cores, because each stage itself schedules multi-task jobs and
+    // three of those over 8 task slots fight instead of back-filling
     val stages = Par.mapOrdered[() => DataFrame, DataFrame](
-      Seq(curatedIds _, cleanIds _, droppedIds _), inFlight = 3)(_())
+      Seq(curatedIds _, cleanIds _, droppedIds _),
+      inFlight = Par.gate(s.sparkContext.defaultParallelism, cap = 3))(_())
     val kept = Tables(s, dir).documents
       .join(stages(0), Seq("doc_id"), "left_semi")
       .join(stages(1), Seq("doc_id"), "left_semi")

@@ -235,26 +235,54 @@ object Dedup {
     * input per rung.
     */
   private def minhashPairsFromHs(s: SparkSession, docs: DataFrame,
+      numHashes: Int, bands: Int, tau: Double): DataFrame =
+    minhashPairsFromSigned(s, signedShingleDocs(docs, numHashes),
+      numHashes, bands, tau)
+
+  /** ONE eager materialization of the prepared frame (hs + signature).
+    * The repartition-barrier formulation this replaces assumed the three
+    * downstream consumers (banding + the two verify-join sides) would hit
+    * one ReusedExchange — but CollapseRepartition folds the back-to-back
+    * same-key repartitions and the planner broadcasts the small join
+    * sides, so the r13 plan audit found FOUR independent
+    * scan→shingle→signature subtrees and no ReusedExchange: the
+    * interpreted-adjacent HashedNgrams/MinHashSig kernels (the operator's
+    * dominant CPU) ran once per subtree at EVERY scale. localCheckpoint
+    * is the barrier the optimizer can't fold: shingles and signatures
+    * compute exactly once, every consumer reads blocks, and the blocks
+    * are ContextCleaner-reaped when the frame is GC'd. The stored bytes
+    * are the same bytes the intended shared exchange held. (Signature
+    * via the codegen'd MinHashSig — the HOF formulation, 64 array_min
+    * lambdas, evaluates interpreted and measured ~1000× slower.)
+    *
+    * The signature depends on numHashes alone, NEVER on the banding — so
+    * this frame is BAND-INVARIANT and [[tuneBands]] materializes it once
+    * for its whole geometry ladder (the r13 formulation re-signed and
+    * re-checkpointed an identical frame per rung: 4 materialization jobs
+    * where one suffices, and at a contended driver each rung's
+    * checkpoint+joins inflated — 3.6→10.9 s in the r13 driver bench).
+    *
+    * Executor-loss caveat (guide §5): localCheckpoint blocks are
+    * executor-local and non-replicated, and the lineage is truncated — on
+    * a cluster, losing an executor mid-query fails the job with no
+    * recompute path (acceptable for this intra-query materialization:
+    * the alternative is 3-4× recompute of the dominant kernel per query;
+    * a failed query re-runs from the parquet input). Deployments that
+    * prefer recoverable blocks can set a reliable checkpoint dir
+    * (`sparkContext.setCheckpointDir`) and flip
+    * `spark.graft.reliableCheckpoint=true`, which routes these
+    * materializations through `checkpoint(eager=true)` instead.
+    */
+  private[graft] def signedShingleDocs(docs: DataFrame, numHashes: Int): DataFrame =
+    graft.ops.Materialize(docs.withColumn("sig", minhash_sig(col("hs"), numHashes, P)))
+
+  /** [[minhashPairsFromHs]] from the already-signed, already-materialized
+    * (doc_id, hs, sig) frame — the band-dependent tail of the operator,
+    * the only part [[tuneBands]] re-runs per ladder rung.
+    */
+  private def minhashPairsFromSigned(s: SparkSession, prepared: DataFrame,
       numHashes: Int, bands: Int, tau: Double): DataFrame = {
     require(numHashes % bands == 0, s"bands ($bands) must divide numHashes ($numHashes)")
-    // ONE eager materialization of the prepared frame (hs + signature).
-    // The repartition-barrier formulation this replaces assumed the three
-    // downstream consumers (banding + the two verify-join sides) would hit
-    // one ReusedExchange — but CollapseRepartition folds the back-to-back
-    // same-key repartitions and the planner broadcasts the small join
-    // sides, so the r13 plan audit found FOUR independent
-    // scan→shingle→signature subtrees and no ReusedExchange: the
-    // interpreted-adjacent HashedNgrams/MinHashSig kernels (the operator's
-    // dominant CPU) ran once per subtree at EVERY scale. localCheckpoint
-    // is the barrier the optimizer can't fold: shingles and signatures
-    // compute exactly once, every consumer reads blocks, and the blocks
-    // are ContextCleaner-reaped when the frame is GC'd. The stored bytes
-    // are the same bytes the intended shared exchange held. (Signature
-    // via the codegen'd MinHashSig — the HOF formulation, 64 array_min
-    // lambdas, evaluates interpreted and measured ~1000× slower.)
-    val prepared = docs
-      .withColumn("sig", minhash_sig(col("hs"), numHashes, P))
-      .localCheckpoint()
     val banded = bandBuckets(
       prepared.select(col("doc_id"), col("sig")), numHashes, bands)
     // Candidate copies (a near-identical pair matches in ~all bands) are
@@ -399,12 +427,17 @@ object Dedup {
     require(sampleCap > 0, s"sampleCap must be positive: $sampleCap")
     val n = docs0.count()
     val sample = hashCutSample(docs0, col("doc_id"), sampleCap, n)
-    // ONE prepared, persisted probe frame behind the whole ladder
-    val prepped = hashedShingleDocs(s, sample).persist()
-    val truth = exactHashedJaccardPairs(s, prepped, tau).persist()
+    // ONE signed, materialized probe frame behind the whole ladder: the
+    // MinHash signature is BAND-INVARIANT (a function of numHashes alone),
+    // so every rung re-bands this frame instead of re-signing and
+    // re-materializing an identical one per rung (the r13 shape — four
+    // materialization jobs for a four-rung ladder, and each rung's
+    // checkpointed joins re-planned from scratch).
+    val signed = signedShingleDocs(hashedShingleDocs(s, sample), numHashes)
+    val truth = exactHashedJaccardPairs(s, signed, tau).persist()
     try {
       val nTruth = truth.count()
-      val nSample = prepped.count()
+      val nSample = signed.count()
       val ladder = candidateBands.sorted
       val rows = scala.collection.mutable.ListBuffer
         .empty[(Int, Int, Double, Long, Long, Double, Boolean)]
@@ -415,7 +448,7 @@ object Dedup {
         val r = numHashes / b
         val found =
           if (nTruth == 0) 0L
-          else minhashPairsFromHs(s, prepped, numHashes, b, tau)
+          else minhashPairsFromSigned(s, signed, numHashes, b, tau)
             .select(col("d1"), col("d2"))
             .join(truth, Seq("d1", "d2")).count()
         // an empty truth set means the sample carries no pairs at tau —
@@ -435,7 +468,7 @@ object Dedup {
         .withColumn("target", lit(targetRecall))
         .withColumn("sample_docs", lit(nSample))
         .orderBy(col("bands"))
-    } finally { truth.unpersist(); prepped.unpersist(); () }
+    } finally { truth.unpersist(); () }
   }
 
   /** Gate/bench form of the banding resolver (rows-only — the escalation
@@ -1153,7 +1186,8 @@ object Dedup {
           DefaultNumHashes, DefaultBands, tau = 0.7), 10, sorted = false)._1,
       () => minhashIncrementalPairs(s,
         docs.filter(col("doc_id") % 4 === 0),
-        persistedMinhashIndex(s, dir)).localCheckpoint()), inFlight = 2)(_())
+        persistedMinhashIndex(s, dir)).localCheckpoint()),
+      inFlight = Par.gate(s.sparkContext.defaultParallelism, cap = 2))(_())
     val (base, incPairs) = (parts(0), parts(1))
     // returned AS the cached frame (orderBy(doc_id) inside the fold's
     // propagation) — wrapping it in another projection would make the

@@ -950,8 +950,10 @@ object Fsck {
     // §2.6) — each target is many tiny sequential jobs, and the sequential
     // loop spent ~45% of the report's wall in inter-job driver gaps (r13
     // profile). Result order is input order, so the report is identical.
-    Par.mapOrdered(targets) { case (k, p) => guarded(s, k, p, markerBase) }
-      .reduce(_ unionByName _)
+    Par.mapOrdered(targets,
+        inFlight = Par.gate(s.sparkContext.defaultParallelism)) {
+      case (k, p) => guarded(s, k, p, markerBase)
+    }.reduce(_ unionByName _)
   }
 
   /** Per-target-markerBase programmatic form — what [[runConfig]] resolves
@@ -969,8 +971,10 @@ object Fsck {
       require(k == "sink_dir" || mb.isEmpty,
         s"markerBase only applies to sink_dir targets: $p")
     }
-    Par.mapOrdered(targets) { case (k, p, mb) => guarded(s, k, p, mb) }
-      .reduce(_ unionByName _)
+    Par.mapOrdered(targets,
+        inFlight = Par.gate(s.sparkContext.defaultParallelism)) {
+      case (k, p, mb) => guarded(s, k, p, mb)
+    }.reduce(_ unionByName _)
   }
 
   /** Config-driven form — the [[Maintenance.runConfig]] discipline, so the

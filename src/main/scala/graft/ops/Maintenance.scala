@@ -95,6 +95,15 @@ object Maintenance {
     *   phase exists for the operator who must not mutate damaged state
     *   unseen.
     */
+  /** Filesystem-qualified form of a target path, so the distinct-targets
+    * contract check can't be fooled by `/a/b` vs `/a/b/` vs `file:/a/b`.
+    */
+  private def normalizedPath(s: SparkSession, p: String): String = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .makeQualified(hp).toString
+  }
+
   def runAll(s: SparkSession, targets: Seq[Target],
       maxRecordsPerFile: Long = 1L * 1024 * 1024,
       fsck: String = "none"): DataFrame = {
@@ -118,6 +127,16 @@ object Maintenance {
       require(t.kind == "sink_dir" || t.markerBase.isEmpty,
         s"markerBase only applies to sink_dir targets: ${t.path}")
     }
+    // the overlapped passes below MUTATE their target dirs (compaction,
+    // in-place rewrites, retrain) relying on "targets are distinct dirs";
+    // under the former sequential loop a duplicated target was merely
+    // wasteful — overlapped, two passes rewriting one dir race and can
+    // corrupt it, so the contract is now validated, not just stated
+    val dupes = targets.groupBy(t => normalizedPath(s, t.path))
+      .collect { case (p, ts) if ts.size > 1 => p }
+    require(dupes.isEmpty,
+      s"maintenance targets must be distinct directories (duplicated: " +
+        s"${dupes.mkString(", ")})")
     if (fsck == "pre" || fsck == "both") assertClean(s, targets, "pre")
     // independent per-directory passes: overlap them (guide §2.6 — the
     // same discipline as Fsck.runAll; targets are distinct dirs by
@@ -125,7 +144,8 @@ object Maintenance {
     // gaps dominate at nightly-table sizes). Row order is input order, so
     // the report is identical to the sequential loop's; wall_ms times each
     // target's own pass as before (overlapped passes time overlapped wall).
-    val rows = Par.mapOrdered(targets) { t =>
+    val rows = Par.mapOrdered(targets,
+        inFlight = Par.gate(s.sparkContext.defaultParallelism)) { t =>
       val start = System.nanoTime()
       val (checked, fired, audit) = t.kind match {
         case "ann_index" =>

@@ -254,6 +254,30 @@ object Similarity {
     df.select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
 
+  /** Bounded parallel fill for the local-fit assignment kernels.
+    *
+    * `Arrays.parallelSetAll` runs on the JVM commonPool — nCPU−1 threads —
+    * stacked on local mode's nCPU Spark task threads plus whatever else the
+    * host runs, i.e. ~2× thread oversubscription exactly when the host is
+    * busiest. The r13 driver bench (a contended host: load 1.6→4.9 over
+    * the run) collapsed on precisely the local-fit entries at local[32]
+    * (ann_pq_topk 18.3 s min-of-3) while the same build at 8 cores ran
+    * 1.1 s and a QUIET 32-core run measures 1.2 s — so the collapse is a
+    * contention amplification, not a plan defect. A dedicated pool capped
+    * at 8 threads keeps the fill a few hundred ms at the 256k-row cap
+    * (the work bound is [[LocalFitMaxWork]]) while never claiming more
+    * than a fraction of the host's threads: parallel-stream work submitted
+    * FROM a ForkJoinPool task executes in THAT pool, not the commonPool.
+    */
+  private val fitFillPool = new java.util.concurrent.ForkJoinPool(
+    math.max(1, math.min(8, Runtime.getRuntime.availableProcessors() / 2)))
+
+  private def parallelFill(out: Array[Int], f: Int => Int): Unit =
+    fitFillPool.submit(new Runnable {
+      override def run(): Unit =
+        java.util.Arrays.parallelSetAll(out, (i: Int) => f(i))
+    }).get()
+
   /** [[graft.functions.CosineSim]]'s exact arithmetic, local — shared with
     * [[graft.ops.Dedup]]'s probe-sample tuner, which must verify at the
     * same double cosine the detector compiles.
@@ -332,7 +356,7 @@ object Similarity {
       val cvecs = cents.map(_._2).toArray
       val assigned = new Array[Int](rows.length)
       if (rows.length.toLong * cells.length * dim > (1L << 24))
-        java.util.Arrays.parallelSetAll(assigned,
+        parallelFill(assigned,
           (i: Int) => bestCellByCosine(rows(i)._2, cells, cvecs))
       else {
         var i = 0
@@ -378,7 +402,7 @@ object Similarity {
       bc
     }
     if (out.length.toLong * ksub * dsub > (1L << 24))
-      java.util.Arrays.parallelSetAll(out, (i: Int) => one(i))
+      parallelFill(out, (i: Int) => one(i))
     else { var i = 0; while (i < out.length) { out(i) = one(i); i += 1 } }
     out
   }

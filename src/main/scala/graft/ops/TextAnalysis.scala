@@ -228,10 +228,16 @@ object TextAnalysis {
     // chain, so the corpus was shingled per branch; the checkpoint stores
     // the (doc, term, tf) bytes the shared exchange held and every
     // consumer reads blocks.
-    val tf = terms.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val tf = Materialize(terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf")))
+    // document frequencies are UNIGRAM-VOCAB-sized (bounded by the
+    // language, not the corpus — ~10^6 rows of (term, count) at any SF),
+    // but the checkpointed tf has no size estimate, so the planner sees
+    // "unknown" and falls to sort-merge: the r13 driver bench paid an SMJ
+    // of the corpus-sized tf against a one-page df table. The explicit
+    // broadcast restores the hash join (guide §3.1: estimates are often
+    // wrong after opaque ops — hint when you KNOW a side is small).
+    val df = broadcast(tf.groupBy(col("term")).agg(count(lit(1)).as("df")))
     val n = d.count() // corpus size: one number, computed once
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
@@ -266,21 +272,22 @@ object TextAnalysis {
     // totalTokens aggregate, the word-count derivation and the scoring
     // join each re-derived the corpus explode before — three passes for
     // one page of counts
-    val tf = docs(s, dir)
+    val tf = Materialize(docs(s, dir)
       .select(col("doc_id"), explode(words(col("text"))).as("word"))
-      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf")))
     // vocab-sized; materialized because BOTH the totalTokens scalar below
     // and the scoring join read it
-    val wc = tf.groupBy(col("word")).agg(sum(col("tf")).as("cnt"))
-      .localCheckpoint()
+    val wc = Materialize(tf.groupBy(col("word")).agg(sum(col("tf")).as("cnt")))
     // corpus token total: one scalar off the word-count frame (vocab-sized,
     // not corpus-sized), computed once on the driver. coalesce: sum over
     // zero rows is NULL, and getLong on a null primitive NPEs — an empty
     // documents table must yield an empty result, not a driver crash.
     val totalTokens =
       wc.agg(coalesce(sum(col("cnt")), lit(0L))).first().getLong(0)
-    tf.join(wc, "word")
+    // wc is unigram-vocab-sized and already materialized; the checkpoint
+    // erased its size estimate, so without the hint the scoring join fell
+    // to sort-merge against the corpus-sized tf (r13 driver regression)
+    tf.join(broadcast(wc), "word")
       .groupBy(col("doc_id"))
       .agg(
         sum(col("tf").cast(DoubleType)
@@ -323,17 +330,15 @@ object TextAnalysis {
     // (localCheckpoint — tfIdf's r13 discipline): the eager V count, the
     // c1 derivation and the scoring join each re-derived the whole
     // explode chain before.
-    val tf = docs(s, dir)
+    val tf = Materialize(docs(s, dir)
       .select(col("doc_id"),
         explode(graft.functions.string_ngrams(words(col("text")), 2))
           .as("bg"))
       .groupBy(col("doc_id"), col("bg"))
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
-    val c12 = tf.groupBy(col("bg")).agg(sum(col("tf")).as("c12"))
+      .agg(count(lit(1)).as("tf")))
+    val c12 = Materialize(tf.groupBy(col("bg")).agg(sum(col("tf")).as("c12"))
       .select(col("bg"),
-        substring_index(col("bg"), " ", 1).as("w1"), col("c12"))
-      .localCheckpoint()
+        substring_index(col("bg"), " ", 1).as("w1"), col("c12")))
     val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     // V = continuation vocabulary (distinct second words) — one scalar
     // off the bigram-vocab-sized frame. A gram is "w1 w2" with exactly
@@ -341,7 +346,13 @@ object TextAnalysis {
     // space-separated segment IS w2.
     val v = c12.select(substring_index(col("bg"), " ", -1))
       .distinct().count().toDouble
-    tf.join(c12, Seq("bg")).join(c1, Seq("w1"))
+    // c1 is UNIGRAM-vocab-sized → broadcast (the checkpointed lineage
+    // erased the estimate that used to carry it under the threshold).
+    // c12 stays a distributed join DELIBERATELY: the bigram vocabulary is
+    // quadratic in the unigram one (10^8-10^9 distinct bigrams at web
+    // scale) — broadcasting it is a local-SF win that breaks the 100 TB
+    // shape this operator documents.
+    tf.join(c12, Seq("bg")).join(broadcast(c1), Seq("w1"))
       .groupBy(col("doc_id"))
       .agg(
         sum(col("tf").cast(DoubleType)
@@ -635,10 +646,9 @@ object TextAnalysis {
     // per gramless doc is unique per doc, so it collapsed nothing — it
     // only forced the shared exchange the checkpoint now provides, minus
     // distinct's own extra shuffle.
-    val pairs = docsDf
+    val pairs = Materialize(docsDf
       .repartition(p, col("doc_id"))
-      .select(col("doc_id"), explode_outer(ngramsK(col("text"), n)).as("gram"))
-      .localCheckpoint()
+      .select(col("doc_id"), explode_outer(ngramsK(col("text"), n)).as("gram")))
     val shared = pairs.filter(col("gram").isNotNull)
       .groupBy(col("gram")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2)
@@ -1000,11 +1010,19 @@ object TextAnalysis {
     */
   def selectBudgetThreshold(s: SparkSession, dir: String,
       budget: Long = 10000L, bands: Int = 1000): DataFrame = {
-    val scored = budgetScored(s, dir)
+    // materialize the 4-column scoring projection ONCE (guide §8's
+    // decide-on-small-rows discipline): without it the scoring expression
+    // — a regex pass plus the stopword kernel over every document body —
+    // re-evaluated per consumer (histogram scan, output filter scan, and
+    // the output orderBy's range-sampling pass: three full corpus scans,
+    // measured 3 × ~0.4 CPU-s serial at sf0.1). The materialized frame is
+    // (doc_id, n_tokens, score, band) ≈ 32 bytes/doc — the lightweight
+    // proxy table, never the text.
+    val scored = Materialize(budgetScored(s, dir)
       // an empty doc scores null (0/0 ratios); it can't be selected and a
       // null band row would NPE the driver's histogram walk below
       .filter(col("quality_score").isNotNull)
-      .withColumn("band", floor(col("quality_score") * bands).cast(LongType))
+      .withColumn("band", floor(col("quality_score") * bands).cast(LongType)))
     val hist = scored.groupBy(col("band"))
       .agg(sum(col("n_tokens")).as("toks"))
       .orderBy(col("band").desc)
@@ -1041,9 +1059,15 @@ object TextAnalysis {
     // its own pass over `text` — the naive three-branch formulation scans
     // the corpus three times, which is the difference that matters at
     // 100 TB. min() re-extracts the constant deterministically.
+    // adjacent-duplicate count through the compiled AdjacentRepeats kernel
+    // (§4): the HOF chain it replaces — size(filter(zip_with(slice, slice,
+    // ===), identity)) — materialized two slices plus a zipped boolean
+    // array per doc and evaluated its lambdas interpreted per element,
+    // measured 64 task-CPU-s per pass at sf0.1 (~95% of this operator's
+    // compute). Value-identical incl. null-element semantics
+    // (FunctionsSpec pins the equality), one allocation-free pass.
     val exploded = d.select(col("doc_id"),
-      size(filter(zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
-        (a, b) => a === b), x => x)).cast(LongType).as("n_adj"),
+      graft.functions.adjacent_repeats(w).as("n_adj"),
       explode(w).as("word"))
     // barrier on doc_id: the stats aggregate, the top-1 window and their
     // join below all need doc_id (co-)partitioning — declaring it once

@@ -69,9 +69,9 @@ class FunctionsSpec extends SparkSpec {
     new GraftExtensions().apply(e) // must not throw; builders are injected
     assert(GraftExtensions.builders.keySet ===
       Set("cosine_sim", "minhash_sig", "simhash_chunks", "hashed_ngrams",
-        "string_ngrams", "count_in", "jaccard_hashed", "dot_long",
-        "hyperplane_buckets", "mat_vec", "bpe_encode", "bloom_count",
-        "ewma_fold"))
+        "string_ngrams", "count_in", "adjacent_repeats", "jaccard_hashed",
+        "dot_long", "hyperplane_buckets", "mat_vec", "bpe_encode",
+        "bloom_count", "ewma_fold"))
   }
 
   test("bpe_encode: SQL form, codegen/interpreted parity, merge semantics") {
@@ -300,6 +300,43 @@ class FunctionsSpec extends SparkSpec {
     val prior = spark.conf.getOption(factoryMode)
     def one(): Long = docs.orderBy("doc_id")
       .select(graft.functions.count_in(w, stop)).head.getLong(0)
+    try {
+      spark.conf.set(factoryMode, "CODEGEN_ONLY")
+      val gen = one()
+      spark.conf.set(factoryMode, "NO_CODEGEN")
+      assert(gen === one())
+    } finally prior match {
+      case Some(v) => spark.conf.set(factoryMode, v)
+      case None => spark.conf.unset(factoryMode)
+    }
+  }
+
+  test("adjacent_repeats equals the slice+zip_with HOF chain on real text") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(200)
+    val w = split(trim(col("text")), "\\s+")
+    val hof = size(filter(zip_with(
+      slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+      (a, b) => a === b), x => x)).cast("long")
+    val rows = docs.select(col("doc_id"), hof.as("hof"),
+      graft.functions.adjacent_repeats(w).as("ker")).collect()
+    rows.foreach(r => assert(r.getLong(1) === r.getLong(2),
+      s"doc ${r.getLong(0)}: adjacent-repeat counts differ"))
+    // synthetic edges: repeats, null elements (never count), len < 2
+    GraftExtensions.register(spark)
+    val edge = spark.sql(
+      """SELECT adjacent_repeats(array('a','a','a','b','b',NULL,NULL,'c')) AS a,
+        |       adjacent_repeats(array('x')) AS b,
+        |       adjacent_repeats(CAST(array() AS array<string>)) AS c""".stripMargin)
+    val e = edge.head()
+    assert(e.getLong(0) === 3L) // aa, aa, bb; null-null does not count
+    assert(e.getLong(1) === 0L)
+    assert(e.getLong(2) === 0L)
+    // codegen vs interpreted parity
+    val factoryMode = "spark.sql.codegen.factoryMode"
+    val prior = spark.conf.getOption(factoryMode)
+    def one(): Long = docs.orderBy("doc_id")
+      .select(graft.functions.adjacent_repeats(w)).head.getLong(0)
     try {
       spark.conf.set(factoryMode, "CODEGEN_ONLY")
       val gen = one()

@@ -11,6 +11,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// per-test durations in the report (-oD): the suite's wall budget is a
+// driver-gate constraint, so slow tests must be attributable from one run
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
 // The driver captures `runMain graft.Bench` stdout and JSON-parses the last
 // line. sbt's default LoggedOutput wraps every forked-process line in
 // "[info] " and appends its own "[success] Total time..." epilogue — both

@@ -37,12 +37,16 @@ object GraftSession {
       // 20-query best-of-5 A/B at sf0.1 measured the 256 KB setting a NET
       // REGRESSION (subset total 40.6 s vs 34.3 s): per-task parquet
       // reader setup (footer read, codec init) on ~300 KB splits costs
-      // more than the parallelism buys, and the few scans where split
-      // parallelism DOES pay (percentile/PSI aggregates over one file)
-      // are better served by an explicit repartition inside those
-      // operators. At production file sizes maxPartitionBytes governs
-      // split sizing and this knob only guards small-file packing, which
-      // is exactly what its default is tuned for.
+      // more than the parallelism buys. The once-suggested follow-up —
+      // "explicit repartition inside the sketch-state operators whose
+      // scans floor at 1-3 tasks" — was profiled in r14 and REFUTED at
+      // this SF: the per-slice sketch builds cost 0.12-0.16 task-CPU-s
+      // (events.parquet = 2 MB = one split), while those entries' walls
+      // are 19-34 tiny jobs of driver latency, so an added exchange per
+      // slice only adds jobs (OPTIMIZATION_r14.md). At production file
+      // sizes maxPartitionBytes governs split sizing and this knob only
+      // guards small-file packing, which is exactly what its default is
+      // tuned for.
       .config("spark.sql.files.openCostInBytes", (4L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
 

@@ -2591,8 +2591,15 @@ object Similarity {
         (col("err") / col("n_vecs").cast(DoubleType)).as("mean_err"),
         col("top_cell_share"))
       .collect()
-    require(rows.length == 3 && rows.forall(_.getLong(1) > 0),
-      "drift batches must all be non-empty")
+    // the batch-id SET doubles as the id-domain guard: a vec_id ≥ OFF in
+    // the base copy shifts its +OFF/+2·OFF twins into batch ≥ 3 (and a
+    // uniformly-shifted corpus into {1,2,3}), so any id outside [0, OFF)
+    // fails here instead of silently skewing a neighbor batch's statistics
+    require(rows.length == 3 &&
+        rows.map(_.getLong(0)).toSet == Set(0L, 1L, 2L) &&
+        rows.forall(_.getLong(1) > 0),
+      "drift batches must be exactly {0,1,2} and non-empty — vec_ids must " +
+        "be < 2^40 (the synthetic-batch id offset)")
     import s.implicits._
     rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
       .toSeq.sortBy(_._1)

@@ -271,6 +271,20 @@ class ProfileSpec extends SparkSpec {
       assert(java.lang.Double.isFinite(r.getAs[Double]("contrib")))
       assert(r.getAs[Double]("contrib") > 0.0)
     }
+    // null categories: INTENTIONALLY one combined (null, n_base, n_cur)
+    // row — the single-scan groupBy treats null as one category on both
+    // sides (the former per-side-groupBy + full-outer formulation emitted
+    // two one-sided null rows only because an equi-join key never matches
+    // null; that was an artifact, not a contract)
+    val withNulls = Profile.categoricalDriftOf(
+      spark.range(100).select(col("id").as("rid"),
+        when(col("id") % 4 === 0, lit(null).cast("string"))
+          .otherwise(lit("x")).as("cat")),
+      col("rid") % 2 === 0, "cat").collect()
+    val nullRows = withNulls.filter(_.isNullAt(0))
+    assert(nullRows.length === 1, "null category must be ONE combined row")
+    assert(nullRows.head.getAs[Long]("n_base") > 0
+      && nullRows.head.getAs[Long]("n_cur") > 0)
   }
 
   test("categorical baseline artifact: fed report ≡ inline bit-for-bit; kind self-describes") {
